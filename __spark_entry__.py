@@ -1,38 +1,298 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (SURVEY §7 minimum slice):
+stack cohort+survey derived from ``orders`` -> weighted-logistic
+propensity fit (IRLS, one distributed Gram pass per iteration) -> IPSW
+pseudo-weights -> design-weighted prevalence + KW kernel weights.
+
+``queries()`` / ``oracle_sql()`` register every SQL-expressible operator
+from SURVEY §2 against the DuckDB oracle. Iterative model fits (H1/H2)
+are validated by golden tests in ``tests/`` instead (SURVEY §5).
+
+All floating outputs are rounded identically on both sides: per-row
+arithmetic can differ between JVM and DuckDB libm by ~1 ulp, and
+aggregation order differs, so raw doubles would sporadically
+hash-mismatch; means (not grand sums) + round(…, 6) keep the comparison
+deterministic.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.functions.design import (  # noqa: E402
+    DesignMatrix,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.glm import (  # noqa: E402
+    weighted_logistic,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.pseudoweights import (  # noqa: E402
+    bw_nrd0,
+    kw_weights,
+    stack_samples,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.sources import tpch  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
+# Fixed propensity coefficients used by the oracle-checked weight queries
+# (frozen so the scoring expressions B9/I1/I3 are SQL-expressible; the
+# *fitted* path is exercised by entry() and golden tests).
+GAMMA0, GAMMA1, GAMMA2 = -1.0, 0.05, 0.1
+KW_H = 0.05  # fixed bandwidth for the oracle KW query
+
+
+def _spark_units(sf_dir: str) -> str:
+    """Spark-side derived units table (matches tpch.orders_units)."""
+    return f"""
+    SELECT o_orderkey AS id,
+           {tpch.X1_SQL} AS x1,
+           {tpch.X2_SQL} AS x2,
+           {tpch.T_SQL_SPARK} AS t,
+           {tpch.D_SQL} AS d,
+           {tpch.WT_SQL} AS wt,
+           o_orderkey
+    FROM parquet.`{sf_dir}/orders.parquet`
+    """
+
+
+def _duck_units() -> str:
+    return f"""
+    SELECT o_orderkey AS id,
+           {tpch.X1_SQL} AS x1,
+           {tpch.X2_SQL} AS x2,
+           {tpch.T_SQL} AS t,
+           {tpch.D_SQL} AS d,
+           {tpch.WT_SQL} AS wt,
+           o_orderkey
+    FROM orders
+    """
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: IPSW + KW weighted prevalence on sf0.001 (SURVEY §7)."""
+    return flagship(spark, SF0001)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cohort, survey = tpch.survey_frames(spark, sf_dir)
+    n_s = survey.count()
+    pop_n = spark.read.parquet(f"{SF0001}/orders.parquet").count()
+    a = n_s / pop_n
+    stacked = stack_samples(cohort, survey, "wt", sampling_fraction=a).cache()
+    stacked, x_cols = DesignMatrix("x1 + x2").attach(stacked)
+    fit = weighted_logistic(stacked, x_cols, "trt", "w")
+    scored = stacked.withColumn("p_score", fit.eta())
+    cohort_s = scored.where(F.col("trt") == 1)
+    survey_s = scored.where(F.col("trt") == 0)
+    cohort_w = cohort_s.withColumn("ipsw", F.exp(-F.col("p_score")) / a)
+    kw = kw_weights(
+        cohort_s.select("id", "p_score"),
+        survey_s.select("id", "p_score", "wt"),
+        weight_col="wt",
+    )
+    cohort_w = cohort_w.join(kw.weights, "id")
+    return cohort_w.agg(
+        F.count(F.lit(1)).alias("n_cohort"),
+        (F.sum(F.col("ipsw") * F.col("d")) / F.sum("ipsw")).alias("prev_ipsw"),
+        (F.sum(F.col("kw") * F.col("d")) / F.sum("kw")).alias("prev_kw"),
+        F.sum("ipsw").alias("ipsw_total"),
+        F.sum("kw").alias("kw_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked queries. Each pair computes the same thing on the same
+# parquet; column names/aliases match exactly.
+# ---------------------------------------------------------------------------
+
+
+def _q_stack_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cohort, survey = tpch.survey_frames(spark, sf_dir)
+    n_s = survey.count()
+    pop_n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    a = n_s / pop_n
+    stacked = stack_samples(cohort, survey, "wt", sampling_fraction=a)
+    return stacked.select(
+        "id",
+        "trt",
+        F.round("w", 6).alias("w"),
+        F.round("w_s", 6).alias("w_s"),
+    )
+
+
+def _sql_stack_weights(sf_dir: str) -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    c AS (SELECT * FROM units WHERE {tpch.COHORT_PRED}),
+    s AS (SELECT * FROM units WHERE {tpch.SURVEY_PRED}),
+    a AS (SELECT (SELECT count(*) FROM s) * 1.0 / (SELECT count(*) FROM units) AS a)
+    SELECT id, 1 AS trt, round(1.0, 6) AS w, round(1.0, 6) AS w_s FROM c
+    UNION ALL
+    SELECT id, 0 AS trt, round(wt, 6) AS w, round(wt * a.a, 6) AS w_s FROM s, a
+    """
+
+
+def _q_ipsw_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9+I1+E3 with frozen gamma: score -> ipsw -> weighted prevalence."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cohort, _ = tpch.survey_frames(spark, sf_dir)
+    score = F.lit(GAMMA0) + F.lit(GAMMA1) * F.col("x1") + F.lit(GAMMA2) * F.col("x2")
+    c = cohort.withColumn("ipsw", F.exp(-score))
+    return c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("ipsw") * F.col("d")) / F.sum("ipsw"), 6).alias("prev"),
+        F.round(F.avg("ipsw"), 6).alias("ipsw_mean"),
+    )
+
+
+def _sql_ipsw_prevalence(sf_dir: str) -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    c AS (SELECT *, exp(-({GAMMA0} + {GAMMA1} * x1 + {GAMMA2} * x2)) AS ipsw
+          FROM units WHERE {tpch.COHORT_PRED})
+    SELECT count(*) AS n,
+           round(sum(ipsw * d) / sum(ipsw), 6) AS prev,
+           round(avg(ipsw), 6) AS ipsw_mean
+    FROM c
+    """
+
+
+def _q_gram_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 Gram aggregation (as means for float stability)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cohort, survey = tpch.survey_frames(spark, sf_dir)
+    stacked = stack_samples(cohort, survey, "wt")
+    stacked, cols = DesignMatrix("x1 + x2").attach(stacked)
+    exprs = []
+    for i, xi in enumerate(cols):
+        for xj in cols[i:]:
+            exprs.append(
+                F.round(F.avg(F.col("w") * F.col(xi) * F.col(xj)), 6).alias(
+                    f"g_{i}{cols.index(xj)}"
+                )
+            )
+    return stacked.agg(*exprs)
+
+
+def _sql_gram_means(sf_dir: str) -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    stacked AS (
+      SELECT 1.0 AS w, x1, x2 FROM units WHERE {tpch.COHORT_PRED}
+      UNION ALL
+      SELECT wt AS w, x1, x2 FROM units WHERE {tpch.SURVEY_PRED}
+    )
+    SELECT round(avg(w * 1.0 * 1.0), 6) AS g_00,
+           round(avg(w * 1.0 * x1), 6) AS g_01,
+           round(avg(w * 1.0 * x2), 6) AS g_02,
+           round(avg(w * x1 * x1), 6) AS g_11,
+           round(avg(w * x1 * x2), 6) AS g_12,
+           round(avg(w * x2 * x2), 6) AS g_22
+    FROM stacked
+    """
+
+
+def _q_bw_nrd0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 Silverman bandwidth of the frozen-score cohort distribution."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cohort, _ = tpch.survey_frames(spark, sf_dir)
+    c = cohort.withColumn(
+        "p_score",
+        F.lit(GAMMA0) + F.lit(GAMMA1) * F.col("x1") + F.lit(GAMMA2) * F.col("x2"),
+    )
+    h = bw_nrd0(c, "p_score")
+    return c.agg(
+        F.round(F.lit(h), 8).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _sql_bw_nrd0(sf_dir: str) -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    c AS (SELECT {GAMMA0} + {GAMMA1} * x1 + {GAMMA2} * x2 AS p_score
+          FROM units WHERE {tpch.COHORT_PRED}),
+    stats AS (
+      SELECT stddev_samp(p_score) AS sd,
+             quantile_cont(p_score, 0.75) - quantile_cont(p_score, 0.25) AS iqr,
+             count(*) AS n
+      FROM c
+    )
+    SELECT round(0.9 * least(sd, iqr / 1.34) * power(n, -0.2), 8) AS h, n
+    FROM stats
+    """
+
+
+def _q_kw_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 KW kernel pseudo-weights, frozen scores + bandwidth."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cohort, survey = tpch.survey_frames(spark, sf_dir)
+    score = F.lit(GAMMA0) + F.lit(GAMMA1) * F.col("x1") + F.lit(GAMMA2) * F.col("x2")
+    c = cohort.select("id", score.alias("p_score"))
+    s = survey.select("id", score.alias("p_score"), "wt")
+    res = kw_weights(c, s, weight_col="wt", h=KW_H)
+    return res.weights.select("id", F.round("kw", 6).alias("kw"))
+
+
+def _sql_kw_weights(sf_dir: str) -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    c AS (SELECT id, {GAMMA0} + {GAMMA1} * x1 + {GAMMA2} * x2 AS ps
+          FROM units WHERE {tpch.COHORT_PRED}),
+    s AS (SELECT id, {GAMMA0} + {GAMMA1} * x1 + {GAMMA2} * x2 AS ps, wt
+          FROM units WHERE {tpch.SURVEY_PRED}),
+    m AS (SELECT count(*) AS m FROM c),
+    pairs AS (
+      SELECT s.id AS sid, c.id AS cid, s.wt,
+             exp(-((s.ps - c.ps) / {KW_H}) * ((s.ps - c.ps) / {KW_H}) / 2.0)
+               / sqrt(2.0 * pi()) AS k
+      FROM s CROSS JOIN c
+    ),
+    rs AS (SELECT sid, sum(k) AS rs FROM pairs GROUP BY sid),
+    matched AS (
+      SELECT cid, sum(p.wt * p.k / r.rs) AS kw
+      FROM pairs p JOIN rs r ON p.sid = r.sid
+      WHERE r.rs > 0
+      GROUP BY cid
+    ),
+    unmatched AS (
+      SELECT coalesce(sum(wt), 0.0) AS tot
+      FROM (SELECT DISTINCT p.sid, p.wt FROM pairs p JOIN rs r ON p.sid = r.sid
+            WHERE r.rs <= 0)
+    )
+    SELECT c.id AS id,
+           round(coalesce(matched.kw, 0.0) + unmatched.tot / m.m, 6) AS kw
+    FROM c LEFT JOIN matched ON c.id = matched.cid
+    CROSS JOIN unmatched CROSS JOIN m
+    """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "stack_weights": _q_stack_weights,
+        "ipsw_prevalence": _q_ipsw_prevalence,
+        "gram_means": _q_gram_means,
+        "bw_nrd0": _q_bw_nrd0,
+        "kw_weights": _q_kw_weights,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sf = ""  # oracle strings are sf-independent (views are pre-registered)
+    return {
+        "stack_weights": _sql_stack_weights(sf),
+        "ipsw_prevalence": _sql_ipsw_prevalence(sf),
+        "gram_means": _sql_gram_means(sf),
+        "bw_nrd0": _sql_bw_nrd0(sf),
+        "kw_weights": _sql_kw_weights(sf),
+    }

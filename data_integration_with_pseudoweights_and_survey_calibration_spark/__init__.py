@@ -1,0 +1,32 @@
+"""PySpark-native data-integration engine: pseudo-weights + survey calibration.
+
+A from-scratch rebuild of the *capabilities* of the reference repository
+``Lingxiao-Wang/Data-integration-with-pseudoweights-and-survey-calibration``
+(R: ``simu_fun.R``, ``taylor_deviate.R``, ``jk_fun.R``) as an idiomatic
+PySpark engine:
+
+- non-probability **cohort** + probability **survey** sample integration
+  (schema-aligned union, analysis weights)
+- propensity models (weighted logistic IRLS), IPSW and kernel-weighting
+  (KW) pseudo-weights
+- GREG calibration and post-stratification
+- design-weighted estimators: prevalence, logistic & Cox PH coefficients,
+  Breslow / Gail cumulative hazards, absolute risk
+- design-consistent variances: Taylor-linearization influence functions
+  and grouped jackknife
+- PPS / multistage samplers
+- large-scale training-data pipeline ops: dedup (exact / MinHash-LSH /
+  SimHash / n-gram Jaccard / embedding cosine), similarity search, text
+  analysis, multimodal column plumbing.
+
+Everything is expressed Spark-first: DataFrame lineage -> Catalyst;
+iterative fits are driver-controlled loops whose per-iteration work is a
+single distributed aggregation of p x p sufficient statistics; only
+p x p linear algebra crosses to the driver (NumPy).
+"""
+
+from __future__ import annotations
+
+__version__ = "0.1.0"
+
+__all__ = ["__version__"]

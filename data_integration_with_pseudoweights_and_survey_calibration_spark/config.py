@@ -1,0 +1,48 @@
+"""Immutable configuration objects.
+
+The reference passes study-level parameters through R global assignment
+(``<<-``: ``N``, ``n_s``, ``fm_ps``, ``t_star``, ``x0`` ... e.g.
+``simu_fun.R:21``, ``jk_fun.R:80``). We replace that anti-pattern with
+explicit frozen dataclasses threaded through the API.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """Column-name-as-parameter convention of the reference (SURVEY §1.3).
+
+    Every estimator in the reference takes the *names* of the weight /
+    time / event columns (``taylor_deviate.R:609-617``); we keep that
+    convention explicitly.
+    """
+
+    time: str = "t"
+    event: str = "d"
+    weight: str = "w"
+    id: str = "id"
+
+
+@dataclass(frozen=True)
+class IntegrationConfig:
+    """Study-level constants for a cohort+survey integration run.
+
+    Mirrors the reference globals: population size ``N``
+    (``calib_simu_noninf0315.R:27``), survey size ``n_s``, sampling
+    fraction ``a = n_s / N`` (``simu_fun.R:24``), hazard evaluation grid
+    ``t_star`` (``calib_simu_noninf0315.R:122``) and risk profiles ``x0``.
+    """
+
+    pop_size: float
+    survey_size: float
+    t_star: Sequence[float] = field(default_factory=tuple)
+    max_iter: int = 25
+    tol: float = 1e-9
+
+    @property
+    def sampling_fraction(self) -> float:
+        return self.survey_size / self.pop_size

@@ -1,0 +1,15 @@
+"""Expression-level building blocks (pure Column functions, JVM-side)."""
+
+from .design import DesignMatrix
+from .kernels import dnorm, gaussian_kernel, triangular_kernel
+from .stats import weighted_mean, weighted_total, weighted_var
+
+__all__ = [
+    "DesignMatrix",
+    "dnorm",
+    "gaussian_kernel",
+    "triangular_kernel",
+    "weighted_mean",
+    "weighted_total",
+    "weighted_var",
+]

@@ -1,0 +1,110 @@
+"""Design-matrix expansion (reference: ``model.matrix``, SURVEY §2 B8).
+
+The reference builds dense n x p matrices from R formulas
+(``~x1+x2``, ``~x1*d+x2*d`` -- ``calib_simu_noninf0315.R:111-116``,
+``taylor_deviate.R:9``). In Spark the design matrix is never
+materialized as a matrix: it is p named DoubleType *columns* that stay
+inside whole-stage codegen. This module expands a small formula language
+into those columns.
+
+Grammar (a strict subset of R formulas, enough for the reference):
+
+    "x1 + x2"              main effects (intercept implied)
+    "x1 + x2 + x1:x2"      interaction product term
+    "x1*d + x2*d"          crossing: a*b == a + b + a:b
+    "0 + x1"               suppress intercept
+
+Column names are deterministic: intercept "_icpt", main effect = column
+name, interaction "a:b" -> "a_x_b".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+INTERCEPT = "_icpt"
+
+
+def _expand_crossings(term: str) -> list[str]:
+    """Expand '*' crossings into main effects + interaction, R-style."""
+    term = term.strip()
+    if "*" not in term:
+        return [term]
+    parts = [p.strip() for p in term.split("*")]
+    out: list[str] = []
+    # a*b*c -> all non-empty subsets ordered by size then appearance
+    n = len(parts)
+    for size in range(1, n + 1):
+        for mask in range(1 << n):
+            if bin(mask).count("1") != size:
+                continue
+            subset = [parts[i] for i in range(n) if mask >> i & 1]
+            out.append(":".join(subset))
+    return out
+
+
+@dataclass(frozen=True)
+class DesignMatrix:
+    """Formula -> list of (name, Column) design terms."""
+
+    formula: str
+
+    def _parse(self) -> tuple[bool, list[str]]:
+        intercept = True
+        terms: list[str] = []
+        for raw in self.formula.split("+"):
+            raw = raw.strip()
+            if not raw:
+                continue
+            if raw == "0" or raw == "-1":
+                intercept = False
+                continue
+            if raw == "1":
+                continue
+            for t in _expand_crossings(raw):
+                if t not in terms:
+                    terms.append(t)
+        return intercept, terms
+
+    @property
+    def names(self) -> list[str]:
+        intercept, terms = self._parse()
+        cols = [INTERCEPT] if intercept else []
+        cols += [t.replace(":", "_x_") for t in terms]
+        return cols
+
+    def columns(self) -> list[tuple[str, Column]]:
+        intercept, terms = self._parse()
+        out: list[tuple[str, Column]] = []
+        if intercept:
+            out.append((INTERCEPT, F.lit(1.0)))
+        for t in terms:
+            name = t.replace(":", "_x_")
+            factors = t.split(":")
+            expr = F.col(factors[0]).cast("double")
+            for fct in factors[1:]:
+                expr = expr * F.col(fct).cast("double")
+            out.append((name, expr))
+        return out
+
+    def attach(self, df: DataFrame, prefix: str = "") -> tuple[DataFrame, list[str]]:
+        """Append design columns to ``df``; returns (df, design column names)."""
+        names = []
+        for name, expr in self.columns():
+            name = prefix + name
+            df = df.withColumn(name, expr)
+            names.append(name)
+        return df, names
+
+
+def linear_predictor(x_cols: list[str], beta) -> Column:
+    """Broadcast-coefficient linear predictor eta = X @ beta as a single
+    codegen-friendly expression (reference B9: ``exp(x.mtrx %*% beta)``
+    consumers at ``jk_fun.R:4``, ``taylor_deviate.R:72``)."""
+    expr = F.lit(0.0)
+    for name, b in zip(x_cols, beta):
+        expr = expr + F.col(name) * float(b)
+    return expr

@@ -1,0 +1,41 @@
+"""Smoothing-kernel expressions (reference: ``dnorm`` / triangular kernels
+in ``simu_fun.R:55,129-131``).
+
+Pure Column arithmetic -- stays inside whole-stage codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+# Triangular-kernel bandwidth rescale constant (``simu_fun.R:129``):
+# h_triang = bw.nrd0 / 0.9 * 0.8586768
+TRIANG_BW_SCALE = 0.8586768 / 0.9
+
+
+def dnorm(z: Column) -> Column:
+    """Standard normal density exp(-z^2/2)/sqrt(2*pi)."""
+    return F.exp(-(z * z) / 2.0) * F.lit(_INV_SQRT_2PI)
+
+
+def gaussian_kernel(dist: Column, h: float) -> Column:
+    """K((s - c)/h) with K = dnorm, the reference's default kernel."""
+    return dnorm(dist / F.lit(float(h)))
+
+
+def triangular_kernel(dist: Column, h: float) -> Column:
+    """Triangular kernel max(0, 1 - |z|)."""
+    z = F.abs(dist / F.lit(float(h)))
+    return F.greatest(F.lit(0.0), F.lit(1.0) - z)
+
+
+KERNELS = {
+    "dnorm": gaussian_kernel,
+    "gaussian": gaussian_kernel,
+    "triang": triangular_kernel,
+}

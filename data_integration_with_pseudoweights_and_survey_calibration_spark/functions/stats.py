@@ -1,0 +1,47 @@
+"""Weighted-moment aggregate expressions (SURVEY §2 E2/E3/E9).
+
+These are the ``svytotal`` / ``svymean`` primitives of the reference
+(``taylor_deviate.R:968,993``, ``simu_fun.R:315``) expressed as single
+-pass Spark aggregate expressions (map-side partial aggregation for
+free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def weighted_total(value: str | Column, weight: str | Column) -> Column:
+    """svytotal: sum(w * x)."""
+    return F.sum(_c(weight) * _c(value))
+
+
+def weighted_mean(value: str | Column, weight: str | Column) -> Column:
+    """svymean: sum(w * x) / sum(w)."""
+    return F.sum(_c(weight) * _c(value)) / F.sum(_c(weight))
+
+
+def weighted_var(value: str | Column, weight: str | Column) -> Column:
+    """Weighted (population-style) variance sum(w*(x-mu)^2)/sum(w),
+    computed single-pass as E[x^2] - E[x]^2 under weights."""
+    w = _c(weight)
+    x = _c(value)
+    mean = F.sum(w * x) / F.sum(w)
+    mean_sq = F.sum(w * x * x) / F.sum(w)
+    return mean_sq - mean * mean
+
+
+def cv_factor(weight: str | Column) -> Column:
+    """Composite-weight effective-sample-size share numerator
+    ``var(w)/mean(w^2) + 1`` of the reference's ``a_cv``
+    (``jk_fun.R:136-139``); divide by n on the driver."""
+    w = _c(weight)
+    n = F.count(F.lit(1))
+    var = (F.sum(w * w) - F.sum(w) * F.sum(w) / n) / (n - 1)
+    mean_sq = F.sum(w * w) / n
+    return var / mean_sq + F.lit(1.0)

@@ -1,0 +1,57 @@
+"""Driver-side linear algebra helpers.
+
+Model dimensions in this domain are tiny (p <= ~10): every matrix that
+crosses the executor/driver boundary is p x p or (p+q) x (p+q). The
+distributed side only ever produces *sums* (Gram matrices, score
+vectors); the solves happen here in NumPy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def solve_sym(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Solve a @ x = b for a symmetric (Gram/Hessian) matrix.
+
+    Falls back to least-squares (pinv) on singular systems so a rank
+    -deficient design degrades like R's ``solve`` + ``ginv`` paths do.
+    """
+    try:
+        return np.linalg.solve(a, b)
+    except np.linalg.LinAlgError:
+        return np.linalg.lstsq(a, b, rcond=None)[0]
+
+
+def block_inverse(u_gamma: np.ndarray, u_beta: np.ndarray, s_beta: np.ndarray) -> np.ndarray:
+    """Closed-form inverse of the block-triangular estimating-equation
+    matrix ``phi = [[U_gamma, U_beta], [0, S_beta]]``.
+
+    Parity with the reference's explicit block formula
+    (``simu_fun.R:248-252``, ``taylor_deviate.R:477-482``): it avoids a
+    full (p+q) solve and is numerically identical to what the reference
+    computes.
+    """
+    p = u_gamma.shape[0]
+    q = s_beta.shape[0]
+    ug_inv = np.linalg.inv(u_gamma)
+    sb_inv = np.linalg.inv(s_beta)
+    b = -ug_inv @ u_beta @ sb_inv
+    out = np.zeros((p + q, p + q))
+    out[:p, :p] = ug_inv
+    out[:p, p:] = b
+    out[p:, p:] = sb_inv
+    return out
+
+
+def vec_to_sym(flat: np.ndarray, p: int) -> np.ndarray:
+    """Unpack an upper-triangle-row-major flat vector into a symmetric
+    p x p matrix (the wire format of the Gram aggregator)."""
+    out = np.zeros((p, p))
+    idx = 0
+    for i in range(p):
+        for j in range(i, p):
+            out[i, j] = flat[idx]
+            out[j, i] = flat[idx]
+            idx += 1
+    return out

@@ -1,0 +1,1 @@
+"""Distributed operators (DataFrame in, DataFrame/ndarray out)."""

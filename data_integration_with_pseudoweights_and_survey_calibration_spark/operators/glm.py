@@ -1,0 +1,101 @@
+"""Weighted GLM fits (SURVEY §2 H1/H3).
+
+H1 -- weighted logistic regression (the propensity model
+``svyglm(trt ~ x1+x2, family=binomial)`` of ``simu_fun.R:30`` /
+``taylor_deviate.R:8``) via IRLS / Fisher scoring. Each iteration is ONE
+distributed aggregation producing (X'WX, X'Wz) with
+W = w * mu * (1-mu); the p x p solve happens on the driver. This is the
+classic "iterative fit on Spark" shape: O(iterations) jobs, O(p^2)
+bytes collected per job, no data movement.
+
+H3 -- weighted linear regression (the imputation model
+``lm(t_delta ~ x1*x2)`` of ``calib_simu_noninf0315.R:82``): closed form,
+a single pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.design import linear_predictor
+from ..linalg import solve_sym
+from .gram import gram_and_xtwz
+
+
+@dataclass(frozen=True)
+class GlmFit:
+    """Result of a weighted GLM fit."""
+
+    x_cols: tuple[str, ...]
+    beta: np.ndarray
+    n_iter: int
+    converged: bool
+    deviance: float = float("nan")
+
+    def eta(self) -> Column:
+        """Linear predictor expression (``linear.predictors``)."""
+        return linear_predictor(list(self.x_cols), self.beta)
+
+    def mu(self) -> Column:
+        """Fitted probability expression (``fitted.values``)."""
+        eta = self.eta()
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+
+
+def weighted_logistic(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y_col: str,
+    weight: str | Column | None = None,
+    max_iter: int = 25,
+    tol: float = 1e-10,
+) -> GlmFit:
+    """IRLS for binomial family with prior weights ``weight``.
+
+    Matches ``glm.fit``'s Fisher scoring: working response
+    z = eta + (y - mu) / (mu(1-mu)), working weight w*mu(1-mu); beta
+    update solves (X'WX) beta = X'Wz. Convergence on max |delta beta|
+    (the deviance criterion of R converges at the same fixed point).
+    """
+    x_cols = list(x_cols)
+    p = len(x_cols)
+    beta = np.zeros(p)
+    w = F.lit(1.0) if weight is None else (F.col(weight) if isinstance(weight, str) else weight)
+    y = F.col(y_col).cast("double")
+
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        eta = linear_predictor(x_cols, beta)
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        # Guard against saturation exactly like glm.fit's eps clamps.
+        mu = F.greatest(F.lit(1e-12), F.least(F.lit(1.0 - 1e-12), mu))
+        wvar = mu * (F.lit(1.0) - mu)
+        ww = w * wvar
+        z = eta + (y - mu) / wvar
+        xtwx, xtwz = gram_and_xtwz(df, x_cols, z, ww)
+        new_beta = solve_sym(xtwx, xtwz)
+        delta = float(np.max(np.abs(new_beta - beta)))
+        beta = new_beta
+        if delta < tol:
+            converged = True
+            break
+    return GlmFit(tuple(x_cols), beta, it, converged)
+
+
+def weighted_linear(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y_col: str,
+    weight: str | Column | None = None,
+) -> GlmFit:
+    """Closed-form weighted least squares: one Gram pass + driver solve."""
+    x_cols = list(x_cols)
+    xtwx, xtwz = gram_and_xtwz(df, x_cols, y_col, weight)
+    beta = solve_sym(xtwx, xtwz)
+    return GlmFit(tuple(x_cols), beta, 1, True)

@@ -1,0 +1,88 @@
+"""Gram / cross-product aggregation (SURVEY §2 E4) -- the workhorse
+behind every model fit and sandwich variance in the reference
+(``t(X) %*% (w*X)``: ``simu_fun.R:239-243``, ``taylor_deviate.R:558,
+716,996``).
+
+Design: the p design columns stay as scalar DoubleType columns; one
+``agg`` computes all p*(p+1)/2 upper-triangle products plus optional
+X'Wz vectors in a single distributed pass (map-side partial
+aggregation => one shuffle of p^2 doubles per partition; effectively a
+treeAggregate). Only the p x p result crosses to the driver.
+
+At 100 TB this is the *only* pattern that scales for iterative fits:
+per IRLS/Newton iteration exactly one pass, no per-row Python, no
+driver-side data movement beyond O(p^2) numbers.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..linalg import vec_to_sym
+
+
+def _w(weight: str | Column | None) -> Column:
+    if weight is None:
+        return F.lit(1.0)
+    return F.col(weight) if isinstance(weight, str) else weight
+
+
+def gram_exprs(x_cols: Sequence[str], weight: str | Column | None = None) -> list[Column]:
+    """Upper-triangle (row-major) aggregate expressions of X' W X."""
+    w = _w(weight)
+    out = []
+    for i, xi in enumerate(x_cols):
+        for xj in x_cols[i:]:
+            out.append(F.sum(w * F.col(xi) * F.col(xj)).alias(f"g_{xi}__{xj}"))
+    return out
+
+
+def xtwz_exprs(x_cols: Sequence[str], z: str | Column, weight: str | Column | None = None) -> list[Column]:
+    """Aggregate expressions of X' W z (one per design column)."""
+    w = _w(weight)
+    zc = F.col(z) if isinstance(z, str) else z
+    return [F.sum(w * F.col(xi) * zc).alias(f"xz_{xi}") for xi in x_cols]
+
+
+def gram(df: DataFrame, x_cols: Sequence[str], weight: str | Column | None = None) -> np.ndarray:
+    """Collect X' W X as a dense symmetric p x p NumPy matrix."""
+    row = df.agg(*gram_exprs(x_cols, weight)).collect()[0]
+    return vec_to_sym(np.array(row, dtype=float), len(x_cols))
+
+
+def gram_and_xtwz(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    z: str | Column,
+    weight: str | Column | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One distributed pass returning (X'WX, X'Wz)."""
+    p = len(x_cols)
+    exprs = gram_exprs(x_cols, weight) + xtwz_exprs(x_cols, z, weight)
+    row = df.agg(*exprs).collect()[0]
+    vals = np.array(row, dtype=float)
+    n_tri = p * (p + 1) // 2
+    return vec_to_sym(vals[:n_tri], p), vals[n_tri:]
+
+
+def cross_gram(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y_cols: Sequence[str],
+    weight: str | Column | None = None,
+) -> np.ndarray:
+    """X' W Y for two (possibly different) sets of design columns,
+    returned as a dense |x| x |y| matrix. Used by sandwich blocks
+    (``U_beta = t((y-mu)X) %*% pw_beta``, ``simu_fun.R:240``)."""
+    w = _w(weight)
+    exprs = [
+        F.sum(w * F.col(xi) * F.col(yj)).alias(f"c_{xi}__{yj}")
+        for xi in x_cols
+        for yj in y_cols
+    ]
+    row = df.agg(*exprs).collect()[0]
+    return np.array(row, dtype=float).reshape(len(x_cols), len(y_cols))

@@ -1,0 +1,109 @@
+"""Propensity-model bundle (SURVEY §2 H4, reference ``ps.model.fit``
+``taylor_deviate.R:3-36``) and the high-level integration entry point.
+
+``fit_propensity`` fits the weighted logistic PS model on the stacked
+sample, and returns expressions for: fitted probability ``p.est``,
+linear score ``p_score``, estimated cohort inclusion probability
+``pi.c_est = p/(1-p) * a`` (``taylor_deviate.R:16``), plus the IPSW
+column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.design import DesignMatrix
+from .glm import GlmFit, weighted_logistic
+from .pseudoweights import KwResult, ipsw_weight, kw_weights, stack_samples
+
+
+@dataclass(frozen=True)
+class PropensityFit:
+    glm: GlmFit
+    design_cols: tuple[str, ...]
+    sampling_fraction: float
+
+    @property
+    def gamma(self) -> np.ndarray:
+        return self.glm.beta
+
+    def p_score(self) -> Column:
+        return self.glm.eta()
+
+    def p_est(self) -> Column:
+        return self.glm.mu()
+
+    def pi_c_est(self) -> Column:
+        """Estimated cohort inclusion prob p/(1-p)*a (``taylor_deviate.R:16``)."""
+        p = self.glm.mu()
+        return p / (F.lit(1.0) - p) * float(self.sampling_fraction)
+
+
+def fit_propensity(
+    stacked: DataFrame,
+    formula: str,
+    *,
+    trt_col: str = "trt",
+    weight_col: str = "w",
+    sampling_fraction: float = 1.0,
+) -> tuple[DataFrame, PropensityFit]:
+    """Fit trt ~ formula on the stacked sample with analysis weights.
+
+    Returns (stacked-with-design-columns, fit).
+    """
+    dm = DesignMatrix(formula)
+    stacked, x_cols = dm.attach(stacked)
+    fit = weighted_logistic(stacked, x_cols, trt_col, weight_col)
+    return stacked, PropensityFit(fit, tuple(x_cols), sampling_fraction)
+
+
+def integrate(
+    cohort: DataFrame,
+    survey: DataFrame,
+    ps_formula: str,
+    *,
+    id_col: str = "id",
+    survey_weight: str = "wt",
+    pop_size: float,
+    kernel: str = "dnorm",
+    rm_s: bool = False,
+    scale_ipsw: bool = False,
+) -> tuple[DataFrame, PropensityFit, KwResult]:
+    """End-to-end pseudo-weight construction (reference ``simu_fun`` /
+    ``simu_fun_cox`` skeleton, ``simu_fun.R:17-65``).
+
+    Stacks the samples, fits the PS model, attaches ``ipsw`` and ``kw``
+    columns to the cohort. Returns (cohort_with_weights, ps_fit, kw).
+    ``scale_ipsw`` divides IPSW by a = n_s/N (the ``/a`` at
+    ``simu_fun.R:48``; ``taylor_deviate.R:63`` omits it).
+    """
+    n_s = survey.count()
+    a = n_s / pop_size
+    stacked = stack_samples(cohort, survey, survey_weight, sampling_fraction=a)
+    stacked = stacked.cache()
+    stacked, fit = fit_propensity(
+        stacked, ps_formula, weight_col="w", sampling_fraction=a
+    )
+    score = fit.p_score()
+    scored = stacked.withColumn("p_score", score)
+    cohort_scored = scored.where(F.col("trt") == 1).cache()
+    survey_scored = scored.where(F.col("trt") == 0)
+
+    ipsw_col = ipsw_weight(F.col("p_score"), a if scale_ipsw else 1.0)
+    cohort_w = cohort_scored.withColumn("ipsw", ipsw_col)
+
+    kw = kw_weights(
+        cohort_scored.select(id_col, "p_score"),
+        survey_scored.select(id_col, "p_score", survey_weight),
+        c_id=id_col,
+        s_id=id_col,
+        weight_col=survey_weight,
+        kernel=kernel,
+        rm_s=rm_s,
+    )
+    cohort_w = cohort_w.join(kw.weights, id_col, "left")
+    return cohort_w, fit, kw

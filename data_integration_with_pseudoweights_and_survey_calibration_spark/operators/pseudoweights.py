@@ -1,0 +1,217 @@
+"""Sample stacking, propensity models, IPSW and KW pseudo-weights
+(SURVEY §2 C1/B2, H4, I1-I5).
+
+Reference semantics rebuilt here:
+
+- ``psa_dat = rbind(samp.c, samp.s)`` with analysis weights ``w`` (1 for
+  cohort rows, survey weight otherwise) and scaled ``w.s = wt * n_s/N``
+  (``simu_fun.R:22-25``).
+- IPSW: ``ipsw = exp(-p_score)/a`` for cohort rows (``simu_fun.R:48``,
+  ``taylor_deviate.R:63``).
+- KW kernel weighting ``krnwt`` (``simu_fun.R:168-211``): kernel-smooth
+  survey weights onto cohort units through the propensity-score distance
+  ``K((ps_s - ps_c)/h)``, row-normalized over the cohort, with the
+  zero-match fallback (unmatched survey weight spread ``1/m`` to every
+  cohort unit when ``rm_s=False``, dropped when ``True``).
+- Bandwidth: Silverman ``bw.nrd0`` (``simu_fun.R:54,129-130``).
+
+Scale design: the reference materializes the full n_s x n_c signed
+-distance matrix (``outer`` at ``simu_fun.R:52``) and hand-blocks it in
+100 chunks when large (``simu_fun.R:143-165``). Here the pair table is a
+**banded bucket equi-join**: scores are binned at the kernel's numeric
+support width, cohort rows are replicated to the 3 adjacent buckets, and
+the join is a plain shuffle hash join on the bucket key -- no cross
+join, no skew ceiling, linear in the number of *numerically non-zero*
+kernel pairs. For the Gaussian kernel exp(-z^2/2) underflows to exactly
+0.0 in IEEE double at |z| >= ~38.6, so a cutoff of 40 bandwidths is
+bit-identical to the dense computation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.kernels import KERNELS, TRIANG_BW_SCALE
+
+# |z| beyond which dnorm(z) == 0.0 in IEEE double (underflow at ~38.6).
+GAUSSIAN_SUPPORT = 40.0
+TRIANG_SUPPORT = 1.0
+
+
+def stack_samples(
+    cohort: DataFrame,
+    survey: DataFrame,
+    survey_weight: str = "wt",
+    sampling_fraction: float | None = None,
+    trt_col: str = "trt",
+) -> DataFrame:
+    """C1+B2: schema-aligned union with analysis-weight columns.
+
+    Output columns: everything common + ``trt`` (1=cohort, 0=survey),
+    ``w`` (1 for cohort, wt for survey) and -- when
+    ``sampling_fraction`` given -- ``w_s = wt * a`` for survey rows.
+    """
+    c = cohort.withColumn(trt_col, F.lit(1))
+    s = survey.withColumn(trt_col, F.lit(0))
+    stacked = c.unionByName(s, allowMissingColumns=True)
+    stacked = stacked.withColumn(
+        "w", F.when(F.col(trt_col) == 1, F.lit(1.0)).otherwise(F.col(survey_weight))
+    )
+    if sampling_fraction is not None:
+        stacked = stacked.withColumn(
+            "w_s",
+            F.when(F.col(trt_col) == 1, F.lit(1.0)).otherwise(
+                F.col(survey_weight) * float(sampling_fraction)
+            ),
+        )
+    return stacked
+
+
+def ipsw_weight(p_score: Column, sampling_fraction: float = 1.0) -> Column:
+    """I1: inverse-propensity-odds pseudo-weight exp(-score)/a."""
+    return F.exp(-p_score) / float(sampling_fraction)
+
+
+def bw_nrd0(df: DataFrame, col: str) -> float:
+    """I5: Silverman's rule-of-thumb bandwidth, parity with R ``bw.nrd0``:
+    0.9 * min(sd, IQR/1.34) * n^(-1/5) with the lo-fallback chain.
+
+    Uses exact percentiles (sort-based) -- correctness feeds bin edges.
+    """
+    row = df.agg(
+        F.stddev(col).alias("sd"),
+        F.expr(f"percentile({col}, 0.75) - percentile({col}, 0.25)").alias("iqr"),
+        F.count(col).alias("n"),
+        F.expr(f"abs(percentile({col}, 0.5))").alias("absmed"),
+        F.max(F.abs(F.col(col))).alias("absmax"),
+    ).collect()[0]
+    sd, iqr, n = float(row["sd"] or 0.0), float(row["iqr"]), int(row["n"])
+    lo = min(sd, iqr / 1.34)
+    if lo == 0.0:  # R's fallback chain: lo <- sd || |median| || |x[1]| || 1
+        lo = sd or float(row["absmed"]) or float(row["absmax"]) or 1.0
+    return 0.9 * lo * n ** (-0.2)
+
+
+@dataclass(frozen=True)
+class KwResult:
+    weights: DataFrame  # (c_id, kw)
+    bandwidth: float
+    n_unmatched: int  # survey rows with numerically zero kernel row
+
+
+def kw_weights(
+    cohort_scores: DataFrame,
+    survey_scores: DataFrame,
+    *,
+    c_id: str = "id",
+    s_id: str = "id",
+    score_col: str = "p_score",
+    weight_col: str = "wt",
+    h: float | None = None,
+    kernel: str = "dnorm",
+    rm_s: bool = False,
+    salt: int = 32,
+) -> KwResult:
+    """I3: KW kernel pseudo-weights via banded bucket join.
+
+    ``cohort_scores``: (c_id, score); ``survey_scores``: (s_id, score,
+    survey weight). Returns one row per cohort unit with column ``kw``.
+
+    kw_j = sum_i wt_i * K((s_i - c_j)/h) / sum_j' K((s_i - c_j')/h)
+    [+ unmatched_wt_total / m when rm_s=False]
+    """
+    if h is None:
+        h = bw_nrd0(cohort_scores, score_col)
+        if kernel == "triang":
+            h = h * TRIANG_BW_SCALE
+    kfun = KERNELS[kernel]
+    support = GAUSSIAN_SUPPORT if kernel in ("dnorm", "gaussian") else TRIANG_SUPPORT
+    width = support * h
+
+    m = cohort_scores.count()
+
+    c = cohort_scores.select(
+        F.col(c_id).alias("_cid"), F.col(score_col).alias("_ps_c")
+    )
+    s = survey_scores.select(
+        F.col(s_id).alias("_sid"),
+        F.col(score_col).alias("_ps_s"),
+        F.col(weight_col).alias("_wt_s"),
+    )
+
+    # Banded bucket equi-join: a survey row sits in bucket
+    # floor(ps/width); cohort rows replicate to the 3 adjacent buckets so
+    # every pair with |ps_s - ps_c| <= width meets on an equality key
+    # (plain shuffle hash join -- SURVEY §4.2 "band join"). Because real
+    # propensity scores concentrate in a few buckets, the join key is
+    # SALTED: survey rows get pmod(hash(id), n_salt), cohort rows
+    # replicate across all salts, restoring full parallelism even when
+    # one bucket holds the whole sample.
+    n_salt = int(salt)
+    s_b = s.withColumn("_bkt", F.floor(F.col("_ps_s") / width).cast("long")).withColumn(
+        "_salt", F.pmod(F.hash("_sid"), F.lit(n_salt))
+    )
+    c_b = (
+        c.withColumn(
+            "_bkt",
+            F.explode(
+                F.array(
+                    F.floor(F.col("_ps_c") / width).cast("long") - 1,
+                    F.floor(F.col("_ps_c") / width).cast("long"),
+                    F.floor(F.col("_ps_c") / width).cast("long") + 1,
+                )
+            ),
+        )
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    )
+
+    # Explicit fixed-count repartition on the (bucket, salt) key: the
+    # join's map *input* is tiny but its output explodes to O(n_s*n_c)
+    # pairs, so AQE's size-based coalescing would otherwise collapse it
+    # to 1-2 tasks. A user-specified partition count is exempt from AQE
+    # coalescing and pins the pair computation at full parallelism.
+    n_part = max(2 * n_salt, 16)
+    s_p = s_b.repartition(n_part, "_bkt", "_salt")
+    c_p = c_b.repartition(n_part, "_bkt", "_salt")
+
+    def pair_table():
+        # Recomputed (never cached, never shuffled): kernel arithmetic is
+        # cheaper than shuffling O(n_s * n_c) pair rows.
+        p = s_p.join(c_p, ["_bkt", "_salt"]).where(
+            F.abs(F.col("_ps_s") - F.col("_ps_c")) <= width
+        )
+        return p.withColumn("_k", kfun(F.col("_ps_s") - F.col("_ps_c"), h))
+
+    # Kernel row sums per survey unit: hash aggregate with map-side
+    # partial combine -- only n_s rows ever shuffle. Cached: consumed by
+    # the normalization join AND the unmatched check.
+    rs = pair_table().groupBy("_sid").agg(F.sum("_k").alias("_rs"))
+    rs_pos = rs.where(F.col("_rs") > 0.0).cache()
+
+    # Column sums onto the cohort: broadcast the small (sid -> rs) table
+    # back onto a fresh pair stream; again only n_c rows shuffle.
+    kw = (
+        pair_table()
+        .join(F.broadcast(rs_pos), "_sid")
+        .groupBy("_cid")
+        .agg(F.sum(F.col("_wt_s") * F.col("_k") / F.col("_rs")).alias("kw"))
+    )
+
+    # Zero-match survey rows (no pair within numeric support, or an all-0
+    # kernel row): reference spreads their weight 1/m to every cohort
+    # unit (rm_s=False, ``simu_fun.R:180-183``) or drops them (True).
+    unmatched = s.join(F.broadcast(rs_pos), "_sid", "left_anti")
+    urow = unmatched.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("_wt_s"), F.lit(0.0)).alias("tot")
+    ).collect()[0]
+    n_unmatched, unmatched_tot = int(urow["n"]), float(urow["tot"])
+
+    out = c.select(F.col("_cid")).join(kw, "_cid", "left").select(
+        F.col("_cid").alias(c_id),
+        (F.coalesce(F.col("kw"), F.lit(0.0))
+         + F.lit(0.0 if rm_s or n_unmatched == 0 else unmatched_tot / m)).alias("kw"),
+    )
+    return KwResult(weights=out, bandwidth=float(h), n_unmatched=n_unmatched)

@@ -1,0 +1,41 @@
+"""SparkSession factory with engine defaults.
+
+Defaults target the test environment (``local[32]``, single JVM) but every
+setting is the one we would ship on a 1000-executor cluster: AQE on
+(runtime join re-planning + skew handling), shuffle partitions sized for
+the data scale, Arrow enabled for the few pandas-UDF hops.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # Adaptive execution: runtime plan re-optimization, coalescing small
+    # shuffle partitions, skew-join splitting. Essential at 100 TB scale.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Local testing default; on a real cluster this is set per-job from
+    # data volume (target ~128-256 MB per task post-shuffle).
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The engine broadcasts small dimension/grid tables explicitly, but a
+    # sane auto threshold helps AQE convert shuffle joins at runtime.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "pseudoweights-calibration", **overrides: str) -> SparkSession:
+    """Return (or create) a SparkSession with engine defaults applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    conf = dict(_DEFAULTS)
+    conf.update({k: str(v) for k, v in overrides.items()})
+    for key, value in conf.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

@@ -1,0 +1,5 @@
+"""Table sources: testdata loaders and the survey-domain derivation."""
+
+from .tpch import load_table, load_tables, survey_frames
+
+__all__ = ["load_table", "load_tables", "survey_frames"]

@@ -1,0 +1,83 @@
+"""Readers for the driver's TPC-H-ish parquet testdata plus the
+deterministic *survey-domain derivation* used by the oracle-checked
+queries.
+
+The reference's domain tables (population / cohort / survey with
+covariates x1,x2, event time t, indicator d, design weight wt -- SURVEY
+§1.1) are derived from the ``orders`` table by pure deterministic
+expressions, so the DuckDB oracle can rebuild byte-identical inputs
+from the same parquet:
+
+    x1 = ln(o_totalprice)
+    x2 = (o_orderkey % 7) / 3.0 - 1.0
+    t  = days since epoch of o_orderdate scaled to ~[0, 25] "years"
+    d  = o_orderstatus = 'F'
+    cohort: o_orderkey % 3 == 0           (non-probability sample)
+    survey: o_orderkey % 5 == 1, wt = 5 + o_orderkey % 50
+
+Column pruning + predicate pushdown reach the parquet scan because
+everything is plain Column arithmetic on one table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+# SQL fragments kept in one place so __spark_entry__ oracle strings and
+# the Spark derivation below can never drift apart.
+# NOTE: numeric literals are CAST to double everywhere: Spark parses a
+# bare ``3.0`` as DECIMAL(2,1) and int/decimal division truncates to
+# scale 6, silently diverging from DuckDB's double arithmetic.
+X1_SQL = "ln(o_totalprice)"
+X2_SQL = "(o_orderkey % 7) / cast(3.0 as double) - cast(1.0 as double)"
+T_SQL = "( (epoch(o_orderdate) / cast(86400.0 as double)) - cast(8035.0 as double) ) / cast(100.0 as double)"
+T_SQL_SPARK = "( (unix_timestamp(o_orderdate) / cast(86400.0 as double)) - cast(8035.0 as double) ) / cast(100.0 as double)"
+D_SQL = "cast(o_orderstatus = 'F' as int)"
+WT_SQL = "cast(5.0 as double) + o_orderkey % 50"
+COHORT_PRED = "o_orderkey % 3 = 0"
+SURVEY_PRED = "o_orderkey % 5 = 1"
+
+
+def orders_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived population frame (id, x1, x2, t, d, wt)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.expr(X1_SQL).alias("x1"),
+        F.expr(X2_SQL).alias("x2"),
+        F.expr(T_SQL_SPARK).alias("t"),
+        F.expr(D_SQL).alias("d"),
+        F.expr(WT_SQL).alias("wt"),
+        F.col("o_orderkey").alias("o_orderkey"),
+    )
+
+
+def survey_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(cohort, survey) derived deterministically from orders."""
+    units = orders_units(spark, sf_dir)
+    cohort = units.where(F.expr(COHORT_PRED)).drop("o_orderkey")
+    survey = units.where(F.expr(SURVEY_PRED)).drop("o_orderkey")
+    return cohort, survey

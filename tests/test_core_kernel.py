@@ -1,0 +1,190 @@
+"""Unit tests for the core kernel: design matrix, Gram aggregation,
+weighted moments, weighted logistic IRLS, IPSW/KW pseudo-weights.
+Oracles are NumPy reimplementations on collected pandas data (SURVEY §5
+unit-test plan)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.functions.design import (
+    DesignMatrix,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.functions.stats import (
+    weighted_mean,
+    weighted_total,
+    weighted_var,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.glm import (
+    weighted_linear,
+    weighted_logistic,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.gram import (
+    cross_gram,
+    gram,
+    gram_and_xtwz,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.pseudoweights import (
+    bw_nrd0,
+    kw_weights,
+    stack_samples,
+)
+
+
+def _toy(spark, n=500, seed=7):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "x1": rng.normal(0, 2, n),
+            "x2": rng.normal(0, 1, n),
+            "w": rng.uniform(0.5, 3.0, n),
+        }
+    )
+    logits = -0.3 + 0.4 * pdf.x1 - 0.6 * pdf.x2
+    pdf["y"] = (rng.uniform(size=n) < 1 / (1 + np.exp(-logits))).astype(np.int32)
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_design_matrix_formula():
+    dm = DesignMatrix("x1 + x2 + x1:x2")
+    assert dm.names == ["_icpt", "x1", "x2", "x1_x_x2"]
+    dm2 = DesignMatrix("x1*d + x2*d")
+    assert dm2.names == ["_icpt", "x1", "d", "x1_x_d", "x2", "x2_x_d"]
+    dm3 = DesignMatrix("0 + x1")
+    assert dm3.names == ["x1"]
+
+
+def test_weighted_moments(spark):
+    df, pdf = _toy(spark)
+    row = df.agg(
+        weighted_total("x1", "w").alias("tot"),
+        weighted_mean("x1", "w").alias("mean"),
+        weighted_var("x1", "w").alias("var"),
+    ).collect()[0]
+    w, x = pdf.w.values, pdf.x1.values
+    assert row["tot"] == pytest.approx((w * x).sum(), rel=1e-12)
+    assert row["mean"] == pytest.approx((w * x).sum() / w.sum(), rel=1e-12)
+    mu = (w * x).sum() / w.sum()
+    assert row["var"] == pytest.approx((w * (x - mu) ** 2).sum() / w.sum(), rel=1e-9)
+
+
+def test_gram_matches_numpy(spark):
+    df, pdf = _toy(spark)
+    df2, cols = DesignMatrix("x1 + x2").attach(df)
+    X = np.column_stack([np.ones(len(pdf)), pdf.x1, pdf.x2])
+    w = pdf.w.values
+    G = gram(df2, cols, "w")
+    np.testing.assert_allclose(G, X.T @ (w[:, None] * X), rtol=1e-12)
+    G2, xz = gram_and_xtwz(df2, cols, "y", "w")
+    np.testing.assert_allclose(xz, X.T @ (w * pdf.y.values), rtol=1e-12)
+    C = cross_gram(df2, cols, ["x1", "x2"], "w")
+    Y = np.column_stack([pdf.x1, pdf.x2])
+    np.testing.assert_allclose(C, X.T @ (w[:, None] * Y), rtol=1e-12)
+
+
+def _irls_numpy(X, y, w, max_iter=25, tol=1e-10):
+    beta = np.zeros(X.shape[1])
+    for _ in range(max_iter):
+        eta = X @ beta
+        mu = 1 / (1 + np.exp(-eta))
+        mu = np.clip(mu, 1e-12, 1 - 1e-12)
+        W = w * mu * (1 - mu)
+        z = eta + (y - mu) / (mu * (1 - mu))
+        nb = np.linalg.solve(X.T @ (W[:, None] * X), X.T @ (W * z))
+        if np.max(np.abs(nb - beta)) < tol:
+            beta = nb
+            break
+        beta = nb
+    return beta
+
+
+def test_weighted_logistic_irls(spark):
+    df, pdf = _toy(spark, n=800)
+    df2, cols = DesignMatrix("x1 + x2").attach(df)
+    fit = weighted_logistic(df2, cols, "y", "w")
+    X = np.column_stack([np.ones(len(pdf)), pdf.x1, pdf.x2])
+    ref = _irls_numpy(X, pdf.y.values.astype(float), pdf.w.values)
+    assert fit.converged
+    np.testing.assert_allclose(fit.beta, ref, atol=1e-8)
+    # fitted values expression matches sigmoid(X beta)
+    got = df2.select(fit.mu().alias("mu")).limit(5).collect()
+    eta = X[:5] @ fit.beta
+    np.testing.assert_allclose([r["mu"] for r in got], 1 / (1 + np.exp(-eta)), rtol=1e-9)
+
+
+def test_weighted_linear_closed_form(spark):
+    df, pdf = _toy(spark)
+    df2, cols = DesignMatrix("x1 + x2").attach(df)
+    fit = weighted_linear(df2, cols, "x1", "w")  # regress x1 on itself: recovers e1
+    np.testing.assert_allclose(fit.beta, [0.0, 1.0, 0.0], atol=1e-8)
+
+
+def test_stack_samples(spark):
+    c = spark.createDataFrame(pd.DataFrame({"id": [1, 2], "x1": [0.1, 0.2], "wt": [5.0, 6.0]}))
+    s = spark.createDataFrame(pd.DataFrame({"id": [3], "x1": [0.3], "wt": [7.0]}))
+    out = stack_samples(c, s, "wt", sampling_fraction=0.5).orderBy("id").collect()
+    assert [r["trt"] for r in out] == [1, 1, 0]
+    assert [r["w"] for r in out] == [1.0, 1.0, 7.0]
+    assert [r["w_s"] for r in out] == [1.0, 1.0, 3.5]
+
+
+def test_bw_nrd0_parity(spark):
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1.7, 400)
+    df = spark.createDataFrame(pd.DataFrame({"v": x}))
+    got = bw_nrd0(df, "v")
+    sd = x.std(ddof=1)
+    iqr = np.quantile(x, 0.75) - np.quantile(x, 0.25)  # type 7 default
+    want = 0.9 * min(sd, iqr / 1.34) * len(x) ** (-0.2)
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def _kw_dense(ps_c, ps_s, wt_s, h, rm_s=False):
+    """Dense NumPy oracle of krnwt (simu_fun.R:168-211 semantics)."""
+    z = (ps_s[:, None] - ps_c[None, :]) / h
+    k = np.exp(-z * z / 2) / math.sqrt(2 * math.pi)
+    rs = k.sum(axis=1)
+    zero = rs == 0
+    if zero.any():
+        if rm_s:
+            rs[zero] = 1.0
+        else:
+            k[zero, :] = 1.0 / len(ps_c)
+            rs[zero] = 1.0
+    krn = k / rs[:, None]
+    return (krn * wt_s[:, None]).sum(axis=0)
+
+
+def test_kw_weights_match_dense(spark):
+    rng = np.random.default_rng(11)
+    n_c, n_s = 120, 60
+    ps_c = rng.normal(0, 1, n_c)
+    ps_s = rng.normal(0.3, 1.1, n_s)
+    # plant an unmatched survey unit far away from every cohort score
+    ps_s[0] = 500.0
+    wt_s = rng.uniform(1, 10, n_s)
+    c = spark.createDataFrame(pd.DataFrame({"id": np.arange(n_c), "p_score": ps_c}))
+    s = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n_s), "p_score": ps_s, "wt": wt_s})
+    )
+    res = kw_weights(c, s, weight_col="wt")
+    got = (
+        res.weights.orderBy("id").toPandas().kw.values
+    )
+    want = _kw_dense(ps_c, ps_s, wt_s, res.bandwidth)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+    assert res.n_unmatched == 1
+    # weight-sum invariant: sum(kw) == sum(wt_s) when rm_s=False
+    assert got.sum() == pytest.approx(wt_s.sum(), rel=1e-10)
+
+    res2 = kw_weights(c, s, weight_col="wt", rm_s=True)
+    got2 = res2.weights.orderBy("id").toPandas().kw.values
+    want2 = _kw_dense(ps_c, ps_s, wt_s, res2.bandwidth, rm_s=True)
+    np.testing.assert_allclose(got2, want2, rtol=1e-10, atol=1e-12)
+    assert got2.sum() == pytest.approx(wt_s[1:].sum(), rel=1e-10)

@@ -1,0 +1,109 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet, then compares row count, column names
+(sorted), and values (column-name-sorted, row-sorted). Exits non-zero
+on any mismatch. Usage:
+
+    python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from data_integration_with_pseudoweights_and_survey_calibration_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda r: tuple(str(x) for x in r))
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: ", end="", flush=True)
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"OK {n} rows")
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL {e}")
+                failures += 1
+            continue
+        print(f"[oracle]    {name}: ", end="", flush=True)
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            rel = con.execute(oracles[name])
+            dcols = [d[0] for d in rel.description]
+            drows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        ok = True
+        if sorted(scols) != sorted(dcols):
+            print(f"SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(dcols)}")
+            ok = False
+        elif len(srows) != len(drows):
+            print(f"ROWCOUNT MISMATCH spark={len(srows)} duck={len(drows)}")
+            ok = False
+        else:
+            a = _canon(srows, scols)
+            b = _canon(drows, dcols)
+            bad = [(x, y) for x, y in zip(a, b) if x != y]
+            if bad:
+                print(f"VALUE MISMATCH {len(bad)}/{len(a)} rows; first: {bad[0]}")
+                ok = False
+        if ok:
+            print(f"OK {len(srows)} rows")
+        else:
+            failures += 1
+    print(f"\n{'PASS' if failures == 0 else 'FAIL'} ({len(qs)} queries, {failures} failures)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
