@@ -38,6 +38,15 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
     kw_weights,
     stack_samples,
 )
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.cox import (  # noqa: E402
+    cox_fit,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.survival import (  # noqa: E402
+    breslow_cum_hazard,
+    gail_cum_hazard,
+    hazard_grid,
+    lambda_star_pop,
+)
 from data_integration_with_pseudoweights_and_survey_calibration_spark.sources import tpch  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
@@ -277,6 +286,166 @@ def _sql_kw_weights(sf_dir: str) -> str:
     """
 
 
+# --- survival layer -------------------------------------------------------
+
+REL_SQL = "exp(cast(0.1 as double) * x2)"  # frozen relative hazard for oracles
+T_STAR = [2.0, 5.0, 10.0, 15.0, 20.0]
+_TS_VALUES = ", ".join(f"(cast({x} as double))" for x in T_STAR)
+
+
+def _cohort_surv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cohort, _ = tpch.survey_frames(spark, sf_dir)
+    return cohort.withColumn("rel", F.expr(REL_SQL))
+
+
+def _q_hazard_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11+F1: weighted event/risk-set grid over derived event times."""
+    g = hazard_grid(_cohort_surv(spark, sf_dir), w="wt", rel_hzd="rel")
+    return g.select(
+        "t",
+        F.round("Nt", 6).alias("Nt"),
+        F.round("lambda", 9).alias("lambda"),
+        F.round("one_minus_ar", 9).alias("one_minus_ar"),
+    )
+
+
+def _sql_hazard_grid() -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    base AS (SELECT t, d, wt AS w, {REL_SQL} AS rel
+             FROM units WHERE {tpch.COHORT_PRED}),
+    g AS (SELECT t, sum(w * rel) AS we_sum, sum(w) AS w_sum,
+                 sum(w * d) AS nt, max(d) AS has_e
+          FROM base GROUP BY t),
+    rc AS (SELECT t, nt, has_e,
+                  sum(we_sum) OVER (ORDER BY t DESC) AS zt,
+                  sum(w_sum) OVER (ORDER BY t DESC) AS yt
+           FROM g)
+    SELECT t, round(nt, 6) AS "Nt",
+           round(nt / zt, 9) AS "lambda",
+           round(yt / zt, 9) AS one_minus_ar
+    FROM rc WHERE has_e > 0
+    """
+
+
+def _q_breslow_cum_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I17+F2+D4: Breslow cumulative baseline hazard at the t* grid."""
+    out = breslow_cum_hazard(
+        _cohort_surv(spark, sf_dir), T_STAR, w="wt", rel_hzd="rel"
+    )
+    return out.select("t_star", F.round("cum_hzd", 9).alias("cum_hzd"))
+
+
+def _sql_breslow_cum_hazard() -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    base AS (SELECT t, d, wt AS w, {REL_SQL} AS rel
+             FROM units WHERE {tpch.COHORT_PRED}),
+    g AS (SELECT t, sum(w * rel) AS we_sum, sum(w * d) AS nt, max(d) AS has_e
+          FROM base GROUP BY t),
+    rc AS (SELECT t, nt, has_e, sum(we_sum) OVER (ORDER BY t DESC) AS zt FROM g),
+    cum AS (SELECT t, sum(nt / zt) OVER (ORDER BY t) AS cum
+            FROM rc WHERE has_e > 0),
+    ts(t_star) AS (VALUES {_TS_VALUES})
+    SELECT ts.t_star, round(coalesce(max_by(cum.cum, cum.t), 0.0), 9) AS cum_hzd
+    FROM ts LEFT JOIN cum ON cum.t <= ts.t_star
+    GROUP BY ts.t_star
+    """
+
+
+def _q_lambda_star_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I18: population hazard grid re-binned at the t* cut points."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pop = spark.sql(_spark_units(sf_dir)).drop("o_orderkey")
+    out = lambda_star_pop(pop, t_star=T_STAR)
+    return out.select(
+        "t",
+        F.round("lambda_star", 9).alias("lambda_star"),
+        F.round("event_set", 6).alias("event_set"),
+    )
+
+
+def _sql_lambda_star_binned() -> str:
+    bins = " + ".join(f"cast(t > cast({e} as double) as int)" for e in T_STAR)
+    return f"""
+    WITH units AS ({_duck_units()}),
+    g AS (SELECT t, sum(d) AS nt, count(*) AS cnt, max(d) AS has_e
+          FROM units GROUP BY t),
+    rc AS (SELECT t, nt, has_e,
+                  sum(cnt * 1.0) OVER (ORDER BY t DESC) AS zt FROM g),
+    ev AS (SELECT t, nt * 1.0 AS event_set, zt AS risk_set
+           FROM rc WHERE has_e > 0),
+    binned AS (SELECT *, {bins} AS bin FROM ev)
+    SELECT max(t) AS t,
+           round(sum(event_set) / max_by(risk_set, t), 9) AS lambda_star,
+           round(sum(event_set), 6) AS event_set
+    FROM binned GROUP BY bin
+    """
+
+
+def _q_gail_cum_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I15+F4+D3: Gail cumulative hazard (population grid x sample AR)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pop = spark.sql(_spark_units(sf_dir)).drop("o_orderkey")
+    lam_star = lambda_star_pop(pop)
+    samp = _cohort_surv(spark, sf_dir)
+    out = gail_cum_hazard(lam_star, samp, T_STAR, w="wt", rel_hzd="rel")
+    return out.select(
+        "t_star",
+        F.round("cum_hzd", 9).alias("cum_hzd"),
+        F.round("samp_1_ar", 9).alias("samp_1_ar"),
+    )
+
+
+def _sql_gail_cum_hazard() -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    pg0 AS (SELECT t, sum(d) AS nt, count(*) AS cnt, max(d) AS has_e
+            FROM units GROUP BY t),
+    pg1 AS (SELECT t, nt, has_e,
+                   sum(cnt * 1.0) OVER (ORDER BY t DESC) AS zt FROM pg0),
+    pg AS (SELECT t, nt / zt AS lambda_star FROM pg1 WHERE has_e > 0),
+    sbase AS (SELECT t, d, wt AS w, {REL_SQL} AS rel
+              FROM units WHERE {tpch.COHORT_PRED}),
+    sg0 AS (SELECT t, sum(w * rel) AS we_sum, sum(w) AS w_sum, max(d) AS has_e
+            FROM sbase GROUP BY t),
+    sg1 AS (SELECT t, has_e,
+                   sum(we_sum) OVER (ORDER BY t DESC) AS zt,
+                   sum(w_sum) OVER (ORDER BY t DESC) AS yt FROM sg0),
+    sg AS (SELECT t, yt / zt AS ar FROM sg1 WHERE has_e > 0),
+    all_t AS (SELECT t FROM pg UNION SELECT t FROM sg),
+    filled AS (SELECT a.t,
+                      coalesce(pg.lambda_star, 0.0) AS lam,
+                      (SELECT min_by(sg.ar, sg.t) FROM sg WHERE sg.t >= a.t) AS arc
+               FROM all_t a LEFT JOIN pg ON a.t = pg.t),
+    kept AS (SELECT * FROM filled WHERE arc IS NOT NULL),
+    cum AS (SELECT t, sum(lam * arc) OVER (ORDER BY t) AS cum FROM kept),
+    ts(t_star) AS (VALUES {_TS_VALUES})
+    SELECT ts.t_star,
+           round(coalesce(max_by(cum.cum, cum.t), 0.0), 9) AS cum_hzd,
+           coalesce(round((SELECT max_by(sg.ar, sg.t) FROM sg
+                           WHERE sg.t <= ts.t_star), 9),
+                    cast('NaN' as double)) AS samp_1_ar
+    FROM ts LEFT JOIN cum ON cum.t <= ts.t_star
+    GROUP BY ts.t_star
+    """
+
+
+def _q_cox_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: weighted Cox (Breslow) fit -- iterative, rows-only check here;
+    golden-tested against an independent dense Newton in tests/."""
+    samp = _cohort_surv(spark, sf_dir)
+    fit = cox_fit(samp, ["x1", "x2"], w="wt")
+    rows = [
+        (name, float(b), fit.n_iter, bool(fit.converged), float(fit.score_norm))
+        for name, b in zip(fit.x_cols, fit.beta)
+    ]
+    return spark.createDataFrame(
+        rows, "term string, beta double, n_iter int, converged boolean, score_norm double"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stack_weights": _q_stack_weights,
@@ -284,6 +453,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_means": _q_gram_means,
         "bw_nrd0": _q_bw_nrd0,
         "kw_weights": _q_kw_weights,
+        "hazard_grid": _q_hazard_grid,
+        "breslow_cum_hazard": _q_breslow_cum_hazard,
+        "lambda_star_binned": _q_lambda_star_binned,
+        "gail_cum_hazard": _q_gail_cum_hazard,
+        "cox_coefficients": _q_cox_coefficients,
     }
 
 
@@ -295,4 +469,9 @@ def oracle_sql() -> dict[str, str]:
         "gram_means": _sql_gram_means(sf),
         "bw_nrd0": _sql_bw_nrd0(sf),
         "kw_weights": _sql_kw_weights(sf),
+        "hazard_grid": _sql_hazard_grid(),
+        "breslow_cum_hazard": _sql_breslow_cum_hazard(),
+        "lambda_star_binned": _sql_lambda_star_binned(),
+        "gail_cum_hazard": _sql_gail_cum_hazard(),
+        # cox_coefficients: iterative (H2) -> rows-only check + golden tests
     }

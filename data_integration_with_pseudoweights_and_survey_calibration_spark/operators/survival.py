@@ -1,0 +1,282 @@
+"""Survival-analysis operators (SURVEY §2 E11, F1-F8, D4, I14-I18).
+
+The reference computes risk sets with in-memory reverse cumulative sums
+over rows sorted ``order(t, -d)`` (``taylor_deviate.R:616-617, 1026-1027``)
+and evaluates step functions with dense ``outer`` matrices
+(``taylor_deviate.R:888-890``). The Spark shape used here:
+
+1. ONE ``groupBy(t)`` aggregation collapses the sample to the distinct
+   -time grid (weighted events / at-risk partials per time) -- this is
+   the only pass over the big table, with map-side partial aggregation.
+2. Reverse cumulative sums run as a window over the *grid* (one row per
+   distinct time -- thousands, not billions; a single-partition window
+   on the grid is deliberate and cheap. At extreme grids, swap in the
+   two-pass distributed cumsum: per-range partials + broadcast prefix
+   offsets).
+3. Step-function evaluation (hazard at ``t_star``) is an as-of join on
+   the grid.
+
+Tie semantics: all rows sharing an event time belong to that time's
+risk set (the reference's ``order(t, -d)`` + first-of-group reverse
+cumsum), which the value-based window frame reproduces exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hazard_grid(
+    df: DataFrame,
+    *,
+    t: str = "t",
+    d: str = "d",
+    w: str = "w",
+    rel_hzd: str | Column | None = None,
+) -> DataFrame:
+    """E11: per distinct event time u --
+
+    ``Nt``  = sum of w*d over rows with t == u   (weighted events)
+    ``Zt``  = sum of w*e^{x beta} over rows with t >= u (scaled risk set)
+    ``Yt``  = sum of w over rows with t >= u     (raw risk set)
+    ``lambda`` = Nt / Zt (Breslow increment), ``one_minus_ar`` = Yt / Zt
+
+    Mirrors ``lambda_dat`` of ``taylor_deviate.R:754-785`` but replaces
+    the n x T indicator matrices with the grid recipe above.
+    Output: one row per distinct *event* time, ascending.
+    """
+    rel = F.lit(1.0) if rel_hzd is None else (
+        F.col(rel_hzd) if isinstance(rel_hzd, str) else rel_hzd
+    )
+    wc = F.col(w)
+    dc = F.col(d).cast("double")
+    grid = df.groupBy(F.col(t).alias("t")).agg(
+        F.sum(wc * rel).alias("_we_sum"),
+        F.sum(wc).alias("_w_sum"),
+        F.sum(wc * dc).alias("Nt"),
+        F.max(dc).alias("_has_event"),
+    )
+    # Reverse cumulative sums over the (small) grid. rangeBetween on the
+    # *descending* time order means every row with the same t shares the
+    # full tie-group total -- the reference's tie fix
+    # (``taylor_deviate.R:621-626``) for free.
+    rev = Window.orderBy(F.col("t").desc()).rangeBetween(Window.unboundedPreceding, 0)
+    grid = grid.withColumn("Zt", F.sum("_we_sum").over(rev)).withColumn(
+        "Yt", F.sum("_w_sum").over(rev)
+    )
+    return (
+        grid.where(F.col("_has_event") > 0)
+        .select(
+            "t",
+            "Nt",
+            "Zt",
+            "Yt",
+            (F.col("Nt") / F.col("Zt")).alias("lambda"),
+            (F.col("Yt") / F.col("Zt")).alias("one_minus_ar"),
+        )
+        .orderBy("t")
+    )
+
+
+def cum_hazard(grid: DataFrame, lambda_col: str = "lambda") -> DataFrame:
+    """F2: forward cumulative hazard Lambda(u) = sum_{u' <= u} lambda(u')."""
+    fwd = Window.orderBy("t").rangeBetween(Window.unboundedPreceding, 0)
+    return grid.withColumn("cum_hzd", F.sum(lambda_col).over(fwd))
+
+
+def as_of_lookup(
+    values: DataFrame,
+    t_star: Sequence[float],
+    value_cols: Sequence[str],
+    *,
+    t: str = "t",
+    default: float = 0.0,
+) -> DataFrame:
+    """D4: evaluate right-continuous step functions at each t* (value of
+    the last grid row with t <= t*; ``default`` when none precedes --
+    the reference's dense ``outer``+``which.max`` lookup,
+    ``taylor_deviate.R:888-890``).
+
+    Implementation: union the query points into the grid ordered by t
+    with grid rows first at ties, then ``last(value, ignoreNulls)`` over
+    an unbounded-preceding window -- one pass, no dense matrix.
+    """
+    spark = values.sparkSession
+    queries = spark.createDataFrame(
+        [(float(x),) for x in t_star], f"t_star double"
+    )
+    grid = values.select(
+        F.col(t).alias("_t"),
+        F.lit(0).alias("_is_q"),
+        F.lit(None).cast("double").alias("t_star"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    q = queries.select(
+        F.col("t_star").alias("_t"),
+        F.lit(1).alias("_is_q"),
+        F.col("t_star"),
+        *[F.lit(None).cast("double").alias(f"_v_{c}") for c in value_cols],
+    )
+    # Grid rows sort before query rows at equal t so t <= t* is inclusive.
+    win = Window.orderBy("_t", "_is_q").rowsBetween(Window.unboundedPreceding, 0)
+    filled = grid.unionByName(q).select(
+        "_is_q",
+        "t_star",
+        *[
+            F.coalesce(
+                F.last(f"_v_{c}", ignorenulls=True).over(win), F.lit(default)
+            ).alias(c)
+            for c in value_cols
+        ],
+    )
+    return filled.where(F.col("_is_q") == 1).select("t_star", *value_cols)
+
+
+def breslow_cum_hazard(
+    df: DataFrame,
+    t_star: Sequence[float],
+    *,
+    t: str = "t",
+    d: str = "d",
+    w: str = "w",
+    rel_hzd: str | Column | None = None,
+) -> DataFrame:
+    """I17 ``cum_bsln_hzd`` (``taylor_deviate.R:1023-1055``): Breslow
+    cumulative baseline hazard at the t* grid.
+
+    lambda(u) = [sum of w at event rows with t == u] / [sum of w*e^{xb}
+    with t >= u]; Lambda(t*) = sum_{u <= t*} lambda(u).
+
+    NOTE the reference numerator uses the *raw weight* of event rows
+    (``num_dat[,wt]``), i.e. Nt with d as 0/1 -- identical to
+    ``hazard_grid``'s Nt.
+    """
+    grid = cum_hazard(hazard_grid(df, t=t, d=d, w=w, rel_hzd=rel_hzd))
+    return as_of_lookup(grid, t_star, ["cum_hzd"])
+
+
+def lambda_star_pop(
+    pop: DataFrame,
+    *,
+    t: str = "t",
+    d: str = "d",
+    w: str | None = None,
+    t_star: Sequence[float] | None = None,
+) -> DataFrame:
+    """I18 ``lambda_star.pop`` (``taylor_deviate.R:1200-1242``):
+    population baseline-hazard grid ``(t, lambda_star, event_set,
+    risk_set)``; with ``t_star`` given, re-bin event times into the
+    intervals cut at (0, t*1, ..., t*K, max(t)+1], summing ``event_set``
+    per interval and keeping the *last* grid row of each interval (its
+    ``risk_set``), recomputing lambda = event_set / risk_set.
+    """
+    pop = pop if w is not None else pop.withColumn("_w1", F.lit(1.0))
+    wcol = w if w is not None else "_w1"
+    grid = hazard_grid(pop, t=t, d=d, w=wcol, rel_hzd=None).select(
+        "t",
+        F.col("lambda").alias("lambda_star"),
+        F.col("Nt").alias("event_set"),
+        F.col("Zt").alias("risk_set"),
+    )
+    if t_star is None:
+        return grid
+    edges = sorted(float(x) for x in t_star)
+    # Interval id of cut(t, breaks=c(0, t*, max+1), include.lowest=T):
+    # number of break points strictly below t (left-open intervals).
+    bin_expr = F.lit(0)
+    for e in edges:
+        bin_expr = bin_expr + (F.col("t") > e).cast("int")
+    binned = grid.withColumn("_bin", bin_expr)
+    agg = binned.groupBy("_bin").agg(F.sum("event_set").alias("event_set"))
+    last_row = (
+        binned.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_bin").orderBy(F.col("t").desc())
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select("_bin", "t", "risk_set")
+    )
+    return (
+        last_row.join(agg, "_bin")
+        .select(
+            "t",
+            (F.col("event_set") / F.col("risk_set")).alias("lambda_star"),
+            "event_set",
+            "risk_set",
+        )
+        .orderBy("t")
+    )
+
+
+def gail_cum_hazard(
+    lambda_star: DataFrame,
+    samp: DataFrame,
+    t_star: Sequence[float],
+    *,
+    t: str = "t",
+    d: str = "d",
+    w: str = "w",
+    rel_hzd: str | Column | None = None,
+) -> DataFrame:
+    """I15 ``gail_h`` (``taylor_deviate.R:1067-1123``): Gail-style
+    cumulative hazard Lambda_G(t*) = sum_{u <= t*} lambda*(u) * (1-AR)(u)
+    where lambda* comes from the population grid and (1-AR) = Yt/Zt from
+    the sample, matched on the merged time grid by *next-observation
+    -carried-backward*: the reference's ``rep(samp_1_ar[cmp_t_indx],
+    rep_time)`` (``taylor_deviate.R:1114-1117``) gives every merged row
+    the sample value at the next sample event time at-or-after it, and
+    truncates the grid after the last sample time (``final_t``).
+
+    Returns one row per t*: (t_star, cum_hzd, samp_1_ar).
+    """
+    s_grid = hazard_grid(samp, t=t, d=d, w=w, rel_hzd=rel_hzd).select(
+        "t", F.col("one_minus_ar").alias("samp_1_ar")
+    )
+    p_grid = lambda_star.select("t", "lambda_star")
+    merged = p_grid.join(s_grid, "t", "full_outer")
+    win_next = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    merged = merged.withColumn(
+        "_ar_cmp", F.first("samp_1_ar", ignorenulls=True).over(win_next)
+    )
+    # Rows after the last sample time have no next sample value -> cut.
+    merged = merged.where(F.col("_ar_cmp").isNotNull())
+    fwd = Window.orderBy("t").rangeBetween(Window.unboundedPreceding, 0)
+    merged = merged.withColumn(
+        "cum_hzd",
+        F.sum(F.coalesce(F.col("lambda_star"), F.lit(0.0)) * F.col("_ar_cmp")).over(fwd),
+    )
+    lam_g = as_of_lookup(merged.select("t", "cum_hzd"), t_star, ["cum_hzd"])
+    ar_at = as_of_lookup(
+        s_grid.select("t", "samp_1_ar"), t_star, ["samp_1_ar"], default=float("nan")
+    )
+    return lam_g.join(ar_at, "t_star").orderBy("t_star")
+
+
+def absolute_risk(beta, x0_rows, lambda_df: DataFrame, *, lambda_col: str = "cum_hzd") -> DataFrame:
+    """I16 ``absR_w`` point estimate (``taylor_deviate.R:933-953``):
+    absR(t*, x0) = 1 - exp(-Lambda(t*) * e^{x0' beta}) for each risk
+    profile row x0 (small cross join |t*| x |x0|).
+
+    ``x0_rows``: list of covariate tuples (matching beta's order,
+    no intercept).
+    """
+    import math
+
+    spark = lambda_df.sparkSession
+    profiles = spark.createDataFrame(
+        [
+            (i, float(math.exp(sum(float(b) * float(v) for b, v in zip(beta, row)))))
+            for i, row in enumerate(x0_rows)
+        ],
+        "x0_id int, rel_hzd double",
+    )
+    return lambda_df.crossJoin(F.broadcast(profiles)).select(
+        "t_star",
+        "x0_id",
+        (F.lit(1.0) - F.exp(-F.col(lambda_col) * F.col("rel_hzd"))).alias("absR"),
+    )
