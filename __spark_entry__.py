@@ -38,6 +38,10 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
     kw_weights,
     stack_samples,
 )
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.calibration import (  # noqa: E402
+    greg_calibrate,
+    post_stratify,
+)
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.cox import (  # noqa: E402
     cox_fit,
 )
@@ -286,6 +290,85 @@ def _sql_kw_weights(sf_dir: str) -> str:
     """
 
 
+# --- calibration layer ----------------------------------------------------
+
+CELL_SQL = "d * 10 + o_orderkey % 7"  # B7 cell-code arithmetic
+
+
+def _q_post_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6+B7+D5: post-stratification of cohort weights to population
+    cell counts."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    units = spark.sql(_spark_units(sf_dir)).withColumn("cell", F.expr(CELL_SQL))
+    cohort = units.where(F.expr(tpch.COHORT_PRED)).drop("o_orderkey")
+    pop_totals = units.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("double").alias("Nh")
+    )
+    res = post_stratify(cohort, "cell", "wt", pop_totals)
+    return res.df.select(
+        "id",
+        "cell",
+        F.round("f", 9).alias("f"),
+        F.round("post_wt", 6).alias("post_wt"),
+    )
+
+
+def _sql_post_strat(sf_dir: str) -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    cells AS (SELECT *, {CELL_SQL} AS cell FROM units),
+    pop AS (SELECT cell, count(*) * 1.0 AS nh FROM cells GROUP BY cell),
+    c AS (SELECT * FROM cells WHERE {tpch.COHORT_PRED}),
+    hat AS (SELECT cell, sum(wt) AS nh_hat FROM c GROUP BY cell)
+    SELECT c.id, c.cell,
+           round(pop.nh / hat.nh_hat, 9) AS f,
+           round(c.wt * pop.nh / hat.nh_hat, 6) AS post_wt
+    FROM c JOIN hat ON c.cell = hat.cell JOIN pop ON c.cell = pop.cell
+    """
+
+
+def _q_greg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8: GREG g-weights calibrating cohort (1, x1) totals to the
+    population benchmarks (N, sum x1)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    units = spark.sql(_spark_units(sf_dir))
+    bench = units.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.sum("x1").alias("sx1")
+    ).collect()[0]
+    cohort = units.where(F.expr(tpch.COHORT_PRED)).drop("o_orderkey")
+    cohort = cohort.withColumn("_icpt", F.lit(1.0))
+    res = greg_calibrate(
+        cohort, "wt", ["_icpt", "x1"], [float(bench["n"]), float(bench["sx1"])]
+    )
+    return res.df.select(
+        "id", F.round("g", 9).alias("g"), F.round("calib_wt", 6).alias("calib_wt")
+    )
+
+
+def _sql_greg_weights(sf_dir: str) -> str:
+    # 2x2 Gram inverse via Cramer's rule; g = 1 + (V-Vhat)' G^-1 x.
+    return f"""
+    WITH units AS ({_duck_units()}),
+    c AS (SELECT id, x1, wt FROM units WHERE {tpch.COHORT_PRED}),
+    bench AS (SELECT count(*) * 1.0 AS v0, sum(x1) AS v1 FROM units),
+    agg AS (SELECT sum(wt) AS g00, sum(wt * x1) AS g01,
+                   sum(wt * x1 * x1) AS g11,
+                   sum(wt) AS vh0, sum(wt * x1) AS vh1
+            FROM c),
+    coefs AS (
+      SELECT ((bench.v0 - agg.vh0) * agg.g11 - (bench.v1 - agg.vh1) * agg.g01)
+               / (agg.g00 * agg.g11 - agg.g01 * agg.g01) AS b0,
+             ((bench.v1 - agg.vh1) * agg.g00 - (bench.v0 - agg.vh0) * agg.g01)
+               / (agg.g00 * agg.g11 - agg.g01 * agg.g01) AS b1
+      FROM agg, bench
+    )
+    SELECT c.id,
+           round(1.0 + coefs.b0 + coefs.b1 * c.x1, 9) AS g,
+           round(c.wt * (1.0 + coefs.b0 + coefs.b1 * c.x1), 6) AS calib_wt
+    FROM c, coefs
+    """
+
+
 # --- survival layer -------------------------------------------------------
 
 REL_SQL = "exp(cast(0.1 as double) * x2)"  # frozen relative hazard for oracles
@@ -453,6 +536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_means": _q_gram_means,
         "bw_nrd0": _q_bw_nrd0,
         "kw_weights": _q_kw_weights,
+        "post_strat": _q_post_strat,
+        "greg_weights": _q_greg_weights,
         "hazard_grid": _q_hazard_grid,
         "breslow_cum_hazard": _q_breslow_cum_hazard,
         "lambda_star_binned": _q_lambda_star_binned,
@@ -469,6 +554,8 @@ def oracle_sql() -> dict[str, str]:
         "gram_means": _sql_gram_means(sf),
         "bw_nrd0": _sql_bw_nrd0(sf),
         "kw_weights": _sql_kw_weights(sf),
+        "post_strat": _sql_post_strat(sf),
+        "greg_weights": _sql_greg_weights(sf),
         "hazard_grid": _sql_hazard_grid(),
         "breslow_cum_hazard": _sql_breslow_cum_hazard(),
         "lambda_star_binned": _sql_lambda_star_binned(),

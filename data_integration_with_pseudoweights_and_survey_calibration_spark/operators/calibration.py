@@ -1,0 +1,238 @@
+"""Weight calibration operators (SURVEY §2 I6, I8, I10, I11, B5).
+
+Reference semantics rebuilt here:
+
+- **Post-stratification** ``post.f`` (``taylor_deviate.R:957-982``,
+  ``post_wt`` ``simu_fun.R:215-229``): per post-stratum h the factor
+  ``f_h = N_h / Nhat_h`` where ``Nhat_h`` is the weighted sample total
+  of the cell; adjusted weight = ``wt * f_h``. The derivative ``f_w``
+  is *grouped by construction* -- the reference densifies it into an
+  n x n matrix and OOMs (``Large=T`` warning at
+  ``taylor_deviate.R:975``); we keep only the per-cell scalar
+  ``-N_h / Nhat_h^2`` (its ``Large`` representation), which is the only
+  form that survives 100 TB.
+- **GREG calibration** ``greg.f`` (``taylor_deviate.R:988-1007``):
+  g-weights ``f_i = 1 + (V - Vhat)' (X'WX)^{-1} x_i`` so that the
+  calibrated weighted totals hit the benchmark vector V exactly (linear
+  calibration). Spark shape: ONE distributed pass computes both the
+  Gram matrix and the weighted totals, the (p,) solve happens on the
+  driver, and ``f`` comes back as a broadcast-coefficient column
+  expression -- no per-row Python, no n x n derivative (the reference's
+  ``f_w`` sapply loop at ``taylor_deviate.R:1000-1003`` is refactored
+  into its low-rank factors).
+- **Composite scaling** ``a_cv`` (``jk_fun.R:136-139``): effective
+  -sample-size shares splitting the combined weight mass across
+  cohort/survey.
+- **Clamp** (B5, ``jk_fun.R:54,64``): negative calibrated weights are
+  floored at 1e-5.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Mapping, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.design import linear_predictor
+from ..linalg import solve_sym
+from .gram import gram_exprs, vec_to_sym
+
+WEIGHT_FLOOR = 1e-5  # reference: calib.rr[calib.rr<0]=1e-5 (jk_fun.R:54)
+
+
+def clamp_weights(w: str | Column, floor: float = WEIGHT_FLOOR) -> Column:
+    """B5: floor negative calibrated weights (``jk_fun.R:54,64``).
+
+    NOTE reference parity: only *negative* values are reset (``<0``),
+    so values in [0, 1e-5) pass through unchanged -- this is not
+    ``greatest(w, floor)``.
+    """
+    wc = F.col(w) if isinstance(w, str) else w
+    return F.when(wc < 0, F.lit(float(floor))).otherwise(wc)
+
+
+@dataclass(frozen=True)
+class PostStratResult:
+    df: DataFrame          # input + `f` + `post_wt` columns
+    factors: DataFrame     # (cell, Nh, Nh_hat, f, f_w) -- grouped derivative
+    cell_col: str
+
+
+def post_stratify(
+    df: DataFrame,
+    cell_col: str,
+    wt_col: str,
+    pop_totals: DataFrame | Mapping[int, float],
+    *,
+    out_col: str = "post_wt",
+) -> PostStratResult:
+    """I6 ``post.f``: per-cell ratio adjustment to known population
+    cell counts.
+
+    ``pop_totals``: DataFrame ``(cell, Nh)`` or a {cell: Nh} mapping.
+    Cells present in the sample but absent from ``pop_totals`` get
+    f = 0 (they represent nobody); the reference never hits this case
+    because its cells are constructed from population cuts.
+
+    Plan shape: one groupBy(cell) aggregation (map-side combined), a
+    broadcast join of the tiny (cell, f) table back onto the sample
+    (D5 re-expansion) -- the sample table is scanned once and never
+    shuffled on anything but the cell key.
+    """
+    spark = df.sparkSession
+    if not isinstance(pop_totals, DataFrame):
+        pop_totals = spark.createDataFrame(
+            [(k, float(v)) for k, v in pop_totals.items()],
+            f"{cell_col} {dict(df.dtypes)[cell_col]}, Nh double",
+        )
+    nh_hat = df.groupBy(cell_col).agg(F.sum(wt_col).alias("Nh_hat"))
+    factors = (
+        nh_hat.join(pop_totals, cell_col, "left")
+        .select(
+            cell_col,
+            F.coalesce(F.col("Nh"), F.lit(0.0)).alias("Nh"),
+            "Nh_hat",
+            (F.coalesce(F.col("Nh"), F.lit(0.0)) / F.col("Nh_hat")).alias("f"),
+            # Grouped derivative: d f_i / d w_j = -Nh/Nhat_h^2 for i,j in
+            # the same cell (the `Large` representation of
+            # ``taylor_deviate.R:971-977``; never densified to n x n).
+            (-F.coalesce(F.col("Nh"), F.lit(0.0))
+             / (F.col("Nh_hat") * F.col("Nh_hat"))).alias("f_w"),
+        )
+    )
+    out = df.join(F.broadcast(factors.select(cell_col, "f")), cell_col).withColumn(
+        out_col, F.col(wt_col) * F.col("f")
+    )
+    return PostStratResult(df=out, factors=factors, cell_col=cell_col)
+
+
+def grouped_matrix_product(
+    df: DataFrame,
+    factors: DataFrame,
+    cell_col: str,
+    value_cols: Sequence[str],
+    *,
+    f_w_col: str = "f_w",
+) -> DataFrame:
+    """I10 ``f_w_mtrx`` (``taylor_deviate.R:574-597``): multiply the
+    grouped post-strat derivative against an n x q matrix without
+    densifying: (f_w_mtrx @ M)[i, :] = f_w(cell_i) * sum_{j in cell_i}
+    M[j, :].
+
+    Returns ``df`` with each value column replaced by its grouped
+    product (same column names). One groupBy(cell) + broadcast join.
+    """
+    sums = df.groupBy(cell_col).agg(
+        *[F.sum(c).alias(f"_s_{c}") for c in value_cols]
+    )
+    enriched = sums.join(F.broadcast(factors.select(cell_col, f_w_col)), cell_col)
+    keep = [c for c in df.columns if c not in value_cols]
+    return df.select(*keep).join(F.broadcast(enriched), cell_col).select(
+        *keep,
+        *[(F.col(f_w_col) * F.col(f"_s_{c}")).alias(c) for c in value_cols],
+    )
+
+
+@dataclass(frozen=True)
+class GregResult:
+    df: DataFrame            # input + `g` (+ calibrated weight) columns
+    coef: np.ndarray         # (V - Vhat)' G^{-1}  -- the low-rank f_w factor
+    benchmarks: np.ndarray   # V
+    totals_hat: np.ndarray   # Vhat
+    x_cols: tuple[str, ...]
+
+    def g_expr(self) -> Column:
+        """g_i = 1 + coef @ x_i as a codegen-friendly expression."""
+        return F.lit(1.0) + linear_predictor(list(self.x_cols), self.coef)
+
+
+def greg_calibrate(
+    df: DataFrame,
+    wt_col: str,
+    x_cols: Sequence[str],
+    benchmarks: Sequence[float],
+    *,
+    g_col: str = "g",
+    out_col: str | None = "calib_wt",
+    clamp: bool = False,
+) -> GregResult:
+    """I8 ``greg.f``: linear GREG calibration.
+
+    ``x_cols`` are the auxiliary design columns (include an explicit
+    intercept column of 1.0 to calibrate to a population count N, as
+    the reference always does -- its V starts with
+    ``("(Intercept)"=N``). ``benchmarks`` = V, one per x col.
+
+    Invariant (tested): sum(g * w * x_k) == V_k exactly for every k --
+    the defining property of GREG (``SURVEY §5`` property test).
+
+    Plan: single pass for Gram + totals; driver solve; `g` attached as
+    an expression (lazy -- composable with downstream fits).
+    """
+    x_cols = list(x_cols)
+    p = len(x_cols)
+    v = np.asarray([float(b) for b in benchmarks], dtype=float)
+    if v.shape != (p,):
+        raise ValueError(f"benchmarks must have length {p}")
+    exprs = gram_exprs(x_cols, wt_col) + [
+        F.sum(F.col(wt_col) * F.col(c)).alias(f"_tot_{c}") for c in x_cols
+    ]
+    row = df.agg(*exprs).collect()[0]
+    vals = np.array(row, dtype=float)
+    n_tri = p * (p + 1) // 2
+    g_mat = vec_to_sym(vals[:n_tri], p)
+    v_hat = vals[n_tri:]
+    coef = solve_sym(g_mat, v - v_hat)  # G symmetric: G^{-1}(V-Vhat)
+    out = df.withColumn(
+        g_col, F.lit(1.0) + linear_predictor(x_cols, coef)
+    )
+    if out_col is not None:
+        w_new = F.col(wt_col) * F.col(g_col)
+        out = out.withColumn(out_col, clamp_weights(w_new) if clamp else w_new)
+    return GregResult(
+        df=out,
+        coef=coef,
+        benchmarks=v,
+        totals_hat=v_hat,
+        x_cols=tuple(x_cols),
+    )
+
+
+def composite_factors(
+    cohort: DataFrame,
+    survey: DataFrame,
+    *,
+    cohort_wt: str = "ipsw",
+    survey_wt: str = "wt",
+) -> tuple[float, float]:
+    """I11 ``a_cv`` (``jk_fun.R:136-139``): effective-sample-size shares.
+
+    cv_k = (var(w_k)/mean(w_k^2) + 1) / n_k          (k = cohort, survey)
+    a_k  = (S_c + S_s) * (1 - cv_k / (cv_c + cv_s)) / S_k / 2
+
+    so that the composite weights ``w_c*a_c`` + ``w_s*a_s`` preserve the
+    total weight mass while down-weighting the noisier sample. Two tiny
+    aggregations; scalars on the driver.
+    """
+
+    def _moments(df: DataFrame, w: str) -> tuple[float, float, float, int]:
+        r = df.agg(
+            F.var_samp(w).alias("v"),
+            F.avg(F.col(w) * F.col(w)).alias("m2"),
+            F.sum(w).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return float(r["v"]), float(r["m2"]), float(r["s"]), int(r["n"])
+
+    v_c, m2_c, s_c, n_c = _moments(cohort, cohort_wt)
+    v_s, m2_s, s_s, n_s = _moments(survey, survey_wt)
+    cv_c = (v_c / m2_c + 1.0) / n_c
+    cv_s = (v_s / m2_s + 1.0) / n_s
+    tot = s_c + s_s
+    cv_sum = cv_c + cv_s
+    a_c = tot * (1.0 - cv_c / cv_sum) / s_c / 2.0
+    a_s = tot * (1.0 - cv_s / cv_sum) / s_s / 2.0
+    return a_c, a_s

@@ -1,0 +1,127 @@
+"""Unit + property tests for calibration operators (SURVEY §5):
+post-stratification cell invariant, GREG exact-benchmark invariant,
+grouped derivative, composite scaling vs a NumPy reimplementation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.calibration import (
+    clamp_weights,
+    composite_factors,
+    greg_calibrate,
+    grouped_matrix_product,
+    post_stratify,
+)
+
+
+def _toy(spark, n=400, seed=11):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "x1": rng.normal(0, 2, n),
+            "x2": rng.uniform(-1, 1, n),
+            "wt": rng.uniform(0.5, 5.0, n),
+            "cell": rng.integers(0, 5, n).astype(np.int32),
+        }
+    )
+    pdf["_icpt"] = 1.0
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_post_stratify_cell_invariant(spark):
+    df, pdf = _toy(spark)
+    pop = {c: 100.0 * (c + 1) for c in range(5)}
+    res = post_stratify(df, "cell", "wt", pop)
+    got = (
+        res.df.groupBy("cell").agg(F.sum("post_wt").alias("s")).toPandas()
+        .set_index("cell")["s"]
+    )
+    # Defining property: post-stratified weights reproduce Nh per cell.
+    for c, nh in pop.items():
+        assert got[c] == pytest.approx(nh, rel=1e-12)
+    # Factor parity with NumPy.
+    fac = res.factors.toPandas().set_index("cell")
+    nh_hat = pdf.groupby("cell")["wt"].sum()
+    for c in range(5):
+        assert fac.loc[c, "f"] == pytest.approx(pop[c] / nh_hat[c], rel=1e-12)
+        assert fac.loc[c, "f_w"] == pytest.approx(
+            -pop[c] / nh_hat[c] ** 2, rel=1e-12
+        )
+
+
+def test_grouped_matrix_product(spark):
+    df, pdf = _toy(spark, n=100)
+    pop = {c: 50.0 * (c + 1) for c in range(5)}
+    res = post_stratify(df, "cell", "wt", pop)
+    out = grouped_matrix_product(res.df, res.factors, "cell", ["x1", "x2"]).toPandas()
+    nh_hat = pdf.groupby("cell")["wt"].sum()
+    sums = pdf.groupby("cell")[["x1", "x2"]].sum()
+    out = out.set_index("id").sort_index()
+    pdf = pdf.set_index("id").sort_index()
+    for col in ("x1", "x2"):
+        expect = pdf["cell"].map(
+            lambda c: -pop[c] / nh_hat[c] ** 2 * sums.loc[c, col]
+        )
+        np.testing.assert_allclose(out[col], expect, rtol=1e-10)
+
+
+def test_greg_exact_benchmark_invariant(spark):
+    df, pdf = _toy(spark)
+    x_cols = ["_icpt", "x1", "x2"]
+    # Benchmarks deliberately off the Horvitz-Thompson totals.
+    v = [
+        float((pdf.wt).sum()) * 1.07,
+        float((pdf.wt * pdf.x1).sum()) + 25.0,
+        float((pdf.wt * pdf.x2).sum()) - 10.0,
+    ]
+    res = greg_calibrate(df, "wt", x_cols, v)
+    got = res.df.agg(
+        *[F.sum(F.col("calib_wt") * F.col(c)).alias(c) for c in x_cols]
+    ).collect()[0]
+    # Defining GREG property: calibrated totals hit benchmarks exactly.
+    for k, c in enumerate(x_cols):
+        assert float(got[c]) == pytest.approx(v[k], rel=1e-10)
+    # Parity with dense NumPy: f = 1 + (V-Vhat)' (X'WX)^-1 x.
+    x = pdf[x_cols].to_numpy()
+    w = pdf["wt"].to_numpy()
+    gmat = x.T @ (w[:, None] * x)
+    v_hat = x.T @ w
+    coef = np.linalg.solve(gmat, np.asarray(v) - v_hat)
+    g_np = 1.0 + x @ coef
+    g_sp = res.df.select("id", "g").toPandas().set_index("id").sort_index()["g"]
+    np.testing.assert_allclose(g_sp.to_numpy(), g_np, rtol=1e-10)
+
+
+def test_clamp_weights_reference_semantics(spark):
+    # Only strictly negative values are reset to 1e-5 (jk_fun.R:54).
+    df = spark.createDataFrame(
+        [(-3.0,), (0.0,), (1e-7,), (2.0,)], "w double"
+    ).select(clamp_weights("w").alias("c"))
+    assert [r["c"] for r in df.collect()] == [1e-5, 0.0, 1e-7, 2.0]
+
+
+def test_composite_factors_vs_numpy(spark):
+    df, pdf = _toy(spark, n=300, seed=3)
+    cohort = df.where(F.col("cell") < 3).withColumnRenamed("wt", "ipsw")
+    survey = df.where(F.col("cell") >= 3)
+    a_c, a_s = composite_factors(cohort, survey)
+    cp = pdf[pdf.cell < 3]["wt"].to_numpy()
+    sp = pdf[pdf.cell >= 3]["wt"].to_numpy()
+    cv = np.array(
+        [
+            (cp.var(ddof=1) / (cp**2).mean() + 1) / len(cp),
+            (sp.var(ddof=1) / (sp**2).mean() + 1) / len(sp),
+        ]
+    )
+    tot = cp.sum() + sp.sum()
+    expect = tot * (1 - cv / cv.sum()) / np.array([cp.sum(), sp.sum()]) / 2
+    assert a_c == pytest.approx(expect[0], rel=1e-12)
+    assert a_s == pytest.approx(expect[1], rel=1e-12)
+    # Mass preservation: a_c*S_c + a_s*S_s == (S_c+S_s)/2 ... reference
+    # splits half the mass to each scaled sample.
+    assert a_c * cp.sum() + a_s * sp.sum() == pytest.approx(tot / 2, rel=1e-12)
