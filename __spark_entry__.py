@@ -45,6 +45,9 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.cox import (  # noqa: E402
     cox_fit,
 )
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.influence import (  # noqa: E402
+    cox_score_influence,
+)
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.survival import (  # noqa: E402
     breslow_cum_hazard,
     gail_cum_hazard,
@@ -515,6 +518,47 @@ def _sql_gail_cum_hazard() -> str:
     """
 
 
+def _q_cox_dfbeta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I12: Cox score influence / dfbeta at frozen beta (p=1, so the
+    U_beta inverse is a scalar and the whole chain is SQL-expressible)."""
+    samp = _cohort_surv(spark, sf_dir)
+    inf = cox_score_influence(samp, ["x2"], [0.1], pw="wt")
+    return inf.df.select(
+        "id",
+        F.round("ui_0", 9).alias("ui"),
+        F.round("delta_beta_0", 9).alias("delta_beta"),
+    )
+
+
+def _sql_cox_dfbeta() -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    base AS (SELECT id, t, d, x2, wt, {REL_SQL} AS rel
+             FROM units WHERE {tpch.COHORT_PRED}),
+    g AS (SELECT t, sum(wt * rel) AS s0p, sum(wt * d) AS du,
+                 sum(wt * rel * x2) AS s1p, sum(wt * rel * x2 * x2) AS s2p
+          FROM base GROUP BY t),
+    rc AS (SELECT t, du,
+                  sum(s0p) OVER (ORDER BY t DESC) AS s0,
+                  sum(s1p) OVER (ORDER BY t DESC) AS s1,
+                  sum(s2p) OVER (ORDER BY t DESC) AS s2
+           FROM g),
+    cum AS (SELECT t, du, s0, s1, s2,
+                   sum(du / s0) OVER (ORDER BY t) AS ca,
+                   sum(du * s1 / (s0 * s0)) OVER (ORDER BY t) AS cb
+            FROM rc),
+    ub AS (SELECT -sum(du * (s2 / s0 - s1 * s1 / (s0 * s0))) AS u_beta
+           FROM cum WHERE du > 0)
+    SELECT b.id,
+           round(b.d * (b.x2 - c.s1 / c.s0)
+                 - b.rel * (b.x2 * c.ca - c.cb), 9) AS ui,
+           round(b.wt * -(b.d * (b.x2 - c.s1 / c.s0)
+                          - b.rel * (b.x2 * c.ca - c.cb)) / ub.u_beta, 9)
+             AS delta_beta
+    FROM base b JOIN cum c ON b.t = c.t CROSS JOIN ub
+    """
+
+
 def _q_cox_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H2: weighted Cox (Breslow) fit -- iterative, rows-only check here;
     golden-tested against an independent dense Newton in tests/."""
@@ -542,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "breslow_cum_hazard": _q_breslow_cum_hazard,
         "lambda_star_binned": _q_lambda_star_binned,
         "gail_cum_hazard": _q_gail_cum_hazard,
+        "cox_dfbeta": _q_cox_dfbeta,
         "cox_coefficients": _q_cox_coefficients,
     }
 
@@ -560,5 +605,6 @@ def oracle_sql() -> dict[str, str]:
         "breslow_cum_hazard": _sql_breslow_cum_hazard(),
         "lambda_star_binned": _sql_lambda_star_binned(),
         "gail_cum_hazard": _sql_gail_cum_hazard(),
+        "cox_dfbeta": _sql_cox_dfbeta(),
         # cox_coefficients: iterative (H2) -> rows-only check + golden tests
     }

@@ -1,0 +1,393 @@
+"""Taylor-linearization ("Taylor deviate") influence functions and
+design-consistent variance estimators (SURVEY §2 I7, I12, I20, E5).
+
+The reference computes, for each estimator theta, a per-record matrix of
+partial derivatives w.r.t. the design weights ("deviates"), then
+
+    var_pps     = sum over strata of  cov(Delta[stratum]) * n_stratum
+    var_poisson = sum over strata of  Delta' diag(1 - pi) Delta
+
+(``taylor_deviate.R:562-564, 490-492, 728-729``).
+
+Key rebuild insight (SURVEY §2 I12): the reference's O(n * events)
+score-derivative loop (``taylor_deviate.R:654-659``)
+
+    U_w_2[i,] = sum_k D_k * ( 1[t_i >= t_k] rel_i x_i / S0_k
+                              - 1[t_i >= t_k] rel_i S1_k / S0_k^2 )
+
+telescopes -- every term factors into (row part) x (event-grid part):
+
+    U_w_2[i,] = rel_i * ( x_i * CA(t_i) - CB(t_i) )
+    CA(u) = sum_{event times k <= u} D_k / S0_k
+    CB(u) = sum_{event times k <= u} D_k S1_k / S0_k^2
+
+so the whole influence matrix costs ONE groupBy(t) pass, reverse +
+forward cumulative sums on the distinct-time grid, and one join of the
+grid back onto the rows. Nothing bigger than (distinct times x p)
+doubles ever shuffles; at 100 TB the sample table is scanned twice
+(grid pass + join-back) regardless of the number of events.
+
+The n x p influence values stay as p scalar DoubleType columns on the
+row table (never a dense driver matrix); only p x p summaries cross to
+the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.design import linear_predictor
+from .gram import cross_gram, gram
+from ..linalg import block_inverse, vec_to_sym
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# E5: variance of an influence ("deviate") matrix
+# ---------------------------------------------------------------------------
+
+
+def delta_cov(df: DataFrame, delta_cols: Sequence[str], times_n: bool = True) -> np.ndarray:
+    """Column covariance of the influence matrix, scaled by n:
+    ``cov(Delta) * n`` (``taylor_deviate.R:728``). Single pass:
+    cov = (sum DD' - n mean mean') / (n - 1).
+    """
+    p = len(delta_cols)
+    exprs = [F.count(F.lit(1)).alias("_n")]
+    exprs += [F.sum(delta_cols[i]).alias(f"_m_{i}") for i in range(p)]
+    exprs += [
+        F.sum(F.col(delta_cols[i]) * F.col(delta_cols[j])).alias(f"_s_{i}_{j}")
+        for i in range(p)
+        for j in range(i, p)
+    ]
+    row = df.agg(*exprs).collect()[0]
+    n = float(row["_n"])
+    m = np.array([row[f"_m_{i}"] for i in range(p)], dtype=float) / n
+    ss = vec_to_sym(
+        np.array(
+            [row[f"_s_{i}_{j}"] for i in range(p) for j in range(i, p)], dtype=float
+        ),
+        p,
+    )
+    cov = (ss - n * np.outer(m, m)) / (n - 1.0)
+    return cov * n if times_n else cov
+
+
+def var_pps(
+    df: DataFrame, delta_cols: Sequence[str], strata_col: str | None = None
+) -> np.ndarray:
+    """E5 PPS variance: sum over strata of cov(Delta[stratum]) * n_h
+    (``taylor_deviate.R:490-491,562-563``)."""
+    if strata_col is None:
+        return delta_cov(df, delta_cols)
+    out = None
+    for r in df.select(strata_col).distinct().collect():
+        v = delta_cov(df.where(F.col(strata_col) == r[0]), delta_cols)
+        out = v if out is None else out + v
+    return out
+
+
+def var_poisson(
+    df: DataFrame, delta_cols: Sequence[str], pi: str | Column
+) -> np.ndarray:
+    """E5 Poisson variance: Delta' diag(1 - pi) Delta
+    (``taylor_deviate.R:563-564``). ``pi`` = inclusion probability
+    (cohort: pi.c_est; survey: 1/wt)."""
+    w = F.lit(1.0) - _c(pi)
+    return gram(df, list(delta_cols), w)
+
+
+# ---------------------------------------------------------------------------
+# I7: propensity-model (gamma) influence
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GammaInfluence:
+    df: DataFrame                 # stacked rows + gamma_wt_* / delta_gamma_* cols
+    gamma_cols: tuple[str, ...]   # gamma_wt column names (q)
+    delta_cols: tuple[str, ...]   # delta_gamma column names (q)
+    s_gamma: np.ndarray           # q x q
+
+
+def gamma_influence(
+    stacked: DataFrame,
+    design_cols: Sequence[str],
+    *,
+    trt: str = "trt",
+    p_est: str = "p_est",
+    ps_w: str = "w",
+) -> GammaInfluence:
+    """I7 ``gamma_w`` (``taylor_deviate.R:556-570``): influence of the
+    stacked-sample logistic propensity fit.
+
+        Si        = (R - p) * x_i                     (per-row score)
+        S_gamma   = -X' diag(ps.w * p(1-p)) X         (one Gram pass)
+        gamma_wt  = -Si S_gamma^{-1}                  (row expression)
+        Delta     = ps.w * gamma_wt
+
+    One distributed Gram pass + a broadcast q x q inverse; the per-row
+    columns stay inside codegen.
+    """
+    design_cols = list(design_cols)
+    q = len(design_cols)
+    pcol = F.col(p_est)
+    s_gamma = -gram(stacked, design_cols, F.col(ps_w) * pcol * (1.0 - pcol))
+    sg_inv = np.linalg.inv(s_gamma)
+    resid = F.col(trt).cast("double") - pcol
+    out = stacked
+    gamma_cols, delta_cols = [], []
+    for j in range(q):
+        # gamma_wt_j = -sum_m Si_m * SgInv[m, j]
+        expr = F.lit(0.0)
+        for m in range(q):
+            expr = expr + resid * F.col(design_cols[m]) * float(-sg_inv[m, j])
+        out = out.withColumn(f"gamma_wt_{j}", expr)
+        out = out.withColumn(f"delta_gamma_{j}", F.col(ps_w) * F.col(f"gamma_wt_{j}"))
+        gamma_cols.append(f"gamma_wt_{j}")
+        delta_cols.append(f"delta_gamma_{j}")
+    return GammaInfluence(out, tuple(gamma_cols), tuple(delta_cols), s_gamma)
+
+
+# ---------------------------------------------------------------------------
+# I12: Cox beta influence (dfbeta) via the telescoped grid
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CoxInfluence:
+    df: DataFrame                # rows + ui_* , beta_pw_* , delta_beta_* cols
+    ui_cols: tuple[str, ...]
+    beta_pw_cols: tuple[str, ...]
+    delta_cols: tuple[str, ...]
+    u_beta: np.ndarray           # p x p (negative observed information)
+
+
+def cox_score_influence(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    beta: Sequence[float],
+    *,
+    t: str = "t",
+    d: str = "d",
+    pw: str = "w",
+    pi_c_est: str | Column | None = None,
+) -> CoxInfluence:
+    """I12 ``beta_pw.cox`` (``taylor_deviate.R:601-742``, non-post
+    branch): per-record derivative of the weighted Cox score / beta-hat
+    w.r.t. the pseudo-weights.
+
+        Ui_pw[i,]  = d_i (x_i - H(t_i)) - rel_i (x_i CA(t_i) - CB(t_i))
+        H(u)       = S1(u) / S0(u)
+        U_beta     = -sum_k D_k [S2_k/S0_k - (S1_k/S0_k)(S1_k/S0_k)']
+        beta_pw    = -Ui_pw U_beta^{-1}          (dfbeta)
+        Delta      = pw * beta_pw
+
+    Ties share the whole tie-group risk set (value-range windows ==
+    the reference's first-of-group fix, ``taylor_deviate.R:621-626``).
+    """
+    x_cols = list(x_cols)
+    p = len(x_cols)
+    beta = np.asarray(list(beta), dtype=float)
+    rel = F.exp(linear_predictor(x_cols, beta))
+    pw_e = F.col(pw) * rel
+    wd = F.col(pw) * F.col(d).cast("double")
+
+    # --- grid pass: one groupBy(t) over the rows ------------------------
+    aggs = [F.sum(pw_e).alias("_s0p"), F.sum(wd).alias("_du")]
+    for i, xi in enumerate(x_cols):
+        aggs.append(F.sum(pw_e * F.col(xi)).alias(f"_s1p_{i}"))
+    for i in range(p):
+        for j in range(i, p):
+            aggs.append(
+                F.sum(pw_e * F.col(x_cols[i]) * F.col(x_cols[j])).alias(f"_s2p_{i}_{j}")
+            )
+    grid = df.groupBy(F.col(t).alias("_t")).agg(*aggs)
+
+    rev = Window.orderBy(F.col("_t").desc()).rangeBetween(Window.unboundedPreceding, 0)
+    grid = grid.select(
+        "_t",
+        "_du",
+        F.sum("_s0p").over(rev).alias("_s0"),
+        *[F.sum(f"_s1p_{i}").over(rev).alias(f"_s1_{i}") for i in range(p)],
+        *[
+            F.sum(f"_s2p_{i}_{j}").over(rev).alias(f"_s2_{i}_{j}")
+            for i in range(p)
+            for j in range(i, p)
+        ],
+    )
+    # Forward cumsums of the telescoped event-grid factors.
+    fwd = Window.orderBy("_t").rangeBetween(Window.unboundedPreceding, 0)
+    grid = grid.select(
+        "_t",
+        "_du",
+        "_s0",
+        *[F.col(f"_s1_{i}") for i in range(p)],
+        *[F.col(f"_s2_{i}_{j}") for i in range(p) for j in range(i, p)],
+        F.sum(F.col("_du") / F.col("_s0")).over(fwd).alias("_ca"),
+        *[
+            F.sum(F.col("_du") * F.col(f"_s1_{i}") / (F.col("_s0") * F.col("_s0")))
+            .over(fwd)
+            .alias(f"_cb_{i}")
+            for i in range(p)
+        ],
+    ).cache()
+
+    # --- U_beta: tiny aggregation over event grid rows ------------------
+    exprs = []
+    for i in range(p):
+        for j in range(i, p):
+            exprs.append(
+                F.sum(
+                    F.col("_du")
+                    * (
+                        F.col(f"_s2_{i}_{j}") / F.col("_s0")
+                        - F.col(f"_s1_{i}")
+                        * F.col(f"_s1_{j}")
+                        / (F.col("_s0") * F.col("_s0"))
+                    )
+                ).alias(f"_h_{i}_{j}")
+            )
+    hrow = grid.where(F.col("_du") > 0).agg(*exprs).collect()[0]
+    u_beta = -vec_to_sym(np.array(hrow, dtype=float), p)
+    ub_inv = np.linalg.inv(u_beta)
+
+    # --- join grid values back onto rows, per-row influence columns -----
+    lookup = grid.select(
+        F.col("_t"),
+        "_ca",
+        *[F.col(f"_cb_{i}") for i in range(p)],
+        *[(F.col(f"_s1_{i}") / F.col("_s0")).alias(f"_hh_{i}") for i in range(p)],
+    )
+    rows = df.withColumn("_rel", rel).join(
+        lookup, df[t] == lookup["_t"], "left"
+    ).drop("_t")
+
+    dc = F.col(d).cast("double")
+    ui_cols, beta_pw_cols, delta_cols = [], [], []
+    for i in range(p):
+        ui = dc * (F.col(x_cols[i]) - F.col(f"_hh_{i}")) - F.col("_rel") * (
+            F.col(x_cols[i]) * F.col("_ca") - F.col(f"_cb_{i}")
+        )
+        rows = rows.withColumn(f"ui_{i}", ui)
+        ui_cols.append(f"ui_{i}")
+    for j in range(p):
+        # beta_pw_j = -sum_m ui_m * UbInv[m, j]
+        expr = F.lit(0.0)
+        for m in range(p):
+            expr = expr + F.col(f"ui_{m}") * float(-ub_inv[m, j])
+        rows = rows.withColumn(f"beta_pw_{j}", expr)
+        rows = rows.withColumn(f"delta_beta_{j}", F.col(pw) * F.col(f"beta_pw_{j}"))
+        beta_pw_cols.append(f"beta_pw_{j}")
+        delta_cols.append(f"delta_beta_{j}")
+    rows = rows.drop("_rel", "_ca", *[f"_cb_{i}" for i in range(p)], *[f"_hh_{i}" for i in range(p)])
+    return CoxInfluence(
+        rows, tuple(ui_cols), tuple(beta_pw_cols), tuple(delta_cols), u_beta
+    )
+
+
+# ---------------------------------------------------------------------------
+# I20: joint eta = (beta, gamma) influence
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class EtaInfluence:
+    df: DataFrame                 # stacked rows + delta_eta_* columns
+    delta_cols: tuple[str, ...]   # p + q names
+    var_pps: np.ndarray
+    var_poisson: np.ndarray
+
+
+def eta_influence(
+    cox_inf: CoxInfluence,
+    gamma_inf: GammaInfluence,
+    pw_gamma_cols: Sequence[str],
+    *,
+    cohort_pw: str,
+    trt: str = "trt",
+    ps_w: str = "w",
+    pi_c_est: str = "pi_c_est",
+    svy_wt: str = "wt",
+    id_col: str = "id",
+) -> EtaInfluence:
+    """I20 ``eta_w`` (``taylor_deviate.R:471-496``): joint influence of
+    (beta, gamma) through the block-triangular estimating equation.
+
+        phi_inv = [[U_beta^{-1}, -U_beta^{-1} U_gamma S_gamma^{-1}],
+                   [0,            S_gamma^{-1}]]
+        U_gamma = Ui_pw' pw_gamma            (p x q, cohort cross-Gram)
+        eta_w   = -[pw*Ui (0 for survey rows) | Si] phi_inv'
+        Delta   = ps.w * eta_w
+
+    Two distinct weights (reference ``taylor_deviate.R:486-489``):
+    ``cohort_pw`` is the *pseudo-weight* column scaling the cohort Cox
+    score rows (dat[,pw]); ``ps_w`` is the stacked *analysis* weight
+    (1 cohort / svy.wt survey) scaling the final deviates.
+
+    ``gamma_inf.df`` IS the stacked frame (it carries trt, gamma
+    columns, ps weight); the cohort Cox influence joins in on ``id``.
+    All driver algebra is (p+q)^2 doubles.
+    """
+    p = len(cox_inf.ui_cols)
+    q = len(gamma_inf.gamma_cols)
+    # U_gamma: cross-Gram of cohort Ui against the pseudo-weight
+    # derivative w.r.t. gamma (I2/I4), cohort rows only.
+    u_gamma = cross_gram(cox_inf.df, list(cox_inf.ui_cols), list(pw_gamma_cols))
+    phi_inv = block_inverse(cox_inf.u_beta, u_gamma, gamma_inf.s_gamma)
+
+    # Cohort block of M: pw * Ui, joined onto the stacked frame by id
+    # (survey rows -> 0). Precomputed on the cohort side so only p
+    # doubles per cohort row travel through the join.
+    cox_cols = cox_inf.df.select(
+        id_col,
+        *[
+            (F.col(cohort_pw) * F.col(c)).alias(f"_pwui_{m}")
+            for m, c in enumerate(cox_inf.ui_cols)
+        ],
+    )
+    base = gamma_inf.df.join(cox_cols, id_col, "left").fillna(
+        {f"_pwui_{m}": 0.0 for m in range(p)}
+    )
+    # Si = -gamma_wt @ S_gamma (since gamma_wt = -Si S_gamma^{-1});
+    # rebuilt as expressions so the design columns need not be carried.
+    si = []
+    for m in range(q):
+        expr = F.lit(0.0)
+        for j in range(q):
+            expr = expr + F.col(gamma_inf.gamma_cols[j]) * float(
+                -gamma_inf.s_gamma[j, m]
+            )
+        si.append(expr)
+    out = base
+    delta_cols = []
+    for j in range(p + q):
+        # eta_j = -sum_m M_m phi_inv[j, m]   (eta = -M phi_inv')
+        expr = F.lit(0.0)
+        for m in range(p):
+            c = float(phi_inv[j, m])
+            if c != 0.0:
+                expr = expr + F.col(f"_pwui_{m}") * (-c)
+        for m in range(q):
+            c = float(phi_inv[j, p + m])
+            if c != 0.0:
+                expr = expr + si[m] * (-c)
+        name = f"delta_eta_{j}"
+        out = out.withColumn(name, F.col(ps_w) * expr)
+        delta_cols.append(name)
+    out = out.drop(*[f"_pwui_{m}" for m in range(p)]).cache()
+
+    v_pps = var_pps(out, delta_cols, strata_col=trt)
+    pi_expr = F.when(F.col(trt) == 1, F.col(pi_c_est)).otherwise(
+        1.0 / F.col(svy_wt)
+    )
+    v_poi = var_poisson(out, delta_cols, pi_expr)
+    return EtaInfluence(out, tuple(delta_cols), v_pps, v_poi)

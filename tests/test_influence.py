@@ -1,0 +1,225 @@
+"""Golden tests for the Taylor-deviate influence engine: a literal dense
+NumPy mirror of the reference's O(n*events) loops (``taylor_deviate.R:
+556-570, 601-742, 471-496``) checks the telescoped distributed
+implementation (SURVEY §5 golden-test plan)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.cox import cox_fit
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.influence import (
+    cox_score_influence,
+    delta_cov,
+    eta_influence,
+    gamma_influence,
+    var_poisson,
+    var_pps,
+)
+
+
+def _toy_surv(n=200, seed=5, ties=True):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "x1": rng.normal(0, 1, n),
+            "x2": rng.uniform(-1, 1, n),
+            "w": rng.uniform(0.5, 4.0, n),
+        }
+    )
+    tt = rng.exponential(2.0, n) * np.exp(-0.3 * pdf.x1)
+    if ties:
+        tt = np.round(tt, 1) + 0.1  # heavy ties to exercise tie semantics
+    cens = rng.exponential(3.0, n)
+    pdf["t"] = np.minimum(tt, cens)
+    pdf["d"] = (tt <= cens).astype(np.int32)
+    return pdf
+
+
+def _dense_beta_pw(pdf, beta, x_cols):
+    """Literal mirror of beta_pw.cox (non-post), O(n*events)."""
+    o = np.argsort(pdf["t"].to_numpy(), kind="stable")
+    dat = pdf.iloc[o].reset_index(drop=True)
+    x = dat[x_cols].to_numpy()
+    n, p = x.shape
+    tv = dat["t"].to_numpy()
+    dv = dat["d"].to_numpy().astype(float)
+    pw = dat["w"].to_numpy()
+    rel = np.exp(x @ beta)
+    pw_e = pw * rel
+    # reverse cumsums with tie groups sharing the first-of-group value
+    h_dnom = np.zeros(n)
+    h_num = np.zeros((n, p))
+    acc, accv = 0.0, np.zeros(p)
+    for i in range(n - 1, -1, -1):
+        acc += pw_e[i]
+        accv += pw_e[i] * x[i]
+        h_dnom[i] = acc
+        h_num[i] = accv
+    # tie fix: every row of a tie group gets the group's first value
+    for u in np.unique(tv):
+        idx = np.where(tv == u)[0]
+        h_dnom[idx] = h_dnom[idx[0]]
+        h_num[idx] = h_num[idx[0]]
+    hmat = h_num / h_dnom[:, None]
+    # per unique event time: D_k and index of first event row
+    ev = np.where(dv == 1)[0]
+    uniq_t, first_pos = np.unique(tv[ev], return_index=True)
+    dsum = {u: pw[ev[tv[ev] == u]].sum() for u in uniq_t}
+    k_idx = {u: ev[tv[ev] == u][0] for u in uniq_t}
+    u_w_2 = np.zeros((n, p))
+    u_beta_1 = np.zeros((p, p))
+    for u in uniq_t:
+        k = k_idx[u]
+        dk = dsum[u]
+        at_risk = (tv >= tv[k]).astype(float)
+        u_w_2 += dk * (
+            (at_risk * rel)[:, None] * x / h_dnom[k]
+            - np.outer(at_risk * rel, h_num[k]) / h_dnom[k] ** 2
+        )
+        s2 = (x * (pw_e * at_risk)[:, None]).T @ x
+        u_beta_1 -= dk * s2 / h_dnom[k]
+    ui = dv[:, None] * (x - hmat) - u_w_2
+    u_beta = u_beta_1 + (hmat[ev] * pw[ev][:, None]).T @ hmat[ev]
+    beta_pw = -ui @ np.linalg.inv(u_beta)
+    delta = pw[:, None] * beta_pw
+    back = np.argsort(dat["id"].to_numpy(), kind="stable")
+    return ui[back], beta_pw[back], delta[back], u_beta
+
+
+def test_cox_influence_matches_dense_mirror(spark):
+    pdf = _toy_surv()
+    x_cols = ["x1", "x2"]
+    df = spark.createDataFrame(pdf)
+    fit = cox_fit(df, x_cols, w="w")
+    inf = cox_score_influence(df, x_cols, fit.beta, pw="w")
+    ui_d, bpw_d, delta_d, u_beta_d = _dense_beta_pw(pdf, fit.beta, x_cols)
+
+    np.testing.assert_allclose(inf.u_beta, u_beta_d, rtol=1e-8)
+    got = (
+        inf.df.select("id", *inf.ui_cols, *inf.beta_pw_cols, *inf.delta_cols)
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    np.testing.assert_allclose(got[list(inf.ui_cols)], ui_d, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(
+        got[list(inf.beta_pw_cols)], bpw_d, rtol=1e-7, atol=1e-12
+    )
+    np.testing.assert_allclose(got[list(inf.delta_cols)], delta_d, rtol=1e-7, atol=1e-12)
+    # U_beta == -(Newton Hessian) at beta-hat
+    np.testing.assert_allclose(inf.u_beta, -fit.hessian, rtol=1e-8)
+    # dfbeta columns sum to ~0 at the solution (score is zero)
+    assert np.abs(delta_d.sum(axis=0)).max() < 1e-5
+
+
+def test_variance_estimators_match_numpy(spark):
+    pdf = _toy_surv(n=150, seed=9)
+    x_cols = ["x1", "x2"]
+    df = spark.createDataFrame(pdf)
+    fit = cox_fit(df, x_cols, w="w")
+    inf = cox_score_influence(df, x_cols, fit.beta, pw="w")
+    _, _, delta_d, _ = _dense_beta_pw(pdf, fit.beta, x_cols)
+    n = len(pdf)
+    # var_pps = cov(Delta)*n (taylor_deviate.R:728)
+    v = var_pps(inf.df, list(inf.delta_cols))
+    np.testing.assert_allclose(v, np.cov(delta_d.T, ddof=1) * n, rtol=1e-6)
+    # var_poisson = Delta' diag(1-pi) Delta with pi = 1/pw (R:727)
+    vp = var_poisson(inf.df, list(inf.delta_cols), 1.0 / F.col("w"))
+    pi = 1.0 / pdf["w"].to_numpy()
+    np.testing.assert_allclose(
+        vp, (delta_d * (1 - pi)[:, None]).T @ delta_d, rtol=1e-6
+    )
+
+
+def test_gamma_and_eta_influence_match_dense(spark):
+    rng = np.random.default_rng(21)
+    n_c, n_s = 150, 100
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n_c + n_s, dtype=np.int64),
+            "trt": np.r_[np.ones(n_c, np.int32), np.zeros(n_s, np.int32)],
+            "x1": rng.normal(0, 1, n_c + n_s),
+            "wt": np.r_[np.ones(n_c), rng.uniform(2, 9, n_s)],
+        }
+    )
+    pdf["_icpt"] = 1.0
+    pdf["w"] = np.where(pdf.trt == 1, 1.0, pdf.wt)
+    tt = rng.exponential(2.0, n_c + n_s)
+    cens = rng.exponential(3.0, n_c + n_s)
+    pdf["t"] = np.minimum(tt, cens)
+    pdf["d"] = (tt <= cens).astype(np.int32)
+    # fake fitted propensity (expressions only need columns, not a fit)
+    eta = -0.4 + 0.3 * pdf.x1
+    pdf["p_est"] = 1 / (1 + np.exp(-eta))
+    pdf["pi_c_est"] = np.exp(eta)  # = 1/ipsw; only cohort rows are read
+
+    df = spark.createDataFrame(pdf)
+    design = ["_icpt", "x1"]
+    ginf = gamma_influence(df, design, p_est="p_est", ps_w="w")
+
+    x = pdf[design].to_numpy()
+    r = pdf["trt"].to_numpy().astype(float)
+    pe = pdf["p_est"].to_numpy()
+    w = pdf["w"].to_numpy()
+    s_gamma = -(x * (w * pe * (1 - pe))[:, None]).T @ x
+    si = (r - pe)[:, None] * x
+    gamma_wt = -si @ np.linalg.inv(s_gamma)
+    got = (
+        ginf.df.select("id", *ginf.gamma_cols).toPandas().set_index("id").sort_index()
+    )
+    np.testing.assert_allclose(got.to_numpy(), gamma_wt, rtol=1e-8)
+
+    # --- joint eta on the cohort Cox fit -------------------------------
+    cohort = pdf[pdf.trt == 1].copy()
+    cohort["ipsw"] = np.exp(-eta[: n_c])
+    cohort["pi_c_est"] = 1 / cohort["ipsw"]
+    cdf = spark.createDataFrame(cohort)
+    fit = cox_fit(cdf, ["x1"], w="ipsw")
+    cinf = cox_score_influence(cdf, ["x1"], fit.beta, pw="ipsw")
+    # pw_gamma = d ipsw / d gamma = -ipsw * x  (I2, simu_fun.R:49)
+    cinf_df = cinf.df
+    pwg = []
+    for j, c in enumerate(design):
+        cinf_df = cinf_df.withColumn(
+            f"pwg_{j}", -F.col("ipsw") * F.col(c)
+        )
+        pwg.append(f"pwg_{j}")
+    cinf = type(cinf)(
+        cinf_df, cinf.ui_cols, cinf.beta_pw_cols, cinf.delta_cols, cinf.u_beta
+    )
+    einf = eta_influence(
+        cinf, ginf, pwg, cohort_pw="ipsw", pi_c_est="pi_c_est", svy_wt="wt"
+    )
+
+    # dense mirror of eta_w
+    ui_d, _, _, u_beta_d = _dense_beta_pw(
+        cohort.drop(columns=["w"]).rename(columns={"ipsw": "w"}), fit.beta, ["x1"]
+    )
+    pw_gamma_d = -cohort["ipsw"].to_numpy()[:, None] * cohort[design].to_numpy()
+    u_gamma = ui_d.T @ pw_gamma_d
+    ub_inv = np.linalg.inv(u_beta_d)
+    sg_inv = np.linalg.inv(s_gamma)
+    b = -ub_inv @ u_gamma @ sg_inv
+    phi_inv = np.block(
+        [[ub_inv, b], [np.zeros((2, 1)), sg_inv]]
+    )
+    m = np.zeros((n_c + n_s, 3))
+    m[:n_c, 0] = cohort["ipsw"].to_numpy() * ui_d[:, 0]
+    m[:, 1:] = si
+    eta_w = -(m @ phi_inv.T)
+    delta_d = w[:, None] * eta_w
+    got = (
+        einf.df.select("id", *einf.delta_cols).toPandas().set_index("id").sort_index()
+    )
+    np.testing.assert_allclose(got.to_numpy(), delta_d, rtol=1e-7, atol=1e-10)
+    # variances vs dense mirror
+    vc = np.cov(delta_d[:n_c].T, ddof=1) * n_c + np.cov(delta_d[n_c:].T, ddof=1) * n_s
+    np.testing.assert_allclose(einf.var_pps, vc, rtol=1e-6)
+    pi = np.r_[1 / cohort["ipsw"].to_numpy(), 1 / pdf["wt"].to_numpy()[n_c:]]
+    vp = (delta_d * (1 - pi)[:, None]).T @ delta_d
+    np.testing.assert_allclose(einf.var_poisson, vp, rtol=1e-6)
