@@ -48,6 +48,9 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.influence import (  # noqa: E402
     cox_score_influence,
 )
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.jackknife import (  # noqa: E402
+    jk_linear_replicates,
+)
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.survival import (  # noqa: E402
     breslow_cum_hazard,
     gail_cum_hazard,
@@ -372,6 +375,49 @@ def _sql_greg_weights(sf_dir: str) -> str:
     """
 
 
+JK_G = 8  # groups for the oracle jackknife query
+
+
+def _q_jk_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I22+G5 (linear regime): leave-group-out replicate totals from
+    per-group partials, T_(k) = (T - T_k) * g/(g-1)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cohort, _ = tpch.survey_frames(spark, sf_dir)
+    cohort = cohort.withColumn("jk_group", (F.col("id") % JK_G + 1).cast("int"))
+    reps = jk_linear_replicates(
+        cohort,
+        {
+            "tot_wt": F.sum("wt"),
+            "tot_wtd": F.sum(F.col("wt") * F.col("d")),
+        },
+        JK_G,
+    )
+    return reps.select(
+        F.col("replicate").cast("int").alias("replicate"),
+        F.round("tot_wt", 6).alias("tot_wt"),
+        F.round("tot_wtd", 6).alias("tot_wtd"),
+    )
+
+
+def _sql_jk_replicates(sf_dir: str) -> str:
+    g = JK_G
+    return f"""
+    WITH units AS ({_duck_units()}),
+    c AS (SELECT *, cast(id % {g} + 1 AS int) AS jk_group
+          FROM units WHERE {tpch.COHORT_PRED}),
+    parts AS (SELECT jk_group, sum(wt) AS p_wt, sum(wt * d) AS p_wtd
+              FROM c GROUP BY jk_group),
+    tot AS (SELECT sum(wt) AS t_wt, sum(wt * d) AS t_wtd FROM c),
+    reps(replicate) AS (SELECT * FROM generate_series(1, {g}))
+    SELECT cast(reps.replicate AS int) AS replicate,
+           round((tot.t_wt - coalesce(parts.p_wt, 0.0)) * {g}.0 / {g - 1}.0, 6)
+             AS tot_wt,
+           round((tot.t_wtd - coalesce(parts.p_wtd, 0.0)) * {g}.0 / {g - 1}.0, 6)
+             AS tot_wtd
+    FROM reps LEFT JOIN parts ON reps.replicate = parts.jk_group CROSS JOIN tot
+    """
+
+
 # --- survival layer -------------------------------------------------------
 
 REL_SQL = "exp(cast(0.1 as double) * x2)"  # frozen relative hazard for oracles
@@ -582,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_weights": _q_kw_weights,
         "post_strat": _q_post_strat,
         "greg_weights": _q_greg_weights,
+        "jk_replicates": _q_jk_replicates,
         "hazard_grid": _q_hazard_grid,
         "breslow_cum_hazard": _q_breslow_cum_hazard,
         "lambda_star_binned": _q_lambda_star_binned,
@@ -601,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
         "kw_weights": _sql_kw_weights(sf),
         "post_strat": _sql_post_strat(sf),
         "greg_weights": _sql_greg_weights(sf),
+        "jk_replicates": _sql_jk_replicates(sf),
         "hazard_grid": _sql_hazard_grid(),
         "breslow_cum_hazard": _sql_breslow_cum_hazard(),
         "lambda_star_binned": _sql_lambda_star_binned(),

@@ -1,0 +1,94 @@
+"""Dense (single-partition) NumPy model fits.
+
+Two uses:
+1. the grouped-map jackknife path (SURVEY §2 I22): each leave-group-out
+   replicate fits comfortably in one pandas batch, so the 90-replicate
+   x 17-method refit storm runs as ONE ``applyInPandas`` job instead of
+   90 driver-orchestrated Newton loops;
+2. independent golden references for the distributed fits in tests.
+
+Semantics mirror the distributed operators exactly: weighted IRLS
+logistic (operators/glm.py) and weighted Breslow-ties Cox
+(operators/cox.py). Keep the two in lockstep.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def dense_logistic(
+    x: np.ndarray,
+    y: np.ndarray,
+    w: np.ndarray,
+    *,
+    max_iter: int = 25,
+    tol: float = 1e-10,
+) -> np.ndarray:
+    """Weighted logistic regression via IRLS (Fisher scoring)."""
+    n, p = x.shape
+    beta = np.zeros(p)
+    for _ in range(max_iter):
+        eta = x @ beta
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        wls = w * mu * (1.0 - mu)
+        z = eta + (y - mu) / np.clip(mu * (1.0 - mu), 1e-12, None)
+        xtwx = x.T @ (wls[:, None] * x)
+        xtwz = x.T @ (wls * z)
+        new = np.linalg.solve(xtwx, xtwz)
+        if np.max(np.abs(new - beta)) < tol:
+            beta = new
+            break
+        beta = new
+    return beta
+
+
+def dense_cox(
+    x: np.ndarray,
+    t: np.ndarray,
+    d: np.ndarray,
+    w: np.ndarray,
+    *,
+    max_iter: int = 25,
+    tol: float = 1e-9,
+) -> np.ndarray:
+    """Weighted Cox PH, Breslow ties, Newton-Raphson.
+
+    Same estimating equations as ``operators/cox.py`` (grid S0/S1/S2
+    with tie groups sharing the full tie-group risk set).
+    """
+    n, p = x.shape
+    order = np.argsort(t, kind="stable")
+    xo, to, do_, wo = x[order], t[order], d[order].astype(float), w[order]
+    uniq_t, inv = np.unique(to, return_inverse=True)
+    n_t = len(uniq_t)
+    beta = np.zeros(p)
+    for _ in range(max_iter):
+        rel = np.exp(xo @ beta)
+        we = wo * rel
+        # per-distinct-time partials
+        s0p = np.zeros(n_t)
+        s1p = np.zeros((n_t, p))
+        s2p = np.zeros((n_t, p, p))
+        du = np.zeros(n_t)
+        dx = np.zeros((n_t, p))
+        np.add.at(s0p, inv, we)
+        np.add.at(s1p, inv, we[:, None] * xo)
+        np.add.at(s2p, inv, we[:, None, None] * (xo[:, :, None] * xo[:, None, :]))
+        np.add.at(du, inv, wo * do_)
+        np.add.at(dx, inv, (wo * do_)[:, None] * xo)
+        # reverse cumsums over the grid
+        s0 = np.cumsum(s0p[::-1])[::-1]
+        s1 = np.cumsum(s1p[::-1], axis=0)[::-1]
+        s2 = np.cumsum(s2p[::-1], axis=0)[::-1]
+        ev = du > 0
+        u = dx[ev].sum(axis=0) - (du[ev, None] * s1[ev] / s0[ev, None]).sum(axis=0)
+        h1 = (du[ev, None, None] * s2[ev] / s0[ev, None, None]).sum(axis=0)
+        ratio = s1[ev] / s0[ev, None]
+        h2 = (du[ev, None, None] * (ratio[:, :, None] * ratio[:, None, :])).sum(axis=0)
+        hess = h1 - h2
+        step = np.linalg.solve(hess, u)
+        beta = beta + step
+        if np.max(np.abs(step)) < tol:
+            break
+    return beta

@@ -1,0 +1,166 @@
+"""Grouped jackknife variance (SURVEY §2 I22, G5).
+
+Reference flow (``jk_fun.R:279-387``): assign m_jk cohort groups and
+n_jk survey groups; for replicate k drop group k and rescale the
+remaining weights by ``g/(g-1)``; rerun the full estimator; variance
+
+    var = sum_k f_k (theta_k - theta_bar)^2,
+    f_k = (m_jk-1)/m_jk for cohort replicates,
+          (n_jk-1)/n_jk for survey replicates
+    (``calib_simu_noninf0315.R:228-233``)
+
+Three execution regimes, chosen by the estimator's shape (SURVEY §2
+I22 "two regimes" plus the driver loop):
+
+1. ``jk_linear_replicates`` -- for LINEAR statistics (totals, means,
+   Gram sums) all g replicate values derive from per-group partial
+   sums: T_(k) = (T - T_k) * g/(g-1). ONE groupBy(jk_group) pass
+   yields every replicate -- no data replication at all. This is the
+   100 TB path for everything closed-form.
+2. ``jk_refit_grouped`` -- iterative fits (Cox/GLM) where one
+   *replicate* fits in a pandas batch: explode the sample to
+   (replicate, row) pairs dropping each row's own group, then ONE
+   ``applyInPandas`` over replicate groups runs all dense refits in
+   parallel executors (Arrow-batched; mirrors SNIPPETS.md grouped-map
+   pattern). Data volume g x n rows -- right whenever n is sample-,
+   not population-, scale (the reference's n=600/300).
+3. ``jk_refit_loop`` -- driver loop of full distributed estimator runs
+   for replicates too large for one batch; same rescaling semantics.
+
+Rescaling parity (``jk_fun.R:315-318``): the *weight columns named in
+``rescale_cols``* get w*g/(g-1); the reference rescales cohort ``w``
+(set to the scalar g/(g-1) since cohort w=1), ``wt``, and the
+precomputed ``ipsw`` when recal.wt=F.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def jk_linear_replicates(
+    df: DataFrame,
+    value_exprs: Mapping[str, Column],
+    n_groups: int,
+    *,
+    group_col: str = "jk_group",
+) -> DataFrame:
+    """Regime 1: replicate totals of linear statistics from per-group
+    partials. ``value_exprs``: {name: aggregate Column of a weighted
+    total}; the WEIGHT must already be inside the expression -- the
+    g/(g-1) rescale is applied here.
+
+    Returns (replicate, <name>...) with one row per replicate 1..g:
+    T_(k) = (T_total - T_group_k) * g/(g-1).
+    """
+    g = int(n_groups)
+    names = list(value_exprs)
+    parts = df.groupBy(group_col).agg(
+        *[value_exprs[n].alias(n) for n in names]
+    )
+    total = df.agg(*[value_exprs[n].alias(f"_tot_{n}") for n in names])
+    scale = float(g) / float(g - 1)
+    reps = df.sparkSession.range(1, g + 1).withColumnRenamed("id", "replicate")
+    # group partials may miss empty groups; left join fills zero
+    out = (
+        reps.join(F.broadcast(parts), reps["replicate"] == parts[group_col], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "replicate",
+            *[
+                (
+                    (F.col(f"_tot_{n}") - F.coalesce(F.col(n), F.lit(0.0)))
+                    * F.lit(scale)
+                ).alias(n)
+                for n in names
+            ],
+        )
+    )
+    return out
+
+
+def jk_refit_grouped(
+    df: DataFrame,
+    n_groups: int,
+    fit: Callable[[pd.DataFrame], pd.DataFrame],
+    out_schema: str,
+    *,
+    group_col: str = "jk_group",
+    rescale_cols: Sequence[str] = ("w", "wt"),
+) -> DataFrame:
+    """Regime 2: one ``applyInPandas`` job running every leave-group-out
+    refit. ``fit(pdf) -> pdf`` receives one replicate's retained rows
+    (weights already rescaled, ``replicate`` column present) and returns
+    small result rows matching ``out_schema`` (must include
+    ``replicate``).
+    """
+    g = int(n_groups)
+    scale = float(g) / float(g - 1)
+    reps = df.sparkSession.range(1, g + 1).withColumnRenamed("id", "replicate")
+    exploded = df.crossJoin(F.broadcast(reps)).where(
+        F.col(group_col) != F.col("replicate")
+    )
+    for c in rescale_cols:
+        if c in df.columns:
+            exploded = exploded.withColumn(c, F.col(c) * F.lit(scale))
+    return exploded.groupBy("replicate").applyInPandas(
+        lambda pdf: fit(pdf), schema=out_schema
+    )
+
+
+def jk_refit_loop(
+    cohort: DataFrame,
+    survey: DataFrame,
+    m_jk: int,
+    n_jk: int,
+    estimator: Callable[[DataFrame, DataFrame], Mapping[str, float]],
+    *,
+    group_col: str = "jk_group",
+    cohort_rescale: Sequence[str] = ("w", "wt"),
+    survey_rescale: Sequence[str] = ("w", "wt"),
+) -> pd.DataFrame:
+    """Regime 3: driver-orchestrated replicate loop, mirroring
+    ``jk_fun``'s two loops (``jk_fun.R:314-374``). Returns a long
+    pandas frame (replicate, source, param, value)."""
+    rows = []
+
+    def _run(df_drop, other, k, src, cols, scale):
+        kept = df_drop.where(F.col(group_col) != k)
+        for c in cols:
+            if c in kept.columns:
+                kept = kept.withColumn(c, F.col(c) * F.lit(scale))
+        est = estimator(kept, other) if src == "c" else estimator(other, kept)
+        for name, v in est.items():
+            rows.append((k if src == "c" else m_jk + k, src, name, float(v)))
+
+    for k in range(1, m_jk + 1):
+        _run(cohort, survey, k, "c", cohort_rescale, m_jk / (m_jk - 1))
+    for k in range(1, n_jk + 1):
+        _run(survey, cohort, k, "s", survey_rescale, n_jk / (n_jk - 1))
+    return pd.DataFrame(rows, columns=["replicate", "source", "param", "value"])
+
+
+def jk_variance(
+    theta: np.ndarray, m_jk: int, n_jk: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """``jk_var`` (``calib_simu_noninf0315.R:228-233``): mean and
+    variance over g = m_jk + n_jk replicates with per-source factors.
+
+    ``theta``: (g, p) replicate estimates, cohort replicates first.
+    Returns (mean (p,), var (p,)).
+    """
+    theta = np.asarray(theta, dtype=float)
+    g = m_jk + n_jk
+    if theta.shape[0] != g:
+        raise ValueError(f"expected {g} replicate rows, got {theta.shape[0]}")
+    factors = np.r_[
+        np.full(m_jk, (m_jk - 1) / m_jk), np.full(n_jk, (n_jk - 1) / n_jk)
+    ]
+    mean = theta.mean(axis=0)
+    var = (factors[:, None] * (theta - mean) ** 2).sum(axis=0)
+    return mean, var

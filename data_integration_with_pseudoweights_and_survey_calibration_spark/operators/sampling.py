@@ -1,0 +1,151 @@
+"""Design-based sampling operators (SURVEY §2 G1-G5, F7).
+
+Reference semantics rebuilt here:
+
+- **PPS without replacement** ``sam.pps`` (``simu_fun.R:458-467``):
+  R's ``sample(N, n, prob=Msize)`` successive sampling; weight
+  ``wt = sum(Msize) / n / Msize_i``. Distributed as
+  Efraimidis-Spirakis weighted reservoir keys: rank by
+  ``-log(u_i)/size_i`` ascending and keep the first n -- provably the
+  same successive-sampling design, but expressed as a top-n (Spark
+  TakeOrdered: per-partition heap + driver merge of n rows, no global
+  sort, no collect of the population).
+- **SRS of clusters** + **two-stage srs-pps / pps-pps**
+  (``simu_fun.R:389-444``): stage-1 cluster sample, semi-join members,
+  stage-2 per-cluster PPS via a window rank over the same E-S keys --
+  every cluster sampled in ONE pass (the reference loops clusters).
+- **Poisson sampling** (``calib_simu_noninf0315.R:198-200``):
+  ``rand < pi``, wt = 1/pi.
+- **Jackknife groups** (F7, ``jk_fun.R:282-287``): m equal random
+  groups; default deterministic hash variant (SQL-oracle-able),
+  random-ntile variant for reference parity.
+
+Determinism: Spark's ``rand(seed)`` is seeded per-partition; results
+are reproducible for a fixed seed AND a fixed input partitioning (we do
+not chase R's RNG streams -- SURVEY §7 hard-point (d)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pps_sample(
+    df: DataFrame,
+    size_col: str,
+    n: int,
+    *,
+    seed: int = 0,
+    wt_col: str = "wt",
+) -> DataFrame:
+    """G1 ``sam.pps``: PPS-without-replacement sample of n rows with
+    weight ``sum(size)/(n*size_i)``."""
+    total = float(df.agg(F.sum(size_col)).collect()[0][0])
+    key = -F.log(F.rand(seed)) / F.col(size_col)
+    out = df.withColumn("_es_key", key).orderBy("_es_key").limit(int(n))
+    return out.drop("_es_key").withColumn(
+        wt_col, F.lit(total) / (F.lit(float(n)) * F.col(size_col))
+    )
+
+
+def srs_sample(df: DataFrame, n: int, *, seed: int = 0, wt_col: str = "wt") -> DataFrame:
+    """Simple random sample of n rows, weight N/n."""
+    big_n = df.count()
+    out = df.orderBy(F.rand(seed)).limit(int(n))
+    return out.withColumn(wt_col, F.lit(float(big_n) / float(n)))
+
+
+def poisson_sample(
+    df: DataFrame, pi_col: str, *, seed: int = 0, wt_col: str = "wt"
+) -> DataFrame:
+    """G4: independent Bernoulli(pi_i) sampling, weight 1/pi."""
+    return df.where(F.rand(seed) < F.col(pi_col)).withColumn(
+        wt_col, 1.0 / F.col(pi_col)
+    )
+
+
+def two_stage_sample(
+    df: DataFrame,
+    psu_col: str,
+    n_clusters: int,
+    n_per_cluster: int,
+    size_col: str,
+    *,
+    stage1: str = "srs",
+    stage1_size_col: str | None = None,
+    seed: int = 0,
+    wt_col: str = "wt",
+) -> DataFrame:
+    """G2+G3 ``samp.slct`` two-stage designs (``simu_fun.R:399-444``).
+
+    Stage 1 samples ``n_clusters`` PSUs (``srs`` or ``pps`` on the PSU
+    aggregate of ``stage1_size_col`` or ``size_col``); stage 2 draws a
+    per-cluster PPS sample of ``n_per_cluster`` via one window pass.
+    ``wt = wt_I * wt_II`` (``samp.i$wt*samp.i$wt.I``).
+    """
+    s1_size = stage1_size_col or size_col
+    psus = df.groupBy(psu_col).agg(F.sum(s1_size).alias("_psu_size"))
+    m = psus.count()
+    if stage1 == "srs":
+        sel = psus.orderBy(F.rand(seed)).limit(int(n_clusters)).withColumn(
+            "_wt_I", F.lit(float(m) / float(n_clusters))
+        )
+    elif stage1 == "pps":
+        tot = float(psus.agg(F.sum("_psu_size")).collect()[0][0])
+        sel = (
+            psus.withColumn("_k1", -F.log(F.rand(seed)) / F.col("_psu_size"))
+            .orderBy("_k1")
+            .limit(int(n_clusters))
+            .drop("_k1")
+            .withColumn(
+                "_wt_I", F.lit(tot) / (F.lit(float(n_clusters)) * F.col("_psu_size"))
+            )
+        )
+    else:
+        raise ValueError(f"unknown stage1 design {stage1!r}")
+    members = df.join(
+        F.broadcast(sel.select(psu_col, "_wt_I")), psu_col
+    )  # D6 semi-join, keeping the stage-1 weight
+    rk = Window.partitionBy(psu_col).orderBy(
+        (-F.log(F.rand(seed + 1)) / F.col(size_col)).asc()
+    )
+    psu_tot = Window.partitionBy(psu_col)
+    out = (
+        members.withColumn("_sz_tot", F.sum(size_col).over(psu_tot))
+        .withColumn("_rk", F.row_number().over(rk))
+        .where(F.col("_rk") <= int(n_per_cluster))
+        .withColumn(
+            wt_col,
+            F.col("_wt_I")
+            * F.col("_sz_tot")
+            / (F.lit(float(n_per_cluster)) * F.col(size_col)),
+        )
+        .drop("_rk", "_sz_tot", "_wt_I")
+    )
+    return out
+
+
+def assign_jk_groups(
+    df: DataFrame,
+    n_groups: int,
+    *,
+    id_col: str = "id",
+    seed: int = 0,
+    method: str = "hash",
+    out_col: str = "jk_group",
+) -> DataFrame:
+    """F7: m equal random groups, 1..m.
+
+    ``hash`` (default): ``pmod(hash(id, seed), m) + 1`` -- deterministic
+    under recomputation and SQL-expressible (the variant SURVEY §2 F7
+    recommends for the oracle). ``ntile``: random equal-size cut like
+    the reference's quantile trick (``jk_fun.R:282-287``).
+    """
+    if method == "hash":
+        expr = F.pmod(F.hash(F.col(id_col), F.lit(seed)), F.lit(n_groups)) + 1
+        return df.withColumn(out_col, expr)
+    if method == "ntile":
+        w = Window.orderBy(F.rand(seed))
+        return df.withColumn(out_col, F.ntile(n_groups).over(w))
+    raise ValueError(f"unknown method {method!r}")
