@@ -57,6 +57,28 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
     hazard_grid,
     lambda_star_pop,
 )
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (  # noqa: E402
+    dedup as dedup_ops,
+    text as text_ops,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (  # noqa: E402
+    embedding_cosine_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+    lsh_topk,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (  # noqa: E402
+    language_scores,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (  # noqa: E402
+    quality_features as text_quality_features,
+)
 from data_integration_with_pseudoweights_and_survey_calibration_spark.sources import tpch  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
@@ -619,6 +641,271 @@ def _q_cox_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-data pipeline layer (documents / embeddings) ----------------
+
+TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+SHINGLES_SQL = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),"
+    " i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))"
+)
+MD5INT_SQL = "('0x' || substr(md5({x}), 1, 12))::BIGINT"
+MINHASH_K = 8
+MINHASH_BANDS = 4
+JACCARD_TAU = 0.5
+EMB_TAU = 0.4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text_quality_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("ttr", 9).alias("ttr"),
+        F.round("stop_ratio", 9).alias("stop_ratio"),
+        F.round("mean_token_len", 9).alias("mean_token_len"),
+        F.round("punct_ratio", 9).alias("punct_ratio"),
+        F.round("quality", 9).alias("quality"),
+    )
+
+
+def _sql_text_stats() -> str:
+    sw = ", ".join(f"'{s}'" for s in text_ops.STOPWORDS)
+    return f"""
+    WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+    feat AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+             len(list_filter(toks, x -> list_contains([{sw}], x))) * 1.0
+               / len(toks) AS stop_ratio,
+             list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks)
+               AS mean_token_len,
+             (len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+               / len(text) AS punct_ratio
+      FROM t)
+    SELECT doc_id, n_tokens, round(ttr, 9) AS ttr,
+           round(stop_ratio, 9) AS stop_ratio,
+           round(mean_token_len, 9) AS mean_token_len,
+           round(punct_ratio, 9) AS punct_ratio,
+           round(least(n_tokens / 50.0, 1.0) * (1.0 - punct_ratio)
+                 * least(ttr * 2.0, 1.0), 9) AS quality
+    FROM feat
+    """
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = language_scores(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "lang_pred", F.round("lang_score", 9).alias("lang_score")
+    )
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(text_ops.DEFAULT_PROFILES)
+    score_cols = []
+    for lang in text_ops.DEFAULT_PROFILES:
+        words = ", ".join(f"'{w}'" for w in text_ops.DEFAULT_PROFILES[lang])
+        score_cols.append(
+            f"len(list_filter(toks, x -> list_contains([{words}], x))) * 1.0"
+            f" / len(toks) AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, {', '.join(score_cols)} FROM t)
+    SELECT doc_id, {pred} AS lang_pred, round({best}, 9) AS lang_score
+    FROM s
+    """
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_docs(spark, sf_dir)).select("fp", "n_dups", "keep_id")
+
+
+def _sql_exact_dedup() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+    SELECT md5(array_to_string(toks, ' ')) AS fp,
+           count(*) AS n_dups, min(doc_id) AS keep_id
+    FROM t GROUP BY 1
+    """
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_TAU)
+    return out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def _sql_ngram_jaccard() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS ss FROM t),
+    sz AS (SELECT doc_id, len(ss) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(i * 1.0 / (sa.n + sb.n - i), 9) AS jaccard
+    FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_TAU}
+    """
+
+
+def _minhash_sql_core() -> str:
+    """Shared CTE computing per-doc MinHash signatures as columns."""
+    params = dedup_ops._hash_params(MINHASH_K, seed=7)
+    p = dedup_ops.MINHASH_P
+    hcol = MD5INT_SQL.format(x="s")
+    mins = ", ".join(
+        f"min((({hcol} % {p}) * {a} + {b}) % {p}) AS sig_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+    t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS ss FROM t),
+    ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id)
+    """
+
+
+def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(_docs(spark, sf_dir), num_hashes=MINHASH_K)
+    return sig.select(
+        "doc_id",
+        *[F.element_at("sig", i + 1).alias(f"sig_{i}") for i in range(MINHASH_K)],
+    )
+
+
+def _sql_minhash_signatures() -> str:
+    cols = ", ".join(f"sig_{i}" for i in range(MINHASH_K))
+    return f"WITH {_minhash_sql_core()} SELECT doc_id, {cols} FROM sig"
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = minhash_lsh_pairs(
+        _docs(spark, sf_dir), JACCARD_TAU, num_hashes=MINHASH_K, bands=MINHASH_BANDS
+    )
+    return out.select("id_a", "id_b", F.round("jaccard_est", 9).alias("jaccard_est"))
+
+
+def _sql_minhash_lsh() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    band_keys = ", ".join(
+        "concat_ws('-', "
+        + ", ".join(f"sig_{b * rows + r}::VARCHAR" for r in range(rows))
+        + f") AS bk_{b}"
+        for b in range(MINHASH_BANDS)
+    )
+    band_match = " OR ".join(f"a.bk_{b} = b.bk_{b}" for b in range(MINHASH_BANDS))
+    matches = " + ".join(
+        f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+    WITH {_minhash_sql_core()},
+    keyed AS (SELECT *, {band_keys} FROM sig),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ({matches}) * 1.0 / {MINHASH_K} AS jaccard_est
+      FROM keyed a JOIN keyed b
+        ON a.doc_id < b.doc_id AND ({band_match}))
+    SELECT id_a, id_b, round(jaccard_est, 9) AS jaccard_est
+    FROM pairs WHERE jaccard_est >= {JACCARD_TAU}
+    """
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir), bits=16).select("doc_id", "simhash")
+
+
+def _sql_simhash() -> str:
+    hcol = MD5INT_SQL.format(x="tok")
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(16)
+    )
+    val = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    hs AS (SELECT doc_id, {hcol} AS h FROM ex),
+    bits AS (SELECT doc_id, {sums} FROM hs GROUP BY doc_id)
+    SELECT doc_id, ({val})::BIGINT AS simhash FROM bits
+    """
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    out = brute_force_topk(emb, emb.where(F.col("vec_id") < 5), 3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _sql_embedding_topk() -> str:
+    return """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))) AS cos,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_dot_product(q.qv, e.v)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(e.v, e.v))) DESC, e.vec_id
+             ) AS rank
+      FROM q JOIN e ON e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+    FROM scored WHERE rank <= 3
+    """
+
+
+EMB_DEDUP_N = 5000  # brute-force verifier demo is bounded; LSH is the scale path
+
+
+def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < EMB_DEDUP_N)
+    out = embedding_cosine_pairs(emb, EMB_TAU)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _sql_embedding_dedup() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < {EMB_DEDUP_N})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= {EMB_TAU}
+    """
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (rows-only: LSH candidate sets are
+    implementation-defined; recall is asserted in tests/)."""
+    emb = _emb(spark, sf_dir)
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 5), 3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stack_weights": _q_stack_weights,
@@ -635,6 +922,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gail_cum_hazard": _q_gail_cum_hazard,
         "cox_dfbeta": _q_cox_dfbeta,
         "cox_coefficients": _q_cox_coefficients,
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_signatures": _q_minhash_signatures,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "embedding_topk": _q_embedding_topk,
+        "embedding_dedup": _q_embedding_dedup,
+        "lsh_topk": _q_lsh_topk,
     }
 
 
@@ -655,4 +952,14 @@ def oracle_sql() -> dict[str, str]:
         "gail_cum_hazard": _sql_gail_cum_hazard(),
         "cox_dfbeta": _sql_cox_dfbeta(),
         # cox_coefficients: iterative (H2) -> rows-only check + golden tests
+        "text_stats": _sql_text_stats(),
+        "lang_id": _sql_lang_id(),
+        "exact_dedup": _sql_exact_dedup(),
+        "ngram_jaccard": _sql_ngram_jaccard(),
+        "minhash_signatures": _sql_minhash_signatures(),
+        "minhash_lsh": _sql_minhash_lsh(),
+        "simhash": _sql_simhash(),
+        "embedding_topk": _sql_embedding_topk(),
+        "embedding_dedup": _sql_embedding_dedup(),
+        # lsh_topk: rows-only (approximate candidate generation)
     }

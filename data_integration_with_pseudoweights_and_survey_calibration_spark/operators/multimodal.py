@@ -1,0 +1,122 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns plus a typed metadata struct; the
+heavy decode / feature-extraction steps run as Arrow-batched
+``mapInPandas`` stages so each Python worker touches one partition
+batch, never one row at a time.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT available in this
+environment, so the decode kernels are STUBBED: ``decoder="stub"``
+raises NotImplementedError with the integration point documented, and
+``decoder="fake"`` produces deterministic features derived from the
+bytes (length, simple byte statistics) so the Spark-side plumbing --
+schema, batching, partitioning, UDF signature -- is real and testable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, n_bytes long, byte_mean double, byte_std double, "
+    "feature array<float>"
+)
+
+
+def _fake_features(content: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: a dim-length feature
+    from a rolling byte histogram. Replace with the real model/codec."""
+    if content is None or len(content) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    arr = np.frombuffer(content, dtype=np.uint8)
+    hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
+    n = np.linalg.norm(hist)
+    return hist / n if n > 0 else hist
+
+
+def extract_features(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    dim: int = 16,
+    decoder: str = "stub",
+    batch_size_hint: int | None = None,
+) -> DataFrame:
+    """Decode + featurize media bytes via ``mapInPandas``.
+
+    ``decoder="stub"``: raises NotImplementedError at execution time --
+    wire a real decoder (PIL.Image.open / torchaudio.load / pyav) into
+    ``_decode_batch`` below. ``decoder="fake"``: deterministic
+    byte-derived features; exercises the full distributed path.
+    """
+    if decoder not in ("stub", "fake"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "stub":
+                raise NotImplementedError(
+                    "media decoding requires an image/audio codec not "
+                    "present in this environment; plug a real decoder "
+                    "into multimodal._decode_batch (PIL / torchaudio / "
+                    "pyav) and pass decoder='real'"
+                )
+            feats, nb, bm, bs = [], [], [], []
+            for content in pdf[content_col]:
+                b = bytes(content) if content is not None else b""
+                arr = np.frombuffer(b, dtype=np.uint8)
+                nb.append(len(b))
+                bm.append(float(arr.mean()) if len(b) else 0.0)
+                bs.append(float(arr.std()) if len(b) else 0.0)
+                feats.append(_fake_features(b, dim))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(),
+                    "n_bytes": nb,
+                    "byte_mean": bm,
+                    "byte_std": bs,
+                    "feature": [f.tolist() for f in feats],
+                }
+            )
+
+    return df.mapInPandas(_decode_batch, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_ms: int,
+    *,
+    duration_col: str = "duration_ms",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms)
+    at the requested cadence -- pure Column arithmetic (sequence +
+    explode); the decode of each frame is the stubbed kernel above."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.greatest(F.col(duration_col) - 1, F.lit(0).cast("long")),
+                F.lit(int(every_ms)).cast("long"),
+            )
+        ).alias("frame_ts_ms"),
+    )

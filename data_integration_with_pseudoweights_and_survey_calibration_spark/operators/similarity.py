@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (array<float>):
+brute-force cosine top-k baseline + LSH-bucketed approximate variant.
+
+Scale story: brute force is exact and O(Q x N) -- fine when the query
+set is small (broadcast) or as the verifier; the random-hyperplane LSH
+path prunes N to the candidates sharing a signature band with the
+query, turning the scan into an equi-join, at a measured recall cost
+(tested in tests/test_training_ops.py).
+
+All dot products are JVM-side higher-order functions (zip_with +
+aggregate) -- no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str | Column, b: str | Column) -> Column:
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ac, bc, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(v: str | Column) -> Column:
+    return F.sqrt(dot_expr(v, v))
+
+
+def with_norm(df: DataFrame, vec_col: str, out: str = "_norm") -> DataFrame:
+    return df.withColumn(out, norm_expr(vec_col))
+
+
+def cosine_expr(a: str | Column, b: str | Column, na: str | Column, nb: str | Column) -> Column:
+    nac = F.col(na) if isinstance(na, str) else na
+    nbc = F.col(nb) if isinstance(nb, str) else nb
+    return dot_expr(a, b) / (nac * nbc)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, one window per query for the top-k cut. Deterministic
+    tie-break by neighbor id. Output: (query_id, neighbor_id, cosine,
+    rank)."""
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    pairs = c.join(F.broadcast(q), F.lit(True))
+    if exclude_self:
+        pairs = pairs.where(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn("cosine", cosine_expr("_qv", "_cv", "_qn", "_cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
+    64-bit LCG -- reproducible with no RNG-library dependence)."""
+    state = seed & 0x7FFFFFFFFFFFFFFF or 1
+    def _u():
+        nonlocal state
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        return (state + 1) / float(1 << 63)
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        while len(v) < dim:
+            u1, u2 = _u(), _u()
+            r = math.sqrt(-2.0 * math.log(u1))
+            v.append(r * math.cos(2 * math.pi * u2))
+            if len(v) < dim:
+                v.append(r * math.sin(2 * math.pi * u2))
+        n = math.sqrt(sum(x * x for x in v))
+        planes.append([x / n for x in v])
+    return planes
+
+
+def _signature(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-bit signature of a vector against fixed hyperplanes,
+    packed into one long per signature (n_planes <= 63)."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    n_planes: int = 12,
+    bands: int = 4,
+    seed: int = 13,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane signatures split into
+    bands; a corpus row is scored only when it shares >= 1 band with
+    the query (equi-join on (band, chunk)). Same output schema as
+    ``brute_force_topk``; recall < 1 traded for candidate pruning.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    rows = n_planes // bands
+    mask = (1 << rows) - 1
+
+    def _banded(df: DataFrame, ident: str, idc: str) -> DataFrame:
+        s = with_norm(df, vec_col).withColumn("_sig", _signature(vec_col, planes))
+        return s.select(
+            F.col(idc).alias(ident),
+            F.col(vec_col).alias(f"_{ident}_v"),
+            F.col("_norm").alias(f"_{ident}_n"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            (
+                                F.shiftright(F.col("_sig"), b * rows) % F.lit(mask + 1)
+                            ).alias("chunk"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("_bk"),
+        ).select(ident, f"_{ident}_v", f"_{ident}_n", "_bk.band", "_bk.chunk")
+
+    c = _banded(corpus, "neighbor_id", id_col)
+    q = _banded(queries, "query_id", query_id_col)
+    cand = c.join(F.broadcast(q), ["band", "chunk"]).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    if exclude_self:
+        cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.withColumn(
+        "cosine", cosine_expr("_query_id_v", "_neighbor_id_v", "_query_id_n", "_neighbor_id_n")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

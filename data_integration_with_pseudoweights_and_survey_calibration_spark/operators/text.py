@@ -1,0 +1,148 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, document fingerprinting.
+
+These extend the reference engine's domain (SURVEY §2 covers the
+statistical core; a 100 TB data-integration engine also has to curate
+its text inputs). Everything here is built from JVM-side Column
+expressions and higher-order array functions -- no Python UDFs -- so
+the whole layer stays inside whole-stage codegen and is
+oracle-checkable in ANSI-ish SQL.
+
+Portability note (Spark <-> DuckDB oracle): every construct used here
+has a DuckDB twin (split/string_split_regex, size/len,
+aggregate/list_sum, filter/list_filter, md5, conv/hex-cast); the entry
+-point oracle strings mirror them 1:1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Default language profiles: high-frequency marker tokens per language.
+# (Generic n-gram/stopword heuristic -- scores are occurrence fractions
+# of profile tokens; argmax wins. Profiles are data, not code: pass your
+# own for real corpora.)
+DEFAULT_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est"),
+    "es": ("el", "los", "las", "y", "un", "es", "que"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"),
+}
+
+STOPWORDS = DEFAULT_PROFILES["en"]
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokenization as an array column."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: str | Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND on
+    letter/digit/punctuation boundaries (a cheap BPE proxy: counts the
+    regex pieces a byte-pair tokenizer would not merge across)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(F.trim(c), r"(\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?<=[^\sa-zA-Z0-9])|(?=[^\sa-zA-Z0-9]))")
+    return F.size(F.filter(pieces, lambda t: t != F.lit("")))
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", stopwords: tuple[str, ...] = STOPWORDS
+) -> DataFrame:
+    """Per-document quality features: token count, type-token ratio,
+    stopword ratio, mean token length, punctuation ratio, plus a
+    composite [0,1] quality score (monotone in "looks like prose").
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    tc = F.col(text_col)
+    n_chars = F.length(tc)
+    n_punct = n_chars - F.length(F.regexp_replace(tc, r"[^\w\s]", ""))
+    out = (
+        df.withColumn("n_tokens", n)
+        .withColumn("ttr", F.size(F.array_distinct(toks)) / n)
+        .withColumn("stop_ratio", n_stop / n)
+        .withColumn(
+            "mean_token_len",
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / n.cast("double"),
+        )
+        .withColumn("punct_ratio", n_punct / n_chars.cast("double"))
+    )
+    # Composite score: length sweet spot x low punctuation x lexical
+    # diversity. Deterministic expression, tune-able downstream.
+    len_score = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+    return out.withColumn(
+        "quality",
+        len_score * (1.0 - F.col("punct_ratio")) * F.least(
+            F.col("ttr") * 2.0, F.lit(1.0)
+        ),
+    )
+
+
+def language_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Language-ID heuristic: per-language occurrence fraction of
+    profile marker tokens; ``lang_pred`` = argmax (ties -> lexical
+    order of language code)."""
+    profiles = profiles or DEFAULT_PROFILES
+    toks = tokens(text_col)
+    n = F.size(toks).cast("double")
+    out = df
+    for lang, words in profiles.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out = out.withColumn(
+            f"score_{lang}",
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))) / n,
+        )
+    langs = sorted(profiles)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit(None).cast("string")
+    # first language (sorted) achieving the max wins
+    for l in reversed(langs):
+        pred = F.when(F.col(f"score_{l}") == best, F.lit(l)).otherwise(pred)
+    return out.withColumn("lang_pred", pred).withColumn("lang_score", best)
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized text (identical across engines)."""
+    return F.md5(F.concat_ws(" ", tokens(text)))
+
+
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles from a *materialized* token array
+    column. Pass a real column (not an inline split expression): each
+    ``element_at`` reference would otherwise duplicate the split
+    subtree, turning shingling O(k * n_shingles) splits per row."""
+    # Guard: Spark's sequence(1, 0) counts DOWN; short docs get [].
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+
+
+def shingles(text: str | Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (word k-grams) as an array column.
+    Prefer tokenizing into a column first and calling
+    ``shingles_from_tokens`` in hot paths (see its note)."""
+    return shingles_from_tokens(tokens(text), k)

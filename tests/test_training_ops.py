@@ -1,0 +1,225 @@
+"""Tests for training-data pipeline operators: text analysis, dedup
+family (exact / n-gram Jaccard / MinHash+LSH / SimHash / embedding),
+similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+
+DOCS = [
+    (0, "the cat sat on the mat and looked at the dog"),
+    (1, "the cat sat on the mat and looked at the dog"),  # exact dup of 0
+    (2, "the cat sat on the mat and stared at the dog"),  # near dup of 0
+    (3, "der hund ist nicht ein katze und der vogel"),
+    (4, "completely different words entirely unrelated zebra quark"),
+    (5, "  the cat   sat on the mat and looked at the dog  "),  # ws-normalized dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_quality_features_vs_pandas(spark, docs_df):
+    out = text.quality_features(docs_df).toPandas().set_index("doc_id")
+    toks = DOCS[0][1].split()
+    assert out.loc[0, "n_tokens"] == len(toks)
+    assert out.loc[0, "ttr"] == pytest.approx(len(set(toks)) / len(toks))
+    stop = sum(1 for t in toks if t in text.STOPWORDS)
+    assert out.loc[0, "stop_ratio"] == pytest.approx(stop / len(toks))
+    assert out.loc[0, "mean_token_len"] == pytest.approx(
+        np.mean([len(t) for t in toks])
+    )
+    assert 0.0 <= out.loc[0, "quality"] <= 1.0
+
+
+def test_language_scores_argmax(spark, docs_df):
+    out = text.language_scores(docs_df).toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[3, "lang_pred"] == "de"
+    assert out.loc[0, "score_en"] > out.loc[0, "score_de"]
+
+
+def test_fingerprint_whitespace_invariance(spark, docs_df):
+    fp = docs_df.select("doc_id", text.fingerprint("text").alias("fp")).toPandas()
+    fp = fp.set_index("doc_id")["fp"]
+    assert fp[0] == fp[1] == fp[5]
+    assert fp[0] != fp[2]
+
+
+def test_exact_duplicates(spark, docs_df):
+    groups = dedup.exact_duplicates(docs_df).toPandas()
+    dup = groups[groups.n_dups > 1]
+    assert len(dup) == 1
+    assert dup.iloc[0]["n_dups"] == 3 and dup.iloc[0]["keep_id"] == 0
+
+
+def _py_shingles(s, k=3):
+    t = s.split()
+    return set(" ".join(t[i : i + k]) for i in range(len(t) - k + 1))
+
+
+def test_ngram_jaccard_pairs_vs_bruteforce(spark, docs_df):
+    got = dedup.ngram_jaccard_pairs(docs_df, 0.3).toPandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples()}
+    expect = {}
+    for i in range(len(DOCS)):
+        for j in range(i + 1, len(DOCS)):
+            a, b = _py_shingles(DOCS[i][1]), _py_shingles(DOCS[j][1])
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.3:
+                expect[(DOCS[i][0], DOCS[j][0])] = jac
+    assert set(got) == set(expect)
+    for k_, v in expect.items():
+        assert got[k_] == pytest.approx(v, rel=1e-12)
+
+
+def test_ngram_prefix_filter_exactness(spark, sf_dir):
+    # Prefix-filtered (scale path) must equal the naive inverted-index
+    # join exactly on real data at several thresholds.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for tau in (0.3, 0.5, 0.7):
+        fast = dedup.ngram_jaccard_pairs(docs, tau).toPandas()
+        naive = dedup.ngram_jaccard_pairs(docs, tau, prefix_filter=False).toPandas()
+        f = {(r.id_a, r.id_b): round(r.jaccard, 12) for r in fast.itertuples()}
+        n = {(r.id_a, r.id_b): round(r.jaccard, 12) for r in naive.itertuples()}
+        assert f == n, f"prefix filter diverged at tau={tau}"
+
+
+def test_minhash_estimates_jaccard(spark, docs_df):
+    pairs = dedup.minhash_lsh_pairs(
+        docs_df, 0.5, num_hashes=64, bands=16
+    ).toPandas()
+    got = {(r.id_a, r.id_b): r.jaccard_est for r in pairs.itertuples()}
+    # exact dups must collide in every band with estimate 1.0
+    assert got[(0, 1)] == 1.0 and got[(0, 5)] == 1.0 and got[(1, 5)] == 1.0
+    # near dup (2) estimates its true jaccard within MinHash noise
+    true = len(_py_shingles(DOCS[0][1]) & _py_shingles(DOCS[2][1])) / len(
+        _py_shingles(DOCS[0][1]) | _py_shingles(DOCS[2][1])
+    )
+    if (0, 2) in got:
+        assert abs(got[(0, 2)] - true) < 0.25
+    # unrelated docs never pair
+    assert not any(4 in k for k in got)
+
+
+def test_simhash_pairs(spark, docs_df):
+    sh = dedup.simhash(docs_df).toPandas().set_index("doc_id")["simhash"]
+    assert sh[0] == sh[1] == sh[5]
+    pairs = dedup.simhash_pairs(docs_df, 3).toPandas()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.itertuples()}
+    assert got[(0, 1)] == 0 and got[(0, 5)] == 0
+    assert not any(4 in k for k in got)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_brute_force_topk_vs_numpy(spark, emb_df):
+    queries = emb_df.where(F.col("vec_id") < 3)
+    got = similarity.brute_force_topk(emb_df, queries, 5).toPandas()
+    pdf = emb_df.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=float)
+    norms = np.linalg.norm(mat, axis=1)
+    ids = pdf["vec_id"].to_numpy()
+    for q in range(3):
+        qi = np.where(ids == q)[0][0]
+        cos = mat @ mat[qi] / (norms * norms[qi])
+        cos[qi] = -np.inf
+        order = np.lexsort((ids, -cos))[:5]
+        sub = got[got.query_id == q].sort_values("rank")
+        assert list(sub["neighbor_id"]) == list(ids[order])
+        np.testing.assert_allclose(
+            sub["cosine"].to_numpy(), cos[order], rtol=1e-9
+        )
+
+
+def test_lsh_topk_recall(spark, emb_df):
+    queries = emb_df.where(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb_df, queries, 5).toPandas()
+    approx = similarity.lsh_topk(
+        emb_df, queries, 5, n_planes=12, bands=6
+    ).toPandas()
+    # every approximate hit must carry the CORRECT cosine ...
+    merged = approx.merge(
+        exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"), how="inner"
+    )
+    np.testing.assert_allclose(merged["cosine_a"], merged["cosine_e"], rtol=1e-9)
+    # ... and recall over the exact top-5 should be substantial
+    hits = len(merged)
+    recall = hits / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_embedding_cosine_pairs(spark, emb_df):
+    sub = emb_df.where(F.col("vec_id") < 60)
+    got = dedup.embedding_cosine_pairs(sub, 0.8).toPandas()
+    pdf = sub.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=float)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+    expect = {
+        (int(ids[i]), int(ids[j])): cos[i, j]
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and cos[i, j] >= 0.8
+    }
+    gotd = {(r.id_a, r.id_b): r.cosine for r in got.itertuples()}
+    assert set(gotd) == set(expect)
+    # block mat-mul path == naive pair-join path exactly
+    pj = dedup.embedding_cosine_pairs(sub, 0.8, method="pair_join").toPandas()
+    pjd = {(r.id_a, r.id_b): round(r.cosine, 9) for r in pj.itertuples()}
+    assert {k: round(v, 9) for k, v in gotd.items()} == pjd
+
+
+def test_multimodal_fake_decoder(spark):
+    rows = [
+        (0, bytes(range(100)), "image/png", 10, 10, None),
+        (1, b"", "image/png", 0, 0, None),
+        (2, b"\x01\x02\x03\x04" * 50, "audio/wav", None, None, 2000),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_features(df, decoder="fake", dim=8).toPandas()
+    out = out.set_index("media_id").sort_index()
+    assert out.loc[0, "n_bytes"] == 100
+    assert out.loc[0, "byte_mean"] == pytest.approx(np.mean(range(100)))
+    assert len(out.loc[0, "feature"]) == 8
+    assert out.loc[1, "n_bytes"] == 0 and list(out.loc[1, "feature"]) == [0.0] * 8
+    # determinism
+    out2 = multimodal.extract_features(df, decoder="fake", dim=8).toPandas()
+    pd.testing.assert_frame_equal(
+        out.reset_index(), out2.sort_values("media_id").reset_index(drop=True)
+    )
+
+
+def test_multimodal_stub_raises(spark):
+    df = spark.createDataFrame(
+        [(0, b"xx", "image/png", 1, 1, None)], multimodal.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        multimodal.extract_features(df, decoder="stub").collect()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(0, None, "video/mp4", None, None, 1000), (1, None, "video/mp4", None, None, 250)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.frame_sample_plan(df, 100).toPandas()
+    assert len(out[out.media_id == 0]) == 10  # 0,100,...,900
+    assert len(out[out.media_id == 1]) == 3  # 0,100,200
