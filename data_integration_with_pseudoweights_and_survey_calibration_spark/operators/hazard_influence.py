@@ -1,0 +1,400 @@
+"""Hazard / absolute-risk influence chains (SURVEY §2 I13-I16):
+per-record deviates of lambda, Lambda(t*), Lambda_G(t*) and absolute
+risk, including the beta- and gamma-chain terms.
+
+The reference materializes n x T indicator matrices ``Yi_t/Ii_t``
+(``taylor_deviate.R:756-761``) and n x T influence matrices. Key
+rebuild identity: every chain term factors into
+
+    (per-row columns: pw, rel, d, beta_wt_m, gamma_wt_m)
+  x (event-grid constants / cumulative series evaluated as-of t_i or t*)
+
+so the full Lambda influence at the t* grid is
+
+  Lambda_wt[i, t*] =
+      1[cohort] * pw_i * ( d_i 1[t_i<=t*] / Zt(t_i) - rel_i A(min(t_i,t*)) )
+    + sum_m gamma_wt[i,m] * CNZ_m(t*)
+    - sum_m beta_wt[i,m]  * CB_m(t*)
+
+  A(u)     = sum_{events v<=u} lambda(v)/Zt(v)          (grid cumsum)
+  CNZ_m(t*)= sum_{v<=t*} (GN_m(v) - lambda(v) GZ_m(v)) / Zt(v)
+  CB_m(t*) = sum_{v<=t*} lambda(v) S1_m(v) / Zt(v)
+
+with GN/GZ/GY the gamma-direction grid aggregates
+(sum_j pw_gamma[j,m] {d_j 1[t_j=v] | rel_j 1[t_j>=v] | 1[t_j>=v]}).
+``A(min(t_i,t*)) = min(A(t_i), A(t*))`` because A is nondecreasing --
+one as-of join of the rows against the grid covers every t*.
+
+The Gail chain re-weights the ar-influence by the population hazard
+mass mapped to each sample event time (next-observation-carried
+-backward with a partial group at the t* cutoff), giving per-t* grid
+series AGY_j / AGZ_j and constants KG/KB -- same row-side shape.
+
+Everything larger than (T x (p + q + 2|t*|)) stays distributed; the
+only driver data are the |t*|-vector constants.
+
+Cited reference lines: ``lambda.ar_w`` taylor_deviate.R:746-883,
+``Lambda_w`` :885-900, ``LambdaG_w`` :903-929, ``absR_w`` :933-953,
+orchestration :95-130.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.design import linear_predictor
+
+
+@dataclass(frozen=True)
+class HazardInfluence:
+    df: DataFrame                       # stacked rows + influence columns
+    t_star: tuple[float, ...]
+    Lambda: tuple[float, ...]           # point estimates at t*
+    LambdaG: tuple[float, ...] | None
+    absR: tuple[float, ...] | None
+    absRG: tuple[float, ...] | None
+    lambda_cols: tuple[str, ...]        # Lambda_wt_<j>
+    lambdaG_cols: tuple[str, ...]       # LambdaG_wt_<j> (empty if no pop grid)
+    absR_cols: tuple[str, ...]
+    absRG_cols: tuple[str, ...]
+
+
+def _asof_attach(
+    rows: DataFrame,
+    grid: DataFrame,
+    value_cols: Sequence[str],
+    t: str,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Attach to every row the value of each (right-continuous, stepwise)
+    grid column at the last grid time <= row t (0.0 before the first),
+    joined back on the stable ``keys`` (never a generated row id --
+    ``monotonically_increasing_id`` is not recomputation-stable).
+
+    Sorted-union window (one global sort over rows+grid). NOTE at
+    extreme scale replace the single-partition window with the two-pass
+    range-partitioned cumsum; the join-back below is unchanged.
+    """
+    keys = list(keys)
+    g = grid.select(
+        F.col("_t").alias("_at"),
+        F.lit(0).alias("_isrow"),
+        *[F.lit(None).cast(dict(rows.dtypes)[k]).alias(k) for k in keys],
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    r = rows.select(
+        F.col(t).cast("double").alias("_at"),
+        F.lit(1).alias("_isrow"),
+        *keys,
+        *[F.lit(None).cast("double").alias(f"_v_{c}") for c in value_cols],
+    )
+    win = Window.orderBy("_at", "_isrow").rowsBetween(Window.unboundedPreceding, 0)
+    filled = g.unionByName(r).select(
+        "_isrow",
+        *keys,
+        *[
+            F.coalesce(F.last(f"_v_{c}", ignorenulls=True).over(win), F.lit(0.0)).alias(
+                f"_asof_{c}"
+            )
+            for c in value_cols
+        ],
+    )
+    looked = filled.where(F.col("_isrow") == 1).drop("_isrow")
+    return rows.join(looked, keys)
+
+
+def hazard_influence(
+    stacked: DataFrame,
+    x_cols: Sequence[str],
+    beta: Sequence[float],
+    t_star: Sequence[float],
+    *,
+    pw: str,
+    beta_wt_cols: Sequence[str],
+    gamma_wt_cols: Sequence[str] | None = None,
+    pw_gamma_cols: Sequence[str] | None = None,
+    lambda_star: DataFrame | None = None,
+    x0: Sequence[float] | None = None,
+    trt: str = "trt",
+    t: str = "t",
+    d: str = "d",
+    id_col: str = "id",
+) -> HazardInfluence:
+    """I13+I14 (+I15 with ``lambda_star``, +I16 with ``x0``): influence
+    columns of Lambda(t*) / Lambda_G(t*) / absR on the stacked frame.
+
+    ``stacked`` must carry trt, t, d, the Cox design columns, the
+    cohort pseudo-weight ``pw`` (any value on survey rows -- gated),
+    stacked ``beta_wt_cols`` (eta beta-block / ps.w, I20) and, for the
+    gamma chain, stacked ``gamma_wt_cols`` + cohort ``pw_gamma_cols``
+    (I2/I4 derivative of the pseudo-weight w.r.t. gamma).
+    """
+    x_cols = list(x_cols)
+    p = len(x_cols)
+    beta = [float(b) for b in beta]
+    ts = [float(v) for v in t_star]
+    nts = len(ts)
+    q = len(gamma_wt_cols or [])
+    with_gamma = q > 0
+    if with_gamma and (pw_gamma_cols is None or len(pw_gamma_cols) != q):
+        raise ValueError("pw_gamma_cols must align with gamma_wt_cols")
+
+    rel = F.exp(linear_predictor(x_cols, beta))
+    is_c = (F.col(trt) == 1).cast("double")
+    pw_c = is_c * F.col(pw)
+    dc = F.col(d).cast("double")
+
+    # ---- grid pass over cohort rows -----------------------------------
+    cohort = stacked.where(F.col(trt) == 1)
+    aggs = [
+        F.sum(F.col(pw) * rel).alias("_zp"),
+        F.sum(F.col(pw)).alias("_yp"),
+        F.sum(F.col(pw) * dc).alias("_nt"),
+    ]
+    for m, xm in enumerate(x_cols):
+        aggs.append(F.sum(F.col(pw) * rel * F.col(xm)).alias(f"_s1p_{m}"))
+    if with_gamma:
+        for m, gcol in enumerate(pw_gamma_cols):
+            aggs.append(F.sum(F.col(gcol) * dc).alias(f"_gnp_{m}"))
+            aggs.append(F.sum(F.col(gcol) * rel).alias(f"_gzp_{m}"))
+            aggs.append(F.sum(F.col(gcol)).alias(f"_gyp_{m}"))
+    grid = cohort.groupBy(F.col(t).cast("double").alias("_t")).agg(*aggs)
+
+    rev = Window.orderBy(F.col("_t").desc()).rangeBetween(Window.unboundedPreceding, 0)
+    rcols = [
+        F.sum("_zp").over(rev).alias("_zt"),
+        F.sum("_yp").over(rev).alias("_yt"),
+    ]
+    rcols += [F.sum(f"_s1p_{m}").over(rev).alias(f"_s1_{m}") for m in range(p)]
+    if with_gamma:
+        rcols += [F.sum(f"_gzp_{m}").over(rev).alias(f"_gz_{m}") for m in range(q)]
+        rcols += [F.sum(f"_gyp_{m}").over(rev).alias(f"_gy_{m}") for m in range(q)]
+    grid = grid.select(
+        "_t", "_nt", *([f"_gnp_{m}" for m in range(q)] if with_gamma else []), *rcols
+    )
+
+    # events-only hazard grid with forward cumulative series
+    ev = grid.where(F.col("_nt") > 0)
+    fwd = Window.orderBy("_t").rangeBetween(Window.unboundedPreceding, 0)
+    lam = F.col("_nt") / F.col("_zt")
+    series = [
+        F.sum(lam).over(fwd).alias("_cumlam"),                       # Lambda(u)
+        F.sum(lam / F.col("_zt")).over(fwd).alias("_A"),          # A(u)
+    ]
+    for m in range(p):
+        series.append(
+            F.sum(lam * F.col(f"_s1_{m}") / F.col("_zt")).over(fwd).alias(f"_CB_{m}")
+        )
+    if with_gamma:
+        for m in range(q):
+            series.append(
+                F.sum(
+                    (F.col(f"_gnp_{m}") - lam * F.col(f"_gz_{m}")) / F.col("_zt")
+                )
+                .over(fwd)
+                .alias(f"_CNZ_{m}")
+            )
+    ev = ev.select(
+        "_t",
+        "_zt",
+        "_yt",
+        lam.alias("_lam"),
+        *([f"_s1_{m}" for m in range(p)]),
+        *([c for c in ([f"_gz_{m}" for m in range(q)] + [f"_gy_{m}" for m in range(q)]) ] if with_gamma else []),
+        *series,
+    ).cache()
+
+    # driver constants at each t*: last event row with _t <= t*
+    ev_rows = ev.orderBy("_t").collect()
+    ev_t = [r["_t"] for r in ev_rows]
+
+    def _at(tq: float, col: str, default: float = 0.0):
+        val = default
+        for r in ev_rows:
+            if r["_t"] <= tq:
+                val = r[col]
+            else:
+                break
+        return float(val)
+
+    Lam_ts = [_at(v, "_cumlam") for v in ts]
+    A_ts = [_at(v, "_A") for v in ts]
+    CB_ts = [[_at(v, f"_CB_{m}") for m in range(p)] for v in ts]
+    CNZ_ts = (
+        [[_at(v, f"_CNZ_{m}") for m in range(q)] for v in ts] if with_gamma else None
+    )
+
+    # ---- one as-of join: A(t_i), Zt(t_i), plus Gail series ------------
+    rows = stacked
+    asof_cols = ["_A", "_zt"]
+
+    # ---- Gail re-weighting (I15) --------------------------------------
+    lamG_consts = None
+    if lambda_star is not None:
+        # merged population grid mapped to sample event times by NOCB;
+        # W_j(v) = sum of lambda_star mass at merged times u <= t*_j
+        # carried by sample event time v (partial group at the cutoff).
+        pop = lambda_star.select(
+            F.col("t").cast("double").alias("_pt"),
+            F.col("lambda_star").alias("_ls"),
+        )
+        ev_t_df = ev.select(F.col("_t").alias("_vt"))
+        # next sample event time >= _pt  (merge + NOCB, R:1114-1117)
+        merged = pop.join(
+            ev_t_df,
+            F.col("_vt") >= F.col("_pt"),
+            "left",
+        ).groupBy("_pt", "_ls").agg(F.min("_vt").alias("_v"))
+        merged = merged.where(F.col("_v").isNotNull())  # truncate after last
+        wj_aggs = [
+            F.sum(F.when(F.col("_pt") <= v, F.col("_ls")).otherwise(0.0)).alias(
+                f"_W_{j}"
+            )
+            for j, v in enumerate(ts)
+        ]
+        w_tbl = merged.groupBy(F.col("_v").alias("_t")).agg(*wj_aggs)
+        evg = ev.join(w_tbl, "_t", "left").fillna(
+            {f"_W_{j}": 0.0 for j in range(nts)}
+        )
+        gail_series = []
+        for j in range(nts):
+            wv = F.col(f"_W_{j}")
+            gail_series.append(
+                F.sum(wv / F.col("_zt")).over(fwd).alias(f"_AGY_{j}")
+            )
+            gail_series.append(
+                F.sum(wv * F.col("_yt") / (F.col("_zt") * F.col("_zt")))
+                .over(fwd)
+                .alias(f"_AGZ_{j}")
+            )
+        evg = evg.select("_t", "_zt", "_yt", "_lam", "_A",
+                         *[f"_s1_{m}" for m in range(p)],
+                         *([f"_gz_{m}" for m in range(q)] + [f"_gy_{m}" for m in range(q)] if with_gamma else []),
+                         *[f"_W_{j}" for j in range(nts)],
+                         *gail_series).cache()
+        evg_rows = evg.orderBy("_t").collect()
+        # LambdaG point estimate + KB/KG constants (exact sums over v)
+        LamG_ts, KB_g, KG_g = [], [], []
+        for j in range(nts):
+            lam_g = 0.0
+            kb = [0.0] * p
+            kg = [0.0] * q
+            for r in evg_rows:
+                w = float(r[f"_W_{j}"])
+                if w == 0.0:
+                    continue
+                zt, yt = float(r["_zt"]), float(r["_yt"])
+                lam_g += w * (yt / zt)  # sum lambda* (1-ar)... see below
+                for m in range(p):
+                    kb[m] += w * yt * float(r[f"_s1_{m}"]) / (zt * zt)
+                if with_gamma:
+                    for m in range(q):
+                        kg[m] += (
+                            w
+                            * (
+                                float(r[f"_gy_{m}"])
+                                - (yt / zt) * float(r[f"_gz_{m}"])
+                            )
+                            / zt
+                        )
+            LamG_ts.append(lam_g)
+            KB_g.append(kb)
+            KG_g.append(kg)
+        lamG_consts = (LamG_ts, KB_g, KG_g)
+        asof_grid = evg
+        asof_cols = asof_cols + [f"_AGY_{j}" for j in range(nts)] + [
+            f"_AGZ_{j}" for j in range(nts)
+        ]
+    else:
+        asof_grid = ev
+
+    rows = _asof_attach(rows, asof_grid, asof_cols, t, keys=[id_col, trt])
+
+    # ---- per-row influence columns ------------------------------------
+    out = rows.withColumn("_rel", rel)
+    lambda_cols, lambdaG_cols = [], []
+    for j, tsv in enumerate(ts):
+        # event term guarded: rows before the first event have Zt=0 in
+        # the as-of fill; the CASE keeps ANSI division lazy.
+        event_term = F.when(
+            (F.col(trt) == 1) & (dc == 1) & (F.col(t) <= tsv),
+            F.col(pw) * dc / F.col("_asof__zt"),
+        ).otherwise(F.lit(0.0))
+        direct = event_term - pw_c * F.col("_rel") * F.least(
+            F.col("_asof__A"), F.lit(A_ts[j])
+        )
+        chain = F.lit(0.0)
+        for m in range(p):
+            chain = chain - F.col(beta_wt_cols[m]) * float(CB_ts[j][m])
+        if with_gamma:
+            for m in range(q):
+                chain = chain + F.col(gamma_wt_cols[m]) * float(CNZ_ts[j][m])
+        name = f"Lambda_wt_{j}"
+        out = out.withColumn(name, direct + chain)
+        lambda_cols.append(name)
+    if lambda_star is not None:
+        LamG_ts, KB_g, KG_g = lamG_consts
+        for j in range(nts):
+            direct = pw_c * (
+                F.col(f"_asof__AGY_{j}")
+                - F.col("_rel") * F.col(f"_asof__AGZ_{j}")
+            )
+            chain = F.lit(0.0)
+            for m in range(p):
+                chain = chain - F.col(beta_wt_cols[m]) * float(KB_g[j][m])
+            if with_gamma:
+                for m in range(q):
+                    chain = chain + F.col(gamma_wt_cols[m]) * float(KG_g[j][m])
+            name = f"LambdaG_wt_{j}"
+            out = out.withColumn(name, direct + chain)
+            lambdaG_cols.append(name)
+
+    # ---- absolute risk (I16), single x0 profile -----------------------
+    absR_cols, absRG_cols = [], []
+    absR_pts = absRG_pts = None
+    if x0 is not None:
+        x0 = [float(v) for v in x0]
+        rr0 = math.exp(sum(b * v for b, v in zip(beta, x0)))
+        bx0 = F.lit(0.0)
+        for m in range(p):
+            bx0 = bx0 + F.col(beta_wt_cols[m]) * x0[m]
+        absR_pts = [1.0 - math.exp(-L * rr0) for L in Lam_ts]
+        for j in range(nts):
+            fac = (1.0 - absR_pts[j]) * rr0
+            name = f"absR_wt_{j}"
+            out = out.withColumn(
+                name, F.lit(fac) * (F.lit(Lam_ts[j]) * bx0 + F.col(lambda_cols[j]))
+            )
+            absR_cols.append(name)
+        if lambda_star is not None:
+            LamG_ts = lamG_consts[0]
+            absRG_pts = [1.0 - math.exp(-L * rr0) for L in LamG_ts]
+            for j in range(nts):
+                fac = (1.0 - absRG_pts[j]) * rr0
+                name = f"absRG_wt_{j}"
+                out = out.withColumn(
+                    name,
+                    F.lit(fac) * (F.lit(LamG_ts[j]) * bx0 + F.col(lambdaG_cols[j])),
+                )
+                absRG_cols.append(name)
+
+    drop = ["_rel"] + [f"_asof_{c}" for c in asof_cols]
+    out = out.drop(*drop)
+    return HazardInfluence(
+        df=out,
+        t_star=tuple(ts),
+        Lambda=tuple(Lam_ts),
+        LambdaG=tuple(lamG_consts[0]) if lambda_star is not None else None,
+        absR=tuple(absR_pts) if absR_pts is not None else None,
+        absRG=tuple(absRG_pts) if absRG_pts is not None else None,
+        lambda_cols=tuple(lambda_cols),
+        lambdaG_cols=tuple(lambdaG_cols),
+        absR_cols=tuple(absR_cols),
+        absRG_cols=tuple(absRG_cols),
+    )

@@ -1,0 +1,208 @@
+"""Golden test for the hazard/absR influence chains (I13-I16): a
+literal dense NumPy mirror of the reference's Yi_t/Ii_t matrix algebra
+(``taylor_deviate.R:746-953``) checks the telescoped grid
+implementation, including beta- and gamma-chain terms and the Gail
+NOCB re-weighting."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.cox import cox_fit
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.hazard_influence import (
+    hazard_influence,
+)
+
+T_STAR = [0.5, 1.0, 2.0, 4.0]
+X0 = [0.3]
+
+
+def _toy(seed=33, n_c=150, n_s=80):
+    rng = np.random.default_rng(seed)
+    n = n_c + n_s
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "trt": np.r_[np.ones(n_c, np.int32), np.zeros(n_s, np.int32)],
+            "x1": rng.normal(0, 1, n),
+        }
+    )
+    tt = np.round(rng.exponential(1.5, n) * np.exp(-0.3 * pdf.x1), 1) + 0.1
+    cens = rng.exponential(2.5, n)
+    pdf["t"] = np.minimum(tt, cens)
+    pdf["d"] = (tt <= cens).astype(np.int32)
+    pdf["ipsw"] = rng.uniform(0.5, 4.0, n)  # pseudo-weight (cohort rows used)
+    # arbitrary chain inputs: linear algebra only, no fit required
+    pdf["bw_0"] = rng.normal(0, 0.01, n)
+    pdf["gw_0"] = rng.normal(0, 0.01, n)
+    pdf["gw_1"] = rng.normal(0, 0.01, n)
+    pdf["pwg_0"] = rng.normal(0, 0.5, n)
+    pdf["pwg_1"] = rng.normal(0, 0.5, n)
+    return pdf, n_c
+
+
+def _dense(pdf, n_c, beta, lambda_star=None):
+    """Literal reference mirror with dense n x T matrices."""
+    c = pdf.iloc[:n_c]
+    tv = c["t"].to_numpy()
+    dv = c["d"].to_numpy().astype(float)
+    pw = c["ipsw"].to_numpy()
+    rel_c = np.exp(c[["x1"]].to_numpy() @ beta)
+    u = np.sort(np.unique(tv[dv == 1]))
+    yi = tv[:, None] >= u[None, :]
+    ii = tv[:, None] == u[None, :]
+    nt = (pw * dv) @ ii
+    zt = (pw * rel_c) @ yi
+    yt = pw @ yi
+    lam = nt / zt
+    one_ar = yt / zt  # (1 - ar)
+
+    n = len(pdf)
+    beta_wt = pdf[["bw_0"]].to_numpy()
+    gamma_wt = pdf[["gw_0", "gw_1"]].to_numpy()
+    pw_gamma = pdf.iloc[:n_c][["pwg_0", "pwg_1"]].to_numpy()
+    x_c = c[["x1"]].to_numpy()
+    pad = np.zeros((n - n_c, len(u)))
+
+    nt_w = np.vstack([(pw * dv)[:, None] * ii, pad]) + gamma_wt @ (
+        pw_gamma.T @ (dv[:, None] * ii)
+    )
+    s1 = ((pw * rel_c)[:, None] * yi).T @ x_c  # T x p
+    zt_w = (
+        np.vstack([(pw * rel_c)[:, None] * yi, pad])
+        + gamma_wt @ (pw_gamma.T @ (rel_c[:, None] * yi))
+        + beta_wt @ s1.T
+    )
+    yt_w = np.vstack([pw[:, None] * yi, pad]) + gamma_wt @ (pw_gamma.T @ yi)
+
+    lambda_wt = (nt_w - lam[None, :] * zt_w) / zt[None, :]
+    ar_wt = -(yt_w - one_ar[None, :] * zt_w) / zt[None, :]
+
+    def pick(times, tq):
+        idx = -1
+        for k, uv in enumerate(times):
+            if uv <= tq:
+                idx = k
+        return idx
+
+    Lam_cum = np.cumsum(lam)
+    Lw_cum = np.cumsum(lambda_wt, axis=1)
+    Lam = np.array([Lam_cum[pick(u, v)] if pick(u, v) >= 0 else 0.0 for v in T_STAR])
+    Lam_wt = np.stack(
+        [
+            Lw_cum[:, pick(u, v)] if pick(u, v) >= 0 else np.zeros(n)
+            for v in T_STAR
+        ],
+        axis=1,
+    )
+    out = {"u": u, "Lam": Lam, "Lam_wt": Lam_wt, "lambda_wt": lambda_wt}
+
+    if lambda_star is not None:
+        ls_t, ls_v = lambda_star
+        keep = ls_t <= u.max()
+        ls_t, ls_v = ls_t[keep], ls_v[keep]
+        merged = np.unique(np.r_[ls_t, u])
+        lam_m = np.array(
+            [ls_v[ls_t == mt][0] if (ls_t == mt).any() else 0.0 for mt in merged]
+        )
+        # NOCB index into sample event times
+        nocb = np.array([u[u >= mt][0] for mt in merged])
+        arc = np.array([one_ar[np.where(u == v)[0][0]] for v in nocb])
+        lamg_cum = np.cumsum(lam_m * arc)
+        ar_wt_cmp = ar_wt[:, [np.where(u == v)[0][0] for v in nocb]]
+        lamg_wt_cum = -np.cumsum(lam_m[None, :] * ar_wt_cmp, axis=1)
+        LamG = np.array(
+            [lamg_cum[pick(merged, v)] if pick(merged, v) >= 0 else 0.0 for v in T_STAR]
+        )
+        LamG_wt = np.stack(
+            [
+                lamg_wt_cum[:, pick(merged, v)] if pick(merged, v) >= 0 else np.zeros(n)
+                for v in T_STAR
+            ],
+            axis=1,
+        )
+        out["LamG"] = LamG
+        out["LamG_wt"] = LamG_wt
+
+    # absR (single x0 profile)
+    rr0 = float(np.exp(np.array(X0) @ beta))
+    absr = 1.0 - np.exp(-Lam * rr0)
+    bx0 = beta_wt @ np.array(X0)
+    absr_wt = (1.0 - absr)[None, :] * rr0 * (Lam[None, :] * bx0[:, None] + Lam_wt)
+    out["absR"] = absr
+    out["absR_wt"] = absr_wt
+    return out
+
+
+def test_hazard_influence_matches_dense(spark):
+    pdf, n_c = _toy()
+    df = spark.createDataFrame(pdf)
+    cohort = df.where(F.col("trt") == 1)
+    fit = cox_fit(cohort, ["x1"], w="ipsw")
+    beta = fit.beta
+
+    # population hazard grid: the stacked rows unweighted (superset of
+    # cohort times, as in the simulation design)
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.survival import (
+        lambda_star_pop,
+    )
+
+    ls_df = lambda_star_pop(df.withColumn("_w1", F.lit(1.0)), w="_w1")
+    ls_pdf = ls_df.toPandas().sort_values("t")
+    lambda_star = (ls_pdf["t"].to_numpy(), ls_pdf["lambda_star"].to_numpy())
+
+    inf = hazard_influence(
+        df,
+        ["x1"],
+        beta,
+        T_STAR,
+        pw="ipsw",
+        beta_wt_cols=["bw_0"],
+        gamma_wt_cols=["gw_0", "gw_1"],
+        pw_gamma_cols=["pwg_0", "pwg_1"],
+        lambda_star=ls_df,
+        x0=X0,
+    )
+    dense = _dense(pdf, n_c, beta, lambda_star)
+
+    np.testing.assert_allclose(np.array(inf.Lambda), dense["Lam"], rtol=1e-9)
+    np.testing.assert_allclose(np.array(inf.LambdaG), dense["LamG"], rtol=1e-9)
+    np.testing.assert_allclose(np.array(inf.absR), dense["absR"], rtol=1e-9)
+
+    got = (
+        inf.df.select("id", *inf.lambda_cols, *inf.lambdaG_cols, *inf.absR_cols)
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    np.testing.assert_allclose(
+        got[list(inf.lambda_cols)].to_numpy(), dense["Lam_wt"], rtol=1e-7, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        got[list(inf.lambdaG_cols)].to_numpy(), dense["LamG_wt"], rtol=1e-7, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        got[list(inf.absR_cols)].to_numpy(), dense["absR_wt"], rtol=1e-7, atol=1e-12
+    )
+
+
+def test_hazard_influence_no_gamma_chain(spark):
+    pdf, n_c = _toy(seed=71)
+    df = spark.createDataFrame(pdf)
+    fit = cox_fit(df.where(F.col("trt") == 1), ["x1"], w="ipsw")
+    inf = hazard_influence(
+        df, ["x1"], fit.beta, T_STAR, pw="ipsw", beta_wt_cols=["bw_0"]
+    )
+    # dense mirror with zero gamma chain
+    pdf0 = pdf.copy()
+    pdf0[["gw_0", "gw_1", "pwg_0", "pwg_1"]] = 0.0
+    dense = _dense(pdf0, n_c, fit.beta)
+    got = (
+        inf.df.select("id", *inf.lambda_cols).toPandas().set_index("id").sort_index()
+    )
+    np.testing.assert_allclose(
+        got.to_numpy(), dense["Lam_wt"], rtol=1e-7, atol=1e-12
+    )
