@@ -30,6 +30,7 @@ bit-identical to the dense computation.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -97,9 +98,10 @@ def bw_nrd0(df: DataFrame, col: str) -> float:
 
 @dataclass(frozen=True)
 class KwResult:
-    weights: DataFrame  # (c_id, kw)
+    weights: DataFrame  # (c_id, kw [, kw_g_<j> derivative columns])
     bandwidth: float
     n_unmatched: int  # survey rows with numerically zero kernel row
+    deriv_cols: tuple[str, ...] = ()
 
 
 def kw_weights(
@@ -114,14 +116,28 @@ def kw_weights(
     kernel: str = "dnorm",
     rm_s: bool = False,
     salt: int = 32,
+    deriv_cols: Sequence[str] | None = None,
 ) -> KwResult:
-    """I3: KW kernel pseudo-weights via banded bucket join.
+    """I3 (+I4 with ``deriv_cols``): KW kernel pseudo-weights via
+    banded bucket join.
 
     ``cohort_scores``: (c_id, score); ``survey_scores``: (s_id, score,
     survey weight). Returns one row per cohort unit with column ``kw``.
 
     kw_j = sum_i wt_i * K((s_i - c_j)/h) / sum_j' K((s_i - c_j')/h)
     [+ unmatched_wt_total / m when rm_s=False]
+
+    With ``deriv_cols`` (design columns present on BOTH score frames),
+    also computes the gamma-derivative ``pw_beta`` (``krnwt`` w_beta
+    branch, ``simu_fun.R:191-205``, Gaussian kernel):
+
+        kij_g = -K(z) * dist * (x_s - x_c) / h^2,   z = dist/h
+        pw_beta[c, g] = sum_s wt_s kij[s,c,g] / rs_s
+                      - sum_s wt_s (sum_c' kij[s,c',g]) k[s,c] / rs_s^2
+
+    -- two grouped passes over the SAME pair stream as the weights
+    (map-side combined; only n_s + n_c rows ever shuffle). Output
+    columns ``kw_g_<name>``.
     """
     if h is None:
         h = bw_nrd0(cohort_scores, score_col)
@@ -131,15 +147,22 @@ def kw_weights(
     support = GAUSSIAN_SUPPORT if kernel in ("dnorm", "gaussian") else TRIANG_SUPPORT
     width = support * h
 
+    dcols = list(deriv_cols or [])
+    if dcols and kernel not in ("dnorm", "gaussian"):
+        raise NotImplementedError("KW gamma-derivative implemented for the Gaussian kernel")
+
     m = cohort_scores.count()
 
     c = cohort_scores.select(
-        F.col(c_id).alias("_cid"), F.col(score_col).alias("_ps_c")
+        F.col(c_id).alias("_cid"),
+        F.col(score_col).alias("_ps_c"),
+        *[F.col(x).alias(f"_xc_{j}") for j, x in enumerate(dcols)],
     )
     s = survey_scores.select(
         F.col(s_id).alias("_sid"),
         F.col(score_col).alias("_ps_s"),
         F.col(weight_col).alias("_wt_s"),
+        *[F.col(x).alias(f"_xs_{j}") for j, x in enumerate(dcols)],
     )
 
     # Banded bucket equi-join: a survey row sits in bucket
@@ -183,12 +206,24 @@ def kw_weights(
         p = s_p.join(c_p, ["_bkt", "_salt"]).where(
             F.abs(F.col("_ps_s") - F.col("_ps_c")) <= width
         )
-        return p.withColumn("_k", kfun(F.col("_ps_s") - F.col("_ps_c"), h))
+        dist = F.col("_ps_s") - F.col("_ps_c")
+        p = p.withColumn("_k", kfun(dist, h))
+        # I4 pair terms: dK/dgamma_j = -K * dist * (x_s - x_c) / h^2
+        for j in range(len(dcols)):
+            p = p.withColumn(
+                f"_kij_{j}",
+                -F.col("_k") * dist * (F.col(f"_xs_{j}") - F.col(f"_xc_{j}"))
+                / float(h * h),
+            )
+        return p
 
     # Kernel row sums per survey unit: hash aggregate with map-side
     # partial combine -- only n_s rows ever shuffle. Cached: consumed by
     # the normalization join AND the unmatched check.
-    rs = pair_table().groupBy("_sid").agg(F.sum("_k").alias("_rs"))
+    rs = pair_table().groupBy("_sid").agg(
+        F.sum("_k").alias("_rs"),
+        *[F.sum(f"_kij_{j}").alias(f"_rkij_{j}") for j in range(len(dcols))],
+    )
     rs_pos = rs.where(F.col("_rs") > 0.0).cache()
 
     # Column sums onto the cohort: broadcast the small (sid -> rs) table
@@ -197,7 +232,19 @@ def kw_weights(
         pair_table()
         .join(F.broadcast(rs_pos), "_sid")
         .groupBy("_cid")
-        .agg(F.sum(F.col("_wt_s") * F.col("_k") / F.col("_rs")).alias("kw"))
+        .agg(
+            F.sum(F.col("_wt_s") * F.col("_k") / F.col("_rs")).alias("kw"),
+            *[
+                F.sum(
+                    F.col("_wt_s") * F.col(f"_kij_{j}") / F.col("_rs")
+                    - F.col("_wt_s")
+                    * F.col(f"_rkij_{j}")
+                    * F.col("_k")
+                    / (F.col("_rs") * F.col("_rs"))
+                ).alias(f"_kwg_{j}")
+                for j in range(len(dcols))
+            ],
+        )
     )
 
     # Zero-match survey rows (no pair within numeric support, or an all-0
@@ -209,9 +256,65 @@ def kw_weights(
     ).collect()[0]
     n_unmatched, unmatched_tot = int(urow["n"]), float(urow["tot"])
 
-    out = c.select(F.col("_cid")).join(kw, "_cid", "left").select(
-        F.col("_cid").alias(c_id),
+    out = c.join(kw, "_cid", "left").select(
+        "_cid",
+        *[F.col(f"_xc_{j}") for j in range(len(dcols))],
+        F.col("_ps_c"),
         (F.coalesce(F.col("kw"), F.lit(0.0))
          + F.lit(0.0 if rm_s or n_unmatched == 0 else unmatched_tot / m)).alias("kw"),
+        *[
+            F.coalesce(F.col(f"_kwg_{j}"), F.lit(0.0)).alias(f"_kwg_{j}")
+            for j in range(len(dcols))
+        ],
     )
-    return KwResult(weights=out, bandwidth=float(h), n_unmatched=n_unmatched)
+    if dcols and n_unmatched > 0 and not rm_s:
+        # Fallback rows (reference: krn_num row := 1/m, row sum := 1,
+        # ``simu_fun.R:180-183``): their derivative contribution uses
+        # kij = -(1/m) * dist * dx / h^2 over EVERY cohort unit --
+        # exact via a cross join of the (rare) unmatched survey rows.
+        um = unmatched.select(
+            "_sid", "_ps_s", "_wt_s",
+            *[F.col(f"_xs_{j}") for j in range(len(dcols))],
+        )
+        pairs_u = um.crossJoin(F.broadcast(c))
+        dist = F.col("_ps_s") - F.col("_ps_c")
+        for j in range(len(dcols)):
+            pairs_u = pairs_u.withColumn(
+                f"_kij_{j}",
+                -F.lit(1.0 / m) * dist
+                * (F.col(f"_xs_{j}") - F.col(f"_xc_{j}")) / float(h * h),
+            )
+        rk_u = pairs_u.groupBy("_sid", "_wt_s").agg(
+            *[F.sum(f"_kij_{j}").alias(f"_rk_{j}") for j in range(len(dcols))]
+        )
+        extra = (
+            pairs_u.join(F.broadcast(rk_u), ["_sid", "_wt_s"])
+            .groupBy("_cid")
+            .agg(
+                *[
+                    F.sum(
+                        F.col("_wt_s") * F.col(f"_kij_{j}")
+                        - F.col("_wt_s") * F.col(f"_rk_{j}") * F.lit(1.0 / m)
+                    ).alias(f"_ex_{j}")
+                    for j in range(len(dcols))
+                ]
+            )
+        )
+        out = out.join(F.broadcast(extra), "_cid", "left")
+        for j in range(len(dcols)):
+            out = out.withColumn(
+                f"_kwg_{j}",
+                F.col(f"_kwg_{j}") + F.coalesce(F.col(f"_ex_{j}"), F.lit(0.0)),
+            ).drop(f"_ex_{j}")
+    deriv_names = tuple(f"kw_g_{x}" for x in dcols)
+    final = out.select(
+        F.col("_cid").alias(c_id),
+        F.col("kw"),
+        *[F.col(f"_kwg_{j}").alias(deriv_names[j]) for j in range(len(dcols))],
+    )
+    return KwResult(
+        weights=final,
+        bandwidth=float(h),
+        n_unmatched=n_unmatched,
+        deriv_cols=deriv_names,
+    )

@@ -1,0 +1,221 @@
+"""Taylor-deviate analytic inference orchestration (SURVEY §2 I21,
+reference ``inference_beta`` ``taylor_deviate.R:38-440`` + §3.3).
+
+For each pseudo-weight method (IPSW / KW):
+
+    stack -> PS fit (H1) -> gamma influence (I7)
+      -> pseudo-weights + gamma-derivative (I1/I2 or I3/I4)
+      -> weighted Cox (H2) -> score influence (I12)
+      -> joint eta influence + beta variances (I20)
+      -> hazard / Lambda / Lambda_G / absR influence chains (I13-I16)
+      -> PPS + Poisson variances of every estimate (E5)
+
+One stacked frame, one propensity fit, and one cached gamma-influence
+table are shared across methods (the reference's reuse pattern,
+SURVEY §4.1). Per method the sample is scanned a constant number of
+times; every cross-record object is either an event-grid table or a
+p/q-dimensional driver matrix.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cox import CoxFit, cox_fit
+from .hazard_influence import HazardInfluence, hazard_influence
+from .influence import (
+    CoxInfluence,
+    cox_score_influence,
+    eta_influence,
+    gamma_influence,
+    var_poisson,
+    var_pps,
+)
+from .propensity import fit_propensity
+from .pseudoweights import kw_weights, stack_samples
+
+
+@dataclass
+class MethodInference:
+    method: str
+    beta: np.ndarray
+    score_norm: float
+    var_beta_pps: np.ndarray        # p x p (beta block of eta variance)
+    var_beta_poisson: np.ndarray
+    Lambda: np.ndarray              # |t*|
+    var_Lambda_pps: np.ndarray
+    var_Lambda_poisson: np.ndarray
+    LambdaG: np.ndarray | None
+    var_LambdaG_pps: np.ndarray | None
+    var_LambdaG_poisson: np.ndarray | None
+    absR: np.ndarray | None
+    var_absR_pps: np.ndarray | None
+    var_absR_poisson: np.ndarray | None
+
+
+def _delta_vars(df, cols, trt, pi_expr):
+    v_pps = np.diag(var_pps(df, cols, strata_col=trt))
+    v_poi = np.diag(var_poisson(df, cols, pi_expr))
+    return v_pps, v_poi
+
+
+def taylor_inference(
+    cohort: DataFrame,
+    survey: DataFrame,
+    ps_formula: str,
+    cox_cols: list[str],
+    t_star: list[float],
+    *,
+    pop_size: float,
+    x0: list[float] | None = None,
+    lambda_star: DataFrame | None = None,
+    methods: tuple[str, ...] = ("ipsw", "kw"),
+    survey_weight: str = "wt",
+    id_col: str = "id",
+) -> dict[str, MethodInference]:
+    """Run the full §3.3 analytic-inference pipeline; returns one
+    ``MethodInference`` per requested method."""
+    n_s = survey.count()
+    a = n_s / float(pop_size)
+    stacked = stack_samples(cohort, survey, survey_weight, sampling_fraction=a)
+    stacked, ps = fit_propensity(stacked, ps_formula, weight_col="w_s",
+                                 sampling_fraction=a)
+    design_cols = list(ps.design_cols)
+    stacked = (
+        stacked.withColumn("p_score", ps.p_score())
+        .withColumn("p_est", ps.p_est())
+        .withColumn("pi_c_est", ps.pi_c_est())
+        .cache()
+    )
+    ginf = gamma_influence(stacked, design_cols, p_est="p_est", ps_w="w_s")
+    base = ginf.df.cache()
+    q = len(design_cols)
+    p = len(cox_cols)
+    pi_expr = F.when(F.col("trt") == 1, F.col("pi_c_est")).otherwise(
+        1.0 / F.col(survey_weight)
+    )
+
+    out: dict[str, MethodInference] = {}
+    for method in methods:
+        cohort_b = base.where(F.col("trt") == 1)
+        if method == "ipsw":
+            # I1 + I2 (taylor_deviate.R:63-64)
+            cw = cohort_b.withColumn("pw", F.exp(-F.col("p_score")))
+            pwg_cols = []
+            for j, dcol in enumerate(design_cols):
+                cw = cw.withColumn(f"pwg_{j}", -F.col("pw") * F.col(dcol))
+                pwg_cols.append(f"pwg_{j}")
+        elif method == "kw":
+            # I3 + I4 via the banded pair join
+            res = kw_weights(
+                cohort_b.select(id_col, "p_score", *design_cols),
+                base.where(F.col("trt") == 0).select(
+                    id_col, "p_score", survey_weight, *design_cols
+                ),
+                weight_col=survey_weight,
+                deriv_cols=design_cols,
+            )
+            w_tbl = res.weights.withColumnRenamed("kw", "pw")
+            pwg_cols = []
+            for j, name in enumerate(res.deriv_cols):
+                w_tbl = w_tbl.withColumnRenamed(name, f"pwg_{j}")
+                pwg_cols.append(f"pwg_{j}")
+            cw = cohort_b.join(w_tbl, id_col)
+        else:
+            raise ValueError(f"unknown method {method!r}")
+        cw = cw.cache()
+
+        fit: CoxFit = cox_fit(cw, cox_cols, w="pw")
+        cinf: CoxInfluence = cox_score_influence(cw, cox_cols, fit.beta, pw="pw")
+        einf = eta_influence(
+            cinf,
+            ginf,
+            pwg_cols,
+            cohort_pw="pw",
+            ps_w="w_s",
+            pi_c_est="pi_c_est",
+            svy_wt=survey_weight,
+            id_col=id_col,
+        )
+        vb_pps = einf.var_pps[:p, :p]
+        vb_poi = einf.var_poisson[:p, :p]
+
+        # beta_wt on the stacked frame: eta beta-block / ps.w
+        # (taylor_deviate.R:92); join pw + pw_gamma onto the stacked rows
+        full = einf.df
+        bw_cols = []
+        for m in range(p):
+            full = full.withColumn(
+                f"bw_{m}", F.col(einf.delta_cols[m]) / F.col("w_s")
+            )
+            bw_cols.append(f"bw_{m}")
+        pw_tbl = cw.select(
+            F.col(id_col), F.lit(1).alias("trt"), F.col("pw"),
+            *[F.col(c) for c in pwg_cols],
+        )
+        full = full.drop("pw", *pwg_cols).join(
+            pw_tbl, [id_col, "trt"], "left"
+        ).fillna({"pw": 0.0, **{c: 0.0 for c in pwg_cols}})
+
+        hinf: HazardInfluence = hazard_influence(
+            full,
+            cox_cols,
+            fit.beta,
+            t_star,
+            pw="pw",
+            beta_wt_cols=bw_cols,
+            gamma_wt_cols=list(ginf.gamma_cols),
+            pw_gamma_cols=pwg_cols,
+            lambda_star=lambda_star,
+            x0=x0,
+            id_col=id_col,
+        )
+        hdf = hinf.df
+        # Delta = ps.w * theta_wt for every influence column
+        all_cols = (
+            list(hinf.lambda_cols)
+            + list(hinf.lambdaG_cols)
+            + list(hinf.absR_cols)
+            + list(hinf.absRG_cols)
+        )
+        for c in all_cols:
+            hdf = hdf.withColumn(f"D_{c}", F.col("w_s") * F.col(c))
+        hdf = hdf.cache()
+
+        vL_pps, vL_poi = _delta_vars(
+            hdf, [f"D_{c}" for c in hinf.lambda_cols], "trt", pi_expr
+        )
+        if hinf.lambdaG_cols:
+            vG_pps, vG_poi = _delta_vars(
+                hdf, [f"D_{c}" for c in hinf.lambdaG_cols], "trt", pi_expr
+            )
+        else:
+            vG_pps = vG_poi = None
+        if hinf.absR_cols:
+            vA_pps, vA_poi = _delta_vars(
+                hdf, [f"D_{c}" for c in hinf.absR_cols], "trt", pi_expr
+            )
+        else:
+            vA_pps = vA_poi = None
+
+        out[method] = MethodInference(
+            method=method,
+            beta=fit.beta,
+            score_norm=fit.score_norm,
+            var_beta_pps=vb_pps,
+            var_beta_poisson=vb_poi,
+            Lambda=np.array(hinf.Lambda),
+            var_Lambda_pps=vL_pps,
+            var_Lambda_poisson=vL_poi,
+            LambdaG=np.array(hinf.LambdaG) if hinf.LambdaG else None,
+            var_LambdaG_pps=vG_pps,
+            var_LambdaG_poisson=vG_poi,
+            absR=np.array(hinf.absR) if hinf.absR else None,
+            var_absR_pps=vA_pps,
+            var_absR_poisson=vA_poi,
+        )
+    return out

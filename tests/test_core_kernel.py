@@ -188,3 +188,53 @@ def test_kw_weights_match_dense(spark):
     want2 = _kw_dense(ps_c, ps_s, wt_s, res2.bandwidth, rm_s=True)
     np.testing.assert_allclose(got2, want2, rtol=1e-10, atol=1e-12)
     assert got2.sum() == pytest.approx(wt_s[1:].sum(), rel=1e-10)
+
+
+def test_kw_gamma_derivative_vs_dense(spark):
+    """I4 ``pw_beta`` (simu_fun.R:191-205): banded pair-table derivative
+    equals the dense kernel-matrix mirror."""
+    rng = np.random.default_rng(17)
+    n_c, n_s = 120, 70
+    c = pd.DataFrame(
+        {
+            "id": np.arange(n_c, dtype=np.int64),
+            "p_score": rng.normal(0, 1, n_c),
+            "x1": rng.normal(0, 1, n_c),
+        }
+    )
+    c["_icpt"] = 1.0
+    s = pd.DataFrame(
+        {
+            "id": np.arange(n_s, dtype=np.int64),
+            "p_score": rng.normal(0.2, 1, n_s),
+            "wt": rng.uniform(1, 6, n_s),
+            "x1": rng.normal(0, 1, n_s),
+        }
+    )
+    s["_icpt"] = 1.0
+    h = 0.25
+    res = kw_weights(
+        spark.createDataFrame(c),
+        spark.createDataFrame(s),
+        weight_col="wt",
+        h=h,
+        deriv_cols=["_icpt", "x1"],
+    )
+    got = res.weights.toPandas().set_index("id").sort_index()
+
+    # dense mirror
+    dist = s["p_score"].to_numpy()[:, None] - c["p_score"].to_numpy()[None, :]
+    k = np.exp(-((dist / h) ** 2) / 2) / np.sqrt(2 * np.pi)
+    rs = k.sum(axis=1)
+    kw_dense = ((k / rs[:, None]) * s["wt"].to_numpy()[:, None]).sum(axis=0)
+    np.testing.assert_allclose(got["kw"].to_numpy(), kw_dense, rtol=1e-9)
+    for name, xc, xs in (("kw_g__icpt", c["_icpt"], s["_icpt"]), ("kw_g_x1", c["x1"], s["x1"])):
+        dx = xs.to_numpy()[:, None] - xc.to_numpy()[None, :]
+        kij = -k * dist * dx / h / h
+        rkij = kij.sum(axis=1)
+        wt = s["wt"].to_numpy()
+        deriv1 = (wt / rs) @ kij
+        deriv2 = -(wt * rkij / rs / rs) @ k
+        np.testing.assert_allclose(
+            got[name].to_numpy(), deriv1 + deriv2, rtol=1e-8, atol=1e-12
+        )

@@ -1,0 +1,78 @@
+"""End-to-end test of the Taylor-deviate analytic inference pipeline
+(I21): both weight methods on a synthetic cohort+survey, checking
+convergence, variance positivity, monotone Lambda, absR bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.survival import (
+    lambda_star_pop,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.taylor import (
+    taylor_inference,
+)
+
+T_STAR = [0.5, 1.0, 2.0]
+
+
+def _world(spark, seed=42, n_pop=4000, n_c=300, n_s=200):
+    rng = np.random.default_rng(seed)
+    pop = pd.DataFrame(
+        {
+            "id": np.arange(n_pop, dtype=np.int64),
+            "x1": rng.normal(0, 1, n_pop),
+            "x2": rng.uniform(-1, 1, n_pop),
+        }
+    )
+    tt = np.round(rng.exponential(1.5, n_pop) * np.exp(-0.5 * pop.x1 + 0.3 * pop.x2), 2) + 0.01
+    cens = rng.exponential(2.0, n_pop)
+    pop["t"] = np.minimum(tt, cens)
+    pop["d"] = (tt <= cens).astype(np.int32)
+    # informative cohort selection (depends on x1), SRS-ish survey
+    p_sel = 1 / (1 + np.exp(-(-2.0 + 0.8 * pop.x1)))
+    c_idx = rng.uniform(size=n_pop) < p_sel * (n_c / p_sel.sum())
+    s_idx = rng.uniform(size=n_pop) < n_s / n_pop
+    cohort = pop[c_idx].copy()
+    survey = pop[s_idx].copy()
+    survey["wt"] = n_pop / len(survey)
+    return pop, cohort, survey
+
+
+def test_taylor_inference_end_to_end(spark):
+    pop, cohort, survey = _world(spark)
+    pop_df = spark.createDataFrame(pop)
+    lam_star = lambda_star_pop(pop_df)
+    res = taylor_inference(
+        spark.createDataFrame(cohort),
+        spark.createDataFrame(survey),
+        "x1 + x2",
+        ["x1", "x2"],
+        T_STAR,
+        pop_size=len(pop),
+        x0=[0.5, 0.0],
+        lambda_star=lam_star,
+        methods=("ipsw", "kw"),
+    )
+    assert set(res) == {"ipsw", "kw"}
+    for name, m in res.items():
+        assert m.score_norm < 1e-6, f"{name} Cox did not converge"
+        # variances are positive
+        assert np.all(np.diag(m.var_beta_pps) > 0)
+        assert np.all(np.diag(m.var_beta_poisson) > 0)
+        assert np.all(m.var_Lambda_pps >= 0)
+        assert np.all(m.var_Lambda_poisson >= 0)
+        assert np.all(m.var_LambdaG_pps >= 0)
+        assert np.all(m.var_absR_pps >= 0)
+        # Lambda nondecreasing over t*, absR in (0,1)
+        assert np.all(np.diff(m.Lambda) >= 0)
+        assert np.all((m.absR > 0) & (m.absR < 1))
+        # weighted estimates should recover the truth-ish betas:
+        # T = E * exp(-0.5 x1 + 0.3 x2)  =>  hazard beta = (+0.5, -0.3)
+        assert abs(m.beta[0] - 0.5) < 0.25
+        assert abs(m.beta[1] - (-0.3)) < 0.35
+    # the two methods agree on the ballpark
+    np.testing.assert_allclose(res["ipsw"].Lambda, res["kw"].Lambda, rtol=0.5)
