@@ -906,6 +906,22 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.where(F.col("vec_id") < 5), 3)
 
 
+def _q_population_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+I24 (rows-only: seeded-random generation): synthetic
+    population with error variants; spot-check aggregate shape."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.simulation import (
+        generate_population,
+    )
+
+    pop = generate_population(spark, 5000, seed=8291)
+    return pop.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("d"), 6).alias("event_rate"),
+        F.round(F.avg("t"), 6).alias("mean_t"),
+        F.round(F.avg("t_imp_1"), 6).alias("mean_t_imp_1"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stack_weights": _q_stack_weights,
@@ -932,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_dedup": _q_embedding_dedup,
         "lsh_topk": _q_lsh_topk,
+        "population_gen": _q_population_gen,
     }
 
 

@@ -1,0 +1,208 @@
+"""Simulation layer (SURVEY §2 A1-A3, I24, §3.1 driver):
+synthetic-population generation, measurement-error variants with
+regression imputation, selection odds, and the replicate driver.
+
+Reference: ``calib_simu_noninf0315.R:26-108`` (population),
+``t_d_gen`` :61-103 (error + imputation), :127-160 (selection odds),
+:195-249 (replicate loop), ``seed.txt`` (A1), :287-304 (A2 sink).
+
+Spark shape: the population is generated COLUMN-WISE from
+``spark.range(N)`` with seeded ``randn``/``rand`` -- no driver-side
+data, no collect; Weibull times come from the inverse CDF
+(``scale * pow(-log(1-u), 1/shape)``); tercile codes use exact
+percentiles (B6 feeds correctness); the imputation model is the
+closed-form weighted linear fit (H3, one Gram pass). Determinism is
+Spark-seed-reproducible (SURVEY §7 hard-point (d): we do not chase R's
+RNG streams; agreement gates are statistical).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.design import DesignMatrix
+from .glm import weighted_linear
+from .sampling import pps_sample
+
+# Reference constants (calib_simu_noninf0315.R:33-53)
+DEFAULT_SD_X = (4.0, 2.0, 2.0)
+DEFAULT_BETA = (math.log(-math.log(0.85) / 15.0), 0.2, 0.2, 0.3)
+ADMIN_HORIZON = 15.0
+C2_SCALE = -15.0 / math.log(0.9)
+# t_d_gen profiles (calib_simu_noninf0315.R:95-97)
+ERROR_PROFILES: tuple[tuple[float, float, float, float], ...] = (
+    (2.0, 0.01, 0.02, 0.01),
+    (10.0, 0.2, 0.2, 0.1),
+    (10.0, 0.0, 0.0, 0.0),
+)
+# selection-odds coefficients over (x1, d, x2, x1:d, x2:d)
+# (calib_simu_noninf0315.R:131-158)
+GAMMA_C = {"x1": -0.15, "x2": 0.1}
+GAMMA_S = {"x1": 0.07, "x2": 0.07}
+
+
+def _weibull(shape: float, scale: Column, u: Column) -> Column:
+    """Inverse-CDF Weibull draw from uniform u."""
+    return scale * F.pow(-F.log(1.0 - u), 1.0 / float(shape))
+
+
+def generate_population(
+    spark: SparkSession,
+    n: int,
+    *,
+    seed: int = 8291,
+    sd_x: Sequence[float] = DEFAULT_SD_X,
+    beta: Sequence[float] = DEFAULT_BETA,
+    error_profiles: Sequence[Sequence[float]] = ERROR_PROFILES,
+) -> DataFrame:
+    """A3: finite population with covariates, Weibull event times, two
+    censoring processes, tercile codes, and (optionally) k
+    measurement-error variants ``t_delta.k / t_tilde.k / d_tilde.k /
+    t_imp.k`` (I24).
+
+    Columns mirror the reference ``pop`` frame
+    (``calib_simu_noninf0315.R:106-108``).
+    """
+    sd_x = [float(s) for s in sd_x]
+    beta = [float(b) for b in beta]
+    df = spark.range(int(n)).select((F.col("id") + 1).alias("id"))
+    for k, sd in enumerate(sd_x, start=1):
+        df = df.withColumn(f"x{k}", F.randn(seed + k) * sd)
+    # Weibull(shape=1, scale=1/gamma), gamma = exp(b0 + b1 x1 + ...)
+    lin = F.lit(beta[0])
+    for k in range(1, len(beta)):
+        lin = lin + F.col(f"x{k}") * beta[k]
+    gamma = F.exp(lin)
+    df = (
+        df.withColumn("t_i", _weibull(1.0, 1.0 / gamma, F.rand(seed + 11)))
+        .withColumn("c1", F.lit(ADMIN_HORIZON) - F.rand(seed + 12))
+        .withColumn("c2", _weibull(1.0, F.lit(C2_SCALE), F.rand(seed + 13)))
+    )
+    df = df.withColumn("t", F.least("t_i", "c1", "c2")).withColumn(
+        "d", (F.col("t_i") <= F.least("c1", "c2")).cast("int")
+    )
+    # tercile codes from EXACT percentiles (B6)
+    qs = df.agg(
+        F.expr("percentile(x1, array(0.3, 0.6))").alias("q1"),
+        F.expr("percentile(x2, array(0.3, 0.6))").alias("q2"),
+    ).collect()[0]
+    for name, (lo, hi) in (("x1", qs["q1"]), ("x2", qs["q2"])):
+        df = df.withColumn(
+            f"{name}_c",
+            F.when(F.col(name) <= lo, 1).when(F.col(name) <= hi, 2).otherwise(3),
+        )
+    df = df.withColumn("w", F.lit(1.0))
+    for k, prof in enumerate(error_profiles, start=1):
+        df = _error_variant(df, k, [float(v) for v in prof], seed + 100 * k)
+    return df.drop("t_i", "c1", "c2")
+
+
+def _error_variant(df: DataFrame, k: int, bd: Sequence[float], seed: int) -> DataFrame:
+    """I24 ``t_d_gen``: error-shifted times + flags + regression
+    imputation (``calib_simu_noninf0315.R:61-93``)."""
+    delta = (
+        F.lit(bd[0])
+        + F.col("x1") * bd[1]
+        + F.col("x2") * bd[2]
+        + F.col("x1") * F.col("x2") * bd[3]
+        + F.randn(seed) + F.lit(0.01)   # rnorm(N, 0.01): mean .01, sd 1
+    )
+    df = df.withColumn(f"t_delta_{k}", F.greatest(delta, F.lit(0.0)))
+    t_d = F.col("t_i") + F.col(f"t_delta_{k}")
+    df = df.withColumn(f"t_tilde_{k}", F.least(t_d, F.col("c1"), F.col("c2")))
+    df = df.withColumn(
+        f"d_tilde_{k}", (t_d <= F.least("c1", "c2")).cast("int")
+    )
+    # imputation model lm(t_delta ~ x1*x2) on error-observed rows (H3)
+    obs = df.where(F.col(f"d_tilde_{k}") == 1)
+    obs, x_cols = DesignMatrix("x1*x2").attach(obs)
+    fitted = weighted_linear(obs, x_cols, f"t_delta_{k}", None)
+    pred = F.lit(float(fitted.beta[0]))
+    # x_cols order: _icpt, x1, x2, x1_x_x2
+    pred = (
+        pred
+        + F.col("x1") * float(fitted.beta[1])
+        + F.col("x2") * float(fitted.beta[2])
+        + F.col("x1") * F.col("x2") * float(fitted.beta[3])
+    )
+    imp = F.col(f"t_tilde_{k}") - F.greatest(pred, F.lit(0.0))
+    df = df.withColumn(
+        f"t_imp_{k}",
+        F.when(
+            F.col(f"d_tilde_{k}") == 1, F.greatest(imp, F.lit(0.0))
+        ).otherwise(F.col("t")),
+    )
+    return df
+
+
+def selection_odds(coefs: Mapping[str, float]) -> Column:
+    """Selection odds exp(sum coef * col) (B9 over the odds design;
+    ``calib_simu_noninf0315.R:144,158``)."""
+    lin = F.lit(0.0)
+    for name, c in coefs.items():
+        if ":" in name:
+            a, b = name.split(":")
+            lin = lin + F.col(a) * F.col(b) * float(c)
+        else:
+            lin = lin + F.col(name) * float(c)
+    return F.exp(lin)
+
+
+def draw_samples(
+    pop: DataFrame,
+    n_c: int,
+    n_s: int,
+    *,
+    seed: int,
+    odds_c: Mapping[str, float] | None = None,
+    odds_s: Mapping[str, float] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One replicate's PPS cohort + survey draw (§3.1 lines 202-218)."""
+    oc = selection_odds(odds_c or GAMMA_C)
+    os_ = selection_odds(odds_s or GAMMA_S)
+    cohort = pps_sample(pop.withColumn("_sz", oc), "_sz", n_c, seed=seed).drop("_sz")
+    survey = pps_sample(pop.withColumn("_sz", os_), "_sz", n_s, seed=seed + 1).drop("_sz")
+    return cohort, survey
+
+
+def read_seed_table(spark: SparkSession, path: str) -> DataFrame:
+    """A1: two-column ``seed1 seed2`` whitespace table."""
+    return (
+        spark.read.option("header", True)
+        .option("sep", " ")
+        .option("inferSchema", True)
+        .csv(path)
+    )
+
+
+def run_simulation(
+    spark: SparkSession,
+    n_pop: int,
+    n_replicates: int,
+    estimator: Callable[[DataFrame, DataFrame, int], Mapping[str, float]],
+    *,
+    n_c: int = 600,
+    n_s: int = 300,
+    seed: int = 8291,
+    sink_path: str | None = None,
+) -> DataFrame:
+    """§3.1 replicate driver: generate the population once (cached),
+    loop replicates drawing PPS samples and applying ``estimator``;
+    results land in a long DataFrame (replicate, param, value) --
+    SURVEY §1.4 long-format replicate arrays -- optionally written as
+    CSV (A2)."""
+    pop = generate_population(spark, n_pop, seed=seed).cache()
+    rows = []
+    for r in range(1, n_replicates + 1):
+        cohort, survey = draw_samples(pop, n_c, n_s, seed=seed + 1000 * r)
+        for name, v in estimator(cohort, survey, r).items():
+            rows.append((r, name, float(v)))
+    out = spark.createDataFrame(rows, "replicate int, param string, value double")
+    if sink_path:
+        out.write.mode("overwrite").option("header", True).csv(sink_path)
+    return out

@@ -1,0 +1,116 @@
+"""Tests for the simulation layer (A1-A3, I24, §3.1): population
+moments, survival construction invariants, measurement-error and
+imputation semantics, replicate driver plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.simulation import (
+    draw_samples,
+    generate_population,
+    read_seed_table,
+    run_simulation,
+    selection_odds,
+)
+
+N = 20000
+
+
+@pytest.fixture(scope="module")
+def pop(spark):
+    return generate_population(spark, N, seed=5).cache()
+
+
+def test_population_shape_and_moments(pop):
+    assert pop.count() == N
+    r = pop.agg(
+        F.avg("x1").alias("m1"),
+        F.stddev("x1").alias("s1"),
+        F.stddev("x2").alias("s2"),
+        F.avg("d").alias("ev"),
+        F.max("t").alias("tmax"),
+        F.min("t").alias("tmin"),
+    ).collect()[0]
+    assert abs(r["m1"]) < 0.15
+    assert abs(r["s1"] - 4.0) < 0.15 and abs(r["s2"] - 2.0) < 0.1
+    assert 0.05 < r["ev"] < 0.95
+    assert 0 <= r["tmin"] and r["tmax"] <= 15.0  # administrative horizon
+    # tercile codes roughly 30/30/40
+    counts = pop.groupBy("x1_c").count().toPandas().set_index("x1_c")["count"]
+    assert abs(counts[1] / N - 0.3) < 0.02
+    assert abs(counts[2] / N - 0.3) < 0.02
+
+
+def test_error_variants_invariants(pop):
+    # t_d >= t_i  =>  an error-observed event implies a true event
+    bad = pop.where((F.col("d_tilde_1") == 1) & (F.col("d") == 0)).count()
+    assert bad == 0
+    r = pop.agg(
+        F.min("t_delta_2").alias("mn"),
+        F.avg("t_delta_2").alias("m2"),
+        F.avg("t_delta_1").alias("m1"),
+        F.min("t_imp_1").alias("imp_min"),
+    ).collect()[0]
+    assert r["mn"] >= 0.0 and r["imp_min"] >= 0.0
+    # profile means track their intercepts (2 + noise vs 10 + noise)
+    assert 1.0 < r["m1"] < 3.5
+    assert 8.5 < r["m2"] < 11.5
+    # censored rows keep t unchanged in the imputed column
+    diff = (
+        pop.where(F.col("d_tilde_1") == 0)
+        .agg(F.max(F.abs(F.col("t_imp_1") - F.col("t"))).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert diff == 0.0
+
+
+def test_determinism(spark):
+    a = generate_population(spark, 2000, seed=9).agg(
+        F.sum("t").alias("s"), F.sum("d").alias("e")
+    ).collect()[0]
+    b = generate_population(spark, 2000, seed=9).agg(
+        F.sum("t").alias("s"), F.sum("d").alias("e")
+    ).collect()[0]
+    assert a["s"] == b["s"] and a["e"] == b["e"]
+
+
+def test_draw_samples_pps_weights(pop):
+    cohort, survey = draw_samples(pop, 300, 200, seed=77)
+    assert cohort.count() == 300 and survey.count() == 200
+    # PPS with odds exp(-0.15 x1): cohort over-represents LOW x1
+    pm = pop.agg(F.avg("x1")).collect()[0][0]
+    cm = cohort.agg(F.avg("x1")).collect()[0][0]
+    assert cm < pm
+    # weight column = S/(n*size) positive
+    assert cohort.where(F.col("wt") <= 0).count() == 0
+
+
+def test_seed_table_reader(spark, tmp_path):
+    p = str(tmp_path / "seed.txt")
+    with open(p, "w") as f:
+        f.write("seed1 seed2\n101 202\n303 404\n")
+    df = read_seed_table(spark, p)
+    rows = sorted((r["seed1"], r["seed2"]) for r in df.collect())
+    assert rows == [(101, 202), (303, 404)]
+
+
+def test_run_simulation_driver(spark, tmp_path):
+    def estimator(cohort, survey, r):
+        m = cohort.agg(
+            (F.sum(F.col("wt") * F.col("d")) / F.sum("wt")).alias("prev")
+        ).collect()[0]
+        return {"prev_cohort": m["prev"]}
+
+    sink = str(tmp_path / "results")
+    out = run_simulation(
+        spark, 5000, 3, estimator, n_c=150, n_s=100, seed=13, sink_path=sink
+    )
+    pdf = out.toPandas()
+    assert len(pdf) == 3
+    assert set(pdf["param"]) == {"prev_cohort"}
+    assert ((pdf["value"] > 0) & (pdf["value"] < 1)).all()
+    back = spark.read.option("header", True).csv(sink)
+    assert back.count() == 3
