@@ -1,0 +1,128 @@
+"""Calibration estimator pipeline (SURVEY §2 I9, reference
+``calib_est`` ``jk_fun.R:24-78``).
+
+Composite flow:
+1. weighted Cox on the stacked frame (H2) -> relative hazards;
+2. Cox dfbeta influence (I12) supplies auxiliary calibration columns;
+3. GREG (I8) calibrates the cohort weights to [N, N1, 0-dfbeta,
+   (sum wt t rr)] benchmarks -- two variants: the "rr" calibration
+   (drops the t.rr constraint) feeding the Cox refit, and the "lamd"
+   calibration (drops the dfbeta constraints) feeding the hazard
+   estimates;
+4. negative calibrated weights floored at 1e-5 (B5);
+5. Cox refit under calibwt.rr; Breslow/Gail/absR point estimates
+   under calib.lamd (``est_out`` ``jk_fun.R:1-22``).
+
+Every stage reuses the distributed building blocks; the composition
+adds no new shuffle shapes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.design import linear_predictor
+from .calibration import clamp_weights, greg_calibrate
+from .cox import cox_fit
+from .influence import cox_score_influence
+from .survival import (
+    as_of_lookup,
+    breslow_cum_hazard,
+    cum_hazard,
+    gail_cum_hazard,
+    hazard_grid,
+)
+
+
+@dataclass
+class CalibEstResult:
+    beta: np.ndarray                  # Cox refit under calibwt.rr
+    score_norm: float
+    Lambda: np.ndarray                # Breslow at t* under calib.lamd
+    LambdaG: np.ndarray | None
+    absR: np.ndarray | None
+    absRG: np.ndarray | None
+    cohort: DataFrame                 # cohort + calibwt_rr / calib_lamd
+
+
+def calib_est(
+    com_dat: DataFrame,
+    x_cols: list[str],
+    t_star: list[float],
+    *,
+    var_wt: str,
+    pop_size: float,
+    pop_events: float,
+    t: str = "t",
+    d: str = "d",
+    trt: str = "trt",
+    lambda_star: DataFrame | None = None,
+    x0: list[float] | None = None,
+) -> CalibEstResult:
+    """I9 ``calib_est``: GREG-calibrated Cox + hazard estimates.
+
+    ``com_dat``: stacked cohort+survey with analysis weight ``var_wt``
+    on every row. ``pop_size``/``pop_events`` are the N / N1
+    benchmarks (``jk_fun.R:46-48``).
+    """
+    p = len(x_cols)
+    aux_fit = cox_fit(com_dat, x_cols, t=t, d=d, w=var_wt)
+    rr = F.exp(linear_predictor(x_cols, aux_fit.beta))
+    cinf = cox_score_influence(com_dat, x_cols, aux_fit.beta, t=t, d=d, pw=var_wt)
+    full = cinf.df.withColumn("_trr", F.col(t) * rr)
+    t_rr_tot = float(
+        full.agg(F.sum(F.col(var_wt) * F.col("_trr"))).collect()[0][0]
+    )
+    cohort = full.where(F.col(trt) == 1).withColumn("_one", F.lit(1.0)).cache()
+
+    # GREG #1: [1, d, dfbeta...] -> [N, N1, 0...]; feeds the Cox refit
+    aux_rr = ["_one", d] + list(cinf.beta_pw_cols)
+    bench_rr = [float(pop_size), float(pop_events)] + [0.0] * p
+    g1 = greg_calibrate(
+        cohort, var_wt, aux_rr, bench_rr, g_col="_g_rr", out_col=None
+    )
+    cohort = g1.df.withColumn(
+        "calibwt_rr", clamp_weights(F.col(var_wt) * F.col("_g_rr"))
+    )
+
+    # GREG #2: [1, d, t*rr] -> [N, N1, sum wt t rr]; feeds the hazards
+    aux_l = ["_one", d, "_trr"]
+    bench_l = [float(pop_size), float(pop_events), t_rr_tot]
+    g2 = greg_calibrate(cohort, var_wt, aux_l, bench_l, g_col="_g_l", out_col=None)
+    cohort = g2.df.withColumn(
+        "calib_lamd", clamp_weights(F.col(var_wt) * F.col("_g_l"))
+    ).cache()
+
+    refit = cox_fit(cohort, x_cols, t=t, d=d, w="calibwt_rr")
+    rel2 = F.exp(linear_predictor(x_cols, refit.beta))
+    cohort_l = cohort.withColumn("_rel2", rel2)
+    lam = breslow_cum_hazard(
+        cohort_l, t_star, t=t, d=d, w="calib_lamd", rel_hzd="_rel2"
+    ).orderBy("t_star")
+    Lambda = np.array([r["cum_hzd"] for r in lam.collect()])
+
+    LambdaG = absR = absRG = None
+    if lambda_star is not None:
+        lg = gail_cum_hazard(
+            lambda_star, cohort_l, t_star, t=t, d=d, w="calib_lamd", rel_hzd="_rel2"
+        ).orderBy("t_star")
+        LambdaG = np.array([r["cum_hzd"] for r in lg.collect()])
+    if x0 is not None:
+        rr0 = float(np.exp(np.dot(refit.beta, np.asarray(x0, dtype=float))))
+        absR = 1.0 - np.exp(-Lambda * rr0)
+        if LambdaG is not None:
+            absRG = 1.0 - np.exp(-LambdaG * rr0)
+
+    return CalibEstResult(
+        beta=refit.beta,
+        score_norm=refit.score_norm,
+        Lambda=Lambda,
+        LambdaG=LambdaG,
+        absR=absR,
+        absRG=absRG,
+        cohort=cohort,
+    )

@@ -391,3 +391,82 @@ def eta_influence(
     )
     v_poi = var_poisson(out, delta_cols, pi_expr)
     return EtaInfluence(out, tuple(delta_cols), v_pps, v_poi)
+
+
+# ---------------------------------------------------------------------------
+# I19: Poisson sandwich for a pseudo-weighted logistic outcome model
+# ---------------------------------------------------------------------------
+
+
+def v_poisson_logistic(
+    cohort: DataFrame,
+    survey: DataFrame,
+    outcome_cols: Sequence[str],
+    ps_cols: Sequence[str],
+    *,
+    y: str,
+    mu: Column,
+    pw: str,
+    pw_beta_cols: Sequence[str],
+    p_est: str = "p_est",
+    svy_wt: str = "wt",
+    a: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """I19 ``v_Poisson`` (``simu_fun.R:231-263``): joint
+    estimating-equation sandwich for a weighted logistic OUTCOME model
+    whose pseudo-weights depend on the propensity fit.
+
+        U_g = -X_o' diag(pw mu(1-mu)) X_o
+        U_b =  X_o' diag(y-mu) pw_beta            (cohort cross-Gram)
+        S_b = -X_c' diag(p(1-p)) X_c - a X_s' diag(wt p(1-p)) X_s
+        Phi_1 = [pw (y-mu) X_o | (1-p) X_c]       (cohort rows)
+        Phi_2 = [0             | a wt p X_s]      (survey rows)
+        v    = phi_inv (Phi_1'(1-pi)Phi_1 + Phi_2'(1-1/wt)Phi_2) phi_inv'
+
+    Returns (v_mtx, v_gamma_diag). Every block is one Gram /
+    cross-Gram pass; driver algebra is (p+q)^2.
+    """
+    outcome_cols = list(outcome_cols)
+    ps_cols = list(ps_cols)
+    p = len(outcome_cols)
+    q = len(ps_cols)
+    yv = F.col(y).cast("double")
+    pe = F.col(p_est)
+    resid = yv - mu
+
+    u_g = -gram(cohort, outcome_cols, F.col(pw) * mu * (1.0 - mu))
+    u_b = cross_gram(
+        cohort,
+        outcome_cols,
+        list(pw_beta_cols),
+        resid,
+    )
+    s_b = -gram(cohort, ps_cols, pe * (1.0 - pe)) - float(a) * gram(
+        survey, ps_cols, F.col(svy_wt) * pe * (1.0 - pe)
+    )
+    phi_inv = block_inverse(u_g, u_b, s_b)
+
+    # v_Phi: Phi' diag(h) Phi with per-stratum h (one Gram pass each)
+    pi_c = pe / (1.0 - pe) * float(a)
+    phi1_cols_c = [F.col(pw) * resid * F.col(c) for c in outcome_cols] + [
+        (1.0 - pe) * F.col(c) for c in ps_cols
+    ]
+    phi2_cols_s = [F.lit(0.0) for _ in outcome_cols] + [
+        float(a) * F.col(svy_wt) * pe * F.col(c) for c in ps_cols
+    ]
+
+    def _wgram(df: DataFrame, cols: list[Column], h: Column) -> np.ndarray:
+        n = len(cols)
+        exprs = [
+            F.sum(h * cols[i] * cols[j]).alias(f"_g_{i}_{j}")
+            for i in range(n)
+            for j in range(i, n)
+        ]
+        row = df.agg(*exprs).collect()[0]
+        return vec_to_sym(np.array(row, dtype=float), n)
+
+    v1 = _wgram(cohort, phi1_cols_c, 1.0 - pi_c)
+    v2 = _wgram(survey, phi2_cols_s, 1.0 - 1.0 / F.col(svy_wt))
+    v_phi = v1 + v2
+    v_all = phi_inv @ v_phi @ phi_inv.T
+    return v_all, np.diag(v_all)[:p]

@@ -1,0 +1,148 @@
+"""Tests for the calibration-estimator pipeline (I9) and the logistic
+Poisson sandwich (I19)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.calib_pipeline import (
+    calib_est,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.influence import (
+    v_poisson_logistic,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.survival import (
+    lambda_star_pop,
+)
+
+
+def _world(seed=19, n_c=250, n_s=150):
+    rng = np.random.default_rng(seed)
+    n = n_c + n_s
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "trt": np.r_[np.ones(n_c, np.int32), np.zeros(n_s, np.int32)],
+            "x1": rng.normal(0, 1, n),
+            "x2": rng.uniform(-1, 1, n),
+        }
+    )
+    tt = np.round(rng.exponential(1.5, n) * np.exp(-0.4 * pdf.x1), 2) + 0.01
+    cens = rng.exponential(2.0, n)
+    pdf["t"] = np.minimum(tt, cens)
+    pdf["d"] = (tt <= cens).astype(np.int32)
+    pdf["wt"] = np.where(pdf.trt == 1, rng.uniform(8, 12, n), rng.uniform(15, 25, n))
+    return pdf, n_c
+
+
+def test_calib_est_invariants(spark):
+    pdf, n_c = _world()
+    df = spark.createDataFrame(pdf)
+    N = 4000.0
+    N1 = 1400.0
+    ls = lambda_star_pop(df.withColumn("_w1", F.lit(1.0)), w="_w1")
+    res = calib_est(
+        df,
+        ["x1", "x2"],
+        [0.5, 1.0, 2.0],
+        var_wt="wt",
+        pop_size=N,
+        pop_events=N1,
+        lambda_star=ls,
+        x0=[0.5, 0.0],
+    )
+    assert res.score_norm < 1e-6
+    # Defining property: calibrated totals hit N and N1 (before clamp;
+    # with no negative weights the clamp is a no-op -> exact)
+    got = res.cohort.agg(
+        F.sum("calibwt_rr").alias("s"),
+        F.sum(F.col("calibwt_rr") * F.col("d")).alias("s1"),
+        F.sum("calib_lamd").alias("l"),
+        F.sum(F.col("calib_lamd") * F.col("d")).alias("l1"),
+        F.min("calibwt_rr").alias("mn"),
+    ).collect()[0]
+    if got["mn"] > 0:
+        assert got["s"] == pytest.approx(N, rel=1e-8)
+        assert got["s1"] == pytest.approx(N1, rel=1e-8)
+        assert got["l"] == pytest.approx(N, rel=1e-8)
+        assert got["l1"] == pytest.approx(N1, rel=1e-8)
+    assert np.all(np.diff(res.Lambda) >= 0)
+    assert np.all((res.absR > 0) & (res.absR < 1))
+    assert res.LambdaG is not None and np.all(res.LambdaG >= 0)
+
+
+def test_v_poisson_logistic_vs_dense(spark):
+    rng = np.random.default_rng(3)
+    n_c, n_s = 200, 120
+    c = pd.DataFrame(
+        {
+            "id": np.arange(n_c, dtype=np.int64),
+            "x1": rng.normal(0, 1, n_c),
+        }
+    )
+    c["_icpt"] = 1.0
+    c["pw"] = rng.uniform(2, 8, n_c)
+    c["p_est"] = 1 / (1 + np.exp(-(-1.0 + 0.4 * c.x1)))
+    c["y"] = (rng.uniform(size=n_c) < 0.4).astype(np.int32)
+    c["pwb_0"] = rng.normal(0, 1, n_c)
+    c["pwb_1"] = rng.normal(0, 1, n_c)
+    s = pd.DataFrame(
+        {
+            "id": np.arange(n_s, dtype=np.int64),
+            "x1": rng.normal(0.2, 1, n_s),
+            "wt": rng.uniform(5, 15, n_s),
+        }
+    )
+    s["_icpt"] = 1.0
+    s["p_est"] = 1 / (1 + np.exp(-(-1.0 + 0.4 * s.x1)))
+    a = 0.05
+    mu_beta = np.array([-0.5, 0.3])
+    cdf = spark.createDataFrame(c)
+    sdf = spark.createDataFrame(s)
+    mu_expr = 1.0 / (
+        1.0 + F.exp(-(F.lit(mu_beta[0]) * F.col("_icpt") + F.lit(mu_beta[1]) * F.col("x1")))
+    )
+    v_all, v_diag = v_poisson_logistic(
+        cdf,
+        sdf,
+        ["_icpt", "x1"],
+        ["_icpt", "x1"],
+        y="y",
+        mu=mu_expr,
+        pw="pw",
+        pw_beta_cols=["pwb_0", "pwb_1"],
+        a=a,
+    )
+
+    # dense mirror (simu_fun.R:231-263)
+    xo = c[["_icpt", "x1"]].to_numpy()
+    xc = xo
+    xs = s[["_icpt", "x1"]].to_numpy()
+    pw = c["pw"].to_numpy()
+    pc = c["p_est"].to_numpy()
+    ps_ = s["p_est"].to_numpy()
+    wt = s["wt"].to_numpy()
+    yv = c["y"].to_numpy().astype(float)
+    mu = 1 / (1 + np.exp(-(xo @ mu_beta)))
+    pwb = c[["pwb_0", "pwb_1"]].to_numpy()
+    u_g = -(xo * (pw * mu * (1 - mu))[:, None]).T @ xo
+    u_b = ((yv - mu)[:, None] * xo).T @ pwb
+    s_b = -(xc * (pc * (1 - pc))[:, None]).T @ xc - (
+        xs * (a * wt * ps_ * (1 - ps_))[:, None]
+    ).T @ xs
+    ug_i = np.linalg.inv(u_g)
+    sb_i = np.linalg.inv(s_b)
+    b = -ug_i @ u_b @ sb_i
+    phi_inv = np.block([[ug_i, b], [np.zeros((2, 2)), sb_i]])
+    pi_c = pc / (1 - pc) * a
+    phi1 = np.hstack([(pw * (yv - mu))[:, None] * xo, (1 - pc)[:, None] * xc])
+    phi2 = np.hstack([np.zeros((n_s, 2)), (a * wt * ps_)[:, None] * xs])
+    v_phi = (phi1 * (1 - pi_c)[:, None]).T @ phi1 + (
+        phi2 * (1 - 1 / wt)[:, None]
+    ).T @ phi2
+    v_dense = phi_inv @ v_phi @ phi_inv.T
+    np.testing.assert_allclose(v_all, v_dense, rtol=1e-8)
+    np.testing.assert_allclose(v_diag, np.diag(v_dense)[:2], rtol=1e-8)
