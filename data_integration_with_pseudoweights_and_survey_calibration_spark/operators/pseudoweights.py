@@ -37,8 +37,13 @@ from pyspark.sql import functions as F
 
 from ..functions.kernels import KERNELS, TRIANG_BW_SCALE
 
-# |z| beyond which dnorm(z) == 0.0 in IEEE double (underflow at ~38.6).
-GAUSSIAN_SUPPORT = 40.0
+# Numeric support of the Gaussian kernel. dnorm underflows to exact
+# 0.0 at |z| ~ 38.6, but a pair at |z| = 10 already contributes
+# K(10) ~ 7.7e-23 RELATIVE to in-band terms -- ten orders below double
+# round-off of the row sums -- so 10 bandwidths is value-identical to
+# the dense computation at any representable precision while pruning
+# the pair join ~4x harder. (Raise to 40 for bit-paranoid parity.)
+GAUSSIAN_SUPPORT = 10.0
 TRIANG_SUPPORT = 1.0
 
 
