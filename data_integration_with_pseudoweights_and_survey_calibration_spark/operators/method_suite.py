@@ -1,0 +1,215 @@
+"""Per-replicate estimation method suite (reference ``jk_est_noninf``
+``jk_fun.R:79-170`` and ``est_out`` ``jk_fun.R:1-22``).
+
+Runs, on one cohort+survey draw, the reference's 16 estimation methods:
+
+  naive      unweighted Cox on the cohort
+  cht        design-weighted Cox on the cohort (true weights)
+  svy        design-weighted Cox on the survey
+  ipsw       propensity pseudo-weighted Cox (PS refit on the stack)
+  calib.dk / calib_ipsw.dk / imp.dk / impcalib_ipsw.dk   (k = 1..3)
+             GREG-calibrated variants per measurement-error scenario,
+             under true weights or composite IPSW weights, with
+             error-observed or imputation-corrected times
+
+each yielding beta, Lambda(t*), Lambda_G(t*), absR, absRG. The output
+is a flat {param: value} mapping, directly usable as the ``estimator``
+of ``jackknife.jk_refit_loop`` or ``simulation.run_simulation``.
+
+Reference quirks mirrored exactly: the stacked frame halves the true
+weights (``com_dat$wt = wt/2``, jk_fun.R:111) and ``calib_est``
+restores them on the per-sample frames; under composite IPSW weights
+the event indicator entering the benchmarks is scaled by 1/a_cv
+(jk_fun.R:27-29).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Mapping, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.design import linear_predictor
+from .calib_pipeline import calib_est
+from .calibration import composite_factors
+from .cox import cox_fit
+from .propensity import fit_propensity
+from .pseudoweights import stack_samples
+from .survival import breslow_cum_hazard, gail_cum_hazard
+
+
+def _est_out(
+    samp: DataFrame,
+    x_cols: list[str],
+    beta: np.ndarray,
+    pw: str,
+    t_star: list[float],
+    lambda_star: DataFrame | None,
+    x0: Sequence[Sequence[float]] | None,
+    *,
+    t: str = "t",
+    d: str = "d",
+) -> dict[str, float]:
+    """``est_out``: Lambda / LambdaG / absR / absRG point estimates."""
+    rel = F.exp(linear_predictor(x_cols, beta))
+    s = samp.withColumn("_rel", rel)
+    out: dict[str, float] = {}
+    lam = breslow_cum_hazard(s, t_star, t=t, d=d, w=pw, rel_hzd="_rel").orderBy(
+        "t_star"
+    )
+    Lam = {r["t_star"]: r["cum_hzd"] for r in lam.collect()}
+    for j, ts in enumerate(t_star):
+        out[f"Lambda_t{j}"] = float(Lam[ts])
+    LamG = None
+    if lambda_star is not None:
+        lg = gail_cum_hazard(
+            lambda_star, s, t_star, t=t, d=d, w=pw, rel_hzd="_rel"
+        ).orderBy("t_star")
+        LamG = {r["t_star"]: r["cum_hzd"] for r in lg.collect()}
+        for j, ts in enumerate(t_star):
+            out[f"LambdaG_t{j}"] = float(LamG[ts])
+    if x0 is not None:
+        for pidx, prof in enumerate(x0):
+            rr0 = math.exp(sum(float(b) * float(v) for b, v in zip(beta, prof)))
+            for j, ts in enumerate(t_star):
+                out[f"absR_x{pidx}_t{j}"] = 1.0 - math.exp(-float(Lam[ts]) * rr0)
+                if LamG is not None:
+                    out[f"absRG_x{pidx}_t{j}"] = 1.0 - math.exp(
+                        -float(LamG[ts]) * rr0
+                    )
+    return out
+
+
+def estimate_methods(
+    cohort: DataFrame,
+    survey: DataFrame,
+    *,
+    x_cols: list[str],
+    ps_formula: str,
+    t_star: list[float],
+    pop_size: float,
+    pop_events: float,
+    lambda_star: DataFrame | None = None,
+    x0: Sequence[Sequence[float]] | None = None,
+    error_variants: Sequence[int] = (1, 2, 3),
+    base_methods: Sequence[str] = ("naive", "cht", "svy", "ipsw"),
+    calib_methods: Sequence[str] = ("calib", "calib_ipsw", "imp", "impcalib_ipsw"),
+    survey_weight: str = "wt",
+    t: str = "t",
+    d: str = "d",
+) -> dict[str, float]:
+    """jk_est_noninf: the full method table as a flat param map."""
+    results: dict[str, float] = {}
+    n_s = survey.count()
+    a = n_s / float(pop_size)
+
+    def _cox_and_est(df, pw, label, tcol=t, dcol=d):
+        fit = cox_fit(df, x_cols, t=tcol, d=dcol, w=pw)
+        for name, b in zip(x_cols, fit.beta):
+            results[f"beta_{label}_{name}"] = float(b)
+        for k, v in _est_out(
+            df, x_cols, fit.beta, pw, t_star, lambda_star, x0, t=tcol, d=dcol
+        ).items():
+            results[f"{k}_{label}"] = v
+        return fit
+
+    cohort = cohort.withColumn("_one", F.lit(1.0)).cache()
+    if "naive" in base_methods:
+        _cox_and_est(cohort, "_one", "naive")
+    if "cht" in base_methods:
+        _cox_and_est(cohort, survey_weight, "cht")
+    if "svy" in base_methods:
+        _cox_and_est(survey.withColumn("_one", F.lit(1.0)), survey_weight, "svy")
+
+    # stacked frame with halved true weights (jk_fun.R:111-113)
+    stacked = stack_samples(cohort.drop("_one"), survey, survey_weight,
+                            sampling_fraction=a)
+    stacked = stacked.withColumn(survey_weight, F.col(survey_weight) / 2.0)
+
+    cohort_ipsw = None
+    if "ipsw" in base_methods or any(
+        m in calib_methods for m in ("calib_ipsw", "impcalib_ipsw")
+    ):
+        st2, ps = fit_propensity(stacked, ps_formula, weight_col="w_s",
+                                 sampling_fraction=a)
+        cohort_ipsw = (
+            st2.where(F.col("trt") == 1)
+            .withColumn("ipsw", 1.0 / ps.pi_c_est())
+            .cache()
+        )
+        if "ipsw" in base_methods:
+            _cox_and_est(cohort_ipsw, "ipsw", "ipsw")
+
+    need_comp = any(m in calib_methods for m in ("calib_ipsw", "impcalib_ipsw"))
+    if need_comp:
+        a_c, a_s = composite_factors(
+            cohort_ipsw, survey, cohort_wt="ipsw", survey_wt=survey_weight
+        )
+        ipsw_tbl = cohort_ipsw.select("id", F.lit(1).alias("trt"),
+                                      (F.col("ipsw") * a_c).alias("_comp"))
+        stacked_c = stacked.join(ipsw_tbl, ["id", "trt"], "left").withColumn(
+            "_comp",
+            F.coalesce(F.col("_comp"), F.col(survey_weight) * 2.0 * a_s),
+        )
+    for k in error_variants:
+        # per-variant analysis columns: survey rows use imputed /
+        # error-observed times (jk_fun.R:113-118)
+        tt, dt = f"t_tilde_{k}", f"d_tilde_{k}"
+        tf, df_ = f"t_fit_{k}", f"d_fit_{k}"
+        com = stacked.withColumn(
+            tf, F.when(F.col("trt") == 0, F.col(f"t_imp_{k}")).otherwise(F.col(t))
+        ).withColumn(
+            df_, F.when(F.col("trt") == 0, F.col(dt)).otherwise(F.col(d))
+        )
+        variants = {
+            "calib": (tt, dt, survey_weight, None),
+            "imp": (tf, df_, survey_weight, None),
+        }
+        if need_comp:
+            com = com.join(
+                stacked_c.select("id", "trt", "_comp"), ["id", "trt"]
+            )
+            variants["calib_ipsw"] = (tt, dt, "_comp", a_c)
+            variants["impcalib_ipsw"] = (tf, df_, "_comp", a_c)
+        for mname, (vt, vd, vw, acv) in variants.items():
+            if mname not in calib_methods:
+                continue
+            frame = com
+            if vw == survey_weight:
+                # calib_est under true weights restores the halved wt
+                # (jk_fun.R:30-33)
+                frame = com.withColumn(survey_weight, F.col(survey_weight) * 2.0)
+            elif acv is not None:
+                # composite weights: event benchmark column scaled 1/a_cv
+                # on cohort rows (jk_fun.R:27-29)
+                frame = com.withColumn(
+                    vd,
+                    F.when(
+                        F.col("trt") == 1, F.col(vd) / float(acv)
+                    ).otherwise(F.col(vd)),
+                )
+            label = f"{mname}.d{k}"
+            res = calib_est(
+                frame,
+                x_cols,
+                t_star,
+                var_wt=vw,
+                pop_size=pop_size,
+                pop_events=pop_events,
+                t=vt,
+                d=vd,
+                lambda_star=lambda_star,
+                x0=list(x0[0]) if x0 else None,
+            )
+            for name, b in zip(x_cols, res.beta):
+                results[f"beta_{label}_{name}"] = float(b)
+            for j in range(len(t_star)):
+                results[f"Lambda_t{j}_{label}"] = float(res.Lambda[j])
+                if res.LambdaG is not None:
+                    results[f"LambdaG_t{j}_{label}"] = float(res.LambdaG[j])
+                if res.absR is not None:
+                    results[f"absR_x0_t{j}_{label}"] = float(res.absR[j])
+    return results

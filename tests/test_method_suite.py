@@ -1,0 +1,56 @@
+"""End-to-end test of the per-replicate method suite (jk_est
+equivalent) on a generated population."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.method_suite import (
+    estimate_methods,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.simulation import (
+    draw_samples,
+    generate_population,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.survival import (
+    lambda_star_pop,
+)
+
+
+def test_method_suite(spark):
+    pop = generate_population(spark, 8000, seed=27).cache()
+    n1 = pop.agg(F.sum("d")).collect()[0][0]
+    cohort, survey = draw_samples(pop, 250, 150, seed=3)
+    lam_star = lambda_star_pop(pop, t_star=[2.0, 5.0, 10.0])
+    out = estimate_methods(
+        cohort,
+        survey,
+        x_cols=["x1", "x2", "x3"],
+        ps_formula="x1 + x2",
+        t_star=[2.0, 5.0, 10.0],
+        pop_size=8000.0,
+        pop_events=float(n1),
+        lambda_star=lam_star,
+        x0=[[0.5, 0.0, 0.0]],
+        error_variants=(1,),
+    )
+    # every method contributed betas
+    for m in ("naive", "cht", "svy", "ipsw", "calib.d1", "imp.d1",
+              "calib_ipsw.d1", "impcalib_ipsw.d1"):
+        assert f"beta_{m}_x1" in out, f"missing method {m}"
+    # all values finite; absR in (0,1); Lambda nonnegative and monotone
+    for k, v in out.items():
+        assert math.isfinite(v), f"{k} not finite"
+        if k.startswith("absR"):
+            assert 0.0 < v < 1.0, f"{k}={v}"
+    for m in ("naive", "cht", "ipsw"):
+        lams = [out[f"Lambda_t{j}_{m}"] for j in range(3)]
+        assert lams[0] <= lams[1] <= lams[2]
+        assert lams[0] >= 0
+    # weighted methods should be in a sane beta range (truth 0.2/0.2/0.3)
+    for m in ("cht", "ipsw"):
+        assert abs(out[f"beta_{m}_x1"] - 0.2) < 0.2
