@@ -470,3 +470,184 @@ def v_poisson_logistic(
     v_phi = v1 + v2
     v_all = phi_inv @ v_phi @ phi_inv.T
     return v_all, np.diag(v_all)[:p]
+
+
+# ---------------------------------------------------------------------------
+# I12 post-stratified branch: U_w_3 / U_w_4 cell-chain terms
+# ---------------------------------------------------------------------------
+
+
+def cox_score_influence_post(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    beta: Sequence[float],
+    *,
+    cell_col: str,
+    factors: DataFrame,
+    t: str = "t",
+    d: str = "d",
+    pw: str = "w",
+) -> CoxInfluence:
+    """I12 ``beta_pw.cox`` POST branch (``taylor_deviate.R:680-741``,
+    whole-sample grouped ``f_w``): influence of the post-stratified
+    weighted Cox beta w.r.t. the ORIGINAL weights, through the
+    post-stratification factor.
+
+    ``df`` carries the post-stratified weight in ``pw`` and the cell
+    key; ``factors`` is ``PostStratResult.factors`` (cell, f, f_w with
+    f_w = -Nh/Nh_hat^2).
+
+        Ui = f d (x - H) - U_w_2 + U_w_3 - U_w_4
+        U_w_2[i,] = f_i rel_i (x_i CA(t_i) - CB(t_i))        (as before)
+        U_w_3[i,] = f_w(c_i) * sum_{j in c_i} pw0_j d_j (x_j - H_j)
+        U_w_4[i,] = f_w(c_i) * V_{c_i}
+        V_c = sum_k D_k [ G_c(t_k)/S0_k - g_c(t_k) S1_k / S0_k^2 ]
+        G_c(u) = sum_{j in c, t_j >= u} pw0_j rel_j x_j   (cell grid)
+
+    where pw0 = pw/f is the pre-factor weight. The cell-dependent
+    Sigma_k loop becomes a (cell x event-grid) table: reverse cumsums
+    per cell (window PARTITIONED by cell -- fully parallel), joined
+    with the event grid, aggregated per cell, broadcast back. Nothing
+    row-scale shuffles beyond the base grid pass.
+    """
+    x_cols = list(x_cols)
+    p = len(x_cols)
+    beta = np.asarray(list(beta), dtype=float)
+    rel = F.exp(linear_predictor(x_cols, beta))
+    fcol_tbl = F.broadcast(
+        factors.select(cell_col, F.col("f").alias("_f0"))
+    )
+    rows = df.join(fcol_tbl, cell_col)
+    pw0 = F.col(pw) / F.col("_f0")  # reference: dat[,pw] = dat[,pw]/dat$f
+    dc = F.col(d).cast("double")
+
+    # ---- base influence with post weight pw (= f * pw0) ---------------
+    base = cox_score_influence(df, x_cols, beta, t=t, d=d, pw=pw)
+    u_beta = base.u_beta
+    # H(t_i) columns are implicit inside base ui: recover via
+    # ui = d(x-H) - rel(xCA - CB) computed against the SAME grid; we
+    # need H and the cumsums again for the cell terms, so rebuild the
+    # small grid frames here (same one-pass shapes as the base call).
+    pw_e = F.col(pw) * rel
+    wd = F.col(pw) * dc
+    aggs = [F.sum(pw_e).alias("_s0p"), F.sum(wd).alias("_du")]
+    for i, xi in enumerate(x_cols):
+        aggs.append(F.sum(pw_e * F.col(xi)).alias(f"_s1p_{i}"))
+    grid = df.groupBy(F.col(t).alias("_t")).agg(*aggs)
+    rev = Window.orderBy(F.col("_t").desc()).rangeBetween(Window.unboundedPreceding, 0)
+    grid = grid.select(
+        "_t",
+        "_du",
+        F.sum("_s0p").over(rev).alias("_s0"),
+        *[F.sum(f"_s1p_{i}").over(rev).alias(f"_s1_{i}") for i in range(p)],
+    ).cache()
+
+    # ---- U_w_3: grouped event-score sums ------------------------------
+    hh = grid.select(
+        "_t", *[(F.col(f"_s1_{i}") / F.col("_s0")).alias(f"_hh_{i}") for i in range(p)]
+    )
+    ev_rows = rows.join(hh, rows[t] == hh["_t"], "left").drop("_t")
+    cell_u3 = ev_rows.groupBy(cell_col).agg(
+        *[
+            F.sum(pw0 * dc * (F.col(x_cols[i]) - F.col(f"_hh_{i}"))).alias(f"_u3_{i}")
+            for i in range(p)
+        ]
+    )
+
+    # ---- U_w_4: cell-level grid V_c -----------------------------------
+    cgrid = rows.groupBy(cell_col, F.col(t).alias("_t")).agg(
+        F.sum(pw0 * rel).alias("_gp"),
+        *[F.sum(pw0 * rel * F.col(x_cols[i])).alias(f"_gxp_{i}") for i in range(p)],
+    )
+    crev = Window.partitionBy(cell_col).orderBy(F.col("_t").desc()).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    cgrid = cgrid.select(
+        cell_col,
+        "_t",
+        F.sum("_gp").over(crev).alias("_g"),
+        *[F.sum(f"_gxp_{i}").over(crev).alias(f"_gx_{i}") for i in range(p)],
+    )
+    # align to EVENT times: a cell's G_c(t_k) is its reverse cumsum at
+    # the smallest cell time >= t_k -> as-of per cell via join + max
+    ev_grid = grid.where(F.col("_du") > 0).select(
+        "_t", "_du", "_s0", *[f"_s1_{i}" for i in range(p)]
+    )
+    # G_c is a reverse cumsum over the cell's own times: G_c(t_k) =
+    # the cumsum at the SMALLEST cell time >= t_k (no such time -> 0,
+    # dropped by the inner join). (cell-time x event-time) theta join:
+    # bounded by grid sizes, never row-scale.
+    joined = cgrid.alias("c").join(
+        ev_grid.alias("e"), F.col("c._t") >= F.col("e._t")
+    )
+    w_min = Window.partitionBy(cell_col, "e._t").orderBy(F.col("c._t").asc())
+    at_event = (
+        joined.withColumn("_rn", F.row_number().over(w_min))
+        .where(F.col("_rn") == 1)
+        .select(
+            cell_col,
+            F.col("e._t").alias("_te"),
+            F.col("e._du").alias("_du"),
+            F.col("e._s0").alias("_s0"),
+            *[F.col(f"e._s1_{i}").alias(f"_s1_{i}") for i in range(p)],
+            F.col("c._g").alias("_g"),
+            *[F.col(f"c._gx_{i}").alias(f"_gx_{i}") for i in range(p)],
+        )
+    )
+    cell_v = at_event.groupBy(cell_col).agg(
+        *[
+            F.sum(
+                F.col("_du")
+                * (
+                    F.col(f"_gx_{i}") / F.col("_s0")
+                    - F.col("_g") * F.col(f"_s1_{i}") / (F.col("_s0") * F.col("_s0"))
+                )
+            ).alias(f"_v_{i}")
+            for i in range(p)
+        ]
+    )
+
+    # ---- assemble: Ui = base_ui + f_w * (u3 - v) ----------------------
+    chain = (
+        cell_u3.join(cell_v, cell_col, "full_outer")
+        .join(factors.select(cell_col, "f_w"), cell_col)
+        .select(
+            cell_col,
+            *[
+                (
+                    F.col("f_w")
+                    * (
+                        F.coalesce(F.col(f"_u3_{i}"), F.lit(0.0))
+                        - F.coalesce(F.col(f"_v_{i}"), F.lit(0.0))
+                    )
+                ).alias(f"_chain_{i}")
+                for i in range(p)
+            ],
+        )
+    )
+    # Direct terms scale by the cell factor f (reference: f*d*(x-H) and
+    # f-scaled U_w_2 rows): ui_post = f * ui_base + chain.
+    out = base.df.join(
+        F.broadcast(factors.select(cell_col, F.col("f").alias("_pf"))), cell_col
+    ).join(F.broadcast(chain), cell_col, "left")
+    ub_inv = np.linalg.inv(u_beta)
+    ui_cols, beta_pw_cols, delta_cols = [], [], []
+    for i in range(p):
+        out = out.withColumn(
+            f"ui_{i}",
+            F.col("_pf") * F.col(f"ui_{i}")
+            + F.coalesce(F.col(f"_chain_{i}"), F.lit(0.0)),
+        )
+        ui_cols.append(f"ui_{i}")
+    for j in range(p):
+        expr = F.lit(0.0)
+        for m in range(p):
+            expr = expr + F.col(f"ui_{m}") * float(-ub_inv[m, j])
+        out = out.withColumn(f"beta_pw_{j}", expr)
+        out = out.withColumn(f"delta_beta_{j}", F.col(pw) * F.col(f"beta_pw_{j}"))
+        beta_pw_cols.append(f"beta_pw_{j}")
+        delta_cols.append(f"delta_beta_{j}")
+    out = out.drop("_pf", *[f"_chain_{i}" for i in range(p)])
+    return CoxInfluence(
+        out, tuple(ui_cols), tuple(beta_pw_cols), tuple(delta_cols), u_beta
+    )

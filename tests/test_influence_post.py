@@ -1,0 +1,134 @@
+"""Golden test for the POST-stratified Cox influence (I12 post branch,
+``taylor_deviate.R:680-741``): literal dense mirror with the grouped
+f_w and the O(n*events) U_w_2/U_w_4 loops."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.calibration import (
+    post_stratify,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.cox import cox_fit
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.influence import (
+    cox_score_influence_post,
+)
+
+
+def _toy(n=180, seed=55):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "x1": rng.normal(0, 1, n),
+            "wt": rng.uniform(1.0, 5.0, n),
+            "cell": rng.integers(0, 4, n).astype(np.int32),
+        }
+    )
+    tt = np.round(rng.exponential(1.5, n) * np.exp(-0.4 * pdf.x1), 1) + 0.1
+    cens = rng.exponential(2.5, n)
+    pdf["t"] = np.minimum(tt, cens)
+    pdf["d"] = (tt <= cens).astype(np.int32)
+    return pdf
+
+
+def _dense_post(pdf, beta, nh):
+    """Literal mirror of beta_pw.cox post branch (whole-sample f_w)."""
+    o = np.argsort(pdf["t"].to_numpy(), kind="stable")
+    dat = pdf.iloc[o].reset_index(drop=True)
+    n = len(dat)
+    x = dat[["x1"]].to_numpy()
+    tv = dat["t"].to_numpy()
+    dv = dat["d"].to_numpy().astype(float)
+    cells = dat["cell"].to_numpy()
+    wt0 = dat["wt"].to_numpy()  # pre-factor weight
+    nh_hat = pd.Series(wt0).groupby(cells).sum()
+    f_cell = {c: nh[c] / nh_hat[c] for c in nh}
+    fw_cell = {c: -nh[c] / nh_hat[c] ** 2 for c in nh}
+    f = np.array([f_cell[c] for c in cells])
+    fw = np.array([fw_cell[c] for c in cells])
+    pw = wt0 * f  # post-stratified weight (dat[,pw] before division)
+    rel = np.exp(x @ beta)
+    pw_e = f * wt0 * rel  # = pw * rel
+    h_dnom = np.zeros(n)
+    h_num = np.zeros((n, 1))
+    acc, accv = 0.0, np.zeros(1)
+    for i in range(n - 1, -1, -1):
+        acc += pw_e[i]
+        accv = accv + pw_e[i] * x[i]
+        h_dnom[i] = acc
+        h_num[i] = accv
+    for u in np.unique(tv):
+        idx = np.where(tv == u)[0]
+        h_dnom[idx] = h_dnom[idx[0]]
+        h_num[idx] = h_num[idx[0]]
+    hmat = h_num / h_dnom[:, None]
+    ev = np.where(dv == 1)[0]
+    uniq_t = np.unique(tv[ev])
+    dsum = {u: (pw)[ev[tv[ev] == u]].sum() for u in uniq_t}  # pw*f with pw0: pw0*f = pw
+    k_idx = {u: ev[tv[ev] == u][0] for u in uniq_t}
+
+    def f_w_mtrx(mat):
+        out = np.zeros_like(mat, dtype=float)
+        for c in np.unique(cells):
+            idx = cells == c
+            out[idx] = fw_cell[c] * mat[idx].sum(axis=0)
+        return out
+
+    u_w_2 = np.zeros((n, 1))
+    u_w_4 = np.zeros((n, 1))
+    for u in uniq_t:
+        k = k_idx[u]
+        dk = dsum[u]
+        at_risk = (tv >= tv[k]).astype(float)
+        u_w_2 += dk * (
+            (f * at_risk * rel)[:, None] * x / h_dnom[k]
+            - np.outer(f * at_risk * rel, h_num[k]) / h_dnom[k] ** 2
+        )
+        u_w_4 += dk * (
+            f_w_mtrx((wt0 * at_risk * rel)[:, None] * x) / h_dnom[k]
+            - np.outer(f_w_mtrx((wt0 * at_risk * rel)[:, None]).ravel(), h_num[k])
+            / h_dnom[k] ** 2
+        )
+    u_w_3 = f_w_mtrx((wt0 * dv)[:, None] * (x - hmat))
+    ui = (f * dv)[:, None] * (x - hmat) - u_w_2 + u_w_3 - u_w_4
+
+    u_beta_1 = np.zeros((1, 1))
+    for u in uniq_t:
+        k = k_idx[u]
+        at_risk = (tv >= tv[k]).astype(float)
+        s2 = (x * (pw_e * at_risk)[:, None]).T @ x
+        u_beta_1 -= dsum[u] * s2 / h_dnom[k]
+    u_beta = u_beta_1 + (hmat[ev] * pw[ev][:, None]).T @ hmat[ev]
+    beta_pw = -ui @ np.linalg.inv(u_beta)
+    back = np.argsort(dat["id"].to_numpy(), kind="stable")
+    return ui[back], beta_pw[back], u_beta
+
+
+def test_post_cox_influence_matches_dense(spark):
+    pdf = _toy()
+    nh = {c: 120.0 * (c + 1) for c in range(4)}
+    df = spark.createDataFrame(pdf)
+    res = post_stratify(df, "cell", "wt", nh)
+    post_df = res.df  # has f and post_wt
+    fit = cox_fit(post_df, ["x1"], w="post_wt")
+    inf = cox_score_influence_post(
+        post_df, ["x1"], fit.beta, cell_col="cell", factors=res.factors, pw="post_wt"
+    )
+    ui_d, bpw_d, u_beta_d = _dense_post(pdf, fit.beta, nh)
+    np.testing.assert_allclose(inf.u_beta, u_beta_d, rtol=1e-8)
+    got = (
+        inf.df.select("id", *inf.ui_cols, *inf.beta_pw_cols)
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    np.testing.assert_allclose(
+        got[list(inf.ui_cols)].to_numpy(), ui_d, rtol=1e-7, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        got[list(inf.beta_pw_cols)].to_numpy(), bpw_d, rtol=1e-7, atol=1e-12
+    )
