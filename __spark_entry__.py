@@ -906,6 +906,37 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.where(F.col("vec_id") < 5), 3)
 
 
+def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed weighted totals over the events table (the
+    batch twin of the streaming aggregation; F.window semantics)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = tpch.load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_start"),
+            "event_type",
+            "total_value",
+            "n",
+        )
+    )
+
+
+def _sql_events_windowed() -> str:
+    return """
+    SELECT epoch(time_bucket(INTERVAL '6 hours', ts))::BIGINT AS win_start,
+           event_type,
+           round(sum(value), 6) AS total_value,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
 def _q_population_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3+I24 (rows-only: seeded-random generation): synthetic
     population with error variants; spot-check aggregate shape."""
@@ -948,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_dedup": _q_embedding_dedup,
         "lsh_topk": _q_lsh_topk,
+        "events_windowed": _q_events_windowed,
         "population_gen": _q_population_gen,
     }
 
@@ -979,4 +1011,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _sql_embedding_topk(),
         "embedding_dedup": _sql_embedding_dedup(),
         # lsh_topk: rows-only (approximate candidate generation)
+        "events_windowed": _sql_events_windowed(),
     }

@@ -27,6 +27,10 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    # Parquet TIMESTAMP(NANOS) (e.g. the events table) is otherwise
+    # unreadable; read as long and rebuild timestamps where needed
+    # (sources.tpch.load_events).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

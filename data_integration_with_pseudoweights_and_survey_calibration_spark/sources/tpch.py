@@ -46,6 +46,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a usable ``ts`` TimestampType column.
+
+    The driver parquet stores ts as TIMESTAMP(NANOS); under the session
+    default ``nanosAsLong`` it reads as nanosecond longs, rebuilt here.
+    """
+    raw = load_table(spark, sf_dir, "events")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn(
+            "ts", (F.col("ts") / F.lit(1_000_000_000)).cast("timestamp")
+        )
+    return raw
+
+
 # SQL fragments kept in one place so __spark_entry__ oracle strings and
 # the Spark derivation below can never drift apart.
 # NOTE: numeric literals are CAST to double everywhere: Spark parses a

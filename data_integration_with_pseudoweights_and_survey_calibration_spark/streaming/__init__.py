@@ -1,0 +1,5 @@
+from .aggregates import (  # noqa: F401
+    stream_gram_partials,
+    stream_hazard_partials,
+    stream_weighted_totals,
+)

@@ -1,0 +1,89 @@
+"""Structured Streaming service of the engine's aggregation kernels.
+
+The reference is pure batch (SURVEY §2.J), but every one of our
+distributed kernels is an *algebraic aggregate* (weighted totals, Gram
+partial sums, hazard-grid partials), so the same expressions run
+unchanged as streaming windowed aggregations: ``readStream`` ->
+event-time window + watermark -> the identical agg exprs ->
+``writeStream``. Late data folds into its window until the watermark
+closes it; downstream finalization (driver solves, grid reverse
+cumsums) consumes the compacted per-window partials in batch.
+
+This gives incremental maintenance of the engine's statistics over
+unbounded inputs (e.g. the driver ``events`` table as a stream) with
+no operator rewrites -- the streaming plan reuses the batch partial
+-aggregation shape, just with stateful window stores.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_weighted_totals(
+    stream: DataFrame,
+    time_col: str,
+    value_exprs: Mapping[str, Column],
+    *,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """E2/E3 over a stream: per event-time window (and optional keys),
+    the weighted-total aggregates. Late rows within the watermark
+    update their window in place."""
+    w = stream.withWatermark(time_col, watermark)
+    keys = [F.window(F.col(time_col), window).alias("win"), *group_by]
+    return w.groupBy(*keys).agg(
+        *[expr.alias(name) for name, expr in value_exprs.items()]
+    )
+
+
+def stream_gram_partials(
+    stream: DataFrame,
+    time_col: str,
+    x_cols: Sequence[str],
+    weight: str | Column | None = None,
+    *,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """E4 over a stream: per-window upper-triangle Gram partial sums.
+    A batch consumer sums windows and solves on the driver -- i.e.
+    incrementally-maintained model sufficient statistics."""
+    from ..operators.gram import gram_exprs
+
+    w = stream.withWatermark(time_col, watermark)
+    return w.groupBy(F.window(F.col(time_col), window).alias("win")).agg(
+        *gram_exprs(list(x_cols), weight)
+    )
+
+
+def stream_hazard_partials(
+    stream: DataFrame,
+    time_col: str,
+    *,
+    t: str = "t",
+    d: str = "d",
+    weight: str | Column | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """E11 map-side shape over a stream: per distinct event time, the
+    weighted event/at-risk partials (sum w, sum w*d). The reverse
+    cumulative risk sets are NOT streamable (they read the future), so
+    the stream maintains the per-time partials and the batch finalizer
+    runs the grid windows over the compacted store -- the same split as
+    the batch operator's two phases."""
+    wcol = F.lit(1.0) if weight is None else (
+        F.col(weight) if isinstance(weight, str) else weight
+    )
+    w = stream.withWatermark(time_col, watermark)
+    return w.groupBy(
+        F.window(F.col(time_col), "1 day").alias("win"), F.col(t)
+    ).agg(
+        F.sum(wcol).alias("w_sum"),
+        F.sum(wcol * F.col(d).cast("double")).alias("wd_sum"),
+    )

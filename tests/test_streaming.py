@@ -1,0 +1,103 @@
+"""Streaming aggregation tests: file-source streams with availableNow
+trigger, results compared against the identical batch aggregation
+(exactly-once window semantics)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.streaming import (
+    stream_gram_partials,
+    stream_weighted_totals,
+)
+
+
+@pytest.fixture()
+def events_stream(spark, sf_dir, tmp_path):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.tpch import (
+        load_events,
+    )
+
+    batch = load_events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    # two file chunks -> two source splits
+    batch.where(F.col("event_id") % 2 == 0).write.parquet(src + "/a.parquet")
+    batch.where(F.col("event_id") % 2 == 1).write.parquet(src + "/b.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    return batch, stream
+
+
+def _run(stream_df, tmp_path, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_weighted_totals_matches_batch(spark, events_stream, tmp_path):
+    batch, stream = events_stream
+    exprs = {
+        "total_value": F.sum("value"),
+        "n": F.count(F.lit(1)),
+    }
+    out = stream_weighted_totals(
+        stream, "ts", exprs, window="6 hours", group_by=["event_type"]
+    )
+    _run(out, tmp_path, "wt_totals")
+    got = (
+        spark.table("wt_totals")
+        .select(F.col("win.start").alias("ws"), "event_type", "total_value", "n")
+        .toPandas()
+        .sort_values(["ws", "event_type"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        batch.groupBy(
+            F.window("ts", "6 hours").alias("win"), "event_type"
+        )
+        .agg(F.sum("value").alias("total_value"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("ws"), "event_type", "total_value", "n")
+        .toPandas()
+        .sort_values(["ws", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expect)
+    np.testing.assert_allclose(got["total_value"], expect["total_value"], rtol=1e-12)
+    assert (got["n"] == expect["n"]).all()
+
+
+def test_stream_gram_partials_matches_batch(spark, events_stream, tmp_path):
+    batch, stream = events_stream
+    stream2 = stream.withColumn("_icpt", F.lit(1.0))
+    out = stream_gram_partials(
+        stream2, "ts", ["_icpt", "value"], window="1 day"
+    )
+    _run(out, tmp_path, "gram_stream")
+    got = spark.table("gram_stream").agg(
+        F.sum("g__icpt___icpt").alias("g00"),
+        F.sum("g__icpt__value").alias("g01"),
+        F.sum("g_value__value").alias("g11"),
+    ).collect()[0]
+    b = batch.withColumn("_icpt", F.lit(1.0)).agg(
+        F.sum(F.lit(1.0)).alias("g00"),
+        F.sum("value").alias("g01"),
+        F.sum(F.col("value") * F.col("value")).alias("g11"),
+    ).collect()[0]
+    # streaming per-window partials sum to the batch Gram exactly
+    assert got["g00"] == pytest.approx(b["g00"], rel=1e-12)
+    assert got["g01"] == pytest.approx(b["g01"], rel=1e-12)
+    assert got["g11"] == pytest.approx(b["g11"], rel=1e-12)
