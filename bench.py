@@ -25,6 +25,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    # Warm up the JVM / parquet footer caches once so the first timed
+    # query is not charged for session start-up (applies equally to
+    # every run, so comparisons stay fair).
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
     timings: dict[str, float] = {}
 
     def run(name, fn):

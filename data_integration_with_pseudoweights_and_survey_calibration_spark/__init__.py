@@ -29,4 +29,40 @@ from __future__ import annotations
 
 __version__ = "0.1.0"
 
-__all__ = ["__version__"]
+# Public API: the high-level entry points. Operator modules are
+# importable individually (they pull in pyspark lazily enough that the
+# package import stays light).
+from .operators.calib_pipeline import calib_est  # noqa: E402,F401
+from .operators.calibration import (  # noqa: E402,F401
+    greg_calibrate,
+    post_stratify,
+)
+from .operators.cox import cox_fit  # noqa: E402,F401
+from .operators.glm import weighted_linear, weighted_logistic  # noqa: E402,F401
+from .operators.jackknife import jk_variance  # noqa: E402,F401
+from .operators.method_suite import estimate_methods  # noqa: E402,F401
+from .operators.propensity import fit_propensity, integrate  # noqa: E402,F401
+from .operators.pseudoweights import kw_weights, stack_samples  # noqa: E402,F401
+from .operators.simulation import generate_population, run_simulation  # noqa: E402,F401
+from .operators.taylor import taylor_inference  # noqa: E402,F401
+from .session import get_spark  # noqa: E402,F401
+
+__all__ = [
+    "__version__",
+    "calib_est",
+    "cox_fit",
+    "estimate_methods",
+    "fit_propensity",
+    "generate_population",
+    "get_spark",
+    "greg_calibrate",
+    "integrate",
+    "jk_variance",
+    "kw_weights",
+    "post_stratify",
+    "run_simulation",
+    "stack_samples",
+    "taylor_inference",
+    "weighted_linear",
+    "weighted_logistic",
+]
