@@ -236,3 +236,58 @@ def composite_factors(
     a_c = tot * (1.0 - cv_c / cv_sum) / s_c / 2.0
     a_s = tot * (1.0 - cv_s / cv_sum) / s_s / 2.0
     return a_c, a_s
+
+
+def post_effective_pw_gamma(
+    df: DataFrame,
+    pwg_cols: Sequence[str],
+    cell_col: str,
+    factors: DataFrame,
+    pw: str,
+    *,
+    out_prefix: str = "pwg_eff_",
+) -> tuple[DataFrame, list[str]]:
+    """Effective gamma-direction weights under post-stratification.
+
+    The post branches of the influence chains (``taylor_deviate.R:
+    805-846``) wrap every gamma-chain grid aggregate in
+    ``f_w_mtrx(f_w, .)`` cell contractions. Those contractions collapse
+    to a PER-ROW reweighting:
+
+        pwg_eff[j,m] = pwg[j,m] * f_cell(j)
+                       + f_w_cell(j) * P_cell(j),m * pw0[j]
+        P_c,m = sum_{j in c} pwg[j,m],     pw0 = pw / f
+
+    so the post-stratified hazard chain is EXACTLY the non-post chain
+    with ``pw_gamma := pwg_eff`` (one groupBy(cell) + broadcast join;
+    the factor derivative is never densified). ``df`` must carry the
+    post-stratified weight ``pw`` and ``cell_col``; ``factors`` is
+    ``PostStratResult.factors`` (rows absent from it -- e.g. a sentinel
+    cell for units outside the post-stratification, like censored rows
+    when factors are fit on events only -- get f=1, f_w=0).
+    """
+    pwg_cols = list(pwg_cols)
+    cell_sums = df.groupBy(cell_col).agg(
+        *[F.sum(c).alias(f"_P_{m}") for m, c in enumerate(pwg_cols)]
+    )
+    enrich = cell_sums.join(
+        factors.select(
+            cell_col, F.col("f").alias("_ef"), F.col("f_w").alias("_efw")
+        ),
+        cell_col,
+        "left",
+    ).fillna({"_ef": 1.0, "_efw": 0.0})
+    out = df.join(F.broadcast(enrich), cell_col, "left").fillna(
+        {"_ef": 1.0, "_efw": 0.0, **{f"_P_{m}": 0.0 for m in range(len(pwg_cols))}}
+    )
+    names = []
+    for m, c in enumerate(pwg_cols):
+        name = f"{out_prefix}{m}"
+        out = out.withColumn(
+            name,
+            F.col(c) * F.col("_ef")
+            + F.col("_efw") * F.col(f"_P_{m}") * (F.col(pw) / F.col("_ef")),
+        )
+        names.append(name)
+    out = out.drop("_ef", "_efw", *[f"_P_{m}" for m in range(len(pwg_cols))])
+    return out, names

@@ -25,11 +25,15 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from typing import Mapping
+
+from .calibration import post_effective_pw_gamma, post_stratify
 from .cox import CoxFit, cox_fit
 from .hazard_influence import HazardInfluence, hazard_influence
 from .influence import (
     CoxInfluence,
     cox_score_influence,
+    cox_score_influence_post,
     eta_influence,
     gamma_influence,
     var_poisson,
@@ -74,11 +78,17 @@ def taylor_inference(
     x0: list[float] | None = None,
     lambda_star: DataFrame | None = None,
     methods: tuple[str, ...] = ("ipsw", "kw"),
+    post_cells: tuple[str, Mapping[int, float]] | None = None,
     survey_weight: str = "wt",
     id_col: str = "id",
 ) -> dict[str, MethodInference]:
     """Run the full §3.3 analytic-inference pipeline; returns one
-    ``MethodInference`` per requested method."""
+    ``MethodInference`` per requested method.
+
+    ``methods`` may include the post-stratified variants ``pst.ipsw`` /
+    ``pst.kw`` when ``post_cells = (cell_column, {cell: Nh})`` supplies
+    the population cell counts (scaled by a internally, matching the
+    reference's ``Nh * a`` at ``taylor_deviate.R:140``)."""
     n_s = survey.count()
     a = n_s / float(pop_size)
     stacked = stack_samples(cohort, survey, survey_weight, sampling_fraction=a)
@@ -102,14 +112,18 @@ def taylor_inference(
     out: dict[str, MethodInference] = {}
     for method in methods:
         cohort_b = base.where(F.col("trt") == 1)
-        if method == "ipsw":
+        base_method = method.removeprefix("pst.")
+        is_post = method.startswith("pst.")
+        if is_post and post_cells is None:
+            raise ValueError(f"{method} requires post_cells=(cell_col, Nh)")
+        if base_method == "ipsw":
             # I1 + I2 (taylor_deviate.R:63-64)
             cw = cohort_b.withColumn("pw", F.exp(-F.col("p_score")))
             pwg_cols = []
             for j, dcol in enumerate(design_cols):
                 cw = cw.withColumn(f"pwg_{j}", -F.col("pw") * F.col(dcol))
                 pwg_cols.append(f"pwg_{j}")
-        elif method == "kw":
+        elif base_method == "kw":
             # I3 + I4 via the banded pair join
             res = kw_weights(
                 cohort_b.select(id_col, "p_score", *design_cols),
@@ -127,10 +141,55 @@ def taylor_inference(
             cw = cohort_b.join(w_tbl, id_col)
         else:
             raise ValueError(f"unknown method {method!r}")
+
+        factors_s = None
+        if is_post:
+            # pst.* variants (taylor_deviate.R:140-218): factors fit on
+            # EVENT cohort rows against Nh * a; censored/survey rows map
+            # to a sentinel cell with f = 1, f_w = 0.
+            cell_col, nh = post_cells
+            nh_a = {k: float(v) * a for k, v in nh.items()}
+            pres = post_stratify(
+                cw.where(F.col("d") == 1), cell_col, "pw", nh_a
+            )
+            sent = cw.sparkSession.createDataFrame(
+                [(-1, 0.0, 0.0, 1.0, 0.0)],
+                f"{cell_col} int, Nh double, Nh_hat double, f double, f_w double",
+            )
+            factors_s = pres.factors.unionByName(sent).cache()
+            cw = (
+                cw.withColumn(
+                    "_pcell",
+                    F.when(F.col("d") == 1, F.col(cell_col).cast("int")).otherwise(
+                        F.lit(-1)
+                    ),
+                )
+                .join(
+                    F.broadcast(
+                        factors_s.select(
+                            F.col(cell_col).alias("_pcell"),
+                            F.col("f").alias("_pf"),
+                        )
+                    ),
+                    "_pcell",
+                )
+                .withColumn("pw", F.col("pw") * F.col("_pf"))
+                .drop("_pf")
+            )
         cw = cw.cache()
 
         fit: CoxFit = cox_fit(cw, cox_cols, w="pw")
-        cinf: CoxInfluence = cox_score_influence(cw, cox_cols, fit.beta, pw="pw")
+        if is_post:
+            cinf = cox_score_influence_post(
+                cw,
+                cox_cols,
+                fit.beta,
+                cell_col="_pcell",
+                factors=factors_s.withColumnRenamed(post_cells[0], "_pcell"),
+                pw="pw",
+            )
+        else:
+            cinf = cox_score_influence(cw, cox_cols, fit.beta, pw="pw")
         einf = eta_influence(
             cinf,
             ginf,
@@ -153,13 +212,26 @@ def taylor_inference(
                 f"bw_{m}", F.col(einf.delta_cols[m]) / F.col("w_s")
             )
             bw_cols.append(f"bw_{m}")
-        pw_tbl = cw.select(
-            F.col(id_col), F.lit(1).alias("trt"), F.col("pw"),
-            *[F.col(c) for c in pwg_cols],
-        )
+        pw_sel = [F.col(id_col), F.lit(1).alias("trt"), F.col("pw")]
+        pw_sel += [F.col(c) for c in pwg_cols]
+        if is_post:
+            pw_sel.append(F.col("_pcell"))
+        pw_tbl = cw.select(*pw_sel)
         full = full.drop("pw", *pwg_cols).join(
             pw_tbl, [id_col, "trt"], "left"
         ).fillna({"pw": 0.0, **{c: 0.0 for c in pwg_cols}})
+        haz_pwg = pwg_cols
+        if is_post:
+            # post hazard chain == non-post chain with the effective
+            # gamma-direction weights (cell-contracted f_w correction)
+            full = full.fillna({"_pcell": -1})
+            full, haz_pwg = post_effective_pw_gamma(
+                full,
+                pwg_cols,
+                "_pcell",
+                factors_s.withColumnRenamed(post_cells[0], "_pcell"),
+                "pw",
+            )
 
         hinf: HazardInfluence = hazard_influence(
             full,
@@ -169,7 +241,7 @@ def taylor_inference(
             pw="pw",
             beta_wt_cols=bw_cols,
             gamma_wt_cols=list(ginf.gamma_cols),
-            pw_gamma_cols=pwg_cols,
+            pw_gamma_cols=haz_pwg,
             lambda_star=lambda_star,
             x0=x0,
             id_col=id_col,

@@ -1,0 +1,184 @@
+"""Golden test: post-stratified hazard influence (I13 post branch,
+event-rows f_w) == non-post chain with the effective pw_gamma
+reweighting + sentinel cells, vs a literal dense mirror of
+``lambda.ar_w`` (``taylor_deviate.R:805-846``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.calibration import (
+    post_effective_pw_gamma,
+    post_stratify,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.cox import cox_fit
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.hazard_influence import (
+    hazard_influence,
+)
+
+T_STAR = [0.5, 1.0, 2.0]
+
+
+def _toy(seed=91, n_c=140, n_s=70):
+    rng = np.random.default_rng(seed)
+    n = n_c + n_s
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "trt": np.r_[np.ones(n_c, np.int32), np.zeros(n_s, np.int32)],
+            "x1": rng.normal(0, 1, n),
+            "cell": rng.integers(0, 3, n).astype(np.int32),
+        }
+    )
+    tt = np.round(rng.exponential(1.2, n) * np.exp(-0.3 * pdf.x1), 1) + 0.1
+    cens = rng.exponential(2.0, n)
+    pdf["t"] = np.minimum(tt, cens)
+    pdf["d"] = (tt <= cens).astype(np.int32)
+    pdf["ipsw"] = rng.uniform(0.5, 3.0, n)
+    pdf["bw_0"] = rng.normal(0, 0.01, n)
+    pdf["gw_0"] = rng.normal(0, 0.01, n)
+    pdf["pwg_0"] = rng.normal(0, 0.5, n)
+    return pdf, n_c
+
+
+def _dense_post(pdf, n_c, beta, nh):
+    """Literal mirror: lambda.ar_w pw_list + post (event-rows f_w)."""
+    c = pdf.iloc[:n_c]
+    tv = c["t"].to_numpy()
+    dv = c["d"].to_numpy().astype(float)
+    cells = c["cell"].to_numpy()
+    ipsw = c["ipsw"].to_numpy()
+    # post factors fit on EVENT rows with weight ipsw
+    ev_mask = dv == 1
+    nh_hat = pd.Series(ipsw[ev_mask]).groupby(cells[ev_mask]).sum()
+    f_cell = {k: nh[k] / nh_hat[k] for k in nh}
+    fw_cell = {k: -nh[k] / nh_hat[k] ** 2 for k in nh}
+    f = np.where(ev_mask, [f_cell[cc] for cc in cells], 1.0)
+    pw = ipsw * f  # post.ipsw
+    pw0 = ipsw    # dat[,pw]/f
+    rel = np.exp(c[["x1"]].to_numpy() @ beta)
+    u = np.sort(np.unique(tv[ev_mask]))
+    yi = tv[:, None] >= u[None, :]
+    ii = tv[:, None] == u[None, :]
+    nt = (pw * dv) @ ii
+    zt = (pw * rel) @ yi
+    yt = pw @ yi
+    lam = nt / zt
+    one_ar = yt / zt
+
+    n = len(pdf)
+    beta_wt = pdf[["bw_0"]].to_numpy()
+    gamma_wt = pdf[["gw_0"]].to_numpy()
+    pw_gamma = c[["pwg_0"]].to_numpy()
+    x_c = c[["x1"]].to_numpy()
+    pad = np.zeros((n - n_c, len(u)))
+
+    def f_w_mtrx_events(mat_events):
+        """f_w_mtrx for event-rows f_w, padded to all cohort rows."""
+        out_ev = np.zeros_like(mat_events, dtype=float)
+        ev_cells = cells[ev_mask]
+        for k in np.unique(ev_cells):
+            idx = ev_cells == k
+            out_ev[idx] = fw_cell[k] * mat_events[idx].sum(axis=0)
+        full = np.zeros((n_c, mat_events.shape[1]))
+        full[ev_mask] = out_ev
+        return full
+
+    nt_w = np.vstack([(f * pw0 * dv)[:, None] * ii, pad]) + gamma_wt @ (
+        pw_gamma.T
+        @ ((f * dv)[:, None] * ii + f_w_mtrx_events(((pw0 * dv)[:, None] * ii)[ev_mask]))
+    )
+    s1 = ((f * pw0 * rel)[:, None] * yi).T @ x_c
+    zt_w = (
+        np.vstack([(f * pw0 * rel)[:, None] * yi, pad])
+        + gamma_wt
+        @ (
+            pw_gamma.T
+            @ (
+                (f * rel)[:, None] * yi
+                + f_w_mtrx_events(((pw0 * rel)[:, None] * yi)[ev_mask])
+            )
+        )
+        + beta_wt @ s1.T
+    )
+    lambda_wt = (nt_w - lam[None, :] * zt_w) / zt[None, :]
+
+    def pick(tq):
+        idx = -1
+        for k, uv in enumerate(u):
+            if uv <= tq:
+                idx = k
+        return idx
+
+    lw_cum = np.cumsum(lambda_wt, axis=1)
+    lam_wt = np.stack(
+        [lw_cum[:, pick(v)] if pick(v) >= 0 else np.zeros(n) for v in T_STAR], axis=1
+    )
+    return lam_wt
+
+
+def test_post_hazard_influence_matches_dense(spark):
+    pdf, n_c = _toy()
+    nh = {k: 60.0 * (k + 1) for k in range(3)}
+    df = spark.createDataFrame(pdf)
+    cohort = df.where(F.col("trt") == 1)
+    # post factors on EVENT cohort rows
+    res = post_stratify(cohort.where(F.col("d") == 1), "cell", "ipsw", nh)
+    fit = cox_fit(
+        cohort.join(
+            F.broadcast(res.factors.select("cell", "f")), "cell", "left"
+        ).withColumn(
+            "pw_post",
+            F.col("ipsw")
+            * F.when((F.col("d") == 1), F.coalesce(F.col("f"), F.lit(1.0))).otherwise(
+                1.0
+            ),
+        ),
+        ["x1"],
+        w="pw_post",
+    )
+
+    # sentinel-cell mapping: censored (and survey) rows -> cell -1
+    sent = spark.createDataFrame(
+        [(-1, 0.0, 0.0, 1.0, 0.0)], "cell int, Nh double, Nh_hat double, f double, f_w double"
+    )
+    factors_s = res.factors.unionByName(sent)
+    full = df.withColumn(
+        "_pcell",
+        F.when((F.col("trt") == 1) & (F.col("d") == 1), F.col("cell")).otherwise(
+            F.lit(-1)
+        ),
+    ).join(
+        F.broadcast(
+            factors_s.select(F.col("cell").alias("_pcell"), F.col("f").alias("_pf"))
+        ),
+        "_pcell",
+    )
+    full = full.withColumn("pw_post", F.col("ipsw") * F.col("_pf"))
+    full, eff_cols = post_effective_pw_gamma(
+        full.withColumnRenamed("_pcell", "pcell"),
+        ["pwg_0"],
+        "pcell",
+        factors_s.withColumnRenamed("cell", "pcell"),
+        "pw_post",
+    )
+    # gamma aggregates only read cohort rows; zero the eff weights
+    # elsewhere to be explicit
+    inf = hazard_influence(
+        full,
+        ["x1"],
+        fit.beta,
+        T_STAR,
+        pw="pw_post",
+        beta_wt_cols=["bw_0"],
+        gamma_wt_cols=["gw_0"],
+        pw_gamma_cols=eff_cols,
+    )
+    dense = _dense_post(pdf, n_c, fit.beta, nh)
+    got = (
+        inf.df.select("id", *inf.lambda_cols).toPandas().set_index("id").sort_index()
+    )
+    np.testing.assert_allclose(got.to_numpy(), dense, rtol=1e-7, atol=1e-12)

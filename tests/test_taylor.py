@@ -76,3 +76,32 @@ def test_taylor_inference_end_to_end(spark):
         assert abs(m.beta[1] - (-0.3)) < 0.35
     # the two methods agree on the ballpark
     np.testing.assert_allclose(res["ipsw"].Lambda, res["kw"].Lambda, rtol=0.5)
+
+
+def test_taylor_inference_post_stratified(spark):
+    pop, cohort, survey = _world(spark, seed=7)
+    pop["cell"] = (pop["x2"] > 0).astype(np.int32)
+    cohort = pop.loc[cohort.index]
+    nh = pop.groupby("cell").apply(lambda g: float(g["d"].sum()))
+    pop_df = spark.createDataFrame(pop)
+    lam_star = lambda_star_pop(pop_df)
+    res = taylor_inference(
+        spark.createDataFrame(cohort),
+        spark.createDataFrame(survey.assign(cell=(survey["x2"] > 0).astype(np.int32))),
+        "x1 + x2",
+        ["x1", "x2"],
+        T_STAR,
+        pop_size=len(pop),
+        x0=[0.5, 0.0],
+        lambda_star=lam_star,
+        methods=("ipsw", "pst.ipsw"),
+        post_cells=("cell", {int(k): v for k, v in nh.items()}),
+    )
+    m = res["pst.ipsw"]
+    assert m.score_norm < 1e-6
+    assert np.all(np.diag(m.var_beta_pps) > 0)
+    assert np.all(m.var_Lambda_pps >= 0)
+    assert np.all(np.diff(m.Lambda) >= 0)
+    assert np.all((m.absR > 0) & (m.absR < 1))
+    # post-stratification perturbs, not destroys, the base estimates
+    np.testing.assert_allclose(m.beta, res["ipsw"].beta, atol=0.5)
