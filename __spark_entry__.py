@@ -39,6 +39,7 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
     stack_samples,
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.calibration import (  # noqa: E402
+    composite_factors,
     greg_calibrate,
     post_stratify,
 )
@@ -52,6 +53,7 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
     jk_linear_replicates,
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.survival import (  # noqa: E402
+    absolute_risk,
     breslow_cum_hazard,
     gail_cum_hazard,
     hazard_grid,
@@ -437,6 +439,97 @@ def _sql_jk_replicates(sf_dir: str) -> str:
            round((tot.t_wtd - coalesce(parts.p_wtd, 0.0)) * {g}.0 / {g - 1}.0, 6)
              AS tot_wtd
     FROM reps LEFT JOIN parts ON reps.replicate = parts.jk_group CROSS JOIN tot
+    """
+
+
+def _q_composite_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I11 a_cv: effective-sample-size composite scaling factors."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cohort, survey = tpch.survey_frames(spark, sf_dir)
+    cohort = cohort.withColumn(
+        "ipsw",
+        F.exp(-(F.lit(GAMMA0) + F.lit(GAMMA1) * F.col("x1") + F.lit(GAMMA2) * F.col("x2"))),
+    )
+    a_c, a_s = composite_factors(cohort, survey, cohort_wt="ipsw", survey_wt="wt")
+    return spark.createDataFrame(
+        [(round(a_c, 9), round(a_s, 9))], "a_c double, a_s double"
+    )
+
+
+def _sql_composite_factors(sf_dir: str) -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    c AS (SELECT exp(-({GAMMA0} + {GAMMA1} * x1 + {GAMMA2} * x2)) AS ipsw
+          FROM units WHERE {tpch.COHORT_PRED}),
+    s AS (SELECT wt FROM units WHERE {tpch.SURVEY_PRED}),
+    mo AS (
+      SELECT (SELECT (var_samp(ipsw) / avg(ipsw * ipsw) + 1) / count(*) FROM c) AS cv_c,
+             (SELECT (var_samp(wt) / avg(wt * wt) + 1) / count(*) FROM s) AS cv_s,
+             (SELECT sum(ipsw) FROM c) AS s_c,
+             (SELECT sum(wt) FROM s) AS s_s)
+    SELECT round((s_c + s_s) * (1 - cv_c / (cv_c + cv_s)) / s_c / 2, 9) AS a_c,
+           round((s_c + s_s) * (1 - cv_s / (cv_c + cv_s)) / s_s / 2, 9) AS a_s
+    FROM mo
+    """
+
+
+def _q_tercile_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 quantile binning: exact-percentile tercile codes of x1."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cohort, _ = tpch.survey_frames(spark, sf_dir)
+    qs = cohort.agg(F.expr("percentile(x1, array(0.3, 0.6))").alias("q")).collect()[0]["q"]
+    out = cohort.withColumn(
+        "x1_c",
+        F.when(F.col("x1") <= float(qs[0]), 1)
+        .when(F.col("x1") <= float(qs[1]), 2)
+        .otherwise(3),
+    )
+    return out.groupBy("x1_c").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("x1"), 6).alias("mean_x1")
+    )
+
+
+def _sql_tercile_codes(sf_dir: str) -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    c AS (SELECT x1 FROM units WHERE {tpch.COHORT_PRED}),
+    qs AS (SELECT quantile_cont(x1, 0.3) AS q1, quantile_cont(x1, 0.6) AS q2 FROM c),
+    coded AS (SELECT CASE WHEN x1 <= qs.q1 THEN 1
+                          WHEN x1 <= qs.q2 THEN 2 ELSE 3 END AS x1_c, x1
+              FROM c, qs)
+    SELECT x1_c, count(*) AS n, round(avg(x1), 6) AS mean_x1
+    FROM coded GROUP BY x1_c
+    """
+
+
+def _q_absolute_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I16: absR(t*, x0) = 1 - exp(-Lambda(t*) e^{x0 beta}) over the
+    Breslow grid at frozen beta and three x0 profiles."""
+    lam = breslow_cum_hazard(
+        _cohort_surv(spark, sf_dir), T_STAR, w="wt", rel_hzd="rel"
+    )
+    out = absolute_risk([0.1], [(0.0,), (1.0,), (2.0,)], lam)
+    return out.select("t_star", "x0_id", F.round("absR", 9).alias("absR"))
+
+
+def _sql_absolute_risk() -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    base AS (SELECT t, d, wt AS w, {REL_SQL} AS rel
+             FROM units WHERE {tpch.COHORT_PRED}),
+    g AS (SELECT t, sum(w * rel) AS we_sum, sum(w * d) AS nt, max(d) AS has_e
+          FROM base GROUP BY t),
+    rc AS (SELECT t, nt, has_e, sum(we_sum) OVER (ORDER BY t DESC) AS zt FROM g),
+    cum AS (SELECT t, sum(nt / zt) OVER (ORDER BY t) AS cum
+            FROM rc WHERE has_e > 0),
+    ts(t_star) AS (VALUES {_TS_VALUES}),
+    lam AS (SELECT ts.t_star, coalesce(max_by(cum.cum, cum.t), 0.0) AS l
+            FROM ts LEFT JOIN cum ON cum.t <= ts.t_star GROUP BY ts.t_star),
+    x0(x0_id, v) AS (VALUES (0, cast(0.0 as double)), (1, cast(1.0 as double)),
+                            (2, cast(2.0 as double)))
+    SELECT lam.t_star, x0.x0_id,
+           round(1.0 - exp(-lam.l * exp(cast(0.1 as double) * x0.v)), 9) AS "absR"
+    FROM lam CROSS JOIN x0
     """
 
 
@@ -963,6 +1056,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "post_strat": _q_post_strat,
         "greg_weights": _q_greg_weights,
         "jk_replicates": _q_jk_replicates,
+        "composite_factors": _q_composite_factors,
+        "tercile_codes": _q_tercile_codes,
+        "absolute_risk": _q_absolute_risk,
         "hazard_grid": _q_hazard_grid,
         "breslow_cum_hazard": _q_breslow_cum_hazard,
         "lambda_star_binned": _q_lambda_star_binned,
@@ -995,6 +1091,9 @@ def oracle_sql() -> dict[str, str]:
         "post_strat": _sql_post_strat(sf),
         "greg_weights": _sql_greg_weights(sf),
         "jk_replicates": _sql_jk_replicates(sf),
+        "composite_factors": _sql_composite_factors(sf),
+        "tercile_codes": _sql_tercile_codes(sf),
+        "absolute_risk": _sql_absolute_risk(),
         "hazard_grid": _sql_hazard_grid(),
         "breslow_cum_hazard": _sql_breslow_cum_hazard(),
         "lambda_star_binned": _sql_lambda_star_binned(),
