@@ -48,6 +48,10 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.influence import (  # noqa: E402
     cox_score_influence,
+    gamma_influence,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (  # noqa: E402
+    pps_sample,
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.jackknife import (  # noqa: E402
     jk_linear_replicates,
@@ -734,6 +738,176 @@ def _q_cox_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sampling / score-check / influence layer -----------------------------
+
+PPS_N = 200  # sample size for the deterministic PPS oracle query
+SCORE_B1, SCORE_B2 = 0.05, -0.02  # frozen beta for the Cox score check
+
+
+def _q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 ``sam.pps``: PPS-without-replacement via Efraimidis-Spirakis
+    keys -log(u)/size with a hashed deterministic uniform (portable to
+    the oracle; ``rand(seed)`` depends on input partitioning)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("size")
+    )
+    u = (dedup_ops.md5_int(F.col("id").cast("string")) + F.lit(1.0)) / F.lit(2.0**48)
+    samp = pps_sample(base, "size", PPS_N, u=u)
+    return samp.select("id", F.round("wt", 6).alias("wt"))
+
+
+def _sql_pps_sample() -> str:
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_totalprice AS size,
+             (('0x' || substr(md5(cast(o_orderkey AS varchar)), 1, 12))::BIGINT
+              + 1.0) / 281474976710656.0 AS u
+      FROM orders
+    ),
+    tot AS (SELECT sum(size) AS s FROM base),
+    ranked AS (
+      SELECT id, size FROM base ORDER BY -ln(u) / size LIMIT {PPS_N}
+    )
+    SELECT id, round(tot.s / ({PPS_N} * size), 6) AS wt
+    FROM ranked CROSS JOIN tot
+    """
+
+
+def _q_cox_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I23 ``U``: Cox partial-likelihood score at a frozen beta -- the
+    reference's solver self-check, one distributed grid pass."""
+    samp = _cohort_surv(spark, sf_dir)
+    import numpy as np
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.cox import (
+        _grid_terms,
+        _score_hessian,
+    )
+
+    grid = _grid_terms(samp, ["x1", "x2"], np.array([SCORE_B1, SCORE_B2]), "t", "d", "wt")
+    u, _, norm = _score_hessian(grid, 2)
+    return spark.createDataFrame(
+        [(round(float(u[0]), 6), round(float(u[1]), 6), round(float(norm), 6))],
+        "u_x1 double, u_x2 double, score_norm double",
+    )
+
+
+def _sql_cox_score() -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    base AS (SELECT t, d, x1, x2, wt,
+                    exp({SCORE_B1} * x1 + {SCORE_B2} * x2) AS rel
+             FROM units WHERE {tpch.COHORT_PRED}),
+    g AS (SELECT t,
+                 sum(wt * rel) AS s0p,
+                 sum(wt * d) AS du,
+                 sum(wt * rel * x1) AS s1p_0,
+                 sum(wt * rel * x2) AS s1p_1,
+                 sum(wt * d * x1) AS dx_0,
+                 sum(wt * d * x2) AS dx_1
+          FROM base GROUP BY t),
+    rc AS (SELECT t, du, dx_0, dx_1,
+                  sum(s0p) OVER (ORDER BY t DESC) AS s0,
+                  sum(s1p_0) OVER (ORDER BY t DESC) AS s1_0,
+                  sum(s1p_1) OVER (ORDER BY t DESC) AS s1_1
+           FROM g),
+    u AS (SELECT sum(dx_0 - du * s1_0 / s0) AS u0,
+                 sum(dx_1 - du * s1_1 / s0) AS u1
+          FROM rc WHERE du > 0)
+    SELECT round(u0, 6) AS u_x1, round(u1, 6) AS u_x2,
+           round(abs(u0) + abs(u1), 6) AS score_norm
+    FROM u
+    """
+
+
+def _q_kw_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4 ``pw_beta``: gamma-derivative of the KW pseudo-weights over
+    the same banded pair stream as the weights."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cohort, survey = tpch.survey_frames(spark, sf_dir)
+    score = F.lit(GAMMA0) + F.lit(GAMMA1) * F.col("x1") + F.lit(GAMMA2) * F.col("x2")
+    c = cohort.select("id", score.alias("p_score"), "x1")
+    s = survey.select("id", score.alias("p_score"), "wt", "x1")
+    res = kw_weights(c, s, weight_col="wt", h=KW_H, deriv_cols=["x1"])
+    return res.weights.select("id", F.round("kw_g_x1", 6).alias("kw_g"))
+
+
+def _sql_kw_derivative(sf_dir: str) -> str:
+    h2 = KW_H * KW_H
+    return f"""
+    WITH units AS ({_duck_units()}),
+    c AS (SELECT id, {GAMMA0} + {GAMMA1} * x1 + {GAMMA2} * x2 AS ps, x1
+          FROM units WHERE {tpch.COHORT_PRED}),
+    s AS (SELECT id, {GAMMA0} + {GAMMA1} * x1 + {GAMMA2} * x2 AS ps, wt, x1
+          FROM units WHERE {tpch.SURVEY_PRED}),
+    pairs AS (
+      SELECT s.id AS sid, c.id AS cid, s.wt,
+             exp(-((s.ps - c.ps) / {KW_H}) * ((s.ps - c.ps) / {KW_H}) / 2.0)
+               / sqrt(2.0 * pi()) AS k,
+             -(exp(-((s.ps - c.ps) / {KW_H}) * ((s.ps - c.ps) / {KW_H}) / 2.0)
+               / sqrt(2.0 * pi()))
+               * (s.ps - c.ps) * (s.x1 - c.x1) / {h2} AS kij
+      FROM s CROSS JOIN c
+    ),
+    rs AS (SELECT sid, sum(k) AS rs, sum(kij) AS rk FROM pairs GROUP BY sid),
+    d AS (
+      SELECT p.cid,
+             sum(p.wt * p.kij / r.rs
+                 - p.wt * r.rk * p.k / (r.rs * r.rs)) AS kw_g
+      FROM pairs p JOIN rs r ON p.sid = r.sid
+      WHERE r.rs > 0
+      GROUP BY p.cid
+    )
+    SELECT c.id AS id, round(coalesce(d.kw_g, 0.0), 6) AS kw_g
+    FROM c LEFT JOIN d ON c.id = d.cid
+    """
+
+
+def _q_gamma_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7 ``gamma_w``: per-row influence of the stacked logistic
+    propensity fit at frozen gamma (q=2: intercept + x1), one Gram pass
+    + broadcast 2x2 inverse."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cohort, survey = tpch.survey_frames(spark, sf_dir)
+    stacked = stack_samples(cohort, survey, "wt")
+    eta = F.lit(GAMMA0) + F.lit(GAMMA1) * F.col("x1")
+    stacked = stacked.withColumn("one", F.lit(1.0)).withColumn(
+        "p_est", F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    )
+    inf = gamma_influence(stacked, ["one", "x1"], p_est="p_est", ps_w="w")
+    return inf.df.select(
+        "id",
+        "trt",
+        F.round("delta_gamma_0", 9).alias("delta_g0"),
+        F.round("delta_gamma_1", 9).alias("delta_g1"),
+    )
+
+
+def _sql_gamma_influence(sf_dir: str) -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    stacked AS (
+      SELECT id, 1 AS trt, x1, 1.0 AS w FROM units WHERE {tpch.COHORT_PRED}
+      UNION ALL
+      SELECT id, 0 AS trt, x1, wt AS w FROM units WHERE {tpch.SURVEY_PRED}
+    ),
+    sc AS (SELECT *, 1.0 / (1.0 + exp(-({GAMMA0} + {GAMMA1} * x1))) AS p
+           FROM stacked),
+    gram AS (SELECT sum(w * p * (1 - p)) AS a,
+                    sum(w * p * (1 - p) * x1) AS b,
+                    sum(w * p * (1 - p) * x1 * x1) AS dd
+             FROM sc)
+    SELECT id, trt,
+           round(w * (trt - p) * (gram.dd - x1 * gram.b)
+                 / (gram.a * gram.dd - gram.b * gram.b), 9) AS delta_g0,
+           round(w * (trt - p) * (x1 * gram.a - gram.b)
+                 / (gram.a * gram.dd - gram.b * gram.b), 9) AS delta_g1
+    FROM sc CROSS JOIN gram
+    """
+
+
 # --- training-data pipeline layer (documents / embeddings) ----------------
 
 TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
@@ -1065,6 +1239,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gail_cum_hazard": _q_gail_cum_hazard,
         "cox_dfbeta": _q_cox_dfbeta,
         "cox_coefficients": _q_cox_coefficients,
+        "pps_sample": _q_pps_sample,
+        "cox_score_check": _q_cox_score,
+        "kw_derivative": _q_kw_derivative,
+        "gamma_influence": _q_gamma_influence,
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "exact_dedup": _q_exact_dedup,
@@ -1099,6 +1277,10 @@ def oracle_sql() -> dict[str, str]:
         "lambda_star_binned": _sql_lambda_star_binned(),
         "gail_cum_hazard": _sql_gail_cum_hazard(),
         "cox_dfbeta": _sql_cox_dfbeta(),
+        "pps_sample": _sql_pps_sample(),
+        "cox_score_check": _sql_cox_score(),
+        "kw_derivative": _sql_kw_derivative(sf),
+        "gamma_influence": _sql_gamma_influence(sf),
         # cox_coefficients: iterative (H2) -> rows-only check + golden tests
         "text_stats": _sql_text_stats(),
         "lang_id": _sql_lang_id(),

@@ -27,7 +27,7 @@ not chase R's RNG streams -- SURVEY §7 hard-point (d)).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -38,11 +38,19 @@ def pps_sample(
     *,
     seed: int = 0,
     wt_col: str = "wt",
+    u: Column | None = None,
 ) -> DataFrame:
     """G1 ``sam.pps``: PPS-without-replacement sample of n rows with
-    weight ``sum(size)/(n*size_i)``."""
+    weight ``sum(size)/(n*size_i)``.
+
+    ``u`` optionally supplies the per-row uniform draw in (0, 1) in
+    place of ``rand(seed)`` -- e.g. a hashed key for a fully
+    deterministic (hence SQL-oracle-checkable) sample that is stable
+    under repartitioning, unlike ``rand`` whose stream is tied to the
+    input partitioning.
+    """
     total = float(df.agg(F.sum(size_col)).collect()[0][0])
-    key = -F.log(F.rand(seed)) / F.col(size_col)
+    key = -F.log(u if u is not None else F.rand(seed)) / F.col(size_col)
     out = df.withColumn("_es_key", key).orderBy("_es_key").limit(int(n))
     return out.drop("_es_key").withColumn(
         wt_col, F.lit(total) / (F.lit(float(n)) * F.col(size_col))

@@ -57,6 +57,23 @@ def test_pps_sample_weights_and_determinism(spark):
     assert s1["size"].mean() > pdf["size"].mean()
 
 
+def test_pps_sample_deterministic_uniform(spark):
+    """A supplied hashed uniform makes the E-S sample independent of
+    input partitioning (exactly reproducible after repartition)."""
+    df, pdf = _pop(spark)
+    u = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 12), 16, 10).cast(
+            "long"
+        )
+        + F.lit(1.0)
+    ) / F.lit(2.0**48)
+    s1 = pps_sample(df, "size", 50, u=u).toPandas().sort_values("id")
+    s2 = pps_sample(df.repartition(7), "size", 50, u=u).toPandas().sort_values("id")
+    assert list(s1["id"]) == list(s2["id"])
+    total = pdf["size"].sum()
+    np.testing.assert_allclose(s1["wt"], total / (50 * s1["size"]), rtol=1e-12)
+
+
 def test_srs_and_poisson_weights(spark):
     df, pdf = _pop(spark)
     s = srs_sample(df, 200, seed=1).toPandas()
