@@ -41,6 +41,7 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.calibration import (  # noqa: E402
     composite_factors,
     greg_calibrate,
+    grouped_matrix_product,
     post_stratify,
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.cox import (  # noqa: E402
@@ -49,6 +50,8 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.influence import (  # noqa: E402
     cox_score_influence,
     gamma_influence,
+    var_poisson,
+    var_pps,
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (  # noqa: E402
     pps_sample,
@@ -908,6 +911,111 @@ def _sql_gamma_influence(sf_dir: str) -> str:
     """
 
 
+def _q_influence_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: design variances of the gamma influence matrix -- PPS
+    (per-stratum covariance sums x n_h) and Poisson ((1-pi)-weighted
+    cross products), each one distributed pass."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cohort, survey = tpch.survey_frames(spark, sf_dir)
+    stacked = stack_samples(cohort, survey, "wt")
+    eta = F.lit(GAMMA0) + F.lit(GAMMA1) * F.col("x1")
+    stacked = stacked.withColumn("one", F.lit(1.0)).withColumn(
+        "p_est", F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    )
+    inf = gamma_influence(stacked, ["one", "x1"], p_est="p_est", ps_w="w")
+    vp = var_pps(inf.df, list(inf.delta_cols), "trt")
+    vo = var_poisson(inf.df, list(inf.delta_cols), F.lit(1.0) / F.col("w"))
+    row = tuple(
+        round(float(x), 9)
+        for x in (vp[0, 0], vp[0, 1], vp[1, 1], vo[0, 0], vo[0, 1], vo[1, 1])
+    )
+    return spark.createDataFrame(
+        [row],
+        "pps_00 double, pps_01 double, pps_11 double,"
+        " poi_00 double, poi_01 double, poi_11 double",
+    )
+
+
+def _sql_influence_variance(sf_dir: str) -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    stacked AS (
+      SELECT id, 1 AS trt, x1, 1.0 AS w FROM units WHERE {tpch.COHORT_PRED}
+      UNION ALL
+      SELECT id, 0 AS trt, x1, wt AS w FROM units WHERE {tpch.SURVEY_PRED}
+    ),
+    sc AS (SELECT *, 1.0 / (1.0 + exp(-({GAMMA0} + {GAMMA1} * x1))) AS p
+           FROM stacked),
+    gram AS (SELECT sum(w * p * (1 - p)) AS a,
+                    sum(w * p * (1 - p) * x1) AS b,
+                    sum(w * p * (1 - p) * x1 * x1) AS dd
+             FROM sc),
+    deltas AS (
+      SELECT trt, w,
+             w * (trt - p) * (gram.dd - x1 * gram.b)
+               / (gram.a * gram.dd - gram.b * gram.b) AS d0,
+             w * (trt - p) * (x1 * gram.a - gram.b)
+               / (gram.a * gram.dd - gram.b * gram.b) AS d1
+      FROM sc CROSS JOIN gram
+    ),
+    by_h AS (
+      SELECT trt, count(*) AS n,
+             sum(d0) AS s0, sum(d1) AS s1,
+             sum(d0 * d0) AS s00, sum(d0 * d1) AS s01, sum(d1 * d1) AS s11
+      FROM deltas GROUP BY trt
+    ),
+    pps AS (
+      SELECT sum(n * (s00 - s0 * s0 / n) / (n - 1)) AS v00,
+             sum(n * (s01 - s0 * s1 / n) / (n - 1)) AS v01,
+             sum(n * (s11 - s1 * s1 / n) / (n - 1)) AS v11
+      FROM by_h
+    ),
+    poi AS (
+      SELECT sum((1 - 1.0 / w) * d0 * d0) AS v00,
+             sum((1 - 1.0 / w) * d0 * d1) AS v01,
+             sum((1 - 1.0 / w) * d1 * d1) AS v11
+      FROM deltas
+    )
+    SELECT round(pps.v00, 9) AS pps_00, round(pps.v01, 9) AS pps_01,
+           round(pps.v11, 9) AS pps_11,
+           round(poi.v00, 9) AS poi_00, round(poi.v01, 9) AS poi_01,
+           round(poi.v11, 9) AS poi_11
+    FROM pps CROSS JOIN poi
+    """
+
+
+def _q_grouped_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I10 ``f_w_mtrx``: grouped post-strat derivative times an n x q
+    matrix without densifying -- per-cell scalar x cell sums,
+    broadcast back onto member rows."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cohort, _ = tpch.survey_frames(spark, sf_dir)
+    cohort = cohort.withColumn(
+        "cell", (F.col("d") * 10 + F.col("id") % 7).cast("int")
+    )
+    factors = cohort.groupBy("cell").agg((F.lit(1.0) / F.sum("wt")).alias("f_w"))
+    out = grouped_matrix_product(cohort, factors, "cell", ["x1", "x2"])
+    return out.select(
+        "id",
+        F.round("x1", 9).alias("gp_x1"),
+        F.round("x2", 9).alias("gp_x2"),
+    )
+
+
+def _sql_grouped_product(sf_dir: str) -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    c AS (SELECT *, cast(d * 10 + id % 7 AS int) AS cell
+          FROM units WHERE {tpch.COHORT_PRED}),
+    g AS (SELECT cell, 1.0 / sum(wt) AS f_w,
+                 sum(x1) AS sx1, sum(x2) AS sx2
+          FROM c GROUP BY cell)
+    SELECT c.id, round(g.f_w * g.sx1, 9) AS gp_x1,
+           round(g.f_w * g.sx2, 9) AS gp_x2
+    FROM c JOIN g ON c.cell = g.cell
+    """
+
+
 # --- training-data pipeline layer (documents / embeddings) ----------------
 
 TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
@@ -1243,6 +1351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cox_score_check": _q_cox_score,
         "kw_derivative": _q_kw_derivative,
         "gamma_influence": _q_gamma_influence,
+        "influence_variance": _q_influence_variance,
+        "grouped_product": _q_grouped_product,
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "exact_dedup": _q_exact_dedup,
@@ -1281,6 +1391,8 @@ def oracle_sql() -> dict[str, str]:
         "cox_score_check": _sql_cox_score(),
         "kw_derivative": _sql_kw_derivative(sf),
         "gamma_influence": _sql_gamma_influence(sf),
+        "influence_variance": _sql_influence_variance(sf),
+        "grouped_product": _sql_grouped_product(sf),
         # cox_coefficients: iterative (H2) -> rows-only check + golden tests
         "text_stats": _sql_text_stats(),
         "lang_id": _sql_lang_id(),
