@@ -25,10 +25,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    # Warm up the JVM / parquet footer caches once so the first timed
-    # query is not charged for session start-up (applies equally to
-    # every run, so comparisons stay fair).
+    # Warm up the JVM / parquet footer caches and the Python/Arrow
+    # worker pool once so the first timed query is not charged for
+    # session start-up (applies equally to every run, so comparisons
+    # stay fair; the first mapInPandas otherwise absorbs ~10s of
+    # worker spin-up).
     spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
 
