@@ -1,0 +1,92 @@
+"""Distributed ordered cumulative sums (the 100 TB path for F1/F2).
+
+A window ``Window.orderBy(t)`` with no ``partitionBy`` collapses to ONE
+task -- fine for event-time grids of a few thousand distinct values,
+a bottleneck when the grid itself is huge (continuous event times at
+population scale). ``partitioned_cumsum`` is the classic two-pass
+replacement:
+
+1. bucket rows into quantile ranges of the order column (one
+   ``approxQuantile`` driver pass; ties always land in one bucket);
+2. per-bucket window cumsum -- parallel across buckets;
+3. per-bucket totals -> driver prefix offsets (n_buckets scalars) ->
+   broadcast join back and add.
+
+Exact (not approximate): quantile edges only steer parallelism; the
+sums themselves are complete. Supports forward (``<= t``) and reverse
+(``>= t``) running sums with ``rangeBetween`` tie semantics, matching
+the single-window recipes used by ``operators/survival.py``
+(reference tie fix ``taylor_deviate.R:621-626``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def partitioned_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_cols: Sequence[str],
+    *,
+    reverse: bool = False,
+    n_buckets: int = 32,
+    out_prefix: str = "cum_",
+) -> DataFrame:
+    """Append ``{out_prefix}{v}`` running-sum columns of each value
+    column, ordered by ``order_col`` (ascending; ``reverse=True`` sums
+    over rows with order >= current instead). Tie rows share the full
+    tie-group total (rangeBetween semantics).
+    """
+    value_cols = list(value_cols)
+    edges = df.approxQuantile(
+        order_col, [i / n_buckets for i in range(1, n_buckets)], 0.001
+    )
+    # Strictly increasing interior edges; equal order values can never
+    # straddle a bucket boundary because assignment is by `x <= edge`.
+    edges = sorted(set(edges))
+    bucket = F.lit(len(edges))
+    for i in range(len(edges) - 1, -1, -1):
+        bucket = F.when(F.col(order_col) <= F.lit(edges[i]), F.lit(i)).otherwise(bucket)
+    out = df.withColumn("_csb", bucket)
+
+    order = F.col(order_col).desc() if reverse else F.col(order_col).asc()
+    win = (
+        Window.partitionBy("_csb")
+        .orderBy(order)
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    for v in value_cols:
+        out = out.withColumn(f"{out_prefix}{v}", F.sum(v).over(win))
+
+    totals = (
+        out.groupBy("_csb")
+        .agg(*[F.sum(v).alias(f"_t_{v}") for v in value_cols])
+        .collect()
+    )
+    totals_by_bucket = {int(r["_csb"]): r for r in totals}
+    order_ids = sorted(totals_by_bucket)
+    if reverse:
+        order_ids = list(reversed(order_ids))
+    offsets: dict[int, dict[str, float]] = {}
+    running = {v: 0.0 for v in value_cols}
+    for b in order_ids:
+        offsets[b] = dict(running)
+        for v in value_cols:
+            running[v] += float(totals_by_bucket[b][f"_t_{v}"] or 0.0)
+
+    spark = df.sparkSession
+    off_rows = [
+        tuple([b] + [offsets[b][v] for v in value_cols]) for b in sorted(offsets)
+    ]
+    schema = "_csb int, " + ", ".join(f"_off_{v} double" for v in value_cols)
+    off_df = spark.createDataFrame(off_rows, schema)
+    out = out.join(F.broadcast(off_df), "_csb")
+    for v in value_cols:
+        out = out.withColumn(
+            f"{out_prefix}{v}", F.col(f"{out_prefix}{v}") + F.col(f"_off_{v}")
+        ).drop(f"_off_{v}")
+    return out.drop("_csb")

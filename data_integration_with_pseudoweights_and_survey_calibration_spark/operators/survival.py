@@ -36,6 +36,7 @@ def hazard_grid(
     d: str = "d",
     w: str = "w",
     rel_hzd: str | Column | None = None,
+    grid_partitions: int | None = None,
 ) -> DataFrame:
     """E11: per distinct event time u --
 
@@ -47,6 +48,11 @@ def hazard_grid(
     Mirrors ``lambda_dat`` of ``taylor_deviate.R:754-785`` but replaces
     the n x T indicator matrices with the grid recipe above.
     Output: one row per distinct *event* time, ascending.
+
+    ``grid_partitions``: when the grid itself is huge (continuous event
+    times at population scale), compute the reverse cumsums with the
+    two-pass distributed recipe (``functions/cumsum.py``) at that
+    parallelism instead of one single-partition window.
     """
     rel = F.lit(1.0) if rel_hzd is None else (
         F.col(rel_hzd) if isinstance(rel_hzd, str) else rel_hzd
@@ -63,10 +69,26 @@ def hazard_grid(
     # *descending* time order means every row with the same t shares the
     # full tie-group total -- the reference's tie fix
     # (``taylor_deviate.R:621-626``) for free.
-    rev = Window.orderBy(F.col("t").desc()).rangeBetween(Window.unboundedPreceding, 0)
-    grid = grid.withColumn("Zt", F.sum("_we_sum").over(rev)).withColumn(
-        "Yt", F.sum("_w_sum").over(rev)
-    )
+    if grid_partitions is not None:
+        from ..functions.cumsum import partitioned_cumsum
+
+        grid = partitioned_cumsum(
+            grid,
+            "t",
+            ["_we_sum", "_w_sum"],
+            reverse=True,
+            n_buckets=grid_partitions,
+        )
+        grid = grid.withColumn("Zt", F.col("cum__we_sum")).withColumn(
+            "Yt", F.col("cum__w_sum")
+        )
+    else:
+        rev = Window.orderBy(F.col("t").desc()).rangeBetween(
+            Window.unboundedPreceding, 0
+        )
+        grid = grid.withColumn("Zt", F.sum("_we_sum").over(rev)).withColumn(
+            "Yt", F.sum("_w_sum").over(rev)
+        )
     return (
         grid.where(F.col("_has_event") > 0)
         .select(

@@ -79,6 +79,48 @@ def test_hazard_grid(spark):
         np.testing.assert_allclose(got[c], want[c], rtol=1e-10, err_msg=c)
 
 
+def test_hazard_grid_distributed_cumsum(spark):
+    """The two-pass partitioned cumsum path is exactly the
+    single-window path (ties included)."""
+    pdf = _surv_data()
+    rel = np.exp(0.4 * pdf.x1.values)
+    pdf2 = pdf.assign(rel=rel)
+    df = spark.createDataFrame(pdf2)
+    base = hazard_grid(df, rel_hzd="rel").orderBy("t").toPandas()
+    dist = hazard_grid(df, rel_hzd="rel", grid_partitions=7).orderBy("t").toPandas()
+    np.testing.assert_allclose(base.t, dist.t)
+    for c in ["Nt", "Zt", "Yt", "lambda", "one_minus_ar"]:
+        np.testing.assert_allclose(base[c], dist[c], rtol=1e-12, err_msg=c)
+
+
+def test_partitioned_cumsum_forward_reverse(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.functions.cumsum import (
+        partitioned_cumsum,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "t": np.round(rng.uniform(0, 10, n), 1),  # heavy ties
+            "v": rng.normal(0, 1, n),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(5)
+    for reverse in (False, True):
+        got = (
+            partitioned_cumsum(df, "t", ["v"], reverse=reverse, n_buckets=6)
+            .orderBy("t")
+            .toPandas()
+        )
+        # rangeBetween semantics: every row's cumsum = sum of v over
+        # rows with t <= (>=) its own t, tie rows sharing the total.
+        s = pdf.groupby("t")["v"].sum().sort_index()
+        cum = s[::-1].cumsum()[::-1] if reverse else s.cumsum()
+        want = got.t.map(cum)
+        np.testing.assert_allclose(got.cum_v, want, rtol=1e-10)
+
+
 def test_as_of_lookup(spark):
     grid = spark.createDataFrame(
         pd.DataFrame({"t": [1.0, 2.0, 4.0], "v": [10.0, 20.0, 40.0]})
