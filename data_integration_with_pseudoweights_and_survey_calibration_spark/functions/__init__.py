@@ -1,11 +1,13 @@
 """Expression-level building blocks (pure Column functions, JVM-side)."""
 
+from .cumsum import partitioned_cumsum
 from .design import DesignMatrix
 from .kernels import dnorm, gaussian_kernel, triangular_kernel
 from .stats import weighted_mean, weighted_total, weighted_var
 
 __all__ = [
     "DesignMatrix",
+    "partitioned_cumsum",
     "dnorm",
     "gaussian_kernel",
     "triangular_kernel",

@@ -156,7 +156,20 @@ def kw_weights(
     if dcols and kernel not in ("dnorm", "gaussian"):
         raise NotImplementedError("KW gamma-derivative implemented for the Gaussian kernel")
 
-    m = cohort_scores.count()
+    mrow = cohort_scores.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.min(score_col).alias("lo"),
+        F.max(score_col).alias("hi"),
+    ).collect()[0]
+    m = int(mrow["m"])
+    # Salting restores parallelism when the whole sample concentrates in
+    # one or two score buckets (bucket width = kernel support). When the
+    # score range already spans many buckets, replication across salts
+    # is pure shuffle overhead -- scale the salt count down so
+    # buckets x salts stays ~= the target parallelism.
+    span_buckets = max(
+        1, int((float(mrow["hi"]) - float(mrow["lo"])) / width) + 1
+    )
 
     c = cohort_scores.select(
         F.col(c_id).alias("_cid"),
@@ -178,7 +191,7 @@ def kw_weights(
     # SALTED: survey rows get pmod(hash(id), n_salt), cohort rows
     # replicate across all salts, restoring full parallelism even when
     # one bucket holds the whole sample.
-    n_salt = int(salt)
+    n_salt = max(1, min(int(salt), (64 + span_buckets - 1) // span_buckets))
     s_b = s.withColumn("_bkt", F.floor(F.col("_ps_s") / width).cast("long")).withColumn(
         "_salt", F.pmod(F.hash("_sid"), F.lit(n_salt))
     )
@@ -201,7 +214,7 @@ def kw_weights(
     # pairs, so AQE's size-based coalescing would otherwise collapse it
     # to 1-2 tasks. A user-specified partition count is exempt from AQE
     # coalescing and pins the pair computation at full parallelism.
-    n_part = max(2 * n_salt, 16)
+    n_part = 64
     s_p = s_b.repartition(n_part, "_bkt", "_salt")
     c_p = c_b.repartition(n_part, "_bkt", "_salt")
 
