@@ -213,3 +213,140 @@ def estimate_methods(
                 if res.absR is not None:
                     results[f"absR_x0_t{j}_{label}"] = float(res.absR[j])
     return results
+
+
+def estimate_methods_inf(
+    cohort: DataFrame,
+    survey: DataFrame,
+    *,
+    x_cols: list[str],
+    ps_formulas: Sequence[str],
+    t_star: list[float],
+    pop_size: float,
+    pop_events: float,
+    lambda_star: DataFrame | None = None,
+    x0: Sequence[Sequence[float]] | None = None,
+    error_variants: Sequence[int] = (1, 2, 3),
+    survey_weight: str = "wt",
+    t: str = "t",
+    d: str = "d",
+) -> dict[str, float]:
+    """``jk_est_inf`` (``jk_fun.R:172-275``): the informative-design
+    method table.
+
+    The informative design puts the outcome in the cohort selection, so
+    the propensity model is refit under ``len(ps_formulas)`` candidate
+    formulas (with / without ``d`` and interactions, ``fm_ps[1..4]``).
+    Each formula yields its own IPSW Cox estimate (``ipsw.i``), its own
+    composite factors (``a_cv[i,]``, ``jk_fun.R:233-237``), and its own
+    composite weight column; the calibration grid then runs, per
+    measurement-error variant k, under the true weights and under the
+    first and the variant-matched composite IPSW weights
+    (``jk_fun.R:241-273``) -- with and without imputation-corrected
+    times.
+    """
+    results: dict[str, float] = {}
+    n_s = survey.count()
+    a = n_s / float(pop_size)
+
+    def _cox_and_est(df, pw, label, tcol=t, dcol=d):
+        fit = cox_fit(df, x_cols, t=tcol, d=dcol, w=pw)
+        for name, b in zip(x_cols, fit.beta):
+            results[f"beta_{label}_{name}"] = float(b)
+        for k, v in _est_out(
+            df, x_cols, fit.beta, pw, t_star, lambda_star, x0, t=tcol, d=dcol
+        ).items():
+            results[f"{k}_{label}"] = v
+        return fit
+
+    cohort = cohort.withColumn("_one", F.lit(1.0)).cache()
+    _cox_and_est(cohort, "_one", "naive")
+    _cox_and_est(cohort, survey_weight, "cht")
+    _cox_and_est(survey.withColumn("_one", F.lit(1.0)), survey_weight, "svy")
+
+    # stacked frame with halved true weights (jk_fun.R:205)
+    stacked = stack_samples(cohort.drop("_one"), survey, survey_weight,
+                            sampling_fraction=a)
+    stacked = stacked.withColumn(survey_weight, F.col(survey_weight) / 2.0)
+
+    # one IPSW method + composite factors per candidate PS formula
+    # (jk_fun.R:218-238)
+    a_cs: list[float] = []
+    for i, fm in enumerate(ps_formulas):
+        st2, ps = fit_propensity(stacked, fm, weight_col="w_s",
+                                 sampling_fraction=a)
+        ci = (
+            st2.where(F.col("trt") == 1)
+            .withColumn("_ipsw", 1.0 / ps.pi_c_est())
+            .cache()
+        )
+        _cox_and_est(ci, "_ipsw", f"ipsw.{i}")
+        a_c, a_s = composite_factors(
+            ci, survey, cohort_wt="_ipsw", survey_wt=survey_weight
+        )
+        a_cs.append(a_c)
+        comp = ci.select(
+            "id", F.lit(1).alias("trt"), (F.col("_ipsw") * a_c).alias(f"_comp_{i}")
+        )
+        stacked = stacked.join(comp, ["id", "trt"], "left").withColumn(
+            f"_comp_{i}",
+            F.coalesce(
+                F.col(f"_comp_{i}"), F.col(survey_weight) * 2.0 * a_s
+            ),
+        )
+
+    for k in error_variants:
+        tt, dt = f"t_tilde_{k}", f"d_tilde_{k}"
+        tf, df_ = f"t_fit_{k}", f"d_fit_{k}"
+        com = stacked.withColumn(
+            tf, F.when(F.col("trt") == 0, F.col(f"t_imp_{k}")).otherwise(F.col(t))
+        ).withColumn(
+            df_, F.when(F.col("trt") == 0, F.col(dt)).otherwise(F.col(d))
+        )
+        # variant-matched formula index (jk_fun.R:252 uses ipsw.k); fall
+        # back to the last formula when fewer were supplied
+        km = min(k, len(ps_formulas) - 1)
+        grid: list[tuple[str, str, str, str | None, float | None]] = [
+            (f"calib.d{k}", tt, dt, None, None),
+            (f"calib_ipsw0.d{k}", tt, dt, "_comp_0", a_cs[0]),
+            (f"calib_ipsw{km}.d{k}", tt, dt, f"_comp_{km}", a_cs[km]),
+            (f"imp.d{k}", tf, df_, None, None),
+            (f"impcalib_ipsw0.d{k}", tf, df_, "_comp_0", a_cs[0]),
+            (f"impcalib_ipsw{km}.d{k}", tf, df_, f"_comp_{km}", a_cs[km]),
+        ]
+        for label, vt, vd, vw, acv in grid:
+            if vw is None:
+                # true weights: calib_est restores the halved wt
+                frame = com.withColumn(survey_weight, F.col(survey_weight) * 2.0)
+                wcol = survey_weight
+            else:
+                # composite weights: event benchmark scaled 1/a_cv on
+                # cohort rows (jk_fun.R:27-29)
+                frame = com.withColumn(
+                    vd,
+                    F.when(F.col("trt") == 1, F.col(vd) / float(acv)).otherwise(
+                        F.col(vd)
+                    ),
+                )
+                wcol = vw
+            res = calib_est(
+                frame,
+                x_cols,
+                t_star,
+                var_wt=wcol,
+                pop_size=pop_size,
+                pop_events=pop_events,
+                t=vt,
+                d=vd,
+                lambda_star=lambda_star,
+                x0=list(x0[0]) if x0 else None,
+            )
+            for name, b in zip(x_cols, res.beta):
+                results[f"beta_{label}_{name}"] = float(b)
+            for j in range(len(t_star)):
+                results[f"Lambda_t{j}_{label}"] = float(res.Lambda[j])
+                if res.LambdaG is not None:
+                    results[f"LambdaG_t{j}_{label}"] = float(res.LambdaG[j])
+                if res.absR is not None:
+                    results[f"absR_x0_t{j}_{label}"] = float(res.absR[j])
+    return results

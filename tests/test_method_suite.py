@@ -54,3 +54,49 @@ def test_method_suite(spark):
     # weighted methods should be in a sane beta range (truth 0.2/0.2/0.3)
     for m in ("cht", "ipsw"):
         assert abs(out[f"beta_{m}_x1"] - 0.2) < 0.2
+
+
+def test_method_suite_informative(spark):
+    """jk_est_inf shape: informative cohort selection (outcome in the
+    odds), 4 candidate PS formulas -> per-formula IPSW + composite
+    calibration grid."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.method_suite import (
+        estimate_methods_inf,
+    )
+
+    pop = generate_population(spark, 6000, seed=31).cache()
+    n1 = pop.agg(F.sum("d")).collect()[0][0]
+    # informative design: d enters the cohort selection odds
+    # (calib_simu_inf0315.R:132)
+    cohort, survey = draw_samples(
+        pop, 150, 250, seed=5, odds_c={"x1": -0.15, "x2": 0.1, "d": 0.6}
+    )
+    lam_star = lambda_star_pop(pop, t_star=[2.0, 5.0])
+    out = estimate_methods_inf(
+        cohort,
+        survey,
+        x_cols=["x1", "x2", "x3"],
+        ps_formulas=["x1 + x2", "x1*d + x2*d", "x1 + x2 + d", "x1 + x2 + x1:x2"],
+        t_star=[2.0, 5.0],
+        pop_size=6000.0,
+        pop_events=float(n1),
+        lambda_star=lam_star,
+        x0=[[0.5, 0.0, 0.0]],
+        error_variants=(1,),
+    )
+    for m in (
+        "naive", "cht", "svy",
+        "ipsw.0", "ipsw.1", "ipsw.2", "ipsw.3",
+        "calib.d1", "calib_ipsw0.d1", "calib_ipsw1.d1",
+        "imp.d1", "impcalib_ipsw0.d1", "impcalib_ipsw1.d1",
+    ):
+        assert f"beta_{m}_x1" in out, f"missing method {m}"
+    for k, v in out.items():
+        assert math.isfinite(v), f"{k} not finite"
+        if k.startswith("absR"):
+            # 0.0 is the legitimate no-events-before-t* boundary at
+            # toy scale (error-shifted times can all exceed t*=2)
+            assert 0.0 <= v < 1.0, f"{k}={v}"
+    # the informative-aware PS models (with d) should not blow up
+    for m in ("ipsw.1", "ipsw.2"):
+        assert abs(out[f"beta_{m}_x1"] - 0.2) < 0.4
