@@ -39,3 +39,24 @@ KERNELS = {
     "gaussian": gaussian_kernel,
     "triang": triangular_kernel,
 }
+
+
+# NumPy twins for the block (applyInPandas) kernel path: same math on
+# Arrow-batched arrays. ``z`` is a numpy array of standardized distances.
+def _np_dnorm(z):
+    import numpy as np
+
+    return np.exp(-(z * z) / 2.0) * _INV_SQRT_2PI
+
+
+def _np_triang(z):
+    import numpy as np
+
+    return np.maximum(0.0, 1.0 - np.abs(z))
+
+
+KERNELS_NP = {
+    "dnorm": _np_dnorm,
+    "gaussian": _np_dnorm,
+    "triang": _np_triang,
+}

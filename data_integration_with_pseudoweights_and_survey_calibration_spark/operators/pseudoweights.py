@@ -17,14 +17,28 @@ Reference semantics rebuilt here:
 
 Scale design: the reference materializes the full n_s x n_c signed
 -distance matrix (``outer`` at ``simu_fun.R:52``) and hand-blocks it in
-100 chunks when large (``simu_fun.R:143-165``). Here the pair table is a
-**banded bucket equi-join**: scores are binned at the kernel's numeric
-support width, cohort rows are replicated to the 3 adjacent buckets, and
-the join is a plain shuffle hash join on the bucket key -- no cross
-join, no skew ceiling, linear in the number of *numerically non-zero*
-kernel pairs. For the Gaussian kernel exp(-z^2/2) underflows to exactly
-0.0 in IEEE double at |z| >= ~38.6, so a cutoff of 40 bandwidths is
-bit-identical to the dense computation.
+100 chunks when large (``simu_fun.R:143-165``). Here scores are binned
+at the kernel's numeric support width, cohort rows are replicated to
+the 3 adjacent buckets, and each (bucket, salt) group is sized by
+**density-aware salting** (per-bucket salt counts from exact bucket
+histograms, so every task carries the same number of kernel pairs no
+matter how the scores pile up). Two execution paths over that layout:
+
+- ``impl='block'`` (default): one ``applyInPandas`` pass; the 3-bucket
+  replication invariant puts every in-support cohort row in the group,
+  so kernel row sums, normalization, and per-cohort column sums are all
+  computed locally as sorted, cache-blocked numpy windows (searchsorted
+  band limits, fused in-place ufuncs) -- only one small partial row per
+  replicated cohort unit leaves the workers.
+- ``impl='sql'``: pure-JVM two-pass banded hash join (no Python
+  workers) with map-side combined aggregations -- kept for
+  environments without Arrow workers.
+
+No cross join, no skew ceiling, work linear in the number of
+*numerically non-zero* kernel pairs. For the Gaussian kernel
+exp(-z^2/2) underflows to exactly 0.0 in IEEE double at |z| >= ~38.6,
+so a cutoff of 40 bandwidths is bit-identical to the dense
+computation.
 """
 
 from __future__ import annotations
@@ -35,7 +49,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.kernels import KERNELS, TRIANG_BW_SCALE
+from ..functions.kernels import KERNELS, KERNELS_NP, TRIANG_BW_SCALE
 
 # Numeric support of the Gaussian kernel. dnorm underflows to exact
 # 0.0 at |z| ~ 38.6, but a pair at |z| = 10 already contributes
@@ -101,6 +115,145 @@ def bw_nrd0(df: DataFrame, col: str) -> float:
     return 0.9 * lo * n ** (-0.2)
 
 
+def _kw_block_fn(width: float, h: float, kernel: str, q: int):
+    """applyInPandas worker for the block KW path.
+
+    One (bucket, salt) group holds a slice of survey rows PLUS every
+    cohort row within kernel support of them (the 3-bucket replication
+    invariant), so the kernel row sum ``rs`` of each survey row is
+    complete inside the group: normalization and the per-cohort column
+    sums all happen here, vectorized, in one pass over the data.
+
+    Emits ``_kind=0`` rows (per-cohort partial sums ``_kw``/``_g_j``,
+    to be summed across groups) and ``_kind=1`` rows (unmatched survey
+    units with their weight/score/design values).
+    """
+    import numpy as np
+    import pandas as pd
+
+    kfun = KERNELS_NP[kernel]
+    cols = (
+        ["_kind", "_sid", "_cid", "_kw", "_wt", "_ps"]
+        + [f"_x_{j}" for j in range(q)]
+        + [f"_g_{j}" for j in range(q)]
+    )
+
+    support = width / h
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        sv = pdf[pdf["_side"] == 0]
+        ch = pdf[pdf["_side"] == 1]
+        if sv.empty:
+            return pd.DataFrame({c: [] for c in cols})
+        # Both sides sorted by score: (a) searchsorted gives each survey
+        # chunk its exact in-band cohort column window -- out-of-band
+        # columns are never touched, no mask pass; (b) block buffers stay
+        # cache-sized (~2 MB), so 32 concurrent workers don't fight for
+        # DRAM bandwidth (the naive 16 MB-temporary blocks ran 6-10x
+        # slower under full concurrency than alone).
+        so = np.argsort(sv["_ps"].to_numpy(dtype=float), kind="stable")
+        ps_s = sv["_ps"].to_numpy(dtype=float)[so]
+        wt = sv["_wt"].to_numpy(dtype=float)[so]
+        xs = [sv[f"_x_{j}"].to_numpy(dtype=float)[so] for j in range(q)]
+        sid_sorted = sv["_sid"].to_numpy()[so]
+        n_s = len(ps_s)
+        zs = ps_s / h
+        if ch.empty:
+            un_mask = np.ones(n_s, dtype=bool)
+            nc = 0
+        else:
+            co = np.argsort(ch["_ps"].to_numpy(dtype=float), kind="stable")
+            ps_c = ch["_ps"].to_numpy(dtype=float)[co]
+            xc = [ch[f"_x_{j}"].to_numpy(dtype=float)[co] for j in range(q)]
+            cid_sorted = ch["_cid"].to_numpy()[co]
+            nc = len(ps_c)
+            zc = ps_c / h
+            kw_p = np.zeros(nc)
+            g_p = [np.zeros(nc) for _ in range(q)]
+            un_mask = np.zeros(n_s, dtype=bool)
+            # chunk span is tiny once sorted, so the column window is
+            # ~2*support wide; size the survey step so a block holds
+            # ~250k doubles
+            win_est = min(
+                nc,
+                max(
+                    1,
+                    int(
+                        nc
+                        * (2.0 * support)
+                        / max(zc[-1] - zc[0], 2.0 * support)
+                    ),
+                ),
+            )
+            step = max(1, int(250_000 // win_est))
+            for i0 in range(0, n_s, step):
+                i1 = min(i0 + step, n_s)
+                j0 = int(np.searchsorted(zc, zs[i0] - support, "left"))
+                j1 = int(np.searchsorted(zc, zs[i1 - 1] + support, "right"))
+                if j0 >= j1:
+                    un_mask[i0:i1] = True
+                    continue
+                Z = zs[i0:i1][:, None] - zc[None, j0:j1]
+                if kernel in ("dnorm", "gaussian"):
+                    # fused in-place: K = exp(-Z^2/2)/sqrt(2pi), zeroed
+                    # outside the band
+                    K = np.multiply(Z, Z)
+                    K *= -0.5
+                    np.exp(K, out=K)
+                    K *= 0.3989422804014327
+                else:
+                    K = kfun(Z.copy())
+                K[np.abs(Z) > support] = 0.0
+                rs = K.sum(axis=1)
+                ok = rs > 0.0
+                un_mask[i0:i1] = ~ok
+                rs_safe = np.where(ok, rs, 1.0)
+                A = np.where(ok, wt[i0:i1] / rs_safe, 0.0)
+                kw_p[j0:j1] += A @ K
+                for j in range(q):
+                    # kij = -K * dist * dx / h^2 = -(K*Z) * dx / h
+                    kij = K * Z
+                    kij *= xs[j][i0:i1][:, None] - xc[j][None, j0:j1]
+                    kij *= -1.0 / h
+                    rk = kij.sum(axis=1)
+                    g_p[j][j0:j1] += A @ kij - (
+                        np.where(ok, wt[i0:i1] * rk / (rs_safe * rs_safe), 0.0)
+                        @ K
+                    )
+        nu = int(un_mask.sum())
+        nan_c = np.full(nc, np.nan)
+        data = {
+            "_kind": np.concatenate(
+                [np.zeros(nc, np.int32), np.ones(nu, np.int32)]
+            ),
+            "_sid": np.concatenate(
+                [
+                    np.full(nc, None, dtype=object),
+                    sid_sorted[un_mask].astype(object),
+                ]
+            ),
+            "_cid": np.concatenate(
+                [
+                    cid_sorted.astype(object)
+                    if nc
+                    else np.empty(0, dtype=object),
+                    np.full(nu, None, dtype=object),
+                ]
+            ),
+            "_kw": np.concatenate([kw_p if nc else np.empty(0), np.full(nu, np.nan)]),
+            "_wt": np.concatenate([nan_c, wt[un_mask]]),
+            "_ps": np.concatenate([nan_c, ps_s[un_mask]]),
+        }
+        for j in range(q):
+            data[f"_x_{j}"] = np.concatenate([nan_c, xs[j][un_mask]])
+            data[f"_g_{j}"] = np.concatenate(
+                [g_p[j] if nc else np.empty(0), np.full(nu, np.nan)]
+            )
+        return pd.DataFrame(data)
+
+    return fn
+
+
 @dataclass(frozen=True)
 class KwResult:
     weights: DataFrame  # (c_id, kw [, kw_g_<j> derivative columns])
@@ -120,8 +273,9 @@ def kw_weights(
     h: float | None = None,
     kernel: str = "dnorm",
     rm_s: bool = False,
-    salt: int = 32,
+    salt: int = 64,
     deriv_cols: Sequence[str] | None = None,
+    impl: str = "block",
 ) -> KwResult:
     """I3 (+I4 with ``deriv_cols``): KW kernel pseudo-weights via
     banded bucket join.
@@ -156,20 +310,7 @@ def kw_weights(
     if dcols and kernel not in ("dnorm", "gaussian"):
         raise NotImplementedError("KW gamma-derivative implemented for the Gaussian kernel")
 
-    mrow = cohort_scores.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.min(score_col).alias("lo"),
-        F.max(score_col).alias("hi"),
-    ).collect()[0]
-    m = int(mrow["m"])
-    # Salting restores parallelism when the whole sample concentrates in
-    # one or two score buckets (bucket width = kernel support). When the
-    # score range already spans many buckets, replication across salts
-    # is pure shuffle overhead -- scale the salt count down so
-    # buckets x salts stays ~= the target parallelism.
-    span_buckets = max(
-        1, int((float(mrow["hi"]) - float(mrow["lo"])) / width) + 1
-    )
+    m = int(cohort_scores.count())
 
     c = cohort_scores.select(
         F.col(c_id).alias("_cid"),
@@ -186,93 +327,195 @@ def kw_weights(
     # Banded bucket equi-join: a survey row sits in bucket
     # floor(ps/width); cohort rows replicate to the 3 adjacent buckets so
     # every pair with |ps_s - ps_c| <= width meets on an equality key
-    # (plain shuffle hash join -- SURVEY §4.2 "band join"). Because real
-    # propensity scores concentrate in a few buckets, the join key is
-    # SALTED: survey rows get pmod(hash(id), n_salt), cohort rows
-    # replicate across all salts, restoring full parallelism even when
-    # one bucket holds the whole sample.
-    n_salt = max(1, min(int(salt), (64 + span_buckets - 1) // span_buckets))
-    s_b = s.withColumn("_bkt", F.floor(F.col("_ps_s") / width).cast("long")).withColumn(
-        "_salt", F.pmod(F.hash("_sid"), F.lit(n_salt))
+    # (plain shuffle hash join -- SURVEY §4.2 "band join").
+    #
+    # DENSITY-AWARE SALTING: propensity scores concentrate, so per-bucket
+    # pair loads are wildly skewed (one bucket can hold >3/4 of all kernel
+    # pairs) and a single global salt count either under-splits the hot
+    # bucket or replicates the cold ones for nothing. Two tiny histogram
+    # aggs (n_c + n_s input rows) give the exact per-bucket pair load
+    # load_b = ns_b * (nc_{b-1}+nc_b+nc_{b+1}); each bucket then gets its
+    # own salt count ~ load_b / (total_load / n_part), so every join task
+    # carries about the same number of kernel evaluations regardless of
+    # where the scores pile up. Buckets with zero load drop out of the
+    # join entirely (their rows cannot pair; unmatched handling below
+    # still sees them through the anti-join on `s`).
+    n_part = 64
+    bkt_c = F.floor(F.col("_ps_c") / width).cast("long")
+    bkt_s = F.floor(F.col("_ps_s") / width).cast("long")
+    nc_hist = {
+        int(r["b"]): int(r["n"])
+        for r in c.groupBy(bkt_c.alias("b")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    ns_hist = {
+        int(r["b"]): int(r["n"])
+        for r in s.groupBy(bkt_s.alias("b")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    loads = {
+        b: ns * (nc_hist.get(b - 1, 0) + nc_hist.get(b, 0) + nc_hist.get(b + 1, 0))
+        for b, ns in ns_hist.items()
+    }
+    total_load = sum(loads.values())
+    target = max(1.0, float(total_load) / n_part)
+    max_salt = max(1, int(salt))
+    salt_rows = [
+        (b, min(max_salt, int(-(-load // target))))
+        for b, load in loads.items()
+        if load > 0
+    ]
+    spark = cohort_scores.sparkSession
+    salt_tbl = F.broadcast(
+        spark.createDataFrame(salt_rows or [(0, 1)], "_bkt long, _nsalt int")
+    )
+    s_b = (
+        s.withColumn("_bkt", bkt_s)
+        .join(salt_tbl, "_bkt")
+        .withColumn("_salt", F.pmod(F.hash("_sid"), F.col("_nsalt")))
+        .drop("_nsalt")
     )
     c_b = (
-        c.withColumn(
-            "_bkt",
-            F.explode(
-                F.array(
-                    F.floor(F.col("_ps_c") / width).cast("long") - 1,
-                    F.floor(F.col("_ps_c") / width).cast("long"),
-                    F.floor(F.col("_ps_c") / width).cast("long") + 1,
-                )
-            ),
-        )
-        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+        c.withColumn("_bkt", F.explode(F.array(bkt_c - 1, bkt_c, bkt_c + 1)))
+        .join(salt_tbl, "_bkt")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.col("_nsalt") - 1)))
+        .drop("_nsalt")
     )
 
-    # Explicit fixed-count repartition on the (bucket, salt) key: the
-    # join's map *input* is tiny but its output explodes to O(n_s*n_c)
-    # pairs, so AQE's size-based coalescing would otherwise collapse it
-    # to 1-2 tasks. A user-specified partition count is exempt from AQE
-    # coalescing and pins the pair computation at full parallelism.
-    n_part = 64
-    s_p = s_b.repartition(n_part, "_bkt", "_salt")
-    c_p = c_b.repartition(n_part, "_bkt", "_salt")
-
-    def pair_table():
-        # Recomputed (never cached, never shuffled): kernel arithmetic is
-        # cheaper than shuffling O(n_s * n_c) pair rows.
-        p = s_p.join(c_p, ["_bkt", "_salt"]).where(
-            F.abs(F.col("_ps_s") - F.col("_ps_c")) <= width
+    q = len(dcols)
+    if impl == "block":
+        # BLOCK PATH (default): the 3-bucket replication invariant means
+        # each (bucket, salt) group already holds every cohort row within
+        # kernel support of its survey slice, so the whole computation --
+        # kernel block, row sums, normalization, per-cohort column sums --
+        # runs vectorized in numpy inside ONE applyInPandas pass. Versus
+        # the two-pass SQL join this halves the kernel evaluations and
+        # replaces per-row join probing with dense BLAS-style blocks;
+        # only tiny partial rows (one per replicated cohort row) leave
+        # the workers.
+        cid_t = dict(cohort_scores.dtypes)[c_id]
+        sid_t = dict(survey_scores.dtypes)[s_id]
+        s_u = s_b.select(
+            "_bkt", "_salt", F.lit(0).alias("_side"),
+            F.col("_sid"), F.lit(None).cast(cid_t).alias("_cid"),
+            F.col("_ps_s").alias("_ps"), F.col("_wt_s").alias("_wt"),
+            *[F.col(f"_xs_{j}").alias(f"_x_{j}") for j in range(q)],
         )
-        dist = F.col("_ps_s") - F.col("_ps_c")
-        p = p.withColumn("_k", kfun(dist, h))
-        # I4 pair terms: dK/dgamma_j = -K * dist * (x_s - x_c) / h^2
-        for j in range(len(dcols)):
-            p = p.withColumn(
-                f"_kij_{j}",
-                -F.col("_k") * dist * (F.col(f"_xs_{j}") - F.col(f"_xc_{j}"))
-                / float(h * h),
+        c_u = c_b.select(
+            "_bkt", "_salt", F.lit(1).alias("_side"),
+            F.lit(None).cast(sid_t).alias("_sid"), F.col("_cid"),
+            F.col("_ps_c").alias("_ps"), F.lit(0.0).alias("_wt"),
+            *[F.col(f"_xc_{j}").alias(f"_x_{j}") for j in range(q)],
+        )
+        # user-specified repartition on the group key satisfies
+        # applyInPandas' required distribution (no second shuffle) and is
+        # exempt from AQE coalescing
+        units = s_u.unionByName(c_u).repartition(n_part, "_bkt", "_salt")
+        out_schema = (
+            f"_kind int, _sid {sid_t}, _cid {cid_t}, _kw double, "
+            "_wt double, _ps double"
+            + "".join(f", _x_{j} double" for j in range(q))
+            + "".join(f", _g_{j} double" for j in range(q))
+        )
+        out_raw = units.groupBy("_bkt", "_salt").applyInPandas(
+            _kw_block_fn(float(width), float(h), kernel, q), schema=out_schema
+        ).cache()
+        kw = (
+            out_raw.where(F.col("_kind") == 0)
+            .groupBy("_cid")
+            .agg(
+                F.sum("_kw").alias("kw"),
+                *[F.sum(f"_g_{j}").alias(f"_kwg_{j}") for j in range(q)],
             )
-        return p
-
-    # Kernel row sums per survey unit: hash aggregate with map-side
-    # partial combine -- only n_s rows ever shuffle. Cached: consumed by
-    # the normalization join AND the unmatched check.
-    rs = pair_table().groupBy("_sid").agg(
-        F.sum("_k").alias("_rs"),
-        *[F.sum(f"_kij_{j}").alias(f"_rkij_{j}") for j in range(len(dcols))],
-    )
-    rs_pos = rs.where(F.col("_rs") > 0.0).cache()
-
-    # Column sums onto the cohort: broadcast the small (sid -> rs) table
-    # back onto a fresh pair stream; again only n_c rows shuffle.
-    kw = (
-        pair_table()
-        .join(F.broadcast(rs_pos), "_sid")
-        .groupBy("_cid")
-        .agg(
-            F.sum(F.col("_wt_s") * F.col("_k") / F.col("_rs")).alias("kw"),
-            *[
-                F.sum(
-                    F.col("_wt_s") * F.col(f"_kij_{j}") / F.col("_rs")
-                    - F.col("_wt_s")
-                    * F.col(f"_rkij_{j}")
-                    * F.col("_k")
-                    / (F.col("_rs") * F.col("_rs"))
-                ).alias(f"_kwg_{j}")
-                for j in range(len(dcols))
-            ],
         )
-    )
+        # Zero-match survey rows: emitted by the worker (kernel row all
+        # zero) plus rows whose bucket had no cohort in band at all
+        # (dropped before the group stage by the salt-table inner join).
+        unmatched = (
+            out_raw.where(F.col("_kind") == 1)
+            .select(
+                "_sid",
+                F.col("_ps").alias("_ps_s"),
+                F.col("_wt").alias("_wt_s"),
+                *[F.col(f"_x_{j}").alias(f"_xs_{j}") for j in range(q)],
+            )
+            .unionByName(
+                s.withColumn("_bkt", bkt_s)
+                .join(salt_tbl, "_bkt", "left_anti")
+                .select("_sid", "_ps_s", "_wt_s",
+                        *[f"_xs_{j}" for j in range(q)])
+            )
+        )
+        urow = unmatched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("_wt_s"), F.lit(0.0)).alias("tot"),
+        ).collect()[0]
+        n_unmatched, unmatched_tot = int(urow["n"]), float(urow["tot"])
+    else:
+        # SQL PATH: pure-JVM two-pass banded join (no Python workers) --
+        # kept for clusters where Arrow/pandas workers are unavailable.
+        # Explicit fixed-count repartition on the (bucket, salt) key: the
+        # join's map *input* is tiny but its output explodes to O(n_s*n_c)
+        # pairs, so AQE's size-based coalescing would otherwise collapse it
+        # to 1-2 tasks. A user-specified partition count is exempt from AQE
+        # coalescing and pins the pair computation at full parallelism.
+        s_p = s_b.repartition(n_part, "_bkt", "_salt")
+        c_p = c_b.repartition(n_part, "_bkt", "_salt")
 
-    # Zero-match survey rows (no pair within numeric support, or an all-0
-    # kernel row): reference spreads their weight 1/m to every cohort
-    # unit (rm_s=False, ``simu_fun.R:180-183``) or drops them (True).
-    unmatched = s.join(F.broadcast(rs_pos), "_sid", "left_anti")
-    urow = unmatched.agg(
-        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("_wt_s"), F.lit(0.0)).alias("tot")
-    ).collect()[0]
-    n_unmatched, unmatched_tot = int(urow["n"]), float(urow["tot"])
+        def pair_table():
+            # Recomputed (never cached, never shuffled): kernel arithmetic is
+            # cheaper than shuffling O(n_s * n_c) pair rows.
+            p = s_p.join(c_p, ["_bkt", "_salt"]).where(
+                F.abs(F.col("_ps_s") - F.col("_ps_c")) <= width
+            )
+            dist = F.col("_ps_s") - F.col("_ps_c")
+            p = p.withColumn("_k", kfun(dist, h))
+            # I4 pair terms: dK/dgamma_j = -K * dist * (x_s - x_c) / h^2
+            for j in range(len(dcols)):
+                p = p.withColumn(
+                    f"_kij_{j}",
+                    -F.col("_k") * dist * (F.col(f"_xs_{j}") - F.col(f"_xc_{j}"))
+                    / float(h * h),
+                )
+            return p
+
+        # Kernel row sums per survey unit: hash aggregate with map-side
+        # partial combine -- only n_s rows ever shuffle. Cached: consumed by
+        # the normalization join AND the unmatched check.
+        rs = pair_table().groupBy("_sid").agg(
+            F.sum("_k").alias("_rs"),
+            *[F.sum(f"_kij_{j}").alias(f"_rkij_{j}") for j in range(len(dcols))],
+        )
+        rs_pos = rs.where(F.col("_rs") > 0.0).cache()
+
+        # Column sums onto the cohort: broadcast the small (sid -> rs) table
+        # back onto a fresh pair stream; again only n_c rows shuffle.
+        kw = (
+            pair_table()
+            .join(F.broadcast(rs_pos), "_sid")
+            .groupBy("_cid")
+            .agg(
+                F.sum(F.col("_wt_s") * F.col("_k") / F.col("_rs")).alias("kw"),
+                *[
+                    F.sum(
+                        F.col("_wt_s") * F.col(f"_kij_{j}") / F.col("_rs")
+                        - F.col("_wt_s")
+                        * F.col(f"_rkij_{j}")
+                        * F.col("_k")
+                        / (F.col("_rs") * F.col("_rs"))
+                    ).alias(f"_kwg_{j}")
+                    for j in range(len(dcols))
+                ],
+            )
+        )
+
+        # Zero-match survey rows (no pair within numeric support, or an all-0
+        # kernel row): reference spreads their weight 1/m to every cohort
+        # unit (rm_s=False, ``simu_fun.R:180-183``) or drops them (True).
+        unmatched = s.join(F.broadcast(rs_pos), "_sid", "left_anti")
+        urow = unmatched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("_wt_s"), F.lit(0.0)).alias("tot"),
+        ).collect()[0]
+        n_unmatched, unmatched_tot = int(urow["n"]), float(urow["tot"])
 
     out = c.join(kw, "_cid", "left").select(
         "_cid",
