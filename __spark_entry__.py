@@ -135,7 +135,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     cohort, survey = tpch.survey_frames(spark, sf_dir)
     n_s = survey.count()
-    pop_n = spark.read.parquet(f"{SF0001}/orders.parquet").count()
+    pop_n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     a = n_s / pop_n
     stacked = stack_samples(cohort, survey, "wt", sampling_fraction=a).cache()
     stacked, x_cols = DesignMatrix("x1 + x2").attach(stacked)
