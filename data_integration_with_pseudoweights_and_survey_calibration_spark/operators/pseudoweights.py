@@ -210,16 +210,25 @@ def _kw_block_fn(width: float, h: float, kernel: str, q: int):
                 rs_safe = np.where(ok, rs, 1.0)
                 A = np.where(ok, wt[i0:i1] / rs_safe, 0.0)
                 kw_p[j0:j1] += A @ K
-                for j in range(q):
-                    # kij = -K * dist * dx / h^2 = -(K*Z) * dx / h
-                    kij = K * Z
-                    kij *= xs[j][i0:i1][:, None] - xc[j][None, j0:j1]
-                    kij *= -1.0 / h
-                    rk = kij.sum(axis=1)
-                    g_p[j][j0:j1] += A @ kij - (
-                        np.where(ok, wt[i0:i1] * rk / (rs_safe * rs_safe), 0.0)
-                        @ K
-                    )
+                if q:
+                    # kij = -K*dist*dx/h^2 = -(1/h) * M * (xs_j - xc_j),
+                    # M = K*Z -- the separable dx factors turn every
+                    # per-coefficient term into gemvs over M and K; no
+                    # block-sized temporary per coefficient:
+                    #   sum_s A_s kij[s,c] = -(1/h)[(A*xs_j)@M - xc_j*(A@M)]
+                    #   rk_s = sum_c kij[s,c] = -(1/h)[xs_j*Mrow - M@xc_j]
+                    M = K * Z
+                    AM = A @ M
+                    Mrow = M.sum(axis=1)
+                    wf = np.where(ok, wt[i0:i1] / (rs_safe * rs_safe), 0.0)
+                    for j in range(q):
+                        xsj = xs[j][i0:i1]
+                        xcj = xc[j][j0:j1]
+                        rk = (-1.0 / h) * (xsj * Mrow - M @ xcj)
+                        g_p[j][j0:j1] += (
+                            (-1.0 / h) * ((A * xsj) @ M - xcj * AM)
+                            - (wf * rk) @ K
+                        )
         nu = int(un_mask.sum())
         nan_c = np.full(nc, np.nan)
         data = {
@@ -340,7 +349,6 @@ def kw_weights(
     # where the scores pile up. Buckets with zero load drop out of the
     # join entirely (their rows cannot pair; unmatched handling below
     # still sees them through the anti-join on `s`).
-    n_part = 64
     bkt_c = F.floor(F.col("_ps_c") / width).cast("long")
     bkt_s = F.floor(F.col("_ps_s") / width).cast("long")
     nc_hist = {
@@ -356,6 +364,15 @@ def kw_weights(
         for b, ns in ns_hist.items()
     }
     total_load = sum(loads.values())
+    # Partition count tracks the cluster width AND the measured pair
+    # load (~25M kernel evals ~= 0.5 s of vectorized work per task), so
+    # the same code sizes itself from local[32] to a 1000-executor
+    # cluster instead of pinning a magic constant.
+    spark = cohort_scores.sparkSession
+    n_part = max(
+        2 * spark.sparkContext.defaultParallelism,
+        min(4096, int(total_load // 25_000_000) + 1),
+    )
     target = max(1.0, float(total_load) / n_part)
     max_salt = max(1, int(salt))
     salt_rows = [
@@ -363,7 +380,6 @@ def kw_weights(
         for b, load in loads.items()
         if load > 0
     ]
-    spark = cohort_scores.sparkSession
     salt_tbl = F.broadcast(
         spark.createDataFrame(salt_rows or [(0, 1)], "_bkt long, _nsalt int")
     )
@@ -425,6 +441,7 @@ def kw_weights(
                 F.sum("_kw").alias("kw"),
                 *[F.sum(f"_g_{j}").alias(f"_kwg_{j}") for j in range(q)],
             )
+            .cache()
         )
         # Zero-match survey rows: emitted by the worker (kernel row all
         # zero) plus rows whose bucket had no cohort in band at all
@@ -443,12 +460,18 @@ def kw_weights(
                 .select("_sid", "_ps_s", "_wt_s",
                         *[f"_xs_{j}" for j in range(q)])
             )
+            .cache()
         )
         urow = unmatched.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("_wt_s"), F.lit(0.0)).alias("tot"),
         ).collect()[0]
         n_unmatched, unmatched_tot = int(urow["n"]), float(urow["tot"])
+        # The per-cohort aggregate (n_c rows) and unmatched rows are now
+        # materialized; drop the bulky per-group partial cache so repeated
+        # KW fits don't accumulate storage.
+        kw.count()
+        out_raw.unpersist()
     else:
         # SQL PATH: pure-JVM two-pass banded join (no Python workers) --
         # kept for clusters where Arrow/pandas workers are unavailable.

@@ -25,7 +25,7 @@ _DEFAULTS = {
     # The engine broadcasts small dimension/grid tables explicitly, but a
     # sane auto threshold helps AQE convert shuffle joins at runtime.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.ui.enabled": "false",
     # Parquet TIMESTAMP(NANOS) (e.g. the events table) is otherwise
     # unreadable; read as long and rebuild timestamps where needed
