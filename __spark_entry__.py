@@ -58,6 +58,7 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.jackknife import (  # noqa: E402
     jk_linear_replicates,
+    jk_refit_grouped,
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.survival import (  # noqa: E402
     absolute_risk,
@@ -407,6 +408,50 @@ def _sql_greg_weights(sf_dir: str) -> str:
 
 
 JK_G = 8  # groups for the oracle jackknife query
+
+
+JK_COX_G = 90  # reference geometry: 90 leave-group-out replicates
+
+
+def _q_jk_cox_refits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I22 regime 2 -- the reference's compute hot spot (~90 jackknife
+    replicates x iterative Cox refits per simulation replicate,
+    ``jk_fun.R:314-374``): all 90 leave-group-out weighted Cox refits
+    run in ONE applyInPandas job (Arrow-batched dense Newton per
+    replicate group, executors in parallel). Iterative -> rows-only
+    oracle; the fit itself is golden-tested in tests/.
+    """
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.dense import dense_cox
+
+    samp = _cohort_surv(spark, sf_dir).withColumn(
+        "jk_group", (F.col("id") % JK_COX_G + 1).cast("int")
+    )
+
+    def fit(batch):
+        import pandas as pd
+
+        beta = dense_cox(
+            batch[["x1", "x2"]].to_numpy(),
+            batch["t"].to_numpy(),
+            batch["d"].to_numpy(dtype=float),
+            batch["wt"].to_numpy(),
+        )
+        return pd.DataFrame(
+            {
+                "replicate": [int(batch["replicate"].iloc[0])],
+                "beta_x1": [float(beta[0])],
+                "beta_x2": [float(beta[1])],
+            }
+        )
+
+    reps = jk_refit_grouped(
+        samp.select("id", "jk_group", "x1", "x2", "t", "d", "wt"),
+        JK_COX_G,
+        fit,
+        "replicate int, beta_x1 double, beta_x2 double",
+        rescale_cols=("wt",),
+    )
+    return reps.orderBy("replicate")
 
 
 def _q_jk_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1338,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "post_strat": _q_post_strat,
         "greg_weights": _q_greg_weights,
         "jk_replicates": _q_jk_replicates,
+        "jk_cox_refits": _q_jk_cox_refits,
         "composite_factors": _q_composite_factors,
         "tercile_codes": _q_tercile_codes,
         "absolute_risk": _q_absolute_risk,
