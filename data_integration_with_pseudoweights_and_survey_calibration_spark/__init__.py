@@ -40,7 +40,10 @@ from .operators.calibration import (  # noqa: E402,F401
 from .operators.cox import cox_fit  # noqa: E402,F401
 from .operators.glm import weighted_linear, weighted_logistic  # noqa: E402,F401
 from .operators.jackknife import jk_variance  # noqa: E402,F401
-from .operators.method_suite import estimate_methods  # noqa: E402,F401
+from .operators.method_suite import (  # noqa: E402,F401
+    estimate_methods,
+    estimate_methods_inf,
+)
 from .operators.propensity import fit_propensity, integrate  # noqa: E402,F401
 from .operators.pseudoweights import kw_weights, stack_samples  # noqa: E402,F401
 from .operators.simulation import generate_population, run_simulation  # noqa: E402,F401
@@ -52,6 +55,7 @@ __all__ = [
     "calib_est",
     "cox_fit",
     "estimate_methods",
+    "estimate_methods_inf",
     "fit_propensity",
     "generate_population",
     "get_spark",
