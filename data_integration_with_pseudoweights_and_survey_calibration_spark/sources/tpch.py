@@ -49,9 +49,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with a usable ``ts`` TimestampType column.
 
-    The driver parquet stores ts as TIMESTAMP(NANOS); under the session
-    default ``nanosAsLong`` it reads as nanosecond longs, rebuilt here.
+    The driver parquet stores ts as TIMESTAMP(NANOS); without
+    ``spark.sql.legacy.parquet.nanosAsLong`` the scan itself throws
+    PARQUET_TYPE_ILLEGAL, so set the (runtime-settable) conf here rather
+    than relying on the session builder — this must work under *any*
+    SparkSession, including the external correctness harness's.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = load_table(spark, sf_dir, "events")
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn(
