@@ -2,16 +2,35 @@
 ``calib_est`` ``jk_fun.R:24-78``).
 
 Composite flow:
-1. weighted Cox on the stacked frame (H2) -> relative hazards;
-2. Cox dfbeta influence (I12) supplies auxiliary calibration columns;
-3. GREG (I8) calibrates the cohort weights to [N, N1, 0-dfbeta,
-   (sum wt t rr)] benchmarks -- two variants: the "rr" calibration
-   (drops the t.rr constraint) feeding the Cox refit, and the "lamd"
-   calibration (drops the dfbeta constraints) feeding the hazard
-   estimates;
-4. negative calibrated weights floored at 1e-5 (B5);
-5. Cox refit under calibwt.rr; Breslow/Gail/absR point estimates
-   under calib.lamd (``est_out`` ``jk_fun.R:1-22``).
+1. auxiliary weighted Cox on the stacked frame (H2) fitted on the
+   *analysis* outcome columns ``(aux_t, aux_d)`` -- the error-observed
+   or imputation-corrected variants (``surv.fm`` ``jk_fun.R:25``);
+2. Cox dfbeta influence (I12) on the same aux columns supplies the
+   auxiliary calibration columns;
+3. GREG (I8) calibrates the cohort weights -- two variants:
+   the "rr" calibration ``~ d + dfbeta`` -> ``[N, N1, 0...]`` feeding
+   the Cox refit (``jk_fun.R:51``), and the "lamd" calibration
+   ``~ d + t*rr`` -> ``[N, N1, sum wt*t*rr]`` feeding the hazard
+   estimates (``jk_fun.R:61``).  The ``d`` auxiliary is the TRUE event
+   indicator (``greg.f`` builds ``calib.fm`` from the benchmark names,
+   ``taylor_deviate.R:992``, and the benchmark named ``d`` resolves to
+   cohort's true ``d`` column);
+4. negative calibrated weights floored at 1e-5 (B5, ``jk_fun.R:54,64``);
+5. Cox refit under calibwt.rr with the TRUE outcomes
+   (``fm_fit.cox = Surv(t,d)~...``, ``jk_fun.R:57``); Breslow/Gail/absR
+   point estimates under calib.lamd with the TRUE outcomes
+   (``est_out`` defaults ``t="t", d="d"``, ``jk_fun.R:1-22,66``).
+
+Weight-scaling parity: the caller stacks with *halved* true weights
+(``com_dat$wt = wt/2``, ``jk_fun.R:111,205``).  The aux fit, dfbeta and
+the ``t*rr`` benchmark total all stay at the halved / composite-scaled
+weights; only the cohort GREG *start* weights (and hence the refit and
+est_out weights) are restored, via ``restore_factor`` (x2 in the
+true-weight branch, ``jk_fun.R:30``; 1 in the composite branch).
+``jk_fun.R:28`` divides the cohort copy of ``var.d`` by ``a_cv`` in the
+composite branch, but that scaled copy is never read downstream (the
+GREG aux, refit and est_out all use the true ``d``), so it is not
+mirrored here.
 
 Every stage reuses the distributed building blocks; the composition
 adds no new shuffle shapes.
@@ -57,8 +76,11 @@ def calib_est(
     var_wt: str,
     pop_size: float,
     pop_events: float,
+    aux_t: str | None = None,
+    aux_d: str | None = None,
     t: str = "t",
     d: str = "d",
+    restore_factor: float = 1.0,
     trt: str = "trt",
     lambda_star: DataFrame | None = None,
     x0: list[float] | None = None,
@@ -66,37 +88,60 @@ def calib_est(
     """I9 ``calib_est``: GREG-calibrated Cox + hazard estimates.
 
     ``com_dat``: stacked cohort+survey with analysis weight ``var_wt``
-    on every row. ``pop_size``/``pop_events`` are the N / N1
-    benchmarks (``jk_fun.R:46-48``).
+    on every row (halved true weights or composite IPSW weights, as the
+    caller stacked them).  ``(aux_t, aux_d)`` are the analysis-variant
+    outcome columns driving the aux fit / dfbeta / t*rr benchmark
+    (default: the true columns); ``(t, d)`` are the TRUE outcomes used
+    for the refit, the GREG ``d`` auxiliary, and the hazard estimates.
+    ``pop_size``/``pop_events`` are the N / N1 benchmarks
+    (``jk_fun.R:44-46``).  ``restore_factor`` rescales the cohort GREG
+    start weights only (``jk_fun.R:30``).
     """
+    aux_t = aux_t or t
+    aux_d = aux_d or d
     p = len(x_cols)
-    aux_fit = cox_fit(com_dat, x_cols, t=t, d=d, w=var_wt)
+    aux_fit = cox_fit(com_dat, x_cols, t=aux_t, d=aux_d, w=var_wt)
     rr = F.exp(linear_predictor(x_cols, aux_fit.beta))
-    cinf = cox_score_influence(com_dat, x_cols, aux_fit.beta, t=t, d=d, pw=var_wt)
-    full = cinf.df.withColumn("_trr", F.col(t) * rr)
+    cinf = cox_score_influence(
+        com_dat, x_cols, aux_fit.beta, t=aux_t, d=aux_d, pw=var_wt
+    )
+    full = cinf.df.withColumn("_trr", F.col(aux_t) * rr)
+    # benchmark total at the stacked-frame (halved / composite) weights
+    # (jk_fun.R:44-45 computes aux.tot from com_dat's var.wt as-is)
     t_rr_tot = float(
         full.agg(F.sum(F.col(var_wt) * F.col("_trr"))).collect()[0][0]
     )
-    cohort = full.where(F.col(trt) == 1).withColumn("_one", F.lit(1.0)).cache()
+    cohort = (
+        full.where(F.col(trt) == 1)
+        .withColumn("_one", F.lit(1.0))
+        .withColumn("_startwt", F.col(var_wt) * F.lit(float(restore_factor)))
+        .cache()
+    )
 
-    # GREG #1: [1, d, dfbeta...] -> [N, N1, 0...]; feeds the Cox refit
+    # GREG #1: [1, true d, dfbeta...] -> [N, N1, 0...]; feeds the Cox
+    # refit (jk_fun.R:51-55)
     aux_rr = ["_one", d] + list(cinf.beta_pw_cols)
     bench_rr = [float(pop_size), float(pop_events)] + [0.0] * p
     g1 = greg_calibrate(
-        cohort, var_wt, aux_rr, bench_rr, g_col="_g_rr", out_col=None
+        cohort, "_startwt", aux_rr, bench_rr, g_col="_g_rr", out_col=None
     )
     cohort = g1.df.withColumn(
-        "calibwt_rr", clamp_weights(F.col(var_wt) * F.col("_g_rr"))
+        "calibwt_rr", clamp_weights(F.col("_startwt") * F.col("_g_rr"))
     )
 
-    # GREG #2: [1, d, t*rr] -> [N, N1, sum wt t rr]; feeds the hazards
+    # GREG #2: [1, true d, t*rr] -> [N, N1, sum wt t rr]; feeds the
+    # hazards (jk_fun.R:61-64)
     aux_l = ["_one", d, "_trr"]
     bench_l = [float(pop_size), float(pop_events), t_rr_tot]
-    g2 = greg_calibrate(cohort, var_wt, aux_l, bench_l, g_col="_g_l", out_col=None)
+    g2 = greg_calibrate(
+        cohort, "_startwt", aux_l, bench_l, g_col="_g_l", out_col=None
+    )
     cohort = g2.df.withColumn(
-        "calib_lamd", clamp_weights(F.col(var_wt) * F.col("_g_l"))
+        "calib_lamd", clamp_weights(F.col("_startwt") * F.col("_g_l"))
     ).cache()
 
+    # Cox refit and hazard estimates under the TRUE outcomes
+    # (fm_fit.cox / est_out defaults, jk_fun.R:57,66)
     refit = cox_fit(cohort, x_cols, t=t, d=d, w="calibwt_rr")
     rel2 = F.exp(linear_predictor(x_cols, refit.beta))
     cohort_l = cohort.withColumn("_rel2", rel2)
