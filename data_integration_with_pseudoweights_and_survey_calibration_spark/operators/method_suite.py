@@ -18,9 +18,15 @@ of ``jackknife.jk_refit_loop`` or ``simulation.run_simulation``.
 
 Reference quirks mirrored exactly: the stacked frame halves the true
 weights (``com_dat$wt = wt/2``, jk_fun.R:111) and ``calib_est``
-restores them on the per-sample frames; under composite IPSW weights
-the event indicator entering the benchmarks is scaled by 1/a_cv
-(jk_fun.R:27-29).
+restores them only on the cohort GREG start weights
+(``restore_factor=2``, jk_fun.R:30); the aux fit, dfbeta columns and
+the ``t*rr`` benchmark total stay at the stacked halved / composite
+weights.  The aux fit runs on the error-variant outcome columns while
+the cohort refit, the GREG ``d`` auxiliary, and the hazard estimates
+use the TRUE ``(t, d)`` (``fm_fit.cox`` / ``est_out`` defaults,
+jk_fun.R:57,66).  ``jk_fun.R:28``'s division of the cohort copy of
+``var.d`` by ``a_cv`` is a dead write in the reference (that scaled
+copy is never read downstream) and is not mirrored.
 """
 
 from __future__ import annotations
@@ -177,30 +183,23 @@ def estimate_methods(
         for mname, (vt, vd, vw, acv) in variants.items():
             if mname not in calib_methods:
                 continue
-            frame = com
-            if vw == survey_weight:
-                # calib_est under true weights restores the halved wt
-                # (jk_fun.R:30-33)
-                frame = com.withColumn(survey_weight, F.col(survey_weight) * 2.0)
-            elif acv is not None:
-                # composite weights: event benchmark column scaled 1/a_cv
-                # on cohort rows (jk_fun.R:27-29)
-                frame = com.withColumn(
-                    vd,
-                    F.when(
-                        F.col("trt") == 1, F.col(vd) / float(acv)
-                    ).otherwise(F.col(vd)),
-                )
             label = f"{mname}.d{k}"
+            # aux fit / dfbeta / t*rr run on the variant columns at the
+            # stacked (halved or composite) weights; only the cohort
+            # GREG start weights are restored (x2 under true weights,
+            # jk_fun.R:30); refit / d-aux / hazards use the TRUE (t, d)
             res = calib_est(
-                frame,
+                com,
                 x_cols,
                 t_star,
                 var_wt=vw,
                 pop_size=pop_size,
                 pop_events=pop_events,
-                t=vt,
-                d=vd,
+                aux_t=vt,
+                aux_d=vd,
+                t=t,
+                d=d,
+                restore_factor=2.0 if vw == survey_weight else 1.0,
                 lambda_star=lambda_star,
                 x0=list(x0[0]) if x0 else None,
             )
@@ -212,6 +211,8 @@ def estimate_methods(
                     results[f"LambdaG_t{j}_{label}"] = float(res.LambdaG[j])
                 if res.absR is not None:
                     results[f"absR_x0_t{j}_{label}"] = float(res.absR[j])
+                if res.absRG is not None:
+                    results[f"absRG_x0_t{j}_{label}"] = float(res.absRG[j])
     return results
 
 
@@ -315,29 +316,21 @@ def estimate_methods_inf(
             (f"impcalib_ipsw{km}.d{k}", tf, df_, f"_comp_{km}", a_cs[km]),
         ]
         for label, vt, vd, vw, acv in grid:
-            if vw is None:
-                # true weights: calib_est restores the halved wt
-                frame = com.withColumn(survey_weight, F.col(survey_weight) * 2.0)
-                wcol = survey_weight
-            else:
-                # composite weights: event benchmark scaled 1/a_cv on
-                # cohort rows (jk_fun.R:27-29)
-                frame = com.withColumn(
-                    vd,
-                    F.when(F.col("trt") == 1, F.col(vd) / float(acv)).otherwise(
-                        F.col(vd)
-                    ),
-                )
-                wcol = vw
+            # true-weight rows restore the halved cohort start weights
+            # inside calib_est (restore_factor=2, jk_fun.R:30); the
+            # composite rows run at the composite weights as stacked
             res = calib_est(
-                frame,
+                com,
                 x_cols,
                 t_star,
-                var_wt=wcol,
+                var_wt=survey_weight if vw is None else vw,
                 pop_size=pop_size,
                 pop_events=pop_events,
-                t=vt,
-                d=vd,
+                aux_t=vt,
+                aux_d=vd,
+                t=t,
+                d=d,
+                restore_factor=2.0 if vw is None else 1.0,
                 lambda_star=lambda_star,
                 x0=list(x0[0]) if x0 else None,
             )
@@ -349,4 +342,6 @@ def estimate_methods_inf(
                     results[f"LambdaG_t{j}_{label}"] = float(res.LambdaG[j])
                 if res.absR is not None:
                     results[f"absR_x0_t{j}_{label}"] = float(res.absR[j])
+                if res.absRG is not None:
+                    results[f"absRG_x0_t{j}_{label}"] = float(res.absRG[j])
     return results
