@@ -210,24 +210,34 @@ def hazard_influence(
         *series,
     ).cache()
 
-    # driver constants at each t*: last event row with _t <= t*
-    ev_rows = ev.orderBy("_t").collect()
-    ev_t = [r["_t"] for r in ev_rows]
+    # driver constants at each t*: value of each cumulative series at the
+    # last event time <= t*, via one max_by aggregation -- a single
+    # |t*| x (2+p+q) row reaches the driver, never the event grid itself
+    def _const(row, name: str, default: float = 0.0) -> float:
+        v = row[name]
+        return default if v is None else float(v)
 
-    def _at(tq: float, col: str, default: float = 0.0):
-        val = default
-        for r in ev_rows:
-            if r["_t"] <= tq:
-                val = r[col]
-            else:
-                break
-        return float(val)
-
-    Lam_ts = [_at(v, "_cumlam") for v in ts]
-    A_ts = [_at(v, "_A") for v in ts]
-    CB_ts = [[_at(v, f"_CB_{m}") for m in range(p)] for v in ts]
+    const_cols = (
+        ["_cumlam", "_A"]
+        + [f"_CB_{m}" for m in range(p)]
+        + ([f"_CNZ_{m}" for m in range(q)] if with_gamma else [])
+    )
+    const_aggs = []
+    for j, tq in enumerate(ts):
+        key = F.when(F.col("_t") <= tq, F.col("_t"))
+        const_aggs += [
+            F.max_by(F.col(c), key).alias(f"{c}__{j}") for c in const_cols
+        ]
+    crow = ev.agg(*const_aggs).collect()[0]
+    Lam_ts = [_const(crow, f"_cumlam__{j}") for j in range(nts)]
+    A_ts = [_const(crow, f"_A__{j}") for j in range(nts)]
+    CB_ts = [
+        [_const(crow, f"_CB_{m}__{j}") for m in range(p)] for j in range(nts)
+    ]
     CNZ_ts = (
-        [[_at(v, f"_CNZ_{m}") for m in range(q)] for v in ts] if with_gamma else None
+        [[_const(crow, f"_CNZ_{m}__{j}") for m in range(q)] for j in range(nts)]
+        if with_gamma
+        else None
     )
 
     # ---- one as-of join: A(t_i), Zt(t_i), plus Gail series ------------
@@ -278,34 +288,36 @@ def hazard_influence(
                          *([f"_gz_{m}" for m in range(q)] + [f"_gy_{m}" for m in range(q)] if with_gamma else []),
                          *[f"_W_{j}" for j in range(nts)],
                          *gail_series).cache()
-        evg_rows = evg.orderBy("_t").collect()
-        # LambdaG point estimate + KB/KG constants (exact sums over v)
-        LamG_ts, KB_g, KG_g = [], [], []
+        # LambdaG point estimate + KB/KG constants: exact weighted sums
+        # over the grid, one aggregation -> one |t*| x (1+p+q) driver row
+        zt_c, yt_c = F.col("_zt"), F.col("_yt")
+        g_aggs = []
         for j in range(nts):
-            lam_g = 0.0
-            kb = [0.0] * p
-            kg = [0.0] * q
-            for r in evg_rows:
-                w = float(r[f"_W_{j}"])
-                if w == 0.0:
-                    continue
-                zt, yt = float(r["_zt"]), float(r["_yt"])
-                lam_g += w * (yt / zt)  # sum lambda* (1-ar)... see below
-                for m in range(p):
-                    kb[m] += w * yt * float(r[f"_s1_{m}"]) / (zt * zt)
-                if with_gamma:
-                    for m in range(q):
-                        kg[m] += (
-                            w
-                            * (
-                                float(r[f"_gy_{m}"])
-                                - (yt / zt) * float(r[f"_gz_{m}"])
-                            )
-                            / zt
-                        )
-            LamG_ts.append(lam_g)
-            KB_g.append(kb)
-            KG_g.append(kg)
+            wv = F.col(f"_W_{j}")
+            g_aggs.append(F.sum(wv * yt_c / zt_c).alias(f"_LG__{j}"))
+            for m in range(p):
+                g_aggs.append(
+                    F.sum(wv * yt_c * F.col(f"_s1_{m}") / (zt_c * zt_c)).alias(
+                        f"_KB_{m}__{j}"
+                    )
+                )
+            if with_gamma:
+                for m in range(q):
+                    g_aggs.append(
+                        F.sum(
+                            wv
+                            * (F.col(f"_gy_{m}") - (yt_c / zt_c) * F.col(f"_gz_{m}"))
+                            / zt_c
+                        ).alias(f"_KG_{m}__{j}")
+                    )
+        grow = evg.agg(*g_aggs).collect()[0]
+        LamG_ts = [_const(grow, f"_LG__{j}") for j in range(nts)]
+        KB_g = [
+            [_const(grow, f"_KB_{m}__{j}") for m in range(p)] for j in range(nts)
+        ]
+        KG_g = [
+            [_const(grow, f"_KG_{m}__{j}") for m in range(q)] for j in range(nts)
+        ]
         lamG_consts = (LamG_ts, KB_g, KG_g)
         asof_grid = evg
         asof_cols = asof_cols + [f"_AGY_{j}" for j in range(nts)] + [
