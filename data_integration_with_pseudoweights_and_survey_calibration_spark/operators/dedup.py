@@ -18,6 +18,8 @@ id_a < id_b, one row per candidate pair meeting the threshold.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -379,22 +381,35 @@ def embedding_cosine_pairs(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "block",
+    method: str = "grid",
+    rows_per_block: int = 10_000,
+    lsh_planes: int = 16,
+    lsh_bands: int = 8,
 ) -> DataFrame:
-    """EXACT embedding near-dup pairs with cosine >= threshold.
+    """Embedding near-dup pairs with cosine >= threshold.
 
-    ``method="block"`` (default): broadcast the full normalized matrix
-    (n x d float64 -- 5 MB per 10k x 64 vectors) to the executors and
-    run a NumPy block mat-mul inside ``mapInPandas``: each Arrow batch
-    of rows scores against the whole matrix with one BLAS call and
-    emits only the (id_a < id_b, cosine >= t) survivors. Exact, fully
-    vectorized, O(n^2 d) flops but ~100x the throughput of a pair join
-    with per-element expressions. Beyond broadcast size (~1e6 x 64),
-    grid the blocks or switch to the LSH route in ``similarity``.
+    ``method="grid"`` (default, EXACT, fully distributed): rows are
+    hashed into B = ceil(n / rows_per_block) blocks; every block pair
+    (i <= j) becomes one ``applyInPandas`` group whose two row sets are
+    scored with a single BLAS mat-mul, emitting only the
+    (id_a < id_b, cosine >= t) survivors. Nothing is collected to the
+    driver; the shuffle replicates each row ~B times, and each task
+    holds two (rows_per_block x d) matrices. The honest cost of exact
+    all-pairs at scale -- O(n^2 d) flops spread over the cluster.
 
-    ``method="pair_join"``: the naive join with zip_with/aggregate dot
-    products -- the shape the SQL oracle mirrors; kept as the
-    cross-check.
+    ``method="block"``: small-data shortcut -- ``toPandas`` the whole
+    matrix on the DRIVER and broadcast it, each Arrow batch scoring
+    against it. Exact and fastest below ~1e5 x 64, but bounded by
+    driver/broadcast memory; use only when n is known small.
+
+    ``method="lsh"``: extreme-scale approximate route -- random-
+    hyperplane band signatures (``similarity.hyperplanes``) make a
+    self-equi-join candidate set, then exact cosine verification. No
+    false positives; recall < 1 (pairs sharing no band are missed),
+    improving with ``lsh_planes``/``lsh_bands`` and with threshold.
+
+    ``method="pair_join"``: the naive theta-join with zip_with dot
+    products -- the shape the SQL oracle mirrors; kept as cross-check.
     """
     t = float(threshold)
     if method == "pair_join":
@@ -411,6 +426,57 @@ def embedding_cosine_pairs(
             .withColumn("cosine", cosine_expr("_va", "_vb", "_na", "_nb"))
             .where(F.col("cosine") >= t)
             .select("id_a", "id_b", "cosine")
+        )
+    if method == "lsh":
+        from .similarity import _signature, cosine_expr, hyperplanes, with_norm
+
+        dim = len(df.select(vec_col).first()[0])
+        planes = hyperplanes(dim, lsh_planes, seed=13)
+        rows = lsh_planes // lsh_bands
+        mask = (1 << rows) - 1
+        s = with_norm(df, vec_col).withColumn("_sig", _signature(vec_col, planes))
+        banded = s.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.col("_norm").alias("_n"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            (F.shiftright(F.col("_sig"), b * rows) % F.lit(mask + 1)).alias("chunk"),
+                        )
+                        for b in range(lsh_bands)
+                    ]
+                )
+            ).alias("_bk"),
+        ).select("_id", "_v", "_n", "_bk.band", "_bk.chunk")
+        cand = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.chunk") == F.col("b.chunk"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.col("a._v").alias("_va"),
+                F.col("b._v").alias("_vb"),
+                F.col("a._n").alias("_na"),
+                F.col("b._n").alias("_nb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return (
+            cand.withColumn("cosine", cosine_expr("_va", "_vb", "_na", "_nb"))
+            .where(F.col("cosine") >= t)
+            .select("id_a", "id_b", "cosine")
+        )
+    if method == "grid":
+        return _cosine_pairs_grid(
+            df, t, id_col=id_col, vec_col=vec_col, rows_per_block=rows_per_block
         )
     if method != "block":
         raise ValueError(f"unknown method {method!r}")
@@ -446,3 +512,75 @@ def embedding_cosine_pairs(
             )
 
     return src.mapInPandas(_score, schema="id_a long, id_b long, cosine double")
+
+
+def _cosine_pairs_grid(
+    df: DataFrame,
+    t: float,
+    *,
+    id_col: str,
+    vec_col: str,
+    rows_per_block: int,
+) -> DataFrame:
+    """Exact all-pairs cosine via a distributed block grid.
+
+    Hash-partition rows into B blocks; emit each row once per block
+    pair it participates in (as the ``bi`` side for pairs (blk, j>=blk)
+    and as the ``bj`` side for pairs (i<blk, blk)); one
+    ``applyInPandas`` per (bi, bj) group runs the BLAS block mat-mul.
+    Diagonal groups score their upper triangle. Driver sees nothing but
+    the B count; per-task memory is two rows_per_block x d matrices.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    n = df.count()
+    n_blocks = max(1, math.ceil(n / max(1, int(rows_per_block))))
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    left = src.join(F.broadcast(bp), F.col("_blk") == F.col("bi")).withColumn(
+        "_role", F.lit(0)
+    )
+    right = (
+        src.join(F.broadcast(bp), (F.col("_blk") == F.col("bj")) & (F.col("bi") < F.col("bj")))
+        .withColumn("_role", F.lit(1))
+    )
+    both = left.unionByName(right).select("bi", "bj", "_role", "_id", "_v")
+
+    def _score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["_role"] == 0]
+        b = pdf[pdf["_role"] == 1]
+        diag = len(b) == 0
+        if diag:
+            b = a
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        a_ids = a["_id"].to_numpy()
+        b_ids = b["_id"].to_numpy()
+        a_mat = np.array(a["_v"].tolist(), dtype=np.float64)
+        b_mat = np.array(b["_v"].tolist(), dtype=np.float64)
+        cos = (a_mat @ b_mat.T) / np.outer(
+            np.linalg.norm(a_mat, axis=1), np.linalg.norm(b_mat, axis=1)
+        )
+        ii, jj = np.where(cos >= t)
+        if diag:
+            # same row set on both sides: keep each unordered pair once
+            keep = a_ids[ii] < b_ids[jj]
+            ii, jj = ii[keep], jj[keep]
+        lo = np.minimum(a_ids[ii], b_ids[jj])
+        hi = np.maximum(a_ids[ii], b_ids[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ii, jj]})
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        _score_block, schema="id_a long, id_b long, cosine double"
+    )

@@ -181,10 +181,23 @@ def test_embedding_cosine_pairs(spark, emb_df):
     }
     gotd = {(r.id_a, r.id_b): r.cosine for r in got.itertuples()}
     assert set(gotd) == set(expect)
-    # block mat-mul path == naive pair-join path exactly
-    pj = dedup.embedding_cosine_pairs(sub, 0.8, method="pair_join").toPandas()
-    pjd = {(r.id_a, r.id_b): round(r.cosine, 9) for r in pj.itertuples()}
-    assert {k: round(v, 9) for k, v in gotd.items()} == pjd
+    # every explicit path agrees with the default (grid) path exactly
+    for extra in (
+        dict(method="pair_join"),
+        dict(method="block"),
+        dict(method="grid", rows_per_block=7),  # force a multi-block grid
+    ):
+        alt = dedup.embedding_cosine_pairs(sub, 0.8, **extra).toPandas()
+        altd = {(r.id_a, r.id_b): round(r.cosine, 9) for r in alt.itertuples()}
+        assert {k: round(v, 9) for k, v in gotd.items()} == altd, extra
+    # LSH route: no false positives, correct cosines, substantial recall
+    lsh = dedup.embedding_cosine_pairs(sub, 0.8, method="lsh").toPandas()
+    lshd = {(r.id_a, r.id_b): r.cosine for r in lsh.itertuples()}
+    assert set(lshd) <= set(gotd)
+    for k, v in lshd.items():
+        assert abs(v - gotd[k]) < 1e-9
+    if expect:
+        assert len(lshd) / len(expect) >= 0.5
 
 
 def test_multimodal_fake_decoder(spark):
