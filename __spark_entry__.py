@@ -98,6 +98,7 @@ SF0001 = "/root/testdata/sf0.001"
 # *fitted* path is exercised by entry() and golden tests).
 GAMMA0, GAMMA1, GAMMA2 = -1.0, 0.05, 0.1
 KW_H = 0.05  # fixed bandwidth for the oracle KW query
+KW_TRIANG_H = 0.12  # wider fixed bandwidth for the triangular-kernel query
 
 
 def _spark_units(sf_dir: str) -> str:
@@ -913,6 +914,75 @@ def _sql_kw_derivative(sf_dir: str) -> str:
     """
 
 
+def _q_kw_triang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3+I4 with the TRIANGULAR kernel (``krn='triang'``,
+    ``simu_fun.R:129``): same banded pair join, exact support (K=0
+    outside |dist| <= h), weights AND gamma-derivative together."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cohort, survey = tpch.survey_frames(spark, sf_dir)
+    score = F.lit(GAMMA0) + F.lit(GAMMA1) * F.col("x1") + F.lit(GAMMA2) * F.col("x2")
+    c = cohort.select("id", score.alias("p_score"), "x1")
+    s = survey.select("id", score.alias("p_score"), "wt", "x1")
+    res = kw_weights(
+        c, s, weight_col="wt", h=KW_TRIANG_H, kernel="triang", deriv_cols=["x1"]
+    )
+    return res.weights.select(
+        "id",
+        F.round("kw", 6).alias("kw"),
+        F.round("kw_g_x1", 6).alias("kw_g"),
+    )
+
+
+def _sql_kw_triang(sf_dir: str) -> str:
+    h = KW_TRIANG_H
+    h2 = h * h
+    return f"""
+    WITH units AS ({_duck_units()}),
+    c AS (SELECT id, {GAMMA0} + {GAMMA1} * x1 + {GAMMA2} * x2 AS ps, x1
+          FROM units WHERE {tpch.COHORT_PRED}),
+    s AS (SELECT id, {GAMMA0} + {GAMMA1} * x1 + {GAMMA2} * x2 AS ps, wt, x1
+          FROM units WHERE {tpch.SURVEY_PRED}),
+    m AS (SELECT count(*) AS m FROM c),
+    pairs AS (
+      SELECT s.id AS sid, c.id AS cid, s.wt,
+             greatest(0.0, 1.0 - abs((s.ps - c.ps) / {h})) AS k,
+             -greatest(0.0, 1.0 - abs((s.ps - c.ps) / {h}))
+               * (s.ps - c.ps) * (s.x1 - c.x1) / {h2} AS kij
+      FROM s CROSS JOIN c
+    ),
+    rs AS (SELECT sid, sum(k) AS rs, sum(kij) AS rk FROM pairs GROUP BY sid),
+    mt AS (
+      SELECT p.cid,
+             sum(p.wt * p.k / r.rs) AS kw,
+             sum(p.wt * p.kij / r.rs
+                 - p.wt * r.rk * p.k / (r.rs * r.rs)) AS kw_g
+      FROM pairs p JOIN rs r ON p.sid = r.sid
+      WHERE r.rs > 0
+      GROUP BY p.cid
+    ),
+    un AS (SELECT s.id AS sid, s.wt, s.ps, s.x1
+           FROM s JOIN rs r ON s.id = r.sid WHERE r.rs <= 0),
+    untot AS (SELECT coalesce(sum(wt), 0.0) AS tot FROM un),
+    upairs AS (
+      SELECT u.sid, c.id AS cid, u.wt,
+             -(1.0 / m.m) * (u.ps - c.ps) * (u.x1 - c.x1) / {h2} AS kij
+      FROM un u CROSS JOIN c CROSS JOIN m
+    ),
+    urk AS (SELECT sid, sum(kij) AS rk FROM upairs GROUP BY sid),
+    uextra AS (
+      SELECT up.cid, sum(up.wt * up.kij - up.wt * k.rk / m.m) AS kw_g
+      FROM upairs up JOIN urk k ON up.sid = k.sid CROSS JOIN m
+      GROUP BY up.cid
+    )
+    SELECT c.id AS id,
+           round(coalesce(mt.kw, 0.0) + untot.tot / m.m, 6) AS kw,
+           round(coalesce(mt.kw_g, 0.0) + coalesce(uextra.kw_g, 0.0), 6) AS kw_g
+    FROM c LEFT JOIN mt ON c.id = mt.cid
+    LEFT JOIN uextra ON c.id = uextra.cid
+    CROSS JOIN untot CROSS JOIN m
+    """
+
+
 def _q_gamma_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I7 ``gamma_w``: per-row influence of the stacked logistic
     propensity fit at frozen gamma (q=2: intercept + x1), one Gram pass
@@ -1396,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_sample": _q_pps_sample,
         "cox_score_check": _q_cox_score,
         "kw_derivative": _q_kw_derivative,
+        "kw_triang": _q_kw_triang,
         "gamma_influence": _q_gamma_influence,
         "influence_variance": _q_influence_variance,
         "grouped_product": _q_grouped_product,
@@ -1436,6 +1507,7 @@ def oracle_sql() -> dict[str, str]:
         "pps_sample": _sql_pps_sample(),
         "cox_score_check": _sql_cox_score(),
         "kw_derivative": _sql_kw_derivative(sf),
+        "kw_triang": _sql_kw_triang(sf),
         "gamma_influence": _sql_gamma_influence(sf),
         "influence_variance": _sql_influence_variance(sf),
         "grouped_product": _sql_grouped_product(sf),

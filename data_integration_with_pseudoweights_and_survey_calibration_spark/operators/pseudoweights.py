@@ -315,9 +315,13 @@ def kw_weights(
     support = GAUSSIAN_SUPPORT if kernel in ("dnorm", "gaussian") else TRIANG_SUPPORT
     width = support * h
 
+    # The gamma-derivative pair algebra kij = -K(z)*dist*dx/h^2 is the
+    # formula ``krnwt`` applies for EVERY kernel choice
+    # (``simu_fun.R:196-205`` uses the same kij with whatever krnfun the
+    # caller picked), so deriv_cols work for dnorm and triang alike.
     dcols = list(deriv_cols or [])
-    if dcols and kernel not in ("dnorm", "gaussian"):
-        raise NotImplementedError("KW gamma-derivative implemented for the Gaussian kernel")
+    if dcols and kernel not in KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r}")
 
     m = int(cohort_scores.count())
 

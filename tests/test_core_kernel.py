@@ -238,3 +238,53 @@ def test_kw_gamma_derivative_vs_dense(spark):
         np.testing.assert_allclose(
             got[name].to_numpy(), deriv1 + deriv2, rtol=1e-8, atol=1e-12
         )
+
+
+def test_kw_triangular_kernel_vs_dense(spark):
+    """Triangular-kernel KW weights AND gamma-derivative (krnwt with
+    krn='triang', simu_fun.R:129,168-205: same kij pair formula, K
+    triangular) against the dense mirror, both impls."""
+    rng = np.random.default_rng(23)
+    n_c, n_s = 110, 60
+    c = pd.DataFrame(
+        {
+            "id": np.arange(n_c, dtype=np.int64),
+            "p_score": rng.normal(0, 1, n_c),
+            "x1": rng.normal(0, 1, n_c),
+        }
+    )
+    s = pd.DataFrame(
+        {
+            "id": np.arange(n_s, dtype=np.int64),
+            "p_score": rng.normal(0.2, 1, n_s),
+            "wt": rng.uniform(1, 6, n_s),
+            "x1": rng.normal(0, 1, n_s),
+        }
+    )
+    h = 0.6
+    dist = s["p_score"].to_numpy()[:, None] - c["p_score"].to_numpy()[None, :]
+    k = np.maximum(0.0, 1.0 - np.abs(dist / h))
+    rs = k.sum(axis=1)
+    assert (rs > 0).all()  # draw keeps every survey row matched
+    wt = s["wt"].to_numpy()
+    kw_dense = ((k / rs[:, None]) * wt[:, None]).sum(axis=0)
+    dx = s["x1"].to_numpy()[:, None] - c["x1"].to_numpy()[None, :]
+    kij = -k * dist * dx / h / h
+    rkij = kij.sum(axis=1)
+    deriv_dense = (wt / rs) @ kij - (wt * rkij / rs / rs) @ k
+    for impl in ("block", "sql"):
+        res = kw_weights(
+            spark.createDataFrame(c),
+            spark.createDataFrame(s),
+            weight_col="wt",
+            h=h,
+            kernel="triang",
+            deriv_cols=["x1"],
+            impl=impl,
+        )
+        got = res.weights.toPandas().set_index("id").sort_index()
+        np.testing.assert_allclose(got["kw"].to_numpy(), kw_dense, rtol=1e-9)
+        np.testing.assert_allclose(
+            got["kw_g_x1"].to_numpy(), deriv_dense, rtol=1e-8, atol=1e-12
+        )
+        assert got["kw"].sum() == pytest.approx(wt.sum(), rel=1e-9)
