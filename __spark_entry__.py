@@ -53,6 +53,9 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
     var_poisson,
     var_pps,
 )
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.hazard_influence import (  # noqa: E402
+    hazard_influence,
+)
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (  # noqa: E402
     pps_sample,
 )
@@ -983,6 +986,106 @@ def _sql_kw_triang(sf_dir: str) -> str:
     """
 
 
+LAM_T1, LAM_T2 = 5.0, 15.0  # t* grid for the Lambda-influence oracle
+
+
+def _q_lambda_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I13 (+gamma chain): per-row influence of Lambda(t*) at frozen
+    beta (p=1) with frozen deterministic beta/gamma direction columns
+    (q=1) -- the analytic-inference flagship chain
+    (``taylor_deviate.R:746-900``) as a hash-checkable query. The
+    direction columns stand in for the dfbeta / pseudo-weight-derivative
+    stacks the full pipeline feeds in; the chain algebra (grid
+    aggregates, reverse/forward cumulative series, as-of join, per-row
+    combination) is exactly what runs in anger."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cohort, survey = tpch.survey_frames(spark, sf_dir)
+    cols = ["id", "t", "d", "x1", "x2", "wt"]
+    stacked = (
+        cohort.select(*cols, F.lit(1).alias("trt"))
+        .unionByName(survey.select(*cols, F.lit(0).alias("trt")))
+        .withColumn("bw0", F.lit(0.001) * F.col("x1") * F.col("wt"))
+        .withColumn("gw0", F.lit(0.0005) * F.col("x2") * F.col("wt"))
+        .withColumn("pg0", F.lit(0.01) * F.col("x1"))
+    )
+    hi = hazard_influence(
+        stacked,
+        ["x2"],
+        [0.1],
+        [LAM_T1, LAM_T2],
+        pw="wt",
+        beta_wt_cols=["bw0"],
+        gamma_wt_cols=["gw0"],
+        pw_gamma_cols=["pg0"],
+    )
+    # `+ 0.0` canonicalizes IEEE negative zero (round can yield -0.0 on
+    # one engine and +0.0 on the other; the value hash would differ)
+    return hi.df.select(
+        "id",
+        "trt",
+        (F.round("Lambda_wt_0", 9) + F.lit(0.0)).alias("lam_wt_0"),
+        (F.round("Lambda_wt_1", 9) + F.lit(0.0)).alias("lam_wt_1"),
+    )
+
+
+def _sql_lambda_influence(sf_dir: str) -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    coh AS (SELECT id, t, d, x1, x2, wt, {REL_SQL} AS rel,
+                   0.001 * x1 * wt AS bw0, 0.0005 * x2 * wt AS gw0,
+                   0.01 * x1 AS pg0
+            FROM units WHERE {tpch.COHORT_PRED}),
+    svy AS (SELECT id, x1, x2, wt,
+                   0.001 * x1 * wt AS bw0, 0.0005 * x2 * wt AS gw0
+            FROM units WHERE {tpch.SURVEY_PRED}),
+    g AS (SELECT t AS gt,
+                 sum(wt * rel) AS zp, sum(wt * d) AS nt,
+                 sum(wt * rel * x2) AS s1p,
+                 sum(pg0 * d) AS gnp, sum(pg0 * rel) AS gzp
+          FROM coh GROUP BY t),
+    rc AS (SELECT gt, nt, gnp,
+                  sum(zp) OVER (ORDER BY gt DESC) AS zt,
+                  sum(s1p) OVER (ORDER BY gt DESC) AS s1,
+                  sum(gzp) OVER (ORDER BY gt DESC) AS gz
+           FROM g),
+    ev AS (SELECT gt, zt,
+                  sum(nt / (zt * zt)) OVER (ORDER BY gt) AS a,
+                  sum((nt / zt) * s1 / zt) OVER (ORDER BY gt) AS cb,
+                  sum((gnp - (nt / zt) * gz) / zt) OVER (ORDER BY gt) AS cnz
+           FROM rc WHERE nt > 0),
+    k AS (SELECT
+            coalesce((SELECT arg_max(a, gt) FROM ev WHERE gt <= {LAM_T1}), 0.0) AS a_1,
+            coalesce((SELECT arg_max(cb, gt) FROM ev WHERE gt <= {LAM_T1}), 0.0) AS cb_1,
+            coalesce((SELECT arg_max(cnz, gt) FROM ev WHERE gt <= {LAM_T1}), 0.0) AS cnz_1,
+            coalesce((SELECT arg_max(a, gt) FROM ev WHERE gt <= {LAM_T2}), 0.0) AS a_2,
+            coalesce((SELECT arg_max(cb, gt) FROM ev WHERE gt <= {LAM_T2}), 0.0) AS cb_2,
+            coalesce((SELECT arg_max(cnz, gt) FROM ev WHERE gt <= {LAM_T2}), 0.0) AS cnz_2),
+    crows AS (
+      SELECT c.id, 1 AS trt, c.t, c.d, c.wt, c.rel, c.bw0, c.gw0,
+             coalesce(e.zt, 0.0) AS zt_asof, coalesce(e.a, 0.0) AS a_asof
+      FROM coh c ASOF LEFT JOIN ev e ON c.t >= e.gt
+    ),
+    out AS (
+      SELECT id, trt,
+             (CASE WHEN d = 1 AND t <= {LAM_T1} THEN wt / zt_asof ELSE 0.0 END)
+               - wt * rel * least(a_asof, k.a_1)
+               + gw0 * k.cnz_1 - bw0 * k.cb_1 AS lam_wt_0,
+             (CASE WHEN d = 1 AND t <= {LAM_T2} THEN wt / zt_asof ELSE 0.0 END)
+               - wt * rel * least(a_asof, k.a_2)
+               + gw0 * k.cnz_2 - bw0 * k.cb_2 AS lam_wt_1
+      FROM crows CROSS JOIN k
+      UNION ALL
+      SELECT id, 0 AS trt,
+             gw0 * k.cnz_1 - bw0 * k.cb_1 AS lam_wt_0,
+             gw0 * k.cnz_2 - bw0 * k.cb_2 AS lam_wt_1
+      FROM svy CROSS JOIN k
+    )
+    SELECT id, trt, round(lam_wt_0, 9) + 0.0 AS lam_wt_0,
+           round(lam_wt_1, 9) + 0.0 AS lam_wt_1
+    FROM out
+    """
+
+
 def _q_gamma_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I7 ``gamma_w``: per-row influence of the stacked logistic
     propensity fit at frozen gamma (q=2: intercept + x1), one Gram pass
@@ -1467,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cox_score_check": _q_cox_score,
         "kw_derivative": _q_kw_derivative,
         "kw_triang": _q_kw_triang,
+        "lambda_influence": _q_lambda_influence,
         "gamma_influence": _q_gamma_influence,
         "influence_variance": _q_influence_variance,
         "grouped_product": _q_grouped_product,
@@ -1508,6 +1612,7 @@ def oracle_sql() -> dict[str, str]:
         "cox_score_check": _sql_cox_score(),
         "kw_derivative": _sql_kw_derivative(sf),
         "kw_triang": _sql_kw_triang(sf),
+        "lambda_influence": _sql_lambda_influence(sf),
         "gamma_influence": _sql_gamma_influence(sf),
         "influence_variance": _sql_influence_variance(sf),
         "grouped_product": _sql_grouped_product(sf),
