@@ -57,10 +57,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = load_table(spark, sf_dir, "events")
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn(
             "ts", (F.col("ts") / F.lit(1_000_000_000)).cast("timestamp")
         )
+    elif ts_type == "timestamp_ntz":
+        # some generator versions store MICROS with isAdjustedToUTC=false;
+        # cast to the instant type (value-identical under the UTC session
+        # tz) so event-time ops (streaming watermarks) accept the column
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

@@ -80,6 +80,81 @@ def test_stream_weighted_totals_matches_batch(spark, events_stream, tmp_path):
     assert (got["n"] == expect["n"]).all()
 
 
+def test_stream_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode watermark semantics on a live multi-micro-batch
+    query: a row arriving behind the watermark is dropped, finalized
+    windows emit exactly once with the on-time rows only."""
+    import pandas as pd
+
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src, exist_ok=True)
+
+    def _feed(rows):
+        pdf = pd.DataFrame(rows, columns=["ts_str", "value"])
+        (
+            spark.createDataFrame(pdf)
+            .select(
+                F.to_timestamp("ts_str").alias("ts"),
+                F.col("value").cast("double"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    # batch 1: two rows in the 10:00 window + one at 11:00 that will
+    # push the watermark to 10:50 (10-minute delay)
+    _feed(
+        [
+            ("2026-01-01 10:01:00", 1.0),
+            ("2026-01-01 10:03:00", 2.0),
+            ("2026-01-01 11:00:00", 10.0),
+        ]
+    )
+    schema = "ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_weighted_totals(
+        stream,
+        "ts",
+        {"total": F.sum("value"), "n": F.count(F.lit(1))},
+        window="5 minutes",
+        watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one LATE row (10:02, behind the 10:50 watermark ->
+        # dropped) and one on-time row advancing the watermark further
+        _feed([("2026-01-01 10:02:00", 100.0), ("2026-01-01 12:00:00", 20.0)])
+        q.processAllAvailable()
+        # batch 3: flush remaining finalized windows
+        _feed([("2026-01-01 13:00:00", 30.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.table("wm_test")
+        .select(F.col("win.start").cast("string").alias("ws"), "total", "n")
+        .toPandas()
+        .set_index("ws")
+        .sort_index()
+    )
+    # the 10:00 window finalized with the two on-time rows; the late
+    # 100.0 row never entered it, and the window was emitted exactly once
+    assert got.loc["2026-01-01 10:00:00", "n"] == 2
+    assert got.loc["2026-01-01 10:00:00", "total"] == pytest.approx(3.0)
+    assert not got.index.duplicated().any()
+    # the 11:00 and 12:00 windows finalized with their single rows
+    assert got.loc["2026-01-01 11:00:00", "total"] == pytest.approx(10.0)
+    assert got.loc["2026-01-01 12:00:00", "total"] == pytest.approx(20.0)
+
+
 def test_stream_gram_partials_matches_batch(spark, events_stream, tmp_path):
     batch, stream = events_stream
     stream2 = stream.withColumn("_icpt", F.lit(1.0))
