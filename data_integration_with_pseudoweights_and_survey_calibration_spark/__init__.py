@@ -39,6 +39,10 @@ from .operators.calibration import (  # noqa: E402,F401
 )
 from .operators.cox import cox_fit  # noqa: E402,F401
 from .operators.glm import weighted_linear, weighted_logistic  # noqa: E402,F401
+from .operators.dense_suite import (  # noqa: E402,F401
+    estimate_methods_np,
+    jk_suite_grouped,
+)
 from .operators.jackknife import jk_variance  # noqa: E402,F401
 from .operators.method_suite import (  # noqa: E402,F401
     estimate_methods,
@@ -56,7 +60,9 @@ __all__ = [
     "cox_fit",
     "estimate_methods",
     "estimate_methods_inf",
+    "estimate_methods_np",
     "fit_propensity",
+    "jk_suite_grouped",
     "generate_population",
     "get_spark",
     "greg_calibrate",

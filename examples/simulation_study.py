@@ -6,11 +6,18 @@ samples, run the estimation method suite, and (optionally) the grouped
 jackknife; write long-format results.
 
 Usage:
-    python examples/simulation_study.py [n_pop] [n_replicates] [out_dir]
+    python examples/simulation_study.py [n_pop] [n_replicates] [out_dir] \
+        [m_jk] [n_jk] [jk_variants]
 
-Defaults are toy-sized (n_pop=20000, 3 replicates) so the script runs
-in a few minutes on local[*]; the same code scales to the reference's
-N=300k (and far beyond -- every stage is the distributed engine).
+Defaults are toy-sized (n_pop=20000, 3 replicates, no jackknife) so the
+script runs in a few minutes on local[*]; the same code scales to the
+reference's N=300k (and far beyond -- every stage is the distributed
+engine). With ``m_jk``/``n_jk`` > 0 the script additionally runs the
+grouped-jackknife replicate loop (``jk_fun.R:314-374`` regime) over the
+LAST sample draw with the method-suite estimator restricted to
+``jk_variants`` measurement-error variants (0 = base methods only),
+and reports per-replicate and total wall time -- the reference's
+m_jk=60, n_jk=30 geometry is the honest benchmark configuration.
 """
 
 from __future__ import annotations
@@ -31,6 +38,15 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.method_suite import (
     estimate_methods,
 )
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dense_suite import (
+    jk_suite_grouped,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.jackknife import (
+    jk_variance,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+    assign_jk_groups,
+)
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.simulation import (
     draw_samples,
     generate_population,
@@ -46,6 +62,9 @@ def main() -> None:
     n_pop = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     n_rep = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     out_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/simulation_study"
+    m_jk = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    n_jk = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    jk_variants = int(sys.argv[6]) if len(sys.argv) > 6 else 1
     spark = get_spark("simulation-study")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -84,6 +103,56 @@ def main() -> None:
             rows.append((r, name, float(v)))
         print(f"replicate {r}: {len(est)} params ({time.time() - t1:.0f}s)")
 
+    jk_summary = None
+    if m_jk > 0 and n_jk > 0:
+        # grouped-jackknife variance for the LAST draw (jk_fun.R:314-374):
+        # leave-one-group-out refits of the method suite, weights
+        # rescaled g/(g-1) on the dropped side
+        t2 = time.time()
+        cohort_j = assign_jk_groups(cohort, m_jk, seed=11).cache()
+        survey_j = assign_jk_groups(survey, n_jk, seed=12).cache()
+        variants = tuple(range(1, jk_variants + 1))
+
+        # sample-scale regime: ALL replicates of the full method suite
+        # in ONE applyInPandas job (dense_suite.jk_suite_grouped; the
+        # driver-loop regime jk_refit_loop is for population-scale
+        # replicates where each retained sample is itself distributed)
+        jk_df = jk_suite_grouped(
+            cohort_j,
+            survey_j,
+            m_jk,
+            n_jk,
+            x_cols=["x1", "x2", "x3"],
+            ps_formula="x1 + x2",
+            t_star=T_STAR,
+            pop_size=float(n_pop),
+            pop_events=n1,
+            lambda_star=lam_star,
+            x0=x0,
+            error_variants=variants,
+        ).toPandas()
+        jk_secs = time.time() - t2
+        g = m_jk + n_jk
+        # jackknife variance of beta_x1 per method
+        piv = jk_df[jk_df["param"].str.match(r"beta_.*_x1$")].pivot_table(
+            index="replicate", columns="param", values="value"
+        ).sort_index()
+        _, var = jk_variance(piv.to_numpy(), m_jk, n_jk)
+        jk_summary = {
+            "m_jk": m_jk,
+            "n_jk": n_jk,
+            "replicates": g,
+            "error_variants": list(variants),
+            "n_params": int(jk_df["param"].nunique()),
+            "total_sec": round(jk_secs, 1),
+            "sec_per_replicate": round(jk_secs / g, 1),
+            "jk_se_beta_x1": {
+                c: round(float(v) ** 0.5, 4) for c, v in zip(piv.columns, var)
+            },
+        }
+        print(f"jackknife: {g} replicates in {jk_secs:.0f}s "
+              f"({jk_secs / g:.1f}s/replicate)")
+
     out = spark.createDataFrame(rows, "replicate int, param string, value double")
     out.write.mode("overwrite").option("header", True).csv(out_dir)
 
@@ -95,14 +164,14 @@ def main() -> None:
         .orderBy("param")
         .collect()
     )
-    print(json.dumps(
-        {
-            "beta_x1_pop": round(float(truth_fit.beta[0]), 4),
-            "beta_x1_by_method": {r["param"]: r["mean"] for r in summary},
-            "results_csv": out_dir,
-        },
-        indent=2,
-    ))
+    report = {
+        "beta_x1_pop": round(float(truth_fit.beta[0]), 4),
+        "beta_x1_by_method": {r["param"]: r["mean"] for r in summary},
+        "results_csv": out_dir,
+    }
+    if jk_summary is not None:
+        report["jackknife"] = jk_summary
+    print(json.dumps(report, indent=2))
 
 
 if __name__ == "__main__":

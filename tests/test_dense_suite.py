@@ -1,0 +1,122 @@
+"""Golden tests for the dense method-suite twin and the grouped
+jackknife-over-suite operator.
+
+The strongest check in the repo: the full 16-method table computed two
+completely different ways -- distributed Spark operators vs dense NumPy
+-- must agree to float precision on every parameter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dense_suite import (
+    estimate_methods_np,
+    jk_suite_grouped,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.method_suite import (
+    estimate_methods,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+    assign_jk_groups,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.simulation import (
+    draw_samples,
+    generate_population,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.survival import (
+    lambda_star_pop,
+)
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    pop = generate_population(spark, 6000, seed=41).cache()
+    n1 = float(pop.agg(F.sum("d")).collect()[0][0])
+    cohort, survey = draw_samples(pop, 220, 140, seed=7)
+    lam_star = lambda_star_pop(pop).cache()
+    return pop, cohort.cache(), survey.cache(), n1, lam_star
+
+
+SUITE_KW = dict(
+    x_cols=["x1", "x2", "x3"],
+    ps_formula="x1 + x2",
+    t_star=[2.0, 5.0, 10.0],
+    pop_size=6000.0,
+    pop_events=None,  # filled per test
+    x0=[[0.5, 0.0, 0.0]],
+    error_variants=(1,),
+)
+
+
+def test_dense_suite_matches_distributed(spark, world):
+    _, cohort, survey, n1, lam_star = world
+    kw = dict(SUITE_KW, pop_events=n1)
+    spark_out = estimate_methods(
+        cohort, survey, lambda_star=lam_star, **kw
+    )
+    ls_pdf = lam_star.select("t", "lambda_star").orderBy("t").toPandas()
+    dense_out = estimate_methods_np(
+        cohort.toPandas(),
+        survey.toPandas(),
+        lambda_star=(
+            ls_pdf["t"].to_numpy(float),
+            ls_pdf["lambda_star"].to_numpy(float),
+        ),
+        **kw,
+    )
+    assert set(spark_out) == set(dense_out)
+    for key in sorted(spark_out):
+        assert dense_out[key] == pytest.approx(
+            spark_out[key], rel=1e-6, abs=1e-8
+        ), key
+
+
+def test_jk_suite_grouped_matches_pandas_loop(spark, world):
+    """One applyInPandas job == the per-replicate pandas loop (filter +
+    rescale + dense suite) for every replicate and parameter."""
+    _, cohort, survey, n1, lam_star = world
+    m_jk, n_jk = 3, 2
+    cohort_j = assign_jk_groups(cohort, m_jk, seed=5).cache()
+    survey_j = assign_jk_groups(survey, n_jk, seed=6).cache()
+    kw = dict(SUITE_KW, pop_events=n1)
+    got = (
+        jk_suite_grouped(
+            cohort_j, survey_j, m_jk, n_jk, lambda_star=lam_star, **kw
+        )
+        .toPandas()
+        .set_index(["replicate", "param"])["value"]
+        .sort_index()
+    )
+    c_pdf = cohort_j.toPandas()
+    s_pdf = survey_j.toPandas()
+    ls_pdf = lam_star.select("t", "lambda_star").orderBy("t").toPandas()
+    ls_np = (
+        ls_pdf["t"].to_numpy(float),
+        ls_pdf["lambda_star"].to_numpy(float),
+    )
+    n_checked = 0
+    for rep in range(1, m_jk + n_jk + 1):
+        if rep <= m_jk:
+            c_r = c_pdf[c_pdf["jk_group"] != rep].copy()
+            c_r["wt"] *= m_jk / (m_jk - 1)
+            s_r = s_pdf
+        else:
+            k = rep - m_jk
+            s_r = s_pdf[s_pdf["jk_group"] != k].copy()
+            s_r["wt"] *= n_jk / (n_jk - 1)
+            c_r = c_pdf
+        want = estimate_methods_np(
+            c_r.reset_index(drop=True),
+            s_r.reset_index(drop=True),
+            lambda_star=ls_np,
+            **kw,
+        )
+        for param, v in want.items():
+            assert got.loc[(rep, param)] == pytest.approx(
+                v, rel=1e-9, abs=1e-12
+            ), (rep, param)
+            n_checked += 1
+    assert n_checked == len(got)

@@ -1,0 +1,101 @@
+"""Scaling-shape bench for the signature KW kernel-weight operator.
+
+The per-round bench (bench.py) runs at sf0.1; this tool probes the
+100x question directly: synthetic cohort/survey score frames at
+geometrically growing sizes, kw_weights (+ gamma derivative) timed at
+each, and the log-log scaling exponent reported. The banded join's
+per-bucket salting + load-scaled partition count should keep the
+exponent near the theoretical pair-load growth (n^1.8 with bw.nrd0's
+h ~ n^-0.2 shrinkage), NOT blow up super-quadratically on skew.
+
+Usage:
+    python tools/scale_bench.py [sizes_csv]   # default 250k,1M,4M cohort
+
+Prints one JSON line: {"op": "kw_weights", "points": [...], "exponent": x}
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark import get_spark
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.pseudoweights import (
+    kw_weights,
+)
+
+
+def synth_frames(spark, n_c: int, n_s: int, seed: int = 7):
+    c = spark.range(n_c).select(
+        F.col("id"),
+        (F.randn(seed) * 1.0).alias("p_score"),
+        F.randn(seed + 1).alias("x1"),
+    )
+    s = spark.range(n_s).select(
+        F.col("id"),
+        (F.randn(seed + 2) * 1.1 + 0.3).alias("p_score"),
+        (F.rand(seed + 3) * 10.0 + 5.0).alias("wt"),
+        F.randn(seed + 4).alias("x1"),
+    )
+    return c, s
+
+
+def main() -> None:
+    sizes = (
+        [int(x) for x in sys.argv[1].split(",")]
+        if len(sys.argv) > 1
+        else [250_000, 1_000_000, 4_000_000]
+    )
+    spark = get_spark("scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    points = []
+    for n_c in sizes:
+        n_s = n_c // 5
+        c, s = synth_frames(spark, n_c, n_s)
+        c = c.cache()
+        s = s.cache()
+        c.count(), s.count()  # materialize inputs outside the timer
+        t0 = time.time()
+        res = kw_weights(c, s, weight_col="wt", deriv_cols=["x1"])
+        row = res.weights.agg(
+            F.sum("kw").alias("kw_tot"), F.sum("kw_g_x1").alias("g_tot")
+        ).collect()[0]
+        secs = time.time() - t0
+        points.append(
+            {
+                "n_c": n_c,
+                "n_s": n_s,
+                "h": round(res.bandwidth, 6),
+                "sec": round(secs, 2),
+                "kw_total": round(float(row["kw_tot"]), 2),
+            }
+        )
+        c.unpersist()
+        s.unpersist()
+    # least-squares slope of log(sec) vs log(n_c)
+    xs = [math.log(p["n_c"]) for p in points]
+    ys = [math.log(p["sec"]) for p in points]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    print(
+        json.dumps(
+            {
+                "op": "kw_weights+deriv",
+                "points": points,
+                "exponent": round(slope, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
