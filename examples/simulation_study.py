@@ -7,7 +7,7 @@ jackknife; write long-format results.
 
 Usage:
     python examples/simulation_study.py [n_pop] [n_replicates] [out_dir] \
-        [m_jk] [n_jk] [jk_variants]
+        [m_jk] [n_jk] [jk_variants] [jk_regime]
 
 Defaults are toy-sized (n_pop=20000, 3 replicates, no jackknife) so the
 script runs in a few minutes on local[*]; the same code scales to the
@@ -18,6 +18,15 @@ LAST sample draw with the method-suite estimator restricted to
 ``jk_variants`` measurement-error variants (0 = base methods only),
 and reports per-replicate and total wall time -- the reference's
 m_jk=60, n_jk=30 geometry is the honest benchmark configuration.
+
+``jk_regime`` picks the execution regime (SURVEY §2 I22): ``grouped``
+(default) runs every leave-group-out refit of the method suite in ONE
+``applyInPandas`` job -- the right shape when each retained sample fits
+a pandas batch (the reference's n=600/300); ``loop`` drives
+``jk_refit_loop`` -- one full DISTRIBUTED method-suite run per
+replicate (``jk_fun.R:314-374``'s literal loop), the regime for
+population-scale retained samples where no single replicate fits in
+one executor's memory.
 """
 
 from __future__ import annotations
@@ -42,6 +51,7 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
     jk_suite_grouped,
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.jackknife import (
+    jk_refit_loop,
     jk_variance,
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
@@ -65,6 +75,7 @@ def main() -> None:
     m_jk = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     n_jk = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     jk_variants = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    jk_regime = sys.argv[7] if len(sys.argv) > 7 else "grouped"
     spark = get_spark("simulation-study")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -113,24 +124,44 @@ def main() -> None:
         survey_j = assign_jk_groups(survey, n_jk, seed=12).cache()
         variants = tuple(range(1, jk_variants + 1))
 
-        # sample-scale regime: ALL replicates of the full method suite
-        # in ONE applyInPandas job (dense_suite.jk_suite_grouped; the
-        # driver-loop regime jk_refit_loop is for population-scale
-        # replicates where each retained sample is itself distributed)
-        jk_df = jk_suite_grouped(
-            cohort_j,
-            survey_j,
-            m_jk,
-            n_jk,
-            x_cols=["x1", "x2", "x3"],
-            ps_formula="x1 + x2",
-            t_star=T_STAR,
-            pop_size=float(n_pop),
-            pop_events=n1,
-            lambda_star=lam_star,
-            x0=x0,
-            error_variants=variants,
-        ).toPandas()
+        if jk_regime == "loop":
+            # population-scale regime: jk_fun.R's literal replicate loop,
+            # each iteration a full DISTRIBUTED method-suite run on the
+            # retained (rescaled) sample
+            def _loop_est(c, s):
+                return estimate_methods(
+                    c,
+                    s,
+                    x_cols=["x1", "x2", "x3"],
+                    ps_formula="x1 + x2",
+                    t_star=T_STAR,
+                    pop_size=float(n_pop),
+                    pop_events=n1,
+                    lambda_star=lam_star,
+                    x0=x0,
+                    error_variants=variants,
+                )
+
+            jk_df = jk_refit_loop(
+                cohort_j, survey_j, m_jk, n_jk, _loop_est
+            )
+        else:
+            # sample-scale regime: ALL replicates of the full method
+            # suite in ONE applyInPandas job (dense_suite.jk_suite_grouped)
+            jk_df = jk_suite_grouped(
+                cohort_j,
+                survey_j,
+                m_jk,
+                n_jk,
+                x_cols=["x1", "x2", "x3"],
+                ps_formula="x1 + x2",
+                t_star=T_STAR,
+                pop_size=float(n_pop),
+                pop_events=n1,
+                lambda_star=lam_star,
+                x0=x0,
+                error_variants=variants,
+            ).toPandas()
         jk_secs = time.time() - t2
         g = m_jk + n_jk
         # jackknife variance of beta_x1 per method
@@ -139,6 +170,7 @@ def main() -> None:
         ).sort_index()
         _, var = jk_variance(piv.to_numpy(), m_jk, n_jk)
         jk_summary = {
+            "regime": jk_regime,
             "m_jk": m_jk,
             "n_jk": n_jk,
             "replicates": g,
