@@ -84,6 +84,7 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (  # noqa: E402
@@ -1499,6 +1500,29 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.where(F.col("vec_id") < 5), 3)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, real probe config (rows-only: cell assignment is
+    model-dependent; recall asserted in tests/)."""
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), 3, n_lists=16, n_probe=4
+    )
+
+
+def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF machinery at n_probe == n_lists: the probe join scans every
+    cell, so the result is EXACTLY brute-force top-k -- hash-checked
+    against the same oracle SQL (gates the quantizer + index join +
+    scoring plumbing end to end)."""
+    emb = _emb(spark, sf_dir)
+    out = ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), 3, n_lists=8, n_probe=8
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed weighted totals over the events table (the
     batch twin of the streaming aggregation; F.window semantics)."""
@@ -1584,6 +1608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_dedup": _q_embedding_dedup,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
+        "ivf_topk_exact": _q_ivf_topk_exact,
         "events_windowed": _q_events_windowed,
         "population_gen": _q_population_gen,
     }
@@ -1626,6 +1652,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "embedding_topk": _sql_embedding_topk(),
         "embedding_dedup": _sql_embedding_dedup(),
-        # lsh_topk: rows-only (approximate candidate generation)
+        # lsh_topk, ivf_topk: rows-only (approximate candidate generation)
+        # ivf_topk_exact: full-probe IVF == brute force, same oracle
+        "ivf_topk_exact": _sql_embedding_topk(),
         "events_windowed": _sql_events_windowed(),
     }

@@ -165,6 +165,44 @@ def test_lsh_topk_recall(spark, emb_df):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall_and_exactness(spark, emb_df):
+    queries = emb_df.where(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb_df, queries, 5).toPandas()
+
+    # partial probe: correct cosines on every hit, substantial recall
+    approx = similarity.ivf_topk(
+        emb_df, queries, 5, n_lists=8, n_probe=4
+    ).toPandas()
+    merged = approx.merge(
+        exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"), how="inner"
+    )
+    np.testing.assert_allclose(merged["cosine_a"], merged["cosine_e"], rtol=1e-9)
+    recall = len(merged) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+    # full probe == exhaustive == brute force, row for row
+    full = (
+        similarity.ivf_topk(emb_df, queries, 5, n_lists=8, n_probe=8)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exact_sorted = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (full["neighbor_id"] == exact_sorted["neighbor_id"]).all()
+    np.testing.assert_allclose(full["cosine"], exact_sorted["cosine"], rtol=1e-9)
+
+
+def test_ivf_index_partitions_all_rows(spark, emb_df):
+    cen = similarity.kmeans_centroids(emb_df, n_lists=8, max_iter=2)
+    assert cen.shape == (8, 64)
+    np.testing.assert_allclose(np.linalg.norm(cen, axis=1), 1.0, rtol=1e-9)
+    idx = similarity.ivf_index(emb_df, cen)
+    counts = idx.groupBy("_list").count().toPandas()
+    assert counts["count"].sum() == emb_df.count()
+    # the quantizer should spread the corpus over multiple cells
+    assert len(counts) >= 4
+
+
 def test_embedding_cosine_pairs(spark, emb_df):
     sub = emb_df.where(F.col("vec_id") < 60)
     got = dedup.embedding_cosine_pairs(sub, 0.8).toPandas()
