@@ -3,3 +3,7 @@ from .aggregates import (  # noqa: F401
     stream_hazard_partials,
     stream_weighted_totals,
 )
+from .stateful import (  # noqa: F401
+    stream_exact_dedup,
+    stream_running_weighted_mean,
+)

@@ -1,0 +1,120 @@
+"""Custom stateful streaming operators (beyond windowed aggregation).
+
+Two shapes the windowed kernels in ``aggregates.py`` cannot express:
+
+1. **Streaming exact dedup** -- emit each document fingerprint's FIRST
+   arrival only, across micro-batches. Built on the engine's batch
+   fingerprint (``operators.text.fingerprint``, the md5 of the
+   whitespace-normalized text -- identical to the ``exact_dedup``
+   batch/oracle key) and Spark's ``dropDuplicatesWithinWatermark``:
+   the dedup state store holds one entry per fingerprint and expires
+   entries once the event-time watermark passes them, so state is
+   bounded by the watermark horizon, not the stream length. At 100 TB
+   /day this is the standard ingest-dedup layout: state scales with
+   (dup window x arrival rate), shuffled by fingerprint across
+   executors.
+
+2. **Running (unwindowed) weighted estimators** -- cumulative weighted
+   totals/means per group over the WHOLE stream, i.e. incremental
+   maintenance of the E2/E3 weighted-mean statistics (the IPSW
+   prevalence numerator/denominator) rather than per-window partials.
+   Implemented with ``applyInPandasWithState``: the state per group is
+   the 3-number algebraic summary (sum_w, sum_wy, n) -- O(groups)
+   state, Arrow-batched updates, emitted in ``update`` mode after
+   every micro-batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.text import fingerprint
+
+
+def stream_exact_dedup(
+    stream: DataFrame,
+    *,
+    text_col: str = "text",
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """First-arrival-wins streaming dedup on the normalized-text
+    fingerprint. Rows whose fingerprint was already seen (within the
+    watermark horizon) are dropped; every surviving row carries its
+    fingerprint in ``fp_col``.
+
+    State contract: one state-store entry per distinct fingerprint,
+    dropped when the watermark passes the entry's event time -- the
+    exactly-once streaming twin of the batch ``exact_duplicates``
+    groupBy (``operators/dedup.py``).
+    """
+    return (
+        stream.withColumn(fp_col, fingerprint(text_col))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark([fp_col])
+    )
+
+
+_STATE_SCHEMA = "sum_w double, sum_wy double, n long"
+
+
+def stream_running_weighted_mean(
+    stream: DataFrame,
+    *,
+    group_col: str,
+    y_col: str,
+    w_col: str | None = None,
+) -> DataFrame:
+    """Cumulative weighted mean of ``y_col`` per ``group_col`` over the
+    whole stream via ``applyInPandasWithState``.
+
+    Per group the state is the algebraic triple (sum_w, sum_wy, n);
+    each micro-batch folds its Arrow batches into the triple and emits
+    one updated row (group, n, sum_w, sum_wy, wmean). This is the
+    E2/E3 weighted-mean kernel (``functions/stats.py``) maintained
+    incrementally -- state size O(#groups), never O(rows).
+    """
+    w_expr = F.col(w_col).cast("double") if w_col else F.lit(1.0)
+    prepared = stream.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(y_col).cast("double").alias("_y"),
+        w_expr.alias("_w"),
+    )
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            sum_w, sum_wy, n = state.get
+        else:
+            sum_w, sum_wy, n = 0.0, 0.0, 0
+        for pdf in pdfs:
+            sum_w += float((pdf["_w"]).sum())
+            sum_wy += float((pdf["_w"] * pdf["_y"]).sum())
+            n += int(len(pdf))
+        state.update((sum_w, sum_wy, n))
+        yield pd.DataFrame(
+            {
+                "group": [key[0]],
+                "n": [n],
+                "sum_w": [sum_w],
+                "sum_wy": [sum_wy],
+                "wmean": [sum_wy / sum_w if sum_w != 0 else None],
+            }
+        )
+
+    return prepared.groupBy("_g").applyInPandasWithState(
+        update,
+        outputStructType="group string, n long, sum_w double, sum_wy double, wmean double",
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -11,7 +11,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_integration_with_pseudoweights_and_survey_calibration_spark.streaming import (
+    stream_exact_dedup,
     stream_gram_partials,
+    stream_running_weighted_mean,
     stream_weighted_totals,
 )
 
@@ -176,3 +178,105 @@ def test_stream_gram_partials_matches_batch(spark, events_stream, tmp_path):
     assert got["g00"] == pytest.approx(b["g00"], rel=1e-12)
     assert got["g01"] == pytest.approx(b["g01"], rel=1e-12)
     assert got["g11"] == pytest.approx(b["g11"], rel=1e-12)
+
+
+def test_stream_exact_dedup_first_arrival_wins(spark, tmp_path):
+    """Duplicate fingerprints across micro-batches are dropped; each
+    distinct normalized text survives exactly once."""
+    import pandas as pd
+
+    src = str(tmp_path / "dd_src")
+    os.makedirs(src, exist_ok=True)
+
+    def _feed(rows):
+        pdf = pd.DataFrame(rows, columns=["ts_str", "doc_id", "text"])
+        (
+            spark.createDataFrame(pdf)
+            .select(
+                F.to_timestamp("ts_str").alias("ts"), "doc_id", "text"
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    _feed(
+        [
+            ("2026-01-01 10:00:00", 1, "the quick brown fox"),
+            ("2026-01-01 10:01:00", 2, "the  QUICK   brown fox".lower()),
+            ("2026-01-01 10:02:00", 3, "a different document"),
+        ]
+    )
+    schema = "ts timestamp, doc_id long, text string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_exact_dedup(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch: two more dups of doc 1's fingerprint and
+        # one genuinely new doc
+        _feed(
+            [
+                ("2026-01-01 10:05:00", 4, "the quick  brown   fox"),
+                ("2026-01-01 10:06:00", 5, "another new document"),
+            ]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("dd_test").toPandas().sort_values("doc_id")
+    # doc 2 normalizes to doc 1's text (same fingerprint), doc 4 too:
+    # only the FIRST arrival of each fingerprint survives
+    assert got["doc_id"].tolist() == [1, 3, 5]
+    assert got["fp"].nunique() == 3
+
+
+def test_stream_running_weighted_mean(spark, tmp_path):
+    """applyInPandasWithState: per-group cumulative weighted mean over
+    ALL micro-batches (state = the algebraic triple, updated not
+    recomputed)."""
+    import pandas as pd
+
+    src = str(tmp_path / "rw_src")
+    os.makedirs(src, exist_ok=True)
+
+    def _feed(rows):
+        pdf = pd.DataFrame(rows, columns=["g", "y", "w"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    _feed([("a", 1.0, 1.0), ("a", 3.0, 1.0), ("b", 10.0, 2.0)])
+    schema = "g string, y double, w double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_running_weighted_mean(stream, group_col="g", y_col="y", w_col="w")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rw_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rw"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = (
+            spark.table("rw_test").toPandas().set_index("group").sort_index()
+        )
+        assert first.loc["a", "wmean"] == pytest.approx(2.0)
+        assert first.loc["b", "wmean"] == pytest.approx(10.0)
+        # micro-batch 2 folds INTO the state: group a gains a heavy row
+        _feed([("a", 7.0, 2.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    upd = spark.table("rw_test").toPandas()
+    # update mode: take each group's LAST emitted row
+    last = upd.groupby("group").last()
+    # a: (1*1 + 1*3 + 2*7) / (1+1+2) = 18/4
+    assert last.loc["a", "wmean"] == pytest.approx(4.5)
+    assert last.loc["a", "n"] == 3
+    assert last.loc["b", "wmean"] == pytest.approx(10.0)
