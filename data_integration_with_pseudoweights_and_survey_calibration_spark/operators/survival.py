@@ -261,9 +261,16 @@ def gail_cum_hazard(
     )
     p_grid = lambda_star.select("t", "lambda_star")
     merged = p_grid.join(s_grid, "t", "full_outer")
-    win_next = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    # next-observation-carried-backward == running last-non-null over t
+    # DESCENDING. The frame must be GROWING (unboundedPreceding..current):
+    # the ascending first()-over-(current..unboundedFollowing) phrasing is
+    # a shrinking frame, which Spark re-aggregates per row -- O(grid^2)
+    # (measured 70s+ per call on a 58k-row population grid).
+    win_next = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     merged = merged.withColumn(
-        "_ar_cmp", F.first("samp_1_ar", ignorenulls=True).over(win_next)
+        "_ar_cmp", F.last("samp_1_ar", ignorenulls=True).over(win_next)
     )
     # Rows after the last sample time have no next sample value -> cut.
     merged = merged.where(F.col("_ar_cmp").isNotNull())

@@ -98,6 +98,10 @@ def main() -> None:
     for r in range(1, n_rep + 1):
         t1 = time.time()
         cohort, survey = draw_samples(pop, 600, 300, seed=8291 + 97 * r)
+        # truncate the PPS-draw lineage: without this every downstream
+        # fit re-executes the N-row sampling DAG
+        cohort = cohort.localCheckpoint(eager=True)
+        survey = survey.localCheckpoint(eager=True)
         est = estimate_methods(
             cohort,
             survey,
