@@ -1515,8 +1515,12 @@ def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the same oracle SQL (gates the quantizer + index join +
     scoring plumbing end to end)."""
     emb = _emb(spark, sf_dir)
+    # exactness at full probe holds for ANY centroids: one Lloyd pass
+    # is enough for the gate (quantizer quality only matters at
+    # partial probe)
     out = ivf_topk(
-        emb, emb.where(F.col("vec_id") < 5), 3, n_lists=8, n_probe=8
+        emb, emb.where(F.col("vec_id") < 5), 3, n_lists=8, n_probe=8,
+        max_iter=1,
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"

@@ -100,6 +100,63 @@ def extract_features(
     return df.mapInPandas(_decode_batch, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, out_width int, out_height int, resized binary"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    *,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    decoder: str = "stub",
+) -> DataFrame:
+    """Image resize via ``mapInPandas`` (same contract as
+    ``extract_features``): ``decoder="stub"`` raises at execution time
+    with the integration point documented (PIL ``Image.resize``);
+    ``decoder="fake"`` emits a deterministic byte-resample of length
+    width*height (stride-sampled source bytes, zero-padded) so the
+    distributed path -- batching, binary output column, partition
+    shape -- is real and testable. Output partitioning follows the
+    input; no shuffle is introduced."""
+    if decoder not in ("stub", "fake"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    w, h = int(width), int(height)
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "stub":
+                raise NotImplementedError(
+                    "image resize requires a codec not present in this "
+                    "environment; plug PIL into multimodal._resize_batch "
+                    "(Image.open(BytesIO(b)).resize((w, h))) and pass "
+                    "decoder='real'"
+                )
+            out = []
+            n = w * h
+            for content in pdf[content_col]:
+                b = bytes(content) if content is not None else b""
+                if len(b) == 0:
+                    out.append(bytes(n))
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
+                idx = (np.arange(n) * len(arr)) // n
+                out.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(),
+                    "out_width": w,
+                    "out_height": h,
+                    "resized": out,
+                }
+            )
+
+    return df.mapInPandas(_resize_batch, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_ms: int,

@@ -266,6 +266,32 @@ def test_multimodal_stub_raises(spark):
         multimodal.extract_features(df, decoder="stub").collect()
 
 
+def test_multimodal_resize_fake(spark):
+    rows = [
+        (0, bytes(range(100)), "image/png", 10, 10, None),
+        (1, b"", "image/png", 0, 0, None),
+        (2, None, "image/png", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = (
+        multimodal.resize_images(df, 4, 3, decoder="fake")
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert (out["out_width"] == 4).all() and (out["out_height"] == 3).all()
+    # every resized payload is exactly w*h bytes, empty inputs padded
+    assert all(len(b) == 12 for b in out["resized"])
+    # deterministic stride-resample of the 100-byte ramp
+    first = np.frombuffer(out.loc[0, "resized"], dtype=np.uint8)
+    assert first[0] == 0 and first[-1] == (11 * 100) // 12
+    # stub decoder refuses at execution time
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="codec|NotImplemented"):
+        multimodal.resize_images(df, 2, 2, decoder="stub").collect()
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame(
         [(0, None, "video/mp4", None, None, 1000), (1, None, "video/mp4", None, None, 250)],

@@ -9,7 +9,9 @@ exponent near the theoretical pair-load growth (n^1.8 with bw.nrd0's
 h ~ n^-0.2 shrinkage), NOT blow up super-quadratically on skew.
 
 Usage:
-    python tools/scale_bench.py [sizes_csv]   # default 250k,1M,4M cohort
+    python tools/scale_bench.py [sizes_csv]   # default 64k,256k,1M cohort
+    # (the 4M point is ~10^12 in-band pairs -- over an hour on 32
+    # local cores; the 256k->1M leg already exposes the exponent)
 
 Prints one JSON line: {"op": "kw_weights", "points": [...], "exponent": x}
 """
@@ -51,7 +53,7 @@ def main() -> None:
     sizes = (
         [int(x) for x in sys.argv[1].split(",")]
         if len(sys.argv) > 1
-        else [250_000, 1_000_000, 4_000_000]
+        else [64_000, 256_000, 1_024_000]
     )
     spark = get_spark("scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
