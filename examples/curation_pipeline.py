@@ -1,0 +1,125 @@
+"""End-to-end training-data curation pipeline over the ``documents`` +
+``embeddings`` tables: the standard LLM-corpus funnel, every stage one
+of the engine's distributed operators.
+
+    quality features -> language ID -> quality/language gate
+    -> exact dedup (fingerprint groupBy, keep min id)
+    -> near-dup (MinHash LSH candidates, keep min id per component edge)
+    -> embedding near-dup (block-grid exact cosine)
+    -> ANN enrichment (IVF top-k nearest neighbors per surviving doc)
+
+No stage is all-pairs and nothing row-scale reaches the driver: dedup
+candidates come from equi-joins (fingerprint / band bucket / grid
+block / IVF cell), survivors are anti-joins, and the funnel counts are
+single aggregate rows.
+
+Usage:
+    python examples/curation_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark import get_spark
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+    dedup,
+    similarity,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+    fingerprint,
+    language_scores,
+    quality_features,
+)
+
+QUALITY_MIN = 0.3
+JACCARD_TAU = 0.6
+# calibrated to the synthetic embedding corpus (near-orthogonal
+# vectors, max pairwise cosine ~0.51); real embedding spaces use
+# 0.85-0.95
+COSINE_TAU = 0.4
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_corpus"
+    spark = get_spark("curation-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n0 = docs.count()
+
+    # 1. quality + language gate (pure Column exprs, one scan)
+    scored = language_scores(quality_features(docs))
+    gated = scored.where(
+        (F.col("quality") >= QUALITY_MIN) & F.col("lang_pred").isNotNull()
+    ).select("doc_id", "text", "quality", "lang_pred")
+    n_gate = gated.count()
+
+    # 2. exact dedup: fingerprint groups, keep the min doc_id
+    groups = dedup.exact_duplicates(gated)
+    keep_exact = groups.select(F.col("keep_id").alias("doc_id"))
+    exact_survivors = gated.join(F.broadcast(keep_exact), "doc_id")
+    n_exact = exact_survivors.count()
+
+    # 3. near-dup: MinHash LSH pairs above tau; drop the larger id of
+    # every pair (greedy edge-wise, deterministic)
+    pairs = dedup.minhash_lsh_pairs(exact_survivors, JACCARD_TAU)
+    n_near_pairs = pairs.count()
+    drop_near = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    near_survivors = exact_survivors.join(drop_near, "doc_id", "left_anti")
+    n_near = near_survivors.count()
+
+    # 4. embedding near-dup on the surviving docs' vectors
+    surv_emb = emb.join(
+        near_survivors.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    epairs = dedup.embedding_cosine_pairs(surv_emb, COSINE_TAU)
+    n_emb_pairs = epairs.count()
+    drop_emb = epairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = near_survivors.join(drop_emb, "doc_id", "left_anti").cache()
+    n_final = final.count()
+
+    # 5. ANN enrichment: 3 nearest (surviving) neighbors per doc via IVF
+    final_emb = emb.join(
+        final.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    ).cache()
+    nn = similarity.ivf_topk(
+        final_emb, final_emb, 3, n_lists=16, n_probe=4
+    )
+    neighbors = nn.groupBy("query_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rank", "neighbor_id", "cosine"))
+        ).alias("_nn")
+    ).select(
+        F.col("query_id").alias("doc_id"),
+        F.col("_nn.neighbor_id").alias("nn_ids"),
+        F.col("_nn.cosine").alias("nn_cosines"),
+    )
+    curated = final.join(neighbors, "doc_id", "left")
+    curated.write.mode("overwrite").parquet(out_dir)
+
+    print(json.dumps({
+        "input_docs": n0,
+        "after_quality_language_gate": n_gate,
+        "after_exact_dedup": n_exact,
+        "minhash_pairs_found": n_near_pairs,
+        "after_minhash_neardup": n_near,
+        "embedding_pairs_found": n_emb_pairs,
+        "after_embedding_neardup": n_final,
+        "curated_parquet": out_dir,
+        "total_sec": round(time.time() - t0, 1),
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()
