@@ -1558,6 +1558,35 @@ def _sql_events_windowed() -> str:
     """
 
 
+def _q_events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.stateful.stream_running_weighted_mean``:
+    the per-group algebraic state (n, sum_w, sum_wy, wmean) the stateful
+    operator converges to once the whole events table has streamed
+    through (weight = 1 per event, y = value)."""
+    ev = tpch.load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.col("event_type").alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.lit(1.0)), 6).alias("sum_w"),
+            F.round(F.sum("value"), 6).alias("sum_wy"),
+            F.round(F.sum("value") / F.sum(F.lit(1.0)), 6).alias("wmean"),
+        )
+    )
+
+
+def _sql_events_running_totals() -> str:
+    return """
+    SELECT event_type AS "group",
+           count(*) AS n,
+           round(count(*) * 1.0, 6) AS sum_w,
+           round(sum(value), 6) AS sum_wy,
+           round(sum(value) / count(*), 6) AS wmean
+    FROM events
+    GROUP BY 1
+    """
+
+
 def _q_population_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3+I24 (rows-only: seeded-random generation): synthetic
     population with error variants; spot-check aggregate shape."""
@@ -1615,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_topk_exact": _q_ivf_topk_exact,
         "events_windowed": _q_events_windowed,
+        "events_running_totals": _q_events_running_totals,
         "population_gen": _q_population_gen,
     }
 
@@ -1660,4 +1690,5 @@ def oracle_sql() -> dict[str, str]:
         # ivf_topk_exact: full-probe IVF == brute force, same oracle
         "ivf_topk_exact": _sql_embedding_topk(),
         "events_windowed": _sql_events_windowed(),
+        "events_running_totals": _sql_events_running_totals(),
     }
