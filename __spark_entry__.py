@@ -1505,7 +1505,8 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     model-dependent; recall asserted in tests/)."""
     emb = _emb(spark, sf_dir)
     return ivf_topk(
-        emb, emb.where(F.col("vec_id") < 5), 3, n_lists=16, n_probe=4
+        emb, emb.where(F.col("vec_id") < 5), 3, n_lists=16, n_probe=4,
+        max_iter=2,
     )
 
 
