@@ -875,6 +875,84 @@ def _sql_cox_score() -> str:
     """
 
 
+def _q_cox_newton_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Newton-Raphson update of the weighted Breslow Cox fit
+    from a frozen beta0 — score U, observed information H (same single
+    distributed grid pass as ``cox_fit``, ``operators/cox.py``), then
+    the 2x2 solve written out as Cramer's rule so the ENTIRE update is
+    value-checked against the oracle.  This certifies the inner loop of
+    the engine's hardest iterative operator (H2): if one step matches
+    exactly, the iteration the driver repeats is the reference's
+    (``taylor_deviate.R:1167-1198`` evaluates the same structure)."""
+    samp = _cohort_surv(spark, sf_dir)
+    import numpy as np
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.cox import (
+        _grid_terms,
+        _score_hessian,
+    )
+
+    grid = _grid_terms(
+        samp, ["x1", "x2"], np.array([SCORE_B1, SCORE_B2]), "t", "d", "wt"
+    )
+    u, h, _ = _score_hessian(grid, 2)
+    det = h[0, 0] * h[1, 1] - h[0, 1] * h[0, 1]
+    b1 = SCORE_B1 + (h[1, 1] * u[0] - h[0, 1] * u[1]) / det
+    b2 = SCORE_B2 + (h[0, 0] * u[1] - h[0, 1] * u[0]) / det
+    return spark.createDataFrame(
+        [
+            (
+                round(float(h[0, 0]), 4),
+                round(float(h[0, 1]), 4),
+                round(float(h[1, 1]), 4),
+                round(float(b1), 8),
+                round(float(b2), 8),
+            )
+        ],
+        "h_11 double, h_12 double, h_22 double, beta1_x1 double, beta1_x2 double",
+    )
+
+
+def _sql_cox_newton_step() -> str:
+    return f"""
+    WITH units AS ({_duck_units()}),
+    base AS (SELECT t, d, x1, x2, wt,
+                    exp({SCORE_B1} * x1 + {SCORE_B2} * x2) AS rel
+             FROM units WHERE {tpch.COHORT_PRED}),
+    g AS (SELECT t,
+                 sum(wt * rel) AS s0p,
+                 sum(wt * d) AS du,
+                 sum(wt * rel * x1) AS s1p_0,
+                 sum(wt * rel * x2) AS s1p_1,
+                 sum(wt * d * x1) AS dx_0,
+                 sum(wt * d * x2) AS dx_1,
+                 sum(wt * rel * x1 * x1) AS s2p_00,
+                 sum(wt * rel * x1 * x2) AS s2p_01,
+                 sum(wt * rel * x2 * x2) AS s2p_11
+          FROM base GROUP BY t),
+    rc AS (SELECT t, du, dx_0, dx_1,
+                  sum(s0p) OVER (ORDER BY t DESC) AS s0,
+                  sum(s1p_0) OVER (ORDER BY t DESC) AS s1_0,
+                  sum(s1p_1) OVER (ORDER BY t DESC) AS s1_1,
+                  sum(s2p_00) OVER (ORDER BY t DESC) AS s2_00,
+                  sum(s2p_01) OVER (ORDER BY t DESC) AS s2_01,
+                  sum(s2p_11) OVER (ORDER BY t DESC) AS s2_11
+           FROM g),
+    uh AS (SELECT sum(dx_0 - du * s1_0 / s0) AS u0,
+                  sum(dx_1 - du * s1_1 / s0) AS u1,
+                  sum(du * (s2_00 / s0 - s1_0 * s1_0 / (s0 * s0))) AS h00,
+                  sum(du * (s2_01 / s0 - s1_0 * s1_1 / (s0 * s0))) AS h01,
+                  sum(du * (s2_11 / s0 - s1_1 * s1_1 / (s0 * s0))) AS h11
+           FROM rc WHERE du > 0)
+    SELECT round(h00, 4) AS h_11, round(h01, 4) AS h_12, round(h11, 4) AS h_22,
+           round({SCORE_B1} + (h11 * u0 - h01 * u1) / (h00 * h11 - h01 * h01), 8)
+             AS beta1_x1,
+           round({SCORE_B2} + (h00 * u1 - h01 * u0) / (h00 * h11 - h01 * h01), 8)
+             AS beta1_x2
+    FROM uh
+    """
+
+
 def _q_kw_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I4 ``pw_beta``: gamma-derivative of the KW pseudo-weights over
     the same banded pair stream as the weights."""
@@ -1295,6 +1373,63 @@ def _sql_text_stats() -> str:
     """
 
 
+WINNOW_K = 5  # tokens per gram
+WINNOW_W = 4  # winnowing window (hashes); guarantee length = w + k - 1
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS scheme) + BPE-ish piece
+    counts over ``documents`` — map-only array-HOF pass, no UDF
+    (``operators/text.py winnow_fingerprints``)."""
+    docs = _docs(spark, sf_dir)
+    fps = text_ops.winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+    bpe = docs.select(
+        "doc_id", text_ops.bpe_ish_token_count("text").alias("n_pieces")
+    )
+    fp = F.col("fingerprints")
+    return (
+        bpe.join(fps, "doc_id")
+        .select(
+            "doc_id",
+            "n_pieces",
+            F.size(fp).alias("n_fp"),
+            F.element_at(fp, 1).alias("fp_min"),
+            F.aggregate(
+                fp, F.lit(0).cast("long"), lambda acc, x: acc + x % F.lit(1000003)
+            ).alias("fp_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_doc_fingerprints() -> str:
+    kg = " || ' ' || ".join(f"toks[i + {j}]" for j in range(WINNOW_K))
+    return f"""
+    WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, text,
+            list_transform(
+              generate_series(1, greatest(len(toks) - {WINNOW_K - 1}, 0)),
+              i -> {kg}) AS kg
+          FROM t),
+    h AS (SELECT doc_id, text,
+            list_transform(kg, x -> {MD5INT_SQL.format(x='x')}) AS hs
+          FROM g),
+    s AS (SELECT doc_id, text,
+            CASE WHEN len(hs) >= {WINNOW_W} THEN
+              list_sort(list_distinct(list_transform(
+                generate_series(1, len(hs) - {WINNOW_W - 1}),
+                j -> list_min(array_slice(hs, j, j + {WINNOW_W - 1})))))
+            ELSE list_sort(list_distinct(hs)) END AS fp
+          FROM h)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{text_ops.BPE_PIECE_RE}')) AS n_pieces,
+           len(fp) AS n_fp,
+           fp[1] AS fp_min,
+           list_sum(list_transform(fp, x -> x % 1000003)) AS fp_checksum
+    FROM s ORDER BY doc_id
+    """
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = language_scores(_docs(spark, sf_dir))
     return out.select(
@@ -1626,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cox_coefficients": _q_cox_coefficients,
         "pps_sample": _q_pps_sample,
         "cox_score_check": _q_cox_score,
+        "cox_newton_step": _q_cox_newton_step,
         "kw_derivative": _q_kw_derivative,
         "kw_triang": _q_kw_triang,
         "lambda_influence": _q_lambda_influence,
@@ -1633,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influence_variance": _q_influence_variance,
         "grouped_product": _q_grouped_product,
         "text_stats": _q_text_stats,
+        "doc_fingerprints": _q_doc_fingerprints,
         "lang_id": _q_lang_id,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1671,6 +1808,7 @@ def oracle_sql() -> dict[str, str]:
         "cox_dfbeta": _sql_cox_dfbeta(),
         "pps_sample": _sql_pps_sample(),
         "cox_score_check": _sql_cox_score(),
+        "cox_newton_step": _sql_cox_newton_step(),
         "kw_derivative": _sql_kw_derivative(sf),
         "kw_triang": _sql_kw_triang(sf),
         "lambda_influence": _sql_lambda_influence(sf),
@@ -1679,6 +1817,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_product": _sql_grouped_product(sf),
         # cox_coefficients: iterative (H2) -> rows-only check + golden tests
         "text_stats": _sql_text_stats(),
+        "doc_fingerprints": _sql_doc_fingerprints(),
         "lang_id": _sql_lang_id(),
         "exact_dedup": _sql_exact_dedup(),
         "ngram_jaccard": _sql_ngram_jaccard(),

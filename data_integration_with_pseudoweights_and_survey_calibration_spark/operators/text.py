@@ -44,13 +44,17 @@ def token_count(text: str | Column) -> Column:
     return F.size(tokens(text))
 
 
+BPE_PIECE_RE = r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]"
+
+
 def bpe_ish_token_count(text: str | Column) -> Column:
-    """Sub-word-ish token count: splits on whitespace AND on
-    letter/digit/punctuation boundaries (a cheap BPE proxy: counts the
-    regex pieces a byte-pair tokenizer would not merge across)."""
+    """Sub-word-ish token count: letter runs, digit runs, and individual
+    punctuation marks each count as one piece (a cheap BPE proxy: the
+    units a byte-pair tokenizer would not merge across).  Phrased as
+    ``regexp_extract_all`` with an RE2-safe pattern (no lookarounds) so
+    the DuckDB oracle can run the identical expression."""
     c = F.col(text) if isinstance(text, str) else text
-    pieces = F.split(F.trim(c), r"(\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?<=[^\sa-zA-Z0-9])|(?=[^\sa-zA-Z0-9]))")
-    return F.size(F.filter(pieces, lambda t: t != F.lit("")))
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PIECE_RE), 0))
 
 
 def quality_features(
@@ -146,3 +150,64 @@ def shingles(text: str | Column, k: int = 3) -> Column:
     Prefer tokenizing into a column first and calling
     ``shingles_from_tokens`` in hot paths (see its note)."""
     return shingles_from_tokens(tokens(text), k)
+
+
+def ordered_kgrams(toks: Column, k: int) -> Column:
+    """ORDERED (non-distinct) k-token grams — winnowing needs document
+    order preserved, unlike the dedup shingle set."""
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+
+
+def _hash48(c: Column) -> Column:
+    """Portable string -> 48-bit integer (first 12 hex digits of md5);
+    identical to the DuckDB twin ``('0x' || substr(md5(x),1,12))::BIGINT``."""
+    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprinting by **winnowing** (the MOSS
+    scheme, Schleimer–Wilkerson–Aiken SIGMOD'03): hash every k-token
+    gram, slide a window of ``w`` consecutive gram hashes, keep the
+    minimum of each window, and emit the distinct selected hashes as the
+    document's fingerprint set.  Guarantees every match of length
+    >= w + k - 1 tokens shares at least one fingerprint, with expected
+    density 2/(w+1).
+
+    Pure Column expressions (array HOFs — no UDF, no shuffle beyond the
+    scan): at 100 TB this is a map-only pass.  Returns
+    ``(id, fingerprints array<long>)`` sorted ascending per doc.
+    """
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    toks_df = df.repartition(n_part).select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")
+    )
+    kg = ordered_kgrams(F.col("_toks"), k)
+    hashed = toks_df.select("_id", F.transform(kg, _hash48).alias("_hs"))
+    hs = F.col("_hs")
+    sel = F.when(
+        F.size(hs) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hs) - (w - 1)),
+            lambda j: F.array_min(F.slice(hs, j, w)),
+        ),
+    ).otherwise(hs)  # short docs: every gram hash is a fingerprint
+    return hashed.select(
+        F.col("_id").alias(id_col),
+        F.array_sort(F.array_distinct(sel)).alias("fingerprints"),
+    )

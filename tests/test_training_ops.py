@@ -59,6 +59,61 @@ def test_fingerprint_whitespace_invariance(spark, docs_df):
     assert fp[0] != fp[2]
 
 
+def test_bpe_ish_token_count(spark, docs_df):
+    df = spark.createDataFrame(
+        [(0, "ab1,cd ef"), (1, "hello world"), (2, "x2y!!")],
+        "doc_id long, text string",
+    )
+    out = (
+        df.select("doc_id", text.bpe_ish_token_count("text").alias("n"))
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    # ab|1|,|cd|ef ; hello|world ; x|2|y|!|!
+    assert out[0] == 5 and out[1] == 2 and out[2] == 5
+
+
+def _py_winnow(s, k=5, w=4):
+    """Independent NumPy-free mirror of the winnowing scheme."""
+    import hashlib
+
+    toks = s.split()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:12], 16) for g in grams
+    ]
+    if len(hs) >= w:
+        sel = {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+    else:
+        sel = set(hs)
+    return sorted(sel)
+
+
+def test_winnow_fingerprints_vs_python(spark, docs_df):
+    out = (
+        text.winnow_fingerprints(docs_df, k=5, w=4)
+        .toPandas()
+        .set_index("doc_id")["fingerprints"]
+    )
+    for doc_id, s in DOCS:
+        assert list(out[doc_id]) == _py_winnow(s), doc_id
+
+
+def test_winnow_fingerprints_guarantee(spark, docs_df):
+    """Winnowing guarantee: whitespace-equal docs share ALL fingerprints;
+    a doc sharing a >= w+k-1 token run shares at least one."""
+    out = (
+        text.winnow_fingerprints(docs_df, k=5, w=4)
+        .toPandas()
+        .set_index("doc_id")["fingerprints"]
+    )
+    assert list(out[0]) == list(out[1]) == list(out[5])
+    # doc 2 shares the 8-token suffix run with doc 0 (>= 4+5-1)
+    assert set(out[0]) & set(out[2])
+    # unrelated doc shares nothing
+    assert not set(out[0]) & set(out[4])
+
+
 def test_exact_duplicates(spark, docs_df):
     groups = dedup.exact_duplicates(docs_df).toPandas()
     dup = groups[groups.n_dups > 1]
