@@ -5,12 +5,18 @@ heavy decode / feature-extraction steps run as Arrow-batched
 ``mapInPandas`` stages so each Python worker touches one partition
 batch, never one row at a time.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT available in this
-environment, so the decode kernels are STUBBED: ``decoder="stub"``
-raises NotImplementedError with the integration point documented, and
-``decoder="fake"`` produces deterministic features derived from the
-bytes (length, simple byte statistics) so the Spark-side plumbing --
-schema, batching, partitioning, UDF signature -- is real and testable.
+Decoder tiers:
+
+- ``decoder="real"``: WORKING decode for PNG and WAV via the
+  pure-stdlib/NumPy codecs in ``operators/codecs.py`` (no PIL/ffmpeg
+  needed) — real pixels / samples in, real image/audio features and
+  real resized PNG bytes out.  Unrecognized formats raise (or fall back
+  per ``on_unknown``).
+- ``decoder="fake"``: deterministic byte-derived features; exercises the
+  full distributed path with any bytes.
+- ``decoder="stub"``: raises NotImplementedError at execution time with
+  the integration point documented (for formats like video that truly
+  need ffmpeg/pyav, which this environment lacks).
 """
 
 from __future__ import annotations
@@ -58,26 +64,52 @@ def extract_features(
     id_col: str = "media_id",
     dim: int = 16,
     decoder: str = "stub",
+    on_unknown: str = "raise",
     batch_size_hint: int | None = None,
 ) -> DataFrame:
     """Decode + featurize media bytes via ``mapInPandas``.
 
-    ``decoder="stub"``: raises NotImplementedError at execution time --
-    wire a real decoder (PIL.Image.open / torchaudio.load / pyav) into
-    ``_decode_batch`` below. ``decoder="fake"``: deterministic
-    byte-derived features; exercises the full distributed path.
+    ``decoder="real"``: PNG/WAV decode via ``operators/codecs.py``
+    (magic-byte sniff; image features for PNG, audio features for WAV;
+    unknown formats raise unless ``on_unknown="fake"``).
+    ``decoder="fake"``: deterministic byte-derived features.
+    ``decoder="stub"``: raises NotImplementedError at execution time
+    (the integration point for codecs this environment lacks, e.g.
+    video via pyav/ffmpeg).
     """
-    if decoder not in ("stub", "fake"):
+    if decoder not in ("stub", "fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
+    if on_unknown not in ("raise", "fake"):
+        raise ValueError(f"unknown on_unknown {on_unknown!r}")
+
+    def _featurize(b: bytes) -> np.ndarray:
+        if decoder == "fake":
+            return _fake_features(b, dim)
+        from . import codecs
+
+        kind = codecs.sniff(b)
+        if kind == "png":
+            return codecs.image_features(codecs.decode_png(b), dim)
+        if kind == "wav":
+            return codecs.audio_features(*codecs.decode_wav(b), dim)
+        if on_unknown == "fake":
+            return _fake_features(b, dim)
+        raise ValueError(
+            "decoder='real' handles PNG and WAV (pure-stdlib codecs); "
+            f"got unrecognized bytes (first 8: {b[:8]!r}). Pass "
+            "on_unknown='fake' to degrade gracefully, or wire a codec "
+            "for this format into operators/codecs.py"
+        )
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "stub":
                 raise NotImplementedError(
-                    "media decoding requires an image/audio codec not "
-                    "present in this environment; plug a real decoder "
-                    "into multimodal._decode_batch (PIL / torchaudio / "
-                    "pyav) and pass decoder='real'"
+                    "this format needs a codec not present in this "
+                    "environment (e.g. video -> pyav/ffmpeg); PNG/WAV "
+                    "work today via decoder='real' "
+                    "(operators/codecs.py), byte-derived features via "
+                    "decoder='fake'"
                 )
             feats, nb, bm, bs = [], [], [], []
             for content in pdf[content_col]:
@@ -86,7 +118,7 @@ def extract_features(
                 nb.append(len(b))
                 bm.append(float(arr.mean()) if len(b) else 0.0)
                 bs.append(float(arr.std()) if len(b) else 0.0)
-                feats.append(_fake_features(b, dim))
+                feats.append(_featurize(b))
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].to_numpy(),
@@ -115,14 +147,17 @@ def resize_images(
     decoder: str = "stub",
 ) -> DataFrame:
     """Image resize via ``mapInPandas`` (same contract as
-    ``extract_features``): ``decoder="stub"`` raises at execution time
-    with the integration point documented (PIL ``Image.resize``);
-    ``decoder="fake"`` emits a deterministic byte-resample of length
-    width*height (stride-sampled source bytes, zero-padded) so the
-    distributed path -- batching, binary output column, partition
-    shape -- is real and testable. Output partitioning follows the
-    input; no shuffle is introduced."""
-    if decoder not in ("stub", "fake"):
+    ``extract_features``):
+
+    - ``decoder="real"``: PNG in, nearest-neighbor-resized PNG out
+      (``codecs.decode_png`` / ``resize_nearest`` / ``encode_png`` --
+      real pixels, pure stdlib+NumPy);
+    - ``decoder="fake"``: deterministic byte-resample of length
+      width*height (stride-sampled source bytes);
+    - ``decoder="stub"``: raises at execution time.
+
+    Output partitioning follows the input; no shuffle is introduced."""
+    if decoder not in ("stub", "fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
     w, h = int(width), int(height)
 
@@ -130,10 +165,9 @@ def resize_images(
         for pdf in batches:
             if decoder == "stub":
                 raise NotImplementedError(
-                    "image resize requires a codec not present in this "
-                    "environment; plug PIL into multimodal._resize_batch "
-                    "(Image.open(BytesIO(b)).resize((w, h))) and pass "
-                    "decoder='real'"
+                    "this format needs a codec not present in this "
+                    "environment; PNG resize works today via "
+                    "decoder='real' (operators/codecs.py)"
                 )
             out = []
             n = w * h
@@ -141,6 +175,14 @@ def resize_images(
                 b = bytes(content) if content is not None else b""
                 if len(b) == 0:
                     out.append(bytes(n))
+                    continue
+                if decoder == "real":
+                    from . import codecs
+
+                    img = codecs.decode_png(b)
+                    out.append(
+                        codecs.encode_png(codecs.resize_nearest(img, w, h))
+                    )
                     continue
                 arr = np.frombuffer(b, dtype=np.uint8)
                 idx = (np.arange(n) * len(arr)) // n

@@ -1,0 +1,197 @@
+"""Tests for the pure-stdlib media codecs (PNG/WAV) and the
+``decoder="real"`` multimodal path: roundtrips, per-filter PNG decode,
+and the Spark mapInPandas stages end-to-end on real bytes."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+    codecs,
+    multimodal,
+)
+
+
+rng = np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("shape", [(7, 5), (7, 5, 3), (4, 9, 4), (3, 3, 2)])
+def test_png_roundtrip(shape):
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = codecs.decode_png(codecs.encode_png(img))
+    expect = img if img.ndim == 3 else img[:, :, None]
+    np.testing.assert_array_equal(out, expect)
+
+
+def _png_with_filter(img: np.ndarray, ftype: int) -> bytes:
+    """Hand-build a grayscale PNG whose every scanline uses ``ftype``
+    (exercises the decoder's unfilter paths beyond our encoder's 0)."""
+    h, w = img.shape
+    bpp = 1
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.intp)
+    for y in range(h):
+        cur = img[y].astype(np.intp)
+        line = np.zeros(w, dtype=np.intp)
+        for i in range(w):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[i] = (cur[i] - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(int(v) for v in line)
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_all_filters(ftype):
+    img = rng.integers(0, 256, size=(6, 8), dtype=np.uint8)
+    out = codecs.decode_png(_png_with_filter(img, ftype))
+    np.testing.assert_array_equal(out[:, :, 0], img)
+
+
+def test_png_palette():
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(5, 5), dtype=np.uint8)
+    # build palette PNG by hand: color type 3 + PLTE
+    h, w = idx.shape
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw.extend(int(v) for v in idx[y])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png(png)
+    np.testing.assert_array_equal(out, pal[idx])
+
+
+def test_wav_roundtrip():
+    sr = 8000
+    t = np.arange(sr) / sr
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    out, sr2 = codecs.decode_wav(codecs.encode_wav(sig, sr))
+    assert sr2 == sr and out.shape == (sr, 1)
+    assert np.abs(out[:, 0] - sig).max() < 1e-3  # 16-bit quantization
+
+
+def test_resize_nearest():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = codecs.resize_nearest(img, 2, 2)
+    np.testing.assert_array_equal(out, [[0, 2], [8, 10]])
+    up = codecs.resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8) and up[0, 0] == 0 and up[-1, -1] == 15
+
+
+def test_sniff():
+    img = rng.integers(0, 256, size=(2, 2), dtype=np.uint8)
+    assert codecs.sniff(codecs.encode_png(img)) == "png"
+    assert codecs.sniff(codecs.encode_wav(np.zeros(10), 8000)) == "wav"
+    assert codecs.sniff(b"plainbytes") is None
+
+
+def test_audio_features_tone():
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    low = codecs.audio_features(
+        np.sin(2 * np.pi * 100 * t)[:, None].astype(np.float32), sr, 8
+    )
+    high = codecs.audio_features(
+        np.sin(2 * np.pi * 3000 * t)[:, None].astype(np.float32), sr, 8
+    )
+    assert low[0] == pytest.approx(high[0], rel=1e-3)  # same RMS
+    assert high[1] > low[1]  # higher zero-crossing rate
+    assert high[2] > low[2]  # higher spectral centroid
+
+
+def test_extract_features_real_spark(spark):
+    sr = 8000
+    t = np.arange(sr) / sr
+    rows = [
+        (0, codecs.encode_png(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))),
+        (1, codecs.encode_wav(0.3 * np.sin(2 * np.pi * 440 * t), sr)),
+        (2, codecs.encode_png(np.zeros((8, 8), dtype=np.uint8))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = (
+        multimodal.extract_features(df, dim=8, decoder="real")
+        .toPandas()
+        .set_index("media_id")
+    )
+    assert len(out) == 3
+    # black image: zero mean/std features
+    f2 = np.array(out.loc[2, "feature"])
+    assert f2[0] == 0.0 and f2[1] == 0.0
+    f0 = np.array(out.loc[0, "feature"])
+    assert 0.0 < f0[0] < 1.0  # mean luminance of random pixels
+    f1 = np.array(out.loc[1, "feature"])
+    assert f1[0] == pytest.approx(0.3 / np.sqrt(2), rel=1e-2)  # sine RMS
+
+
+def test_extract_features_real_unknown_raises(spark):
+    df = spark.createDataFrame(
+        [(0, b"not a media file")], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="unrecognized|PNG"):
+        multimodal.extract_features(df, dim=4, decoder="real").collect()
+    # graceful fallback
+    out = multimodal.extract_features(
+        df, dim=4, decoder="real", on_unknown="fake"
+    ).collect()
+    assert len(out) == 1
+
+
+def test_resize_images_real_spark(spark):
+    img = rng.integers(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(7, codecs.encode_png(img))], "media_id long, content binary"
+    )
+    row = multimodal.resize_images(df, 6, 5, decoder="real").collect()[0]
+    back = codecs.decode_png(bytes(row["resized"]))
+    np.testing.assert_array_equal(back, codecs.resize_nearest(img, 6, 5))
+    assert row["out_width"] == 6 and row["out_height"] == 5
