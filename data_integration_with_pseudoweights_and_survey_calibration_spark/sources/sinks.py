@@ -1,0 +1,70 @@
+"""Result sinks and storage-layout helpers (SURVEY §2 A2 plus the
+scale-out layouts the reference never needed in-memory).
+
+The reference writes 18 CSV matrices per chunk (``calib_simu_
+noninf0315.R:287-304``); ``write_results_csv`` keeps that contract.
+The rest exists for the 100 TB shapes this engine repeats constantly:
+
+- the stacked sample is re-joined on ``id`` by every influence chain
+  (dfbeta join-backs, GREG g-weight join-backs, post-strat cell
+  re-expansions).  ``write_bucketed`` persists a frame bucketed by the
+  join key so every later equi-join on that key is **shuffle-free on
+  the bucketed side** (Catalyst reuses the bucketing as the required
+  hash distribution) — pay one shuffle at write time, reuse it across
+  every downstream query/session.
+- partitioned parquet (``write_partitioned``) gives partition pruning
+  on coarse keys (simulation replicate, method, jk_group): per-replicate
+  readers scan one directory, not the fleet's whole output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_results_csv(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """A2 result sink: CSV with header, one directory per result matrix
+    (the reference's ``write.table`` per-chunk files)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    *,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet partitioned by coarse keys -> partition pruning for
+    per-replicate / per-method readers."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    *,
+    mode: str = "overwrite",
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` hash-bucketed by ``bucket_cols`` into the session
+    catalog (parquet).  Joins between two tables bucketed the same way
+    on the bucket key need NO exchange on either side; aggregations by
+    the bucket key need no exchange at all.  ``sort_cols`` additionally
+    sorts within buckets (sort-merge joins skip their sort too).
+
+    Sizing rule at scale: n_buckets ~ total_bytes / 256 MB, and keep it
+    a multiple of the executor count so every core owns whole buckets.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a catalog table written by ``write_bucketed`` (bucketing
+    metadata comes back with it)."""
+    return spark.table(table)

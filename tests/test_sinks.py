@@ -1,0 +1,89 @@
+"""Sinks + storage layout: CSV result sink roundtrip, partitioned
+parquet pruning, and the bucketed-join shuffle-elimination contract
+(verified against the physical plan, not just the API)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.sources import sinks
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_results_csv_roundtrip(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2.0).alias("value")
+    )
+    path = str(tmp_path / "res")
+    sinks.write_results_csv(df, path)
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == 100
+    assert set(back.columns) == {"id", "value"}
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 4).alias("replicate")
+    )
+    path = str(tmp_path / "part")
+    sinks.write_partitioned(df, path, ["replicate"])
+    back = spark.read.parquet(path).where(F.col("replicate") == 2)
+    assert back.count() == 250
+    # partition pruning: only the replicate=2 directory is scanned
+    scan = _plan(back)
+    assert "replicate=2" in scan or "PartitionFilters" in scan
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path_factory):
+    # session-scoped spark: the warehouse dir is fixed at session start,
+    # so just use unique table names per test
+    yield
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key: the join plan must contain
+    NO Exchange (the whole point of paying the bucketing write)."""
+    left = spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("x")
+    )
+    right = spark.range(0, 4000, 2).select(
+        F.col("id"), (F.col("id") % 13).cast("double").alias("y")
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_left")
+    spark.sql("DROP TABLE IF EXISTS bkt_right")
+    sinks.write_bucketed(left, "bkt_left", ["id"], 4, sort_cols=["id"])
+    sinks.write_bucketed(right, "bkt_right", ["id"], 4, sort_cols=["id"])
+    l, r = sinks.read_table(spark, "bkt_left"), sinks.read_table(spark, "bkt_right")
+    joined = l.join(r, "id")
+    # disable broadcast so the test exercises the sort-merge path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_bucketed_groupby_no_shuffle(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.rand(1).alias("v")
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_agg")
+    sinks.write_bucketed(df, "bkt_agg", ["k"], 4)
+    try:
+        agg = sinks.read_table(spark, "bkt_agg").groupBy("k").agg(F.sum("v"))
+        plan = _plan(agg)
+        assert "Exchange" not in plan, plan
+        assert agg.count() == 7
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_agg")
