@@ -1739,6 +1739,93 @@ def _q_population_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+POP_DET_N = 5000
+
+
+def _q_population_gen_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+I24 with the counter-based hash RNG (``rng='hash'``):
+    generation is bit-reproducible on any partitioning, so the oracle
+    can replay the exact same draws — upgrading the population
+    generator from a rows-only check to a full value check."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+        simulation as sim,
+    )
+
+    pop = sim.generate_population(
+        spark,
+        POP_DET_N,
+        rng="hash",
+        error_profiles=[sim.ERROR_PROFILES[0]],
+    )
+    return pop.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("x1"), 6).alias("mean_x1"),
+        F.round(F.stddev("x1"), 6).alias("sd_x1"),
+        F.round(F.avg("d"), 6).alias("event_rate"),
+        F.round(F.avg("t"), 6).alias("mean_t"),
+        F.sum((F.col("x1_c") == 1).cast("int")).alias("n_ter1"),
+        F.round(F.avg("t_tilde_1"), 6).alias("mean_t_tilde_1"),
+        F.round(F.avg("d_tilde_1"), 6).alias("rate_d_tilde_1"),
+    )
+
+
+def _sql_population_gen_det() -> str:
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+        simulation as sim,
+    )
+
+    def u(tag: str) -> str:
+        return (
+            f"(('0x' || substr(md5(id::VARCHAR || ':{tag}'), 1, 12))::BIGINT"
+            " + 1.0) / 281474976710656.0"
+        )
+
+    def z(tag: str) -> str:
+        return (
+            f"sqrt(-2.0 * ln({u(tag + '.a')}))"
+            f" * cos({sim.TWO_PI!r} * {u(tag + '.b')})"
+        )
+
+    b0, b1, b2, b3 = sim.DEFAULT_BETA
+    bd0, bd1, bd2, bd3 = sim.ERROR_PROFILES[0]
+    return f"""
+    WITH ids AS (SELECT range + 1 AS id FROM range({POP_DET_N})),
+    r AS (SELECT id,
+            {z('x1')} * 4.0 AS x1,
+            {z('x2')} * 2.0 AS x2,
+            {z('x3')} * 2.0 AS x3,
+            {u('t')} AS ut, {u('c1')} AS uc1, {u('c2')} AS uc2,
+            {z('err1')} AS e1
+          FROM ids),
+    base AS (SELECT *,
+            (1.0 / exp({b0!r} + {b1!r} * x1 + {b2!r} * x2 + {b3!r} * x3))
+              * (-ln(1.0 - ut)) AS t_i,
+            {sim.ADMIN_HORIZON!r} - uc1 AS c1,
+            {sim.C2_SCALE!r} * (-ln(1.0 - uc2)) AS c2
+          FROM r),
+    evt AS (SELECT *, least(t_i, c1, c2) AS t,
+            CASE WHEN t_i <= least(c1, c2) THEN 1 ELSE 0 END AS d,
+            greatest({bd0!r} + {bd1!r} * x1 + {bd2!r} * x2
+                     + {bd3!r} * x1 * x2 + e1 + 0.01, 0.0) AS td1
+          FROM base),
+    err AS (SELECT *, least(t_i + td1, c1, c2) AS t_tilde_1,
+            CASE WHEN t_i + td1 <= least(c1, c2) THEN 1 ELSE 0 END
+              AS d_tilde_1
+          FROM evt),
+    q AS (SELECT quantile_cont(x1, 0.3) AS q30 FROM err)
+    SELECT count(*) AS n,
+           round(avg(x1), 6) AS mean_x1,
+           round(stddev_samp(x1), 6) AS sd_x1,
+           round(avg(d), 6) AS event_rate,
+           round(avg(t), 6) AS mean_t,
+           sum(CASE WHEN x1 <= (SELECT q30 FROM q) THEN 1 ELSE 0 END)
+             AS n_ter1,
+           round(avg(t_tilde_1), 6) AS mean_t_tilde_1,
+           round(avg(d_tilde_1), 6) AS rate_d_tilde_1
+    FROM err
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stack_weights": _q_stack_weights,
@@ -1784,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "events_running_totals": _q_events_running_totals,
         "population_gen": _q_population_gen,
+        "population_gen_det": _q_population_gen_det,
     }
 
 
@@ -1831,4 +1919,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_exact": _sql_embedding_topk(),
         "events_windowed": _sql_events_windowed(),
         "events_running_totals": _sql_events_running_totals(),
+        # population_gen: Spark-seed RNG (rows-only); the _det variant
+        # uses the counter-based hash RNG and is fully value-checked
+        "population_gen_det": _sql_population_gen_det(),
     }

@@ -51,6 +51,35 @@ def _weibull(shape: float, scale: Column, u: Column) -> Column:
     return scale * F.pow(-F.log(1.0 - u), 1.0 / float(shape))
 
 
+TWO_PI = 6.283185307179586
+
+
+def hash_uniform(tag: str, id_col: str = "id") -> Column:
+    """Deterministic uniform in (0, 1] from md5(id ':' tag) — identical
+    on ANY partitioning / cluster layout / engine (the DuckDB twin is
+    ``(('0x' || substr(md5(...), 1, 12))::BIGINT + 1.0) / 2^48``).
+    Spark's ``rand(seed)`` is seeded PER PARTITION, so its stream
+    changes whenever the partitioning does; counter-based hashing is
+    the 100 TB reproducibility story (same idea as Philox/Threefry
+    counter RNGs, md5 as the counter function)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + tag))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h + F.lit(1.0)) / F.lit(2.0**48)
+
+
+def hash_randn(tag: str, id_col: str = "id") -> Column:
+    """Deterministic standard normal via Box-Muller over two hashed
+    uniforms."""
+    u1 = hash_uniform(tag + ".a", id_col)
+    u2 = hash_uniform(tag + ".b", id_col)
+    return F.sqrt(-2.0 * F.log(u1)) * F.cos(F.lit(TWO_PI) * u2)
+
+
 def generate_population(
     spark: SparkSession,
     n: int,
@@ -59,6 +88,7 @@ def generate_population(
     sd_x: Sequence[float] = DEFAULT_SD_X,
     beta: Sequence[float] = DEFAULT_BETA,
     error_profiles: Sequence[Sequence[float]] = ERROR_PROFILES,
+    rng: str = "spark",
 ) -> DataFrame:
     """A3: finite population with covariates, Weibull event times, two
     censoring processes, tercile codes, and (optionally) k
@@ -67,21 +97,42 @@ def generate_population(
 
     Columns mirror the reference ``pop`` frame
     (``calib_simu_noninf0315.R:106-108``).
-    """
+
+    ``rng="spark"``: seeded ``rand``/``randn`` (fast, but the stream is
+    per-partition, so results depend on the physical layout).
+    ``rng="hash"``: counter-based md5 uniforms + Box-Muller normals —
+    bit-reproducible on any partitioning and mirrorable by the DuckDB
+    oracle (``population_gen_det``)."""
+    if rng not in ("spark", "hash"):
+        raise ValueError(f"unknown rng {rng!r}")
     sd_x = [float(s) for s in sd_x]
     beta = [float(b) for b in beta]
+
+    if rng == "hash":
+        def _u(tag: str, s: int) -> Column:
+            return hash_uniform(tag)
+
+        def _z(tag: str, s: int) -> Column:
+            return hash_randn(tag)
+    else:
+        def _u(tag: str, s: int) -> Column:
+            return F.rand(s)
+
+        def _z(tag: str, s: int) -> Column:
+            return F.randn(s)
+
     df = spark.range(int(n)).select((F.col("id") + 1).alias("id"))
     for k, sd in enumerate(sd_x, start=1):
-        df = df.withColumn(f"x{k}", F.randn(seed + k) * sd)
+        df = df.withColumn(f"x{k}", _z(f"x{k}", seed + k) * sd)
     # Weibull(shape=1, scale=1/gamma), gamma = exp(b0 + b1 x1 + ...)
     lin = F.lit(beta[0])
     for k in range(1, len(beta)):
         lin = lin + F.col(f"x{k}") * beta[k]
     gamma = F.exp(lin)
     df = (
-        df.withColumn("t_i", _weibull(1.0, 1.0 / gamma, F.rand(seed + 11)))
-        .withColumn("c1", F.lit(ADMIN_HORIZON) - F.rand(seed + 12))
-        .withColumn("c2", _weibull(1.0, F.lit(C2_SCALE), F.rand(seed + 13)))
+        df.withColumn("t_i", _weibull(1.0, 1.0 / gamma, _u("t", seed + 11)))
+        .withColumn("c1", F.lit(ADMIN_HORIZON) - _u("c1", seed + 12))
+        .withColumn("c2", _weibull(1.0, F.lit(C2_SCALE), _u("c2", seed + 13)))
     )
     df = df.withColumn("t", F.least("t_i", "c1", "c2")).withColumn(
         "d", (F.col("t_i") <= F.least("c1", "c2")).cast("int")
@@ -98,19 +149,24 @@ def generate_population(
         )
     df = df.withColumn("w", F.lit(1.0))
     for k, prof in enumerate(error_profiles, start=1):
-        df = _error_variant(df, k, [float(v) for v in prof], seed + 100 * k)
+        df = _error_variant(
+            df, k, [float(v) for v in prof], seed + 100 * k, rng=rng
+        )
     return df.drop("t_i", "c1", "c2")
 
 
-def _error_variant(df: DataFrame, k: int, bd: Sequence[float], seed: int) -> DataFrame:
+def _error_variant(
+    df: DataFrame, k: int, bd: Sequence[float], seed: int, *, rng: str = "spark"
+) -> DataFrame:
     """I24 ``t_d_gen``: error-shifted times + flags + regression
     imputation (``calib_simu_noninf0315.R:61-93``)."""
+    noise = hash_randn(f"err{k}") if rng == "hash" else F.randn(seed)
     delta = (
         F.lit(bd[0])
         + F.col("x1") * bd[1]
         + F.col("x2") * bd[2]
         + F.col("x1") * F.col("x2") * bd[3]
-        + F.randn(seed) + F.lit(0.01)   # rnorm(N, 0.01): mean .01, sd 1
+        + noise + F.lit(0.01)   # rnorm(N, 0.01): mean .01, sd 1
     )
     df = df.withColumn(f"t_delta_{k}", F.greatest(delta, F.lit(0.0)))
     t_d = F.col("t_i") + F.col(f"t_delta_{k}")

@@ -77,6 +77,36 @@ def test_determinism(spark):
     assert a["s"] == b["s"] and a["e"] == b["e"]
 
 
+def test_hash_rng_partition_independence(spark):
+    """rng='hash' must be BIT-identical under any physical layout —
+    the property Spark's per-partition rand(seed) cannot give."""
+    a = (
+        generate_population(spark, 1000, rng="hash")
+        .orderBy("id")
+        .select("id", "x1", "t", "d", "t_tilde_1")
+        .toPandas()
+    )
+    # different layout: generate on 1 partition via coalesce of the base
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        b = (
+            generate_population(spark, 1000, rng="hash")
+            .repartition(7)
+            .orderBy("id")
+            .select("id", "x1", "t", "d", "t_tilde_1")
+            .toPandas()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    # hash normals really are ~N(0, sd): mean/sd sanity
+    import numpy as np
+
+    assert abs(np.mean(a["x1"])) < 0.5 and 3.3 < np.std(a["x1"]) < 4.7
+
+
 def test_draw_samples_pps_weights(pop):
     cohort, survey = draw_samples(pop, 300, 200, seed=77)
     assert cohort.count() == 300 and survey.count() == 200
