@@ -140,9 +140,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     cohort, survey = tpch.survey_frames(spark, sf_dir)
-    n_s = survey.count()
-    pop_n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
-    a = n_s / pop_n
+    # one scan for both scalars (survey size + population size)
+    row = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(f"cast({tpch.SURVEY_PRED} as int)")).alias("ns"),
+        )
+        .collect()[0]
+    )
+    a = row["ns"] / row["n"]
     stacked = stack_samples(cohort, survey, "wt", sampling_fraction=a).cache()
     stacked, x_cols = DesignMatrix("x1 + x2").attach(stacked)
     fit = weighted_logistic(stacked, x_cols, "trt", "w")

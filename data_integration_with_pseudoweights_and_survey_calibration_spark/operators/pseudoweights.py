@@ -323,7 +323,22 @@ def kw_weights(
     if dcols and kernel not in KERNELS:
         raise ValueError(f"unknown kernel {kernel!r}")
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _dbg = bool(_os.environ.get("SPARK_GRAFT_KW_DEBUG"))
+    _t = _time.time()
+
+    def _mark(label: str) -> None:
+        nonlocal _t
+        if _dbg:
+            now = _time.time()
+            print(f"MARK kw {label} {now - _t:.2f}", file=_sys.stderr)
+            _t = now
+
     m = int(cohort_scores.count())
+    _mark("count_m")
 
     c = cohort_scores.select(
         F.col(c_id).alias("_cid"),
@@ -363,6 +378,7 @@ def kw_weights(
         int(r["b"]): int(r["n"])
         for r in s.groupBy(bkt_s.alias("b")).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    _mark("histograms")
     loads = {
         b: ns * (nc_hist.get(b - 1, 0) + nc_hist.get(b, 0) + nc_hist.get(b + 1, 0))
         for b, ns in ns_hist.items()
@@ -466,16 +482,19 @@ def kw_weights(
             )
             .cache()
         )
+        _mark("plan_build")
         urow = unmatched.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("_wt_s"), F.lit(0.0)).alias("tot"),
         ).collect()[0]
         n_unmatched, unmatched_tot = int(urow["n"]), float(urow["tot"])
+        _mark("block_job+unmatched")
         # The per-cohort aggregate (n_c rows) and unmatched rows are now
         # materialized; drop the bulky per-group partial cache so repeated
         # KW fits don't accumulate storage.
         kw.count()
         out_raw.unpersist()
+        _mark("kw_count")
     else:
         # SQL PATH: pure-JVM two-pass banded join (no Python workers) --
         # kept for clusters where Arrow/pandas workers are unavailable.
