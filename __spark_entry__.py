@@ -1730,6 +1730,79 @@ def _sql_events_running_totals() -> str:
     """
 
 
+SESSION_GAP_S = 1800  # 30 minutes
+
+
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's native ``session_window``
+    (batch = streaming semantics); the oracle twin states the classic
+    lag + running-sum formulation, so this gate proves the two
+    formulations equivalent (``operators/sessions.py``)."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sessions import (
+        sessionize,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = tpch.load_events(spark, sf_dir)
+    return sessionize(ev, f"{SESSION_GAP_S} seconds").orderBy(
+        "user_id", "session_start"
+    )
+
+
+def _sql_events_sessions() -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id, epoch(ts) AS es, value,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts) > {SESSION_GAP_S}
+                  THEN 1
+                  WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    IS NULL THEN 1
+                  ELSE 0 END AS new_s
+      FROM events),
+    s AS (SELECT user_id, es, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY es
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+          FROM e)
+    SELECT user_id,
+           round(min(es), 6) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM s GROUP BY user_id, sess
+    ORDER BY user_id, session_start
+    """
+
+
+TFIDF_TOP_K = 3
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-k TF-IDF terms (``text.tf_idf_top_terms``):
+    explode -> keyed aggs -> broadcast IDF join -> top-k window."""
+    return text_ops.tf_idf_top_terms(
+        _docs(spark, sf_dir), top_k=TFIDF_TOP_K
+    ).orderBy("doc_id", "rank")
+
+
+def _sql_tfidf() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    idf AS (SELECT term, ln((SELECT n_docs * 1.0 FROM n) / count(*)) AS idf
+            FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * idf.idf DESC, tf.term ASC)
+               AS rank
+      FROM tf JOIN idf USING (term))
+    SELECT doc_id, rank, term, tf, round(score, 6) AS tfidf
+    FROM scored WHERE rank <= {TFIDF_TOP_K}
+    ORDER BY doc_id, rank
+    """
+
+
 def _q_population_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3+I24 (rows-only: seeded-random generation): synthetic
     population with error variants; spot-check aggregate shape."""
@@ -1877,6 +1950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_exact": _q_ivf_topk_exact,
         "events_windowed": _q_events_windowed,
         "events_running_totals": _q_events_running_totals,
+        "events_sessions": _q_events_sessions,
+        "tfidf": _q_tfidf,
         "population_gen": _q_population_gen,
         "population_gen_det": _q_population_gen_det,
     }
@@ -1926,6 +2001,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_exact": _sql_embedding_topk(),
         "events_windowed": _sql_events_windowed(),
         "events_running_totals": _sql_events_running_totals(),
+        "events_sessions": _sql_events_sessions(),
+        "tfidf": _sql_tfidf(),
         # population_gen: Spark-seed RNG (rows-only); the _det variant
         # uses the counter-based hash RNG and is fully value-checked
         "population_gen_det": _sql_population_gen_det(),

@@ -152,6 +152,54 @@ def shingles(text: str | Column, k: int = 3) -> Column:
     return shingles_from_tokens(tokens(text), k)
 
 
+def tf_idf_top_terms(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms.
+
+    tf = term count in doc; idf = ln(N / df) with df = #docs containing
+    the term; score = tf * idf.  Ties break by term (ascending) so the
+    result is fully deterministic.  Scale shape: explode -> two keyed
+    aggregations (term-per-doc, then term) -> broadcast-joinable IDF
+    table -> per-doc top-k window.  The vocabulary table is the only
+    global state and is orders of magnitude smaller than the corpus.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    terms = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_term"))
+    )
+    tf = terms.groupBy("_id", "_term").agg(F.count(F.lit(1)).alias("_tf"))
+    idf = (
+        tf.groupBy("_term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .withColumn("_idf", F.log(F.lit(float(n_docs)) / F.col("_df")))
+    )
+    scored = tf.join(F.broadcast(idf), "_term").withColumn(
+        "_score", F.col("_tf") * F.col("_idf")
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("_score").desc(), F.col("_term").asc()
+    )
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= top_k)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_rank").alias("rank"),
+            F.col("_term").alias("term"),
+            F.col("_tf").alias("tf"),
+            F.round("_score", 6).alias("tfidf"),
+        )
+    )
+
+
 def ordered_kgrams(toks: Column, k: int) -> Column:
     """ORDERED (non-distinct) k-token grams — winnowing needs document
     order preserved, unlike the dedup shingle set."""

@@ -114,6 +114,60 @@ def test_winnow_fingerprints_guarantee(spark, docs_df):
     assert not set(out[0]) & set(out[4])
 
 
+def test_tf_idf_top_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "durian durian durian"),
+        ],
+        "doc_id long, text string",
+    )
+    import math
+
+    out = text.tf_idf_top_terms(df, top_k=2).toPandas()
+    r0 = out[(out.doc_id == 0) & (out["rank"] == 1)].iloc[0]
+    # apple: tf=2, df=1, idf=ln(3); banana: tf=1, df=2, idf=ln(1.5)
+    assert r0["term"] == "apple"
+    assert r0["tfidf"] == pytest.approx(2 * math.log(3.0), abs=1e-6)
+    r2 = out[(out.doc_id == 2) & (out["rank"] == 1)].iloc[0]
+    assert r2["term"] == "durian" and r2["tf"] == 3
+    # doc 2 has one distinct term -> only one row
+    assert len(out[out.doc_id == 2]) == 1
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime, timedelta
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sessions import (
+        sessionize,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: an event at EXACTLY prev + 30 min still merges (the
+        # session window is closed-ended at last_ts + gap); one second
+        # beyond starts a new session
+        (1, t0, 1.0),
+        (1, t0 + timedelta(minutes=10), 2.0),
+        (1, t0 + timedelta(minutes=25), 3.0),
+        (1, t0 + timedelta(minutes=55), 4.0),  # exactly 30 min -> merges
+        (1, t0 + timedelta(minutes=85, seconds=1), 5.0),  # > gap -> new
+        # user 2: single event
+        (2, t0, 6.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = (
+        sessionize(df, "30 minutes")
+        .orderBy("user_id", "session_start")
+        .toPandas()
+    )
+    assert len(out) == 3
+    u1 = out[out.user_id == 1]
+    assert list(u1["n_events"]) == [4, 1]
+    assert list(u1["total_value"]) == [10.0, 5.0]
+
+
 def test_exact_duplicates(spark, docs_df):
     groups = dedup.exact_duplicates(docs_df).toPandas()
     dup = groups[groups.n_dups > 1]
