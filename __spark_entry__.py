@@ -58,6 +58,7 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (  # noqa: E402
     pps_sample,
+    stratified_sample,
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.jackknife import (  # noqa: E402
     jk_linear_replicates,
@@ -1803,6 +1804,162 @@ def _sql_tfidf() -> str:
     """
 
 
+WQ_PROBS = (0.25, 0.5, 0.75)
+
+
+def _q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design-weighted quantiles (type-1 / lower) of x1 under the
+    survey weights — one cumulative-weight window pass
+    (``functions/stats.weighted_quantiles``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _, survey = tpch.survey_frames(spark, sf_dir)
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.functions.stats import (
+        weighted_quantiles,
+    )
+
+    out = weighted_quantiles(survey, "x1", "wt", list(WQ_PROBS))
+    return out.select("prob", F.round("q", 6).alias("q")).orderBy("prob")
+
+
+def _sql_weighted_median() -> str:
+    picks = "\n    UNION ALL\n".join(
+        f"    SELECT {p} AS prob, round(min(_x), 6) AS q FROM cum WHERE _cw >= {p}"
+        for p in WQ_PROBS
+    )
+    return f"""
+    WITH units AS ({_duck_units()}),
+    s AS (SELECT x1, wt FROM units WHERE {tpch.SURVEY_PRED}),
+    tot AS (SELECT sum(wt) AS tw FROM s),
+    cum AS (SELECT x1 AS _x,
+                   sum(wt) OVER (ORDER BY x1 ROWS UNBOUNDED PRECEDING)
+                     / (SELECT tw FROM tot) AS _cw
+            FROM s)
+{picks}
+    ORDER BY prob
+    """
+
+
+def _q_jk_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I22 ``jk_var`` end-to-end IN SPARK: leave-group-out replicate
+    totals (linear regime) -> the reference's variance combine
+    sum((g-1)/g * (theta_k - theta_bar)^2) (``calib_simu_
+    noninf0315.R:228-233``) — replicates AND combine value-checked."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cohort, _ = tpch.survey_frames(spark, sf_dir)
+    cohort = cohort.withColumn("jk_group", (F.col("id") % JK_G + 1).cast("int"))
+    reps = jk_linear_replicates(
+        cohort, {"tot_wtd": F.sum(F.col("wt") * F.col("d"))}, JK_G
+    )
+    fac = float((JK_G - 1) / JK_G)
+    mean = reps.agg(F.avg("tot_wtd")).collect()[0][0]
+    return reps.agg(
+        F.round(F.lit(mean), 6).alias("theta_mean"),
+        F.round(
+            F.sum(
+                F.lit(fac)
+                * (F.col("tot_wtd") - F.lit(mean))
+                * (F.col("tot_wtd") - F.lit(mean))
+            ),
+            4,
+        ).alias("jk_var"),
+    )
+
+
+def _sql_jk_variance() -> str:
+    g = JK_G
+    return f"""
+    WITH units AS ({_duck_units()}),
+    c AS (SELECT *, cast(id % {g} + 1 AS int) AS jk_group
+          FROM units WHERE {tpch.COHORT_PRED}),
+    parts AS (SELECT jk_group, sum(wt * d) AS p_wtd FROM c GROUP BY jk_group),
+    tot AS (SELECT sum(wt * d) AS t_wtd FROM c),
+    reps(replicate) AS (SELECT * FROM generate_series(1, {g})),
+    theta AS (
+      SELECT (tot.t_wtd - coalesce(parts.p_wtd, 0.0)) * {g}.0 / {g - 1}.0
+               AS tot_wtd
+      FROM reps LEFT JOIN parts ON reps.replicate = parts.jk_group
+      CROSS JOIN tot),
+    m AS (SELECT avg(tot_wtd) AS mu FROM theta)
+    SELECT round((SELECT mu FROM m), 6) AS theta_mean,
+           round(sum({g - 1}.0 / {g}.0
+                     * (tot_wtd - (SELECT mu FROM m))
+                     * (tot_wtd - (SELECT mu FROM m))), 4) AS jk_var
+    FROM theta
+    """
+
+
+def _q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the ``props`` JSON string
+    per event (`get_json_object`, JVM-side) and aggregate the extracted
+    field by event type."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = tpch.load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_k").alias("sum_k"),
+            F.round(F.avg("_k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_events_props() -> str:
+    return """
+    SELECT event_type,
+           count(*) AS n,
+           sum(json_extract(props, '$.k')::INT) AS sum_k,
+           round(avg(json_extract(props, '$.k')::INT), 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+STRAT_FRAC = 0.02
+STRAT_K = 5
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified SRS with proportional allocation over hashed-uniform
+    order (``sampling.stratified_sample``): deterministic, stable under
+    repartitioning, hence fully value-checked."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") % STRAT_K).alias("stratum"),
+    )
+    u = (dedup_ops.md5_int(F.col("id").cast("string")) + F.lit(1.0)) / F.lit(2.0**48)
+    samp = stratified_sample(base, "stratum", STRAT_FRAC, u=u, wt_col="swt")
+    return samp.select(
+        "id", "stratum", F.round("swt", 6).alias("swt")
+    ).orderBy("id")
+
+
+def _sql_stratified_sample() -> str:
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_orderkey % {STRAT_K} AS stratum,
+             (('0x' || substr(md5(cast(o_orderkey AS varchar)), 1, 12))::BIGINT
+              + 1.0) / 281474976710656.0 AS u
+      FROM orders),
+    ranked AS (
+      SELECT id, stratum,
+             row_number() OVER (PARTITION BY stratum ORDER BY u) AS rk,
+             count(*) OVER (PARTITION BY stratum) AS nh
+      FROM base)
+    SELECT id, stratum,
+           round(nh * 1.0 / ceil({STRAT_FRAC} * nh), 6) AS swt
+    FROM ranked
+    WHERE rk <= ceil({STRAT_FRAC} * nh)
+    ORDER BY id
+    """
+
+
 def _q_population_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3+I24 (rows-only: seeded-random generation): synthetic
     population with error variants; spot-check aggregate shape."""
@@ -1951,7 +2108,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "events_running_totals": _q_events_running_totals,
         "events_sessions": _q_events_sessions,
+        "events_props": _q_events_props,
         "tfidf": _q_tfidf,
+        "weighted_median": _q_weighted_median,
+        "jk_variance": _q_jk_variance,
+        "stratified_sample": _q_stratified_sample,
         "population_gen": _q_population_gen,
         "population_gen_det": _q_population_gen_det,
     }
@@ -2002,7 +2163,11 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _sql_events_windowed(),
         "events_running_totals": _sql_events_running_totals(),
         "events_sessions": _sql_events_sessions(),
+        "events_props": _sql_events_props(),
         "tfidf": _sql_tfidf(),
+        "weighted_median": _sql_weighted_median(),
+        "jk_variance": _sql_jk_variance(),
+        "stratified_sample": _sql_stratified_sample(),
         # population_gen: Spark-seed RNG (rows-only); the _det variant
         # uses the counter-based hash RNG and is fully value-checked
         "population_gen_det": _sql_population_gen_det(),

@@ -36,6 +36,36 @@ def weighted_var(value: str | Column, weight: str | Column) -> Column:
     return mean_sq - mean * mean
 
 
+def weighted_quantiles(
+    df, value: str, weight: str, probs: list[float]
+):
+    """Design-weighted quantiles (lower/type-1: smallest x with
+    cumulative weight share >= p) — the survey-methodology staple the
+    reference reaches via ``survey::svyquantile``-style summaries.
+
+    One sort-window pass: cumulative weight share over value order,
+    then min(x) over the crossing rows per prob.  Returns a DataFrame
+    (prob, q).  At scale this is one range-partitioned window (no
+    driver collect of the data)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(value)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = df.agg(F.sum(weight)).collect()[0][0]
+    cum = df.select(
+        F.col(value).alias("_x"),
+        (F.sum(weight).over(w) / F.lit(float(tot))).alias("_cw"),
+    )
+    out = None
+    for p in probs:
+        qi = cum.where(F.col("_cw") >= float(p)).agg(
+            F.lit(float(p)).alias("prob"), F.min("_x").alias("q")
+        )
+        out = qi if out is None else out.unionByName(qi)
+    return out
+
+
 def cv_factor(weight: str | Column) -> Column:
     """Composite-weight effective-sample-size share numerator
     ``var(w)/mean(w^2) + 1`` of the reference's ``a_cv``

@@ -57,6 +57,38 @@ def pps_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    frac: float,
+    *,
+    seed: int = 0,
+    wt_col: str = "wt",
+    u: Column | None = None,
+) -> DataFrame:
+    """Stratified SRS with proportional allocation: within each
+    stratum h take m_h = ceil(frac * n_h) rows (uniform order), design
+    weight ``n_h / m_h``.  Pass ``u`` (e.g. a hashed-key uniform) for a
+    draw that is deterministic and stable under repartitioning.
+
+    One shuffle on the stratum key; per-stratum ranking is a window,
+    no driver traffic beyond the plan."""
+    key = u if u is not None else F.rand(seed)
+    w_rank = Window.partitionBy(stratum_col).orderBy(F.col("_st_key"))
+    w_h = Window.partitionBy(stratum_col)
+    ranked = (
+        df.withColumn("_st_key", key)
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn("_nh", F.count(F.lit(1)).over(w_h))
+        .withColumn("_mh", F.ceil(F.lit(float(frac)) * F.col("_nh")))
+    )
+    return (
+        ranked.where(F.col("_rk") <= F.col("_mh"))
+        .withColumn(wt_col, F.col("_nh").cast("double") / F.col("_mh"))
+        .drop("_st_key", "_rk", "_nh", "_mh")
+    )
+
+
 def srs_sample(df: DataFrame, n: int, *, seed: int = 0, wt_col: str = "wt") -> DataFrame:
     """Simple random sample of n rows, weight N/n."""
     big_n = df.count()

@@ -24,6 +24,7 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
     poisson_sample,
     pps_sample,
     srs_sample,
+    stratified_sample,
     two_stage_sample,
 )
 
@@ -227,3 +228,36 @@ def test_jk_refit_loop_weighted_mean(spark):
     brute = ((kept["wt"] * 1.5) * kept["y"]).sum() / (kept["wt"] * 1.5).sum()
     got = out[(out.replicate == 1)]["value"].iloc[0]
     assert got == pytest.approx(brute, rel=1e-12)
+
+
+def test_stratified_sample_allocation_and_ht(spark):
+    """Proportional allocation m_h = ceil(f n_h); HT weight n_h/m_h so
+    the weighted sample count reproduces each stratum size exactly."""
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).alias("stratum")
+    )
+    samp = stratified_sample(df, "stratum", 0.1, seed=3, wt_col="swt")
+    out = samp.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("swt").alias("ht")
+    ).toPandas().set_index("stratum")
+    # strata sizes: 334 (0), 333 (1), 333 (2); ceil(0.1*n_h) = 34 / 34 / 34
+    assert out.loc[0, "m"] == 34 and out.loc[1, "m"] == 34
+    assert out.loc[0, "ht"] == pytest.approx(334.0)
+    assert out.loc[1, "ht"] == pytest.approx(333.0)
+
+
+def test_weighted_quantiles_hand_case(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.functions.stats import (
+        weighted_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 8.0)], "x double, w double"
+    )
+    out = (
+        weighted_quantiles(df, "x", "w", [0.1, 0.2, 0.5])
+        .toPandas()
+        .set_index("prob")["q"]
+    )
+    # cum shares: 0.1 @ x=1, 0.2 @ x=2, 1.0 @ x=3
+    assert out[0.1] == 1.0 and out[0.2] == 2.0 and out[0.5] == 3.0
