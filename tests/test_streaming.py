@@ -280,3 +280,37 @@ def test_stream_running_weighted_mean(spark, tmp_path):
     assert last.loc["a", "wmean"] == pytest.approx(4.5)
     assert last.loc["a", "n"] == 3
     assert last.loc["b", "wmean"] == pytest.approx(10.0)
+
+
+def test_stream_sessionize_matches_batch(spark, events_stream, tmp_path):
+    """sessions.sessionize runs UNCHANGED on a streaming source (native
+    session_window); with availableNow + append after watermark close,
+    the streamed session table equals the batch one."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sessions import (
+        sessionize,
+    )
+
+    batch, stream = events_stream
+    got_batch = (
+        sessionize(batch, "30 minutes")
+        .orderBy("user_id", "session_start")
+        .toPandas()
+    )
+    out = sessionize(stream.withWatermark("ts", "1 minute"), "30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = (
+        spark.table("sess").orderBy("user_id", "session_start").toPandas()
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got_batch.reset_index(drop=True), got_stream.reset_index(drop=True)
+    )
