@@ -49,7 +49,86 @@ def synth_frames(spark, n_c: int, n_s: int, seed: int = 7):
     return c, s
 
 
+def synth_docs(spark, n_docs: int, vocab: int = 50_000, doc_len: int = 40):
+    """Distributed synthetic corpus (no driver data): uniform token
+    draws from a fixed vocab; every 10th doc copies the previous doc's
+    token stream with one substitution (a planted near-duplicate)."""
+    base = F.when(F.col("id") % 10 == 0, F.col("id") - 1).otherwise(F.col("id"))
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(doc_len)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.hash(base * F.lit(1000) + i.cast("long")), F.lit(vocab)),
+        ),
+    )
+    # the planted dup swaps token 7 for an id-specific one
+    toks = F.transform(
+        toks,
+        lambda t, i: F.when(
+            (F.col("id") % 10 == 0) & (i == 6),
+            F.concat(F.lit("x"), F.pmod(F.hash("id"), F.lit(vocab))),
+        ).otherwise(t),
+    )
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", toks).alias("text")
+    )
+
+
+def dedup_ladder(spark, sizes: list[int]) -> None:
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    points = []
+    for n in sizes:
+        docs = synth_docs(spark, n).cache()
+        docs.count()
+        t0 = time.time()
+        np_pairs = ngram_jaccard_pairs(docs, 0.5).count()
+        t_pp = time.time() - t0
+        t0 = time.time()
+        nl_pairs = minhash_lsh_pairs(docs, 0.5).count()
+        t_lsh = time.time() - t0
+        points.append(
+            {
+                "n_docs": n,
+                "ppjoin_sec": round(t_pp, 2),
+                "ppjoin_pairs": int(np_pairs),
+                "lsh_sec": round(t_lsh, 2),
+                "lsh_pairs": int(nl_pairs),
+            }
+        )
+        docs.unpersist()
+    xs = [math.log(p["n_docs"]) for p in points]
+    for key in ("ppjoin_sec", "lsh_sec"):
+        slope = None
+        if len(points) > 1:
+            ys = [math.log(p[key]) for p in points]
+            mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+            slope = round(
+                sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+                / sum((x - mx) ** 2 for x in xs),
+                3,
+            )
+        print(
+            json.dumps(
+                {"op": key.replace("_sec", ""), "points": points, "exponent": slope}
+            )
+        )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--dedup":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [20_000, 80_000, 320_000]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        dedup_ladder(spark, sizes)
+        return
     sizes = (
         [int(x) for x in sys.argv[1].split(",")]
         if len(sys.argv) > 1
