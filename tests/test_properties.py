@@ -1,0 +1,135 @@
+"""Property-based invariants (SURVEY §5): algebraic identities that
+must hold EXACTLY (to float tolerance) for any input, checked with
+hypothesis-generated frames.
+
+- GREG calibration: calibrated totals equal the benchmarks exactly
+  (follows from the I8 algebra, ``taylor_deviate.R:988-1007``).
+- Post-stratification: per-cell adjusted totals equal N_h.
+- KW weight sum: sum(kw) == sum(survey wt) when rm_s=False
+  (row-normalization, ``simu_fun.R:186-189``).
+- Winnowing guarantee: docs sharing a >= w+k-1 token run share a
+  fingerprint.
+
+Few examples, no deadline: each example runs Spark jobs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.calibration import (
+    greg_calibrate,
+    post_stratify,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.pseudoweights import (
+    kw_weights,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import text
+
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(seed=st.integers(0, 10_000), n=st.integers(20, 80))
+@settings(**SETTINGS)
+def test_greg_totals_hit_benchmarks_exactly(spark, seed, n):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "one": 1.0,
+            "x": rng.normal(1.0, 0.5, n),
+            "wt": rng.uniform(0.5, 4.0, n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    # feasible benchmarks: a perturbation of the current totals
+    v = [
+        float(pdf["wt"].sum() * rng.uniform(0.8, 1.2)),
+        float((pdf["wt"] * pdf["x"]).sum() * rng.uniform(0.8, 1.2)),
+    ]
+    res = greg_calibrate(df, "wt", ["one", "x"], v, out_col="cw")
+    got = res.df.agg(
+        F.sum("cw").alias("t0"),
+        F.sum(F.col("cw") * F.col("x")).alias("t1"),
+    ).collect()[0]
+    assert got["t0"] == pytest.approx(v[0], rel=1e-9)
+    assert got["t1"] == pytest.approx(v[1], rel=1e-9)
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(**SETTINGS)
+def test_post_strat_cell_totals_exact(spark, seed):
+    rng = np.random.default_rng(seed)
+    n = 60
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "cell": rng.integers(1, 4, n).astype(np.int32),
+            "wt": rng.uniform(0.5, 3.0, n),
+        }
+    )
+    totals = {int(c): float(rng.uniform(50, 150)) for c in pdf["cell"].unique()}
+    df = spark.createDataFrame(pdf)
+    res = post_stratify(df, "cell", "wt", totals)
+    got = (
+        res.df.groupBy("cell").agg(F.sum("post_wt").alias("t")).toPandas()
+        .set_index("cell")["t"]
+    )
+    for c, nh in totals.items():
+        assert got[c] == pytest.approx(nh, rel=1e-9)
+
+
+@given(seed=st.integers(0, 10_000), h=st.floats(0.05, 0.5))
+@settings(**SETTINGS)
+def test_kw_weight_sum_invariant(spark, seed, h):
+    rng = np.random.default_rng(seed)
+    nc, ns = 50, 30
+    c = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": np.arange(nc, dtype=np.int64), "p_score": rng.normal(0, 1, nc)}
+        )
+    )
+    s = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": np.arange(ns, dtype=np.int64),
+                "p_score": rng.normal(0.3, 1.1, ns),
+                "wt": rng.uniform(1, 5, ns),
+            }
+        )
+    )
+    res = kw_weights(c, s, weight_col="wt", h=float(h))
+    kw_tot = res.weights.agg(F.sum("kw")).collect()[0][0]
+    wt_tot = s.agg(F.sum("wt")).collect()[0][0]
+    assert kw_tot == pytest.approx(wt_tot, rel=1e-9)
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(**SETTINGS)
+def test_winnowing_match_guarantee(spark, seed):
+    """Two docs sharing a run of >= w + k - 1 tokens MUST share at
+    least one winnowing fingerprint (k=5, w=4 -> run of 8)."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"tok{i}" for i in range(200)]
+    shared = list(rng.choice(vocab, 8, replace=False))
+    a = list(rng.choice(vocab, 15)) + shared + list(rng.choice(vocab, 15))
+    b = list(rng.choice(vocab, 11)) + shared + list(rng.choice(vocab, 9))
+    df = spark.createDataFrame(
+        [(0, " ".join(a)), (1, " ".join(b))], "doc_id long, text string"
+    )
+    fps = (
+        text.winnow_fingerprints(df, k=5, w=4)
+        .toPandas()
+        .set_index("doc_id")["fingerprints"]
+    )
+    assert set(fps[0]) & set(fps[1])
