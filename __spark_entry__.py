@@ -961,6 +961,101 @@ def _sql_cox_newton_step() -> str:
     """
 
 
+JK_NEWTON_G = 8
+
+
+def _q_jk_newton_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I22 x H2 composition, value-checked: per jackknife replicate,
+    one full Newton update of the weighted Cox fit (p=1) over the
+    retained rows with weights rescaled g/(g-1) — the exact inner step
+    ``jk_fun.R:314-374`` repeats with the iterative solver.  Runs as
+    ONE distributed job: explode rows to their retained replicates,
+    per-replicate grid aggregation + reverse-cumsum window + score/
+    Hessian aggregate; only g rows reach the driver."""
+    g = JK_NEWTON_G
+    samp = _cohort_surv(spark, sf_dir).withColumn(
+        "jk_group", (F.col("id") % g + 1).cast("int")
+    )
+    reps = samp.withColumn(
+        "replicate", F.explode(F.array(*[F.lit(k) for k in range(1, g + 1)]))
+    ).where(F.col("jk_group") != F.col("replicate"))
+    wr = F.col("wt") * F.lit(float(g) / (g - 1))
+    rel = F.exp(F.lit(SCORE_B1) * F.col("x1"))
+    grid = reps.groupBy("replicate", F.col("t").alias("_t")).agg(
+        F.sum(wr * rel).alias("s0p"),
+        F.sum(wr * F.col("d")).alias("du"),
+        F.sum(wr * rel * F.col("x1")).alias("s1p"),
+        F.sum(wr * F.col("d") * F.col("x1")).alias("dx"),
+        F.sum(wr * rel * F.col("x1") * F.col("x1")).alias("s2p"),
+    )
+    from pyspark.sql import Window
+
+    rev = (
+        Window.partitionBy("replicate")
+        .orderBy(F.col("_t").desc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    rc = grid.select(
+        "replicate",
+        "du",
+        "dx",
+        F.sum("s0p").over(rev).alias("s0"),
+        F.sum("s1p").over(rev).alias("s1"),
+        F.sum("s2p").over(rev).alias("s2"),
+    )
+    uh = (
+        rc.where(F.col("du") > 0)
+        .groupBy("replicate")
+        .agg(
+            F.sum(F.col("dx") - F.col("du") * F.col("s1") / F.col("s0")).alias("u"),
+            F.sum(
+                F.col("du")
+                * (
+                    F.col("s2") / F.col("s0")
+                    - F.col("s1") * F.col("s1") / (F.col("s0") * F.col("s0"))
+                )
+            ).alias("h"),
+        )
+    )
+    return uh.select(
+        F.col("replicate").cast("int").alias("replicate"),
+        F.round(F.lit(SCORE_B1) + F.col("u") / F.col("h"), 8).alias("beta1_x1"),
+    ).orderBy("replicate")
+
+
+def _sql_jk_newton_steps() -> str:
+    g = JK_NEWTON_G
+    return f"""
+    WITH units AS ({_duck_units()}),
+    c AS (SELECT t, d, x1, wt, cast(id % {g} + 1 AS int) AS jk_group
+          FROM units WHERE {tpch.COHORT_PRED}),
+    reps(replicate) AS (SELECT * FROM generate_series(1, {g})),
+    r AS (SELECT reps.replicate, c.t, c.d, c.x1,
+                 c.wt * {g}.0 / {g - 1}.0 AS w,
+                 exp({SCORE_B1} * c.x1) AS rel
+          FROM c JOIN reps ON c.jk_group <> reps.replicate),
+    grid AS (SELECT replicate, t,
+                    sum(w * rel) AS s0p,
+                    sum(w * d) AS du,
+                    sum(w * rel * x1) AS s1p,
+                    sum(w * d * x1) AS dx,
+                    sum(w * rel * x1 * x1) AS s2p
+             FROM r GROUP BY replicate, t),
+    rc AS (SELECT replicate, du, dx,
+                  sum(s0p) OVER (PARTITION BY replicate ORDER BY t DESC) AS s0,
+                  sum(s1p) OVER (PARTITION BY replicate ORDER BY t DESC) AS s1,
+                  sum(s2p) OVER (PARTITION BY replicate ORDER BY t DESC) AS s2
+           FROM grid),
+    uh AS (SELECT replicate,
+                  sum(dx - du * s1 / s0) AS u,
+                  sum(du * (s2 / s0 - s1 * s1 / (s0 * s0))) AS h
+           FROM rc WHERE du > 0 GROUP BY replicate)
+    SELECT cast(replicate AS int) AS replicate,
+           round({SCORE_B1} + u / h, 8) AS beta1_x1
+    FROM uh ORDER BY replicate
+    """
+
+
 def _q_kw_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I4 ``pw_beta``: gamma-derivative of the KW pseudo-weights over
     the same banded pair stream as the weights."""
@@ -2086,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_sample": _q_pps_sample,
         "cox_score_check": _q_cox_score,
         "cox_newton_step": _q_cox_newton_step,
+        "jk_newton_steps": _q_jk_newton_steps,
         "kw_derivative": _q_kw_derivative,
         "kw_triang": _q_kw_triang,
         "lambda_influence": _q_lambda_influence,
@@ -2140,6 +2236,7 @@ def oracle_sql() -> dict[str, str]:
         "pps_sample": _sql_pps_sample(),
         "cox_score_check": _sql_cox_score(),
         "cox_newton_step": _sql_cox_newton_step(),
+        "jk_newton_steps": _sql_jk_newton_steps(),
         "kw_derivative": _sql_kw_derivative(sf),
         "kw_triang": _sql_kw_triang(sf),
         "lambda_influence": _sql_lambda_influence(sf),
