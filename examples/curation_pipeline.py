@@ -105,8 +105,30 @@ def main() -> None:
         F.col("_nn.neighbor_id").alias("nn_ids"),
         F.col("_nn.cosine").alias("nn_cosines"),
     )
-    curated = final.join(neighbors, "doc_id", "left")
+    # 6. training-side annotations on the survivors: BPE-ish token
+    # budget, winnowing fingerprints (downstream cross-corpus dedup),
+    # top TF-IDF terms (topic indexing) — all map-only / keyed-agg ops
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+        bpe_ish_token_count,
+        tf_idf_top_terms,
+        winnow_fingerprints,
+    )
+
+    fps = winnow_fingerprints(final)
+    topterms = (
+        tf_idf_top_terms(final, top_k=3)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("rank", "term"))).alias("_t"))
+        .select("doc_id", F.col("_t.term").alias("top_terms"))
+    )
+    curated = (
+        final.withColumn("n_pieces", bpe_ish_token_count("text"))
+        .join(neighbors, "doc_id", "left")
+        .join(fps, "doc_id", "left")
+        .join(topterms, "doc_id", "left")
+    )
     curated.write.mode("overwrite").parquet(out_dir)
+    n_tokens_total = curated.agg(F.sum("n_pieces")).collect()[0][0]
 
     print(json.dumps({
         "input_docs": n0,
@@ -116,6 +138,7 @@ def main() -> None:
         "after_minhash_neardup": n_near,
         "embedding_pairs_found": n_emb_pairs,
         "after_embedding_neardup": n_final,
+        "curated_token_budget_bpe": int(n_tokens_total),
         "curated_parquet": out_dir,
         "total_sec": round(time.time() - t0, 1),
     }, indent=2))
