@@ -1,0 +1,85 @@
+"""Event-stream analytics pipeline over the ``events`` table: the
+standard clickstream funnel, every stage a distributed operator.
+
+    load (TIMESTAMP(NANOS)-safe)
+    -> JSON props extraction (JVM-side get_json_object)
+    -> gap-based sessionization (native session_window)
+    -> per-session stats -> per-user rollup
+    -> partitioned parquet sink (pruning key = event date)
+
+Identical code runs over a Structured Streaming source (sessionize is
+session_window-based; add a watermark) — see tests/test_streaming.py.
+
+Usage:  python examples/events_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark import get_spark
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sessions import (
+    sessionize,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.sources import sinks, tpch
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/events_pipeline"
+    spark = get_spark("events-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = time.time()
+
+    ev = tpch.load_events(spark, sf_dir).withColumn(
+        "prop_k", F.get_json_object("props", "$.k").cast("int")
+    )
+    n_events = ev.count()
+
+    sessions = sessionize(ev, "30 minutes")
+    n_sessions = sessions.count()
+
+    users = sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("total_value"), 6).alias("value_total"),
+        F.round(F.avg("n_events"), 6).alias("events_per_session"),
+    )
+    n_users = users.count()
+
+    # date-partitioned session sink: per-day readers prune to one dir
+    by_day = sessions.withColumn(
+        "day", F.to_date(F.timestamp_seconds(F.col("session_start")))
+    )
+    sinks.write_partitioned(by_day, f"{out_dir}/sessions", ["day"])
+    sinks.write_results_csv(users, f"{out_dir}/users")
+
+    top = users.orderBy(F.col("value_total").desc()).limit(3).collect()
+    print(
+        json.dumps(
+            {
+                "events": n_events,
+                "sessions": n_sessions,
+                "users": n_users,
+                "top_users_by_value": [
+                    {"user_id": r["user_id"], "value_total": r["value_total"]}
+                    for r in top
+                ],
+                "out": out_dir,
+                "total_sec": round(time.time() - t0, 1),
+            },
+            indent=2,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
