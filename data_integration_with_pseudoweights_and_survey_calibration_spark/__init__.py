@@ -50,9 +50,19 @@ from .operators.method_suite import (  # noqa: E402,F401
 )
 from .operators.propensity import fit_propensity, integrate  # noqa: E402,F401
 from .operators.pseudoweights import kw_weights, stack_samples  # noqa: E402,F401
+from .operators.sampling import (  # noqa: E402,F401
+    pps_sample,
+    stratified_sample,
+)
+from .operators.sessions import sessionize  # noqa: E402,F401
 from .operators.simulation import generate_population, run_simulation  # noqa: E402,F401
 from .operators.taylor import taylor_inference  # noqa: E402,F401
+from .operators.text import (  # noqa: E402,F401
+    tf_idf_top_terms,
+    winnow_fingerprints,
+)
 from .session import get_spark  # noqa: E402,F401
+from .sources.sinks import write_bucketed, write_partitioned  # noqa: E402,F401
 
 __all__ = [
     "__version__",
@@ -70,9 +80,16 @@ __all__ = [
     "jk_variance",
     "kw_weights",
     "post_stratify",
+    "pps_sample",
     "run_simulation",
+    "sessionize",
     "stack_samples",
+    "stratified_sample",
     "taylor_inference",
+    "tf_idf_top_terms",
     "weighted_linear",
     "weighted_logistic",
+    "winnow_fingerprints",
+    "write_bucketed",
+    "write_partitioned",
 ]
