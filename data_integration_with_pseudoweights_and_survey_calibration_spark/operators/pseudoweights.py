@@ -52,12 +52,12 @@ from pyspark.sql import functions as F
 from ..functions.kernels import KERNELS, KERNELS_NP, TRIANG_BW_SCALE
 
 # Numeric support of the Gaussian kernel. dnorm underflows to exact
-# 0.0 at |z| ~ 38.6, but a pair at |z| = 10 already contributes
-# K(10) ~ 7.7e-23 RELATIVE to in-band terms -- ten orders below double
-# round-off of the row sums -- so 10 bandwidths is value-identical to
-# the dense computation at any representable precision while pruning
-# the pair join ~4x harder. (Raise to 40 for bit-paranoid parity.)
-GAUSSIAN_SUPPORT = 10.0
+# 0.0 at |z| ~ 38.6; a pair at |z| = 8 contributes K(8)/K(0) = e^-32
+# ~ 1.6e-14 RELATIVE to in-band terms -- eight orders below the 1e-6
+# value gate and at double round-off of the row sums -- while the
+# in-band pair load scales linearly with the support width. (Raise to
+# 40 for bit-paranoid parity with a dense computation.)
+GAUSSIAN_SUPPORT = 8.0
 TRIANG_SUPPORT = 1.0
 
 
