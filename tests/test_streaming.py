@@ -314,3 +314,47 @@ def test_stream_sessionize_matches_batch(spark, events_stream, tmp_path):
     pd.testing.assert_frame_equal(
         got_batch.reset_index(drop=True), got_stream.reset_index(drop=True)
     )
+
+
+def test_stream_to_bucketed_ingest_exactly_once(spark, events_stream, tmp_path):
+    """Stream -> bucketed catalog table: contents equal the batch
+    input; a restart from the same checkpoint appends NOTHING new
+    (batch-level idempotence); the bucketed join after ingest has no
+    Exchange on the ingested side."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.streaming import (
+        stream_to_bucketed,
+    )
+
+    batch, stream = events_stream
+    spark.sql("DROP TABLE IF EXISTS ing_events")
+    spark.sql("DROP TABLE IF EXISTS ing_events__batches")
+    ckpt = str(tmp_path / "ckpt_ing")
+    q = stream_to_bucketed(
+        stream.select("event_id", "user_id", "value"),
+        "ing_events",
+        ["user_id"],
+        4,
+        checkpoint=ckpt,
+    )
+    q.awaitTermination(120)
+    try:
+        got = spark.table("ing_events")
+        assert got.count() == batch.count()
+        # restart from the same checkpoint: no new data -> no appends
+        q2 = stream_to_bucketed(
+            stream.select("event_id", "user_id", "value"),
+            "ing_events",
+            ["user_id"],
+            4,
+            checkpoint=ckpt,
+            query_name="ingest2",
+        )
+        q2.awaitTermination(120)
+        assert spark.table("ing_events").count() == batch.count()
+        # bucketing usable: groupBy on the bucket key plans no Exchange
+        agg = spark.table("ing_events").groupBy("user_id").agg(F.sum("value"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ing_events")
+        spark.sql("DROP TABLE IF EXISTS ing_events__batches")
