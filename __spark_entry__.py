@@ -1869,6 +1869,69 @@ def _sql_events_sessions() -> str:
     """
 
 
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-conversion funnel over the event stream: per user, the
+    earliest view -> first click AFTER that view -> first purchase
+    AFTER that click; one row of stage conversion counts.  Single
+    groupBy(user) with conditional min aggregates — no self-joins, no
+    per-user collect; the 100 TB plan is one shuffle on user_id."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = tpch.load_events(spark, sf_dir)
+    es = F.col("ts").cast("double")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", es)).alias("t_view")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(per_user, "user_id")
+        .where(es > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min(es).alias("t_click"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(es > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min(es).alias("t_purchase"))
+    )
+    return (
+        per_user.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("users"),
+            F.count("t_view").alias("viewed"),
+            F.count("t_click").alias("clicked_after_view"),
+            F.count("t_purchase").alias("purchased_after_click"),
+        )
+    )
+
+
+def _sql_events_funnel() -> str:
+    return """
+    WITH pu AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch(ts) END) AS t_view
+      FROM events GROUP BY user_id),
+    ck AS (
+      SELECT e.user_id, min(epoch(e.ts)) AS t_click
+      FROM events e JOIN pu ON e.user_id = pu.user_id
+      WHERE e.event_type = 'click' AND epoch(e.ts) > pu.t_view
+      GROUP BY e.user_id),
+    pr AS (
+      SELECT e.user_id, min(epoch(e.ts)) AS t_purchase
+      FROM events e JOIN ck ON e.user_id = ck.user_id
+      WHERE e.event_type = 'purchase' AND epoch(e.ts) > ck.t_click
+      GROUP BY e.user_id)
+    SELECT count(*) AS users,
+           count(pu.t_view) AS viewed,
+           count(ck.t_click) AS clicked_after_view,
+           count(pr.t_purchase) AS purchased_after_click
+    FROM pu LEFT JOIN ck ON pu.user_id = ck.user_id
+            LEFT JOIN pr ON pu.user_id = pr.user_id
+    """
+
+
 TFIDF_TOP_K = 3
 
 
@@ -2205,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_totals": _q_events_running_totals,
         "events_sessions": _q_events_sessions,
         "events_props": _q_events_props,
+        "events_funnel": _q_events_funnel,
         "tfidf": _q_tfidf,
         "weighted_median": _q_weighted_median,
         "jk_variance": _q_jk_variance,
@@ -2261,6 +2325,7 @@ def oracle_sql() -> dict[str, str]:
         "events_running_totals": _sql_events_running_totals(),
         "events_sessions": _sql_events_sessions(),
         "events_props": _sql_events_props(),
+        "events_funnel": _sql_events_funnel(),
         "tfidf": _sql_tfidf(),
         "weighted_median": _sql_weighted_median(),
         "jk_variance": _sql_jk_variance(),

@@ -95,17 +95,29 @@ def ipsw_weight(p_score: Column, sampling_fraction: float = 1.0) -> Column:
     return F.exp(-p_score) / float(sampling_fraction)
 
 
-def bw_nrd0(df: DataFrame, col: str) -> float:
+def bw_nrd0(df: DataFrame, col: str, *, approx: int | None = None) -> float:
     """I5: Silverman's rule-of-thumb bandwidth, parity with R ``bw.nrd0``:
     0.9 * min(sd, IQR/1.34) * n^(-1/5) with the lo-fallback chain.
 
-    Uses exact percentiles (sort-based) -- correctness feeds bin edges.
+    Default: exact percentiles (reference parity; used by the oracle
+    queries).  ``approx=<accuracy>`` switches to ``approx_percentile``
+    (Greenwald-Khanna sketch, one streaming pass, error ~1/accuracy):
+    at 100 TB an exact percentile of a continuous column materializes a
+    per-value hash aggregate, while the sketch is O(accuracy) memory;
+    a 1e-4-relative IQR error moves the bandwidth by the same factor,
+    far inside its own n^(-1/5) statistical slack -- use approx for
+    huge cohorts, exact when value-gate parity matters.
     """
+    pctl = (
+        f"approx_percentile({col}, {{p}}, {int(approx)})"
+        if approx
+        else f"percentile({col}, {{p}})"
+    )
     row = df.agg(
         F.stddev(col).alias("sd"),
-        F.expr(f"percentile({col}, 0.75) - percentile({col}, 0.25)").alias("iqr"),
+        F.expr(f"{pctl.format(p=0.75)} - {pctl.format(p=0.25)}").alias("iqr"),
         F.count(col).alias("n"),
-        F.expr(f"abs(percentile({col}, 0.5))").alias("absmed"),
+        F.expr(f"abs({pctl.format(p=0.5)})").alias("absmed"),
         F.max(F.abs(F.col(col))).alias("absmax"),
     ).collect()[0]
     sd, iqr, n = float(row["sd"] or 0.0), float(row["iqr"]), int(row["n"])

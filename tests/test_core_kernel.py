@@ -143,6 +143,9 @@ def test_bw_nrd0_parity(spark):
     iqr = np.quantile(x, 0.75) - np.quantile(x, 0.25)  # type 7 default
     want = 0.9 * min(sd, iqr / 1.34) * len(x) ** (-0.2)
     assert got == pytest.approx(want, rel=1e-9)
+    # sketch path (extreme-scale option): within the sketch's error
+    got_approx = bw_nrd0(df, "v", approx=10_000)
+    assert got_approx == pytest.approx(want, rel=1e-2)
 
 
 def _kw_dense(ps_c, ps_s, wt_s, h, rm_s=False):
