@@ -133,3 +133,51 @@ def test_winnowing_match_guarantee(spark, seed):
         .set_index("doc_id")["fingerprints"]
     )
     assert set(fps[0]) & set(fps[1])
+
+
+def test_kw_weights_empty_band_fallback(spark):
+    """Survey scores far outside every cohort band: all survey weight
+    spreads 1/m to each cohort unit (rm_s=False reference semantics)."""
+    c = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "p_score": [0.0, 0.1]})
+    )
+    s = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "p_score": [500.0], "wt": [6.0]})
+    )
+    res = kw_weights(c, s, weight_col="wt", h=0.01)
+    out = res.weights.toPandas().sort_values("id")
+    assert res.n_unmatched == 1
+    assert list(out["kw"]) == pytest.approx([3.0, 3.0])
+
+
+def test_kw_weights_single_rows(spark):
+    c = spark.createDataFrame(pd.DataFrame({"id": [1], "p_score": [0.0]}))
+    s = spark.createDataFrame(
+        pd.DataFrame({"id": [9], "p_score": [0.001], "wt": [4.0]})
+    )
+    out = kw_weights(c, s, weight_col="wt", h=0.05).weights.toPandas()
+    assert out["kw"].iloc[0] == pytest.approx(4.0)
+
+
+def test_sessionize_empty(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sessions import (
+        sessionize,
+    )
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    assert sessionize(df, "30 minutes").count() == 0
+
+
+def test_winnow_short_doc(spark):
+    """Docs shorter than k tokens produce an empty fingerprint set
+    (not an error); docs between k and k+w-1 grams keep every hash."""
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b c d e f")], "doc_id long, text string"
+    )
+    out = (
+        text.winnow_fingerprints(df, k=5, w=4)
+        .toPandas()
+        .set_index("doc_id")["fingerprints"]
+    )
+    assert list(out[0]) == []
+    assert len(out[1]) == 2  # 6 tokens -> 2 grams, both kept
