@@ -76,6 +76,7 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators 
     text as text_ops,
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (  # noqa: E402
+    connected_components,
     embedding_cosine_pairs,
     exact_duplicates,
     minhash_lsh_pairs,
@@ -1632,7 +1633,9 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard_est", 9).alias("jaccard_est"))
 
 
-def _sql_minhash_lsh() -> str:
+def _minhash_pairs_sql_ctes() -> str:
+    """CTE chain ending in ``lsh_pairs`` (id_a, id_b, jaccard_est >= tau);
+    shared by the pair query and the component-resolution query."""
     rows = MINHASH_K // MINHASH_BANDS
     band_keys = ", ".join(
         "concat_ws('-', "
@@ -1645,16 +1648,51 @@ def _sql_minhash_lsh() -> str:
         f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END"
         for i in range(MINHASH_K)
     )
-    return f"""
-    WITH {_minhash_sql_core()},
+    return f"""{_minhash_sql_core()},
     keyed AS (SELECT *, {band_keys} FROM sig),
-    pairs AS (
+    cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              ({matches}) * 1.0 / {MINHASH_K} AS jaccard_est
       FROM keyed a JOIN keyed b
-        ON a.doc_id < b.doc_id AND ({band_match}))
-    SELECT id_a, id_b, round(jaccard_est, 9) AS jaccard_est
-    FROM pairs WHERE jaccard_est >= {JACCARD_TAU}
+        ON a.doc_id < b.doc_id AND ({band_match})),
+    lsh_pairs AS (
+      SELECT id_a, id_b, jaccard_est FROM cand
+      WHERE jaccard_est >= {JACCARD_TAU})
+    """
+
+
+def _sql_minhash_lsh() -> str:
+    return f"""
+    WITH {_minhash_pairs_sql_ctes()}
+    SELECT id_a, id_b, round(jaccard_est, 9) AS jaccard_est FROM lsh_pairs
+    """
+
+
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution: MinHash-LSH near-dup pairs -> connected
+    components -> (doc_id, component) with component = canonical
+    (minimum) doc id of the cluster."""
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), JACCARD_TAU, num_hashes=MINHASH_K, bands=MINHASH_BANDS
+    )
+    return connected_components(pairs)
+
+
+def _sql_dedup_components() -> str:
+    # min-label reachability: lbl walks every edge until fixpoint
+    # (UNION dedups states so the recursion terminates); min(lbl) per
+    # node = min doc id in its component.
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_sql_ctes()},
+    edges AS (SELECT id_a AS u, id_b AS v FROM lsh_pairs
+              UNION ALL
+              SELECT id_b AS u, id_a AS v FROM lsh_pairs),
+    cnodes AS (SELECT DISTINCT u AS id FROM edges),
+    walk(id, lbl) AS (
+        SELECT id, id FROM cnodes
+        UNION
+        SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id)
+    SELECT id AS doc_id, min(lbl) AS component FROM walk GROUP BY id
     """
 
 
@@ -2258,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh": _q_minhash_lsh,
+        "dedup_components": _q_dedup_components,
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_dedup": _q_embedding_dedup,
@@ -2315,6 +2354,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _sql_ngram_jaccard(),
         "minhash_signatures": _sql_minhash_signatures(),
         "minhash_lsh": _sql_minhash_lsh(),
+        "dedup_components": _sql_dedup_components(),
         "simhash": _sql_simhash(),
         "embedding_topk": _sql_embedding_topk(),
         "embedding_dedup": _sql_embedding_dedup(),

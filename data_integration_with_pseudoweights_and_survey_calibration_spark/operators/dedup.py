@@ -584,3 +584,77 @@ def _cosine_pairs_grid(
     return both.groupBy("bi", "bj").applyInPandas(
         _score_block, schema="id_a long, id_b long, cosine double"
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster resolution for near-dup pairs: connected components over
+    the (id_a, id_b) pair table, returning (id, component) with
+    ``component`` = the minimum id in the cluster -- the canonical doc a
+    winnowing pass keeps.
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (each round a node takes the min of its own label, its neighbors'
+    labels, and its label's label).  Plain propagation needs
+    O(diameter) rounds; the pointer-jump composes labels so chains
+    collapse in O(log n) rounds -- near-dup clusters are shallow
+    (diameter <= 4 in practice) so this converges in 2-3 rounds.
+
+    100 TB design: each round is two shuffles on the node id (a groupBy
+    min over the symmetrized edge list and a self-join for the jump),
+    both AQE-partitioned equi-joins; the per-round convergence check is
+    a scalar count.  ``localCheckpoint`` truncates the iterative
+    lineage so round k's plan does not replay rounds 1..k-1.  No driver
+    collect of nodes or edges.
+
+    ``nodes``: optional (id) frame of ALL docs; when given, singletons
+    (docs in no pair) appear with component = their own id.
+    """
+    e = edges.select(
+        F.col(src).alias("_u"), F.col(dst).alias("_v")
+    ).unionByName(
+        edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v"))
+    )
+    if nodes is not None:
+        nd = nodes.select(F.col(id_col).alias("_u")).distinct()
+    else:
+        nd = e.select("_u").distinct()
+    e = e.localCheckpoint(eager=False)
+    lab = nd.select("_u", F.col("_u").alias("_c")).localCheckpoint(eager=False)
+    for _ in range(int(max_iter)):
+        nbr = (
+            e.join(lab.withColumnRenamed("_u", "_v"), "_v")
+            .groupBy("_u")
+            .agg(F.min("_c").alias("_nc"))
+        )
+        stepped = (
+            lab.join(nbr, "_u", "left")
+            .select("_u", F.least("_c", F.coalesce("_nc", "_c")).alias("_c"))
+        )
+        # pointer jump: label's label (labels are node ids, so reuse lab)
+        jumped = (
+            stepped.join(
+                lab.select(F.col("_u").alias("_c"), F.col("_c").alias("_cc")),
+                "_c",
+                "left",
+            )
+            .select("_u", F.least("_c", F.coalesce("_cc", "_c")).alias("_c"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.join(lab.withColumnRenamed("_c", "_c0"), "_u")
+            .where(F.col("_c") != F.col("_c0"))
+            .limit(1)
+            .count()
+        )
+        lab = jumped
+        if changed == 0:
+            break
+    return lab.select(F.col("_u").alias(id_col), F.col("_c").alias("component"))

@@ -409,3 +409,45 @@ def test_frame_sample_plan(spark):
     out = multimodal.frame_sample_plan(df, 100).toPandas()
     assert len(out[out.media_id == 0]) == 10  # 0,100,...,900
     assert len(out[out.media_id == 1]) == 3  # 0,100,200
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4-5 (diameter 4, exercises pointer jumping), pair
+    # 10-11, and singleton 99 supplied via nodes
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
+
+    # without nodes: only endpoints appear
+    got2 = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got2 == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty_edges(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
+    nodes = spark.createDataFrame([(7,), (8,)], "doc_id long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {7: 7, 8: 8}
