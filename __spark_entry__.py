@@ -84,6 +84,9 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
     ngram_jaccard_pairs,
     simhash,
 )
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.packing import (  # noqa: E402
+    pack_sequences,
+)
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
     ivf_topk,
@@ -1696,6 +1699,46 @@ def _sql_dedup_components() -> str:
     """
 
 
+PACK_BUDGET = 256
+PACK_SHARDS = 8
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents -> fixed 256-token training
+    sequences, next-fit in doc_id order within doc_id%8 shards."""
+    docs = _docs(spark, sf_dir)
+    return pack_sequences(
+        docs,
+        PACK_BUDGET,
+        n_tok=text_ops.token_count("text"),
+        n_shards=PACK_SHARDS,
+    )
+
+
+def _sql_pack_sequences() -> str:
+    # the same next-fit recurrence, one recursion level per doc rank
+    # within its shard
+    return f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             len({TOKS_SQL}) AS n_tok
+      FROM documents),
+    ord AS (SELECT *, row_number() OVER (
+              PARTITION BY shard ORDER BY doc_id) AS rn FROM t),
+    pack(shard, rn, doc_id, n_tok, seq_id, off) AS (
+      SELECT shard, rn, doc_id, n_tok, 0::BIGINT, 0::BIGINT
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tok,
+             CASE WHEN p.off + p.n_tok + o.n_tok <= {PACK_BUDGET}
+                  THEN p.seq_id ELSE p.seq_id + 1 END,
+             CASE WHEN p.off + p.n_tok + o.n_tok <= {PACK_BUDGET}
+                  THEN p.off + p.n_tok ELSE 0::BIGINT END
+      FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+    SELECT doc_id, shard, seq_id, off AS offset, n_tok FROM pack
+    """
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), bits=16).select("doc_id", "simhash")
 
@@ -2297,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh": _q_minhash_lsh,
         "dedup_components": _q_dedup_components,
+        "pack_sequences": _q_pack_sequences,
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_dedup": _q_embedding_dedup,
@@ -2355,6 +2399,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _sql_minhash_signatures(),
         "minhash_lsh": _sql_minhash_lsh(),
         "dedup_components": _sql_dedup_components(),
+        "pack_sequences": _sql_pack_sequences(),
         "simhash": _sql_simhash(),
         "embedding_topk": _sql_embedding_topk(),
         "embedding_dedup": _sql_embedding_dedup(),

@@ -1,0 +1,71 @@
+"""Sequence packing for LLM-pretraining pipelines: assign documents to
+fixed token-budget training sequences (context windows).
+
+Global next-fit packing is inherently sequential, so -- as production
+training pipelines do -- packing is performed independently within
+deterministic SHARDS (``doc_id % n_shards``): each shard's documents
+are packed next-fit in ``doc_id`` order. The result is reproducible on
+any cluster size and every shard is one Arrow batch in one task.
+
+100 TB design: one shuffle on the shard key, then a single
+``applyInPandas`` pass per shard doing the O(n) next-fit scan in
+NumPy/pandas; shard count scales with the cluster (pick n_shards ~
+total_tokens / (executor_batch_tokens)), and no ordering or state ever
+crosses shards. Oversized documents (n_tok > budget) occupy a bin of
+their own (standard next-fit), so the pass never stalls.
+
+Output contract (one row per document):
+    (doc_id, shard, seq_id, offset, n_tok)
+where ``seq_id`` numbers bins within the shard from 0 and ``offset`` is
+the token position of the document inside its sequence.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    n_tok: Column | str = "n_tok",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Next-fit packing of documents into ``budget``-token sequences
+    within ``doc_id % n_shards`` shards (deterministic, order-free).
+
+    ``n_tok``: a column name or Column expression giving each doc's
+    token count.
+    """
+    tok = F.col(n_tok) if isinstance(n_tok, str) else n_tok
+    b = int(budget)
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(id_col).cast("long") % F.lit(int(n_shards))).alias("shard"),
+        tok.cast("long").alias("n_tok"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, offsets = [], []
+        seq, fill = 0, 0
+        first = True
+        for t in pdf["n_tok"].to_numpy():
+            if not first and fill + t > b:
+                seq += 1
+                fill = 0
+            seq_ids.append(seq)
+            offsets.append(fill)
+            fill += int(t)
+            first = False
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["offset"] = pd.Series(offsets, dtype="int64")
+        return pdf[["doc_id", "shard", "seq_id", "offset", "n_tok"]]
+
+    return src.repartition(int(n_shards), "shard").groupBy("shard").applyInPandas(
+        _pack, schema="doc_id long, shard long, seq_id long, offset long, n_tok long"
+    )

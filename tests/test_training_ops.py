@@ -451,3 +451,30 @@ def test_connected_components_empty_edges(spark):
         for r in connected_components(edges, nodes=nodes).collect()
     }
     assert got == {7: 7, 8: 8}
+
+
+def test_pack_sequences_next_fit(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    # one shard (n_shards=1): docs 1..5 with token counts
+    # 60, 40, 10, 120, 5 and budget 100:
+    # bin0: 60+40 (exact fill), bin1: 10, then 120 doesn't fit -> bin2
+    # (oversize, own bin), bin3: 5
+    df = spark.createDataFrame(
+        [(1, 60), (2, 40), (3, 10), (4, 120), (5, 5)], "doc_id long, n long"
+    )
+    out = pack_sequences(df, 100, n_tok="n", n_shards=1).collect()
+    got = {r["doc_id"]: (r["seq_id"], r["offset"]) for r in out}
+    assert got == {1: (0, 0), 2: (0, 60), 3: (1, 0), 4: (2, 0), 5: (3, 0)}
+
+    # sharded: assignment depends only on doc_id % n_shards, not input
+    # partitioning
+    a = pack_sequences(df.repartition(7), 100, n_tok="n", n_shards=2).collect()
+    b = pack_sequences(df.coalesce(1), 100, n_tok="n", n_shards=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every offset stays inside the budget unless the doc itself is
+    # oversize (then it starts its own bin at offset 0)
+    for r in a:
+        assert r["offset"] == 0 or r["offset"] + 0 < 100
