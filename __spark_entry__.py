@@ -84,6 +84,9 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
     ngram_jaccard_pairs,
     simhash,
 )
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.ordering import (  # noqa: E402
+    corpus_shuffle_split,
+)
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.packing import (  # noqa: E402
     pack_sequences,
 )
@@ -1699,6 +1702,33 @@ def _sql_dedup_components() -> str:
     """
 
 
+def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + train/val/test split: global rank
+    by md5 key via range partitioning + prefix offsets (no
+    single-partition window)."""
+    return corpus_shuffle_split(_docs(spark, sf_dir))
+
+
+def _sql_corpus_shuffle() -> str:
+    bucket = (
+        MD5INT_SQL.format(x="concat_ws('-', 'shuf-split', doc_id::VARCHAR)")
+        + " % 10"
+    )
+    return f"""
+    WITH k AS (
+      SELECT doc_id,
+             md5(concat_ws('-', 'shuf', doc_id::VARCHAR)) AS sk,
+             {bucket} AS b
+      FROM documents)
+    SELECT doc_id,
+           row_number() OVER (ORDER BY sk) AS rank,
+           CASE WHEN b < 8 THEN 'train'
+                WHEN b < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM k
+    """
+
+
 PACK_BUDGET = 256
 PACK_SHARDS = 8
 
@@ -2341,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "dedup_components": _q_dedup_components,
         "pack_sequences": _q_pack_sequences,
+        "corpus_shuffle": _q_corpus_shuffle,
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_dedup": _q_embedding_dedup,
@@ -2400,6 +2431,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _sql_minhash_lsh(),
         "dedup_components": _sql_dedup_components(),
         "pack_sequences": _sql_pack_sequences(),
+        "corpus_shuffle": _sql_corpus_shuffle(),
         "simhash": _sql_simhash(),
         "embedding_topk": _sql_embedding_topk(),
         "embedding_dedup": _sql_embedding_dedup(),

@@ -1,0 +1,103 @@
+"""Scale-safe global ordering for training-data pipelines:
+deterministic corpus shuffle, global rank, and hash-based splits.
+
+The naive ``row_number().over(Window.orderBy(key))`` funnels the whole
+table through ONE task -- the classic global-window bottleneck. Here
+global rank is computed as:
+
+1. ``repartitionByRange`` on the key (sampling-based range shuffle --
+   the same machinery a distributed sort uses);
+2. per-partition local ``row_number`` (window partitioned by
+   ``spark_partition_id`` -- parallel across partitions);
+3. exclusive prefix-sum of per-partition counts (a partition-count-sized
+   frame, broadcast back) added to the local rank.
+
+Everything stays distributed; the only narrow data is the
+n_partitions-row offset frame. Requires a duplicate-free key for a
+deterministic result (the shuffle key below is md5(seed, id) -- unique
+whenever ids are).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    key: Column | str,
+    *,
+    out_col: str = "rank",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """1-based dense global rank by ``key`` (must be duplicate-free for
+    determinism), without a single-partition window."""
+    k = F.col(key) if isinstance(key, str) else key
+    spark = df.sparkSession
+    n = int(n_parts or spark.sparkContext.defaultParallelism)
+    part = (
+        df.withColumn("_gr_key", k)
+        .repartitionByRange(n, "_gr_key")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid").orderBy("_gr_key")
+    local = part.withColumn("_lr", F.row_number().over(w_local))
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # tiny frame: one row per partition
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lr")).cast("long"))
+        .drop("_gr_key", "_pid", "_lr", "_off", "_n")
+    )
+
+
+def shuffle_key(id_col: Column | str, seed: str = "shuf") -> Column:
+    """Deterministic pseudorandom sort key: md5 of (seed, id)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat_ws("-", F.lit(seed), c.cast("string")))
+
+
+def split_assign(
+    id_col: Column | str,
+    *,
+    seed: str = "split",
+    train: int = 8,
+    val: int = 1,
+    buckets: int = 10,
+) -> Column:
+    """Stable train/val/test assignment: bucket = first 12 md5 hex
+    digits of (seed, id) mod ``buckets``; buckets [0, train) -> train,
+    [train, train+val) -> val, rest -> test. Portable arithmetic (the
+    DuckDB oracle reproduces it bit-for-bit)."""
+    b = F.conv(F.substring(shuffle_key(id_col, seed), 1, 12), 16, 10).cast(
+        "long"
+    ) % F.lit(int(buckets))
+    return (
+        F.when(b < train, F.lit("train"))
+        .when(b < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def corpus_shuffle_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "shuf",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle order + split label per document:
+    (id, rank, split). One range shuffle; no global window."""
+    keyed = df.select(F.col(id_col), shuffle_key(id_col, seed).alias("_sk"))
+    ranked = global_rank(keyed, "_sk", out_col="rank", n_parts=n_parts)
+    return ranked.select(
+        id_col,
+        "rank",
+        split_assign(id_col, seed=seed + "-split").alias("split"),
+    )

@@ -478,3 +478,35 @@ def test_pack_sequences_next_fit(spark):
     # oversize (then it starts its own bin at offset 0)
     for r in a:
         assert r["offset"] == 0 or r["offset"] + 0 < 100
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.ordering import (
+        corpus_shuffle_split,
+        global_rank,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("k"),
+    )
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in global_rank(df.repartition(13), "k", n_parts=7).collect()
+    }
+    want = {
+        r["doc_id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k"))
+        ).collect()
+    }
+    assert got == want
+
+    # shuffle+split: ranks are a permutation of 1..n; split fractions
+    # roughly 80/10/10; result independent of input partitioning
+    out = corpus_shuffle_split(df).collect()
+    assert sorted(r["rank"] for r in out) == list(range(1, 1001))
+    frac = {s: sum(1 for r in out if r["split"] == s) / 1000 for s in
+            ("train", "val", "test")}
+    assert 0.7 < frac["train"] < 0.9 and frac["val"] > 0.02 and frac["test"] > 0.02
