@@ -57,6 +57,7 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
     hazard_influence,
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (  # noqa: E402
+    domain_mix_sample,
     pps_sample,
     stratified_sample,
 )
@@ -1702,6 +1703,74 @@ def _sql_dedup_components() -> str:
     """
 
 
+def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) domain mixing over documents.source with
+    deterministic hash acceptance; inverse-probability mix weights."""
+    out = domain_mix_sample(_docs(spark, sf_dir), alpha=0.5)
+    return out.select(
+        "doc_id",
+        "source",
+        F.round("p_share", 9).alias("p_share"),
+        F.round("keep_rate", 9).alias("keep_rate"),
+        F.round("mix_wt", 9).alias("mix_wt"),
+    )
+
+
+def _sql_domain_mix() -> str:
+    uu = MD5INT_SQL.format(x="concat_ws('-', 'mix', doc_id::VARCHAR)")
+    return f"""
+    WITH s AS (
+      SELECT source, count(*) * 1.0 / sum(count(*)) OVER () AS p_share
+      FROM documents GROUP BY source),
+    r AS (SELECT source, p_share,
+                 pow(p_share / min(p_share) OVER (), -0.5) AS keep_rate
+          FROM s),
+    u AS (SELECT doc_id, source,
+                 {uu} / 281474976710656.0 AS uu
+          FROM documents)
+    SELECT u.doc_id, u.source,
+           round(p_share, 9) AS p_share,
+           round(keep_rate, 9) AS keep_rate,
+           round(1.0 / keep_rate, 9) AS mix_wt
+    FROM u JOIN r USING (source) WHERE uu < keep_rate
+    """
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text_ops.repetition_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.round("dup_token_frac", 9).alias("dup_token_frac"),
+        F.round("dup_bigram_frac", 9).alias("dup_bigram_frac"),
+        F.round("top_bigram_frac", 9).alias("top_bigram_frac"),
+    )
+
+
+def _sql_repetition_stats() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    base AS (SELECT doc_id,
+                    CASE WHEN len(toks) > 0
+                         THEN 1.0 - len(list_distinct(toks)) * 1.0 / len(toks)
+                         ELSE 0.0 END AS dup_token_frac
+             FROM t),
+    ex AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1])) AS g
+           FROM t WHERE len(toks) >= 2),
+    pg AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2),
+    agg AS (SELECT doc_id,
+                   1.0 - count(*) * 1.0 / sum(c) AS dup_bigram_frac,
+                   max(c) * 1.0 / sum(c) AS top_bigram_frac
+            FROM pg GROUP BY 1)
+    SELECT b.doc_id,
+           round(b.dup_token_frac, 9) AS dup_token_frac,
+           round(coalesce(a.dup_bigram_frac, 0.0), 9) AS dup_bigram_frac,
+           round(coalesce(a.top_bigram_frac, 0.0), 9) AS top_bigram_frac
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle + train/val/test split: global rank
     by md5 key via range partitioning + prefix offsets (no
@@ -2372,6 +2441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "pack_sequences": _q_pack_sequences,
         "corpus_shuffle": _q_corpus_shuffle,
+        "domain_mix": _q_domain_mix,
+        "repetition_stats": _q_repetition_stats,
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_dedup": _q_embedding_dedup,
@@ -2432,6 +2503,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _sql_dedup_components(),
         "pack_sequences": _sql_pack_sequences(),
         "corpus_shuffle": _sql_corpus_shuffle(),
+        "domain_mix": _sql_domain_mix(),
+        "repetition_stats": _sql_repetition_stats(),
         "simhash": _sql_simhash(),
         "embedding_topk": _sql_embedding_topk(),
         "embedding_dedup": _sql_embedding_dedup(),

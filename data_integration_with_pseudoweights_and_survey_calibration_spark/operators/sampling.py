@@ -189,3 +189,64 @@ def assign_jk_groups(
         w = Window.orderBy(F.rand(seed))
         return df.withColumn(out_col, F.ntile(n_groups).over(w))
     raise ValueError(f"unknown method {method!r}")
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    seed: str = "mix",
+) -> DataFrame:
+    """Temperature-based domain mixing for training corpora: flatten the
+    domain distribution toward uniform by downsampling majority domains.
+
+    With domain shares p_d, each domain keeps a deterministic fraction
+
+        r_d = (p_d / min_e p_e) ** (alpha - 1)
+
+    (1 for the smallest domain; < 1 for larger ones since alpha < 1),
+    so the accepted mix is proportional to p_d**alpha -- the standard
+    temperature-sampling scheme for multi-domain corpora. ``alpha=1``
+    keeps everything; ``alpha=0`` targets a uniform mix.
+
+    Acceptance is a hash-uniform per id (first 12 md5 hex digits /
+    2^48), so the sample is reproducible, partitioning-independent, and
+    SQL-oracle-checkable. 100 TB: one groupBy over the corpus for the
+    share table (domain-count-sized), broadcast back; the filter is a
+    map-side predicate -- no extra shuffle of the corpus.
+
+    Returns the accepted rows plus (p_share, keep_rate, mix_wt) where
+    ``mix_wt = 1/keep_rate`` (inverse-probability weight restoring
+    unbiased corpus totals).
+    """
+    shares = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n_d"))
+        .withColumn("_n_tot", F.sum("_n_d").over(Window.partitionBy()))
+        .withColumn("p_share", F.col("_n_d") / F.col("_n_tot"))
+        .withColumn("_p_min", F.min("p_share").over(Window.partitionBy()))
+        .withColumn(
+            "keep_rate",
+            F.pow(F.col("p_share") / F.col("_p_min"), F.lit(float(alpha) - 1.0)),
+        )
+        .select(group_col, "p_share", "keep_rate")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.lit(seed), F.col(id_col).cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    return (
+        df.join(F.broadcast(shares), group_col)
+        .where(u < F.col("keep_rate"))
+        .withColumn("mix_wt", F.lit(1.0) / F.col("keep_rate"))
+    )

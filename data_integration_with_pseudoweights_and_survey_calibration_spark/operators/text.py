@@ -259,3 +259,66 @@ def winnow_fingerprints(
         F.col("_id").alias(id_col),
         F.array_sort(F.array_distinct(sel)).alias("fingerprints"),
     )
+
+
+def repetition_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document repetition signals (Gopher-style quality rules):
+
+    - ``dup_token_frac``: 1 - distinct/total tokens;
+    - ``dup_bigram_frac``: 1 - distinct/total token 2-grams;
+    - ``top_bigram_frac``: share of all 2-grams taken by the most
+      frequent one (high = boilerplate/looping text).
+
+    One explode + two-level aggregation keyed by doc id -- partial
+    (map-side) aggregation applies, and the doc-id key is as uniform as
+    the corpus, so no skew at 100 TB. Documents with < 2 tokens report
+    zero fractions.
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+    ).withColumn(
+        "dup_token_frac",
+        F.when(
+            F.size("_toks") > 0,
+            1.0 - F.size(F.array_distinct("_toks")) / F.size("_toks"),
+        ).otherwise(F.lit(0.0)),
+    )
+    grams = base.select(
+        id_col,
+        "dup_token_frac",
+        F.explode_outer(
+            F.when(
+                F.size("_toks") >= 2,
+                F.zip_with(
+                    F.slice("_toks", 1, F.size("_toks") - 1),
+                    F.slice("_toks", 2, F.size("_toks") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            )
+        ).alias("_g"),
+    )
+    per_gram = grams.groupBy(id_col, "dup_token_frac", "_g").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return per_gram.groupBy(id_col, "dup_token_frac").agg(
+        F.when(
+            F.max("_g").isNotNull(),
+            1.0 - F.count("_g") / F.sum(F.when(F.col("_g").isNotNull(), F.col("_c"))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+        F.when(
+            F.max("_g").isNotNull(),
+            F.max(F.when(F.col("_g").isNotNull(), F.col("_c")))
+            / F.sum(F.when(F.col("_g").isNotNull(), F.col("_c"))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )

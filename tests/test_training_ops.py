@@ -510,3 +510,47 @@ def test_global_rank_matches_single_partition_window(spark):
     frac = {s: sum(1 for r in out if r["split"] == s) / 1000 for s in
             ("train", "val", "test")}
     assert 0.7 < frac["train"] < 0.9 and frac["val"] > 0.02 and frac["test"] > 0.02
+
+
+def test_domain_mix_flattens(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+        domain_mix_sample,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_mix_sample(df, alpha=0.5).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], []).append(r)
+    # the largest domain keeps rate (p_small/p_big)^(-0.5) < 1; the
+    # smallest keeps everything (rate 1)
+    assert len(by["small"]) == 100
+    assert 0.15 < len(by["big"]) / 900 < 0.5  # expect ~1/3
+    assert all(abs(r["mix_wt"] * (1 / r["mix_wt"]) - 1) < 1e-12 for r in out)
+
+    # alpha=1: identity mix, everything kept with weight 1
+    out1 = domain_mix_sample(df, alpha=1.0).collect()
+    assert len(out1) == 1000 and all(r["mix_wt"] == 1.0 for r in out1)
+
+
+def test_repetition_features(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+        repetition_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # bigrams: ab ba ab ba ab -> top 3/5
+            (2, "w x y z"),           # all distinct
+            (3, "solo"),              # <2 tokens -> zeros
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert abs(got[1]["dup_token_frac"] - (1 - 2 / 6)) < 1e-9
+    assert abs(got[1]["top_bigram_frac"] - 3 / 5) < 1e-9
+    assert abs(got[1]["dup_bigram_frac"] - (1 - 2 / 5)) < 1e-9
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 1 / 3
+    assert got[3]["dup_bigram_frac"] == 0.0 and got[3]["top_bigram_frac"] == 0.0
