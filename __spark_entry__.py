@@ -22,7 +22,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -1703,6 +1703,103 @@ def _sql_dedup_components() -> str:
     """
 
 
+def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary over the largest table (TPC-H Q1 shape): the
+    predicate and the 6-column projection reach the parquet scan
+    (PushedFilters/ReadSchema), aggregation is map-side partial then a
+    2-key exchange -- the canonical 100 TB scan query. Averages (not
+    grand sums) keep float parity with the oracle at 6 dp."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = tpch.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 9).alias("avg_disc"),
+            F.round(
+                F.avg(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 6
+            ).alias("avg_net"),
+        )
+    )
+
+
+def _sql_lineitem_pricing() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 9) AS avg_disc,
+           round(avg(l_extendedprice * (1.0 - l_discount)), 6) AS avg_net
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def _q_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by 1996 net revenue: lineitem |><| orders on the
+    order key (the one big-big shuffle), customer and nation broadcast,
+    global top-k via orderBy().limit() (TakeOrdered: per-partition heap
+    + driver merge of 10 rows -- no single-partition window over the
+    full aggregate)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = tpch.load_table(spark, sf_dir, "lineitem")
+    orders = tpch.load_table(spark, sf_dir, "orders")
+    cust = tpch.load_table(spark, sf_dir, "customer")
+    nat = tpch.load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias(
+                "_rev"
+            )
+        )
+    )
+    top = (
+        rev.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.round("_rev", 4).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def _sql_customer_revenue() -> str:
+    return """
+    WITH rev AS (
+      SELECT o_custkey, sum(l_extendedprice * (1.0 - l_discount)) AS r
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY o_custkey),
+    top AS (
+      SELECT c_custkey, c_name, n_name AS nation, round(r, 4) AS revenue,
+             row_number() OVER (ORDER BY round(r, 4) DESC, c_custkey) AS rank
+      FROM rev JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey)
+    SELECT c_custkey, c_name, nation, revenue, rank
+    FROM top WHERE rank <= 10
+    """
+
+
 def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature (alpha=0.5) domain mixing over documents.source with
     deterministic hash acceptance; inverse-probability mix weights."""
@@ -2443,6 +2540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": _q_corpus_shuffle,
         "domain_mix": _q_domain_mix,
         "repetition_stats": _q_repetition_stats,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "customer_revenue": _q_customer_revenue,
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_dedup": _q_embedding_dedup,
@@ -2505,6 +2604,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle": _sql_corpus_shuffle(),
         "domain_mix": _sql_domain_mix(),
         "repetition_stats": _sql_repetition_stats(),
+        "lineitem_pricing": _sql_lineitem_pricing(),
+        "customer_revenue": _sql_customer_revenue(),
         "simhash": _sql_simhash(),
         "embedding_topk": _sql_embedding_topk(),
         "embedding_dedup": _sql_embedding_dedup(),
