@@ -1703,6 +1703,50 @@ def _sql_dedup_components() -> str:
     """
 
 
+def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics per source: exact distinct tokens,
+    total tokens, type-token ratio. Exact distinct = one explode +
+    two-level agg (partial distinct per map side)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(text_ops.tokens("text")).alias("_tok")
+    )
+    return toks.groupBy("source").agg(
+        F.countDistinct("_tok").alias("n_vocab"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.countDistinct("_tok") / F.count(F.lit(1)), 9).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+def _sql_vocab_stats() -> str:
+    return f"""
+    WITH t AS (SELECT source, unnest({TOKS_SQL}) AS tok FROM documents)
+    SELECT source,
+           count(DISTINCT tok) AS n_vocab,
+           count(*) AS n_tokens,
+           round(count(DISTINCT tok) * 1.0 / count(*), 9) AS type_token_ratio
+    FROM t GROUP BY source
+    """
+
+
+def _q_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch twin of vocab_stats: at 100 TB the exact distinct's
+    token-keyed exchange is replaced by a fixed-size mergeable sketch
+    (map-side partials, O(sources) result rows). Rows-only gate
+    (approximate by construction); tests assert <= 5% relative error
+    against the exact twin."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(text_ops.tokens("text")).alias("_tok")
+    )
+    return toks.groupBy("source").agg(
+        F.approx_count_distinct("_tok", rsd=0.02).alias("n_vocab_approx"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
 def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary over the largest table (TPC-H Q1 shape): the
     predicate and the 6-column projection reach the parquet scan
@@ -2542,6 +2586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "lineitem_pricing": _q_lineitem_pricing,
         "customer_revenue": _q_customer_revenue,
+        "vocab_stats": _q_vocab_stats,
+        "vocab_approx": _q_vocab_approx,
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_dedup": _q_embedding_dedup,
@@ -2606,6 +2652,10 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _sql_repetition_stats(),
         "lineitem_pricing": _sql_lineitem_pricing(),
         "customer_revenue": _sql_customer_revenue(),
+        "vocab_stats": _sql_vocab_stats(),
+        # vocab_approx: HLL sketch (rows-only); accuracy asserted in
+        # tests against the exact vocab_stats twin
+
         "simhash": _sql_simhash(),
         "embedding_topk": _sql_embedding_topk(),
         "embedding_dedup": _sql_embedding_dedup(),

@@ -554,3 +554,19 @@ def test_repetition_features(spark):
     assert got[2]["dup_token_frac"] == 0.0
     assert got[2]["top_bigram_frac"] == 1 / 3
     assert got[3]["dup_bigram_frac"] == 0.0 and got[3]["top_bigram_frac"] == 0.0
+
+
+def test_vocab_approx_accuracy(spark, sf_dir):
+    import __spark_entry__ as em
+
+    exact = {
+        r["source"]: r["n_vocab"]
+        for r in em.queries()["vocab_stats"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["source"]: r["n_vocab_approx"]
+        for r in em.queries()["vocab_approx"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for s in exact:
+        assert abs(approx[s] - exact[s]) / exact[s] <= 0.05
