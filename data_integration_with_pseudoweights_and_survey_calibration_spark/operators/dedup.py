@@ -594,6 +594,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster resolution for near-dup pairs: connected components over
     the (id_a, id_b) pair table, returning (id, component) with
@@ -616,6 +617,8 @@ def connected_components(
 
     ``nodes``: optional (id) frame of ALL docs; when given, singletons
     (docs in no pair) appear with component = their own id.
+    ``stats``: optional dict, filled with {"rounds": k} on return (for
+    scale probes asserting the O(log n) round count).
     """
     e = edges.select(
         F.col(src).alias("_u"), F.col(dst).alias("_v")
@@ -628,7 +631,9 @@ def connected_components(
         nd = e.select("_u").distinct()
     e = e.localCheckpoint(eager=False)
     lab = nd.select("_u", F.col("_u").alias("_c")).localCheckpoint(eager=False)
+    rounds = 0
     for _ in range(int(max_iter)):
+        rounds += 1
         nbr = (
             e.join(lab.withColumnRenamed("_u", "_v"), "_v")
             .groupBy("_u")
@@ -657,4 +662,6 @@ def connected_components(
         lab = jumped
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return lab.select(F.col("_u").alias(id_col), F.col("_c").alias("component"))

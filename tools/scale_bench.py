@@ -118,7 +118,49 @@ def dedup_ladder(spark, sizes: list[int]) -> None:
         )
 
 
+def components_ladder(spark, sizes: list[int]) -> None:
+    """Connected-components scale probe: n/10 planted chains of 10
+    nodes (diameter 9 -- the worst case pointer jumping must collapse).
+    Asserts the component count and records wall time + rounds."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    points = []
+    for n in sizes:
+        edges = (
+            spark.range(n)
+            .where(F.col("id") % 10 != 9)
+            .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        )
+        stats: dict = {}
+        t0 = time.time()
+        comp = connected_components(edges, stats=stats)
+        n_comp = comp.select("component").distinct().count()
+        wall = time.time() - t0
+        assert n_comp == n // 10, (n_comp, n // 10)
+        points.append(
+            {
+                "n_nodes": n,
+                "n_components": int(n_comp),
+                "rounds": stats["rounds"],
+                "wall_sec": round(wall, 2),
+            }
+        )
+    print(json.dumps({"op": "connected_components", "points": points}))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--components":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [100_000, 400_000, 1_600_000]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        components_ladder(spark, sizes)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--dedup":
         sizes = (
             [int(x) for x in sys.argv[2].split(",")]
