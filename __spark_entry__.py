@@ -85,6 +85,9 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
     ngram_jaccard_pairs,
     simhash,
 )
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.asof import (  # noqa: E402
+    asof_join,
+)
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.ordering import (  # noqa: E402
     corpus_shuffle_split,
 )
@@ -2118,6 +2121,51 @@ def _sql_events_windowed() -> str:
     """
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of join (public D4): every purchase event matched to
+    the user's most recent view event (inclusive backward). One shuffle
+    on user_id; window carry-forward, no range join."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = tpch.load_events(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, views, on="ts", by="user_id", value_cols=["view_value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        F.round("value", 6).alias("value"),
+        F.unix_timestamp("ts_asof").alias("view_ts_sec"),
+        F.round("view_value_asof", 6).alias("view_value"),
+    )
+
+
+def _sql_events_asof() -> str:
+    # DuckDB's native ASOF JOIN is the oracle for the window-based
+    # distributed implementation
+    return """
+    WITH v AS (SELECT user_id, ts, max(value) AS view_value
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    p AS (SELECT event_id, user_id, ts, value
+          FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           floor(epoch(p.ts))::BIGINT AS ts_sec,
+           round(p.value, 6) AS value,
+           floor(epoch(v.ts))::BIGINT AS view_ts_sec,
+           round(v.view_value, 6) AS view_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """
+
+
 def _q_events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of ``streaming.stateful.stream_running_weighted_mean``:
     the per-group algebraic state (n, sum_w, sum_wy, wmean) the stateful
@@ -2595,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_topk_exact": _q_ivf_topk_exact,
         "events_windowed": _q_events_windowed,
+        "events_asof": _q_events_asof,
         "events_running_totals": _q_events_running_totals,
         "events_sessions": _q_events_sessions,
         "events_props": _q_events_props,
@@ -2663,6 +2712,7 @@ def oracle_sql() -> dict[str, str]:
         # ivf_topk_exact: full-probe IVF == brute force, same oracle
         "ivf_topk_exact": _sql_embedding_topk(),
         "events_windowed": _sql_events_windowed(),
+        "events_asof": _sql_events_asof(),
         "events_running_totals": _sql_events_running_totals(),
         "events_sessions": _sql_events_sessions(),
         "events_props": _sql_events_props(),

@@ -1,0 +1,63 @@
+"""Generic as-of (most-recent-match) join.
+
+The survival module uses a specialized as-of lookup for step-function
+hazard evaluation (SURVEY §2 D4, `survival.as_of_lookup`); this is the
+public generic operator: for every left row, attach the latest right
+row whose time is <= the left row's time, within a key group.
+
+Spark-first plan (the standard scale shape): UNION both sides with a
+role tag, ONE shuffle on the key, and a per-key window ordered by
+(time, role) carrying the right-side payload forward with
+``last(ignorenulls)``. No range join, no per-row subquery, no skew
+beyond the key's own distribution; ties resolve right-before-left so an
+equal-timestamp right row matches (inclusive backward as-of, the DuckDB
+ASOF JOIN semantics the oracle uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each ``left`` row: the latest ``right`` row with
+    ``right[on] <= left[on]`` and equal ``by`` key. Appends
+    ``{on}{suffix}`` (matched right time, null if none) and
+    ``{c}{suffix}`` for each of ``value_cols``.
+    """
+    lcols = left.columns
+    l = left.withColumn("_role", F.lit(1))
+    r = right.select(
+        by,
+        on,
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    ).withColumn("_role", F.lit(0))
+    tagged = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_role").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        f"{on}{suffix}",
+        F.last(F.when(F.col("_role") == 0, F.col(on)), ignorenulls=True).over(w),
+    )
+    for c in value_cols:
+        carried = carried.withColumn(
+            f"{c}{suffix}",
+            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w),
+        )
+    return carried.where(F.col("_role") == 1).select(
+        *lcols,
+        f"{on}{suffix}",
+        *[f"{c}{suffix}" for c in value_cols],
+    )

@@ -570,3 +570,30 @@ def test_vocab_approx_accuracy(spark, sf_dir):
     assert set(exact) == set(approx)
     for s in exact:
         assert abs(approx[s] - exact[s]) / exact[s] <= 0.05
+
+
+def test_asof_join_semantics(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.asof import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (3, 7, "d")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 6, 60.0)],
+        "k long, t long, v double",
+    )
+    got = {
+        r["tag"]: (r["t_asof"], r["v_asof"])
+        for r in asof_join(left, right, on="t", by="k", value_cols=["v"]).collect()
+    }
+    # equal timestamps match (inclusive), latest earlier row wins,
+    # no-match and missing-key rows keep nulls
+    assert got == {
+        "a": (10, 100.0),
+        "b": (15, 150.0),
+        "c": (None, None),
+        "d": (None, None),
+    }
