@@ -87,6 +87,7 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.asof import (  # noqa: E402
     asof_join,
+    range_join,
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.ordering import (  # noqa: E402
     corpus_shuffle_split,
@@ -2166,6 +2167,68 @@ def _sql_events_asof() -> str:
     """
 
 
+def _q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (generic KW-band shape): views within 24h
+    before each purchase, aggregated per purchase. Bucketed equi-join
+    on (user, floor(t/w)) -- no per-key cross product."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = tpch.load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("double").alias("t"), "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").cast("double").alias("t"),
+        F.col("value").alias("vv"),
+    )
+    pairs = range_join(
+        purchases, views, on="t", by="user_id", window=86400.0,
+        value_cols=["vv"],
+    )
+    return pairs.groupBy("event_id", "user_id", "value").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.round(F.sum("vv_r"), 6).alias("view_value_sum"),
+    ).select(
+        "event_id", "user_id", F.round("value", 6).alias("value"),
+        "n_views", "view_value_sum",
+    )
+
+
+def _sql_events_attribution() -> str:
+    return """
+    WITH p AS (SELECT event_id, user_id, epoch(ts) AS t, value
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, epoch(ts) AS t, value AS vv
+          FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, round(p.value, 6) AS value,
+           count(*) AS n_views,
+           round(sum(v.vv), 6) AS view_value_sum
+    FROM p JOIN v
+      ON p.user_id = v.user_id AND v.t <= p.t AND v.t >= p.t - 86400
+    GROUP BY 1, 2, p.value
+    """
+
+
+def _q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets aggregation (ROLLUP) over the largest table:
+    subtotals per returnflag and a grand total in one pass (partial
+    aggs feed every grouping set; no repeated scans)."""
+    li = tpch.load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    )
+
+
+def _sql_pricing_rollup() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(avg(l_quantity), 6) AS avg_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+
 def _q_events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of ``streaming.stateful.stream_running_weighted_mean``:
     the per-group algebraic state (n, sum_w, sum_wy, wmean) the stateful
@@ -2644,6 +2707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_exact": _q_ivf_topk_exact,
         "events_windowed": _q_events_windowed,
         "events_asof": _q_events_asof,
+        "events_attribution": _q_events_attribution,
+        "pricing_rollup": _q_pricing_rollup,
         "events_running_totals": _q_events_running_totals,
         "events_sessions": _q_events_sessions,
         "events_props": _q_events_props,
@@ -2713,6 +2778,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_exact": _sql_embedding_topk(),
         "events_windowed": _sql_events_windowed(),
         "events_asof": _sql_events_asof(),
+        "events_attribution": _sql_events_attribution(),
+        "pricing_rollup": _sql_pricing_rollup(),
         "events_running_totals": _sql_events_running_totals(),
         "events_sessions": _sql_events_sessions(),
         "events_props": _sql_events_props(),

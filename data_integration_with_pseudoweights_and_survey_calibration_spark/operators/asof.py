@@ -61,3 +61,45 @@ def asof_join(
         f"{on}{suffix}",
         *[f"{c}{suffix}" for c in value_cols],
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: str,
+    window: float,
+    value_cols: list[str],
+    suffix: str = "_r",
+) -> DataFrame:
+    """Banded range join: all (left, right) pairs with equal ``by`` key
+    and ``left[on] - window <= right[on] <= left[on]``.
+
+    A naive theta-join degenerates to per-key cross products; instead
+    both sides are bucketed by ``floor(t / window)`` and the left side
+    probes its own bucket and the previous one (any right row within
+    ``window`` of t lives in one of the two), so the join is a pure
+    equi-join on (by, bucket) with a residual filter -- the same
+    bucketed-band shape as the KW kernel pair join
+    (`pseudoweights.py`), generically exposed. Output: one row per
+    matching pair with the right payload suffixed.
+    """
+    w = float(window)
+    lb = F.floor(F.col(on) / F.lit(w)).cast("long")
+    l = left.withColumn("_bkt", F.explode(F.array(lb, lb - 1)))
+    r = right.select(
+        F.col(by),
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    ).withColumn(
+        "_bkt", F.floor(F.col(f"{on}{suffix}") / F.lit(w)).cast("long")
+    )
+    return (
+        l.join(r, [by, "_bkt"])
+        .where(
+            (F.col(f"{on}{suffix}") <= F.col(on))
+            & (F.col(f"{on}{suffix}") >= F.col(on) - F.lit(w))
+        )
+        .drop("_bkt")
+    )

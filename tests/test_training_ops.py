@@ -597,3 +597,30 @@ def test_asof_join_semantics(spark):
         "c": (None, None),
         "d": (None, None),
     }
+
+
+def test_range_join_banding_exact(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.asof import (
+        range_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100.0, "p1"), (1, 50.0, "p2"), (2, 10.0, "p3")],
+        "k long, t double, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100.0, 1.0), (1, 91.0, 2.0), (1, 89.9, 3.0), (1, 45.0, 4.0),
+         (2, 20.0, 5.0)],
+        "k long, t double, v double",
+    )
+    out = range_join(left, right, on="t", by="k", window=10.0, value_cols=["v"])
+    got = sorted((r["tag"], r["v_r"]) for r in out.collect())
+    # p1 matches t in [90, 100]: 100.0 (inclusive upper) and 91.0 but
+    # NOT 89.9 (below t-w); p2 matches 45.0; p3 has no earlier view
+    assert got == [("p1", 1.0), ("p1", 2.0), ("p2", 4.0)]
+
+    # banding never double-counts a pair on a bucket boundary
+    left2 = spark.createDataFrame([(1, 20.0, "x")], "k long, t double, tag string")
+    right2 = spark.createDataFrame([(1, 10.0, 9.0)], "k long, t double, v double")
+    assert range_join(left2, right2, on="t", by="k", window=10.0,
+                      value_cols=["v"]).count() == 1
