@@ -1,0 +1,51 @@
+"""Stream-stream interval join: the streaming twin of the batch banded
+range join (`operators/asof.range_join`).
+
+Structured Streaming executes this as a watermarked symmetric hash
+join: both sides keep keyed state, and the event-time range condition
+bounds how long a row must be retained (right rows older than
+left_watermark - window are dropped from state) -- the engine-native
+equivalent of the batch bucket-banding. Inner join + append mode: a
+pair is emitted exactly once, when both sides have arrived.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "ts",
+    by: str = "user_id",
+    window: str = "24 hours",
+    watermark: str = "1 hour",
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pairs with equal ``by`` key and ``right[on]`` in
+    ``[left[on] - window, left[on]]``, as an append-mode stream-stream
+    join. ``left_cols`` / ``right_cols`` select the payload (defaults:
+    everything, right side suffixed ``_r``).
+    """
+    lc = left_cols or [c for c in left.columns]
+    rc = right_cols or [c for c in right.columns if c not in (by,)]
+    l = left.withWatermark(on, watermark).alias("l")
+    r = (
+        right.select(by, *rc)
+        .toDF(by, *[f"{c}_r" for c in rc])
+        .withWatermark(f"{on}_r", watermark)
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{by}") == F.col(f"r.{by}"))
+        & (F.col(f"{on}_r") <= F.col(f"l.{on}"))
+        & (F.col(f"{on}_r") >= F.col(f"l.{on}") - F.expr(f"INTERVAL {window}"))
+    )
+    return l.join(r, cond).select(
+        *[F.col(f"l.{c}") for c in lc],
+        *[F.col(f"{c}_r") for c in rc],
+    )

@@ -358,3 +358,60 @@ def test_stream_to_bucketed_ingest_exactly_once(spark, events_stream, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS ing_events")
         spark.sql("DROP TABLE IF EXISTS ing_events__batches")
+
+
+def test_stream_interval_join_matches_batch_range_join(spark, events_stream, tmp_path):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.asof import (
+        range_join,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    batch, stream = events_stream
+
+    # batch truth: views within 24h before each purchase (pair level)
+    p_b = batch.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("double").alias("t"), "value"
+    )
+    v_b = batch.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").cast("double").alias("t"),
+        F.col("value").alias("vv"),
+    )
+    want = sorted(
+        (r["event_id"], round(r["vv_r"], 9))
+        for r in range_join(
+            p_b, v_b, on="t", by="user_id", window=86400.0, value_cols=["vv"]
+        ).collect()
+    )
+
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = stream.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("vv")
+    )
+    joined = stream_interval_join(
+        purchases,
+        views,
+        on="ts",
+        by="user_id",
+        window="24 hours",
+        watermark="0 seconds",
+        left_cols=["event_id", "user_id", "ts", "value"],
+        right_cols=["ts", "vv"],
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["event_id"], round(r["vv_r"], 9))
+        for r in spark.table("ivj").collect()
+    )
+    assert got == want and len(got) > 0
