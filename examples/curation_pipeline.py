@@ -62,7 +62,7 @@ def main() -> None:
     scored = language_scores(quality_features(docs))
     gated = scored.where(
         (F.col("quality") >= QUALITY_MIN) & F.col("lang_pred").isNotNull()
-    ).select("doc_id", "text", "quality", "lang_pred")
+    ).select("doc_id", "text", "source", "quality", "lang_pred")
     n_gate = gated.count()
 
     # 2. exact dedup: fingerprint groups, keep the min doc_id
@@ -71,11 +71,12 @@ def main() -> None:
     exact_survivors = gated.join(F.broadcast(keep_exact), "doc_id")
     n_exact = exact_survivors.count()
 
-    # 3. near-dup: MinHash LSH pairs above tau; drop the larger id of
-    # every pair (greedy edge-wise, deterministic)
+    # 3. near-dup: MinHash LSH pairs above tau -> connected components
+    # -> keep exactly the canonical (min-id) doc of every cluster
     pairs = dedup.minhash_lsh_pairs(exact_survivors, JACCARD_TAU)
     n_near_pairs = pairs.count()
-    drop_near = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    comp = dedup.connected_components(pairs)
+    drop_near = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
     near_survivors = exact_survivors.join(drop_near, "doc_id", "left_anti")
     n_near = near_survivors.count()
 
@@ -130,6 +131,38 @@ def main() -> None:
     curated.write.mode("overwrite").parquet(out_dir)
     n_tokens_total = curated.agg(F.sum("n_pieces")).collect()[0][0]
 
+    # 7. training assembly: temperature domain mixing, deterministic
+    # shuffle + hash splits, sequence packing of the train split into
+    # 512-token windows -- the manifest a data loader consumes
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.ordering import (
+        corpus_shuffle_split,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.packing import (
+        pack_sequences,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+        domain_mix_sample,
+    )
+
+    mixed = domain_mix_sample(curated, alpha=0.7).cache()
+    n_mixed = mixed.count()
+    splits = corpus_shuffle_split(mixed)
+    split_counts = {
+        r["split"]: r["n"]
+        for r in splits.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    train = mixed.join(
+        splits.where(F.col("split") == "train").select("doc_id", "rank"), "doc_id"
+    )
+    packed = pack_sequences(train, 512, n_tok=F.col("n_pieces"), n_shards=8)
+    seq_stats = packed.groupBy("shard", "seq_id").agg(
+        F.sum("n_tok").alias("fill"), F.count(F.lit(1)).alias("n_docs")
+    )
+    n_seqs, mean_fill = seq_stats.agg(
+        F.count(F.lit(1)), F.avg("fill")
+    ).collect()[0]
+    packed.write.mode("overwrite").parquet(out_dir + "_train_sequences")
+
     print(json.dumps({
         "input_docs": n0,
         "after_quality_language_gate": n_gate,
@@ -139,7 +172,12 @@ def main() -> None:
         "embedding_pairs_found": n_emb_pairs,
         "after_embedding_neardup": n_final,
         "curated_token_budget_bpe": int(n_tokens_total),
+        "after_domain_mix": n_mixed,
+        "split_counts": split_counts,
+        "train_sequences_512tok": int(n_seqs),
+        "train_sequence_mean_fill": round(float(mean_fill), 1),
         "curated_parquet": out_dir,
+        "train_sequences_parquet": out_dir + "_train_sequences",
         "total_sec": round(time.time() - t0, 1),
     }, indent=2))
 
