@@ -181,3 +181,75 @@ def test_winnow_short_doc(spark):
     )
     assert list(out[0]) == []
     assert len(out[1]) == 2  # 6 tokens -> 2 grams, both kept
+
+
+@given(seed=st.integers(0, 10_000), n=st.integers(5, 60))
+@settings(**SETTINGS)
+def test_range_join_equals_naive_filter_join(spark, seed, n):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.asof import (
+        range_join,
+    )
+
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n),
+            "t": np.round(rng.uniform(0, 100, n), 3),
+            "lid": np.arange(n, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n),
+            "t": np.round(rng.uniform(0, 100, n), 3),
+            "v": np.arange(n, dtype=np.float64),
+        }
+    )
+    w = float(rng.uniform(1, 30))
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    got = sorted(
+        (r["lid"], r["v_r"])
+        for r in range_join(
+            ldf, rdf, on="t", by="k", window=w, value_cols=["v"]
+        ).collect()
+    )
+    m = left.merge(right, on="k", suffixes=("", "_r"))
+    m = m[(m["t_r"] <= m["t"]) & (m["t_r"] >= m["t"] - w)]
+    want = sorted(zip(m["lid"].tolist(), m["v"].tolist()))
+    assert got == want
+
+
+@given(seed=st.integers(0, 10_000), n=st.integers(1, 80), budget=st.integers(8, 64))
+@settings(**SETTINGS)
+def test_pack_sequences_invariants(spark, seed, n, budget):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n": rng.integers(1, 100, n).astype("int64"),
+        }
+    )
+    out = pd.DataFrame(
+        r.asDict()
+        for r in pack_sequences(
+            spark.createDataFrame(pdf), budget, n_tok="n", n_shards=3
+        ).collect()
+    )
+    assert len(out) == n
+    for (_, _), grp in out.groupby(["shard", "seq_id"]):
+        fill = grp["n_tok"].sum()
+        # a bin exceeds the budget only as a single oversize doc
+        assert fill <= budget or len(grp) == 1
+        # offsets are the running fill in doc_id order
+        g = grp.sort_values("doc_id")
+        assert (g["offset"] == g["n_tok"].cumsum() - g["n_tok"]).all()
+    # bins are numbered contiguously from 0 within each shard, in
+    # doc_id order
+    for _, grp in out.groupby("shard"):
+        g = grp.sort_values("doc_id")
+        seq = g["seq_id"].to_numpy()
+        assert seq[0] == 0 and ((np.diff(seq) == 0) | (np.diff(seq) == 1)).all()
