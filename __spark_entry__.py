@@ -1916,6 +1916,50 @@ def _sql_repetition_stats() -> str:
     """
 
 
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage removal: odd doc_ids act as the eval corpus,
+    even ones as train; flag every train doc sharing a winnowing
+    fingerprint with eval (broadcast fingerprint equi-join)."""
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    ev = docs.where(F.col("doc_id") % 2 == 1)
+    _, contaminated = text_ops.decontaminate(
+        train, ev, k=WINNOW_K, w=WINNOW_W
+    )
+    return contaminated.select("doc_id", "n_shared")
+
+
+def _sql_decontamination() -> str:
+    kg = " || ' ' || ".join(f"toks[i + {j}]" for j in range(WINNOW_K))
+    fp_cte = f"""
+    t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+            list_transform(
+              generate_series(1, greatest(len(toks) - {WINNOW_K - 1}, 0)),
+              i -> {kg}) AS kg
+          FROM t),
+    h AS (SELECT doc_id,
+            list_transform(kg, x -> {MD5INT_SQL.format(x='x')}) AS hs
+          FROM g),
+    s AS (SELECT doc_id,
+            CASE WHEN len(hs) >= {WINNOW_W} THEN
+              list_distinct(list_transform(
+                generate_series(1, len(hs) - {WINNOW_W - 1}),
+                j -> list_min(array_slice(hs, j, j + {WINNOW_W - 1}))))
+            ELSE list_distinct(hs) END AS fp
+          FROM h)
+    """
+    return f"""
+    WITH {fp_cte},
+    ex AS (SELECT doc_id, unnest(fp) AS f FROM s),
+    evfp AS (SELECT DISTINCT f FROM ex WHERE doc_id % 2 = 1)
+    SELECT ex.doc_id, count(*) AS n_shared
+    FROM ex JOIN evfp USING (f)
+    WHERE ex.doc_id % 2 = 0
+    GROUP BY ex.doc_id
+    """
+
+
 def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle + train/val/test split: global rank
     by md5 key via range partitioning + prefix offsets (no
@@ -2693,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "pack_sequences": _q_pack_sequences,
         "corpus_shuffle": _q_corpus_shuffle,
+        "decontamination": _q_decontamination,
         "domain_mix": _q_domain_mix,
         "repetition_stats": _q_repetition_stats,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -2762,6 +2807,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _sql_dedup_components(),
         "pack_sequences": _sql_pack_sequences(),
         "corpus_shuffle": _sql_corpus_shuffle(),
+        "decontamination": _sql_decontamination(),
         "domain_mix": _sql_domain_mix(),
         "repetition_stats": _sql_repetition_stats(),
         "lineitem_pricing": _sql_lineitem_pricing(),

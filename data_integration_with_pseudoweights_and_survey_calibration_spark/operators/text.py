@@ -322,3 +322,42 @@ def repetition_features(
         .otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+):
+    """Train/eval decontamination: flag every training document sharing
+    at least one winnowing fingerprint with the evaluation corpus (the
+    standard benchmark-leakage removal pass; the winnowing guarantee
+    makes any shared run of >= w+k-1 tokens detectable).
+
+    100 TB design: fingerprinting is the map-only winnow pass on both
+    sides; the overlap test is ONE equi-join on the 48-bit fingerprint
+    hash -- the eval side (benchmarks) is tiny, so its distinct
+    fingerprint set broadcasts and the train corpus never shuffles.
+
+    Returns (clean, contaminated): ``clean`` = train rows with no
+    shared fingerprint; ``contaminated`` = (id, n_shared) per flagged
+    doc.
+    """
+    tfp = winnow_fingerprints(train, id_col=id_col, text_col=text_col, k=k, w=w)
+    efp = (
+        winnow_fingerprints(eval_df, id_col=id_col, text_col=text_col, k=k, w=w)
+        .select(F.explode("fingerprints").alias("_fp"))
+        .distinct()
+    )
+    shared = (
+        tfp.select(id_col, F.explode("fingerprints").alias("_fp"))
+        .join(F.broadcast(efp), "_fp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    clean = train.join(shared.select(id_col), id_col, "left_anti")
+    return clean, shared

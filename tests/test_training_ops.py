@@ -624,3 +624,23 @@ def test_range_join_banding_exact(spark):
     right2 = spark.createDataFrame([(1, 10.0, 9.0)], "k long, t double, v double")
     assert range_join(left2, right2, on="t", by="k", window=10.0,
                       value_cols=["v"]).count() == 1
+
+
+def test_decontaminate_flags_shared_runs(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+        decontaminate,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [
+            (0, "totally unrelated words here nothing shared at all ok"),
+            (2, "prefix stuff " + leak + " suffix stuff"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(1, leak)], "doc_id long, text string")
+    clean, contaminated = decontaminate(train, ev, k=5, w=4)
+    # doc 2 contains the full eval text (>= w+k-1 = 8 tokens) -> flagged
+    assert [r["doc_id"] for r in contaminated.collect()] == [2]
+    assert [r["doc_id"] for r in clean.collect()] == [0]
