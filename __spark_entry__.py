@@ -89,6 +89,10 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
     asof_join,
     range_join,
 )
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.embedding import (  # noqa: E402
+    embedding_moments,
+    embedding_pca,
+)
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.ordering import (  # noqa: E402
     corpus_shuffle_split,
 )
@@ -2047,6 +2051,46 @@ def _sql_simhash() -> str:
     """
 
 
+def _q_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = embedding_moments(emb)
+    return out.select(
+        "dim",
+        "n",
+        F.round("mean", 9).alias("mean"),
+        F.round("var_pop", 9).alias("var_pop"),
+    )
+
+
+def _sql_embedding_moments() -> str:
+    return """
+    WITH ex AS (
+      SELECT unnest(range(len(embedding))) AS dim,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings)
+    SELECT dim, count(*) AS n,
+           round(avg(v), 9) AS mean,
+           round(avg(v * v) - avg(v) * avg(v), 9) AS var_pop
+    FROM ex GROUP BY dim
+    """
+
+
+def _q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection (partial-Gram mapInPandas -> driver
+    d x d eigh -> JVM-side zip_with projection). Rows-only gate
+    (eigendecomposition is not SQL-expressible); golden-tested against
+    a dense NumPy mirror."""
+    emb = _emb(spark, sf_dir)
+    _, _, proj = embedding_pca(emb, q=2)
+    return proj.select(
+        "vec_id",
+        F.round("pc_0", 6).alias("pc_0"),
+        F.round("pc_1", 6).alias("pc_1"),
+    )
+
+
 def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     out = brute_force_topk(emb, emb.where(F.col("vec_id") < 5), 3)
@@ -2746,6 +2790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_approx": _q_vocab_approx,
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
+        "embedding_moments": _q_embedding_moments,
+        "embedding_pca": _q_embedding_pca,
         "embedding_dedup": _q_embedding_dedup,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
@@ -2818,6 +2864,9 @@ def oracle_sql() -> dict[str, str]:
 
         "simhash": _sql_simhash(),
         "embedding_topk": _sql_embedding_topk(),
+        "embedding_moments": _sql_embedding_moments(),
+        # embedding_pca: driver-side eigh not SQL-expressible ->
+        # rows-only + golden test vs dense NumPy PCA
         "embedding_dedup": _sql_embedding_dedup(),
         # lsh_topk, ivf_topk: rows-only (approximate candidate generation)
         # ivf_topk_exact: full-probe IVF == brute force, same oracle

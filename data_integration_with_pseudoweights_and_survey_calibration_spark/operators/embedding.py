@@ -1,0 +1,109 @@
+"""Embedding-column feature engineering: per-dimension moments and
+distributed PCA.
+
+PCA at 100 TB is the classic partial-Gram shape: each partition reduces
+its rows to one d x d Gram block + d-vector sum (a mapInPandas pass
+emitting ONE flattened row per partition), the driver assembles the
+d x d covariance (d = 64 here -- KB-scale regardless of row count) and
+eigendecomposes it, and the projection back over the corpus is a pure
+Column expression (zip_with dot products against literal component
+vectors -- JVM-side, codegen-fused). Nothing row-scale ever reaches the
+driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def embedding_moments(
+    emb: DataFrame, *, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension mean and population variance of an array<float>
+    column: posexplode + keyed agg (map-side partials; d result rows)."""
+    ex = emb.select(F.posexplode(vec_col).alias("dim", "_v"))
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_v").alias("mean"),
+        (F.avg(F.col("_v") * F.col("_v")) - F.avg("_v") * F.avg("_v")).alias(
+            "var_pop"
+        ),
+    )
+
+
+def _partial_gram(vec_col: str, d: int):
+    def fn(batches):
+        g = np.zeros((d, d))
+        s = np.zeros(d)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            g += m.T @ m
+            s += m.sum(axis=0)
+            n += len(m)
+        if n:
+            yield pd.DataFrame(
+                {"g": [g.ravel().tolist()], "s": [s.tolist()], "n": [n]}
+            )
+
+    return fn
+
+
+def embedding_pca(
+    emb: DataFrame,
+    q: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """Top-q principal components of the embedding column.
+
+    Returns (components [q x d], explained_variance [q], projected df
+    (id, pc_0..pc_{q-1})). Sign convention: each component's
+    largest-|.| coordinate is positive (deterministic across runs and
+    implementations).
+    """
+    d = len(emb.select(vec_col).first()[0])
+    # one partial row PER PARTITION (not per input row): collecting
+    # them is O(n_partitions * d^2) bytes -- KB-scale -- and summing in
+    # NumPy avoids a 4k-expression aggregate that stalls codegen
+    parts = emb.select(vec_col).mapInPandas(
+        _partial_gram(vec_col, d),
+        schema="g array<double>, s array<double>, n long",
+    ).collect()
+    n = float(sum(r["n"] for r in parts))
+    gmat = np.sum(
+        [np.array(r["g"], dtype=np.float64).reshape(d, d) for r in parts], axis=0
+    )
+    mean = np.sum([np.array(r["s"], dtype=np.float64) for r in parts], axis=0) / n
+    cov = gmat / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:q]
+    comps = evecs[:, order].T  # q x d
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    expl = evals[order]
+
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(x)) for x in mean]),
+        lambda v, m: v - m,
+    )
+    proj_cols = []
+    for i in range(comps.shape[0]):
+        ck = F.array(*[F.lit(float(x)) for x in comps[i]])
+        proj_cols.append(
+            F.aggregate(
+                F.zip_with(centered, ck, lambda v, c: v * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"pc_{i}")
+        )
+    return comps, expl, emb.select(F.col(id_col), *proj_cols)

@@ -644,3 +644,33 @@ def test_decontaminate_flags_shared_runs(spark):
     # doc 2 contains the full eval text (>= w+k-1 = 8 tokens) -> flagged
     assert [r["doc_id"] for r in contaminated.collect()] == [2]
     assert [r["doc_id"] for r in clean.collect()] == [0]
+
+
+def test_embedding_pca_matches_numpy(spark, emb_df):
+    import numpy as np
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.embedding import (
+        embedding_pca,
+    )
+
+    comps, expl, proj = embedding_pca(emb_df, q=2)
+    rows = emb_df.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    c = m - m.mean(axis=0)
+    cov = c.T @ c / len(m)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    want_comps = evecs[:, order].T
+    for i in range(2):
+        j = int(np.argmax(np.abs(want_comps[i])))
+        if want_comps[i, j] < 0:
+            want_comps[i] = -want_comps[i]
+    assert np.allclose(comps, want_comps, atol=1e-8)
+    assert np.allclose(expl, evals[order], atol=1e-8)
+    want_proj = c @ want_comps.T
+    got = {r["vec_id"]: (r["pc_0"], r["pc_1"]) for r in proj.collect()}
+    by_id = {int(i): want_proj[k] for k, i in enumerate(ids)}
+    for vid, (p0, p1) in got.items():
+        assert abs(p0 - by_id[vid][0]) < 1e-6 and abs(p1 - by_id[vid][1]) < 1e-6
+    # variance explained is ordered and positive
+    assert expl[0] >= expl[1] >= 0
