@@ -48,9 +48,21 @@ from .operators.method_suite import (  # noqa: E402,F401
     estimate_methods,
     estimate_methods_inf,
 )
+from .operators.asof import asof_join, range_join  # noqa: E402,F401
+from .operators.dedup import connected_components  # noqa: E402,F401
+from .operators.embedding import (  # noqa: E402,F401
+    embedding_moments,
+    embedding_pca,
+)
+from .operators.ordering import (  # noqa: E402,F401
+    corpus_shuffle_split,
+    global_rank,
+)
+from .operators.packing import pack_sequences  # noqa: E402,F401
 from .operators.propensity import fit_propensity, integrate  # noqa: E402,F401
 from .operators.pseudoweights import kw_weights, stack_samples  # noqa: E402,F401
 from .operators.sampling import (  # noqa: E402,F401
+    domain_mix_sample,
     pps_sample,
     stratified_sample,
 )
@@ -58,6 +70,7 @@ from .operators.sessions import sessionize  # noqa: E402,F401
 from .operators.simulation import generate_population, run_simulation  # noqa: E402,F401
 from .operators.taylor import taylor_inference  # noqa: E402,F401
 from .operators.text import (  # noqa: E402,F401
+    decontaminate,
     tf_idf_top_terms,
     winnow_fingerprints,
 )
@@ -66,8 +79,18 @@ from .sources.sinks import write_bucketed, write_partitioned  # noqa: E402,F401
 
 __all__ = [
     "__version__",
+    "asof_join",
     "calib_est",
+    "connected_components",
+    "corpus_shuffle_split",
     "cox_fit",
+    "decontaminate",
+    "domain_mix_sample",
+    "embedding_moments",
+    "embedding_pca",
+    "global_rank",
+    "pack_sequences",
+    "range_join",
     "estimate_methods",
     "estimate_methods_inf",
     "estimate_methods_np",
