@@ -236,28 +236,53 @@ def winnow_fingerprints(
     >= w + k - 1 tokens shares at least one fingerprint, with expected
     density 2/(w+1).
 
-    Pure Column expressions (array HOFs — no UDF, no shuffle beyond the
-    scan): at 100 TB this is a map-only pass.  Returns
-    ``(id, fingerprints array<long>)`` sorted ascending per doc.
+    Plan shape: posexplode the hashed k-grams, per-doc sliding-window
+    ``min`` over gram position, filter to valid window starts, then
+    distinct + re-collect — ONE doc-keyed shuffle (the window and the
+    groupBy share the partitioning, so Catalyst plans a single
+    exchange).  An earlier all-HOF formulation (nested transform/slice
+    lambdas over the token array) was map-only on paper but collapsed
+    into a per-window re-evaluation of the whole tokenize→gram→hash
+    tree whenever a downstream operator (explode, join) merged
+    projections — O(windows × grams × k) regex evals per row, ~300×
+    slower at sf0.1.  Attribute-per-row stages keep every
+    sub-expression evaluated exactly once regardless of what the caller
+    composes on top.  Returns ``(id, fingerprints array<long>)``
+    sorted ascending per doc.
     """
+    from pyspark.sql import Window
+
     spark = df.sparkSession
     n_part = spark.sparkContext.defaultParallelism
     toks_df = df.repartition(n_part).select(
         F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")
     )
     kg = ordered_kgrams(F.col("_toks"), k)
-    hashed = toks_df.select("_id", F.transform(kg, _hash48).alias("_hs"))
-    hs = F.col("_hs")
-    sel = F.when(
-        F.size(hs) >= w,
-        F.transform(
-            F.sequence(F.lit(1), F.size(hs) - (w - 1)),
-            lambda j: F.array_min(F.slice(hs, j, w)),
-        ),
-    ).otherwise(hs)  # short docs: every gram hash is a fingerprint
-    return hashed.select(
-        F.col("_id").alias(id_col),
-        F.array_sort(F.array_distinct(sel)).alias("fingerprints"),
+    grams = toks_df.select(
+        "_id", F.posexplode_outer(kg).alias("_pos", "_g")
+    ).select("_id", "_pos", _hash48(F.col("_g")).alias("_h"))
+    w_doc = Window.partitionBy("_id")
+    w_min = Window.partitionBy("_id").orderBy("_pos").rowsBetween(0, w - 1)
+    mins = grams.withColumn("_n", F.count("_pos").over(w_doc)).withColumn(
+        "_m", F.min("_h").over(w_min)
+    )
+    # valid window starts: _pos in [0, n-w]; short docs (< w grams)
+    # keep every gram hash; empty docs yield an empty fingerprint set
+    sel = mins.where(
+        (F.col("_n") < w) | (F.col("_pos") <= F.col("_n") - w)
+    ).select(
+        "_id",
+        F.when(F.col("_n") < w, F.col("_h")).otherwise(F.col("_m")).alias("_fp"),
+    )
+    fp = F.array_sort(
+        F.array_distinct(
+            F.filter(F.collect_list("_fp"), lambda x: x.isNotNull())
+        )
+    )
+    return (
+        sel.groupBy("_id")
+        .agg(fp.alias("fingerprints"))
+        .select(F.col("_id").alias(id_col), "fingerprints")
     )
 
 

@@ -674,3 +674,41 @@ def test_embedding_pca_matches_numpy(spark, emb_df):
         assert abs(p0 - by_id[vid][0]) < 1e-6 and abs(p1 - by_id[vid][1]) < 1e-6
     # variance explained is ordered and positive
     assert expl[0] >= expl[1] >= 0
+
+
+def test_new_ops_empty_inputs(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.asof import (
+        asof_join,
+        range_join,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.ordering import (
+        corpus_shuffle_split,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.packing import (
+        pack_sequences,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+        domain_mix_sample,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+        decontaminate,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e f", "s2")],
+        "doc_id long, text string, source string",
+    )
+    assert pack_sequences(empty_docs, 10, n_tok=F.lit(1)).count() == 0
+    assert corpus_shuffle_split(empty_docs).count() == 0
+    assert domain_mix_sample(empty_docs).count() == 0
+
+    # empty eval corpus: nothing is contaminated
+    clean, cont = decontaminate(docs, empty_docs)
+    assert cont.count() == 0 and clean.count() == 2
+
+    e = spark.createDataFrame([], "k long, t double, v double")
+    l = spark.createDataFrame([(1, 5.0, "x")], "k long, t double, tag string")
+    assert range_join(l, e, on="t", by="k", window=3.0, value_cols=["v"]).count() == 0
+    out = asof_join(l, e, on="t", by="k", value_cols=["v"]).collect()
+    assert len(out) == 1 and out[0]["v_asof"] is None
