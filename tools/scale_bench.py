@@ -150,7 +150,60 @@ def components_ladder(spark, sizes: list[int]) -> None:
     print(json.dumps({"op": "connected_components", "points": points}))
 
 
+def joins_ladder(spark, sizes: list[int]) -> None:
+    """as-of / banded-range-join probe: n synthetic events over
+    sqrt(n) users, uniform over ~3 years; left = half the events,
+    right = the other half; 24h window."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.asof import (
+        asof_join,
+        range_join,
+    )
+
+    points = []
+    for n in sizes:
+        u = max(int(n ** 0.5), 1)
+        ev = spark.range(n).select(
+            F.col("id"),
+            F.pmod(F.hash("id"), F.lit(u)).alias("user"),
+            (F.pmod(F.hash(F.col("id") + 7), F.lit(10 ** 8)) / F.lit(1.0)).alias("t"),
+            F.rand(3).alias("v"),
+        )
+        left = ev.where(F.col("id") % 2 == 0).select("id", "user", "t")
+        right = ev.where(F.col("id") % 2 == 1).select("user", "t", "v")
+        t0 = time.time()
+        n_asof = asof_join(
+            left, right, on="t", by="user", value_cols=["v"]
+        ).where(F.col("v_asof").isNotNull()).count()
+        t_asof = time.time() - t0
+        t0 = time.time()
+        n_range = range_join(
+            left, right, on="t", by="user", window=86400.0, value_cols=["v"]
+        ).count()
+        t_range = time.time() - t0
+        points.append(
+            {
+                "n_events": n,
+                "n_users": u,
+                "asof_sec": round(t_asof, 2),
+                "asof_matched": int(n_asof),
+                "range_sec": round(t_range, 2),
+                "range_pairs": int(n_range),
+            }
+        )
+    print(json.dumps({"op": "asof_range_joins", "points": points}))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--joins":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [250_000, 1_000_000, 4_000_000]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        joins_ladder(spark, sizes)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--components":
         sizes = (
             [int(x) for x in sys.argv[2].split(",")]
