@@ -1920,6 +1920,38 @@ def _sql_repetition_stats() -> str:
     """
 
 
+def _q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM quality scores (the perplexity-filter
+    stage): add-0.1-smoothed bigram model, per-doc mean log-prob."""
+    out = text_ops.bigram_logprob_scores(_docs(spark, sf_dir), alpha=0.1)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("mean_logp", 9).alias("mean_logp")
+    )
+
+
+def _sql_lm_scores() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(toks[1:len(toks) - 1]) AS w1,
+                  unnest(toks[2:len(toks)]) AS w2
+           FROM t WHERE len(toks) >= 2),
+    v AS (SELECT count(DISTINCT tok) * 1.0 AS vv
+          FROM (SELECT unnest(toks) AS tok FROM t)),
+    cbg AS (SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2),
+    cw1 AS (SELECT w1, count(*) AS cw1 FROM bg GROUP BY 1),
+    sc AS (SELECT doc_id, ln((cbg + 0.1) / (cw1 + 0.1 * vv)) AS lp
+           FROM bg JOIN cbg USING (w1, w2) JOIN cw1 USING (w1)
+                CROSS JOIN v),
+    pd AS (SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS mean_logp
+           FROM sc GROUP BY 1)
+    SELECT t.doc_id,
+           coalesce(pd.n_bigrams, 0) AS n_bigrams,
+           round(pd.mean_logp, 9) AS mean_logp
+    FROM t LEFT JOIN pd USING (doc_id)
+    """
+
+
 def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-leakage removal: odd doc_ids act as the eval corpus,
     even ones as train; flag every train doc sharing a winnowing
@@ -2782,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "corpus_shuffle": _q_corpus_shuffle,
         "decontamination": _q_decontamination,
+        "lm_scores": _q_lm_scores,
         "domain_mix": _q_domain_mix,
         "repetition_stats": _q_repetition_stats,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -2854,6 +2887,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _sql_pack_sequences(),
         "corpus_shuffle": _sql_corpus_shuffle(),
         "decontamination": _sql_decontamination(),
+        "lm_scores": _sql_lm_scores(),
         "domain_mix": _sql_domain_mix(),
         "repetition_stats": _sql_repetition_stats(),
         "lineitem_pricing": _sql_lineitem_pricing(),

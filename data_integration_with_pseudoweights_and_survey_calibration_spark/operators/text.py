@@ -386,3 +386,73 @@ def decontaminate(
     )
     clean = train.join(shared.select(id_col), id_col, "left_anti")
     return clean, shared
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Language-model quality scoring (the perplexity-filter stage of a
+    curation pipeline): train an add-alpha-smoothed bigram model on the
+    corpus itself and score every document by its mean bigram
+    log-probability (higher = more typical text; low scores flag
+    boilerplate/garbage relative to the corpus).
+
+        logp(w2|w1) = ln( (c(w1,w2) + alpha) / (c(w1) + alpha * V) )
+
+    with V = corpus vocabulary size and c(w1) counted as
+    bigram-context occurrences. Scale shape: one explode for bigrams,
+    two keyed count aggregations (bigram table, context table), both
+    orders of magnitude smaller than the corpus and broadcast back;
+    the per-doc score is a final doc-keyed agg. Docs with < 2 tokens
+    score NULL (no bigrams).
+
+    Returns (id, n_bigrams, mean_logp).
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    bg = base.select(
+        "_id",
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.zip_with(
+                    F.slice("_toks", 1, F.size("_toks") - 1),
+                    F.slice("_toks", 2, F.size("_toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+        ).alias("_bg"),
+    ).select("_id", "_bg.w1", "_bg.w2")
+    vocab = float(
+        base.select(F.explode("_toks").alias("_t")).select("_t").distinct().count()
+    )
+    c_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cbg"))
+    c_w1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_cw1"))
+    scored = (
+        bg.join(F.broadcast(c_bg), ["w1", "w2"])
+        .join(F.broadcast(c_w1), ["w1"])
+        .withColumn(
+            "_logp",
+            F.log(
+                (F.col("_cbg") + F.lit(float(alpha)))
+                / (F.col("_cw1") + F.lit(float(alpha) * vocab))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("_logp").alias("mean_logp"),
+    )
+    return (
+        base.select("_id")
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "mean_logp",
+        )
+    )

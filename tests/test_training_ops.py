@@ -712,3 +712,30 @@ def test_new_ops_empty_inputs(spark):
     assert range_join(l, e, on="t", by="k", window=3.0, value_cols=["v"]).count() == 0
     out = asof_join(l, e, on="t", by="k", value_cols=["v"]).collect()
     assert len(out) == 1 and out[0]["v_asof"] is None
+
+
+def test_bigram_lm_scores(spark):
+    import math
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+        bigram_logprob_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, "c d")],
+        "doc_id long, text string",
+    )
+    # corpus bigrams: (a,b)x3 (docs 1+2), (b,a)x1, (c,d)x1; V=5
+    # distinct tokens (a b x c d); context counts from the bigram
+    # table: w1=a 3x, w1=b 1x, w1=c 1x; alpha=0.1
+    got = {r["doc_id"]: r for r in bigram_logprob_scores(df, alpha=0.1).collect()}
+    V = 5
+    lp_ab = math.log((3 + 0.1) / (3 + 0.1 * V))
+    lp_ba = math.log((1 + 0.1) / (1 + 0.1 * V))
+    lp_cd = math.log((1 + 0.1) / (1 + 0.1 * V))
+    assert got[1]["n_bigrams"] == 3
+    assert abs(got[1]["mean_logp"] - (2 * lp_ab + lp_ba) / 3) < 1e-9
+    assert got[2]["n_bigrams"] == 1 and abs(got[2]["mean_logp"] - lp_ab) < 1e-9
+    assert got[3]["n_bigrams"] == 0 and got[3]["mean_logp"] is None
+    assert abs(got[4]["mean_logp"] - lp_cd) < 1e-9
+    # the doc made of the corpus's common bigram scores higher than the rare one
+    assert got[2]["mean_logp"] > got[4]["mean_logp"]
