@@ -89,6 +89,9 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
     asof_join,
     range_join,
 )
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.bpe import (  # noqa: E402
+    learn_bpe_merges,
+)
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.embedding import (  # noqa: E402
     embedding_moments,
     embedding_pca,
@@ -1920,6 +1923,20 @@ def _sql_repetition_stats() -> str:
     """
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: first 8 BPE merges learned from the corpus
+    (iterative vocab-table argmax; corpus scanned once). Rows-only
+    gate (driver-sequenced argmax loop is not SQL-expressible);
+    golden-tested against a pure-Python BPE reference."""
+    res = learn_bpe_merges(_docs(spark, sf_dir), n_merges=8, min_freq=2)
+    rows = [
+        (i + 1, l, r, c) for i, (l, r, c) in enumerate(res.merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, freq long"
+    )
+
+
 def _q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM quality scores (the perplexity-filter
     stage): add-0.1-smoothed bigram model, per-doc mean log-prob."""
@@ -2815,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": _q_corpus_shuffle,
         "decontamination": _q_decontamination,
         "lm_scores": _q_lm_scores,
+        "bpe_merges": _q_bpe_merges,
         "domain_mix": _q_domain_mix,
         "repetition_stats": _q_repetition_stats,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -2888,6 +2906,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle": _sql_corpus_shuffle(),
         "decontamination": _sql_decontamination(),
         "lm_scores": _sql_lm_scores(),
+        # bpe_merges: iterative argmax loop (rows-only) + golden test
+        # vs a pure-Python BPE reference implementation
         "domain_mix": _sql_domain_mix(),
         "repetition_stats": _sql_repetition_stats(),
         "lineitem_pricing": _sql_lineitem_pricing(),

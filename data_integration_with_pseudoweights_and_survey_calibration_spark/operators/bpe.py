@@ -1,0 +1,101 @@
+"""Distributed BPE (byte-pair-encoding) merge learning — tokenizer
+training as a Spark pipeline.
+
+The corpus collapses ONCE to its word-frequency vocabulary (a groupBy;
+the vocab table is orders of magnitude smaller than the corpus and is
+the only thing the merge loop ever touches). Each merge iteration is:
+
+1. explode adjacent symbol pairs of every vocab word, weighted by word
+   frequency -> groupBy pair, sum -> the pair-count table;
+2. argmax via orderBy(count desc, pair asc).limit(1) — TakeOrdered,
+   one row to the driver (deterministic tie-break);
+3. apply the merge to every word's symbol array with a single
+   left-to-right greedy fold (`aggregate` HOF), then
+   ``localCheckpoint`` — the barrier keeps each round's fold evaluated
+   once (see the winnowing projection-collapse note in
+   BENCH_SCALE.md) and truncates the iterative lineage.
+
+O(n_merges) rounds of vocab-sized jobs; only (pair, count) scalars
+reach the driver. This is the standard scalable shape for BPE at
+corpus scale: the corpus pass is one shuffle, the loop never rescans
+the corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+@dataclass(frozen=True)
+class BpeResult:
+    merges: list[tuple[str, str, int]]  # (left, right, weighted count)
+    vocab: DataFrame                    # (w, freq, syms) after all merges
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 20,
+    *,
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> BpeResult:
+    """Learn up to ``n_merges`` BPE merges from the corpus. Stops early
+    when the best remaining pair's weighted count drops below
+    ``min_freq``."""
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # per-position 1-char substrings: the initial symbol sequence
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    vocab = words.select("w", "freq", syms.alias("syms")).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(n_merges)):
+        pairs = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.size("syms") - 1),
+                        F.slice("syms", 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = pairs.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
+        if not top or top[0]["c"] < min_freq:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((left, right, cnt))
+        merged = left + right
+        folded = F.aggregate(
+            "syms",
+            F.expr("array()").cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select("w", "freq", folded.alias("syms")).localCheckpoint(
+            eager=True
+        )
+    return BpeResult(merges=merges, vocab=vocab)

@@ -739,3 +739,57 @@ def test_bigram_lm_scores(spark):
     assert abs(got[4]["mean_logp"] - lp_cd) < 1e-9
     # the doc made of the corpus's common bigram scores higher than the rare one
     assert got[2]["mean_logp"] > got[4]["mean_logp"]
+
+
+def test_bpe_merges_match_reference_impl(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.bpe import (
+        learn_bpe_merges,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "low newer low",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+
+    # pure-Python reference BPE on the same word-frequency table
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.split())
+    vocab = {w: list(w) for w in wf}
+
+    def best_pair():
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            return None
+        # max count, ties lexicographic
+        return min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    want = []
+    for _ in range(6):
+        bp = best_pair()
+        if bp is None or bp[1] < 2:
+            break
+        (a, b), c = bp
+        want.append((a, b, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    got = learn_bpe_merges(df, n_merges=6, min_freq=2)
+    assert got.merges == want
+    # vocab symbols after merges agree with the reference fold
+    got_syms = {r["w"]: list(r["syms"]) for r in got.vocab.collect()}
+    assert got_syms == vocab
