@@ -95,6 +95,14 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
     "vocab_stats": [
         (r"partial_count", "distinct + totals aggregated with map-side partials"),
     ],
+    "lm_scores": [
+        (r"BroadcastHashJoin", "bigram/context count tables broadcast back to the corpus"),
+        (r"partial_count|partial_avg|partial_sum", "count tables built with map-side partials"),
+    ],
+    "decontamination": [
+        (r"BroadcastHashJoin|BroadcastExchange", "eval fingerprint set broadcast; train side never shuffles for the join"),
+        (r"hashpartitioning\(_id", "winnow window/groupBy share one doc-keyed exchange"),
+    ],
 }
 
 
