@@ -99,3 +99,62 @@ def learn_bpe_merges(
             eager=True
         )
     return BpeResult(merges=merges, vocab=vocab)
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merges: (id, pieces array<string>, n_pieces).
+
+    The merge table (a few 10k entries for real tokenizers) broadcasts
+    with the closure; tokenization runs as one Arrow-batched
+    ``mapInPandas`` pass — the production shape for CPU-bound
+    per-document work. Each word is merged greedily by merge RANK
+    (lowest-rank applicable pair first), the standard BPE inference
+    order, which reproduces ``learn_bpe_merges``'s training folds when
+    applied with its own merge list.
+    """
+    import pandas as pd
+
+    ranks = {(l, r): i for i, (l, r, *_rest) in enumerate(merges)}
+
+    def _word(w: str) -> list[str]:
+        syms = list(w)
+        while len(syms) > 1:
+            best, bi = None, -1
+            for i, pair in enumerate(zip(syms, syms[1:])):
+                rk = ranks.get(pair)
+                if rk is not None and (best is None or rk < best):
+                    best, bi = rk, i
+            if best is None:
+                break
+            syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+        return syms
+
+    def _batches(it):
+        for pdf in it:
+            pieces = [
+                [p for w in str(t).split() for p in _word(w)]
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pieces": pieces,
+                    "n_pieces": [len(p) for p in pieces],
+                }
+            )
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, text_col)
+        .repartition(n_part)
+        .mapInPandas(
+            _batches,
+            schema=f"{id_col} long, pieces array<string>, n_pieces int",
+        )
+    )

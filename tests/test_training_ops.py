@@ -793,3 +793,26 @@ def test_bpe_merges_match_reference_impl(spark):
     # vocab symbols after merges agree with the reference fold
     got_syms = {r["w"]: list(r["syms"]) for r in got.vocab.collect()}
     assert got_syms == vocab
+
+
+def test_bpe_tokenize_consistent_with_training(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.bpe import (
+        bpe_tokenize,
+        learn_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "low lower lowest low low"), (1, "new newer newest new"),
+         (2, "low newer low")],
+        "doc_id long, text string",
+    )
+    res = learn_bpe_merges(df, n_merges=6, min_freq=2)
+    toks = bpe_tokenize(df, res.merges)
+    got = {r["doc_id"]: r["pieces"] for r in toks.collect()}
+    # inference by merge rank reproduces the trained vocab's symbol
+    # sequences word-for-word
+    trained = {r["w"]: list(r["syms"]) for r in res.vocab.collect()}
+    for doc_id, text in [(0, "low lower lowest low low"),
+                         (1, "new newer newest new"), (2, "low newer low")]:
+        want = [p for w in text.split() for p in trained[w]]
+        assert got[doc_id] == want
