@@ -1855,6 +1855,61 @@ def _sql_customer_revenue() -> str:
     """
 
 
+ZORDER_BITS = 8
+
+
+def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) keys over bucketized (o_totalprice, o_custkey):
+    the multi-dimensional sort key behind `sinks.write_zordered` —
+    pure bit arithmetic, value-checked against the identical SQL."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.sinks import (
+        zorder_key,
+    )
+
+    orders = tpch.load_table(spark, sf_dir, "orders")
+    mn, mx = orders.agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).collect()[0]
+    levels = (1 << ZORDER_BITS) - 1
+    bx = F.least(
+        F.lit(levels),
+        F.floor(
+            (F.col("o_totalprice") - F.lit(float(mn)))
+            / F.lit(float(mx) - float(mn))
+            * F.lit(levels)
+        ),
+    ).cast("long")
+    by = F.pmod(F.col("o_custkey"), F.lit(levels + 1)).cast("long")
+    out = orders.select(
+        "o_orderkey", bx.alias("_bx"), by.alias("_by")
+    ).select(
+        "o_orderkey",
+        zorder_key(["_bx", "_by"], bits=ZORDER_BITS).alias("zkey"),
+    )
+    return out
+
+
+def _sql_zorder_keys() -> str:
+    levels = (1 << ZORDER_BITS) - 1
+    terms = []
+    shift = 2 * ZORDER_BITS - 1
+    for b in range(ZORDER_BITS - 1, -1, -1):
+        for c in ("bx", "by"):
+            terms.append(f"(({c} >> {b}) & 1) * {1 << shift}")
+            shift -= 1
+    key = " + ".join(terms)
+    return f"""
+    WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+               FROM orders),
+    t AS (SELECT o_orderkey,
+                 least({levels}, floor((o_totalprice - mn) / (mx - mn)
+                       * {levels}))::BIGINT AS bx,
+                 (o_custkey % {levels + 1})::BIGINT AS by
+          FROM orders CROSS JOIN s)
+    SELECT o_orderkey, ({key})::BIGINT AS zkey FROM t
+    """
+
+
 def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature (alpha=0.5) domain mixing over documents.source with
     deterministic hash acceptance; inverse-probability mix weights."""
@@ -2833,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _q_decontamination,
         "lm_scores": _q_lm_scores,
         "bpe_merges": _q_bpe_merges,
+        "zorder_keys": _q_zorder_keys,
         "domain_mix": _q_domain_mix,
         "repetition_stats": _q_repetition_stats,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -2908,6 +2964,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_scores": _sql_lm_scores(),
         # bpe_merges: iterative argmax loop (rows-only) + golden test
         # vs a pure-Python BPE reference implementation
+        "zorder_keys": _sql_zorder_keys(),
         "domain_mix": _sql_domain_mix(),
         "repetition_stats": _sql_repetition_stats(),
         "lineitem_pricing": _sql_lineitem_pricing(),

@@ -68,3 +68,72 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a catalog table written by ``write_bucketed`` (bucketing
     metadata comes back with it)."""
     return spark.table(table)
+
+
+def zorder_key(cols, bits: int = 16):
+    """Z-order (Morton) interleave of 2+ numeric columns, each first
+    rank-normalized to ``bits`` levels by the caller (pass integer
+    columns in [0, 2^bits)). Pure Column bit arithmetic — identical in
+    any engine, so layouts are testable against a SQL oracle.
+
+    Use: sort a table by ``zorder_key([bx, by])`` before writing
+    parquet; row-group min/max stats then stay tight on BOTH columns,
+    so predicate pushdown skips row groups for 2-D selective filters —
+    the multi-dimensional analogue of sorting by a single key.
+    """
+    from pyspark.sql import functions as F
+
+    one = F.lit(1).cast("long")
+    key = F.lit(0).cast("long")
+    for b in range(int(bits) - 1, -1, -1):
+        for c in cols:
+            cc = F.col(c) if isinstance(c, str) else c
+            key = F.shiftleft(key, 1).bitwiseOR(
+                F.shiftright(cc.cast("long"), b).bitwiseAND(one)
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    bits: int = 10,
+    mode: str = "overwrite",
+    n_files: int | None = None,
+) -> None:
+    """Parquet laid out in Z-order over ``cols`` (numeric): each column
+    is bucketized to 2^bits levels by min/max range, rows are
+    range-partitioned + sorted by the interleaved key, so every file's
+    row groups carry tight min/max on all ``cols`` at once. One extra
+    shuffle at write time buys row-group skipping for selective
+    multi-column scans forever after.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).alias(f"_mx_{c}") for c in cols],
+    ).collect()[0]
+    levels = (1 << bits) - 1
+    bcols = []
+    out = df
+    for c in cols:
+        mn, mx = float(stats[f"_mn_{c}"]), float(stats[f"_mx_{c}"])
+        span = (mx - mn) or 1.0
+        bc = f"_zb_{c}"
+        out = out.withColumn(
+            bc,
+            F.least(
+                F.lit(levels),
+                F.floor((F.col(c) - F.lit(mn)) / F.lit(span) * F.lit(levels)),
+            ).cast("long"),
+        )
+        bcols.append(bc)
+    out = out.withColumn("_zkey", zorder_key(bcols, bits=bits)).drop(*bcols)
+    writer = out.repartitionByRange(
+        n_files or df.sparkSession.sparkContext.defaultParallelism, "_zkey"
+    ).sortWithinPartitions("_zkey").drop("_zkey")
+    # NOTE: dropping _zkey after the sort keeps the physical order
+    writer.write.mode(mode).parquet(path)

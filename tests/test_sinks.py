@@ -87,3 +87,35 @@ def test_bucketed_groupby_no_shuffle(spark):
         assert agg.count() == 7
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_agg")
+
+
+def test_write_zordered_clusters_both_dims(spark, tmp_path):
+    import glob
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.sinks import (
+        write_zordered,
+    )
+
+    # uniform 2-D grid: z-order files must each cover a small bounding
+    # box in BOTH x and y (a 1-D sort would leave one dim full-span)
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 141).cast("double").alias("x"),
+        (F.pmod(F.col("id") * 7919, F.lit(139))).cast("double").alias("y"),
+    )
+    out = str(tmp_path / "zo")
+    write_zordered(df, out, ["x", "y"], bits=8, n_files=16)
+    back = spark.read.parquet(out).withColumn(
+        "_f", F.input_file_name()
+    )
+    spans = back.groupBy("_f").agg(
+        (F.max("x") - F.min("x")).alias("sx"),
+        (F.max("y") - F.min("y")).alias("sy"),
+    ).collect()
+    assert len(spans) >= 8
+    mean_sx = sum(r["sx"] for r in spans) / len(spans)
+    mean_sy = sum(r["sy"] for r in spans) / len(spans)
+    # global spans are 140 / 138; z-order files should average well
+    # under 60% of full span on BOTH dims simultaneously
+    assert mean_sx < 0.6 * 140 and mean_sy < 0.6 * 138
+    # row count preserved
+    assert back.count() == n
