@@ -59,6 +59,7 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (  # noqa: E402
     domain_mix_sample,
     pps_sample,
+    salted_agg,
     stratified_sample,
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.jackknife import (  # noqa: E402
@@ -2421,6 +2422,40 @@ def _sql_pricing_rollup() -> str:
     """
 
 
+def _q_events_salted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: per-event-type totals via
+    (key, salt) partials then a key-only combine -- value-identical to
+    the direct GROUP BY (the oracle), but a single dominant key can
+    never own one reducer."""
+    ev = tpch.load_events(spark, sf_dir)
+    out = salted_agg(
+        ev.select("event_type", "value", "event_id"),
+        ["event_type"],
+        {
+            "n": (F.count(F.lit(1)), "sum"),
+            "total_value": (F.sum("value"), "sum"),
+            "max_value": (F.max("value"), "max"),
+        },
+        salt=16,
+        id_expr=F.col("event_id"),
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total_value", 6).alias("total_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+def _sql_events_salted_totals() -> str:
+    return """
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 6) AS total_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """
+
+
 def _q_events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of ``streaming.stateful.stream_running_weighted_mean``:
     the per-group algebraic state (n, sum_w, sum_wy, wmean) the stateful
@@ -2906,6 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "events_asof": _q_events_asof,
         "events_attribution": _q_events_attribution,
+        "events_salted_totals": _q_events_salted_totals,
         "pricing_rollup": _q_pricing_rollup,
         "events_running_totals": _q_events_running_totals,
         "events_sessions": _q_events_sessions,
@@ -2985,6 +3021,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _sql_events_windowed(),
         "events_asof": _sql_events_asof(),
         "events_attribution": _sql_events_attribution(),
+        "events_salted_totals": _sql_events_salted_totals(),
         "pricing_rollup": _sql_pricing_rollup(),
         "events_running_totals": _sql_events_running_totals(),
         "events_sessions": _sql_events_sessions(),

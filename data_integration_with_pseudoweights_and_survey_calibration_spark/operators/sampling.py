@@ -250,3 +250,41 @@ def domain_mix_sample(
         .where(u < F.col("keep_rate"))
         .withColumn("mix_wt", F.lit(1.0) / F.col("keep_rate"))
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    exprs: dict[str, tuple[Column, str]],
+    *,
+    salt: int = 16,
+    id_expr: Column | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: phase 1 groups by
+    (keys, salt) -- a hot key's rows spread over ``salt`` reducers --
+    phase 2 re-aggregates the per-salt partials by key alone (a
+    key-cardinality-sized frame, trivially balanced).
+
+    ``exprs`` maps output name -> (aggregate Column, combiner), with
+    combiner one of ``"sum" | "min" | "max"`` -- the phase-2 function
+    that merges phase-1 partials (counts combine with ``"sum"``).
+    The salt is a deterministic hash of ``id_expr`` (or all input
+    columns), so results are reproducible under any partitioning.
+    AQE's skew handling covers joins; this is the groupBy-side
+    equivalent the optimizer cannot synthesize when one key dominates
+    a non-algebraic-pushdown aggregation.
+    """
+    rnd = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(int(salt)))
+        if id_expr is None
+        else F.pmod(F.xxhash64(id_expr), F.lit(int(salt)))
+    )
+    staged = df.withColumn("_salt", rnd)
+    phase1 = staged.groupBy(*keys, "_salt").agg(
+        *[e.alias(f"_p_{name}") for name, (e, _) in exprs.items()]
+    )
+    comb = {"sum": F.sum, "min": F.min, "max": F.max}
+    combiners = [
+        comb[how](f"_p_{name}").alias(name) for name, (_, how) in exprs.items()
+    ]
+    return phase1.groupBy(*keys).agg(*combiners)

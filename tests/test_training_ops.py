@@ -816,3 +816,37 @@ def test_bpe_tokenize_consistent_with_training(spark):
                          (1, "new newer newest new"), (2, "low newer low")]:
         want = [p for w in text.split() for p in trained[w]]
         assert got[doc_id] == want
+
+
+def test_salted_agg_matches_direct_groupby(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+        salted_agg,
+    )
+
+    # 95% of rows share one key (the skew scenario)
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 20 == 0, F.col("id") % 5).otherwise(F.lit(99))
+        .alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        F.col("id").alias("rid"),
+    )
+    got = {
+        r["k"]: (r["n"], round(r["s"], 6), r["mx"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"n": (F.count(F.lit(1)), "sum"),
+             "s": (F.sum("v"), "sum"),
+             "mx": (F.max("v"), "max")},
+            salt=8,
+            id_expr=F.col("rid"),
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], round(r["s"], 6), r["mx"])
+        for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+            F.max("v").alias("mx")
+        ).collect()
+    }
+    assert got == want
