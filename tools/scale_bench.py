@@ -193,7 +193,55 @@ def joins_ladder(spark, sizes: list[int]) -> None:
     print(json.dumps({"op": "asof_range_joins", "points": points}))
 
 
+def skew_probe(spark, n: int) -> None:
+    """Hot-key aggregation probe: 90% of n rows share ONE key; compare
+    direct groupBy vs salted two-phase, assert identical totals."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+        salted_agg,
+    )
+
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 == 0, F.pmod(F.col("id"), F.lit(1000)))
+        .otherwise(F.lit(-1))
+        .alias("k"),
+        (F.col("id") % 9973 * 1.0).alias("v"),
+        F.col("id").alias("rid"),
+    ).cache()
+    df.count()
+    t0 = time.time()
+    direct = {
+        r["k"]: (r["n"], round(r["s"], 3))
+        for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        ).collect()
+    }
+    t_direct = time.time() - t0
+    t0 = time.time()
+    salted = {
+        r["k"]: (r["n"], round(r["s"], 3))
+        for r in salted_agg(
+            df, ["k"],
+            {"n": (F.count(F.lit(1)), "sum"), "s": (F.sum("v"), "sum")},
+            salt=32, id_expr=F.col("rid"),
+        ).collect()
+    }
+    t_salted = time.time() - t0
+    assert direct == salted
+    df.unpersist()
+    print(json.dumps({
+        "op": "skew_agg", "n_rows": n, "hot_key_share": 0.9,
+        "direct_sec": round(t_direct, 2), "salted_sec": round(t_salted, 2),
+        "identical": True,
+    }))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        skew_probe(spark, n)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--joins":
         sizes = (
             [int(x) for x in sys.argv[2].split(",")]
