@@ -58,12 +58,37 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n0 = docs.count()
 
-    # 1. quality + language gate (pure Column exprs, one scan)
+    # 1. quality + language gate (pure Column exprs, one scan), plus a
+    # corpus-trained bigram-LM floor (perplexity filter): drop the
+    # bottom 5% by mean log-prob
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+        bigram_logprob_scores,
+        decontaminate,
+    )
+
     scored = language_scores(quality_features(docs))
-    gated = scored.where(
+    gated0 = scored.where(
         (F.col("quality") >= QUALITY_MIN) & F.col("lang_pred").isNotNull()
     ).select("doc_id", "text", "source", "quality", "lang_pred")
+    lm = bigram_logprob_scores(gated0)
+    lm_floor = lm.where(F.col("mean_logp").isNotNull()).approxQuantile(
+        "mean_logp", [0.05], 0.001
+    )[0]
+    gated = gated0.join(
+        lm.where(
+            F.col("mean_logp").isNull() | (F.col("mean_logp") >= lm_floor)
+        ).select("doc_id"),
+        "doc_id",
+    )
     n_gate = gated.count()
+
+    # 1b. decontamination: hold out every 50th doc as a stand-in eval
+    # benchmark; drop training docs sharing a winnow fingerprint run
+    ev_set = docs.where(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    gated, contaminated = decontaminate(
+        gated.where(F.col("doc_id") % 50 != 0), ev_set
+    )
+    n_decon = gated.count()
 
     # 2. exact dedup: fingerprint groups, keep the min doc_id
     groups = dedup.exact_duplicates(gated)
@@ -165,7 +190,8 @@ def main() -> None:
 
     print(json.dumps({
         "input_docs": n0,
-        "after_quality_language_gate": n_gate,
+        "after_quality_language_lm_gate": n_gate,
+        "after_decontamination": n_decon,
         "after_exact_dedup": n_exact,
         "minhash_pairs_found": n_near_pairs,
         "after_minhash_neardup": n_near,
