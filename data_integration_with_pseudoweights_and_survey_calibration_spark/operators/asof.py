@@ -33,13 +33,20 @@ def asof_join(
     ``right[on] <= left[on]`` and equal ``by`` key. Appends
     ``{on}{suffix}`` (matched right time, null if none) and
     ``{c}{suffix}`` for each of ``value_cols``.
+
+    The matched right row is carried as ONE struct (not per-column
+    ``last(ignorenulls)`` calls): a NULL payload in the latest matching
+    right row stays NULL, and all output columns always come from the
+    SAME right row -- exactly DuckDB's ASOF JOIN semantics.
     """
     lcols = left.columns
     l = left.withColumn("_role", F.lit(1))
     r = right.select(
         by,
         on,
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.struct(
+            F.col(on).alias("_t"), *[F.col(c).alias(c) for c in value_cols]
+        ).alias("_rrow"),
     ).withColumn("_role", F.lit(0))
     tagged = l.unionByName(r, allowMissingColumns=True)
     w = (
@@ -48,18 +55,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged.withColumn(
-        f"{on}{suffix}",
-        F.last(F.when(F.col("_role") == 0, F.col(on)), ignorenulls=True).over(w),
+        "_m", F.last("_rrow", ignorenulls=True).over(w)
     )
-    for c in value_cols:
-        carried = carried.withColumn(
-            f"{c}{suffix}",
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w),
-        )
     return carried.where(F.col("_role") == 1).select(
         *lcols,
-        f"{on}{suffix}",
-        *[f"{c}{suffix}" for c in value_cols],
+        F.col("_m._t").alias(f"{on}{suffix}"),
+        *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
 
 

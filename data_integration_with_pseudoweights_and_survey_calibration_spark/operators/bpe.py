@@ -52,11 +52,16 @@ def learn_bpe_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    # per-position 1-char substrings: the initial symbol sequence
-    syms = F.transform(
-        F.sequence(F.lit(1), F.length("w")),
-        lambda i: F.col("w").substr(i, F.lit(1)),
-    )
+    # per-position 1-char substrings: the initial symbol sequence.
+    # Guard length 0: sequence(1, 0) counts DOWN ([1, 0]) and would
+    # fabricate ['',''] symbols for empty/whitespace-only words.
+    syms = F.when(
+        F.length("w") > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
     vocab = words.select("w", "freq", syms.alias("syms")).localCheckpoint(
         eager=True
     )

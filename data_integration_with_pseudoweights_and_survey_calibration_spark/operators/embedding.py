@@ -68,7 +68,10 @@ def embedding_pca(
     largest-|.| coordinate is positive (deterministic across runs and
     implementations).
     """
-    d = len(emb.select(vec_col).first()[0])
+    head = emb.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("embedding_pca: input frame has no embeddings")
+    d = len(head[0])
     # one partial row PER PARTITION (not per input row): collecting
     # them is O(n_partitions * d^2) bytes -- KB-scale -- and summing in
     # NumPy avoids a 4k-expression aggregate that stalls codegen

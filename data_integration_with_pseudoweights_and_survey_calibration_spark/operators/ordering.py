@@ -75,9 +75,12 @@ def split_assign(
     digits of (seed, id) mod ``buckets``; buckets [0, train) -> train,
     [train, train+val) -> val, rest -> test. Portable arithmetic (the
     DuckDB oracle reproduces it bit-for-bit)."""
-    b = F.conv(F.substring(shuffle_key(id_col, seed), 1, 12), 16, 10).cast(
-        "long"
-    ) % F.lit(int(buckets))
+    from .text import hash48
+
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    b = hash48(F.concat_ws("-", F.lit(seed), c.cast("string"))) % F.lit(
+        int(buckets)
+    )
     return (
         F.when(b < train, F.lit("train"))
         .when(b < train + val, F.lit("val"))

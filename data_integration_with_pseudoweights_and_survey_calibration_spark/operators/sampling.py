@@ -233,18 +233,11 @@ def domain_mix_sample(
         )
         .select(group_col, "p_share", "keep_rate")
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("-", F.lit(seed), F.col(id_col).cast("string"))),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(1 << 48))
-    )
+    from .text import hash48
+
+    u = hash48(
+        F.concat_ws("-", F.lit(seed), F.col(id_col).cast("string"))
+    ).cast("double") / F.lit(float(1 << 48))
     return (
         df.join(F.broadcast(shares), group_col)
         .where(u < F.col("keep_rate"))

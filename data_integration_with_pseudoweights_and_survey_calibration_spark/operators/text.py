@@ -214,10 +214,16 @@ def ordered_kgrams(toks: Column, k: int) -> Column:
     )
 
 
-def _hash48(c: Column) -> Column:
+def hash48(c: Column) -> Column:
     """Portable string -> 48-bit integer (first 12 hex digits of md5);
-    identical to the DuckDB twin ``('0x' || substr(md5(x),1,12))::BIGINT``."""
+    identical to the DuckDB twin ``('0x' || substr(md5(x),1,12))::BIGINT``.
+    The ONE home of this idiom -- split assignment, domain mixing and
+    winnowing all route through it so the oracle twin stays
+    bit-identical everywhere."""
     return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")
+
+
+_hash48 = hash48  # internal alias used by the winnow pipeline
 
 
 def winnow_fingerprints(
@@ -413,7 +419,10 @@ def bigram_logprob_scores(
     Returns (id, n_bigrams, mean_logp).
     """
     toks = tokens(text_col)
-    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    # base feeds the vocab count and the final join; bg feeds both
+    # count tables and the scoring join -- cache both so the corpus is
+    # tokenized once, not once per consumer
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).cache()
     bg = base.select(
         "_id",
         F.explode(
@@ -426,7 +435,7 @@ def bigram_logprob_scores(
                 ),
             ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
         ).alias("_bg"),
-    ).select("_id", "_bg.w1", "_bg.w2")
+    ).select("_id", "_bg.w1", "_bg.w2").cache()
     vocab = float(
         base.select(F.explode("_toks").alias("_t")).select("_t").distinct().count()
     )

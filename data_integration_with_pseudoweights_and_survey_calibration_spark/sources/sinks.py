@@ -116,6 +116,10 @@ def write_zordered(
         *[F.min(c).alias(f"_mn_{c}") for c in cols],
         *[F.max(c).alias(f"_mx_{c}") for c in cols],
     ).collect()[0]
+    if any(stats[f"_mn_{c}"] is None for c in cols):
+        # empty input (or all-NULL sort column): nothing to lay out
+        df.write.mode(mode).parquet(path)
+        return
     levels = (1 << bits) - 1
     bcols = []
     out = df

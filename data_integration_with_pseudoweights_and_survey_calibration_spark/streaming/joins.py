@@ -33,6 +33,8 @@ def stream_interval_join(
     """
     lc = left_cols or [c for c in left.columns]
     rc = right_cols or [c for c in right.columns if c not in (by,)]
+    if on not in rc:  # the event-time column must survive the select:
+        rc = [on] + rc  # the watermark and join condition live on it
     l = left.withWatermark(on, watermark).alias("l")
     r = (
         right.select(by, *rc)

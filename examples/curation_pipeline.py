@@ -71,9 +71,10 @@ def main() -> None:
         (F.col("quality") >= QUALITY_MIN) & F.col("lang_pred").isNotNull()
     ).select("doc_id", "text", "source", "quality", "lang_pred")
     lm = bigram_logprob_scores(gated0)
-    lm_floor = lm.where(F.col("mean_logp").isNotNull()).approxQuantile(
+    lm_q = lm.where(F.col("mean_logp").isNotNull()).approxQuantile(
         "mean_logp", [0.05], 0.001
-    )[0]
+    )
+    lm_floor = lm_q[0] if lm_q else float("-inf")
     gated = gated0.join(
         lm.where(
             F.col("mean_logp").isNull() | (F.col("mean_logp") >= lm_floor)
@@ -201,7 +202,9 @@ def main() -> None:
         "after_domain_mix": n_mixed,
         "split_counts": split_counts,
         "train_sequences_512tok": int(n_seqs),
-        "train_sequence_mean_fill": round(float(mean_fill), 1),
+        "train_sequence_mean_fill": (
+            round(float(mean_fill), 1) if mean_fill is not None else None
+        ),
         "curated_parquet": out_dir,
         "train_sequences_parquet": out_dir + "_train_sequences",
         "total_sec": round(time.time() - t0, 1),

@@ -598,6 +598,16 @@ def test_asof_join_semantics(spark):
         "d": (None, None),
     }
 
+    # a NULL payload on the LATEST matching right row must stay NULL
+    # (all output columns come from the same right row -- DuckDB ASOF
+    # semantics), not fall back to an older row's value
+    right2 = spark.createDataFrame(
+        [(1, 3, 7.0), (1, 5, None)], "k long, t long, v double"
+    )
+    left2 = spark.createDataFrame([(1, 6, "z")], "k long, t long, tag string")
+    out2 = asof_join(left2, right2, on="t", by="k", value_cols=["v"]).collect()
+    assert (out2[0]["t_asof"], out2[0]["v_asof"]) == (5, None)
+
 
 def test_range_join_banding_exact(spark):
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.asof import (
