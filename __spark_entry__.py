@@ -1859,6 +1859,67 @@ def _sql_customer_revenue() -> str:
 ZORDER_BITS = 8
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-CHECKED multimodal pipeline: per doc, a deterministic 4x4
+    grayscale image (md5 digest bytes of the text) is PNG-ENCODED and
+    PNG-DECODED with the real pure-stdlib codec inside one Arrow
+    mapInPandas pass, then summarized. The DuckDB oracle computes the
+    expected pixel stats directly from the md5 hex -- so a hash match
+    proves the PNG encoder+decoder round-trip byte-exactly at query
+    level, not just in unit tests."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    def _batches(it):
+        for pdf in it:
+            sums, means = [], []
+            for t in pdf["text"]:
+                img = np.frombuffer(
+                    hashlib.md5(str(t).encode("utf-8")).digest(), dtype=np.uint8
+                ).reshape(4, 4)
+                arr = decode_png(encode_png(img))
+                sums.append(int(arr.sum()))
+                means.append(float(arr.mean()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": 4,
+                    "height": 4,
+                    "px_sum": sums,
+                    "px_mean": [round(m, 9) for m in means],
+                }
+            )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    n_part = spark.sparkContext.defaultParallelism
+    return docs.repartition(n_part).mapInPandas(
+        _batches,
+        schema="doc_id long, width int, height int, px_sum long, px_mean double",
+    )
+
+
+def _sql_media_features() -> str:
+    return """
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (SELECT doc_id,
+                 list_transform(range(0, 16),
+                                i -> ('0x' || substr(hx, i * 2 + 1, 2))::BIGINT
+                 ) AS bytes
+          FROM h)
+    SELECT doc_id, 4 AS width, 4 AS height,
+           list_sum(bytes)::BIGINT AS px_sum,
+           round(list_sum(bytes) / 16.0, 9) AS px_mean
+    FROM b
+    """
+
+
 def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) keys over bucketized (o_totalprice, o_custkey):
     the multi-dimensional sort key behind `sinks.write_zordered` —
@@ -2924,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_scores": _q_lm_scores,
         "bpe_merges": _q_bpe_merges,
         "zorder_keys": _q_zorder_keys,
+        "media_features": _q_media_features,
         "domain_mix": _q_domain_mix,
         "repetition_stats": _q_repetition_stats,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -3001,6 +3063,7 @@ def oracle_sql() -> dict[str, str]:
         # bpe_merges: iterative argmax loop (rows-only) + golden test
         # vs a pure-Python BPE reference implementation
         "zorder_keys": _sql_zorder_keys(),
+        "media_features": _sql_media_features(),
         "domain_mix": _sql_domain_mix(),
         "repetition_stats": _sql_repetition_stats(),
         "lineitem_pricing": _sql_lineitem_pricing(),
