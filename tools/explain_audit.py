@@ -103,6 +103,10 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         (r"BroadcastHashJoin|BroadcastExchange", "eval fingerprint set broadcast; train side never shuffles for the join"),
         (r"hashpartitioning\(_id", "winnow window/groupBy share one doc-keyed exchange"),
     ],
+    "media_features": [
+        (r"MapInPandas", "codec round-trip runs as one Arrow-batched pass"),
+        (r"ReadSchema: [^\n]*doc_id[^\n]*text|ReadSchema: [^\n]*text", "scan pruned to (doc_id, text)"),
+    ],
 }
 
 
