@@ -235,7 +235,69 @@ def skew_probe(spark, n: int) -> None:
     }))
 
 
+def curation_ladder(spark, sizes: list[int]) -> None:
+    """Curation-op probe on the synthetic corpus: bigram-LM scoring,
+    sequence packing, shuffle+split, and decontamination (1% of docs as
+    the eval set) timed per corpus size."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.ordering import (
+        corpus_shuffle_split,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.packing import (
+        pack_sequences,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+        bigram_logprob_scores,
+        decontaminate,
+        token_count,
+    )
+
+    points = []
+    for n in sizes:
+        docs = synth_docs(spark, n).cache()
+        docs.count()
+        t0 = time.time()
+        lm_n = bigram_logprob_scores(docs).count()
+        t_lm = time.time() - t0
+        t0 = time.time()
+        pk = pack_sequences(
+            docs, 512, n_tok=token_count("text"), n_shards=64
+        ).count()
+        t_pack = time.time() - t0
+        t0 = time.time()
+        sh = corpus_shuffle_split(docs).count()
+        t_shuf = time.time() - t0
+        ev = docs.where(F.col("doc_id") % 100 == 0)
+        tr = docs.where(F.col("doc_id") % 100 != 0)
+        t0 = time.time()
+        _, cont = decontaminate(tr, ev)
+        n_cont = cont.count()
+        t_dec = time.time() - t0
+        assert lm_n == n and pk == n and sh == n
+        points.append(
+            {
+                "n_docs": n,
+                "lm_sec": round(t_lm, 2),
+                "pack_sec": round(t_pack, 2),
+                "shuffle_sec": round(t_shuf, 2),
+                "decon_sec": round(t_dec, 2),
+                "decon_flagged": int(n_cont),
+            }
+        )
+        docs.unpersist()
+    print(json.dumps({"op": "curation_ops", "points": points}))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--curation":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [100_000, 400_000, 800_000]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        curation_ladder(spark, sizes)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
         spark = get_spark("scale-bench")
