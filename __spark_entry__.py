@@ -1548,7 +1548,8 @@ def _sql_doc_fingerprints() -> str:
            len(regexp_extract_all(text, '{text_ops.BPE_PIECE_RE}')) AS n_pieces,
            len(fp) AS n_fp,
            fp[1] AS fp_min,
-           list_sum(list_transform(fp, x -> x % 1000003)) AS fp_checksum
+           coalesce(list_sum(list_transform(fp, x -> x % 1000003)), 0)
+             AS fp_checksum
     FROM s ORDER BY doc_id
     """
 
@@ -2903,14 +2904,19 @@ def _sql_population_gen_det() -> str:
 
     b0, b1, b2, b3 = sim.DEFAULT_BETA
     bd0, bd1, bd2, bd3 = sim.ERROR_PROFILES[0]
+    # tags mirror generate_population's seed-mixed counter tags
+    # ("{tag}#{seed+offset}", default seed 8291)
+    s = 8291
     return f"""
     WITH ids AS (SELECT range + 1 AS id FROM range({POP_DET_N})),
     r AS (SELECT id,
-            {z('x1')} * 4.0 AS x1,
-            {z('x2')} * 2.0 AS x2,
-            {z('x3')} * 2.0 AS x3,
-            {u('t')} AS ut, {u('c1')} AS uc1, {u('c2')} AS uc2,
-            {z('err1')} AS e1
+            {z(f'x1#{s + 1}')} * 4.0 AS x1,
+            {z(f'x2#{s + 2}')} * 2.0 AS x2,
+            {z(f'x3#{s + 3}')} * 2.0 AS x3,
+            {u(f't#{s + 11}')} AS ut,
+            {u(f'c1#{s + 12}')} AS uc1,
+            {u(f'c2#{s + 13}')} AS uc2,
+            {z(f'err1#{s + 100}')} AS e1
           FROM ids),
     base AS (SELECT *,
             (1.0 / exp({b0!r} + {b1!r} * x1 + {b2!r} * x2 + {b3!r} * x3))

@@ -43,27 +43,46 @@ def weighted_quantiles(
     cumulative weight share >= p) — the survey-methodology staple the
     reference reaches via ``survey::svyquantile``-style summaries.
 
-    One sort-window pass: cumulative weight share over value order,
-    then min(x) over the crossing rows per prob.  Returns a DataFrame
-    (prob, q).  At scale this is one range-partitioned window (no
-    driver collect of the data)."""
+    Scale shape (the global_rank pattern, NOT a single-partition global
+    window): range-partition by value, per-partition running weight,
+    broadcast exclusive prefix-sums of partition totals, and resolve
+    ALL probs in one pass via a broadcast probs table.  Only the
+    n_partitions-row offset frame is narrow.  Returns (prob, q); empty
+    input (or all-null weights) returns an empty frame."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(value)).rowsBetween(
+    spark = df.sparkSession
+    tot = df.agg(F.sum(weight)).collect()[0][0]
+    probs_df = spark.createDataFrame(
+        [(float(p),) for p in probs], "prob double"
+    )
+    if tot is None:
+        return probs_df.where(F.lit(False)).withColumn(
+            "q", F.lit(None).cast("double")
+        )
+    n_part = spark.sparkContext.defaultParallelism
+    part = (
+        df.select(F.col(value).alias("_x"), F.col(weight).alias("_w"))
+        .repartitionByRange(n_part, "_x")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid").orderBy("_x").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    tot = df.agg(F.sum(weight)).collect()[0][0]
-    cum = df.select(
-        F.col(value).alias("_x"),
-        (F.sum(weight).over(w) / F.lit(float(tot))).alias("_cw"),
+    local = part.withColumn("_lc", F.sum("_w").over(w_local))
+    sums = local.groupBy("_pid").agg(F.sum("_w").alias("_s"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sums.withColumn(
+        "_off", F.coalesce(F.sum("_s").over(w_off), F.lit(0.0))
+    ).select("_pid", "_off")
+    cum = local.join(F.broadcast(offs), "_pid").withColumn(
+        "_cw", (F.col("_off") + F.col("_lc")) / F.lit(float(tot))
     )
-    out = None
-    for p in probs:
-        qi = cum.where(F.col("_cw") >= float(p)).agg(
-            F.lit(float(p)).alias("prob"), F.min("_x").alias("q")
-        )
-        out = qi if out is None else out.unionByName(qi)
-    return out
+    return (
+        cum.join(F.broadcast(probs_df), F.col("_cw") >= F.col("prob"))
+        .groupBy("prob")
+        .agg(F.min("_x").alias("q"))
+    )
 
 
 def cv_factor(weight: str | Column) -> Column:

@@ -55,10 +55,10 @@ def _shingle_frame(
     """(_id, _sh, _n) with tokens materialized ONCE and the input
     re-spread across the cluster (small parquet inputs read as a single
     partition; shingling is the per-row hot loop)."""
-    spark = df.sparkSession
-    n_part = spark.sparkContext.defaultParallelism
+    from .text import spread
+
     return (
-        df.repartition(n_part)
+        spread(df)
         .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
         .select("_id", shingles_from_tokens(F.col("_toks"), k).alias("_sh"))
         .withColumn("_n", F.size("_sh"))
@@ -430,7 +430,12 @@ def embedding_cosine_pairs(
     if method == "lsh":
         from .similarity import _signature, cosine_expr, hyperplanes, with_norm
 
-        dim = len(df.select(vec_col).first()[0])
+        head = df.select(vec_col).first()
+        if head is None or head[0] is None:
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = len(head[0])
         planes = hyperplanes(dim, lsh_planes, seed=13)
         rows = lsh_planes // lsh_bands
         mask = (1 << rows) - 1
@@ -558,7 +563,10 @@ def _cosine_pairs_grid(
     def _score_block(pdf: pd.DataFrame) -> pd.DataFrame:
         a = pdf[pdf["_role"] == 0]
         b = pdf[pdf["_role"] == 1]
-        diag = len(b) == 0
+        # diagonal groups are exactly bi == bj (inferring diag from an
+        # empty b side re-scored lower blocks against themselves
+        # whenever a higher block happened to be empty -> dup pairs)
+        diag = int(pdf["bi"].iloc[0]) == int(pdf["bj"].iloc[0])
         if diag:
             b = a
         if len(a) == 0 or len(b) == 0:

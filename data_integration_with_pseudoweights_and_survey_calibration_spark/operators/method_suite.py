@@ -170,17 +170,20 @@ def estimate_methods(
         ).withColumn(
             df_, F.when(F.col("trt") == 0, F.col(dt)).otherwise(F.col(d))
         )
+        # NOTE: no per-method a_cv factor rides along -- jk_fun.R:28's
+        # division of the cohort var.d copy by a_cv is a dead write
+        # (never read downstream), so the suite carries none.
         variants = {
-            "calib": (tt, dt, survey_weight, None),
-            "imp": (tf, df_, survey_weight, None),
+            "calib": (tt, dt, survey_weight),
+            "imp": (tf, df_, survey_weight),
         }
         if need_comp:
             com = com.join(
                 stacked_c.select("id", "trt", "_comp"), ["id", "trt"]
             )
-            variants["calib_ipsw"] = (tt, dt, "_comp", a_c)
-            variants["impcalib_ipsw"] = (tf, df_, "_comp", a_c)
-        for mname, (vt, vd, vw, acv) in variants.items():
+            variants["calib_ipsw"] = (tt, dt, "_comp")
+            variants["impcalib_ipsw"] = (tf, df_, "_comp")
+        for mname, (vt, vd, vw) in variants.items():
             if mname not in calib_methods:
                 continue
             label = f"{mname}.d{k}"
@@ -272,7 +275,6 @@ def estimate_methods_inf(
 
     # one IPSW method + composite factors per candidate PS formula
     # (jk_fun.R:218-238)
-    a_cs: list[float] = []
     for i, fm in enumerate(ps_formulas):
         st2, ps = fit_propensity(stacked, fm, weight_col="w_s",
                                  sampling_fraction=a)
@@ -285,7 +287,6 @@ def estimate_methods_inf(
         a_c, a_s = composite_factors(
             ci, survey, cohort_wt="_ipsw", survey_wt=survey_weight
         )
-        a_cs.append(a_c)
         comp = ci.select(
             "id", F.lit(1).alias("trt"), (F.col("_ipsw") * a_c).alias(f"_comp_{i}")
         )
@@ -307,15 +308,15 @@ def estimate_methods_inf(
         # variant-matched formula index (jk_fun.R:252 uses ipsw.k); fall
         # back to the last formula when fewer were supplied
         km = min(k, len(ps_formulas) - 1)
-        grid: list[tuple[str, str, str, str | None, float | None]] = [
-            (f"calib.d{k}", tt, dt, None, None),
-            (f"calib_ipsw0.d{k}", tt, dt, "_comp_0", a_cs[0]),
-            (f"calib_ipsw{km}.d{k}", tt, dt, f"_comp_{km}", a_cs[km]),
-            (f"imp.d{k}", tf, df_, None, None),
-            (f"impcalib_ipsw0.d{k}", tf, df_, "_comp_0", a_cs[0]),
-            (f"impcalib_ipsw{km}.d{k}", tf, df_, f"_comp_{km}", a_cs[km]),
+        grid: list[tuple[str, str, str, str | None]] = [
+            (f"calib.d{k}", tt, dt, None),
+            (f"calib_ipsw0.d{k}", tt, dt, "_comp_0"),
+            (f"calib_ipsw{km}.d{k}", tt, dt, f"_comp_{km}"),
+            (f"imp.d{k}", tf, df_, None),
+            (f"impcalib_ipsw0.d{k}", tf, df_, "_comp_0"),
+            (f"impcalib_ipsw{km}.d{k}", tf, df_, f"_comp_{km}"),
         ]
-        for label, vt, vd, vw, acv in grid:
+        for label, vt, vd, vw in grid:
             # true-weight rows restore the halved cohort start weights
             # inside calib_est (restore_factor=2, jk_fun.R:30); the
             # composite rows run at the composite weights as stacked

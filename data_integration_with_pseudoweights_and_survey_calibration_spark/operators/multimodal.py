@@ -173,16 +173,26 @@ def resize_images(
             n = w * h
             for content in pdf[content_col]:
                 b = bytes(content) if content is not None else b""
-                if len(b) == 0:
-                    out.append(bytes(n))
-                    continue
                 if decoder == "real":
                     from . import codecs
 
+                    if len(b) == 0:
+                        # keep the "PNG in, PNG out" contract: a
+                        # null/empty input becomes an encoded blank
+                        # image, not raw zero bytes
+                        out.append(
+                            codecs.encode_png(
+                                np.zeros((h, w), dtype=np.uint8)
+                            )
+                        )
+                        continue
                     img = codecs.decode_png(b)
                     out.append(
                         codecs.encode_png(codecs.resize_nearest(img, w, h))
                     )
+                    continue
+                if len(b) == 0:
+                    out.append(bytes(n))
                     continue
                 arr = np.frombuffer(b, dtype=np.uint8)
                 idx = (np.arange(n) * len(arr)) // n

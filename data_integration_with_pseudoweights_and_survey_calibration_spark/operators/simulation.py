@@ -109,11 +109,14 @@ def generate_population(
     beta = [float(b) for b in beta]
 
     if rng == "hash":
+        # the seed is mixed into the counter tag: different seeds give
+        # independent deterministic streams (previously ignored, so
+        # every seed produced the identical population)
         def _u(tag: str, s: int) -> Column:
-            return hash_uniform(tag)
+            return hash_uniform(f"{tag}#{s}")
 
         def _z(tag: str, s: int) -> Column:
-            return hash_randn(tag)
+            return hash_randn(f"{tag}#{s}")
     else:
         def _u(tag: str, s: int) -> Column:
             return F.rand(s)
@@ -160,7 +163,7 @@ def _error_variant(
 ) -> DataFrame:
     """I24 ``t_d_gen``: error-shifted times + flags + regression
     imputation (``calib_simu_noninf0315.R:61-93``)."""
-    noise = hash_randn(f"err{k}") if rng == "hash" else F.randn(seed)
+    noise = hash_randn(f"err{k}#{seed}") if rng == "hash" else F.randn(seed)
     delta = (
         F.lit(bd[0])
         + F.col("x1") * bd[1]

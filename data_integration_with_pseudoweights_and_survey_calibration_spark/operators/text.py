@@ -34,6 +34,18 @@ DEFAULT_PROFILES: dict[str, tuple[str, ...]] = {
 STOPWORDS = DEFAULT_PROFILES["en"]
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Re-spread ONLY when the input is under-parallelized (a small
+    parquet read as 1-2 partitions): per-row hot loops (shingling,
+    fingerprinting, TF) need the cluster's width. Well-partitioned
+    input (the 100 TB case) passes through untouched -- no corpus-wide
+    shuffle."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_part:
+        return df.repartition(n_part)
+    return df
+
+
 def tokens(text: str | Column) -> Column:
     """Whitespace tokenization as an array column."""
     c = F.col(text) if isinstance(text, str) else text
@@ -171,9 +183,8 @@ def tf_idf_top_terms(
     from pyspark.sql import Window
 
     n_docs = df.count()
-    terms = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_term"))
+    terms = spread(df).select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_term")
     )
     tf = terms.groupBy("_id", "_term").agg(F.count(F.lit(1)).alias("_tf"))
     idf = (
@@ -258,9 +269,7 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
-    spark = df.sparkSession
-    n_part = spark.sparkContext.defaultParallelism
-    toks_df = df.repartition(n_part).select(
+    toks_df = spread(df).select(
         F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")
     )
     kg = ordered_kgrams(F.col("_toks"), k)

@@ -27,32 +27,38 @@ def stream_to_bucketed(
     query_name: str = "ingest",
     available_now: bool = True,
 ):
-    """Start (and return) a streaming query appending each micro-batch
+    """Start (and return) a streaming query landing each micro-batch
     into the bucketed catalog table ``table``.  Creates the table on
-    the first batch; appends with the identical bucket spec afterwards.
+    the first batch; later batches insert with the identical
+    bucket spec.
 
-    Batch-level idempotence: each processed ``batch_id`` is recorded in
-    ``<table>__batches``; a replayed batch (checkpoint recovery) is
-    skipped instead of double-appended.
+    Batch-level idempotence is CRASH-SAFE: every batch lands in its own
+    ``_ingest_batch=<batch_id>`` partition via dynamic-partition
+    OVERWRITE, so a replayed micro-batch (checkpoint recovery — even
+    one that died mid-write) replaces its own partition instead of
+    double-appending.  No side marker table is needed: the data write
+    itself is the idempotence mechanism (a marker written after the
+    data, as a first version did, leaves a crash window between the two
+    writes where replay double-appends).
     """
-    spark = stream_df.sparkSession
-    marker = f"{table}__batches"
 
     def _write_batch(df: DataFrame, batch_id: int) -> None:
         s: SparkSession = df.sparkSession
-        if s.catalog.tableExists(marker):
-            seen = s.table(marker).where(F.col("batch_id") == batch_id).count()
-            if seen:
-                return
-        writer = (
-            df.write.mode("append")
-            .bucketBy(n_buckets, *bucket_cols)
-            .format("parquet")
-        )
-        writer.saveAsTable(table)
-        s.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
-            "append"
-        ).format("parquet").saveAsTable(marker)
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        data = df.withColumn("_ingest_batch", F.lit(int(batch_id)))
+        if not s.catalog.tableExists(table):
+            (
+                data.write.mode("overwrite")
+                .partitionBy("_ingest_batch")
+                .bucketBy(n_buckets, *bucket_cols)
+                .format("parquet")
+                .saveAsTable(table)
+            )
+        else:
+            # positional insert into the existing (partitioned +
+            # bucketed) table; dynamic mode overwrites ONLY the
+            # _ingest_batch partitions present in this frame
+            data.write.mode("overwrite").format("parquet").insertInto(table)
 
     writer = (
         stream_df.writeStream.foreachBatch(_write_batch)

@@ -860,3 +860,26 @@ def test_salted_agg_matches_direct_groupby(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_cosine_grid_no_duplicates_with_empty_block(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    # rows_per_block=1 over few vectors forces empty hash blocks; every
+    # qualifying pair must appear exactly once
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i % 2)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = embedding_cosine_pairs(
+        df, 0.99, id_col="vec_id", vec_col="embedding", method="grid",
+        rows_per_block=1,
+    ).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs)), f"duplicate pairs: {sorted(pairs)}"
+    # parallel vectors (same parity) are exactly the qualifying pairs
+    want = {(a, b) for a in range(6) for b in range(a + 1, 6)
+            if a % 2 == b % 2}
+    assert set(pairs) == want
