@@ -1514,12 +1514,14 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.join(fps, "doc_id")
         .select(
             "doc_id",
-            "n_pieces",
-            F.size(fp).alias("n_fp"),
-            F.element_at(fp, 1).alias("fp_min"),
+            F.col("n_pieces").cast("long").alias("n_pieces"),
+            F.size(fp).cast("long").alias("n_fp"),
+            F.element_at(fp, 1).cast("long").alias("fp_min"),
             F.aggregate(
                 fp, F.lit(0).cast("long"), lambda acc, x: acc + x % F.lit(1000003)
-            ).alias("fp_checksum"),
+            )
+            .cast("long")
+            .alias("fp_checksum"),
         )
         .orderBy("doc_id")
     )
@@ -1545,10 +1547,11 @@ def _sql_doc_fingerprints() -> str:
             ELSE list_sort(list_distinct(hs)) END AS fp
           FROM h)
     SELECT doc_id,
-           len(regexp_extract_all(text, '{text_ops.BPE_PIECE_RE}')) AS n_pieces,
-           len(fp) AS n_fp,
-           fp[1] AS fp_min,
-           coalesce(list_sum(list_transform(fp, x -> x % 1000003)), 0)
+           len(regexp_extract_all(text, '{text_ops.BPE_PIECE_RE}'))::BIGINT
+             AS n_pieces,
+           len(fp)::BIGINT AS n_fp,
+           fp[1]::BIGINT AS fp_min,
+           coalesce(list_sum(list_transform(fp, x -> x % 1000003)), 0)::BIGINT
              AS fp_checksum
     FROM s ORDER BY doc_id
     """

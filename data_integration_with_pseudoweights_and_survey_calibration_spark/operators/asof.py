@@ -41,6 +41,11 @@ def asof_join(
     """
     lcols = left.columns
     l = left.withColumn("_role", F.lit(1))
+    # A NULL right time can never satisfy right[on] <= left[on]; without
+    # this filter Spark's NULLS FIRST ordering would sort such a row
+    # before everything and carry its payload forward, fabricating
+    # matches DuckDB's ASOF JOIN never produces.
+    right = right.where(F.col(on).isNotNull())
     r = right.select(
         by,
         on,

@@ -450,9 +450,13 @@ def bigram_logprob_scores(
     )
     c_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cbg"))
     c_w1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_cw1"))
+    # No broadcast hint: the bigram-type table grows ~linearly with
+    # corpus size, so a forced broadcast would hit the broadcast limit
+    # (or OOM the driver) at scale. AQE picks broadcast when the count
+    # tables are actually small and sort-merge when they aren't.
     scored = (
-        bg.join(F.broadcast(c_bg), ["w1", "w2"])
-        .join(F.broadcast(c_w1), ["w1"])
+        bg.join(c_bg, ["w1", "w2"])
+        .join(c_w1, ["w1"])
         .withColumn(
             "_logp",
             F.log(
@@ -465,7 +469,7 @@ def bigram_logprob_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.avg("_logp").alias("mean_logp"),
     )
-    return (
+    out = (
         base.select("_id")
         .join(per_doc, "_id", "left")
         .select(
@@ -474,3 +478,8 @@ def bigram_logprob_scores(
             "mean_logp",
         )
     )
+    # Materialize before releasing the caches the plan depends on.
+    out = out.localCheckpoint(eager=True)
+    bg.unpersist()
+    base.unpersist()
+    return out

@@ -65,9 +65,14 @@ def write_bucketed(
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
-    """Read a catalog table written by ``write_bucketed`` (bucketing
-    metadata comes back with it)."""
-    return spark.table(table)
+    """Read a catalog table written by ``write_bucketed`` or the
+    streaming ingest (bucketing metadata comes back with it). The
+    ingest's internal ``_ingest_batch`` idempotence partition column is
+    stripped — readers see only user data."""
+    df = spark.table(table)
+    if "_ingest_batch" in df.columns:
+        df = df.drop("_ingest_batch")
+    return df
 
 
 def zorder_key(cols, bits: int = 16):
@@ -83,6 +88,13 @@ def zorder_key(cols, bits: int = 16):
     """
     from pyspark.sql import functions as F
 
+    cols = list(cols)
+    if int(bits) * len(cols) > 63:
+        raise ValueError(
+            f"zorder_key: bits * len(cols) = {int(bits) * len(cols)} "
+            "would overflow a signed 64-bit key (max 63); lower `bits` "
+            "or drop columns"
+        )
     one = F.lit(1).cast("long")
     key = F.lit(0).cast("long")
     for b in range(int(bits) - 1, -1, -1):

@@ -44,21 +44,34 @@ def stream_to_bucketed(
 
     def _write_batch(df: DataFrame, batch_id: int) -> None:
         s: SparkSession = df.sparkSession
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        data = df.withColumn("_ingest_batch", F.lit(int(batch_id)))
-        if not s.catalog.tableExists(table):
-            (
-                data.write.mode("overwrite")
-                .partitionBy("_ingest_batch")
-                .bucketBy(n_buckets, *bucket_cols)
-                .format("parquet")
-                .saveAsTable(table)
-            )
-        else:
-            # positional insert into the existing (partitioned +
-            # bucketed) table; dynamic mode overwrites ONLY the
-            # _ingest_batch partitions present in this frame
-            data.write.mode("overwrite").format("parquet").insertInto(table)
+        # Scope the dynamic-overwrite mode to this write: the conf is
+        # session-wide, and leaving it set would silently change
+        # overwrite semantics for unrelated writes on the same session.
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = s.conf.get(key, None)
+        s.conf.set(key, "dynamic")
+        try:
+            data = df.withColumn("_ingest_batch", F.lit(int(batch_id)))
+            if not s.catalog.tableExists(table):
+                (
+                    data.write.mode("overwrite")
+                    .partitionBy("_ingest_batch")
+                    .bucketBy(n_buckets, *bucket_cols)
+                    .format("parquet")
+                    .saveAsTable(table)
+                )
+            else:
+                # positional insert into the existing (partitioned +
+                # bucketed) table; dynamic mode overwrites ONLY the
+                # _ingest_batch partitions present in this frame
+                data.write.mode("overwrite").format("parquet").insertInto(
+                    table
+                )
+        finally:
+            if prev is None:
+                s.conf.unset(key)
+            else:
+                s.conf.set(key, prev)
 
     writer = (
         stream_df.writeStream.foreachBatch(_write_batch)
