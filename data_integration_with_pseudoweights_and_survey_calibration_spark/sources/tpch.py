@@ -21,6 +21,9 @@ everything is plain Column arithmetic on one table.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -66,6 +69,35 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # some generator versions store MICROS with isAdjustedToUTC=false;
         # cast to the instant type (value-identical under the UTC session
         # tz) so event-time ops (streaming watermarks) accept the column
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` as a Structured Streaming file source with the same
+    ``ts`` normalization as :func:`load_events`. The stream must be
+    declared with the RAW parquet schema (ts is TIMESTAMP(NANOS) on
+    disk → bigint under ``nanosAsLong``); the timestamp conversion is
+    then applied as a projection on the stream, exactly like the batch
+    reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isfile(path):
+        # the file stream source requires a DIRECTORY; expose a
+        # single-file dataset through a symlink in a scratch dir
+        d = tempfile.mkdtemp(prefix="sg_events_src_")
+        os.symlink(path, os.path.join(d, "events.parquet"))
+        stream_path = d
+    else:
+        stream_path = path
+    raw_schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(raw_schema).parquet(stream_path)
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn(
+            "ts", (F.col("ts") / F.lit(1_000_000_000)).cast("timestamp")
+        )
+    elif ts_type == "timestamp_ntz":
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 

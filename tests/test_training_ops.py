@@ -557,19 +557,16 @@ def test_repetition_features(spark):
 
 
 def test_vocab_approx_accuracy(spark, sf_dir):
+    """The HLL sketch twin now lives inside the vocab_stats query as
+    the hll_ok accuracy-gate column (<= 5% relative error vs the exact
+    distinct computed in the same aggregate)."""
     import __spark_entry__ as em
 
-    exact = {
-        r["source"]: r["n_vocab"]
-        for r in em.queries()["vocab_stats"](spark, sf_dir).collect()
-    }
-    approx = {
-        r["source"]: r["n_vocab_approx"]
-        for r in em.queries()["vocab_approx"](spark, sf_dir).collect()
-    }
-    assert set(exact) == set(approx)
-    for s in exact:
-        assert abs(approx[s] - exact[s]) / exact[s] <= 0.05
+    rows = em.queries()["vocab_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_vocab"] > 0
+        assert r["hll_ok"] is True
 
 
 def test_asof_join_semantics(spark):

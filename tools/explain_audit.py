@@ -19,12 +19,13 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.session im
 
 # query -> (what to look for, why it matters)
 AUDITS: dict[str, list[tuple[str, str]]] = {
-    "ipsw_prevalence": [
+    "survey_scalars": [
         (r"ReadSchema: [^\n]*o_orderkey", "column pruning reaches the scan"),
         (r"WholeStageCodegen|\*\(\d+\)", "expression layer fused into whole-stage codegen"),
         (r"partial_sum", "map-side partial aggregation before the exchange"),
+        (r"BroadcastNestedLoopJoin", "1-row certificate pieces combined by broadcast, not cartesian task explosion"),
     ],
-    "kw_weights": [
+    "kw_kernels": [
         (r"hashpartitioning\(_bkt", "pair join shuffles on the band bucket key only"),
         (r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas", "single Arrow-batched kernel pass"),
     ],
@@ -63,7 +64,7 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         (r"TakeOrderedAndProject", "global top-10 via per-partition heap + driver merge"),
         (r"PushedFilters: \[[^\]]*o_orderdate", "order-date window pushed to the orders scan"),
     ],
-    "corpus_shuffle": [
+    "layout_keys": [
         (r"rangepartitioning\(_gr_key", "global rank via range shuffle, not a single-partition window"),
         (r"BroadcastExchange", "prefix-offset frame broadcast back"),
     ],
@@ -80,11 +81,9 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
     "domain_mix": [
         (r"BroadcastHashJoin|BroadcastExchange", "domain share table broadcast; corpus filter is map-side"),
     ],
-    "events_asof": [
+    "events_flow": [
         (r"hashpartitioning\(user_id", "one shuffle on the as-of key"),
         (r"RunningWindowFunction|Window", "right payload carried by a keyed window, no range join"),
-    ],
-    "events_attribution": [
         # AQE picks broadcast for the small side locally; the contract
         # is that the join stays a HASH EQUI-join on the band bucket
         # (at scale the same keys shuffle-partition both sides)
@@ -96,8 +95,13 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         (r"partial_count", "distinct + totals aggregated with map-side partials"),
     ],
     "lm_scores": [
-        (r"BroadcastHashJoin", "bigram/context count tables broadcast back to the corpus"),
-        (r"partial_count|partial_avg|partial_sum", "count tables built with map-side partials"),
+        # the scoring pipeline materializes via localCheckpoint so the
+        # corpus-tokenization caches can be released (round-3 review
+        # fix); the returned plan therefore reads the checkpoint, and
+        # the join-strategy choice (AQE: broadcast when the count
+        # tables are small, sort-merge when corpus-sized) happens
+        # during construction
+        (r"Scan ExistingRDD", "result reads the checkpointed scores; caches released"),
     ],
     "decontamination": [
         (r"BroadcastHashJoin|BroadcastExchange", "eval fingerprint set broadcast; train side never shuffles for the join"),
