@@ -16,6 +16,8 @@ aggregate/list_sum, filter/list_filter, md5, conv/hex-cast); the entry
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -34,14 +36,50 @@ DEFAULT_PROFILES: dict[str, tuple[str, ...]] = {
 STOPWORDS = DEFAULT_PROFILES["en"]
 
 
+def _parse_bytes_conf(v: str) -> int:
+    v = v.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    if v.endswith("b"):
+        v = v[:-1]
+    if v and v[-1] in units:
+        return int(float(v[:-1]) * units[v[-1]])
+    return int(v)
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Re-spread ONLY when the input is under-parallelized (a small
     parquet read as 1-2 partitions): per-row hot loops (shingling,
     fingerprinting, TF) need the cluster's width. Well-partitioned
     input (the 100 TB case) passes through untouched -- no corpus-wide
-    shuffle."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n_part:
+    shuffle.
+
+    Under-parallelization is estimated from the SCAN inputs
+    (``df.inputFiles`` + ``spark.sql.files.maxPartitionBytes``), never
+    from ``df.rdd`` — the RDD probe a first version used forces a
+    physical re-plan of the whole query per call. Non-scan inputs
+    (already shuffled/derived frames) pass through: their partitioning
+    was chosen by an upstream exchange."""
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 - non-scan plans: trust upstream
+        return df
+    if not files:
+        return df
+    try:
+        max_pb = _parse_bytes_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        total = 0
+        for f in files:
+            p = f[7:] if f.startswith("file:///") else f
+            p = p[5:] if p.startswith("file:") else p
+            total += os.path.getsize(p)
+        est_parts = max(len(files), (total + max_pb - 1) // max_pb)
+    except OSError:  # remote / unstatable paths: leave untouched
+        return df
+    if est_parts < n_part:
         return df.repartition(n_part)
     return df
 

@@ -802,6 +802,60 @@ def test_bpe_merges_match_reference_impl(spark):
     assert got_syms == vocab
 
 
+def test_bpe_merges_batched_match_reference_impl(spark):
+    """batch_size > 1: golden vs a pure-Python mirror of the SAME
+    batched recurrence (top-k non-conflicting per round on the round's
+    start-state counts, applied simultaneously)."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.bpe import (
+        learn_bpe_merges,
+        select_nonconflicting,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "low newer low wide wider widest wide",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.split())
+    vocab = {w: list(w) for w in wf}
+    k, n_merges, min_freq = 3, 9, 2
+
+    want = []
+    while len(want) < n_merges:
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        cands = [(a, b, c) for (a, b), c in ranked if c >= min_freq]
+        kept = select_nonconflicting(cands, min(k, n_merges - len(want)))
+        if not kept:
+            break
+        want.extend(kept)
+        pairs = {(a, b) for a, b, _ in kept}
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) in pairs:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    got = learn_bpe_merges(df, n_merges=n_merges, min_freq=min_freq, batch_size=k)
+    assert got.merges == want
+    got_syms = {r["w"]: list(r["syms"]) for r in got.vocab.collect()}
+    assert got_syms == vocab
+
+
 def test_bpe_tokenize_consistent_with_training(spark):
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.bpe import (
         bpe_tokenize,
