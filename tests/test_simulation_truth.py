@@ -1,0 +1,109 @@
+"""Simulation-against-truth gate — the reference's own correctness
+discipline (relative bias of estimators over replicates vs generated
+population truth, ``calib_simu_noninf0315.R:306-355``) promoted to a
+deterministic pytest gate.
+
+The informative cohort design (selection odds ``exp(-0.15 x1 + 0.1
+x2)``) makes the naive cohort mean of the event indicator badly biased
+(~-28% at this geometry); IPSW, KW pseudo-weighting, post-stratified
+IPSW, and the design-weighted survey estimator must all recover the
+population event rate within tight relative-bias bounds.
+
+Fully deterministic: the population uses the counter-based hash RNG
+(bit-reproducible under any partitioning) and every PPS draw uses
+md5-hashed uniforms, so the measured biases are exact constants (the
+bounds below have ~40% headroom over the observed values). Runtime
+~2.5 min at NSIMU=30, marked slow.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.calibration import (
+    post_stratify,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.propensity import (
+    integrate,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+    pps_sample,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.simulation import (
+    GAMMA_C,
+    GAMMA_S,
+    generate_population,
+    hash_uniform,
+    selection_odds,
+)
+
+NSIMU = 30
+N_POP = 20_000
+N_C, N_S = 600, 300
+
+
+@pytest.mark.slow
+def test_simulation_relative_bias_vs_truth(spark):
+    pop = generate_population(
+        spark, N_POP, seed=8291, rng="hash", error_profiles=[]
+    ).cache()
+    truth = float(pop.agg(F.avg("d")).collect()[0][0])
+    assert truth > 0
+
+    sums = dict.fromkeys(("naive", "svy", "ipsw", "kw", "pst"), 0.0)
+    for r in range(1, NSIMU + 1):
+        cohort = (
+            pps_sample(
+                pop.withColumn("_sz", selection_odds(GAMMA_C)),
+                "_sz",
+                N_C,
+                u=hash_uniform(f"simC{r}"),
+            )
+            .drop("_sz")
+            .localCheckpoint(eager=True)
+        )
+        survey = (
+            pps_sample(
+                pop.withColumn("_sz", selection_odds(GAMMA_S)),
+                "_sz",
+                N_S,
+                u=hash_uniform(f"simS{r}"),
+            )
+            .drop("_sz")
+            .localCheckpoint(eager=True)
+        )
+        cw, _fit, _kw = integrate(cohort, survey, "x1 + x2", pop_size=float(N_POP))
+        tot = survey.groupBy("x1_c").agg(F.sum("wt").alias("Nh"))
+        pst = post_stratify(cw, "x1_c", "ipsw", tot).df
+        row = cw.agg(
+            F.avg("d").alias("naive"),
+            (F.sum(F.col("ipsw") * F.col("d")) / F.sum("ipsw")).alias("ipsw"),
+            (F.sum(F.col("kw") * F.col("d")) / F.sum("kw")).alias("kw"),
+        ).collect()[0]
+        svy = survey.agg(
+            F.sum(F.col("wt") * F.col("d")) / F.sum("wt")
+        ).collect()[0][0]
+        pstv = pst.agg(
+            F.sum(F.col("post_wt") * F.col("d")) / F.sum("post_wt")
+        ).collect()[0][0]
+        for k, v in (
+            ("naive", row["naive"]),
+            ("ipsw", row["ipsw"]),
+            ("kw", row["kw"]),
+            ("svy", svy),
+            ("pst", pstv),
+        ):
+            sums[k] += float(v)
+
+    relbias = {k: (s / NSIMU - truth) / truth for k, s in sums.items()}
+
+    # the design IS informative: naive must be substantially biased
+    # (observed -0.277 at this deterministic geometry)
+    assert abs(relbias["naive"]) >= 0.15, relbias
+    # probability-sample and pseudo-weighted estimators recover truth
+    # (observed: svy -0.012, ipsw -0.011, pst -0.015, kw -0.032)
+    assert abs(relbias["svy"]) <= 0.05, relbias
+    assert abs(relbias["ipsw"]) <= 0.05, relbias
+    assert abs(relbias["pst"]) <= 0.05, relbias
+    assert abs(relbias["kw"]) <= 0.06, relbias
