@@ -386,6 +386,156 @@ def estimate_methods_np(
     return results
 
 
+def estimate_methods_inf_np(
+    cohort: pd.DataFrame,
+    survey: pd.DataFrame,
+    *,
+    x_cols: Sequence[str],
+    ps_formulas: Sequence[str],
+    t_star: Sequence[float],
+    pop_size: float,
+    pop_events: float,
+    lambda_star=None,
+    x0: Sequence[Sequence[float]] | None = None,
+    error_variants: Sequence[int] = (1, 2, 3),
+    survey_weight: str = "wt",
+    t: str = "t",
+    d: str = "d",
+) -> dict[str, float]:
+    """Dense ``jk_est_inf`` (``jk_fun.R:172-275``): identical output
+    map to ``method_suite.estimate_methods_inf`` — the informative
+    22-method table with per-formula IPSW fits, per-formula composite
+    weights, and the 6-method calibration grid per error variant."""
+    x_cols = list(x_cols)
+    t_star = [float(v) for v in t_star]
+    results: dict[str, float] = {}
+    n_s = len(survey)
+    a = n_s / float(pop_size)
+
+    def _est_out(pdf, beta, w, tc, dc):
+        rel = np.exp(pdf[x_cols].to_numpy(dtype=float) @ beta)
+        tt = pdf[tc].to_numpy(dtype=float)
+        dd = pdf[dc].to_numpy(dtype=float)
+        out = {}
+        Lam = _dense_breslow(tt, dd, w, rel, t_star)
+        for j in range(len(t_star)):
+            out[f"Lambda_t{j}"] = float(Lam[j])
+        LamG = None
+        if lambda_star is not None:
+            LamG = _dense_gail(lambda_star[0], lambda_star[1], tt, dd, w, rel, t_star)
+            for j in range(len(t_star)):
+                out[f"LambdaG_t{j}"] = float(LamG[j])
+        if x0 is not None:
+            for pidx, prof in enumerate(x0):
+                rr0 = math.exp(float(np.dot(beta, np.asarray(prof, dtype=float))))
+                for j in range(len(t_star)):
+                    out[f"absR_x{pidx}_t{j}"] = 1.0 - math.exp(-float(Lam[j]) * rr0)
+                    if LamG is not None:
+                        out[f"absRG_x{pidx}_t{j}"] = 1.0 - math.exp(
+                            -float(LamG[j]) * rr0
+                        )
+        return out
+
+    def _cox_and_est(pdf, w, label, tc=t, dc=d):
+        beta = dense_cox(
+            pdf[x_cols].to_numpy(dtype=float),
+            pdf[tc].to_numpy(dtype=float),
+            pdf[dc].to_numpy(dtype=float),
+            w,
+        )
+        for name, b in zip(x_cols, beta):
+            results[f"beta_{label}_{name}"] = float(b)
+        for k, v in _est_out(pdf, beta, w, tc, dc).items():
+            results[f"{k}_{label}"] = v
+
+    wt_c = cohort[survey_weight].to_numpy(dtype=float)
+    wt_s = survey[survey_weight].to_numpy(dtype=float)
+    _cox_and_est(cohort, np.ones(len(cohort)), "naive")
+    _cox_and_est(cohort, wt_c, "cht")
+    _cox_and_est(survey, wt_s, "svy")
+
+    # stacked frame with halved true weights (jk_fun.R:205); w_s from
+    # the ORIGINAL weights (stack first, halve after)
+    com = pd.concat(
+        [cohort.assign(trt=1), survey.assign(trt=0)], ignore_index=True
+    )
+    trt = com["trt"].to_numpy()
+    w_s = np.where(trt == 1, 1.0, com[survey_weight].to_numpy(dtype=float) * a)
+    com[survey_weight] = com[survey_weight].to_numpy(dtype=float) / 2.0
+
+    def _cv(wv):
+        return (np.var(wv, ddof=1) / np.mean(wv * wv) + 1.0) / len(wv)
+
+    # one IPSW method + composite-weight column per candidate PS
+    # formula (jk_fun.R:218-238)
+    cohort_v = com[trt == 1].reset_index(drop=True)
+    for i, fm in enumerate(ps_formulas):
+        xd, _ = _design_np(com, fm)
+        gamma = dense_logistic(xd, trt.astype(float), w_s)
+        p_est = 1.0 / (1.0 + np.exp(-(xd @ gamma)))
+        ipsw = ((1.0 - p_est) / (p_est * a))[trt == 1]
+        _cox_and_est(cohort_v, ipsw, f"ipsw.{i}")
+        cv_c, cv_s = _cv(ipsw), _cv(wt_s)
+        tot = ipsw.sum() + wt_s.sum()
+        cv_sum = cv_c + cv_s
+        a_c = tot * (1.0 - cv_c / cv_sum) / ipsw.sum() / 2.0
+        a_s = tot * (1.0 - cv_s / cv_sum) / wt_s.sum() / 2.0
+        comp = np.where(
+            trt == 1,
+            np.concatenate([ipsw * a_c, np.zeros(n_s)]),
+            com[survey_weight].to_numpy(dtype=float) * 2.0 * a_s,
+        )
+        com = com.assign(**{f"_comp_{i}": comp})
+
+    ls_np = lambda_star
+    x0_first = list(x0[0]) if x0 else None
+    for k in error_variants:
+        tt, dt = f"t_tilde_{k}", f"d_tilde_{k}"
+        tf, df_ = f"t_fit_{k}", f"d_fit_{k}"
+        comk = com.assign(
+            **{
+                tf: np.where(trt == 0, com[f"t_imp_{k}"], com[t]),
+                df_: np.where(trt == 0, com[dt], com[d]),
+            }
+        )
+        km = min(k, len(ps_formulas) - 1)
+        grid = [
+            (f"calib.d{k}", tt, dt, survey_weight, 2.0),
+            (f"calib_ipsw0.d{k}", tt, dt, "_comp_0", 1.0),
+            (f"calib_ipsw{km}.d{k}", tt, dt, f"_comp_{km}", 1.0),
+            (f"imp.d{k}", tf, df_, survey_weight, 2.0),
+            (f"impcalib_ipsw0.d{k}", tf, df_, "_comp_0", 1.0),
+            (f"impcalib_ipsw{km}.d{k}", tf, df_, f"_comp_{km}", 1.0),
+        ]
+        for label, vt, vd, vw, restore in grid:
+            res = _dense_calib_est(
+                comk,
+                x_cols,
+                t_star,
+                var_wt=vw,
+                pop_size=pop_size,
+                pop_events=pop_events,
+                aux_t=vt,
+                aux_d=vd,
+                t=t,
+                d=d,
+                restore_factor=restore,
+                lambda_star=ls_np,
+                x0=x0_first,
+            )
+            for name, b in zip(x_cols, res["beta"]):
+                results[f"beta_{label}_{name}"] = float(b)
+            for j in range(len(t_star)):
+                results[f"Lambda_t{j}_{label}"] = float(res["Lambda"][j])
+                if res["LambdaG"] is not None:
+                    results[f"LambdaG_t{j}_{label}"] = float(res["LambdaG"][j])
+                if res["absR"] is not None:
+                    results[f"absR_x0_t{j}_{label}"] = float(res["absR"][j])
+                if res["absRG"] is not None:
+                    results[f"absRG_x0_t{j}_{label}"] = float(res["absRG"][j])
+    return results
+
+
 # ---------------------------------------------------------------------------
 # grouped jackknife over the dense suite: one job, all replicates
 # ---------------------------------------------------------------------------
@@ -398,7 +548,7 @@ def jk_suite_grouped(
     n_jk: int,
     *,
     x_cols: Sequence[str],
-    ps_formula: str,
+    ps_formula: str | None = None,
     t_star: Sequence[float],
     pop_size: float,
     pop_events: float,
@@ -409,11 +559,14 @@ def jk_suite_grouped(
     group_col: str = "jk_group",
     t: str = "t",
     d: str = "d",
+    ps_formulas: Sequence[str] | None = None,
 ) -> DataFrame:
     """I22 sample-scale regime for the FULL method suite: every
     leave-one-group-out replicate (cohort groups 1..m_jk ->
     replicates 1..m_jk; survey groups -> m_jk+1..m_jk+n_jk) runs
-    ``estimate_methods_np`` inside one ``applyInPandas`` task.
+    ``estimate_methods_np`` inside one ``applyInPandas`` task — or,
+    when ``ps_formulas`` is given instead of ``ps_formula``, the
+    informative 22-method ``estimate_methods_inf_np``.
 
     Row replication: a cohort row joins every cohort replicate except
     its own group (weight rescaled m/(m-1), ``jk_fun.R:320``) plus every
@@ -427,10 +580,12 @@ def jk_suite_grouped(
     need = {t, d, survey_weight, group_col, *x_cols}
     for k in error_variants:
         need |= {f"t_tilde_{k}", f"d_tilde_{k}", f"t_imp_{k}"}
-    # design source columns for the propensity formula
-    dm_terms = DesignMatrix(ps_formula)._parse()[1]
-    for term in dm_terms:
-        need |= set(term.split(":"))
+    if (ps_formula is None) == (ps_formulas is None):
+        raise ValueError("pass exactly one of ps_formula / ps_formulas")
+    # design source columns for the propensity formula(s)
+    for fm in [ps_formula] if ps_formula else list(ps_formulas):
+        for term in DesignMatrix(fm)._parse()[1]:
+            need |= set(term.split(":"))
     cols = sorted(c for c in need if c != group_col)
 
     reps = spark.range(1, g + 1).select(F.col("id").cast("int").alias("_rep"))
@@ -466,9 +621,15 @@ def jk_suite_grouped(
             ls_pdf["lambda_star"].to_numpy(dtype=float),
         )
     x0_l = [list(map(float, row)) for row in x0] if x0 is not None else None
+    estimator = estimate_methods_np if ps_formula else estimate_methods_inf_np
+    fm_kw = (
+        dict(ps_formula=ps_formula)
+        if ps_formula
+        else dict(ps_formulas=[str(f) for f in ps_formulas])
+    )
     kw = dict(
         x_cols=list(x_cols),
-        ps_formula=ps_formula,
+        **fm_kw,
         t_star=[float(v) for v in t_star],
         pop_size=float(pop_size),
         pop_events=float(pop_events),
@@ -484,7 +645,7 @@ def jk_suite_grouped(
         rep = int(pdf["_rep"].iloc[0])
         c_pdf = pdf[pdf["_role"] == 1].reset_index(drop=True)
         s_pdf = pdf[pdf["_role"] == 0].reset_index(drop=True)
-        est = estimate_methods_np(c_pdf, s_pdf, **kw)
+        est = estimator(c_pdf, s_pdf, **kw)
         return pd.DataFrame(
             {
                 "replicate": rep,

@@ -7,12 +7,18 @@ per-formula composite weights, the calibration grid under true /
 composite weights with and without imputation correction.
 
 Usage:
-    python examples/informative_study.py [n_pop] [n_replicates] [out_dir]
+    python examples/informative_study.py [n_pop] [n_replicates] [out_dir] \
+        [m_jk] [n_jk]
 
 Reference geometry: N=300k, cohort n=300, survey n=600
 (``calib_simu_inf0315.R:28-30``) -- note the swap vs the
 noninformative driver. Defaults are toy-sized; pass 300000 to run the
-reference shape (every stage is the distributed engine).
+reference shape (every stage is the distributed engine). With
+``m_jk``/``n_jk`` > 0 the grouped jackknife additionally runs every
+leave-group-out refit of the full informative 22-method suite in ONE
+``applyInPandas`` job (``dense_suite.jk_suite_grouped`` with the
+``estimate_methods_inf_np`` twin) over the LAST draw and reports wall
+time -- m_jk=30, n_jk=60 mirrors the swapped inf geometry.
 """
 
 from __future__ import annotations
@@ -51,6 +57,8 @@ def main() -> None:
     n_pop = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     n_rep = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     out_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/informative_study"
+    m_jk = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    n_jk = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     n_c, n_s = 300, 600  # informative geometry (swapped vs noninf)
     spark = get_spark("informative-study")
     spark.sparkContext.setLogLevel("ERROR")
@@ -94,6 +102,55 @@ def main() -> None:
             rows.append((r, name, float(v)))
         print(f"replicate {r}: {len(est)} params ({time.time() - t1:.0f}s)")
 
+    jk_summary = None
+    if m_jk > 0 and n_jk > 0:
+        from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dense_suite import (
+            jk_suite_grouped,
+        )
+        from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.jackknife import (
+            jk_variance,
+        )
+        from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+            assign_jk_groups,
+        )
+
+        t2 = time.time()
+        cohort_j = assign_jk_groups(cohort, m_jk, seed=11).cache()
+        survey_j = assign_jk_groups(survey, n_jk, seed=12).cache()
+        jk_df = jk_suite_grouped(
+            cohort_j,
+            survey_j,
+            m_jk,
+            n_jk,
+            x_cols=["x1", "x2", "x3"],
+            ps_formulas=PS_FORMULAS,
+            t_star=T_STAR,
+            pop_size=float(n_pop),
+            pop_events=n1,
+            lambda_star=lam_star,
+            x0=x0,
+            error_variants=(1,),
+        ).toPandas()
+        jk_secs = time.time() - t2
+        g = m_jk + n_jk
+        piv = jk_df[jk_df["param"].str.match(r"beta_.*_x1$")].pivot_table(
+            index="replicate", columns="param", values="value"
+        ).sort_index()
+        _, var = jk_variance(piv.to_numpy(), m_jk, n_jk)
+        jk_summary = {
+            "m_jk": m_jk,
+            "n_jk": n_jk,
+            "replicates": g,
+            "n_params": int(jk_df["param"].nunique()),
+            "total_sec": round(jk_secs, 1),
+            "sec_per_replicate": round(jk_secs / g, 2),
+            "jk_se_beta_x1": {
+                c: round(float(v) ** 0.5, 4) for c, v in zip(piv.columns, var)
+            },
+        }
+        print(f"jackknife: {g} replicates x 22-method inf suite in "
+              f"{jk_secs:.0f}s ({jk_secs / g:.1f}s/replicate)")
+
     out = spark.createDataFrame(rows, "replicate int, param string, value double")
     out.write.mode("overwrite").option("header", True).csv(out_dir)
     summary = (
@@ -108,6 +165,7 @@ def main() -> None:
         "beta_x1_by_method": {r["param"]: r["mean"] for r in summary},
         "results_csv": out_dir,
         "total_sec": round(time.time() - t0, 1),
+        "jackknife": jk_summary,
     }, indent=2))
 
 

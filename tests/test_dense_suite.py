@@ -74,6 +74,49 @@ def test_dense_suite_matches_distributed(spark, world):
         ), key
 
 
+def test_dense_inf_suite_matches_distributed(spark, world):
+    """The informative 22-method table computed two independent ways
+    (distributed Spark vs dense NumPy) must agree on every parameter."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dense_suite import (
+        estimate_methods_inf_np,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.method_suite import (
+        estimate_methods_inf,
+    )
+
+    pop, _, _, n1, lam_star = world
+    cohort, survey = draw_samples(
+        pop, 150, 220, seed=9, odds_c={"x1": -0.15, "x2": 0.1, "d": 0.6}
+    )
+    cohort = cohort.cache()
+    survey = survey.cache()
+    kw = dict(
+        x_cols=["x1", "x2", "x3"],
+        ps_formulas=["x1 + x2", "x1*d + x2*d", "x1 + x2 + d"],
+        t_star=[2.0, 5.0, 10.0],
+        pop_size=6000.0,
+        pop_events=n1,
+        x0=[[0.5, 0.0, 0.0]],
+        error_variants=(1,),
+    )
+    spark_out = estimate_methods_inf(cohort, survey, lambda_star=lam_star, **kw)
+    ls_pdf = lam_star.select("t", "lambda_star").orderBy("t").toPandas()
+    dense_out = estimate_methods_inf_np(
+        cohort.toPandas(),
+        survey.toPandas(),
+        lambda_star=(
+            ls_pdf["t"].to_numpy(float),
+            ls_pdf["lambda_star"].to_numpy(float),
+        ),
+        **kw,
+    )
+    assert set(spark_out) == set(dense_out)
+    for key in sorted(spark_out):
+        assert dense_out[key] == pytest.approx(
+            spark_out[key], rel=1e-6, abs=1e-8
+        ), key
+
+
 def test_jk_suite_grouped_matches_pandas_loop(spark, world):
     """One applyInPandas job == the per-replicate pandas loop (filter +
     rescale + dense suite) for every replicate and parameter."""
