@@ -114,12 +114,40 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
 }
 
 
+# audits over operator-internal frames that the declared query hides
+# (bpe_merges returns driver-built merge rows; the plan that matters is
+# the vocab table the batched rounds iterate on)
+def _bpe_vocab(spark, sf_dir):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.bpe import (
+        learn_bpe_merges,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return learn_bpe_merges(docs, n_merges=8, min_freq=2, batch_size=4).vocab
+
+
+CUSTOM_AUDITS: dict[str, tuple] = {
+    "bpe_merges (vocab after batched rounds)": (
+        _bpe_vocab,
+        [
+            # each batched round localCheckpoints the folded vocab: the
+            # final plan must read the round-k checkpoint, not replay
+            # the iterative fold lineage
+            (r"Scan ExistingRDD", "vocab reads round-k checkpoint; no lineage replay"),
+        ],
+    ),
+}
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     qs = em.queries()
+    for label, (builder, checks) in CUSTOM_AUDITS.items():
+        qs[label] = builder
+        AUDITS[label] = checks
     lines = [
         "# EXPLAIN audit — physical-plan properties of representative queries",
         "",
