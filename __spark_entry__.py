@@ -756,7 +756,8 @@ def _sql_lambda_star_binned() -> str:
           FROM units GROUP BY t),
     rc AS (SELECT t, nt, has_e,
                   sum(cnt * 1.0) OVER (ORDER BY t DESC) AS zt FROM g),
-    ev AS (SELECT t, nt * 1.0 AS event_set, zt AS risk_set
+    ev AS (SELECT t, (nt * 1.0)::DOUBLE AS event_set,
+                  zt::DOUBLE AS risk_set
            FROM rc WHERE has_e > 0),
     binned AS (SELECT *, {bins} AS bin FROM ev)
     SELECT max(t) AS t,
@@ -1554,7 +1555,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text_quality_features(_docs(spark, sf_dir))
     return out.select(
         "doc_id",
-        "n_tokens",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round("ttr", 9).alias("ttr"),
         F.round("stop_ratio", 9).alias("stop_ratio"),
         F.round("mean_token_len", 9).alias("mean_token_len"),
@@ -1977,7 +1978,7 @@ def _q_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return top.withColumn("rank", F.row_number().over(w))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def _sql_customer_revenue() -> str:
@@ -2370,7 +2371,7 @@ def _q_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = embedding_moments(emb)
     return out.select(
-        "dim",
+        F.col("dim").cast("long").alias("dim"),
         "n",
         F.round("mean", 9).alias("mean"),
         F.round("var_pop", 9).alias("var_pop"),
@@ -2408,7 +2409,10 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     out = brute_force_topk(emb, emb.where(F.col("vec_id") < 5), 3)
     return out.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -2488,7 +2492,10 @@ def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iter=1,
     )
     return out.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -2685,7 +2692,7 @@ def _sql_events_running_totals() -> str:
     return """
     SELECT event_type AS "group",
            count(*) AS n,
-           round(count(*) * 1.0, 6) AS sum_w,
+           round(count(*)::DOUBLE, 6) AS sum_w,
            round(sum(value), 6) AS sum_wy,
            round(sum(value) / count(*), 6) AS wmean
     FROM events
@@ -2805,9 +2812,10 @@ TFIDF_TOP_K = 3
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-k TF-IDF terms (``text.tf_idf_top_terms``):
     explode -> keyed aggs -> broadcast IDF join -> top-k window."""
-    return text_ops.tf_idf_top_terms(
-        _docs(spark, sf_dir), top_k=TFIDF_TOP_K
-    ).orderBy("doc_id", "rank")
+    out = text_ops.tf_idf_top_terms(_docs(spark, sf_dir), top_k=TFIDF_TOP_K)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "doc_id", "rank"
+    )
 
 
 def _sql_tfidf() -> str:
@@ -2936,7 +2944,7 @@ def _sql_events_props() -> str:
     return """
     SELECT event_type,
            count(*) AS n,
-           sum(json_extract(props, '$.k')::INT) AS sum_k,
+           sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
            round(avg(json_extract(props, '$.k')::INT), 6) AS avg_k
     FROM events
     GROUP BY event_type
@@ -3085,7 +3093,7 @@ def _sql_population_gen_det() -> str:
            round(stddev_samp(x1), 6) AS sd_x1,
            round(avg(d), 6) AS event_rate,
            round(avg(t), 6) AS mean_t,
-           sum(CASE WHEN x1 <= (SELECT q30 FROM q) THEN 1 ELSE 0 END)
+           sum(CASE WHEN x1 <= (SELECT q30 FROM q) THEN 1 ELSE 0 END)::BIGINT
              AS n_ter1,
            round(avg(t_tilde_1), 6) AS mean_t_tilde_1,
            round(avg(d_tilde_1), 6) AS rate_d_tilde_1

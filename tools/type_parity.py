@@ -1,0 +1,83 @@
+"""Type-parity audit: Spark output schema vs DuckDB oracle output
+types for every declared query.
+
+The driver's correctness gate hashes VALUES including their machine
+representation, so INT-vs-BIGINT or BIGINT-vs-HUGEINT skew fails the
+hash even when values are equal (the round-2 ``doc_fingerprints``
+lesson). ``tools/oracle_check.py`` normalizes numerics before
+comparing, so it cannot see this class of bug — this tool can. Run:
+
+    python tools/type_parity.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from data_integration_with_pseudoweights_and_survey_calibration_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# canonical families: types inside one family hash identically after
+# the driver's row materialization (python ints / floats / strs / bools)
+SPARK_FAMILY = {
+    "tinyint": "int", "smallint": "int", "int": "int32", "bigint": "int64",
+    "float": "float", "double": "float64", "string": "str",
+    "boolean": "bool", "date": "date", "timestamp": "ts",
+}
+DUCK_FAMILY = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int32",
+    "BIGINT": "int64", "HUGEINT": "int128", "UTINYINT": "int",
+    "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
+    "FLOAT": "float", "DOUBLE": "float64", "VARCHAR": "str",
+    "BOOLEAN": "bool", "DATE": "date", "TIMESTAMP": "ts",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("type-parity")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    bad = 0
+    for name, fn in qs.items():
+        if name not in oracles:
+            continue
+        sdf = fn(spark, sf_dir)
+        stypes = {c: t for c, t in sdf.dtypes}
+        rel = con.sql(oracles[name])
+        dtypes = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+        issues = []
+        for c in sorted(stypes):
+            sf_ = SPARK_FAMILY.get(stypes[c], stypes[c])
+            df_ = DUCK_FAMILY.get(dtypes.get(c, "<missing>"), dtypes.get(c))
+            if sf_ != df_:
+                issues.append(f"{c}: spark={stypes[c]} duckdb={dtypes.get(c)}")
+        if issues:
+            bad += 1
+            print(f"[SKEW] {name}: " + "; ".join(issues))
+        else:
+            print(f"[ok]   {name}")
+    print(f"{'FAIL' if bad else 'PASS'} ({bad} queries with type skew)")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
