@@ -317,16 +317,6 @@ def _sql_bw_nrd0(sf_dir: str) -> str:
     """
 
 
-def _q_kw_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I3 KW kernel pseudo-weights, frozen scores + bandwidth."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    cohort, survey = tpch.survey_frames(spark, sf_dir)
-    score = F.lit(GAMMA0) + F.lit(GAMMA1) * F.col("x1") + F.lit(GAMMA2) * F.col("x2")
-    c = cohort.select("id", score.alias("p_score"))
-    s = survey.select("id", score.alias("p_score"), "wt")
-    res = kw_weights(c, s, weight_col="wt", h=KW_H)
-    return res.weights.select("id", F.round("kw", 6).alias("kw"))
-
 
 def _sql_kw_weights(sf_dir: str) -> str:
     return f"""
@@ -528,7 +518,7 @@ def _q_jk_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tot_wtd": F.sum(F.col("wt") * F.col("d")),
         },
         JK_G,
-    )
+    ).localCheckpoint(eager=True)  # g rows; 3 consumers below share one execution
     fac = float((JK_G - 1) / JK_G)
     mean = reps.agg(F.avg("tot_wtd")).collect()[0][0]
     dev = F.col("tot_wtd") - F.lit(mean)
@@ -856,19 +846,6 @@ def _sql_cox_dfbeta() -> str:
     """
 
 
-def _q_cox_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H2: weighted Cox (Breslow) fit -- iterative, rows-only check here;
-    golden-tested against an independent dense Newton in tests/."""
-    samp = _cohort_surv(spark, sf_dir)
-    fit = cox_fit(samp, ["x1", "x2"], w="wt")
-    rows = [
-        (name, float(b), fit.n_iter, bool(fit.converged), float(fit.score_norm))
-        for name, b in zip(fit.x_cols, fit.beta)
-    ]
-    return spark.createDataFrame(
-        rows, "term string, beta double, n_iter int, converged boolean, score_norm double"
-    )
-
 
 # --- sampling / score-check / influence layer -----------------------------
 
@@ -1127,17 +1104,6 @@ def _sql_jk_newton_steps() -> str:
     """
 
 
-def _q_kw_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I4 ``pw_beta``: gamma-derivative of the KW pseudo-weights over
-    the same banded pair stream as the weights."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    cohort, survey = tpch.survey_frames(spark, sf_dir)
-    score = F.lit(GAMMA0) + F.lit(GAMMA1) * F.col("x1") + F.lit(GAMMA2) * F.col("x2")
-    c = cohort.select("id", score.alias("p_score"), "x1")
-    s = survey.select("id", score.alias("p_score"), "wt", "x1")
-    res = kw_weights(c, s, weight_col="wt", h=KW_H, deriv_cols=["x1"])
-    return res.weights.select("id", F.round("kw_g_x1", 6).alias("kw_g"))
-
 
 def _sql_kw_derivative(sf_dir: str) -> str:
     h2 = KW_H * KW_H
@@ -1169,24 +1135,6 @@ def _sql_kw_derivative(sf_dir: str) -> str:
     FROM c LEFT JOIN d ON c.id = d.cid
     """
 
-
-def _q_kw_triang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I3+I4 with the TRIANGULAR kernel (``krn='triang'``,
-    ``simu_fun.R:129``): same banded pair join, exact support (K=0
-    outside |dist| <= h), weights AND gamma-derivative together."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    cohort, survey = tpch.survey_frames(spark, sf_dir)
-    score = F.lit(GAMMA0) + F.lit(GAMMA1) * F.col("x1") + F.lit(GAMMA2) * F.col("x2")
-    c = cohort.select("id", score.alias("p_score"), "x1")
-    s = survey.select("id", score.alias("p_score"), "wt", "x1")
-    res = kw_weights(
-        c, s, weight_col="wt", h=KW_TRIANG_H, kernel="triang", deriv_cols=["x1"]
-    )
-    return res.weights.select(
-        "id",
-        F.round("kw", 6).alias("kw"),
-        F.round("kw_g_x1", 6).alias("kw_g"),
-    )
 
 
 def _sql_kw_triang(sf_dir: str) -> str:
@@ -1853,21 +1801,6 @@ def _sql_vocab_stats() -> str:
     """
 
 
-def _q_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL-sketch twin of vocab_stats: at 100 TB the exact distinct's
-    token-keyed exchange is replaced by a fixed-size mergeable sketch
-    (map-side partials, O(sources) result rows). Rows-only gate
-    (approximate by construction); tests assert <= 5% relative error
-    against the exact twin."""
-    docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "source", F.explode(text_ops.tokens("text")).alias("_tok")
-    )
-    return toks.groupBy("source").agg(
-        F.approx_count_distinct("_tok", rsd=0.02).alias("n_vocab_approx"),
-        F.count(F.lit(1)).alias("n_tokens"),
-    )
-
 
 def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary over the largest table (TPC-H Q1 shape): the
@@ -2468,15 +2401,6 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.where(F.col("vec_id") < 5), 3)
 
 
-def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN, real probe config (rows-only: cell assignment is
-    model-dependent; recall asserted in tests/)."""
-    emb = _emb(spark, sf_dir)
-    return ivf_topk(
-        emb, emb.where(F.col("vec_id") < 5), 3, n_lists=16, n_probe=4,
-        max_iter=2,
-    )
-
 
 def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF machinery at n_probe == n_lists: the probe join scans every
@@ -2616,25 +2540,6 @@ def _sql_events_attribution() -> str:
     """
 
 
-def _q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping-sets aggregation (ROLLUP) over the largest table:
-    subtotals per returnflag and a grand total in one pass (partial
-    aggs feed every grouping set; no repeated scans)."""
-    li = tpch.load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-    )
-
-
-def _sql_pricing_rollup() -> str:
-    return """
-    SELECT l_returnflag, l_linestatus,
-           count(*) AS n_rows,
-           round(avg(l_quantity), 6) AS avg_qty
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """
 
 
 def _q_events_salted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2872,53 +2777,6 @@ def _sql_weighted_median() -> str:
     """
 
 
-def _q_jk_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I22 ``jk_var`` end-to-end IN SPARK: leave-group-out replicate
-    totals (linear regime) -> the reference's variance combine
-    sum((g-1)/g * (theta_k - theta_bar)^2) (``calib_simu_
-    noninf0315.R:228-233``) — replicates AND combine value-checked."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    cohort, _ = tpch.survey_frames(spark, sf_dir)
-    cohort = cohort.withColumn("jk_group", (F.col("id") % JK_G + 1).cast("int"))
-    reps = jk_linear_replicates(
-        cohort, {"tot_wtd": F.sum(F.col("wt") * F.col("d"))}, JK_G
-    )
-    fac = float((JK_G - 1) / JK_G)
-    mean = reps.agg(F.avg("tot_wtd")).collect()[0][0]
-    return reps.agg(
-        F.round(F.lit(mean), 6).alias("theta_mean"),
-        F.round(
-            F.sum(
-                F.lit(fac)
-                * (F.col("tot_wtd") - F.lit(mean))
-                * (F.col("tot_wtd") - F.lit(mean))
-            ),
-            4,
-        ).alias("jk_var"),
-    )
-
-
-def _sql_jk_variance() -> str:
-    g = JK_G
-    return f"""
-    WITH units AS ({_duck_units()}),
-    c AS (SELECT *, cast(id % {g} + 1 AS int) AS jk_group
-          FROM units WHERE {tpch.COHORT_PRED}),
-    parts AS (SELECT jk_group, sum(wt * d) AS p_wtd FROM c GROUP BY jk_group),
-    tot AS (SELECT sum(wt * d) AS t_wtd FROM c),
-    reps(replicate) AS (SELECT * FROM generate_series(1, {g})),
-    theta AS (
-      SELECT (tot.t_wtd - coalesce(parts.p_wtd, 0.0)) * {g}.0 / {g - 1}.0
-               AS tot_wtd
-      FROM reps LEFT JOIN parts ON reps.replicate = parts.jk_group
-      CROSS JOIN tot),
-    m AS (SELECT avg(tot_wtd) AS mu FROM theta)
-    SELECT round((SELECT mu FROM m), 6) AS theta_mean,
-           round(sum({g - 1}.0 / {g}.0
-                     * (tot_wtd - (SELECT mu FROM m))
-                     * (tot_wtd - (SELECT mu FROM m))), 4) AS jk_var
-    FROM theta
-    """
 
 
 def _q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2992,21 +2850,6 @@ def _sql_stratified_sample() -> str:
     ORDER BY id
     """
 
-
-def _q_population_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3+I24 (rows-only: seeded-random generation): synthetic
-    population with error variants; spot-check aggregate shape."""
-    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.simulation import (
-        generate_population,
-    )
-
-    pop = generate_population(spark, 5000, seed=8291)
-    return pop.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("d"), 6).alias("event_rate"),
-        F.round(F.avg("t"), 6).alias("mean_t"),
-        F.round(F.avg("t_imp_1"), 6).alias("mean_t_imp_1"),
-    )
 
 
 POP_DET_N = 5000
@@ -3130,15 +2973,25 @@ def _q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_by=["event_type"],
     )
     name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sg_ckpt_")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        # fail loudly rather than return a partial memory table
+        q.stop()
+        raise TimeoutError("streaming_windowed did not finish within 300s")
+    # availableNow checkpoints are single-use (a reuse would see no new
+    # files and emit nothing); remove this run's state
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).select(
         F.unix_timestamp(F.col("win.start")).alias("win_start"),
         "event_type",

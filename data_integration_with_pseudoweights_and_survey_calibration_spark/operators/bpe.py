@@ -86,9 +86,13 @@ def learn_bpe_merges(
     the same round cannot change it), but a newly-created symbol pair
     can only enter the ranking at the NEXT round, so the batched merge
     list may diverge from strict sequential order when such a pair
-    would have outranked the remaining candidates. Batched runs are
-    golden-tested against a pure-Python mirror of the same batched
-    recurrence."""
+    would have outranked the remaining candidates. The candidate
+    window is PART of the contract: only the top ``max(4k, k+8)``
+    ranked rows reach the driver (TakeOrdered — this truncation is
+    exactly what makes the round distributed-cheap), so a round keeps
+    fewer than k merges when conflicts exhaust the window; the next
+    round re-ranks and picks them up. Batched runs are golden-tested
+    against a pure-Python mirror of the same windowed recurrence."""
     words = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")

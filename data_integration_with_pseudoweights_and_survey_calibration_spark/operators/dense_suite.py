@@ -583,7 +583,7 @@ def jk_suite_grouped(
     if (ps_formula is None) == (ps_formulas is None):
         raise ValueError("pass exactly one of ps_formula / ps_formulas")
     # design source columns for the propensity formula(s)
-    for fm in [ps_formula] if ps_formula else list(ps_formulas):
+    for fm in [ps_formula] if ps_formula is not None else list(ps_formulas):
         for term in DesignMatrix(fm)._parse()[1]:
             need |= set(term.split(":"))
     cols = sorted(c for c in need if c != group_col)
@@ -621,10 +621,12 @@ def jk_suite_grouped(
             ls_pdf["lambda_star"].to_numpy(dtype=float),
         )
     x0_l = [list(map(float, row)) for row in x0] if x0 is not None else None
-    estimator = estimate_methods_np if ps_formula else estimate_methods_inf_np
+    estimator = (
+        estimate_methods_np if ps_formula is not None else estimate_methods_inf_np
+    )
     fm_kw = (
         dict(ps_formula=ps_formula)
-        if ps_formula
+        if ps_formula is not None
         else dict(ps_formulas=[str(f) for f in ps_formulas])
     )
     kw = dict(

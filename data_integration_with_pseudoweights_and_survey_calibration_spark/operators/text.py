@@ -56,29 +56,40 @@ def spread(df: DataFrame) -> DataFrame:
     Under-parallelization is estimated from the SCAN inputs
     (``df.inputFiles`` + ``spark.sql.files.maxPartitionBytes``), never
     from ``df.rdd`` — the RDD probe a first version used forces a
-    physical re-plan of the whole query per call. Non-scan inputs
-    (already shuffled/derived frames) pass through: their partitioning
-    was chosen by an upstream exchange."""
+    physical re-plan of the whole query per call. Frames whose LOGICAL
+    plan already contains an exchange (repartition/sort/agg/join
+    upstream) pass through untouched: their partitioning was chosen
+    deliberately, and the scan-file estimate would not describe it.
+    Remote paths whose sizes cannot be statted fall back to a
+    file-count estimate (n small files still gets spread)."""
     spark = df.sparkSession
     n_part = spark.sparkContext.defaultParallelism
     try:
+        plan = df._jdf.queryExecution().logical().toString()
         files = df.inputFiles()
-    except Exception:  # noqa: BLE001 - non-scan plans: trust upstream
+    except Exception:  # noqa: BLE001 - introspection failed: hands off
         return df
     if not files:
         return df
-    try:
-        max_pb = _parse_bytes_conf(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-        )
-        total = 0
-        for f in files:
-            p = f[7:] if f.startswith("file:///") else f
-            p = p[5:] if p.startswith("file:") else p
-            total += os.path.getsize(p)
-        est_parts = max(len(files), (total + max_pb - 1) // max_pb)
-    except OSError:  # remote / unstatable paths: leave untouched
+    # any of these in the logical plan means partitioning was already
+    # shaped downstream of the scan — the scan estimate is meaningless
+    if any(
+        marker in plan
+        for marker in ("Repartition", "Sort", "Aggregate", "Join", "Window")
+    ):
         return df
+    max_pb = _parse_bytes_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file:///") else f
+        p = p[5:] if p.startswith("file:") else p
+        try:
+            total += os.path.getsize(p)
+        except OSError:  # remote / unstatable: count the file only
+            total += max_pb
+    est_parts = max(len(files), (total + max_pb - 1) // max_pb)
     if est_parts < n_part:
         return df.repartition(n_part)
     return df

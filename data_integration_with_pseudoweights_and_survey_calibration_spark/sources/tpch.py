@@ -84,9 +84,18 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     if os.path.isfile(path):
         # the file stream source requires a DIRECTORY; expose a
-        # single-file dataset through a symlink in a scratch dir
-        d = tempfile.mkdtemp(prefix="sg_events_src_")
-        os.symlink(path, os.path.join(d, "events.parquet"))
+        # single-file dataset through a symlink in a scratch dir.
+        # The dir name is keyed by the source path so repeated calls
+        # (bench loops, gate runs) REUSE one dir instead of leaking a
+        # fresh tempdir per call.
+        import hashlib
+
+        key = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+        d = os.path.join(tempfile.gettempdir(), f"sg_events_src_{key}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if not os.path.islink(link):
+            os.symlink(path, link)
         stream_path = d
     else:
         stream_path = path

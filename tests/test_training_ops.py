@@ -804,8 +804,10 @@ def test_bpe_merges_match_reference_impl(spark):
 
 def test_bpe_merges_batched_match_reference_impl(spark):
     """batch_size > 1: golden vs a pure-Python mirror of the SAME
-    batched recurrence (top-k non-conflicting per round on the round's
-    start-state counts, applied simultaneously)."""
+    batched recurrence — including the driver candidate window
+    (only the top max(4k, k+8) ranked pairs are visible per round,
+    the TakeOrdered contract), top-k non-conflicting selection on the
+    round's start-state counts, applied simultaneously."""
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.bpe import (
         learn_bpe_merges,
         select_nonconflicting,
@@ -833,8 +835,12 @@ def test_bpe_merges_batched_match_reference_impl(spark):
             for a, b in zip(syms, syms[1:]):
                 pc[(a, b)] += wf[w]
         ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        cands = [(a, b, c) for (a, b), c in ranked if c >= min_freq]
-        kept = select_nonconflicting(cands, min(k, n_merges - len(want)))
+        kk = min(k, n_merges - len(want))
+        window = max(4 * kk, kk + 8)  # the driver TakeOrdered window
+        cands = [
+            (a, b, c) for (a, b), c in ranked[:window] if c >= min_freq
+        ]
+        kept = select_nonconflicting(cands, kk)
         if not kept:
             break
         want.extend(kept)
