@@ -3043,7 +3043,10 @@ def _q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generators, method-labeled in one union: PPJoin n-gram Jaccard,
     banded MinHash-LSH (both over documents), and blocked embedding
     cosine (over embeddings). Each branch keeps its own bucketed
-    (never all-pairs) plan; the union is just a label."""
+    (never all-pairs) plan; the union is just a label. The two
+    shingle-based branches SHARE one cached shingle frame, so the
+    corpus is tokenized+shingled once for both methods instead of once
+    per method."""
 
     def tag(df: DataFrame, method: str, score_col: str) -> DataFrame:
         return df.select(
@@ -3053,11 +3056,21 @@ def _q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(score_col).cast("double").alias("score"),
         )
 
+    docs = _docs(spark, sf_dir)
+    sh = dedup_ops._shingle_frame(docs, "doc_id", "text", 3).cache()
+    ng = ngram_jaccard_pairs(docs, JACCARD_TAU, shingle_frame=sh).select(
+        "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
+    )
+    lsh = minhash_lsh_pairs(
+        docs,
+        JACCARD_TAU,
+        num_hashes=MINHASH_K,
+        bands=MINHASH_BANDS,
+        shingle_frame=sh,
+    ).select("id_a", "id_b", F.round("jaccard_est", 9).alias("jaccard_est"))
     return (
-        tag(_q_ngram_jaccard(spark, sf_dir), "ngram_jaccard", "jaccard")
-        .unionByName(
-            tag(_q_minhash_lsh(spark, sf_dir), "minhash_lsh", "jaccard_est")
-        )
+        tag(ng, "ngram_jaccard", "jaccard")
+        .unionByName(tag(lsh, "minhash_lsh", "jaccard_est"))
         .unionByName(
             tag(_q_embedding_dedup(spark, sf_dir), "embedding_cosine", "cosine")
         )

@@ -88,6 +88,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     prefix_filter: bool = True,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT near-dup pairs by k-gram Jaccard >= threshold.
 
@@ -106,7 +107,11 @@ def ngram_jaccard_pairs(
     ``prefix_filter=False`` keeps the naive inverted-index count (the
     oracle shape) for cross-checking.
     """
-    sh = _shingle_frame(df, id_col, text_col, k).cache()
+    sh = (
+        shingle_frame
+        if shingle_frame is not None
+        else _shingle_frame(df, id_col, text_col, k).cache()
+    )
     if not prefix_filter:
         sizes = sh.select("_id", "_n")
         ex = sh.select("_id", F.explode("_sh").alias("_s"))
@@ -187,12 +192,19 @@ def minhash_signatures(
     num_hashes: int = 32,
     k: int = 3,
     seed: int = 7,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: sig_i = min over shingles of
     (a_i * H(shingle) + b_i) mod P, H = md5-derived 48-bit int.
-    Returns (id, sig array<long>)."""
+    Returns (id, sig array<long>). ``shingle_frame`` optionally reuses
+    a cached ``_shingle_frame`` so pipelines combining several
+    shingle-based dedup methods tokenize the corpus ONCE."""
     params = _hash_params(num_hashes, seed)
-    sh = _shingle_frame(df, id_col, text_col, k)
+    sh = (
+        shingle_frame
+        if shingle_frame is not None
+        else _shingle_frame(df, id_col, text_col, k)
+    )
     hs = sh.withColumn("_h", F.transform("_sh", lambda s: md5_int(s)))
 
     def _universal(a: int, b: int):
@@ -222,6 +234,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     seed: int = 7,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs: band the signature, bucket-join on
     (band index, band hash), then estimate Jaccard as the fraction of
@@ -232,7 +245,8 @@ def minhash_lsh_pairs(
     """
     rows = int(num_hashes) // int(bands)
     sig = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, k=k, seed=seed
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, k=k,
+        seed=seed, shingle_frame=shingle_frame,
     ).withColumnRenamed(id_col, "_id")
     # Band key: the band's signature slice as a string -- portable
     # across engines (the DuckDB oracle rebuilds identical keys).
