@@ -225,9 +225,13 @@ def tf_idf_top_terms(
     tf = term count in doc; idf = ln(N / df) with df = #docs containing
     the term; score = tf * idf.  Ties break by term (ascending) so the
     result is fully deterministic.  Scale shape: explode -> two keyed
-    aggregations (term-per-doc, then term) -> broadcast-joinable IDF
-    table -> per-doc top-k window.  The vocabulary table is the only
-    global state and is orders of magnitude smaller than the corpus.
+    aggregations (term-per-doc, then term) -> IDF join -> per-doc
+    top-k window.  The IDF join carries NO forced broadcast: the
+    vocabulary table grows with the corpus (Heaps' law — hundreds of
+    millions of terms at 100 TB), so AQE picks broadcast when it is
+    actually small and a term-keyed sort-merge join when it is not
+    (both sides are already term-partitioned from the df aggregation,
+    so the big case re-uses that exchange).
     """
     from pyspark.sql import Window
 
@@ -241,7 +245,7 @@ def tf_idf_top_terms(
         .agg(F.count(F.lit(1)).alias("_df"))
         .withColumn("_idf", F.log(F.lit(float(n_docs)) / F.col("_df")))
     )
-    scored = tf.join(F.broadcast(idf), "_term").withColumn(
+    scored = tf.join(idf, "_term").withColumn(
         "_score", F.col("_tf") * F.col("_idf")
     )
     w = Window.partitionBy("_id").orderBy(
