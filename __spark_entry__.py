@@ -2395,10 +2395,86 @@ def _sql_embedding_dedup() -> str:
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (rows-only: LSH candidate sets are
-    implementation-defined; recall is asserted in tests/)."""
+    """Approximate ANN, VALUE-CHECKED (upgraded from rows-only in
+    round 3): the hyperplanes are a deterministic pure-Python LCG
+    stream, so the oracle inlines the IDENTICAL plane literals and
+    replays signature banding, candidate generation, and scoring with
+    the same left-to-right summation order — making the approximate
+    candidate sets bitwise reproducible across engines. Recall vs the
+    exact top-k remains asserted in tests/."""
     emb = _emb(spark, sf_dir)
-    return lsh_topk(emb, emb.where(F.col("vec_id") < 5), 3)
+    out = lsh_topk(emb, emb.where(F.col("vec_id") < 5), 3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+LSH_PLANES = 12
+LSH_BANDS = 4
+LSH_SEED = 13
+EMB_DIM = 64
+
+
+def _sql_lsh_topk() -> str:
+    """DuckDB replay of the LSH pipeline with inlined hyperplanes.
+
+    Every dot product is written as an explicit left-associated chain
+    (``v[1]*p1 + v[2]*p2 + ...``), which is the exact summation order
+    of Spark's sequential ``aggregate`` fold — IEEE arithmetic is then
+    bitwise identical on both engines, so signature bits, candidate
+    sets, and rank order all agree exactly."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    planes = hyperplanes(EMB_DIM, LSH_PLANES, LSH_SEED)
+    rows = LSH_PLANES // LSH_BANDS
+    mod = 1 << rows
+
+    def plane_chain(p: list[float]) -> str:
+        return " + ".join(f"v[{j + 1}] * {p[j]!r}" for j in range(EMB_DIM))
+
+    sig = " + ".join(
+        f"CASE WHEN ({plane_chain(p)}) > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    self_dot = " + ".join(f"v[{j + 1}] * v[{j + 1}]" for j in range(EMB_DIM))
+    cross_dot = " + ".join(
+        f"sq.v[{j + 1}] * sc.v[{j + 1}]" for j in range(EMB_DIM)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 ({sig})::BIGINT AS sig,
+                 sqrt({self_dot}) AS nrm
+          FROM e),
+    bands(band) AS (SELECT unnest(range({LSH_BANDS}))),
+    qb AS (SELECT vec_id AS query_id, band,
+                  (sig >> (band * {rows})) % {mod} AS chunk
+           FROM s CROSS JOIN bands WHERE vec_id < 5),
+    cb AS (SELECT vec_id AS neighbor_id, band,
+                  (sig >> (band * {rows})) % {mod} AS chunk
+           FROM s CROSS JOIN bands),
+    cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+             FROM qb q JOIN cb c USING (band, chunk)
+             WHERE c.neighbor_id <> q.query_id),
+    scored AS (SELECT cand.query_id, cand.neighbor_id,
+                      ({cross_dot}) / (sq.nrm * sc.nrm) AS cos
+               FROM cand
+               JOIN s sq ON sq.vec_id = cand.query_id
+               JOIN s sc ON sc.vec_id = cand.neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+           rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 3
+    """
 
 
 
@@ -3347,8 +3423,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_moments": _sql_embedding_moments(),
         # embedding_pca: driver-side eigh not SQL-expressible ->
         # rows-only + golden test vs dense NumPy PCA
-        # lsh_topk: rows-only (approximate candidate generation;
-        # recall asserted in tests)
+        # lsh_topk: deterministic hyperplanes inlined into the oracle,
+        # so even the APPROXIMATE candidate sets are value-checked
+        "lsh_topk": _sql_lsh_topk(),
         # ivf_topk runs at full probe: scanning every cell makes the
         # result exactly brute-force top-k, same oracle
         "ivf_topk": _sql_embedding_topk(),
