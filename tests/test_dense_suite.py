@@ -117,6 +117,76 @@ def test_dense_inf_suite_matches_distributed(spark, world):
         ), key
 
 
+def test_jk_suite_grouped_informative(spark, world):
+    """The grouped jackknife with ps_formulas (informative 22-method
+    suite) == the per-replicate pandas loop over the dense inf twin."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dense_suite import (
+        estimate_methods_inf_np,
+    )
+
+    pop, _, _, n1, lam_star = world
+    cohort, survey = draw_samples(
+        pop, 120, 160, seed=13, odds_c={"x1": -0.15, "x2": 0.1, "d": 0.6}
+    )
+    m_jk, n_jk = 2, 2
+    cohort_j = assign_jk_groups(cohort, m_jk, seed=21).cache()
+    survey_j = assign_jk_groups(survey, n_jk, seed=22).cache()
+    kw = dict(
+        x_cols=["x1", "x2", "x3"],
+        ps_formulas=["x1 + x2", "x1 + x2 + d"],
+        t_star=[2.0, 5.0],
+        pop_size=6000.0,
+        pop_events=n1,
+        x0=[[0.5, 0.0, 0.0]],
+        error_variants=(1,),
+    )
+    got = (
+        jk_suite_grouped(
+            cohort_j, survey_j, m_jk, n_jk, lambda_star=lam_star, **kw
+        )
+        .toPandas()
+        .set_index(["replicate", "param"])["value"]
+        .sort_index()
+    )
+    c_pdf = cohort_j.toPandas()
+    s_pdf = survey_j.toPandas()
+    ls_pdf = lam_star.select("t", "lambda_star").orderBy("t").toPandas()
+    ls_np = (
+        ls_pdf["t"].to_numpy(float),
+        ls_pdf["lambda_star"].to_numpy(float),
+    )
+    n_checked = 0
+    for rep in range(1, m_jk + n_jk + 1):
+        if rep <= m_jk:
+            c_r = c_pdf[c_pdf["jk_group"] != rep].copy()
+            c_r["wt"] *= m_jk / (m_jk - 1)
+            s_r = s_pdf
+        else:
+            k = rep - m_jk
+            s_r = s_pdf[s_pdf["jk_group"] != k].copy()
+            s_r["wt"] *= n_jk / (n_jk - 1)
+            c_r = c_pdf
+        want = estimate_methods_inf_np(
+            c_r.reset_index(drop=True),
+            s_r.reset_index(drop=True),
+            lambda_star=ls_np,
+            **kw,
+        )
+        for param, v in want.items():
+            assert got.loc[(rep, param)] == pytest.approx(
+                v, rel=1e-9, abs=1e-12
+            ), (rep, param)
+            n_checked += 1
+    assert n_checked == len(got)
+
+    # exactly-one-of guard
+    with pytest.raises(ValueError, match="exactly one"):
+        jk_suite_grouped(
+            cohort_j, survey_j, m_jk, n_jk,
+            x_cols=["x1"], t_star=[2.0], pop_size=1.0, pop_events=1.0,
+        )
+
+
 def test_jk_suite_grouped_matches_pandas_loop(spark, world):
     """One applyInPandas job == the per-replicate pandas loop (filter +
     rescale + dense suite) for every replicate and parameter."""
