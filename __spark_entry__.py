@@ -1564,7 +1564,9 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("fp_checksum"),
         )
-        .orderBy("doc_id")
+        # no global orderBy: the gate's compare is row-sorted, and a
+        # total sort of a per-doc output is a needless O(n log n)
+        # exchange at scale
     )
 
 
@@ -2695,9 +2697,7 @@ def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = tpch.load_events(spark, sf_dir)
-    return sessionize(ev, f"{SESSION_GAP_S} seconds").orderBy(
-        "user_id", "session_start"
-    )
+    return sessionize(ev, f"{SESSION_GAP_S} seconds")
 
 
 def _sql_events_sessions() -> str:
@@ -2794,9 +2794,7 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-k TF-IDF terms (``text.tf_idf_top_terms``):
     explode -> keyed aggs -> broadcast IDF join -> top-k window."""
     out = text_ops.tf_idf_top_terms(_docs(spark, sf_dir), top_k=TFIDF_TOP_K)
-    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
-        "doc_id", "rank"
-    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def _sql_tfidf() -> str:
@@ -2902,9 +2900,7 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = (dedup_ops.md5_int(F.col("id").cast("string")) + F.lit(1.0)) / F.lit(2.0**48)
     samp = stratified_sample(base, "stratum", STRAT_FRAC, u=u, wt_col="swt")
-    return samp.select(
-        "id", "stratum", F.round("swt", 6).alias("swt")
-    ).orderBy("id")
+    return samp.select("id", "stratum", F.round("swt", 6).alias("swt"))
 
 
 def _sql_stratified_sample() -> str:
