@@ -253,3 +253,49 @@ def test_pack_sequences_invariants(spark, seed, n, budget):
         g = grp.sort_values("doc_id")
         seq = g["seq_id"].to_numpy()
         assert seq[0] == 0 and ((np.diff(seq) == 0) | (np.diff(seq) == 1)).all()
+
+
+def test_select_nonconflicting_properties():
+    """Hypothesis: kept pairs are a ranked-order subset, mutually
+    symbol-disjoint, and no pair's symbols collide with any kept
+    merged result (the guarantee that makes one-pass simultaneous
+    application order-independent)."""
+    from hypothesis import given, strategies as st
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.bpe import (
+        select_nonconflicting,
+    )
+
+    sym = st.sampled_from(list("abcdefg") + ["ab", "cd", "fg"])
+    cand = st.lists(
+        st.tuples(sym, sym, st.integers(min_value=1, max_value=100)),
+        max_size=30,
+    )
+
+    @given(cand, st.integers(min_value=0, max_value=10))
+    def check(cands, k):
+        kept = select_nonconflicting(cands, k)
+        assert len(kept) <= k
+        # ranked-order subset: kept appears in candidate order
+        idx = [cands.index(p) for p in kept]
+        assert idx == sorted(idx)
+        used = set()
+        for left, right, _ in kept:
+            merged = left + right
+            assert left not in used and right not in used
+            assert merged not in used
+            used.update((left, right, merged))
+
+    check()
+
+
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    import pytest as _pytest
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.sinks import (
+        zorder_key,
+    )
+
+    with _pytest.raises(ValueError, match="overflow"):
+        zorder_key(["a", "b", "c", "d"], bits=16)  # 64 bits > 63
+    zorder_key(["a", "b", "c"], bits=21)  # 63 bits: allowed
