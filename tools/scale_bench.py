@@ -287,7 +287,48 @@ def curation_ladder(spark, sizes: list[int]) -> None:
     print(json.dumps({"op": "curation_ops", "points": points}))
 
 
+def bpe_ladder(spark, sf_dir: str, n_merges: int, batch_sizes) -> None:
+    """Batched-BPE round/wall ladder (BENCH_SCALE 3d-bis): same corpus
+    and merge count, varying batch_size — per-round cost is flat
+    (vocab-table-sized jobs), so wall should drop ~linearly with
+    round count."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.bpe import (
+        learn_bpe_merges,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.count()  # warm the scan
+    points = []
+    for bs in batch_sizes:
+        t0 = time.time()
+        res = learn_bpe_merges(docs, n_merges=n_merges, min_freq=2, batch_size=bs)
+        points.append(
+            {
+                "batch_size": bs,
+                "merges": len(res.merges),
+                "rounds_max": math.ceil(n_merges / bs),
+                "wall_s": round(time.time() - t0, 2),
+            }
+        )
+    print(json.dumps({"op": "bpe_merges", "sf_dir": sf_dir, "points": points}))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--bpe":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [1, 4, 8]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        bpe_ladder(
+            spark,
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            24,
+            sizes,
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--curation":
         sizes = (
             [int(x) for x in sys.argv[2].split(",")]
