@@ -328,6 +328,10 @@ def test_stream_to_bucketed_ingest_exactly_once(spark, events_stream, tmp_path):
     batch, stream = events_stream
     spark.sql("DROP TABLE IF EXISTS ing_events")
     spark.sql("DROP TABLE IF EXISTS ing_events__batches")
+    # the per-batch writer must scope partitionOverwriteMode to its own
+    # write and restore the session value afterwards
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(conf_key, "static")
     ckpt = str(tmp_path / "ckpt_ing")
     q = stream_to_bucketed(
         stream.select("event_id", "user_id", "value"),
@@ -338,6 +342,7 @@ def test_stream_to_bucketed_ingest_exactly_once(spark, events_stream, tmp_path):
     )
     q.awaitTermination(120)
     try:
+        assert spark.conf.get(conf_key) == "static"  # restored, not leaked
         got = spark.table("ing_events")
         assert got.count() == batch.count()
         # restart from the same checkpoint: no new data -> no appends
