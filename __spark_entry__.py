@@ -3064,12 +3064,94 @@ def _q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name).select(
+    out = spark.table(name).select(
         F.unix_timestamp(F.col("win.start")).alias("win_start"),
         "event_type",
         "total_value",
         "n",
     )
+    # Materialize eagerly and DROP the memory-sink view: each invocation
+    # registers a uniquely named in-driver table, and bench loops would
+    # otherwise accumulate full result tables in driver memory.
+    rows = out.collect()
+    result = spark.createDataFrame(rows, out.schema)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+def _q_streaming_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J (stream-stream interval join), VALUE-CHECKED: purchases and
+    views read as two file-source STREAMS, paired with
+    ``streaming.stream_interval_join`` (watermarked symmetric hash
+    join, append mode, 24h event-time band), run to completion with an
+    availableNow trigger into a memory sink, then aggregated per
+    purchase. Inner-join append mode emits each qualifying pair exactly
+    once, so the pair set is identical to the batch banded range join
+    — the same DuckDB oracle as ``events_flow``'s attribution leg
+    (``_sql_events_attribution``) gates the stream-stream join path end
+    to end: sources, keyed join state, and sink."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.streaming import (
+        stream_interval_join,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = tpch.load_events_stream(spark, sf_dir)
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = stream.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("vv")
+    )
+    joined = stream_interval_join(
+        purchases,
+        views,
+        on="ts",
+        by="user_id",
+        window="24 hours",
+        watermark="0 seconds",
+        left_cols=["event_id", "user_id", "ts", "value"],
+        right_cols=["ts", "vv"],
+    )
+    name = f"stream_ivj_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sg_ckpt_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError("streaming_interval did not finish within 300s")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    out = (
+        spark.table(name)
+        .groupBy("event_id", "user_id", "value")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.round(F.sum("vv_r"), 6).alias("view_value_sum"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 6).alias("value"),
+            "n_views",
+            "view_value_sum",
+        )
+    )
+    # Materialize eagerly and DROP the memory-sink view (bench loops
+    # must not accumulate per-invocation in-driver pair tables).
+    rows = out.collect()
+    result = spark.createDataFrame(rows, out.schema)
+    spark.catalog.dropTempView(name)
+    return result
 
 
 def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3369,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,
         # structured streaming (value-checked vs the batch oracle)
         "streaming_windowed": _q_streaming_windowed,
+        "streaming_interval": _q_streaming_interval,
     }
 
 
@@ -3433,4 +3516,5 @@ def oracle_sql() -> dict[str, str]:
         # exactly-once streaming == batch, so the batch oracle gates
         # the streaming path end to end
         "streaming_windowed": _sql_events_windowed(),
+        "streaming_interval": _sql_events_attribution(),
     }

@@ -38,7 +38,7 @@ STOPWORDS = DEFAULT_PROFILES["en"]
 
 def _parse_bytes_conf(v: str) -> int:
     v = v.strip().lower()
-    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
     if v.endswith("b"):
         v = v[:-1]
     if v and v[-1] in units:
@@ -72,15 +72,22 @@ def spread(df: DataFrame) -> DataFrame:
     if not files:
         return df
     # any of these in the logical plan means partitioning was already
-    # shaped downstream of the scan — the scan estimate is meaningless
-    if any(
-        marker in plan
-        for marker in ("Repartition", "Sort", "Aggregate", "Join", "Window")
+    # shaped downstream of the scan — the scan estimate is meaningless.
+    # Matched only at node positions (start of a plan line, optionally
+    # preceded by tree-drawing prefixes like ":  +- "), so a column
+    # alias or string literal containing e.g. "Sort" cannot trigger it.
+    import re
+
+    if re.search(
+        r"^[\s:+\-]*(Repartition|Sort|Aggregate|Join|Window)\b", plan, re.M
     ):
         return df
-    max_pb = _parse_bytes_conf(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    )
+    try:
+        max_pb = _parse_bytes_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+    except ValueError:
+        max_pb = 128 * 1024 * 1024
     total = 0
     for f in files:
         p = f[7:] if f.startswith("file:///") else f

@@ -91,11 +91,22 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         import hashlib
 
         key = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
-        d = os.path.join(tempfile.gettempdir(), f"sg_events_src_{key}")
+        # per-user subdir (0o700): avoids a predictable shared-/tmp name
+        # another user could pre-create or hijack on multi-user hosts.
+        base = os.path.join(tempfile.gettempdir(), f"sg_scratch_{os.getuid()}")
+        os.makedirs(base, mode=0o700, exist_ok=True)
+        d = os.path.join(base, f"sg_events_src_{key}")
         os.makedirs(d, exist_ok=True)
         link = os.path.join(d, "events.parquet")
-        if not os.path.islink(link):
-            os.symlink(path, link)
+        target = os.path.abspath(path)
+        # lexists: a stale regular file (or a symlink to the wrong
+        # target) at the link path would make os.symlink raise — remove
+        # and recreate instead.
+        if os.path.lexists(link):
+            if not (os.path.islink(link) and os.readlink(link) == target):
+                os.unlink(link)
+        if not os.path.lexists(link):
+            os.symlink(target, link)
         stream_path = d
     else:
         stream_path = path

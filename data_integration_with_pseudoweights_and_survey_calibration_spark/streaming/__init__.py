@@ -4,6 +4,7 @@ from .aggregates import (  # noqa: F401
     stream_weighted_totals,
 )
 from .ingest import stream_to_bucketed  # noqa: F401
+from .joins import stream_interval_join  # noqa: F401
 from .stateful import (  # noqa: F401
     stream_exact_dedup,
     stream_running_weighted_mean,
