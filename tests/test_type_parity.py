@@ -1,0 +1,57 @@
+"""Type-parity gate as a pytest: Spark output schema vs DuckDB oracle
+output types for every declared query.
+
+The driver's correctness hash is TYPE-STRICT: INT-vs-BIGINT /
+BIGINT-vs-HUGEINT / DECIMAL skew fails it even when the values agree
+(the round-2 ``doc_fingerprints`` red row), while the value-level
+oracle replica (``tools/oracle_check.py``) normalizes numerics and
+cannot see this bug class. This test is therefore the ONLY automated
+guard against it; it wraps ``tools/type_parity.audit`` so the same
+code runs by hand and under pytest.
+
+Runs at sf0.001 — type skew is scale-independent, and the small SF
+keeps the eager queries (streaming, survey scalars) fast.
+
+Marked ``type_parity`` (select with ``-m type_parity``); included in a
+plain ``pytest tests/`` run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tools.type_parity import audit
+
+pytestmark = pytest.mark.type_parity
+
+
+def test_no_output_type_skew(spark, sf_dir):
+    skews = audit(sf_dir, spark=spark, verbose=False)
+    assert skews == [], "Spark/DuckDB output-type skew:\n" + "\n".join(skews)
+
+
+def test_audit_catches_injected_skew(spark, sf_dir):
+    """The audit itself must FLAG a type mismatch — guard the guard: an
+    INT column on the Spark side vs the oracle's BIGINT must surface as
+    a skew entry (this is exactly the r2 doc_fingerprints bug shape)."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    orig_q, orig_o = em.queries, em.oracle_sql
+
+    def fake_queries():
+        return {
+            "injected": lambda s, d: s.range(1).select(
+                F.col("id").cast("int").alias("v")
+            )
+        }
+
+    def fake_oracles():
+        return {"injected": "SELECT CAST(1 AS BIGINT) AS v"}
+
+    em.queries, em.oracle_sql = fake_queries, fake_oracles
+    try:
+        skews = audit(sf_dir, spark=spark, verbose=False)
+    finally:
+        em.queries, em.oracle_sql = orig_q, orig_o
+    assert any("injected" in s and "spark=int" in s for s in skews), skews

@@ -44,10 +44,20 @@ DUCK_FAMILY = {
 }
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark("type-parity")
-    spark.sparkContext.setLogLevel("ERROR")
+def audit(
+    sf_dir: str,
+    spark=None,
+    only: set[str] | None = None,
+    verbose: bool = True,
+) -> list[str]:
+    """Compare Spark output schema vs DuckDB oracle output types for
+    every declared query (or the ``only`` subset); returns a list of
+    '<query>: <col>: spark=<t> duckdb=<t>' skew strings (empty = PASS).
+    Importable so the same audit runs as a pytest
+    (``tests/test_type_parity.py``, marker ``type_parity``)."""
+    if spark is None:
+        spark = get_spark("type-parity")
+        spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     con = duckdb.connect()
     for t in TABLES:
@@ -56,9 +66,9 @@ def main() -> int:
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    bad = 0
+    skews: list[str] = []
     for name, fn in qs.items():
-        if name not in oracles:
+        if name not in oracles or (only and name not in only):
             continue
         sdf = fn(spark, sf_dir)
         stypes = {c: t for c, t in sdf.dtypes}
@@ -71,10 +81,18 @@ def main() -> int:
             if sf_ != df_:
                 issues.append(f"{c}: spark={stypes[c]} duckdb={dtypes.get(c)}")
         if issues:
-            bad += 1
-            print(f"[SKEW] {name}: " + "; ".join(issues))
-        else:
+            skews.extend(f"{name}: {i}" for i in issues)
+            if verbose:
+                print(f"[SKEW] {name}: " + "; ".join(issues))
+        elif verbose:
             print(f"[ok]   {name}")
+    return skews
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    skews = audit(sf_dir)
+    bad = len({s.split(":", 1)[0] for s in skews})
     print(f"{'FAIL' if bad else 'PASS'} ({bad} queries with type skew)")
     return 1 if bad else 0
 
