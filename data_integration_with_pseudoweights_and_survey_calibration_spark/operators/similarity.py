@@ -116,20 +116,30 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
 
 def _signature(vec_col: str, planes: list[list[float]]) -> Column:
     """Sign-bit signature of a vector against fixed hyperplanes,
-    packed into one long per signature (n_planes <= 63)."""
-    sig = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in p]),
-                lambda x, y: x.cast("double") * y,
-            ),
+    packed into one long per signature (n_planes <= 63).
+
+    All n_planes dot products run in ONE ``transform`` over an
+    array-of-arrays plane literal (the former n_planes independent HOF
+    folds made the expression tree n_planes x dim nodes and roughly
+    doubled per-row cost). Each per-plane dot product stays a
+    LEFT-ASSOCIATED ``aggregate`` fold over ``zip_with``, so the IEEE
+    evaluation order — and therefore the bitwise oracle contract (the
+    DuckDB twin inlines the same left-associated chains) — is
+    unchanged; the bit-pack is an exact integer sum."""
+    plane_mat = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    dots = F.transform(
+        plane_mat,
+        lambda p: F.aggregate(
+            F.zip_with(F.col(vec_col), p, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+        ),
+    )
+    pows = F.array(*[F.lit(1 << i).cast("long") for i in range(len(planes))])
+    bits = F.zip_with(
+        dots, pows, lambda d, pw: F.when(d > 0, pw).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def lsh_topk(
