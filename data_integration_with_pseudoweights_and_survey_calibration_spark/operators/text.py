@@ -74,12 +74,13 @@ def spread(df: DataFrame) -> DataFrame:
     # any of these in the logical plan means partitioning was already
     # shaped downstream of the scan — the scan estimate is meaningless.
     # Matched only at node positions (start of a plan line, optionally
-    # preceded by tree-drawing prefixes like ":  +- "), so a column
+    # preceded by tree-drawing prefixes like ":  +- " and the
+    # unresolved-node apostrophe, e.g. "'Aggregate"), so a column
     # alias or string literal containing e.g. "Sort" cannot trigger it.
     import re
 
     if re.search(
-        r"^[\s:+\-]*(Repartition|Sort|Aggregate|Join|Window)\b", plan, re.M
+        r"^[\s:+\-]*'?(Repartition|Sort|Aggregate|Join|Window)\b", plan, re.M
     ):
         return df
     try:

@@ -95,6 +95,8 @@ def main() -> None:
     x0 = [[float(med["x1"]) + 0.5, float(med["x2"]), float(med["x3"])]]
 
     rows = []
+    jk_secs_all = 0.0
+    variants = tuple(range(1, jk_variants + 1)) if jk_variants > 0 else (1,)
     for r in range(1, n_rep + 1):
         t1 = time.time()
         cohort, survey = draw_samples(pop, 600, 300, seed=8291 + 97 * r)
@@ -116,42 +118,15 @@ def main() -> None:
         )
         for name, v in est.items():
             rows.append((r, name, float(v)))
-        print(f"replicate {r}: {len(est)} params ({time.time() - t1:.0f}s)")
-
-    jk_summary = None
-    if m_jk > 0 and n_jk > 0:
-        # grouped-jackknife variance for the LAST draw (jk_fun.R:314-374):
-        # leave-one-group-out refits of the method suite, weights
-        # rescaled g/(g-1) on the dropped side
-        t2 = time.time()
-        cohort_j = assign_jk_groups(cohort, m_jk, seed=11).cache()
-        survey_j = assign_jk_groups(survey, n_jk, seed=12).cache()
-        variants = tuple(range(1, jk_variants + 1))
-
-        if jk_regime == "loop":
-            # population-scale regime: jk_fun.R's literal replicate loop,
-            # each iteration a full DISTRIBUTED method-suite run on the
-            # retained (rescaled) sample
-            def _loop_est(c, s):
-                return estimate_methods(
-                    c,
-                    s,
-                    x_cols=["x1", "x2", "x3"],
-                    ps_formula="x1 + x2",
-                    t_star=T_STAR,
-                    pop_size=float(n_pop),
-                    pop_events=n1,
-                    lambda_star=lam_star,
-                    x0=x0,
-                    error_variants=variants,
-                )
-
-            jk_df = jk_refit_loop(
-                cohort_j, survey_j, m_jk, n_jk, _loop_est
-            )
-        else:
-            # sample-scale regime: ALL replicates of the full method
-            # suite in ONE applyInPandas job (dense_suite.jk_suite_grouped)
+        jk_note = ""
+        if m_jk > 0 and n_jk > 0 and jk_regime == "grouped":
+            # the reference chunk shape (calib_simu_noninf0315.R:287-304)
+            # attaches the jackknife SE to EVERY replicate's estimates:
+            # run the grouped-jackknife suite per replicate and emit the
+            # beta_x1 SEs as jk_se_* rows alongside the estimates
+            tjk = time.time()
+            cohort_j = assign_jk_groups(cohort, m_jk, seed=11).cache()
+            survey_j = assign_jk_groups(survey, n_jk, seed=12).cache()
             jk_df = jk_suite_grouped(
                 cohort_j,
                 survey_j,
@@ -166,6 +141,63 @@ def main() -> None:
                 x0=x0,
                 error_variants=variants,
             ).toPandas()
+            piv = (
+                jk_df[jk_df["param"].str.match(r"beta_.*_x1$")]
+                .pivot_table(index="replicate", columns="param", values="value")
+                .sort_index()
+            )
+            _, var = jk_variance(piv.to_numpy(), m_jk, n_jk)
+            for c, v in zip(piv.columns, var):
+                rows.append((r, f"jk_se_{c}", float(v) ** 0.5))
+            cohort_j.unpersist()
+            survey_j.unpersist()
+            jk_secs = time.time() - tjk
+            jk_secs_all += jk_secs
+            jk_note = f" + jk {jk_secs:.1f}s"
+        print(
+            f"replicate {r}: {len(est)} params "
+            f"({time.time() - t1:.0f}s{jk_note})"
+        )
+
+    jk_summary = None
+    if m_jk > 0 and n_jk > 0 and jk_regime == "grouped":
+        g = m_jk + n_jk
+        jk_summary = {
+            "regime": "grouped (per replicate)",
+            "m_jk": m_jk,
+            "n_jk": n_jk,
+            "replicates_per_draw": g,
+            "error_variants": list(variants),
+            "draws": n_rep,
+            "total_sec": round(jk_secs_all, 1),
+            "sec_per_draw": round(jk_secs_all / n_rep, 1),
+        }
+    elif m_jk > 0 and n_jk > 0:
+        # loop regime, LAST draw only (jk_fun.R:314-374's literal
+        # replicate loop): each iteration a full DISTRIBUTED
+        # method-suite run on the retained (rescaled) sample — the
+        # population-scale-replicate regime, far too slow to attach to
+        # every draw at the reference's n=600/300 geometry (the grouped
+        # regime above is the per-draw answer there)
+        t2 = time.time()
+        cohort_j = assign_jk_groups(cohort, m_jk, seed=11).cache()
+        survey_j = assign_jk_groups(survey, n_jk, seed=12).cache()
+
+        def _loop_est(c, s):
+            return estimate_methods(
+                c,
+                s,
+                x_cols=["x1", "x2", "x3"],
+                ps_formula="x1 + x2",
+                t_star=T_STAR,
+                pop_size=float(n_pop),
+                pop_events=n1,
+                lambda_star=lam_star,
+                x0=x0,
+                error_variants=variants,
+            )
+
+        jk_df = jk_refit_loop(cohort_j, survey_j, m_jk, n_jk, _loop_est)
         jk_secs = time.time() - t2
         g = m_jk + n_jk
         # jackknife variance of beta_x1 per method
@@ -192,17 +224,42 @@ def main() -> None:
     out = spark.createDataFrame(rows, "replicate int, param string, value double")
     out.write.mode("overwrite").option("header", True).csv(out_dir)
 
-    # headline summary: mean estimate per method for beta_x1 vs truth
+    # headline summary: per-method mean + across-replicate empirical SD
+    # of beta_x1 vs truth, plus the mean jackknife SE when attached
     summary = (
         out.where(F.col("param").startswith("beta_") & F.col("param").endswith("_x1"))
         .groupBy("param")
-        .agg(F.round(F.avg("value"), 4).alias("mean"))
+        .agg(
+            F.round(F.avg("value"), 4).alias("mean"),
+            F.round(F.stddev_samp("value"), 4).alias("emp_sd"),
+        )
         .orderBy("param")
         .collect()
     )
+    jk_means = {
+        r["param"]: r["mean"]
+        for r in (
+            out.where(F.col("param").startswith("jk_se_"))
+            .groupBy("param")
+            .agg(F.round(F.avg("value"), 4).alias("mean"))
+            .collect()
+        )
+    }
     report = {
         "beta_x1_pop": round(float(truth_fit.beta[0]), 4),
-        "beta_x1_by_method": {r["param"]: r["mean"] for r in summary},
+        "n_replicates": n_rep,
+        "beta_x1_by_method": {
+            r["param"]: {
+                "mean": r["mean"],
+                "emp_sd": r["emp_sd"],
+                **(
+                    {"mean_jk_se": jk_means[f"jk_se_{r['param']}"]}
+                    if f"jk_se_{r['param']}" in jk_means
+                    else {}
+                ),
+            }
+            for r in summary
+        },
         "results_csv": out_dir,
     }
     if jk_summary is not None:

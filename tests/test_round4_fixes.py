@@ -1,0 +1,97 @@
+"""Regression tests for the round-4 review fixes: byte-suffix parsing,
+the spread() plan-marker anchor, and events-stream scratch-link
+recovery."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+    _parse_bytes_conf,
+    spread,
+)
+
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        ("134217728b", 134217728),
+        ("128m", 128 << 20),
+        ("128MB", 128 << 20),
+        ("2g", 2 << 30),
+        ("1t", 1 << 40),
+        ("1p", 1 << 50),
+        ("4k", 4 << 10),
+        ("1048576", 1048576),
+    ],
+)
+def test_parse_bytes_conf_all_spark_suffixes(raw, want):
+    assert _parse_bytes_conf(raw) == want
+
+
+def test_spread_survives_t_suffix_conf(spark, sf_dir):
+    """Spark accepts '1t' for maxPartitionBytes; the byte parser used
+    to raise ValueError on it and crash every spread() caller."""
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1t")
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = spread(df)  # must not raise
+        assert out.count() == df.count()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_spread_marker_not_fooled_by_alias(spark, sf_dir):
+    """A column alias containing a node-name substring ('Sort') must
+    NOT disable re-spreading: the marker check anchors to plan-line
+    starts, not raw substrings."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("text").alias("Sorted_text"), "doc_id")
+    )
+    out = spread(df)
+    # the tiny test file reads as 1-2 partitions; spread must widen it
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_spread_leaves_shaped_plans_alone(spark, sf_dir):
+    """A frame with a real upstream exchange (groupBy) passes through
+    untouched."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert spread(df) is df
+
+
+def test_events_stream_scratch_link_recovery(spark, sf_dir):
+    """A stale regular file occupying the scratch link path must be
+    replaced, not crash os.symlink with FileExistsError."""
+    import hashlib
+    import tempfile
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources import (
+        tpch,
+    )
+
+    path = os.path.abspath(f"{sf_dir}/events.parquet")
+    if not os.path.isfile(path):
+        pytest.skip("events table is a directory at this sf")
+    key = hashlib.md5(path.encode()).hexdigest()[:12]
+    d = os.path.join(
+        tempfile.gettempdir(), f"sg_scratch_{os.getuid()}", f"sg_events_src_{key}"
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if os.path.lexists(link):
+        os.unlink(link)
+    with open(link, "w") as f:  # occupy with a stale regular file
+        f.write("stale")
+    stream = tpch.load_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    assert os.path.islink(link) and os.readlink(link) == path

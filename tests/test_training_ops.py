@@ -802,32 +802,34 @@ def test_bpe_merges_match_reference_impl(spark):
     assert got_syms == vocab
 
 
-def test_bpe_merges_batched_match_reference_impl(spark):
-    """batch_size > 1: golden vs a pure-Python mirror of the SAME
-    batched recurrence — including the driver candidate window
-    (only the top max(4k, k+8) ranked pairs are visible per round,
-    the TakeOrdered contract), top-k non-conflicting selection on the
-    round's start-state counts, applied simultaneously."""
+def _synth_bpe_texts() -> list[str]:
+    """Deterministic ~400-word corpus over an 8-char alphabet (LCG, no
+    RNG library): enough pair diversity to sustain multiple rounds at
+    batch_size=64 — the real-vocab shape the scale ladder runs."""
+    rng = 12345
+    words = []
+    for _ in range(400):
+        rng = (1103515245 * rng + 12345) % (1 << 31)
+        n = 3 + rng % 6
+        words.append("".join("abcdefgh"[(rng >> (3 * j)) % 8] for j in range(n)))
+    # each word appears twice so min_freq=2 keeps it mergeable
+    return [" ".join(words[i::7] * 2) for i in range(7)]
+
+
+def _batched_bpe_mirror(texts, k, n_merges, min_freq):
+    """Pure-Python mirror of the batched recurrence — including the
+    driver candidate window (only the top max(4k, k+8) ranked pairs
+    are visible per round, the TakeOrdered contract), top-k
+    non-conflicting selection on the round's start-state counts,
+    applied simultaneously."""
+    from collections import Counter
+
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.bpe import (
-        learn_bpe_merges,
         select_nonconflicting,
     )
 
-    texts = [
-        "low lower lowest low low",
-        "new newer newest new",
-        "low newer low wide wider widest wide",
-    ]
-    df = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
-    )
-
-    from collections import Counter
-
     wf = Counter(w for t in texts for w in t.split())
     vocab = {w: list(w) for w in wf}
-    k, n_merges, min_freq = 3, 9, 2
-
     want = []
     while len(want) < n_merges:
         pc = Counter()
@@ -837,9 +839,7 @@ def test_bpe_merges_batched_match_reference_impl(spark):
         ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
         kk = min(k, n_merges - len(want))
         window = max(4 * kk, kk + 8)  # the driver TakeOrdered window
-        cands = [
-            (a, b, c) for (a, b), c in ranked[:window] if c >= min_freq
-        ]
+        cands = [(a, b, c) for (a, b), c in ranked[:window] if c >= min_freq]
         kept = select_nonconflicting(cands, kk)
         if not kept:
             break
@@ -855,6 +855,40 @@ def test_bpe_merges_batched_match_reference_impl(spark):
                     out.append(syms[i])
                     i += 1
             vocab[w] = out
+    return want, vocab
+
+
+@pytest.mark.parametrize(
+    "k,n_merges,corpus",
+    [
+        (3, 9, "small"),
+        # real-vocab shape: the batch size the scale ladder runs; 130
+        # merges force 3 windowed rounds at k=64
+        (64, 130, "synth"),
+    ],
+)
+def test_bpe_merges_batched_match_reference_impl(spark, k, n_merges, corpus):
+    """batch_size > 1: golden vs a pure-Python mirror of the SAME
+    batched recurrence (see ``_batched_bpe_mirror``)."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.bpe import (
+        learn_bpe_merges,
+    )
+
+    texts = (
+        [
+            "low lower lowest low low",
+            "new newer newest new",
+            "low newer low wide wider widest wide",
+        ]
+        if corpus == "small"
+        else _synth_bpe_texts()
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    min_freq = 2
+    want, vocab = _batched_bpe_mirror(texts, k, n_merges, min_freq)
+    assert want, "mirror produced no merges -- corpus too small for the case"
 
     got = learn_bpe_merges(df, n_merges=n_merges, min_freq=min_freq, batch_size=k)
     assert got.merges == want

@@ -287,47 +287,152 @@ def curation_ladder(spark, sizes: list[int]) -> None:
     print(json.dumps({"op": "curation_ops", "points": points}))
 
 
-def bpe_ladder(spark, sf_dir: str, n_merges: int, batch_sizes) -> None:
+def bpe_ladder(spark, sf_dir: str, n_merges: int, batch_sizes, n_docs: int = 0) -> None:
     """Batched-BPE round/wall ladder (BENCH_SCALE 3d-bis): same corpus
     and merge count, varying batch_size — per-round cost is flat
     (vocab-table-sized jobs), so wall should drop ~linearly with
-    round count."""
+    round count. With ``n_docs`` > 0 the corpus is the distributed
+    synthetic one (real-vocab shape: thousands of merges, 32k-vocab
+    story) instead of the sf parquet."""
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.bpe import (
         learn_bpe_merges,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if n_docs > 0:
+        docs = synth_docs(spark, n_docs).localCheckpoint()
+        src = f"synth:{n_docs}"
+    else:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        src = sf_dir
     docs.count()  # warm the scan
     points = []
     for bs in batch_sizes:
         t0 = time.time()
         res = learn_bpe_merges(docs, n_merges=n_merges, min_freq=2, batch_size=bs)
+        wall = round(time.time() - t0, 2)
+        rounds = math.ceil(len(res.merges) / bs) if res.merges else 0
         points.append(
             {
                 "batch_size": bs,
                 "merges": len(res.merges),
                 "rounds_max": math.ceil(n_merges / bs),
-                "wall_s": round(time.time() - t0, 2),
+                "wall_s": wall,
+                "wall_per_round_s": round(wall / rounds, 3) if rounds else None,
             }
         )
-    print(json.dumps({"op": "bpe_merges", "sf_dir": sf_dir, "points": points}))
+        print(json.dumps(points[-1]), flush=True)
+    print(json.dumps({"op": "bpe_merges", "src": src, "n_merges": n_merges, "points": points}))
+
+
+def stream_join_ladder(spark, sizes: list[int]) -> None:
+    """Stream-stream interval-join throughput ladder (BENCH_SCALE
+    3f-bis): synthetic purchase/view streams through the watermarked
+    symmetric hash join (`streaming/joins.stream_interval_join`) run to
+    completion with availableNow into a counting sink. Reports input
+    rows/s and emitted pairs; pair volume is output-sensitive (each
+    purchase matches its user's views inside the band), so the honest
+    scale claim is wall vs input+output, not input alone."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.streaming import (
+        stream_interval_join,
+    )
+
+    points = []
+    for n in sizes:
+        # ~50 events/user, ts spread over ~30 days, alternating types;
+        # the 24h band then catches ~1-2 views per purchase on average
+        users = max(1, n // 50)
+        ev = spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.pmod(F.hash(F.col("id") * 37), F.lit(users)).alias("user_id"),
+            F.when(F.col("id") % 2 == 0, F.lit("view"))
+            .otherwise(F.lit("purchase"))
+            .alias("event_type"),
+            (
+                F.lit(1_700_000_000)
+                + F.pmod(F.hash(F.col("id") * 101), F.lit(86400 * 30))
+            )
+            .cast("timestamp")
+            .alias("ts"),
+            (F.pmod(F.hash(F.col("id") * 13), F.lit(1000)) / 100.0).alias("value"),
+        )
+        src = tempfile.mkdtemp(prefix="sg_sj_src_")
+        ev.repartition(8).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        purchases = stream.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        views = stream.where(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("value").alias("vv")
+        )
+        joined = stream_interval_join(
+            purchases, views, on="ts", by="user_id",
+            window="24 hours", watermark="1 hour",
+            left_cols=["event_id", "user_id", "ts"], right_cols=["ts", "vv"],
+        )
+        name = f"sj_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="sg_sj_ckpt_")
+        t0 = time.time()
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        wall = time.time() - t0
+        pairs = spark.table(name).count()
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+        points.append(
+            {
+                "n_events": n,
+                "pairs": int(pairs),
+                "wall_s": round(wall, 2),
+                "input_rows_per_s": int(n / wall),
+            }
+        )
+        print(json.dumps(points[-1]), flush=True)
+    print(json.dumps({"op": "stream_interval_join", "points": points}))
 
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--bpe":
+        # --bpe [batch_sizes] [n_merges] [n_docs]; n_docs > 0 switches
+        # to the synthetic corpus (real-vocab-shape runs)
         sizes = (
             [int(x) for x in sys.argv[2].split(",")]
             if len(sys.argv) > 2
             else [1, 4, 8]
         )
+        n_merges = int(sys.argv[3]) if len(sys.argv) > 3 else 24
+        n_docs = int(sys.argv[4]) if len(sys.argv) > 4 else 0
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
         bpe_ladder(
             spark,
             os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
-            24,
+            n_merges,
             sizes,
+            n_docs,
         )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--stream-join":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [100_000, 400_000, 1_600_000]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        stream_join_ladder(spark, sizes)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--curation":
         sizes = (
