@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 import sys
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -3016,6 +3017,38 @@ def _sql_population_gen_det() -> str:
     """
 
 
+@contextmanager
+def _stream_state_partitions(spark: SparkSession, *paths: str):
+    """Size the stateful-shuffle partition count from the input
+    footprint for the duration of a streaming run, then restore the
+    session conf.
+
+    Every stateful partition pays a fixed state-store open/commit cost
+    per micro-batch, so a small-state stream sharded over the full
+    session parallelism is dominated by store bookkeeping (measured at
+    sf0.1: the interval join reads 8-10 s at 32 partitions, ~3 s at 8,
+    identical results). Partitions ~= compressed_input_bytes / 4 MB,
+    clamped to [4, defaultParallelism] — at cluster scale the clamp
+    keeps the session conf authoritative (state volume per store, not
+    store count, is then the binding constraint)."""
+    total = 0
+    for p in paths:
+        try:
+            total += os.path.getsize(p)
+        except OSError:  # remote / unstatable: leave the conf alone
+            total = 0
+            break
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if total:
+        n = spark.sparkContext.defaultParallelism
+        want = max(4, min(n, (total + (4 << 20) - 1) // (4 << 20)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(want))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J (Structured Streaming), VALUE-CHECKED: the events table read
     as a file-source STREAM, aggregated with
@@ -3046,15 +3079,16 @@ def _q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_win_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sg_ckpt_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(300)
+    with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
     if not finished:
         # fail loudly rather than return a partial memory table
         q.stop()
@@ -3118,15 +3152,16 @@ def _q_streaming_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_ivj_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sg_ckpt_")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(300)
+    with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
     if not finished:
         q.stop()
         raise TimeoutError("streaming_interval did not finish within 300s")
