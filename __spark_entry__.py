@@ -2533,6 +2533,20 @@ def _sql_events_windowed() -> str:
     """
 
 
+def _sql_streaming_windowed() -> str:
+    """The windowed batch oracle joined with the per-type whole-stream
+    cumulative mean — the stateful operator's final state must equal
+    the batch group mean."""
+    return f"""
+    SELECT w.*, r.run_n, r.run_wmean
+    FROM ({_sql_events_windowed()}) w
+    JOIN (SELECT event_type,
+                 count(*) AS run_n,
+                 round(sum(value) / count(*), 6) AS run_wmean
+          FROM events GROUP BY 1) r USING (event_type)
+    """
+
+
 def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic as-of join (public D4): every purchase event matched to
     the user's most recent view event (inclusive backward). One shuffle
@@ -3055,13 +3069,22 @@ def _q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``streaming.stream_weighted_totals`` (event-time 6h windows +
     watermark), run to completion with an availableNow trigger into a
     memory sink. Streaming exactly-once window semantics make the
-    result identical to the batch aggregation, so the same DuckDB
-    oracle as ``events_windowed`` gates the whole streaming path —
-    source, watermarked stateful agg, and sink."""
+    result identical to the batch aggregation, so the batch DuckDB
+    oracle gates the whole streaming path — source, watermarked
+    stateful agg, and sink.
+
+    Round 4 adds a second leg: the CUSTOM stateful operator
+    (``stream_running_weighted_mean``, applyInPandasWithState) whose
+    final cumulative per-type state must equal the batch per-type
+    mean — joined in as ``run_n``/``run_wmean`` columns so the custom
+    state-store path is hash-gated too."""
     import tempfile
     import uuid
 
+    import shutil
+
     from data_integration_with_pseudoweights_and_survey_calibration_spark.streaming import (
+        stream_running_weighted_mean,
         stream_weighted_totals,
     )
 
@@ -3077,8 +3100,22 @@ def _q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         window="6 hours",
         group_by=["event_type"],
     )
+    # second streaming leg: the CUSTOM stateful operator
+    # (applyInPandasWithState, streaming/stateful.py) maintaining the
+    # cumulative per-type mean of value over the whole stream — its
+    # final state equals the batch per-type mean, so the same hash gate
+    # certifies the stateful path too (update mode emits one row per
+    # group per micro-batch; the max-n row per group is the final
+    # cumulative state)
+    run_agg = stream_running_weighted_mean(
+        tpch.load_events_stream(spark, sf_dir),
+        group_col="event_type",
+        y_col="value",
+    )
     name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    name2 = f"stream_run_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sg_ckpt_")
+    ckpt2 = tempfile.mkdtemp(prefix="sg_ckpt_")
     with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
         q = (
             agg.writeStream.format("memory")
@@ -3088,28 +3125,49 @@ def _q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        finished = q.awaitTermination(300)
+        q2 = (
+            run_agg.writeStream.format("memory")
+            .queryName(name2)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt2)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300) and q2.awaitTermination(300)
     if not finished:
         # fail loudly rather than return a partial memory table
         q.stop()
+        q2.stop()
         raise TimeoutError("streaming_windowed did not finish within 300s")
     # availableNow checkpoints are single-use (a reuse would see no new
     # files and emit nothing); remove this run's state
-    import shutil
-
     shutil.rmtree(ckpt, ignore_errors=True)
-    out = spark.table(name).select(
+    shutil.rmtree(ckpt2, ignore_errors=True)
+    win = spark.table(name).select(
         F.unix_timestamp(F.col("win.start")).alias("win_start"),
         "event_type",
         "total_value",
         "n",
     )
-    # Materialize eagerly and DROP the memory-sink view: each invocation
-    # registers a uniquely named in-driver table, and bench loops would
-    # otherwise accumulate full result tables in driver memory.
+    run = (
+        spark.table(name2)
+        .groupBy("group")
+        .agg(F.max(F.struct("n", "wmean")).alias("_s"))
+        .select(
+            F.col("group").alias("event_type"),
+            F.col("_s.n").alias("run_n"),
+            F.round(F.col("_s.wmean"), 6).alias("run_wmean"),
+        )
+    )
+    out = win.join(F.broadcast(run), "event_type")
+    # Materialize eagerly and DROP the memory-sink views: each
+    # invocation registers uniquely named in-driver tables, and bench
+    # loops would otherwise accumulate full result tables in driver
+    # memory.
     rows = out.collect()
     result = spark.createDataFrame(rows, out.schema)
     spark.catalog.dropTempView(name)
+    spark.catalog.dropTempView(name2)
     return result
 
 
@@ -3562,7 +3620,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _sql_events_sessions(),
         "events_funnel": _sql_events_funnel(),
         # exactly-once streaming == batch, so the batch oracle gates
-        # the streaming path end to end
-        "streaming_windowed": _sql_events_windowed(),
+        # the streaming path end to end (incl. the custom stateful
+        # running-mean columns in streaming_windowed)
+        "streaming_windowed": _sql_streaming_windowed(),
         "streaming_interval": _sql_events_attribution(),
     }
