@@ -43,13 +43,25 @@ def weighted_quantiles(
     cumulative weight share >= p) — the survey-methodology staple the
     reference reaches via ``survey::svyquantile``-style summaries.
 
-    Scale shape (the global_rank pattern, NOT a single-partition global
-    window): range-partition by value, per-partition running weight,
-    broadcast exclusive prefix-sums of partition totals, and resolve
-    ALL probs in one pass via a broadcast probs table.  Only the
-    n_partitions-row offset frame is narrow.  Returns (prob, q); empty
-    input (or all-null weights) returns an empty frame."""
-    from pyspark.sql import Window
+    Scale shape: the deterministic-bucket prefix-offset cumsum
+    (``functions/cumsum.partitioned_cumsum`` — quantile-edge buckets
+    assigned as a PURE FUNCTION of the value, per-bucket parallel
+    windows, driver prefix offsets), then ALL probs resolved in one
+    pass via a broadcast probs table.  Returns (prob, q); empty input
+    (or all-null weights) returns an empty frame.
+
+    Determinism note: an earlier version range-partitioned by value and
+    labeled buckets with ``spark_partition_id()``. That pattern is NOT
+    re-evaluation-stable — each physical execution of a
+    ``repartitionByRange`` exchange re-samples its boundaries with a
+    fresh RDD id, so when Catalyst evaluates the frame once for the
+    partition totals and again for the probe side (exchange reuse is an
+    optimization, not a guarantee; the survey_scalars broadcast chain
+    broke it), the two passes can disagree on bucket membership and the
+    offsets silently shift the cumulative weights (observed at sf0.1:
+    quantiles off by one data point, varying run to run). Bucket labels
+    must depend only on the DATA."""
+    from .cumsum import partitioned_cumsum
 
     spark = df.sparkSession
     tot = df.agg(F.sum(weight)).collect()[0][0]
@@ -61,22 +73,13 @@ def weighted_quantiles(
             "q", F.lit(None).cast("double")
         )
     n_part = spark.sparkContext.defaultParallelism
-    part = (
-        df.select(F.col(value).alias("_x"), F.col(weight).alias("_w"))
-        .repartitionByRange(n_part, "_x")
-        .withColumn("_pid", F.spark_partition_id())
+    base = df.select(F.col(value).alias("_x"), F.col(weight).alias("_w")).where(
+        F.col("_x").isNotNull()
     )
-    w_local = Window.partitionBy("_pid").orderBy("_x").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    local = part.withColumn("_lc", F.sum("_w").over(w_local))
-    sums = local.groupBy("_pid").agg(F.sum("_w").alias("_s"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = sums.withColumn(
-        "_off", F.coalesce(F.sum("_s").over(w_off), F.lit(0.0))
-    ).select("_pid", "_off")
-    cum = local.join(F.broadcast(offs), "_pid").withColumn(
-        "_cw", (F.col("_off") + F.col("_lc")) / F.lit(float(tot))
+    # rangeBetween tie semantics: every tie row carries the full
+    # tie-group cumulative, which is exactly the type-1 decision value
+    cum = partitioned_cumsum(base, "_x", ["_w"], n_buckets=n_part).withColumn(
+        "_cw", F.col("cum__w") / F.lit(float(tot))
     )
     return (
         cum.join(F.broadcast(probs_df), F.col("_cw") >= F.col("prob"))

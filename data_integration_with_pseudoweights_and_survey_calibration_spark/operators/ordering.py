@@ -5,23 +5,64 @@ The naive ``row_number().over(Window.orderBy(key))`` funnels the whole
 table through ONE task -- the classic global-window bottleneck. Here
 global rank is computed as:
 
-1. ``repartitionByRange`` on the key (sampling-based range shuffle --
-   the same machinery a distributed sort uses);
-2. per-partition local ``row_number`` (window partitioned by
-   ``spark_partition_id`` -- parallel across partitions);
-3. exclusive prefix-sum of per-partition counts (a partition-count-sized
+1. bucket rows by DETERMINISTIC range boundaries (a hash-mod sample of
+   the key, collected once on the driver -- a pure function of the
+   data);
+2. per-bucket local ``row_number`` (parallel across buckets);
+3. exclusive prefix-sum of per-bucket counts (a bucket-count-sized
    frame, broadcast back) added to the local rank.
 
 Everything stays distributed; the only narrow data is the
-n_partitions-row offset frame. Requires a duplicate-free key for a
+n_buckets-row offset frame. Requires a duplicate-free key for a
 deterministic result (the shuffle key below is md5(seed, id) -- unique
 whenever ids are).
+
+Why NOT ``repartitionByRange`` + ``spark_partition_id``: that labeling
+is not re-evaluation-stable. Every physical execution of a range
+exchange re-samples its boundaries with a fresh RDD id, and Catalyst
+may evaluate the frame separately for the counts subtree and the probe
+subtree (ReusedExchange is an optimization, not a guarantee) -- the
+two passes can then disagree on bucket membership, silently corrupting
+the offsets. Bucket labels must depend only on the data (the same
+rule ``functions/cumsum.partitioned_cumsum`` follows).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _det_range_bounds(
+    df: DataFrame, col: str, n_parts: int, target_sample: int = 100_000
+) -> list:
+    """Interior range boundaries as a PURE FUNCTION of the data: a
+    hash-mod deterministic sample (bounded driver collect: ~
+    ``target_sample`` rows regardless of table size), sorted, evenly
+    spaced split points. Unlike ``repartitionByRange``'s boundary
+    sampling, re-evaluating any plan built on these literals can never
+    disagree about bucket membership."""
+    n = df.count()
+    if n <= 1 or n_parts <= 1:
+        return []
+    mod = max(1, n // target_sample)
+    samp = [
+        r[0]
+        for r in df.where(
+            F.pmod(F.hash(F.col(col).cast("string")), F.lit(mod)) == F.lit(0)
+        )
+        .select(col)
+        .collect()
+    ]
+    vals = sorted(v for v in samp if v is not None)
+    if not vals:
+        return []
+    return sorted(
+        {
+            vals[min(len(vals) - 1, (i * len(vals)) // n_parts)]
+            for i in range(1, n_parts)
+        }
+    )
 
 
 def global_rank(
@@ -36,17 +77,22 @@ def global_rank(
     k = F.col(key) if isinstance(key, str) else key
     spark = df.sparkSession
     n = int(n_parts or spark.sparkContext.defaultParallelism)
-    part = (
-        df.withColumn("_gr_key", k)
-        .repartitionByRange(n, "_gr_key")
-        .withColumn("_pid", F.spark_partition_id())
+    keyed = df.withColumn("_gr_key", k)
+    bounds = _det_range_bounds(keyed, "_gr_key", n)
+    bucket: Column = F.lit(len(bounds))
+    for i in range(len(bounds) - 1, -1, -1):
+        bucket = F.when(
+            F.col("_gr_key") <= F.lit(bounds[i]), F.lit(i)
+        ).otherwise(bucket)
+    part = keyed.withColumn("_pid", bucket).repartition(
+        max(n, len(bounds) + 1), "_pid"
     )
     w_local = Window.partitionBy("_pid").orderBy("_gr_key")
     local = part.withColumn("_lr", F.row_number().over(w_local))
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     w_off = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
-    )  # tiny frame: one row per partition
+    )  # tiny frame: one row per bucket
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
     ).select("_pid", "_off")

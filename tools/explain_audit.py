@@ -65,7 +65,7 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         (r"PushedFilters: \[[^\]]*o_orderdate", "order-date window pushed to the orders scan"),
     ],
     "layout_keys": [
-        (r"rangepartitioning\(_gr_key", "global rank via range shuffle, not a single-partition window"),
+        (r"hashpartitioning\(_pid", "global rank via deterministic-bucket shuffle, not a single-partition window (round 4: value-deterministic buckets replaced the re-evaluation-unstable rangepartitioning)"),
         (r"BroadcastExchange", "prefix-offset frame broadcast back"),
     ],
     "dedup_components": [
