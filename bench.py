@@ -15,7 +15,9 @@ run of identical code measured 128.5s):
   single-pass behavior for quick iteration.
 * the 1-minute load average at start and end ships in the JSON
   (``load_start`` / ``load_end``) so a contaminated run is visible in
-  the artifact itself.
+  the artifact itself. ``load_end`` includes the bench's OWN 32-thread
+  load — ``load_start`` is the contamination signal; ``load_end``
+  mainly confirms the run actually exercised the machine.
 """
 
 from __future__ import annotations
