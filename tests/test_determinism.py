@@ -1,0 +1,114 @@
+"""Re-evaluation-stability tests for the two-pass prefix-offset
+operators (the round-4 bug class: bucket labels derived from
+``spark_partition_id`` after ``repartitionByRange`` are NOT stable
+across physical re-evaluations — each execution of a range exchange
+re-samples its boundaries with a fresh RDD id, so the offsets subtree
+and the probe subtree can disagree on bucket membership).
+
+These tests pin the fixed semantics: results must match a brute-force
+single-machine computation AND be identical across repeated executions
+of the same (uncached) plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.functions.stats import (
+    weighted_quantiles,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.ordering import (
+    global_rank,
+)
+
+PROBS = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+def _brute_type1(xs, ws, p):
+    order = np.argsort(xs, kind="mergesort")
+    xs, ws = np.asarray(xs)[order], np.asarray(ws)[order]
+    cw = np.cumsum(ws) / ws.sum()
+    return float(xs[(cw >= p).argmax()])
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        "random",
+        "ties",  # duplicate x values straddling thresholds
+        "exact",  # cumulative share hits a prob EXACTLY at a boundary
+    ],
+)
+def test_weighted_quantiles_match_bruteforce(spark, case):
+    rng = np.random.RandomState(42)
+    if case == "random":
+        xs = rng.randn(5000).round(3)
+        ws = rng.randint(1, 50, 5000).astype(float)
+    elif case == "ties":
+        xs = np.repeat(rng.randn(200).round(2), 25)  # 25-way ties
+        ws = rng.randint(1, 10, 5000).astype(float)
+    else:
+        # 4 equal-weight values: cum shares are exactly .25/.5/.75/1
+        xs = np.repeat([1.0, 2.0, 3.0, 4.0], 10)
+        ws = np.full(40, 5.0)
+    df = spark.createDataFrame(
+        list(zip(map(float, xs), map(float, ws))), "x double, w double"
+    ).repartition(7)
+    got = {
+        r["prob"]: r["q"]
+        for r in weighted_quantiles(df, "x", "w", PROBS).collect()
+    }
+    for p in PROBS:
+        assert got[p] == pytest.approx(_brute_type1(xs, ws, p), abs=1e-12), (
+            case,
+            p,
+        )
+
+
+def test_weighted_quantiles_stable_across_reexecution(spark):
+    """The same plan executed repeatedly must return identical rows —
+    the round-4 survey_scalars symptom was quantiles that differed on
+    every run."""
+    rng = np.random.RandomState(7)
+    xs = rng.randn(20000)
+    ws = rng.randint(1, 50, 20000).astype(float)
+    df = spark.createDataFrame(
+        list(zip(map(float, xs), map(float, ws))), "x double, w double"
+    ).repartition(13)
+    out = weighted_quantiles(df, "x", "w", PROBS)
+    runs = [sorted(map(tuple, out.collect())) for _ in range(3)]
+    assert runs[0] == runs[1] == runs[2]
+    for p in PROBS:
+        q = dict(runs[0])[p]
+        assert q == pytest.approx(_brute_type1(xs, ws, p), abs=1e-12)
+
+
+def test_global_rank_matches_sort_and_is_stable(spark):
+    rng = np.random.RandomState(3)
+    # duplicate-free string keys (the corpus_shuffle md5 shape)
+    keys = [f"{v:012x}" for v in rng.permutation(30000)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string").repartition(11)
+    ranked = global_rank(df, "k", out_col="rank")
+    runs = [
+        {r["k"]: r["rank"] for r in ranked.collect()} for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert runs[0] == want
+
+
+def test_global_rank_skewed_and_tiny(spark):
+    """Boundary sampling must survive a tiny frame (fewer rows than
+    buckets) and a heavily skewed key distribution."""
+    tiny = spark.createDataFrame([("b",), ("a",), ("c",)], "k string")
+    got = {r["k"]: r["rank"] for r in global_rank(tiny, "k").collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}
+
+    # 90% of keys in one narrow range: buckets collapse, ranks still exact
+    skew = [f"z{i:06d}" for i in range(900)] + [f"a{i:06d}" for i in range(100)]
+    df = spark.createDataFrame([(k,) for k in skew], "k string").repartition(5)
+    got = {r["k"]: r["rank"] for r in global_rank(df, "k").collect()}
+    want = {k: i + 1 for i, k in enumerate(sorted(skew))}
+    assert got == want
