@@ -69,6 +69,30 @@ def test_spread_leaves_shaped_plans_alone(spark, sf_dir):
     assert spread(df) is df
 
 
+def test_stream_state_partitions_sizes_and_restores(spark, sf_dir):
+    """The streaming state-partition context manager must size the
+    shuffle-partition conf from the input bytes, restore it on exit,
+    and restore it even when the body raises."""
+    import __spark_entry__ as em
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    path = f"{sf_dir}/events.parquet"
+    with em._stream_state_partitions(spark, path):
+        inside = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert 4 <= inside <= spark.sparkContext.defaultParallelism
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+    with pytest.raises(RuntimeError):
+        with em._stream_state_partitions(spark, path):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+    # unstatable input: conf left alone
+    with em._stream_state_partitions(spark, "/nonexistent/events.parquet"):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == old
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
 def test_events_stream_scratch_link_recovery(spark, sf_dir):
     """A stale regular file occupying the scratch link path must be
     replaced, not crash os.symlink with FileExistsError."""
