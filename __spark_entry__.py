@@ -1949,8 +1949,17 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas pass, then summarized. The DuckDB oracle computes the
     expected pixel stats directly from the md5 hex -- so a hash match
     proves the PNG encoder+decoder round-trip byte-exactly at query
-    level, not just in unit tests."""
+    level, not just in unit tests.
+
+    Round 4 adds the header-probe certificate in the same pass
+    (``codecs.probe_bytes``, the parser behind ``probe_media``): the
+    encoded PNG bytes and a deterministic JPEG header blob
+    (width = doc_id % 13 + 1, height = doc_id % 7 + 1, SOF0) are
+    probed, and the extracted format/dims are hash-checked against the
+    oracle's arithmetic expectations — certifying that the prober
+    reads real PNG IHDR and JPEG SOF headers correctly."""
     import hashlib
+    import struct
 
     import numpy as np
     import pandas as pd
@@ -1958,18 +1967,37 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.codecs import (
         decode_png,
         encode_png,
+        probe_bytes,
     )
 
     def _batches(it):
         for pdf in it:
             sums, means = [], []
-            for t in pdf["text"]:
+            png_fmt, png_w, png_h = [], [], []
+            jpg_fmt, jpg_w, jpg_h = [], [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
                 img = np.frombuffer(
                     hashlib.md5(str(t).encode("utf-8")).digest(), dtype=np.uint8
                 ).reshape(4, 4)
-                arr = decode_png(encode_png(img))
+                png_bytes = encode_png(img)
+                arr = decode_png(png_bytes)
                 sums.append(int(arr.sum()))
                 means.append(float(arr.mean()))
+                pp = probe_bytes(png_bytes)
+                png_fmt.append(pp["format"])
+                png_w.append(pp["width"])
+                png_h.append(pp["height"])
+                w, h = int(did) % 13 + 1, int(did) % 7 + 1
+                jpg = (
+                    b"\xff\xd8\xff\xc0"
+                    + struct.pack(">HBHHB", 11, 8, h, w, 1)
+                    + bytes([1, 0x11, 0])
+                    + b"\xff\xd9"
+                )
+                pj = probe_bytes(jpg)
+                jpg_fmt.append(pj["format"])
+                jpg_w.append(pj["width"])
+                jpg_h.append(pj["height"])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -1977,6 +2005,12 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "height": 4,
                     "px_sum": sums,
                     "px_mean": [round(m, 9) for m in means],
+                    "png_fmt": png_fmt,
+                    "png_w": png_w,
+                    "png_h": png_h,
+                    "jpg_fmt": jpg_fmt,
+                    "jpg_w": jpg_w,
+                    "jpg_h": jpg_h,
                 }
             )
 
@@ -1984,7 +2018,11 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = spark.sparkContext.defaultParallelism
     return docs.repartition(n_part).mapInPandas(
         _batches,
-        schema="doc_id long, width int, height int, px_sum long, px_mean double",
+        schema=(
+            "doc_id long, width int, height int, px_sum long, "
+            "px_mean double, png_fmt string, png_w int, png_h int, "
+            "jpg_fmt string, jpg_w int, jpg_h int"
+        ),
     )
 
 
@@ -1998,7 +2036,11 @@ def _sql_media_features() -> str:
           FROM h)
     SELECT doc_id, 4 AS width, 4 AS height,
            list_sum(bytes)::BIGINT AS px_sum,
-           round(list_sum(bytes) / 16.0, 9) AS px_mean
+           round(list_sum(bytes) / 16.0, 9) AS px_mean,
+           'png' AS png_fmt, 4::INTEGER AS png_w, 4::INTEGER AS png_h,
+           'jpeg' AS jpg_fmt,
+           (doc_id % 13 + 1)::INTEGER AS jpg_w,
+           (doc_id % 7 + 1)::INTEGER AS jpg_h
     FROM b
     """
 

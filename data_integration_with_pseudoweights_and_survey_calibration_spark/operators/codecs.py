@@ -252,3 +252,98 @@ def image_features(img: np.ndarray, dim: int) -> np.ndarray:
         out.extend(thumb[:nb].tolist())
         out.extend([0.0] * (dim - len(out)))
     return np.asarray(out[:dim], dtype=np.float32)
+
+
+# --------------------------------------------------------------------------
+# Header probing (format triage without full decode)
+# --------------------------------------------------------------------------
+
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+_JPEG_STANDALONE = frozenset({0xD8, 0xD9, 0x01}) | frozenset(range(0xD0, 0xD8))
+
+
+def _probe_jpeg(b: bytes) -> dict | None:
+    """Dimensions/components from the first SOF0-SOF15 segment (ITU
+    T.81 B.2.2) — a linear marker walk over segment headers only; the
+    entropy-coded payload is never touched. This is the honest
+    at-scale triage for formats whose full decode needs a library this
+    environment lacks: corpus audits (resolution filters, aspect-ratio
+    screens, format histograms) read ~32 header bytes/file, not
+    megapixels."""
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker in _JPEG_STANDALONE:
+            i += 2
+            continue
+        if i + 4 > len(b):
+            return None
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if marker in _JPEG_SOF_MARKERS:
+            if i + 10 > len(b):
+                return None
+            h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+            ncomp = b[i + 9]
+            return {"format": "jpeg", "width": w, "height": h, "n_channels": ncomp}
+        i += 2 + seg_len
+    return None
+
+
+def probe_bytes(b: bytes) -> dict:
+    """Media metadata from HEADERS only (no pixel/sample decode):
+    PNG / JPEG / GIF / BMP dimensions, WAV channels + sample rate +
+    duration. Unknown or truncated bytes probe as format=None. Keys:
+    format, width, height, n_channels, sample_rate, duration_ms
+    (absent fields are None)."""
+    out = {
+        "format": None,
+        "width": None,
+        "height": None,
+        "n_channels": None,
+        "sample_rate": None,
+        "duration_ms": None,
+    }
+    if not b:
+        return out
+    if b.startswith(_PNG_MAGIC) and len(b) >= 26:
+        w, h = struct.unpack(">II", b[16:24])
+        # IHDR color type -> channel count (spec 11.2.2)
+        ncomp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(b[25])
+        out.update(format="png", width=w, height=h, n_channels=ncomp)
+        return out
+    if b[:2] == b"\xff\xd8":
+        j = _probe_jpeg(b)
+        if j:
+            out.update(j)
+        return out
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        out.update(format="gif", width=w, height=h)
+        return out
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        out.update(format="bmp", width=w, height=abs(h))
+        return out
+    if b.startswith(_RIFF_MAGIC) and b[8:12] == b"WAVE" and len(b) >= 44:
+        # canonical header: fmt chunk at 12 (channels @22, rate @24,
+        # byte rate @28); data size located by chunk walk
+        ncomp, rate = struct.unpack("<HI", b[22:28])
+        byte_rate = struct.unpack("<I", b[28:32])[0]
+        dur = None
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            csz = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if cid == b"data" and byte_rate:
+                dur = int(csz * 1000 // byte_rate)
+                break
+            i += 8 + csz + (csz & 1)
+        out.update(
+            format="wav", n_channels=ncomp, sample_rate=rate, duration_ms=dur
+        )
+        return out
+    return out

@@ -132,6 +132,44 @@ def extract_features(
     return df.mapInPandas(_decode_batch, schema=FEATURE_SCHEMA)
 
 
+PROBE_SCHEMA = (
+    "media_id long, format string, width int, height int, "
+    "n_channels int, sample_rate int, duration_ms long, n_bytes long"
+)
+
+
+def probe_media(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Media metadata triage from HEADERS only (``codecs.probe_bytes``:
+    PNG/JPEG/GIF/BMP dims + channels, WAV rate/duration) — no pixel or
+    sample decode, no external codec libraries.
+
+    This is the 100 TB corpus-audit primitive: resolution filters,
+    aspect-ratio screens, and format histograms read a few dozen
+    header bytes per file. Runs as one Arrow ``mapInPandas`` pass;
+    unknown/truncated bytes yield format=NULL rows (filter, don't
+    fail). Full pixel decode remains ``extract_features``'s job."""
+    from . import codecs
+
+    def _probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf[content_col]:
+                b = bytes(content) if content is not None else b""
+                p = codecs.probe_bytes(b)
+                p["n_bytes"] = len(b)
+                rows.append(p)
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf[id_col].to_numpy())
+            yield out
+
+    return df.mapInPandas(_probe_batch, schema=PROBE_SCHEMA)
+
+
 RESIZE_SCHEMA = (
     "media_id long, out_width int, out_height int, resized binary"
 )

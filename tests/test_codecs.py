@@ -195,3 +195,69 @@ def test_resize_images_real_spark(spark):
     back = codecs.decode_png(bytes(row["resized"]))
     np.testing.assert_array_equal(back, codecs.resize_nearest(img, 6, 5))
     assert row["out_width"] == 6 and row["out_height"] == 5
+
+
+def _jpeg_blob(w, h, ncomp=1):
+    import struct
+
+    seg_len = 8 + 3 * ncomp
+    comp = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"  # APP0 noise segment
+        + b"\xff\xc0" + struct.pack(">HBHHB", seg_len, 8, h, w, ncomp) + comp
+        + b"\xff\xd9"
+    )
+
+
+def test_probe_bytes_all_formats():
+    import struct
+
+    png = codecs.encode_png(np.arange(16, dtype=np.uint8).reshape(4, 4))
+    p = codecs.probe_bytes(png)
+    assert (p["format"], p["width"], p["height"], p["n_channels"]) == ("png", 4, 4, 1)
+
+    p = codecs.probe_bytes(_jpeg_blob(640, 480, 3))
+    assert (p["format"], p["width"], p["height"], p["n_channels"]) == (
+        "jpeg", 640, 480, 3,
+    )
+
+    wav = codecs.encode_wav(np.zeros(8820, dtype=np.int16), 44100)
+    p = codecs.probe_bytes(wav)
+    assert (p["format"], p["n_channels"], p["sample_rate"], p["duration_ms"]) == (
+        "wav", 1, 44100, 200,
+    )
+
+    p = codecs.probe_bytes(b"GIF89a" + struct.pack("<HH", 320, 200))
+    assert (p["format"], p["width"], p["height"]) == ("gif", 320, 200)
+
+    # BMP with bottom-up (negative) height
+    p = codecs.probe_bytes(b"BM" + bytes(16) + struct.pack("<ii", 640, -480))
+    assert (p["format"], p["width"], p["height"]) == ("bmp", 640, 480)
+
+
+def test_probe_bytes_truncated_and_unknown():
+    png = codecs.encode_png(np.zeros((4, 4), dtype=np.uint8))
+    for blob in (b"", b"\xff", png[:10], _jpeg_blob(9, 9)[:5], b"plain text"):
+        p = codecs.probe_bytes(blob)
+        assert p["format"] is None, blob
+    # JPEG with SOI but no SOF segment
+    assert codecs.probe_bytes(b"\xff\xd8\xff\xd9")["format"] is None
+
+
+def test_probe_media_spark(spark):
+    png = codecs.encode_png(np.arange(16, dtype=np.uint8).reshape(4, 4))
+    rows = [
+        (1, png),
+        (2, _jpeg_blob(13, 7)),
+        (3, codecs.encode_wav(np.zeros(4410, dtype=np.int16), 44100)),
+        (4, b"unknown bytes"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in multimodal.probe_media(df).collect()}
+    assert got[1]["format"] == "png" and (got[1]["width"], got[1]["height"]) == (4, 4)
+    assert got[2]["format"] == "jpeg" and (got[2]["width"], got[2]["height"]) == (13, 7)
+    assert got[3]["format"] == "wav" and got[3]["sample_rate"] == 44100
+    assert got[4]["format"] is None and got[4]["n_bytes"] == 13
+    assert got[5]["format"] is None and got[5]["n_bytes"] == 0
