@@ -293,6 +293,52 @@ def _probe_jpeg(b: bytes) -> dict | None:
     return None
 
 
+def _probe_mp4(b: bytes) -> dict | None:
+    """ISO-BMFF (MP4/MOV) container probe: top-level box walk to
+    ``moov`` → ``mvhd`` (ISO 14496-12 8.2.2) for timescale + duration.
+    Headers only — sample data (``mdat``) is skipped by size, so the
+    probe reads O(box headers) regardless of media size."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    out = {"format": "mp4", "duration_ms": None}
+
+    def walk(lo: int, hi: int, depth: int = 0):
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack(">I", b[i : i + 4])[0]
+            btype = b[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if i + 16 > hi:
+                    return None
+                size = struct.unpack(">Q", b[i + 8 : i + 16])[0]
+                hdr = 16
+            elif size == 0:  # box extends to end
+                size = hi - i
+            if size < hdr or i + size > hi:
+                return None
+            if btype == b"moov" and depth == 0:
+                return walk(i + hdr, i + size, 1)
+            if btype == b"mvhd" and depth == 1:
+                v = b[i + hdr]
+                if v == 1 and i + hdr + 28 <= hi:
+                    ts, dur = struct.unpack(
+                        ">IQ", b[i + hdr + 20 : i + hdr + 32]
+                    )
+                elif v == 0 and i + hdr + 20 <= hi:
+                    ts, dur = struct.unpack(
+                        ">II", b[i + hdr + 12 : i + hdr + 20]
+                    )
+                else:
+                    return None
+                return int(dur * 1000 // ts) if ts else None
+            i += size
+        return None
+
+    out["duration_ms"] = walk(0, len(b))
+    return out
+
+
 def probe_bytes(b: bytes) -> dict:
     """Media metadata from HEADERS only (no pixel/sample decode):
     PNG / JPEG / GIF / BMP dimensions, WAV channels + sample rate +
@@ -327,6 +373,11 @@ def probe_bytes(b: bytes) -> dict:
     if b[:2] == b"BM" and len(b) >= 26:
         w, h = struct.unpack("<ii", b[18:26])
         out.update(format="bmp", width=w, height=abs(h))
+        return out
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        m = _probe_mp4(b)
+        if m:
+            out.update(m)
         return out
     if b.startswith(_RIFF_MAGIC) and b[8:12] == b"WAVE" and len(b) >= 44:
         # canonical header: fmt chunk at 12 (channels @22, rate @24,

@@ -261,3 +261,32 @@ def test_probe_media_spark(spark):
     assert got[3]["format"] == "wav" and got[3]["sample_rate"] == 44100
     assert got[4]["format"] is None and got[4]["n_bytes"] == 13
     assert got[5]["format"] is None and got[5]["n_bytes"] == 0
+
+
+def _mp4_blob(timescale, duration, version=0):
+    import struct
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"isom"
+    if version == 0:
+        mvhd_body = bytes([0, 0, 0, 0]) + bytes(8) + struct.pack(
+            ">II", timescale, duration
+        )
+    else:
+        mvhd_body = bytes([1, 0, 0, 0]) + bytes(16) + struct.pack(
+            ">IQ", timescale, duration
+        )
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    mdat = struct.pack(">I", 8 + 4) + b"mdat" + b"\x00" * 4
+    return ftyp + mdat + moov
+
+
+def test_probe_bytes_mp4():
+    p = codecs.probe_bytes(_mp4_blob(1000, 2500))
+    assert (p["format"], p["duration_ms"]) == ("mp4", 2500)
+    # version-1 mvhd (64-bit duration)
+    p = codecs.probe_bytes(_mp4_blob(90000, 90000 * 7, version=1))
+    assert (p["format"], p["duration_ms"]) == ("mp4", 7000)
+    # truncated moov: format detected, duration unknown
+    p = codecs.probe_bytes(_mp4_blob(1000, 2500)[:20])
+    assert p["format"] == "mp4" and p["duration_ms"] is None
