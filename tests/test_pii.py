@@ -1,0 +1,163 @@
+"""PII detection/redaction: Spark Column-expression implementation vs
+a pure-Python ``re`` twin applying the SAME pattern strings.
+
+The patterns are written in the common Java/Python regex subset, so
+``re.findall(pat, s)`` is an independent oracle for
+``regexp_extract_all(s, pat, 0)`` and ``re.sub`` for
+``regexp_replace``.  The Luhn fold gets its own scalar reference.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import pii
+
+DOCS = [
+    (0, "contact me at john.doe+spam@example.co.uk or call +1 (415) 555-2671 today"),
+    (1, "server at 192.168.0.1 and 10.0.0.255, but version 1.2.3.4000 is not an ip"),
+    (2, "card 4111 1111 1111 1111 expires 09/27; fake 1234 5678 9012 3456 fails luhn"),
+    (3, "ssn 078-05-1120 leaked; meeting on 2026-08-14 at 10am; order #4153 shipped"),
+    (4, "no pii here, just 12345 widgets and pi 3.14159"),
+    (5, "dial 555-867-5309 or 020 7946 0958; dob 08-14-1990"),
+    (6, "amex 3782 822463 10005 and visa 4222222222222 are valid test numbers"),
+    (7, "mail a@b.io, mail2 x_y%z@sub.domain-2.example.org; ip 255.255.255.255"),
+    (8, ""),
+    (9, "edge: 999-99-9999 then +44 20 7946 0958 then 0.0.0.0 then a@b.co"),
+]
+
+
+def _py_luhn(candidate: str) -> bool:
+    digits = [int(c) for c in re.sub(r"[^0-9]", "", candidate)]
+    if not 13 <= len(digits) <= 19:
+        return False
+    total = 0
+    for i, d in enumerate(reversed(digits)):
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def _py_features(text: str) -> dict[str, int]:
+    """Progressive-redaction counting twin of pii.pii_features."""
+    out: dict[str, int] = {}
+    stage = text
+    luhn_stage = text
+    for cat, pat, token in pii.PII_PATTERNS:
+        matches = re.findall(pat, stage)
+        out[f"n_{cat}"] = len(matches)
+        if cat == "card":
+            luhn_stage = stage
+        stage = re.sub(pat, token, stage)
+    out["n_card_luhn"] = sum(
+        _py_luhn(m) for m in re.findall(pii.CARD_PATTERN, luhn_stage)
+    )
+    return out
+
+
+def _py_redact(text: str) -> str:
+    for _, pat, token in pii.PII_PATTERNS:
+        text = re.sub(pat, token, text)
+    return text
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_features_match_python_twin(spark, pii_df):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in pii.pii_features(pii_df).collect()
+    }
+    for doc_id, text in DOCS:
+        want = _py_features(text)
+        for k, v in want.items():
+            assert got[doc_id][k] == v, (doc_id, k, got[doc_id], want)
+        assert got[doc_id]["has_pii"] == any(
+            want[f"n_{cat}"] > 0 for cat, _, _ in pii.PII_PATTERNS
+        )
+
+
+def test_redaction_matches_python_twin(spark, pii_df):
+    got = {
+        r["doc_id"]: r["text"]
+        for r in pii.redact_pii(pii_df).collect()
+    }
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _py_redact(text), doc_id
+
+
+def test_counts_equal_inserted_placeholders(spark, pii_df):
+    """The documented invariant: n_<cat> == number of [CAT] tokens the
+    redactor inserted (disjoint attribution)."""
+    joined = (
+        pii.pii_features(pii_df)
+        .join(
+            pii.redact_pii(pii_df, out_col="red").select("doc_id", "red"),
+            "doc_id",
+        )
+        .collect()
+    )
+    token_of = {cat: tok for cat, _, tok in pii.PII_PATTERNS}
+    for r in joined:
+        for cat, _, _ in pii.PII_PATTERNS:
+            assert r[f"n_{cat}"] == r["red"].count(token_of[cat]), (
+                r["doc_id"],
+                cat,
+            )
+
+
+def test_luhn_column_vs_python(spark):
+    cands = [
+        "4111 1111 1111 1111",
+        "4111-1111-1111-1111",
+        "1234 5678 9012 3456",
+        "4222222222222",
+        "3782 822463 10005",
+        "378282246310005",
+        "00000000000000000000",  # 20 digits: outside 13-19
+        "123456789012",  # 12 digits: too short
+        "0000000000000",  # 13 zeros: sum 0 -> technically valid
+        "99 bottles of beer 99",
+    ]
+    df = spark.createDataFrame([(c,) for c in cands], "cand string")
+    got = df.select(
+        "cand", pii.luhn_valid(F.col("cand")).alias("ok")
+    ).collect()
+    for r in got:
+        assert r["ok"] == _py_luhn(r["cand"]), r["cand"]
+
+
+def test_non_pii_text_untouched(spark):
+    """Dates, version strings, small integers, decimals survive."""
+    clean = [
+        "released 2026-08-14, version 1.2.3.4000 build 98765",
+        "pi is 3.14159 and e is 2.71828; order #4153 of 12345 widgets",
+        "meeting 08-14-1990 at 10am, room 101",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(clean)],
+                               "doc_id long, text string")
+    out = pii.redact_pii(df).collect()
+    for r in out:
+        assert r["text"] == clean[r["doc_id"]]
+    feats = pii.pii_features(df).collect()
+    for r in feats:
+        assert not r["has_pii"], r.asDict()
+
+
+def test_plan_is_udf_free_single_scan(spark, pii_df):
+    """Scale contract: one projection, no exchange, no Python eval."""
+    plan = (
+        pii.pii_features(pii_df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, plan
