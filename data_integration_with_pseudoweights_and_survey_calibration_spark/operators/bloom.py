@@ -1,0 +1,192 @@
+"""Bloom-filter membership for incremental corpus deduplication.
+
+The 100 TB workflow this serves: yesterday's corpus is already
+ingested and fingerprinted; today's crawl must drop documents already
+seen WITHOUT joining against the full historical fingerprint table.
+A Bloom filter of the historical fingerprints is built once (a few MB
+to a few GB of bitmap for billions of keys), shipped to executors as
+a broadcast, and probed row-locally -- turning an O(new x old)
+shuffle join into a map-only scan of the new data.
+
+Scale design:
+
+- **Build is 100% JVM**: k seeded ``xxhash64`` positions per key,
+  ``explode`` -> ``(word_index, bit)`` -> ``groupBy(word_index).
+  agg(bit_or)``.  Partial (map-side) aggregation caps the shuffle at
+  ``partitions x distinct_words`` rows regardless of input size, and
+  the driver collect is bounded by ``n_bits/64`` longs -- never by
+  the data.  No Python executes on any row.
+- **Probe is 100% JVM**: the bitmap rides a one-row broadcast frame
+  (BroadcastNestedLoopJoin against a single row = a free map-side
+  closure); membership is a ``forall`` over the k positions with
+  ``getbit(element_at(bitmap, word), bit)``.  No Python, no shuffle.
+- Standard Bloom guarantees: no false negatives ever; false-positive
+  rate ~ (1 - e^{-kn/m})^k, sized by :func:`optimal_params`.
+
+The filter state round-trips through a one-row DataFrame
+(:func:`to_df` / :func:`from_df`) so it can be persisted as parquet
+next to the corpus it summarizes and reloaded by tomorrow's run.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """Immutable bitmap + hash parameters.  ``words[i]`` holds bits
+    ``64*i .. 64*i+63`` (bit b of word w = position 64*w + b)."""
+
+    n_bits: int
+    k: int
+    seed: int
+    words: tuple[int, ...]  # len == ceil(n_bits / 64), signed int64
+
+    @property
+    def n_set_bits(self) -> int:
+        return sum(bin(w & ((1 << 64) - 1)).count("1") for w in self.words)
+
+    def fpp_estimate(self) -> float:
+        """Observed-load false-positive estimate (1 - empty_frac)^k."""
+        load = self.n_set_bits / self.n_bits
+        return load**self.k
+
+
+def optimal_params(expected_n: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Textbook sizing: m = -n ln p / (ln 2)^2, k = (m/n) ln 2,
+    m rounded up to a multiple of 64."""
+    expected_n = max(1, expected_n)
+    m = int(math.ceil(-expected_n * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / expected_n * math.log(2)))
+    return m, k
+
+
+def _positions(col: Column, n_bits: int, k: int, seed: int) -> Column:
+    """Array of k bit positions in [0, n_bits): seeded xxhash64 per
+    hash function (the seed argument doubles as the function index)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(seed + i)), F.lit(n_bits)).cast(
+                "long"
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def build(
+    df: DataFrame,
+    col: Column | str,
+    *,
+    expected_n: int | None = None,
+    fpp: float = 0.01,
+    n_bits: int | None = None,
+    k: int | None = None,
+    seed: int = 17,
+) -> BloomFilter:
+    """Build a Bloom filter of every (non-null) value of ``col``.
+
+    Sizing: pass ``n_bits``/``k`` explicitly, or ``expected_n`` (+
+    ``fpp``) for textbook sizing; with neither, a count job sizes from
+    the actual cardinality upper bound (row count).
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    if n_bits is None or k is None:
+        if expected_n is None:
+            expected_n = df.count()
+        auto_m, auto_k = optimal_params(expected_n, fpp)
+        n_bits = n_bits or auto_m
+        k = k or auto_k
+    if n_bits % 64:
+        raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
+    pos = (
+        df.select(col.alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .select(F.explode(_positions(F.col("_v"), n_bits, k, seed)).alias("pos"))
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("widx"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    arr = [0] * (n_bits // 64)
+    for r in words:
+        arr[r["widx"]] = r["word"]
+    return BloomFilter(n_bits=n_bits, k=k, seed=seed, words=tuple(arr))
+
+
+def contains(
+    df: DataFrame,
+    col: Column | str,
+    bloom: BloomFilter,
+    *,
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Append boolean ``out_col``: False = definitely NOT in the
+    reference set; True = in the set OR a false positive (rate ~
+    ``bloom.fpp_estimate()``).  Null keys probe as False.
+
+    The bitmap joins in as a ONE-ROW broadcast (a ~n_bits/8-byte
+    payload shipped once per executor), and the k probes are a
+    ``forall`` of getbit lookups -- constant work per row, pure JVM.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    spark = df.sparkSession
+    bm_df = spark.createDataFrame(
+        [(list(bloom.words),)], "_bloom_words array<long>"
+    )
+    probed = df.crossJoin(F.broadcast(bm_df)).withColumn(
+        out_col,
+        F.when(col.isNull(), F.lit(False)).otherwise(
+            F.forall(
+                _positions(col, bloom.n_bits, bloom.k, bloom.seed),
+                lambda p: F.getbit(
+                    F.element_at(
+                        F.col("_bloom_words"), (p / 64).cast("int") + 1
+                    ),
+                    (p % 64).cast("int"),
+                )
+                == 1,
+            )
+        ),
+    )
+    return probed.drop("_bloom_words")
+
+
+def filter_unseen(
+    df: DataFrame, col: Column | str, bloom: BloomFilter
+) -> DataFrame:
+    """Keep only rows whose key is GUARANTEED absent from the
+    reference set (the incremental-dedup filter).  By Bloom semantics
+    this never lets a true duplicate through; it over-drops unseen
+    rows at the false-positive rate -- the safe direction for corpus
+    dedup (a lost fresh document costs ~nothing; a kept duplicate
+    poisons training)."""
+    marked = contains(df, col, bloom, out_col="_maybe_seen")
+    return marked.where(~F.col("_maybe_seen")).drop("_maybe_seen")
+
+
+def to_df(spark: SparkSession, bloom: BloomFilter) -> DataFrame:
+    """One-row frame (n_bits, k, seed, words) -- write as parquet to
+    persist the filter next to the corpus it summarizes."""
+    return spark.createDataFrame(
+        [(bloom.n_bits, bloom.k, bloom.seed, list(bloom.words))],
+        "n_bits long, k int, seed int, words array<long>",
+    )
+
+
+def from_df(df: DataFrame) -> BloomFilter:
+    r = df.collect()[0]
+    return BloomFilter(
+        n_bits=r["n_bits"], k=r["k"], seed=r["seed"], words=tuple(r["words"])
+    )

@@ -1,0 +1,112 @@
+"""Bloom-filter incremental dedup: guarantees (zero false negatives),
+measured FPR vs theory, persistence round-trip, and the pure-JVM plan
+contract for both build and probe."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import bloom
+
+
+@pytest.fixture(scope="module")
+def seen_df(spark):
+    return spark.range(2000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("key")
+    )
+
+
+@pytest.fixture(scope="module")
+def unseen_df(spark):
+    return spark.range(2000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("key")
+    )
+
+
+@pytest.fixture(scope="module")
+def built(seen_df):
+    return bloom.build(seen_df, "key", expected_n=2000, fpp=0.01)
+
+
+def test_optimal_params_textbook():
+    m, k = bloom.optimal_params(1000, 0.01)
+    # ~9.585 bits/key rounded up to word multiple, k ~ 7
+    assert 9525 <= m <= 9664 and m % 64 == 0
+    assert k == 7
+
+
+def test_no_false_negatives(spark, seen_df, built):
+    got = bloom.contains(seen_df, "key", built)
+    assert got.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_fpr_near_theory(spark, unseen_df, built):
+    fp = bloom.contains(unseen_df, "key", built).where("maybe_seen").count()
+    fpr = fp / 2000
+    # sized for 1%; allow generous sampling noise but catch breakage
+    assert fpr < 0.03, fpr
+    assert built.fpp_estimate() < 0.02
+
+
+def test_filter_unseen_semantics(spark, seen_df, unseen_df, built):
+    mixed = seen_df.unionAll(unseen_df)
+    kept = bloom.filter_unseen(mixed, "key", built)
+    keys = {r["key"] for r in kept.collect()}
+    # no true duplicate survives
+    assert not any(k.startswith("doc-") for k in keys)
+    # nearly all fresh rows survive (lost only to false positives)
+    assert len(keys) >= 2000 * 0.95
+
+
+def test_null_keys_probe_false(spark, built):
+    df = spark.createDataFrame(
+        [("doc-1",), (None,)], "key string"
+    )
+    got = {
+        r["key"]: r["maybe_seen"]
+        for r in bloom.contains(df, "key", built).collect()
+    }
+    assert got["doc-1"] is True
+    assert got[None] is False
+
+
+def test_persistence_roundtrip(spark, built, tmp_path):
+    p = str(tmp_path / "bloom.parquet")
+    bloom.to_df(spark, built).write.mode("overwrite").parquet(p)
+    back = bloom.from_df(spark.read.parquet(p))
+    assert back == built
+
+
+def test_build_plan_single_shuffle(spark, seen_df):
+    pos = (
+        seen_df.select(F.col("key").alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .select(
+            F.explode(
+                bloom._positions(F.col("_v"), 1024, 3, 17)
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("int").alias("widx"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    plan = pos._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1 or "AQEShuffleRead" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+
+
+def test_probe_plan_pure_jvm_no_shuffle(spark, seen_df, built):
+    plan = (
+        bloom.contains(seen_df, "key", built)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+    # the only join is the one-row broadcast of the bitmap
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ShuffleExchange" not in plan
