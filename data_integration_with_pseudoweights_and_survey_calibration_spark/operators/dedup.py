@@ -687,3 +687,80 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
     return lab.select(F.col("_u").alias(id_col), F.col("_c").alias("component"))
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-WIDE paragraph dedup (the C4/Dolma boilerplate pass):
+    split every document on ``sep``, keep only the FIRST occurrence of
+    each normalized paragraph across the whole corpus (ordered by
+    (id, position)), and reassemble documents from their surviving
+    paragraphs in original order.
+
+    Normalization for the dedup key: whitespace runs collapsed, case
+    folded, trimmed -- so reflowed/re-indented boilerplate still
+    collapses.  Whitespace-only paragraphs and paragraphs shorter than
+    ``min_chars`` are pass-through (kept verbatim, never dedup keys):
+    blank separator runs and one-word lines are not boilerplate.
+
+    Returns (id, text, n_kept, n_dropped) with ``text`` rebuilt via
+    ``sep``.
+
+    Scale: exactly two shuffles, both on bounded keys -- one on the
+    paragraph hash (the first-occurrence window; partial ordering by
+    (id, pos) makes the winner deterministic) and one on the doc id
+    (reassembly).  Paragraph explosion is narrow (id, pos, hash) and
+    streams through codegen; no UDF, no driver state.
+    """
+    import re as _re
+
+    from .text import spread
+
+    paras = spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "_pos", "_para"
+        ),
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("_para")), r"\s+", " "))
+    # Pass-through paragraphs get a per-row UNIQUE key (not null, not
+    # shared): a shared sentinel would funnel every blank/short
+    # paragraph in the corpus into ONE window partition -- a skew
+    # killer at scale.  Unique keys cost nothing (singleton windows).
+    paras = paras.withColumn(
+        "_key",
+        F.when(F.length(norm) >= min_chars, F.md5(norm)).otherwise(
+            F.concat_ws("-", F.lit("pt"), F.col("_id"), F.col("_pos"))
+        ),
+    )
+    w = Window.partitionBy("_key").orderBy("_id", "_pos")
+    kept = paras.withColumn("_rank", F.row_number().over(w))
+    rebuilt = (
+        kept.withColumn("_keep", F.col("_rank") == 1)
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("_pos"), F.col("_para")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_para"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.sum(F.col("_keep").cast("int")).alias("n_kept"),
+            F.sum((~F.col("_keep")).cast("int")).alias("n_dropped"),
+        )
+    )
+    return rebuilt.withColumnRenamed("_id", id_col)

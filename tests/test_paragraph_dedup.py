@@ -1,0 +1,70 @@
+"""Paragraph-level corpus dedup vs a pure-Python twin."""
+
+from __future__ import annotations
+
+import re
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import dedup
+
+PDOCS = [
+    (0, "All rights reserved.\n\nThe quick brown fox jumps.\n\nAll rights reserved."),
+    (1, "ALL   RIGHTS RESERVED.\n\nA different second paragraph here."),
+    (2, "Unique opening line.\n\n\n\nThe quick brown fox jumps."),
+    (3, "x\n\nshort\n\nx"),
+    (4, "Totally fresh document with one paragraph only."),
+]
+
+
+def _py_paragraph_dedup(docs, sep="\n\n", min_chars=1):
+    seen = {}
+    order = []
+    for doc_id, text in sorted(docs):
+        for pos, para in enumerate(text.split(sep)):
+            norm = re.sub(r"\s+", " ", para.lower()).strip()
+            if len(norm) >= min_chars:
+                if norm not in seen:
+                    seen[norm] = (doc_id, pos)
+            order.append((doc_id, pos, para, norm))
+    out = {}
+    for doc_id, text in docs:
+        kept, dropped = [], 0
+        for pos, para in enumerate(text.split(sep)):
+            norm = re.sub(r"\s+", " ", para.lower()).strip()
+            if len(norm) >= min_chars and seen[norm] != (doc_id, pos):
+                dropped += 1
+            else:
+                kept.append(para)
+        out[doc_id] = (sep.join(kept), len(kept), dropped)
+    return out
+
+
+def test_paragraph_dedup_vs_python(spark):
+    df = spark.createDataFrame(PDOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+        for r in dedup.paragraph_dedup(df).collect()
+    }
+    want = _py_paragraph_dedup(PDOCS)
+    assert got == want
+
+
+def test_paragraph_dedup_min_chars(spark):
+    df = spark.createDataFrame(PDOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+        for r in dedup.paragraph_dedup(df, min_chars=6).collect()
+    }
+    want = _py_paragraph_dedup(PDOCS, min_chars=6)
+    assert got == want
+    # "x" and "short" are pass-through at min_chars=6: never dropped
+    assert got[3][2] == 0
+
+
+def test_paragraph_dedup_single_line_sep(spark):
+    docs = [(0, "a\nb\na"), (1, "b\nc")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup.paragraph_dedup(df, sep="\n").collect()
+    }
+    assert got == {0: "a\nb", 1: "c"}
