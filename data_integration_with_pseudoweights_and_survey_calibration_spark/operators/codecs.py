@@ -1,12 +1,17 @@
-"""Pure-stdlib/NumPy media codecs: PNG (zlib + struct) and WAV (stdlib
-``wave``).  No PIL/ffmpeg/torchaudio exists in this environment, but
-these two formats need nothing beyond the standard library, so the
-``decoder="real"`` path in ``operators/multimodal.py`` is a genuinely
-working decode, not a stub.  Scope (documented, guarded):
+"""Pure-stdlib/NumPy media codecs: PNG (zlib + struct), WAV (stdlib
+``wave``) and baseline JPEG (``operators/jpeg.py``, NumPy DCT +
+canonical Huffman).  No PIL/ffmpeg/torchaudio exists in this
+environment, but these formats need nothing beyond the standard
+library + NumPy, so the ``decoder="real"`` path in
+``operators/multimodal.py`` is a genuinely working decode, not a
+stub.  Scope (documented, guarded):
 
 - PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
   4 (gray+alpha), 6 (RGBA); non-interlaced; all five scanline filters.
 - WAV: PCM 8/16/32-bit, any channel count / sample rate.
+- JPEG: baseline/extended-sequential Huffman (SOF0/SOF1), 8-bit,
+  gray or YCbCr, any 1..4 sampling factors, restart markers;
+  progressive/arithmetic raise.
 
 Everything is deterministic and executor-side safe (no global state);
 the per-row cost is NumPy-vectorized except the per-scanline unfilter
@@ -22,6 +27,8 @@ import zlib
 
 import numpy as np
 
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401 - codec surface
+
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _RIFF_MAGIC = b"RIFF"
 
@@ -30,11 +37,13 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff(content: bytes) -> str | None:
-    """Cheap magic-byte format sniff: 'png' | 'wav' | None."""
+    """Cheap magic-byte format sniff: 'png' | 'wav' | 'jpeg' | None."""
     if content.startswith(_PNG_MAGIC):
         return "png"
     if content.startswith(_RIFF_MAGIC) and content[8:12] == b"WAVE":
         return "wav"
+    if content[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 

@@ -7,11 +7,11 @@ batch, never one row at a time.
 
 Decoder tiers:
 
-- ``decoder="real"``: WORKING decode for PNG and WAV via the
-  pure-stdlib/NumPy codecs in ``operators/codecs.py`` (no PIL/ffmpeg
-  needed) — real pixels / samples in, real image/audio features and
-  real resized PNG bytes out.  Unrecognized formats raise (or fall back
-  per ``on_unknown``).
+- ``decoder="real"``: WORKING decode for PNG, baseline JPEG and WAV
+  via the pure-stdlib/NumPy codecs in ``operators/codecs.py`` +
+  ``operators/jpeg.py`` (no PIL/ffmpeg needed) — real pixels /
+  samples in, real image/audio features and real resized PNG bytes
+  out.  Unrecognized formats raise (or fall back per ``on_unknown``).
 - ``decoder="fake"``: deterministic byte-derived features; exercises the
   full distributed path with any bytes.
 - ``decoder="stub"``: raises NotImplementedError at execution time with
@@ -90,15 +90,18 @@ def extract_features(
         kind = codecs.sniff(b)
         if kind == "png":
             return codecs.image_features(codecs.decode_png(b), dim)
+        if kind == "jpeg":
+            return codecs.image_features(codecs.decode_jpeg(b), dim)
         if kind == "wav":
             return codecs.audio_features(*codecs.decode_wav(b), dim)
         if on_unknown == "fake":
             return _fake_features(b, dim)
         raise ValueError(
-            "decoder='real' handles PNG and WAV (pure-stdlib codecs); "
-            f"got unrecognized bytes (first 8: {b[:8]!r}). Pass "
-            "on_unknown='fake' to degrade gracefully, or wire a codec "
-            "for this format into operators/codecs.py"
+            "decoder='real' handles PNG, baseline JPEG and WAV "
+            "(pure-stdlib/NumPy codecs); got unrecognized bytes "
+            f"(first 8: {b[:8]!r}). Pass on_unknown='fake' to degrade "
+            "gracefully, or wire a codec for this format into "
+            "operators/codecs.py"
         )
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -187,9 +190,9 @@ def resize_images(
     """Image resize via ``mapInPandas`` (same contract as
     ``extract_features``):
 
-    - ``decoder="real"``: PNG in, nearest-neighbor-resized PNG out
-      (``codecs.decode_png`` / ``resize_nearest`` / ``encode_png`` --
-      real pixels, pure stdlib+NumPy);
+    - ``decoder="real"``: PNG or baseline JPEG in, nearest-neighbor-
+      resized PNG out (JPEG re-encodes as PNG so the output bytes stay
+      deterministic and lossless after the resize);
     - ``decoder="fake"``: deterministic byte-resample of length
       width*height (stride-sampled source bytes);
     - ``decoder="stub"``: raises at execution time.
@@ -224,7 +227,11 @@ def resize_images(
                             )
                         )
                         continue
-                    img = codecs.decode_png(b)
+                    kind = codecs.sniff(b)
+                    if kind == "jpeg":
+                        img = codecs.decode_jpeg(b)
+                    else:
+                        img = codecs.decode_png(b)
                     out.append(
                         codecs.encode_png(codecs.resize_nearest(img, w, h))
                     )

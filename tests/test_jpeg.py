@@ -1,0 +1,200 @@
+"""Baseline JPEG codec: hand-crafted-bytes decoder goldens (built in
+the test directly from ITU-T T.81 segment layouts, independent of the
+encoder), encoder/decoder round trips, and the Spark multimodal
+integration (extract_features / resize_images over JPEG bytes)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+    codecs,
+    jpeg,
+    multimodal,
+)
+
+
+def _make_gray_8x8(entropy_bits: str, quant: int = 1) -> bytes:
+    """Hand-assemble a minimal 8x8 grayscale baseline JPEG with unit
+    DC/AC tables: DC symbols 0..11 at 4 bits (canonical code ==
+    symbol), AC symbols (the 162 valid ones, numerically sorted) at
+    8 bits (canonical code == index).  ``entropy_bits`` is the raw
+    scan bitstream, e.g. DC size+magnitude then AC codes."""
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
+    seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(range(12)))
+    ac_syms = sorted(
+        [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)
+    seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms))
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    padded = entropy_bits + "1" * (-len(entropy_bits) % 8)
+    data = bytearray(int(padded[i : i + 8], 2) for i in range(0, len(padded), 8))
+    scan = bytearray()
+    for byte in data:  # byte stuffing
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0x00)
+    out.extend(scan)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_handcrafted_dc_only_block():
+    """DC coefficient d with q=1: every pixel = d/8 + 128 exactly.
+    d=16 -> 130.  Entropy: DC size 5 (code 0101), magnitude 16
+    (10000), EOB (00000000)."""
+    b = _make_gray_8x8("0101" + "10000" + "00000000")
+    img = jpeg.decode_jpeg(b)
+    assert img.shape == (8, 8, 1)
+    assert np.all(img == 130), img[:, :, 0]
+
+
+def test_handcrafted_negative_dc():
+    """DC diff -16: size 5, magnitude bits = -16 + 31 = 15 (01111).
+    Pixels = 128 - 2 = 126."""
+    b = _make_gray_8x8("0101" + "01111" + "00000000")
+    img = jpeg.decode_jpeg(b)
+    assert np.all(img == 126)
+
+
+def test_handcrafted_ac_zigzag_position():
+    """AC at zigzag index 1 = raster (0,1): a horizontal cosine ramp,
+    constant down columns.  Entropy: DC size 0 (0000), AC symbol 0x04
+    (run 0, size 4; sorted index 4 -> code 00000100), magnitude 8
+    (1000), EOB.  Expected pixel(x) = 128 + 8*C00*C1x from the
+    closed-form orthonormal IDCT basis, rounded half-up."""
+    b = _make_gray_8x8("0000" + "00000100" + "1000" + "00000000")
+    img = jpeg.decode_jpeg(b)[:, :, 0].astype(np.float64)
+    x = np.arange(8)
+    c00 = np.sqrt(1.0 / 8.0)
+    c1x = 0.5 * np.cos((2 * x + 1) * np.pi / 16.0)
+    expected = np.floor(np.clip(128.0 + 8.0 * c00 * c1x + 0.5, 0, 255))
+    assert expected.max() > expected.min()  # the golden is a real ramp
+    assert np.array_equal(img, np.tile(expected, (8, 1))), (img, expected)
+
+
+def test_handcrafted_quant_scaling():
+    """Same DC stream with q=4: pixels = 16*4/8 + 128 = 136."""
+    b = _make_gray_8x8("0101" + "10000" + "00000000", quant=4)
+    assert np.all(jpeg.decode_jpeg(b) == 136)
+
+
+def test_dct_matrix_orthonormal():
+    c = jpeg._dct_matrix()
+    assert np.allclose(c @ c.T, np.eye(8), atol=1e-12)
+
+
+def test_roundtrip_solid_color_exact():
+    img = np.full((16, 16, 3), [120, 64, 200], dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    assert np.array_equal(out, img)
+
+
+def test_roundtrip_gradient_close():
+    h, w = 29, 37
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(yy * 255 // h), (xx * 255 // w), ((yy + xx) * 255 // (h + w))],
+        axis=2,
+    ).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert out.shape == img.shape
+    assert err.mean() < 2 and err.max() <= 12, (err.mean(), err.max())
+
+
+def test_roundtrip_420_subsampled():
+    h, w = 29, 37
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(yy * 255 // h), (xx * 255 // w), ((yy + xx) * 255 // (h + w))],
+        axis=2,
+    ).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90, subsample=True))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 5, err.mean()
+
+
+def test_roundtrip_grayscale():
+    g = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 4)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=95))
+    assert out.shape == (8, 8, 1)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 4
+
+
+def test_restart_markers_equivalent():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=80))
+    rst = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, quality=80, restart_interval=3)
+    )
+    assert np.array_equal(plain, rst)
+
+
+def test_progressive_and_garbage_raise():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    b = bytearray(jpeg.encode_jpeg(img))
+    sof = b.find(b"\xff\xc0")
+    b[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg.decode_jpeg(bytes(b))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\x00\x01\x02")
+
+
+def test_sniff_and_probe_consistent():
+    img = np.zeros((12, 20, 3), dtype=np.uint8)
+    b = jpeg.encode_jpeg(img, quality=50)
+    assert codecs.sniff(b) == "jpeg"
+    p = codecs.probe_bytes(b)
+    assert (p["format"], p["width"], p["height"], p["n_channels"]) == (
+        "jpeg",
+        20,
+        12,
+        3,
+    )
+
+
+def test_spark_extract_features_real_jpeg(spark):
+    imgs = []
+    for mid in range(4):
+        yy, xx = np.mgrid[0:16, 0:16]
+        img = ((yy * (mid + 1) + xx) % 256).astype(np.uint8)
+        imgs.append((mid, bytearray(jpeg.encode_jpeg(img, quality=85))))
+    df = spark.createDataFrame(imgs, "media_id long, content binary")
+    out = multimodal.extract_features(df, decoder="real", dim=8).collect()
+    assert len(out) == 4
+    for r in out:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] > 0
+        # mean-intensity feature is in [0, 1] for a real decode
+        assert 0.0 <= r["feature"][0] <= 1.0
+
+
+def test_spark_resize_jpeg_to_png(spark):
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack([yy * 8, xx * 5, (yy + xx) * 3], axis=2).astype(np.uint8)
+    b = jpeg.encode_jpeg(img, quality=92)
+    df = spark.createDataFrame(
+        [(0, bytearray(b))], "media_id long, content binary"
+    )
+    out = multimodal.resize_images(df, 16, 12, decoder="real").collect()[0]
+    resized = codecs.decode_png(bytes(out["resized"]))
+    assert resized.shape == (12, 16, 3)
+    # resized content tracks the source (nearest of decoded pixels)
+    src = codecs.resize_nearest(jpeg.decode_jpeg(b), 16, 12)
+    assert np.array_equal(resized, src)
