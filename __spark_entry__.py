@@ -75,7 +75,9 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
     lambda_star_pop,
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (  # noqa: E402
+    bloom as bloom_ops,
     dedup as dedup_ops,
+    pii as pii_ops,
     text as text_ops,
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (  # noqa: E402
@@ -1633,16 +1635,149 @@ def _sql_lang_id() -> str:
     """
 
 
+PARA_SEP = "\n\n"
+BLOOM_FPP = 0.01
+
+
+def _para_ptext_expr():
+    """Paragraph-structured text for the corpus-wide paragraph-dedup
+    certificate.  ``documents.text`` has no paragraph breaks, so a
+    derived column builds them deterministically (identically in Spark
+    and the oracle SQL): a license header shared by EVERY doc (kept
+    only at its global (id, pos) first occurrence), the doc's own
+    80-char prefix, one of 7 footer variants (each kept once
+    corpus-wide), a within-doc repeat of the header for doc_id%4==0,
+    and a trailing EMPTY paragraph for doc_id%5==0 (exercising the
+    pass-through path: blank paragraphs are kept verbatim, never dedup
+    keys)."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("common license header"),
+        F.lit(PARA_SEP),
+        F.substring("text", 1, 80),
+        F.lit(PARA_SEP),
+        F.lit("footer variant "),
+        (did % 7).cast("string"),
+        F.when(
+            did % 4 == 0, F.concat(F.lit(PARA_SEP), F.lit("common license header"))
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(PARA_SEP)).otherwise(F.lit("")),
+    )
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_duplicates(_docs(spark, sf_dir)).select("fp", "n_dups", "keep_id")
+    """Corpus dedup certificate suite, part-labeled in one union
+    (round 5 widens the r3 exact-dedup row):
+
+    - part='exact': normalized-fingerprint groups (fp, n_dups, keep_id)
+      -- the original hash-groupBy dedup.
+    - part='paragraph': corpus-wide paragraph dedup
+      (``operators/dedup.py paragraph_dedup``) over the derived
+      paragraph text; key = md5 of the REBUILT text, so the hash match
+      certifies the reassembled documents byte-exactly, with
+      n_a/n_b = paragraphs kept/dropped per doc.
+    - part='bloom': the incremental-dedup Bloom filter
+      (``operators/bloom.py``) built on the even-doc_id half of the
+      corpus fingerprints and probed over all docs.  id/n_a = member
+      count / members probing True (equal by the no-false-negative
+      guarantee -- a VALUE check the oracle states from count
+      arithmetic); ok_a = that equality, ok_b = observed false-positive
+      rate within max(3x sized fpp, 5 absolute) -- deterministic for a
+      fixed corpus+seed (binomial-noise-aware bounds live in
+      tests/test_bloom.py)."""
+    docs = _docs(spark, sf_dir)
+    exact = exact_duplicates(docs).select(
+        F.lit("exact").alias("part"),
+        F.col("fp").alias("key"),
+        F.col("keep_id").cast("long").alias("id"),
+        F.col("n_dups").cast("long").alias("n_a"),
+        F.lit(None).cast("long").alias("n_b"),
+        F.lit(None).cast("boolean").alias("ok_a"),
+        F.lit(None).cast("boolean").alias("ok_b"),
+    )
+
+    para = dedup_ops.paragraph_dedup(
+        docs.withColumn("text", _para_ptext_expr()), sep=PARA_SEP
+    ).select(
+        F.lit("paragraph").alias("part"),
+        F.md5("text").alias("key"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("n_kept").cast("long").alias("n_a"),
+        F.col("n_dropped").cast("long").alias("n_b"),
+        F.lit(None).cast("boolean").alias("ok_a"),
+        F.lit(None).cast("boolean").alias("ok_b"),
+    )
+
+    fps = docs.select("doc_id", F.md5("text").alias("fp"))
+    members = fps.where(F.col("doc_id") % 2 == 0)
+    bf = bloom_ops.build(members, "fp", fpp=BLOOM_FPP)
+    probed = bloom_ops.contains(fps, "fp", bf)
+    is_m = F.col("doc_id") % 2 == 0
+    bloom_row = probed.agg(
+        F.sum(is_m.cast("long")).alias("_nm"),
+        F.sum((is_m & F.col("maybe_seen")).cast("long")).alias("_hits"),
+        F.sum(((~is_m) & F.col("maybe_seen")).cast("long")).alias("_nfp"),
+        F.sum((~is_m).cast("long")).alias("_nodd"),
+    ).select(
+        F.lit("bloom").alias("part"),
+        F.lit("gates").alias("key"),
+        F.col("_nm").cast("long").alias("id"),
+        F.col("_hits").cast("long").alias("n_a"),
+        F.lit(None).cast("long").alias("n_b"),
+        (F.col("_hits") == F.col("_nm")).alias("ok_a"),
+        (
+            F.col("_nfp")
+            <= F.greatest(
+                F.ceil(F.col("_nodd") * F.lit(3.0 * BLOOM_FPP)), F.lit(5)
+            )
+        ).alias("ok_b"),
+    )
+    return exact.unionByName(para).unionByName(bloom_row)
 
 
 def _sql_exact_dedup() -> str:
+    sep = "chr(10) || chr(10)"
+    norm = "trim(regexp_replace(lower(para), '\\s+', ' ', 'g'))"
     return f"""
-    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
-    SELECT md5(array_to_string(toks, ' ')) AS fp,
-           count(*) AS n_dups, min(doc_id) AS keep_id
-    FROM t GROUP BY 1
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    base AS (SELECT doc_id,
+        'common license header' || {sep} || substr(text, 1, 80) || {sep}
+        || 'footer variant ' || (doc_id % 7)
+        || CASE WHEN doc_id % 4 = 0 THEN {sep} || 'common license header'
+                ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN {sep} ELSE '' END AS ptext
+      FROM documents),
+    sp AS (SELECT doc_id, string_split(ptext, {sep}) AS parts FROM base),
+    e AS (SELECT doc_id, unnest(generate_series(1, len(parts))) AS pos1,
+                 parts
+          FROM sp),
+    par AS (SELECT doc_id, pos1 - 1 AS pos, parts[pos1] AS para FROM e),
+    k AS (SELECT doc_id, pos, para,
+                 CASE WHEN len({norm}) >= 1 THEN md5({norm})
+                      ELSE 'pt-' || doc_id || '-' || pos END AS key
+          FROM par),
+    rk AS (SELECT *, row_number() OVER (
+               PARTITION BY key ORDER BY doc_id, pos) AS rn
+           FROM k),
+    agg AS (SELECT doc_id,
+                   coalesce(string_agg(para, {sep} ORDER BY pos)
+                            FILTER (WHERE rn = 1), '') AS text,
+                   count(*) FILTER (WHERE rn = 1) AS n_kept,
+                   count(*) FILTER (WHERE rn > 1) AS n_dropped
+            FROM rk GROUP BY doc_id)
+    SELECT 'exact' AS part, md5(array_to_string(toks, ' ')) AS key,
+           min(doc_id)::BIGINT AS id, count(*)::BIGINT AS n_a,
+           NULL::BIGINT AS n_b, NULL::BOOLEAN AS ok_a, NULL::BOOLEAN AS ok_b
+    FROM t GROUP BY 2
+    UNION ALL
+    SELECT 'paragraph', md5(text), doc_id::BIGINT, n_kept::BIGINT,
+           n_dropped::BIGINT, NULL, NULL
+    FROM agg
+    UNION ALL
+    SELECT 'bloom', 'gates',
+           (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)::BIGINT,
+           (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)::BIGINT,
+           NULL, TRUE, TRUE
     """
 
 
@@ -1957,7 +2092,24 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (width = doc_id % 13 + 1, height = doc_id % 7 + 1, SOF0) are
     probed, and the extracted format/dims are hash-checked against the
     oracle's arithmetic expectations — certifying that the prober
-    reads real PNG IHDR and JPEG SOF headers correctly."""
+    reads real PNG IHDR and JPEG SOF headers correctly.
+
+    Round 5 adds two more legs:
+
+    - a REAL JPEG encode->decode round trip (``operators/jpeg.py``):
+      a flat 4x4 gray block at the doc's first md5 byte, encoded at
+      quality=100 (all-ones quant tables) and decoded back.  A flat
+      block has only a DC coefficient, and DC quantized by 1
+      round-trips exactly, so the decoded value must EQUAL the input
+      byte — the oracle states it from the md5 hex (``jpeg_val``) plus
+      a zero max-abs-error gate (``jpeg_err``).  This certifies the
+      full pipeline: ITU-T T.81 headers, Huffman tables, entropy
+      coding, dequant, IDCT, level shift.
+    - the ISO-BMFF probe (``codecs._probe_mp4``): a deterministic
+      ftyp+moov/mvhd blob with timescale 1000 and duration
+      doc_id % 90000 + 1000, version 0 for even docs and version 1
+      (64-bit times) for odd — both parser paths value-checked
+      against the oracle's arithmetic (``mp4_fmt``, ``mp4_dur``)."""
     import hashlib
     import struct
 
@@ -1969,16 +2121,30 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_png,
         probe_bytes,
     )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def _mp4_blob(ts: int, dur: int, v: int) -> bytes:
+        ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
+        if v == 0:
+            body = bytes([0, 0, 0, 0]) + struct.pack(">IIII", 0, 0, ts, dur)
+        else:
+            body = bytes([1, 0, 0, 0]) + struct.pack(">QQIQ", 0, 0, ts, dur)
+        mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+        moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+        return ftyp + moov
 
     def _batches(it):
         for pdf in it:
             sums, means = [], []
             png_fmt, png_w, png_h = [], [], []
             jpg_fmt, jpg_w, jpg_h = [], [], []
+            jv, je, m4f, m4d = [], [], [], []
             for did, t in zip(pdf["doc_id"], pdf["text"]):
-                img = np.frombuffer(
-                    hashlib.md5(str(t).encode("utf-8")).digest(), dtype=np.uint8
-                ).reshape(4, 4)
+                digest = hashlib.md5(str(t).encode("utf-8")).digest()
+                img = np.frombuffer(digest, dtype=np.uint8).reshape(4, 4)
                 png_bytes = encode_png(img)
                 arr = decode_png(png_bytes)
                 sums.append(int(arr.sum()))
@@ -1998,6 +2164,16 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 jpg_fmt.append(pj["format"])
                 jpg_w.append(pj["width"])
                 jpg_h.append(pj["height"])
+                flat = np.full((4, 4), digest[0], dtype=np.uint8)
+                dec = decode_jpeg(encode_jpeg(flat, quality=100))
+                jv.append(int(dec[0, 0, 0]))
+                je.append(
+                    int(np.abs(dec[:, :, 0].astype(int) - int(digest[0])).max())
+                )
+                dur = int(did) % 90000 + 1000
+                pm = probe_bytes(_mp4_blob(1000, dur, int(did) % 2))
+                m4f.append(pm["format"])
+                m4d.append(pm["duration_ms"])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -2011,6 +2187,10 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "jpg_fmt": jpg_fmt,
                     "jpg_w": jpg_w,
                     "jpg_h": jpg_h,
+                    "jpeg_val": jv,
+                    "jpeg_err": je,
+                    "mp4_fmt": m4f,
+                    "mp4_dur": m4d,
                 }
             )
 
@@ -2021,7 +2201,8 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, width int, height int, px_sum long, "
             "px_mean double, png_fmt string, png_w int, png_h int, "
-            "jpg_fmt string, jpg_w int, jpg_h int"
+            "jpg_fmt string, jpg_w int, jpg_h int, "
+            "jpeg_val int, jpeg_err int, mp4_fmt string, mp4_dur long"
         ),
     )
 
@@ -2040,7 +2221,11 @@ def _sql_media_features() -> str:
            'png' AS png_fmt, 4::INTEGER AS png_w, 4::INTEGER AS png_h,
            'jpeg' AS jpg_fmt,
            (doc_id % 13 + 1)::INTEGER AS jpg_w,
-           (doc_id % 7 + 1)::INTEGER AS jpg_h
+           (doc_id % 7 + 1)::INTEGER AS jpg_h,
+           bytes[1]::INTEGER AS jpeg_val,
+           0::INTEGER AS jpeg_err,
+           'mp4' AS mp4_fmt,
+           (doc_id % 90000 + 1000)::BIGINT AS mp4_dur
     FROM b
     """
 
@@ -2581,15 +2766,23 @@ def _sql_events_windowed() -> str:
 
 def _sql_streaming_windowed() -> str:
     """The windowed batch oracle joined with the per-type whole-stream
-    cumulative mean — the stateful operator's final state must equal
-    the batch group mean."""
+    cumulative mean (the stateful operator's final state must equal the
+    batch group mean) and the streaming-dedup survivor-set certificate
+    (count + checksum over the distinct fingerprints per type)."""
     return f"""
-    SELECT w.*, r.run_n, r.run_wmean
+    SELECT w.*, r.run_n, r.run_wmean, d.dedup_n, d.dedup_ck
     FROM ({_sql_events_windowed()}) w
     JOIN (SELECT event_type,
                  count(*) AS run_n,
                  round(sum(value) / count(*), 6) AS run_wmean
           FROM events GROUP BY 1) r USING (event_type)
+    JOIN (SELECT event_type,
+                 count(*)::BIGINT AS dedup_n,
+                 sum({MD5INT_SQL.format(x='fp')} % 1000003)::BIGINT AS dedup_ck
+          FROM (SELECT DISTINCT event_type,
+                       md5(event_type || ' ' || (user_id % 50)) AS fp
+                FROM events)
+          GROUP BY 1) d USING (event_type)
     """
 
 
@@ -3123,13 +3316,26 @@ def _q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``stream_running_weighted_mean``, applyInPandasWithState) whose
     final cumulative per-type state must equal the batch per-type
     mean — joined in as ``run_n``/``run_wmean`` columns so the custom
-    state-store path is hash-gated too."""
+    state-store path is hash-gated too.
+
+    Round 5 adds the third leg: STREAMING EXACT DEDUP
+    (``streaming/stateful.py stream_exact_dedup``,
+    dropDuplicatesWithinWatermark on the batch fingerprint key).  A
+    derived text column (event_type + user_id%50) gives each type ~50
+    heavily-duplicated fingerprints; the surviving stream must contain
+    each distinct fingerprint EXACTLY once.  Which physical row wins is
+    arrival-order-dependent, so the certificate aggregates
+    row-invariantly — per type, the survivor count and a checksum over
+    the surviving fingerprint SET (``dedup_n``/``dedup_ck``) — which
+    the batch oracle states from SELECT DISTINCT.  A leaked duplicate
+    or a dropped fingerprint breaks the hash."""
     import tempfile
     import uuid
 
     import shutil
 
     from data_integration_with_pseudoweights_and_survey_calibration_spark.streaming import (
+        stream_exact_dedup,
         stream_running_weighted_mean,
         stream_weighted_totals,
     )
@@ -3158,10 +3364,25 @@ def _q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="event_type",
         y_col="value",
     )
+    # third streaming leg: watermarked streaming exact dedup on a
+    # derived fingerprint text; watermark horizon spans the whole table
+    # so state never expires mid-run (the horizon-bounded-state ladder
+    # lives in BENCH_SCALE)
+    ded = stream_exact_dedup(
+        tpch.load_events_stream(spark, sf_dir).withColumn(
+            "text",
+            F.concat_ws(
+                " ", "event_type", (F.col("user_id") % 50).cast("string")
+            ),
+        ),
+        watermark="8760 hours",
+    )
     name = f"stream_win_{uuid.uuid4().hex[:8]}"
     name2 = f"stream_run_{uuid.uuid4().hex[:8]}"
+    name3 = f"stream_ded_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sg_ckpt_")
     ckpt2 = tempfile.mkdtemp(prefix="sg_ckpt_")
+    ckpt3 = tempfile.mkdtemp(prefix="sg_ckpt_")
     with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
         q = (
             agg.writeStream.format("memory")
@@ -3179,16 +3400,31 @@ def _q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        finished = q.awaitTermination(300) and q2.awaitTermination(300)
+        q3 = (
+            ded.select("event_type", "fp")
+            .writeStream.format("memory")
+            .queryName(name3)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt3)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = (
+            q.awaitTermination(300)
+            and q2.awaitTermination(300)
+            and q3.awaitTermination(300)
+        )
     if not finished:
         # fail loudly rather than return a partial memory table
         q.stop()
         q2.stop()
+        q3.stop()
         raise TimeoutError("streaming_windowed did not finish within 300s")
     # availableNow checkpoints are single-use (a reuse would see no new
     # files and emit nothing); remove this run's state
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(ckpt2, ignore_errors=True)
+    shutil.rmtree(ckpt3, ignore_errors=True)
     win = spark.table(name).select(
         F.unix_timestamp(F.col("win.start")).alias("win_start"),
         "event_type",
@@ -3205,7 +3441,19 @@ def _q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_s.wmean"), 6).alias("run_wmean"),
         )
     )
-    out = win.join(F.broadcast(run), "event_type")
+    ded_agg = (
+        spark.table(name3)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dedup_n"),
+            F.sum(text_ops.hash48(F.col("fp")) % F.lit(1000003))
+            .cast("long")
+            .alias("dedup_ck"),
+        )
+    )
+    out = win.join(F.broadcast(run), "event_type").join(
+        F.broadcast(ded_agg), "event_type"
+    )
     # Materialize eagerly and DROP the memory-sink views: each
     # invocation registers uniquely named in-driver tables, and bench
     # loops would otherwise accumulate full result tables in driver
@@ -3214,6 +3462,7 @@ def _q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(rows, out.schema)
     spark.catalog.dropTempView(name)
     spark.catalog.dropTempView(name2)
+    spark.catalog.dropTempView(name3)
     return result
 
 
@@ -3293,16 +3542,187 @@ def _q_streaming_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _pii_ptext_expr():
+    """Deterministic PII-injection text column, shared by the Spark
+    query and (as literal SQL) the DuckDB oracle.
+
+    The synthetic ``documents.text`` is digit-free word salad (verified
+    at all three SFs), so running the PII detectors on it would certify
+    nothing but zeros.  Instead a derived text column injects entities
+    whose presence/count is PURE doc_id ARITHMETIC -- emails (0/1/2 by
+    doc_id%3), an SSN on even ids, a card on odd ids (Luhn-valid iff
+    doc_id%4==1), an IPv4 for doc_id%5<2, a phone for doc_id%7<3 --
+    letting the oracle state ground truth analytically while Spark runs
+    the real regex machinery (``operators/pii.py``)."""
+    did = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    em1 = F.concat(F.lit("u"), s(did), F.lit("@ex"), s(did % 10), F.lit(".com"))
+    em2 = F.concat(
+        F.lit("v"), s(did), F.lit("@mail"), s(did % 7), F.lit(".org")
+    )
+    email_frag = (
+        F.when(did % 3 == 1, F.concat(F.lit(" contact "), em1))
+        .when(
+            did % 3 == 2, F.concat(F.lit(" contact "), em1, F.lit(" or "), em2)
+        )
+        .otherwise(F.lit(""))
+    )
+    ssn_frag = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit(" ssn "),
+            F.lpad(s(did % 1000), 3, "0"),
+            F.lit("-"),
+            F.lpad(s(did % 100), 2, "0"),
+            F.lit("-"),
+            F.lpad(s(did % 10000), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    card_frag = F.when(
+        did % 2 == 1,
+        F.concat(
+            F.lit(" card 4111 1111 1111 111"),
+            F.when(did % 4 == 1, F.lit("1")).otherwise(F.lit("2")),
+        ),
+    ).otherwise(F.lit(""))
+    ip_frag = F.when(
+        did % 5 < 2,
+        F.concat(F.lit(" host 10."), s(did % 200), F.lit(".0."), s(did % 250)),
+    ).otherwise(F.lit(""))
+    phone_frag = F.when(
+        did % 7 < 3,
+        F.concat(F.lit(" call +1 (415) 555-"), F.lpad(s(did % 10000), 4, "0")),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.substring("text", 1, 40),
+        email_frag,
+        ssn_frag,
+        card_frag,
+        ip_frag,
+        phone_frag,
+        F.lit(" end"),
+    )
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection certificate (``operators/pii.py``): the real
+    progressive-redaction counters + HOF-aggregate Luhn run over the
+    injected text; ``pii_ok`` cross-checks ``pii_features`` against
+    ``redact_pii`` per document (each n_<cat> must equal the number of
+    [CAT] placeholders the redactor inserts, Luhn-valid <= candidates,
+    has_pii consistent) -- two independent compositions of the same
+    pattern table agreeing row by row.
+
+    Oracle strategy per column: n_email is a REAL RE2 recompute (the
+    email pattern is lookaround-free); n_ssn is recomputed via the
+    token-equivalence trick (the SSN lookarounds ``(?<![0-9-]) ...
+    (?![0-9-])`` exactly mean "the match spans a full maximal [0-9-]
+    run", so counting full-match tokens of the email-redacted text
+    split on [^0-9-]+ is equivalent -- RE2 has no lookarounds);
+    n_phone/n_ipv4/n_card/n_card_luhn are checked against the
+    injection arithmetic (ground truth by construction); pii_ok is the
+    literal-TRUE invariant gate (vocab_stats.hll_ok pattern)."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", _pii_ptext_expr().alias("_ptext"))
+    feats = pii_ops.pii_features(base, text_col="_ptext")
+    red = pii_ops.redact_pii(base, text_col="_ptext", out_col="_red").select(
+        "doc_id", "_red"
+    )
+
+    def tok_count(c, tok):
+        return (
+            (F.length(c) - F.length(F.replace(c, F.lit(tok), F.lit(""))))
+            / len(tok)
+        ).cast("int")
+
+    r = F.col("_red")
+    gate = (
+        (F.col("n_email") == tok_count(r, "[EMAIL]"))
+        & (F.col("n_ssn") == tok_count(r, "[SSN]"))
+        & (F.col("n_card") == tok_count(r, "[CARD]"))
+        & (F.col("n_ipv4") == tok_count(r, "[IP]"))
+        & (F.col("n_phone") == tok_count(r, "[PHONE]"))
+        & (F.col("n_card_luhn") <= F.col("n_card"))
+        & (
+            F.col("has_pii")
+            == (
+                F.col("n_email")
+                + F.col("n_ssn")
+                + F.col("n_card")
+                + F.col("n_ipv4")
+                + F.col("n_phone")
+                > 0
+            )
+        )
+    )
+    return feats.join(red, "doc_id").withColumn("pii_ok", gate).drop("_red")
+
+
+# literal SQL twin of _pii_ptext_expr (kept adjacent so drift is obvious)
+_PII_PTEXT_SQL = """
+         substr(text, 1, 40)
+         || CASE WHEN doc_id % 3 = 1
+                 THEN ' contact u' || doc_id || '@ex' || (doc_id % 10) || '.com'
+                 WHEN doc_id % 3 = 2
+                 THEN ' contact u' || doc_id || '@ex' || (doc_id % 10) || '.com'
+                      || ' or v' || doc_id || '@mail' || (doc_id % 7) || '.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' ssn ' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+                      || lpad((doc_id % 100)::VARCHAR, 2, '0') || '-'
+                      || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 1
+                 THEN ' card 4111 1111 1111 111'
+                      || CASE WHEN doc_id % 4 = 1 THEN '1' ELSE '2' END
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 < 2
+                 THEN ' host 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 < 3
+                 THEN ' call +1 (415) 555-'
+                      || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END
+         || ' end'
+"""
+
+
+def _sql_pii_scrub() -> str:
+    email = pii_ops.EMAIL_PATTERN
+    return f"""
+    WITH p AS (SELECT doc_id, {_PII_PTEXT_SQL} AS ptext FROM documents),
+    s1 AS (SELECT doc_id,
+                  len(regexp_extract_all(ptext, '{email}'))::INT AS n_email,
+                  regexp_replace(ptext, '{email}', '[EMAIL]', 'g') AS st1
+           FROM p)
+    SELECT doc_id, n_email,
+           (CASE WHEN doc_id % 7 < 3 THEN 1 ELSE 0 END)::INT AS n_phone,
+           (CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0 END)::INT AS n_ipv4,
+           len(list_filter(regexp_split_to_array(st1, '[^0-9-]+'),
+               t -> regexp_full_match(t, '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}')
+           ))::INT AS n_ssn,
+           (doc_id % 2)::INT AS n_card,
+           (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END)::INT AS n_card_luhn,
+           TRUE AS has_pii,
+           TRUE AS pii_ok
+    FROM s1
+    """
+
+
 def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc curation feature bundle: quality stats + language id +
-    repetition features, joined on doc_id (all three are single-pass
-    per-doc computations over the same scan; the join keys are unique,
-    so the merged result certifies each column set exactly as the
-    separate queries did)."""
+    repetition features + PII scrub columns (round 5), joined on doc_id
+    (all are single-pass per-doc computations; the join keys are
+    unique, so the merged result certifies each column set exactly as
+    the separate queries did)."""
     return (
         _q_text_stats(spark, sf_dir)
         .join(_q_lang_id(spark, sf_dir), "doc_id")
         .join(_q_repetition_stats(spark, sf_dir), "doc_id")
+        .join(_q_pii_scrub(spark, sf_dir), "doc_id")
     )
 
 
@@ -3312,6 +3732,7 @@ def _sql_text_features() -> str:
     FROM ({_sql_text_stats()}) s
     JOIN ({_sql_lang_id()}) l USING (doc_id)
     JOIN ({_sql_repetition_stats()}) r USING (doc_id)
+    JOIN ({_sql_pii_scrub()}) p USING (doc_id)
     """
 
 

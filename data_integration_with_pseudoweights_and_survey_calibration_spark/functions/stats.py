@@ -64,18 +64,22 @@ def weighted_quantiles(
     from .cumsum import partitioned_cumsum
 
     spark = df.sparkSession
-    tot = df.agg(F.sum(weight)).collect()[0][0]
     probs_df = spark.createDataFrame(
         [(float(p),) for p in probs], "prob double"
     )
-    if tot is None:
-        return probs_df.where(F.lit(False)).withColumn(
-            "q", F.lit(None).cast("double")
-        )
     n_part = spark.sparkContext.defaultParallelism
     base = df.select(F.col(value).alias("_x"), F.col(weight).alias("_w")).where(
         F.col("_x").isNotNull()
     )
+    # Denominator over the SAME null-filtered rows as the cumulative
+    # pass: with null values present, a whole-df total would make the
+    # cumulative share top out below 1.0 and silently drop high-prob
+    # quantiles from the output.
+    tot = base.agg(F.sum("_w")).collect()[0][0]
+    if tot is None:
+        return probs_df.where(F.lit(False)).withColumn(
+            "q", F.lit(None).cast("double")
+        )
     # rangeBetween tie semantics: every tie row carries the full
     # tie-group cumulative, which is exactly the type-1 decision value
     cum = partitioned_cumsum(base, "_x", ["_w"], n_buckets=n_part).withColumn(

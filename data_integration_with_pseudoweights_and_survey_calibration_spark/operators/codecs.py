@@ -330,7 +330,7 @@ def _probe_mp4(b: bytes) -> dict | None:
                 return walk(i + hdr, i + size, 1)
             if btype == b"mvhd" and depth == 1:
                 v = b[i + hdr]
-                if v == 1 and i + hdr + 28 <= hi:
+                if v == 1 and i + hdr + 32 <= hi:
                     ts, dur = struct.unpack(
                         ">IQ", b[i + hdr + 20 : i + hdr + 32]
                     )
@@ -371,7 +371,12 @@ def probe_bytes(b: bytes) -> dict:
         out.update(format="png", width=w, height=h, n_channels=ncomp)
         return out
     if b[:2] == b"\xff\xd8":
-        j = _probe_jpeg(b)
+        # contract: malformed/truncated bytes probe as format=None
+        # (filter, don't fail the task)
+        try:
+            j = _probe_jpeg(b)
+        except (struct.error, IndexError):
+            j = None
         if j:
             out.update(j)
         return out
@@ -384,7 +389,10 @@ def probe_bytes(b: bytes) -> dict:
         out.update(format="bmp", width=w, height=abs(h))
         return out
     if len(b) >= 12 and b[4:8] == b"ftyp":
-        m = _probe_mp4(b)
+        try:
+            m = _probe_mp4(b)
+        except (struct.error, IndexError):
+            m = None
         if m:
             out.update(m)
         return out

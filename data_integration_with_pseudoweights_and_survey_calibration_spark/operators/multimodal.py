@@ -166,7 +166,20 @@ def probe_media(
                 p = codecs.probe_bytes(b)
                 p["n_bytes"] = len(b)
                 rows.append(p)
-            out = pd.DataFrame(rows)
+            # explicit columns: a zero-row Arrow batch must still yield
+            # the full PROBE_SCHEMA column set, not a media_id-only frame
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "format",
+                    "width",
+                    "height",
+                    "n_channels",
+                    "sample_rate",
+                    "duration_ms",
+                    "n_bytes",
+                ],
+            )
             out.insert(0, "media_id", pdf[id_col].to_numpy())
             yield out
 

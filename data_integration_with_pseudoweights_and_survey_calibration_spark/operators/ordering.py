@@ -84,6 +84,11 @@ def global_rank(
         bucket = F.when(
             F.col("_gr_key") <= F.lit(bounds[i]), F.lit(i)
         ).otherwise(bucket)
+    # Null keys: the <= chain is null for them, which would send them
+    # to the LAST bucket while the per-bucket window sorts NULLS FIRST
+    # -- an inconsistent total order. Bucket nulls explicitly to 0 so
+    # bucket placement matches the ascending NULLS FIRST sort.
+    bucket = F.when(F.col("_gr_key").isNull(), F.lit(0)).otherwise(bucket)
     part = keyed.withColumn("_pid", bucket).repartition(
         max(n, len(bounds) + 1), "_pid"
     )
