@@ -18,6 +18,18 @@ run of identical code measured 128.5s):
   the artifact itself. ``load_end`` includes the bench's OWN 32-thread
   load — ``load_start`` is the contamination signal; ``load_end``
   mainly confirms the run actually exercised the machine.
+* **both modes in one artifact** (round 5) — ``queries`` holds the
+  official min-of-N steady-state numbers; ``first_pass`` holds each
+  query's FIRST pass, preserving cold-cache comparability with the
+  r1-r3 single-pass history without footnotes.
+
+Caching caveat for readers of the per-query numbers: a few queries
+cache an intermediate frame for reuse across their own certificate
+pieces (``survey_scalars``'s units frame is the big one). Spark's
+CacheManager dedups by plan, so a second invocation of the same query
+reuses the cache warmed by the first — min-of-N for those queries
+measures the cached steady state, and even ``first_pass`` is warm for
+any pass after the very first invocation of the session.
 """
 
 from __future__ import annotations
@@ -82,16 +94,19 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
+    first_pass: dict[str, float] = {}
 
     def run(name, fn):
         best = None
-        for _ in range(passes):
+        for i in range(passes):
             t0 = time.perf_counter()
             df = fn()
             # Force full execution; results are small (aggregates) or
             # mid-size (per-unit weights) -- count() executes the plan.
             df.count()
             dt = time.perf_counter() - t0
+            if i == 0:
+                first_pass[name] = round(dt, 3)
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
@@ -107,6 +122,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "first_pass": first_pass,
                 "sf": sf,
                 "passes": passes,
                 "load_start": round(load_start, 2),

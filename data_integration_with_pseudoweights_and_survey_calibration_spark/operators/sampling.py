@@ -23,6 +23,19 @@ Reference semantics rebuilt here:
 Determinism: Spark's ``rand(seed)`` is seeded per-partition; results
 are reproducible for a fixed seed AND a fixed input partitioning (we do
 not chase R's RNG streams -- SURVEY §7 hard-point (d)).
+
+DOUBLE-REFERENCE HAZARD (round-5 audit finding): reproducibility of
+the ``rand(seed)`` modes holds per PHYSICAL EXECUTION -- referencing a
+rand-based sample twice inside ONE plan (e.g. joining it against a
+projection of itself through a broadcast hint, which defeats exchange
+reuse) can evaluate the draw twice over different runtime partition
+layouts (AQE coalescing differs by plan context), yielding two
+DIFFERENT survivor sets within the same query.  Rule (same as
+``ordering.py``): anything consumed more than once must either use the
+hash-``u`` mode (a pure function of the data, immune by construction)
+or be materialized (cache/checkpoint) first.  Every driver-certified
+query uses hash-``u``; ``tests/test_determinism.py`` pins both modes'
+contracts.
 """
 
 from __future__ import annotations
@@ -89,20 +102,41 @@ def stratified_sample(
     )
 
 
-def srs_sample(df: DataFrame, n: int, *, seed: int = 0, wt_col: str = "wt") -> DataFrame:
-    """Simple random sample of n rows, weight N/n."""
+def srs_sample(
+    df: DataFrame,
+    n: int,
+    *,
+    seed: int = 0,
+    wt_col: str = "wt",
+    u: Column | None = None,
+) -> DataFrame:
+    """Simple random sample of n rows, weight N/n.  Pass ``u`` (e.g. a
+    hashed-key uniform) for a draw that is a pure function of the data
+    -- required if the sample is referenced more than once in a plan
+    (module docstring, double-reference hazard)."""
     big_n = df.count()
-    out = df.orderBy(F.rand(seed)).limit(int(n))
+    out = df.orderBy(u if u is not None else F.rand(seed)).limit(int(n))
     return out.withColumn(wt_col, F.lit(float(big_n) / float(n)))
 
 
 def poisson_sample(
-    df: DataFrame, pi_col: str, *, seed: int = 0, wt_col: str = "wt"
+    df: DataFrame,
+    pi_col: str,
+    *,
+    seed: int = 0,
+    wt_col: str = "wt",
+    u: Column | None = None,
 ) -> DataFrame:
-    """G4: independent Bernoulli(pi_i) sampling, weight 1/pi."""
-    return df.where(F.rand(seed) < F.col(pi_col)).withColumn(
-        wt_col, 1.0 / F.col(pi_col)
-    )
+    """G4: independent Bernoulli(pi_i) sampling, weight 1/pi.
+
+    Pass ``u`` (hashed-key uniform) for a survival draw that is a pure
+    function of the data.  The ``rand(seed)`` default is evaluated
+    per-partition AFTER whatever layout the runtime picked, so a plan
+    that references the sample twice can see two different survivor
+    sets (the round-5 audit caught exactly this; module docstring)."""
+    return df.where(
+        (u if u is not None else F.rand(seed)) < F.col(pi_col)
+    ).withColumn(wt_col, 1.0 / F.col(pi_col))
 
 
 def two_stage_sample(

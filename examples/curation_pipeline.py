@@ -3,10 +3,15 @@
 of the engine's distributed operators.
 
     quality features -> language ID -> quality/language gate
+    -> PII scrub (detect + redact, shuffle-free Column exprs)
     -> exact dedup (fingerprint groupBy, keep min id)
+    -> corpus-wide paragraph dedup (boilerplate first-occurrence pass)
     -> near-dup (MinHash LSH candidates, keep min id per component edge)
     -> embedding near-dup (block-grid exact cosine)
     -> ANN enrichment (IVF top-k nearest neighbors per surviving doc)
+    -> Bloom filter of the final fingerprints persisted next to the
+       corpus (tomorrow's incremental crawl probes it map-only via
+       ``bloom.filter_unseen`` instead of joining the history)
 
 No stage is all-pairs and nothing row-scale reaches the driver: dedup
 candidates come from equi-joins (fingerprint / band bucket / grid
@@ -83,6 +88,18 @@ def main() -> None:
     )
     n_gate = gated.count()
 
+    # 1a. PII scrub (operators/pii.py): count per-category entities,
+    # flag documents, REDACT in place — pure Column regex chain, zero
+    # shuffle, runs fused with the gate's scan. Training text from
+    # here on carries [EMAIL]/[PHONE]/... placeholders, never the PII.
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+        pii as pii_ops,
+    )
+
+    flags = pii_ops.pii_features(gated)
+    n_pii_docs = flags.where(F.col("has_pii")).count()
+    gated = pii_ops.redact_pii(gated)
+
     # 1b. decontamination: hold out every 50th doc as a stand-in eval
     # benchmark; drop training docs sharing a winnow fingerprint run
     ev_set = docs.where(F.col("doc_id") % 50 == 0).select("doc_id", "text")
@@ -96,6 +113,18 @@ def main() -> None:
     keep_exact = groups.select(F.col("keep_id").alias("doc_id"))
     exact_survivors = gated.join(F.broadcast(keep_exact), "doc_id")
     n_exact = exact_survivors.count()
+
+    # 2b. corpus-wide paragraph dedup (operators/dedup.py): drop every
+    # repeated boilerplate paragraph after its first (id, pos)
+    # occurrence and rebuild the documents — two bounded-key shuffles.
+    para = dedup.paragraph_dedup(exact_survivors)
+    n_paras_dropped = int(
+        para.agg(F.sum("n_dropped")).collect()[0][0] or 0
+    )
+    exact_survivors = (
+        exact_survivors.drop("text")
+        .join(para.select("doc_id", "text"), "doc_id")
+    )
 
     # 3. near-dup: MinHash LSH pairs above tau -> connected components
     # -> keep exactly the canonical (min-id) doc of every cluster
@@ -189,11 +218,34 @@ def main() -> None:
     ).collect()[0]
     packed.write.mode("overwrite").parquet(out_dir + "_train_sequences")
 
+    # 8. incremental-dedup handoff (operators/bloom.py): persist a
+    # Bloom filter of the curated corpus fingerprints next to the
+    # corpus. Tomorrow's crawl loads it (bloom.from_df) and drops
+    # already-seen docs with a map-only probe (bloom.filter_unseen) —
+    # no join against today's table.
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+        bloom as bloom_ops,
+    )
+
+    final_fps = final.select(fingerprint("text").alias("fp"))
+    bf = bloom_ops.build(final_fps, "fp", expected_n=max(n_final, 1))
+    bloom_ops.to_df(spark, bf).write.mode("overwrite").parquet(
+        out_dir + "_bloom"
+    )
+    # sanity probe: every curated fingerprint must report maybe_seen
+    n_bloom_hits = (
+        bloom_ops.contains(final_fps, "fp", bf)
+        .where(F.col("maybe_seen"))
+        .count()
+    )
+
     print(json.dumps({
         "input_docs": n0,
         "after_quality_language_lm_gate": n_gate,
+        "docs_with_pii_redacted": n_pii_docs,
         "after_decontamination": n_decon,
         "after_exact_dedup": n_exact,
+        "boilerplate_paragraphs_dropped": n_paras_dropped,
         "minhash_pairs_found": n_near_pairs,
         "after_minhash_neardup": n_near,
         "embedding_pairs_found": n_emb_pairs,
@@ -207,6 +259,9 @@ def main() -> None:
         ),
         "curated_parquet": out_dir,
         "train_sequences_parquet": out_dir + "_train_sequences",
+        "bloom_parquet": out_dir + "_bloom",
+        "bloom_fpp_estimate": round(bf.fpp_estimate(), 6),
+        "bloom_selfprobe_hits": n_bloom_hits,
         "total_sec": round(time.time() - t0, 1),
     }, indent=2))
 

@@ -99,6 +99,167 @@ def test_global_rank_matches_sort_and_is_stable(spark):
     assert runs[0] == want
 
 
+class TestRandOperatorReevaluation:
+    """Round-5 audit sweep of every ``F.rand(seed)``-based operator
+    (VERDICT r4 #7): the r4 bug class was a frame whose labels changed
+    between two physical evaluations of the same plan.  For each
+    sampler we assert
+
+    1. *repeated-execution stability*: three separate ``collect()``s of
+       the same (uncached) plan return identical row sets, and
+    2. *double-reference consistency*: referencing the sample twice in
+       ONE plan (self-join through an explicit ``broadcast`` hint --
+       the exact shape that broke ReusedExchange in round 4) keeps
+       every row matching itself.
+
+    ``rand(seed)`` is seeded per-partition, so these hold as long as
+    the input partitioning is plan-stable (file scans and fixed
+    ``repartition(n)`` are); an operator that let AQE or a range
+    exchange re-deal the partitioning between evaluations would fail
+    here the way weighted_quantiles did.
+    """
+
+    def _pop(self, spark, n=2000):
+        rows = [(i, float((i * 37) % 97 + 1), f"s{i % 7}") for i in range(n)]
+        return spark.createDataFrame(
+            rows, "id long, sz double, stratum string"
+        ).repartition(9)
+
+    def _stable(self, df, key_cols=("id",)):
+        runs = [
+            sorted(tuple(r[k] for k in key_cols) for r in df.collect())
+            for _ in range(3)
+        ]
+        assert runs[0] == runs[1] == runs[2]
+        return runs[0]
+
+    def _double_ref(self, df, n_expect):
+        import pyspark.sql.functions as F
+
+        ids = df.select(F.col("id").alias("id2"))
+        forced = df.join(F.broadcast(ids), F.col("id") == F.col("id2"))
+        assert forced.count() == n_expect
+
+    def test_pps_sample_rand(self, spark):
+        from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+            pps_sample,
+        )
+
+        s = pps_sample(self._pop(spark), "sz", 50, seed=3)
+        got = self._stable(s)
+        assert len(got) == 50
+        self._double_ref(s, 50)
+
+    def test_stratified_sample_rand(self, spark):
+        from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        s = stratified_sample(self._pop(spark), "stratum", 0.2, seed=5)
+        got = self._stable(s)
+        self._double_ref(s, len(got))
+
+    def test_srs_sample_rand(self, spark):
+        from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+            srs_sample,
+        )
+
+        s = srs_sample(self._pop(spark), 100, seed=11)
+        got = self._stable(s)
+        assert len(got) == 100
+        self._double_ref(s, 100)
+
+    def test_poisson_sample_rand(self, spark):
+        """rand mode: repeated EXECUTIONS are stable.  Double-reference
+        is deliberately NOT asserted here -- the round-5 audit showed
+        the two in-plan evaluations can disagree (508 vs 485 survivors
+        on this very population); that hazard is documented in
+        sampling.py and the hash-u mode below is the safe variant."""
+        import pyspark.sql.functions as F
+
+        from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+            poisson_sample,
+        )
+
+        pop = self._pop(spark).withColumn("pi", F.col("sz") / 200.0)
+        s = poisson_sample(pop, "pi", seed=7)
+        got = self._stable(s)
+        assert 0 < len(got) < 2000
+
+    def test_poisson_sample_hash_u_double_ref(self, spark):
+        """hash-u mode: the survival draw is a pure function of the
+        row, so double-referencing the sample in one plan is safe."""
+        import pyspark.sql.functions as F
+
+        from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+            poisson_sample,
+        )
+        from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+            hash48,
+        )
+
+        pop = self._pop(spark).withColumn("pi", F.col("sz") / 200.0)
+        u = hash48(F.col("id").cast("string")) / F.lit(float(1 << 48))
+        s = poisson_sample(pop, "pi", u=u)
+        got = self._stable(s)
+        assert 0 < len(got) < 2000
+        self._double_ref(s, len(got))
+
+    def test_srs_sample_hash_u_double_ref(self, spark):
+        import pyspark.sql.functions as F
+
+        from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+            srs_sample,
+        )
+        from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+            hash48,
+        )
+
+        u = hash48(F.col("id").cast("string")) / F.lit(float(1 << 48))
+        s = srs_sample(self._pop(spark), 100, u=u)
+        got = self._stable(s)
+        assert len(got) == 100
+        self._double_ref(s, 100)
+
+    @pytest.mark.parametrize("stage1", ["srs", "pps"])
+    def test_two_stage_sample_rand(self, spark, stage1):
+        from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+            two_stage_sample,
+        )
+
+        s = two_stage_sample(
+            self._pop(spark), "stratum", 3, 20, "sz", stage1=stage1, seed=2
+        )
+        got = self._stable(s)
+        assert len(got) == 3 * 20
+        self._double_ref(s, 60)
+
+    def test_assign_jk_groups_ntile_rand(self, spark):
+        from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+            assign_jk_groups,
+        )
+
+        g = assign_jk_groups(
+            self._pop(spark), 8, id_col="id", seed=1, method="ntile"
+        )
+        runs = [
+            sorted((r["id"], r["jk_group"]) for r in g.collect())
+            for _ in range(3)
+        ]
+        assert runs[0] == runs[1] == runs[2]
+        self._double_ref(g, 2000)
+
+    def test_domain_mix_hash_thresholds(self, spark):
+        from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+            domain_mix_sample,
+        )
+
+        pop = self._pop(spark).withColumnRenamed("stratum", "source")
+        m = domain_mix_sample(pop, id_col="id", alpha=0.6)
+        got = self._stable(m)
+        self._double_ref(m, len(got))
+
+
 def test_global_rank_skewed_and_tiny(spark):
     """Boundary sampling must survive a tiny frame (fewer rows than
     buckets) and a heavily skewed key distribution."""

@@ -287,6 +287,98 @@ def curation_ladder(spark, sizes: list[int]) -> None:
     print(json.dumps({"op": "curation_ops", "points": points}))
 
 
+def scrub_ladder(spark, sizes: list[int]) -> None:
+    """Corpus-scrub throughput ladder (BENCH_SCALE 3g): PII detect
+    (the 5x regexp_extract_all chain + HOF Luhn), PII redact (the 5x
+    regexp_replace chain), corpus-wide paragraph dedup, and Bloom
+    build + probe, timed per corpus size.  Every third doc carries an
+    injected email+phone so the replace path does real work.  Reports
+    docs/s and MB/s per op -- the sizing numbers for pointing the
+    regex chain at 100 TB; if the Java regex chain binds, the
+    per-category patterns in ``operators/pii.py PII_PATTERNS`` can be
+    pruned individually."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+        bloom as bloom_ops,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.pii import (
+        pii_features,
+        redact_pii,
+    )
+
+    points = []
+    for n in sizes:
+        did = F.col("doc_id")
+        pii_frag = F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                did.cast("string"),
+                F.lit("@example.com or call +1 (415) 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit(""))
+        docs = (
+            synth_docs(spark, n)
+            .select("doc_id", F.concat("text", pii_frag).alias("text"))
+            .cache()
+        )
+        mb = (docs.agg(F.sum(F.length("text"))).collect()[0][0] or 0) / 1e6
+        t0 = time.time()
+        n_pii = pii_features(docs).where(F.col("has_pii")).count()
+        t_det = time.time() - t0
+        t0 = time.time()
+        redact_pii(docs).agg(F.sum(F.length("text"))).collect()
+        t_red = time.time() - t0
+        para_docs = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("common header\n\n"),
+                "text",
+                F.lit("\n\nfooter "),
+                (did % 5).cast("string"),
+            ).alias("text"),
+        )
+        t0 = time.time()
+        n_dropped = int(
+            paragraph_dedup(para_docs).agg(F.sum("n_dropped")).collect()[0][0]
+        )
+        t_para = time.time() - t0
+        fps = docs.select(F.md5("text").alias("fp"))
+        t0 = time.time()
+        bf = bloom_ops.build(fps, "fp", expected_n=n)
+        t_build = time.time() - t0
+        t0 = time.time()
+        n_seen = (
+            bloom_ops.contains(fps, "fp", bf)
+            .where(F.col("maybe_seen"))
+            .count()
+        )
+        t_probe = time.time() - t0
+        assert n_seen == n, "Bloom no-false-negative violated"
+        assert n_pii >= n // 3, "injected PII not detected"
+        points.append(
+            {
+                "n_docs": n,
+                "mb": round(mb, 1),
+                "pii_detect_sec": round(t_det, 2),
+                "pii_detect_mb_s": round(mb / t_det, 1),
+                "pii_redact_sec": round(t_red, 2),
+                "pii_redact_mb_s": round(mb / t_red, 1),
+                "para_dedup_sec": round(t_para, 2),
+                "para_dropped": n_dropped,
+                "bloom_build_sec": round(t_build, 2),
+                "bloom_probe_sec": round(t_probe, 2),
+                "bloom_probe_docs_s": round(n / t_probe),
+            }
+        )
+        print(json.dumps(points[-1]), flush=True)
+        docs.unpersist()
+    print(json.dumps({"op": "scrub_ops", "points": points}))
+
+
 def bpe_ladder(spark, sf_dir: str, n_merges: int, batch_sizes, n_docs: int = 0) -> None:
     """Batched-BPE round/wall ladder (BENCH_SCALE 3d-bis): same corpus
     and merge count, varying batch_size — per-round cost is flat
@@ -423,6 +515,16 @@ def main() -> None:
             sizes,
             n_docs,
         )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--scrub":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [100_000, 200_000, 400_000, 800_000]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        scrub_ladder(spark, sizes)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--stream-join":
         sizes = (
