@@ -1,0 +1,124 @@
+"""Regression tests for the round-5 review fixes (ADVICE r4):
+
+1. ``weighted_quantiles`` with NULLs in the value column: the
+   denominator is computed over the same null-filtered rows as the
+   cumulative pass, so high-prob quantiles no longer silently vanish.
+2. ``global_rank`` with NULL keys: nulls bucket to 0, matching the
+   per-bucket window's NULLS FIRST order — ranks remain a consistent
+   total order.
+3. ``_probe_mp4`` on a version-1 box truncated inside mvhd: probes as
+   no-duration instead of raising struct.error through the task.
+4. ``probe_media`` on a frame where some partitions produce zero-row
+   Arrow batches: output keeps the full PROBE_SCHEMA.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.functions.stats import (
+    weighted_quantiles,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+    codecs,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.multimodal import (
+    probe_media,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.ordering import (
+    global_rank,
+)
+
+
+def test_weighted_quantiles_with_null_values(spark):
+    """1/3 of rows carry x=NULL.  Pre-fix, tot summed weights over ALL
+    rows, the cumulative share topped out at ~2/3, and probs above that
+    returned no row.  Post-fix every prob resolves, to the type-1
+    quantile of the NON-NULL distribution."""
+    rng = np.random.RandomState(11)
+    xs = rng.randn(3000).round(3)
+    rows = []
+    for i, x in enumerate(xs):
+        rows.append((None if i % 3 == 0 else float(x), float(1 + i % 7)))
+    df = spark.createDataFrame(rows, "x double, w double").repartition(7)
+    probs = [0.1, 0.5, 0.9, 0.99, 1.0]
+    got = {r["prob"]: r["q"] for r in weighted_quantiles(df, "x", "w", probs).collect()}
+    assert set(got) == set(probs), "high-prob quantiles must not vanish"
+
+    keep = [(x, w) for (x, w) in rows if x is not None]
+    keep.sort()
+    cw = np.cumsum([w for _, w in keep])
+    cw = cw / cw[-1]
+    for p in probs:
+        want = keep[int((cw >= p).argmax())][0]
+        assert got[p] == pytest.approx(want, abs=1e-12), p
+
+
+def test_weighted_quantiles_all_null(spark):
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0)], "x double, w double"
+    )
+    out = weighted_quantiles(df, "x", "w", [0.5]).collect()
+    assert out == []
+
+
+def test_global_rank_null_keys_consistent(spark):
+    """NULL keys must occupy ranks 1..n_null (NULLS FIRST), non-null
+    keys the subsequent ranks in sorted order — and the whole ranking
+    must be a permutation (no duplicate / skipped ranks, the pre-fix
+    symptom of nulls bucketed last but sorted first)."""
+    rows = [(i, None if i % 5 == 0 else f"k{i:05d}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, k string").repartition(7)
+    got = {r["id"]: r["rank"] for r in global_rank(df, "k").collect()}
+    n_null = sum(1 for _, k in rows if k is None)
+    ranks = sorted(got.values())
+    assert ranks == list(range(1, 1001)), "ranks must be a permutation"
+    null_ranks = sorted(got[i] for i, k in rows if k is None)
+    assert null_ranks == list(range(1, n_null + 1)), "nulls rank first"
+    nonnull = sorted((k, i) for i, k in rows if k is not None)
+    for pos, (_, i) in enumerate(nonnull):
+        assert got[i] == n_null + pos + 1
+
+
+def _mp4_v1_blob(ts: int, dur: int) -> bytes:
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
+    body = bytes([1, 0, 0, 0]) + struct.pack(">QQIQ", 0, 0, ts, dur)
+    mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
+def test_probe_mp4_truncated_v1_no_raise():
+    full = _mp4_v1_blob(1000, 77000)
+    assert codecs.probe_bytes(full)["duration_ms"] == 77000
+    # Truncate at every prefix length: the contract is "filter, don't
+    # fail" — no prefix may raise, and none may return garbage duration.
+    for cut in range(len(full)):
+        p = codecs.probe_bytes(full[:cut])
+        assert p["duration_ms"] in (None, 77000)
+
+
+def test_probe_jpeg_malformed_no_raise():
+    # SOI + marker with a length field larger than the buffer
+    junk = b"\xff\xd8\xff\xc0\xff\xff\x01"
+    p = codecs.probe_bytes(junk)
+    assert p["format"] is None or p["width"] is None
+
+
+def test_probe_media_empty_partitions(spark):
+    """8 partitions, 2 rows: most Arrow batches are zero-row.  Pre-fix
+    the empty frame lacked the probe columns and the schema conversion
+    failed; post-fix empty batches keep PROBE_SCHEMA."""
+    png = codecs.encode_png(np.zeros((2, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"notmedia"))],
+        "media_id long, content binary",
+    ).repartition(8)
+    rows = {r["media_id"]: r for r in probe_media(df).collect()}
+    assert rows[1]["format"] == "png"
+    assert (rows[1]["width"], rows[1]["height"]) == (3, 2)
+    assert rows[2]["format"] is None

@@ -36,6 +36,14 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
     "exact_dedup": [
         (r"ReadSchema: struct<doc_id[^\n]*text", "only id+text read from parquet"),
         (r"partial_", "map-side partial aggregation"),
+        (r"Union", "round 5: exact + paragraph + bloom certificates in one part-labeled union"),
+        (r"BroadcastNestedLoopJoin|BroadcastExchange", "Bloom bitmap rides a ONE-ROW broadcast; the probe is map-only against it"),
+        (r"count<=0:CartesianProduct", "no unbounded cartesian anywhere in the 3-part union (the only cross join is the bounded 1-row bitmap broadcast)"),
+    ],
+    "text_features": [
+        (r"count<=0:BatchEvalPython", "round 5: the PII detect/redact/gate columns are pure JVM Column exprs (Java regex chain + HOF-aggregate Luhn) — no row-at-a-time Python in the plan"),
+        (r"count<=0:CartesianProduct", "the four per-doc feature frames combine on doc_id equi-joins only"),
+        (r"WholeStageCodegen|\*\(\d+\)", "feature expressions fused into whole-stage codegen"),
     ],
     "events_windowed": [
         (r"ReadSchema: [^\n]*event_type", "scan prunes to ts/type/value"),
