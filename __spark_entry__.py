@@ -1548,18 +1548,33 @@ WINNOW_K = 5  # tokens per gram
 WINNOW_W = 4  # winnowing window (hashes); guarantee length = w + k - 1
 
 
+NGRAM_SPAN_N = 5
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (MOSS scheme) + BPE-ish piece
     counts over ``documents`` — map-only array-HOF pass, no UDF
-    (``operators/text.py winnow_fingerprints``)."""
+    (``operators/text.py winnow_fingerprints``).
+
+    Round 5 joins in the exact-substring-dedup signal
+    (``operators/dedup.py repeated_ngram_spans``, Lee et al. 2021):
+    per-doc count and fraction of tokens covered by 5-grams duplicated
+    corpus-wide — the interval-union coverage is recomputed verbatim by
+    the SQL oracle (same gram keys, same window arithmetic)."""
     docs = _docs(spark, sf_dir)
     fps = text_ops.winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
     bpe = docs.select(
         "doc_id", text_ops.bpe_ish_token_count("text").alias("n_pieces")
     )
+    spans = dedup_ops.repeated_ngram_spans(docs, NGRAM_SPAN_N).select(
+        "doc_id",
+        "dup_tokens",
+        F.round("dup_frac", 9).alias("dup_frac"),
+    )
     fp = F.col("fingerprints")
     return (
         bpe.join(fps, "doc_id")
+        .join(spans, "doc_id")
         .select(
             "doc_id",
             F.col("n_pieces").cast("long").alias("n_pieces"),
@@ -1570,6 +1585,8 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("fp_checksum"),
+            "dup_tokens",
+            "dup_frac",
         )
         # no global orderBy: the gate's compare is row-sorted, and a
         # total sort of a per-doc output is a needless O(n log n)
@@ -1579,6 +1596,7 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_doc_fingerprints() -> str:
     kg = " || ' ' || ".join(f"toks[i + {j}]" for j in range(WINNOW_K))
+    n = NGRAM_SPAN_N
     return f"""
     WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
     g AS (SELECT doc_id, text,
@@ -1595,15 +1613,41 @@ def _sql_doc_fingerprints() -> str:
                 generate_series(1, len(hs) - {WINNOW_W - 1}),
                 j -> list_min(array_slice(hs, j, j + {WINNOW_W - 1})))))
             ELSE list_sort(list_distinct(hs)) END AS fp
-          FROM h)
-    SELECT doc_id,
+          FROM h),
+    tl AS (SELECT doc_id, len(toks) AS n_tok FROM t),
+    gpos AS (SELECT doc_id,
+                    unnest(generate_series(1, greatest(len(toks) - {n - 1}, 0)))
+                      AS p1,
+                    toks
+             FROM t),
+    gr AS (SELECT doc_id, p1 - 1 AS pos,
+                  array_to_string(array_slice(toks, p1, p1 + {n - 1}), ' ')
+                    AS gram
+           FROM gpos),
+    dg AS (SELECT gram
+           FROM (SELECT gram, count(*) AS c FROM gr GROUP BY 1)
+           WHERE c >= 2),
+    fl AS (SELECT doc_id, pos FROM gr JOIN dg USING (gram)),
+    cv AS (SELECT doc_id,
+                  least({n}, coalesce(
+                    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                    {n})) AS cov
+           FROM fl),
+    du AS (SELECT doc_id, sum(cov) AS dup_tokens FROM cv GROUP BY 1)
+    SELECT s.doc_id,
            len(regexp_extract_all(text, '{text_ops.BPE_PIECE_RE}'))::BIGINT
              AS n_pieces,
            len(fp)::BIGINT AS n_fp,
            fp[1]::BIGINT AS fp_min,
            coalesce(list_sum(list_transform(fp, x -> x % 1000003)), 0)::BIGINT
-             AS fp_checksum
-    FROM s ORDER BY doc_id
+             AS fp_checksum,
+           coalesce(du.dup_tokens, 0)::BIGINT AS dup_tokens,
+           round(coalesce(du.dup_tokens, 0) / tl.n_tok::DOUBLE, 9)
+             AS dup_frac
+    FROM s
+    JOIN tl USING (doc_id)
+    LEFT JOIN du ON s.doc_id = du.doc_id
+    ORDER BY s.doc_id
     """
 
 

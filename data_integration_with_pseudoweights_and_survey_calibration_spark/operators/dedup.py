@@ -65,6 +65,91 @@ def _shingle_frame(
     )
 
 
+def repeated_ngram_spans(
+    df: DataFrame,
+    n: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicated-substring coverage — the exact-substring
+    dedup signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499), at token-n-gram
+    granularity: for each document, how many of its tokens are covered
+    by at least one n-token gram that occurs >= ``min_count`` times in
+    the WHOLE corpus.  ``dup_frac`` is the standard memorization-risk /
+    boilerplate filter column (drop or trim docs above a threshold).
+
+    Returns (id, n_tokens, dup_tokens, dup_frac).
+
+    Scale shape: explode to (doc, pos, gram) — O(total tokens) narrow
+    rows; one groupBy on the gram (map-side partials) for corpus
+    counts; one equi-join of occurrences against the duplicated-gram
+    set (same gram key, so the shuffle partitioning is reused); one
+    doc-keyed window+aggregate for interval-union coverage.  No UDF,
+    no driver data.  Coverage needs no per-token explosion: sorting
+    flagged gram starts per doc, a gram at ``pos`` contributes
+    ``min(n, next_pos - pos)`` new covered tokens (the last one
+    ``n``) — the interval union in one window pass.  A production
+    corpus would key the gram shuffle on ``xxhash64(gram)`` (8-byte
+    keys); the string key here keeps the arithmetic identical to the
+    SQL oracle.
+    """
+    from .text import spread
+
+    toks = (
+        spread(df)
+        .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+        .withColumn("_len", F.size("_toks"))
+    )
+    # sequence(1, 0) counts DOWN — guard short docs to an empty gram set
+    starts = F.when(
+        F.col("_len") >= n,
+        F.sequence(F.lit(1), F.col("_len") - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "_id",
+        "_len",
+        F.posexplode(
+            F.transform(
+                starts, lambda i: F.concat_ws(" ", F.slice("_toks", i, n))
+            )
+        ).alias("_pos", "_gram"),
+    )
+    dup_grams = (
+        grams.groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") >= min_count)
+        .select("_gram")
+    )
+    flagged = grams.join(dup_grams, "_gram")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    cover = flagged.withColumn("_nxt", F.lead("_pos").over(w)).withColumn(
+        "_cov",
+        F.least(F.lit(n), F.coalesce(F.col("_nxt") - F.col("_pos"), F.lit(n))),
+    )
+    per_doc = cover.groupBy("_id").agg(F.sum("_cov").alias("dup_tokens"))
+    return (
+        toks.select("_id", F.col("_len").alias("n_tokens"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.col("n_tokens").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
 def exact_duplicates(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

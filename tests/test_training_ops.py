@@ -175,6 +175,55 @@ def test_exact_duplicates(spark, docs_df):
     assert dup.iloc[0]["n_dups"] == 3 and dup.iloc[0]["keep_id"] == 0
 
 
+def test_repeated_ngram_spans_vs_bruteforce(spark):
+    """Planted corpus: a shared 6-token boilerplate sentence in docs
+    0/1/2 (overlapping 3-gram starts exercise the interval union), a
+    doc that is entirely a duplicate of another, a doc with no repeats,
+    and a doc shorter than n. Verified against a pure-Python interval
+    union."""
+    boiler = "terms of service apply to all"
+    texts = {
+        0: f"alpha beta {boiler} gamma delta",
+        1: f"{boiler} epsilon zeta eta theta iota",
+        2: f"unique words here {boiler}",
+        3: "kappa lam mu nu xi omicron pi rho",  # no corpus repeat
+        4: f"{boiler} epsilon zeta eta theta iota",  # exact dup of 1
+        5: "too short",
+    }
+    n = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.repeated_ngram_spans(df, n).collect()
+    }
+
+    # brute force: corpus-wide gram counts -> per-doc covered set
+    from collections import Counter
+
+    grams = Counter()
+    for t in texts.values():
+        w = t.split()
+        for i in range(len(w) - n + 1):
+            grams[" ".join(w[i : i + n])] += 1
+    for i, t in texts.items():
+        w = t.split()
+        covered = set()
+        for p in range(len(w) - n + 1):
+            if grams[" ".join(w[p : p + n])] >= 2:
+                covered.update(range(p, p + n))
+        r = got[i]
+        assert r["n_tokens"] == len(w), i
+        assert r["dup_tokens"] == len(covered), (i, r["dup_tokens"], covered)
+        assert r["dup_frac"] == pytest.approx(
+            len(covered) / len(w) if w else 0.0
+        ), i
+    assert got[4]["dup_frac"] == 1.0  # fully duplicated doc
+    assert got[3]["dup_tokens"] == 0  # no corpus-wide repeats
+    assert got[5]["dup_tokens"] == 0  # shorter than n: no grams
+
+
 def _py_shingles(s, k=3):
     t = s.split()
     return set(" ".join(t[i : i + k]) for i in range(len(t) - k + 1))
