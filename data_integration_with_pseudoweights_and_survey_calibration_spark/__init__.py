@@ -49,7 +49,21 @@ from .operators.method_suite import (  # noqa: E402,F401
     estimate_methods_inf,
 )
 from .operators.asof import asof_join, range_join  # noqa: E402,F401
-from .operators.dedup import connected_components  # noqa: E402,F401
+from .operators.bloom import (  # noqa: E402,F401
+    build as bloom_build,
+    contains as bloom_contains,
+    filter_unseen as bloom_filter_unseen,
+)
+from .operators.dedup import (  # noqa: E402,F401
+    connected_components,
+    paragraph_dedup,
+    repeated_ngram_spans,
+)
+from .operators.pii import pii_features, redact_pii  # noqa: E402,F401
+from .operators.quality import (  # noqa: E402,F401
+    score_quality,
+    train_quality_classifier,
+)
 from .operators.embedding import (  # noqa: E402,F401
     embedding_moments,
     embedding_pca,
@@ -80,8 +94,17 @@ from .sources.sinks import write_bucketed, write_partitioned  # noqa: E402,F401
 __all__ = [
     "__version__",
     "asof_join",
+    "bloom_build",
+    "bloom_contains",
+    "bloom_filter_unseen",
     "calib_est",
     "connected_components",
+    "paragraph_dedup",
+    "pii_features",
+    "redact_pii",
+    "repeated_ngram_spans",
+    "score_quality",
+    "train_quality_classifier",
     "corpus_shuffle_split",
     "cox_fit",
     "decontaminate",

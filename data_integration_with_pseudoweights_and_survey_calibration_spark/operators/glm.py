@@ -54,6 +54,8 @@ def weighted_logistic(
     weight: str | Column | None = None,
     max_iter: int = 25,
     tol: float = 1e-10,
+    ridge: float = 0.0,
+    ridge_skip: Sequence[str] = (),
 ) -> GlmFit:
     """IRLS for binomial family with prior weights ``weight``.
 
@@ -61,6 +63,13 @@ def weighted_logistic(
     z = eta + (y - mu) / (mu(1-mu)), working weight w*mu(1-mu); beta
     update solves (X'WX) beta = X'Wz. Convergence on max |delta beta|
     (the deviance criterion of R converges at the same fixed point).
+
+    ``ridge`` > 0 adds an L2 penalty: each update solves
+    (X'WX + ridge*I) beta = X'Wz, with the identity zeroed for columns
+    in ``ridge_skip`` (conventionally the intercept).  Penalization
+    keeps the fit finite under complete separation — the normal state
+    of a small labeled quality-classifier set — at no distributed
+    cost (the lambda enters the driver-side p x p solve only).
     """
     x_cols = list(x_cols)
     p = len(x_cols)
@@ -100,6 +109,11 @@ def weighted_logistic(
             ww = w * wvar
             z = eta + (y - mu) / wvar
             xtwx, xtwz = gram_and_xtwz(base, x_cols, z, ww)
+            if ridge > 0.0:
+                pen = np.full(p, float(ridge))
+                for c in ridge_skip:
+                    pen[x_cols.index(c)] = 0.0
+                xtwx = xtwx + np.diag(pen)
             new_beta = solve_sym(xtwx, xtwz)
             delta = float(np.max(np.abs(new_beta - beta)))
             beta = new_beta

@@ -1,0 +1,138 @@
+"""Trained quality classifier for corpus filtering (CCNet/GPT-3-style).
+
+The heuristic ``text.quality_features`` score is a fixed formula;
+production corpus pipelines train a classifier instead: label a small
+gold set (reference corpus = positive, raw crawl = negative), fit a
+logistic regression over cheap per-document features, score the whole
+corpus, and filter/stratify by predicted probability.
+
+This module is deliberately thin COMPOSITION of the engine's existing
+distributed parts — no new distributed machinery:
+
+- features: ``text.quality_features`` + ``text.repetition_features``
+  (pure Column expressions, one scan each, joined on the doc id);
+- training: ``glm.weighted_logistic`` — the same distributed IRLS the
+  survey estimators use (H1); each iteration is ONE Gram aggregation,
+  only p x p matrices reach the driver;
+- scoring: the fitted coefficients fold back in as a pure-Column
+  linear predictor + sigmoid — map-only, codegen-fused, no UDF and no
+  broadcast (the betas are literals in the plan).
+
+100 TB posture: train on a sample (the fit cost is per-iteration one
+pass over the TRAINING frame only), score everything map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .glm import GlmFit, weighted_logistic
+from .text import quality_features, repetition_features
+
+#: feature columns the classifier trains on (log1p token count keeps
+#: the length feature bounded; everything else is already a ratio)
+QUALITY_FEATURE_COLS: tuple[str, ...] = (
+    "log_n_tokens",
+    "ttr",
+    "stop_ratio",
+    "mean_token_len",
+    "punct_ratio",
+    "dup_token_frac",
+    "dup_bigram_frac",
+    "top_bigram_frac",
+)
+_INTERCEPT = "_qc_intercept"
+
+
+def quality_feature_frame(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, <QUALITY_FEATURE_COLS>) per document: the Gopher-style
+    heuristic signals assembled as model features.  Nulls (empty docs)
+    are zero-filled so the design matrix is always finite."""
+    q = quality_features(df, text_col).select(
+        F.col(id_col),
+        F.log1p(F.coalesce(F.col("n_tokens"), F.lit(0)).cast("double")).alias(
+            "log_n_tokens"
+        ),
+        *[
+            F.coalesce(F.col(c), F.lit(0.0)).cast("double").alias(c)
+            for c in ("ttr", "stop_ratio", "mean_token_len", "punct_ratio")
+        ],
+    )
+    r = repetition_features(df, id_col=id_col, text_col=text_col).select(
+        F.col(id_col),
+        *[
+            F.coalesce(F.col(c), F.lit(0.0)).cast("double").alias(c)
+            for c in ("dup_token_frac", "dup_bigram_frac", "top_bigram_frac")
+        ],
+    )
+    return q.join(r, id_col)
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    *,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_col: str | None = None,
+    max_iter: int = 25,
+    ridge: float = 1e-2,
+) -> GlmFit:
+    """Fit the quality logistic on a labeled frame (id, text, label
+    in {0,1}[, weight]).  Returns the ``GlmFit`` whose ``x_cols`` are
+    the intercept + :data:`QUALITY_FEATURE_COLS`; feed it to
+    :func:`score_quality`.
+
+    ``ridge`` defaults on (1e-2, intercept unpenalized): small gold
+    sets are usually completely separable and the unpenalized MLE
+    diverges."""
+    feats = quality_feature_frame(
+        labeled, id_col=id_col, text_col=text_col
+    ).join(
+        labeled.select(
+            F.col(id_col),
+            F.col(label_col).cast("double").alias("_qc_y"),
+            *(
+                [F.col(weight_col).cast("double").alias("_qc_w")]
+                if weight_col
+                else []
+            ),
+        ),
+        id_col,
+    )
+    feats = feats.withColumn(_INTERCEPT, F.lit(1.0))
+    return weighted_logistic(
+        feats,
+        [_INTERCEPT, *QUALITY_FEATURE_COLS],
+        "_qc_y",
+        weight="_qc_w" if weight_col else None,
+        max_iter=max_iter,
+        ridge=ridge,
+        ridge_skip=(_INTERCEPT,),
+    )
+
+
+def score_quality(
+    df: DataFrame,
+    fit: GlmFit,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """(id, quality_prob) for every document: sigmoid of the fitted
+    linear predictor over the feature frame.  The betas enter the plan
+    as literals — scoring is a map-only, shuffle-free pass fused with
+    the feature expressions (one doc-keyed join of the two feature
+    scans)."""
+    feats = quality_feature_frame(df, id_col=id_col, text_col=text_col)
+    beta = dict(zip(fit.x_cols, (float(b) for b in fit.beta)))
+    eta: Column = F.lit(beta.get(_INTERCEPT, 0.0))
+    for c in QUALITY_FEATURE_COLS:
+        eta = eta + F.lit(beta[c]) * F.col(c)
+    return feats.select(
+        F.col(id_col), (F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))).alias(out_col)
+    )

@@ -88,6 +88,28 @@ def main() -> None:
     )
     n_gate = gated.count()
 
+    # 1a'. TRAINED quality classifier (operators/quality.py): gold
+    # positives = the gated docs; negatives = deterministically
+    # corrupted twins (a repeated 8-char fragment — low diversity, high
+    # repetition). Ridge-IRLS logistic (the engine's own H1 kernel)
+    # over Gopher-style features; scoring is a map-only literal-beta
+    # pass over the whole corpus.
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.quality import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    pos = gated0.select("doc_id", "text").withColumn("label", F.lit(1))
+    neg = gated0.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.substring("text", 1, 8), 40)
+        ).alias("text"),
+    ).withColumn("label", F.lit(0))
+    qfit = train_quality_classifier(pos.unionByName(neg))
+    clf_scores = score_quality(docs, qfit)
+    clf_mean = clf_scores.agg(F.avg("quality_prob")).collect()[0][0]
+
     # 1a. PII scrub (operators/pii.py): count per-category entities,
     # flag documents, REDACT in place — pure Column regex chain, zero
     # shuffle, runs fused with the gate's scan. Training text from
@@ -243,6 +265,8 @@ def main() -> None:
         "input_docs": n0,
         "after_quality_language_lm_gate": n_gate,
         "docs_with_pii_redacted": n_pii_docs,
+        "classifier_converged": bool(qfit.converged),
+        "classifier_mean_quality_prob": round(float(clf_mean), 4),
         "after_decontamination": n_decon,
         "after_exact_dedup": n_exact,
         "boilerplate_paragraphs_dropped": n_paras_dropped,

@@ -118,6 +118,48 @@ def test_weighted_logistic_irls(spark):
     np.testing.assert_allclose([r["mu"] for r in got], 1 / (1 + np.exp(-eta)), rtol=1e-9)
 
 
+def test_weighted_logistic_ridge_golden(spark):
+    """Ridge IRLS (round 5) vs the dense mirror: same update with
+    lambda*I added to the Gram, intercept unpenalized; ridge=0 must
+    reproduce the unpenalized fit exactly."""
+    df, pdf = _toy(spark, n=800)
+    df2, cols = DesignMatrix("x1 + x2").attach(df)
+    lam = 3.7
+    fit = weighted_logistic(df2, cols, "y", "w", ridge=lam, ridge_skip=(cols[0],))
+    assert fit.converged
+
+    def _irls_ridge(X, y, w, pen, max_iter=25, tol=1e-10):
+        beta = np.zeros(X.shape[1])
+        for it in range(1, max_iter + 1):
+            if it == 1:
+                mu0 = (w * y + 0.5) / (w + 1.0)
+                mu = np.clip(mu0, 1e-12, 1 - 1e-12)
+                eta = np.log(mu / (1 - mu))
+            else:
+                eta = X @ beta
+                mu = np.clip(1 / (1 + np.exp(-eta)), 1e-12, 1 - 1e-12)
+            W = w * mu * (1 - mu)
+            z = eta + (y - mu) / (mu * (1 - mu))
+            nb = np.linalg.solve(
+                X.T @ (W[:, None] * X) + np.diag(pen), X.T @ (W * z)
+            )
+            if it > 1 and np.max(np.abs(nb - beta)) < tol:
+                return nb
+            beta = nb
+        return beta
+
+    X = np.column_stack([np.ones(len(pdf)), pdf.x1, pdf.x2])
+    pen = np.array([0.0, lam, lam])
+    ref = _irls_ridge(X, pdf.y.values.astype(float), pdf.w.values, pen)
+    np.testing.assert_allclose(fit.beta, ref, atol=1e-8)
+    # ridge shrinks slopes toward 0 relative to the MLE
+    mle = weighted_logistic(df2, cols, "y", "w")
+    assert all(abs(b) < abs(m) for b, m in zip(fit.beta[1:], mle.beta[1:]))
+    # ridge=0 path unchanged
+    fit0 = weighted_logistic(df2, cols, "y", "w", ridge=0.0)
+    np.testing.assert_allclose(fit0.beta, mle.beta, atol=1e-12)
+
+
 def test_weighted_linear_closed_form(spark):
     df, pdf = _toy(spark)
     df2, cols = DesignMatrix("x1 + x2").attach(df)

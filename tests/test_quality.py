@@ -1,0 +1,93 @@
+"""Trained quality classifier (operators/quality.py): feature frame
+composition, IRLS fit separation on a planted prose-vs-junk corpus,
+hold-out generalization, and map-only scoring determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.quality import (
+    QUALITY_FEATURE_COLS,
+    quality_feature_frame,
+    score_quality,
+    train_quality_classifier,
+)
+
+PROSE = [
+    "the data table is sorted and the query runs fast in memory",
+    "a column scan of the sorted table is fast and the filter prunes rows",
+    "the planner picks a hash join and the result of the query is small",
+    "a stream of rows flows to the sink and the window closes in order",
+    "the batch writes to a parquet file and the reader prunes a column",
+    "a join of the two tables is cheap and the keys hash to buckets",
+]
+JUNK = [
+    "spam spam spam spam spam spam spam spam spam spam",
+    "buy buy buy !!! now now now !!! cheap cheap cheap !!!",
+    "xxxx xxxx #### xxxx #### xxxx #### xxxx ####",
+    "click click click click here here here here here here",
+    "$$$ win win win $$$ win win win $$$ win win win $$$",
+    "aaaa bbbb aaaa bbbb aaaa bbbb aaaa bbbb aaaa bbbb",
+]
+
+
+def _corpus(spark, prose, junk, start_id=0):
+    rows = [(start_id + i, t, 1) for i, t in enumerate(prose)] + [
+        (start_id + 100 + i, t, 0) for i, t in enumerate(junk)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_feature_frame_columns_and_ranges(spark):
+    df = _corpus(spark, PROSE, JUNK)
+    feats = quality_feature_frame(df).collect()
+    assert len(feats) == len(PROSE) + len(JUNK)
+    for r in feats:
+        for c in QUALITY_FEATURE_COLS:
+            assert r[c] is not None
+        for c in ("ttr", "stop_ratio", "punct_ratio", "dup_token_frac"):
+            assert 0.0 <= r[c] <= 1.0, (r["doc_id"], c, r[c])
+
+
+def test_classifier_separates_and_generalizes(spark):
+    train = _corpus(spark, PROSE[:4], JUNK[:4])
+    fit = train_quality_classifier(train)
+    assert fit.converged
+    # in-sample separation
+    probs = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality(train, fit).collect()
+    }
+    pos = [probs[i] for i in range(4)]
+    neg = [probs[100 + i] for i in range(4)]
+    assert min(pos) > max(neg), (pos, neg)
+    # hold-out: unseen prose/junk docs separate the same way
+    held = _corpus(spark, PROSE[4:], JUNK[4:], start_id=1000)
+    hp = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality(held, fit).collect()
+    }
+    assert min(hp[1000], hp[1001]) > max(hp[1100], hp[1101]), hp
+    assert all(0.0 <= p <= 1.0 for p in probs.values())
+
+
+def test_scoring_is_deterministic_and_refit_stable(spark):
+    train = _corpus(spark, PROSE, JUNK)
+    f1 = train_quality_classifier(train)
+    f2 = train_quality_classifier(train)
+    assert list(f1.beta) == pytest.approx(list(f2.beta), abs=1e-9)
+    s1 = sorted(map(tuple, score_quality(train, f1).collect()))
+    s2 = sorted(map(tuple, score_quality(train, f1).collect()))
+    assert s1 == s2
+
+
+def test_scoring_plan_is_map_only(spark):
+    """Scoring must contain no Python eval node and no aggregate —
+    betas are literals; the only wide op is the doc-keyed feature
+    join."""
+    train = _corpus(spark, PROSE, JUNK)
+    fit = train_quality_classifier(train)
+    plan = score_quality(train, fit)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
