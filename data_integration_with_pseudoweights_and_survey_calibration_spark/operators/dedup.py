@@ -150,6 +150,115 @@ def repeated_ngram_spans(
     )
 
 
+def trim_repeated_spans(
+    df: DataFrame,
+    n: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """The removal half of :func:`repeated_ngram_spans` — the full
+    Lee et al. 2021 exact-substring-dedup treatment: rebuild every
+    document WITHOUT the tokens covered by corpus-duplicated n-grams.
+
+    ``keep_first=True`` (default) keeps the globally FIRST occurrence
+    of each duplicated gram (ordered by (id, pos)) and trims the rest,
+    so exactly one copy of every repeated passage survives the corpus;
+    ``keep_first=False`` trims every occurrence (the harsher variant
+    for boilerplate known to be worthless).
+
+    Returns (id, text, n_tokens, n_trimmed) with ``text`` rebuilt from
+    the surviving tokens in original order.
+
+    Scale shape: the same explode + gram-keyed count as the span
+    metric, plus a window picking the keeper occurrence per gram, a
+    ``sequence``-explode of covered token positions (O(n) rows per
+    flagged gram, narrow), and one doc-keyed anti-join + rebuild
+    aggregate.  No UDF, no driver data.
+    """
+    from .text import spread, tokens as _tokens
+
+    toks = (
+        spread(df)
+        .select(F.col(id_col).alias("_id"), _tokens(text_col).alias("_toks"))
+        .withColumn("_len", F.size("_toks"))
+    )
+    starts = F.when(
+        F.col("_len") >= n,
+        F.sequence(F.lit(1), F.col("_len") - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                starts, lambda i: F.concat_ws(" ", F.slice("_toks", i, n))
+            )
+        ).alias("_pos", "_gram"),
+    )
+    dup_grams = (
+        grams.groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") >= min_count)
+        .select("_gram")
+    )
+    flagged = grams.join(dup_grams, "_gram")
+    if keep_first:
+        w = Window.partitionBy("_gram").orderBy("_id", "_pos")
+        flagged = flagged.withColumn("_rk", F.row_number().over(w)).where(
+            F.col("_rk") > 1
+        )
+    # covered token positions (distinct per doc)
+    covered = (
+        flagged.select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(n - 1))
+            ).alias("_tp"),
+        )
+        .distinct()
+        .withColumn("_cut", F.lit(True))
+    )
+    tok_rows = toks.select(
+        "_id", "_len", F.posexplode("_toks").alias("_tp", "_tok")
+    )
+    kept = (
+        tok_rows.join(covered, ["_id", "_tp"], "left")
+        .withColumn("_keep", F.col("_cut").isNull())
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"), F.struct(F.col("_tp"), F.col("_tok"))
+                        )
+                    )
+                ),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias(text_col),
+        F.max("_len").cast("long").alias("n_tokens"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_trimmed"),
+    )
+    # docs with zero tokens never reach the groupBy via posexplode;
+    # restore them with empty text
+    out = (
+        toks.select("_id")
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_trimmed"), F.lit(0)).alias("n_trimmed"),
+        )
+    )
+    return out
+
+
 def exact_duplicates(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -6,6 +6,7 @@ of the engine's distributed operators.
     -> PII scrub (detect + redact, shuffle-free Column exprs)
     -> exact dedup (fingerprint groupBy, keep min id)
     -> corpus-wide paragraph dedup (boilerplate first-occurrence pass)
+    -> exact-substring span trim (repeated 8-grams, keep-first)
     -> near-dup (MinHash LSH candidates, keep min id per component edge)
     -> embedding near-dup (block-grid exact cosine)
     -> ANN enrichment (IVF top-k nearest neighbors per surviving doc)
@@ -148,6 +149,18 @@ def main() -> None:
         .join(para.select("doc_id", "text"), "doc_id")
     )
 
+    # 2c. exact-substring span trim (Lee et al. 2021): drop every
+    # later occurrence of any 8-gram repeated corpus-wide, keeping the
+    # globally-first copy — gram-keyed joins + one doc-keyed rebuild.
+    trimmed = dedup.trim_repeated_spans(exact_survivors, 8)
+    n_span_trimmed = int(
+        trimmed.agg(F.sum("n_trimmed")).collect()[0][0] or 0
+    )
+    exact_survivors = (
+        exact_survivors.drop("text")
+        .join(trimmed.select("doc_id", "text"), "doc_id")
+    )
+
     # 3. near-dup: MinHash LSH pairs above tau -> connected components
     # -> keep exactly the canonical (min-id) doc of every cluster
     pairs = dedup.minhash_lsh_pairs(exact_survivors, JACCARD_TAU)
@@ -270,6 +283,7 @@ def main() -> None:
         "after_decontamination": n_decon,
         "after_exact_dedup": n_exact,
         "boilerplate_paragraphs_dropped": n_paras_dropped,
+        "repeated_span_tokens_trimmed": n_span_trimmed,
         "minhash_pairs_found": n_near_pairs,
         "after_minhash_neardup": n_near,
         "embedding_pairs_found": n_emb_pairs,

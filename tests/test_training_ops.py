@@ -224,6 +224,57 @@ def test_repeated_ngram_spans_vs_bruteforce(spark):
     assert got[5]["dup_tokens"] == 0  # shorter than n: no grams
 
 
+def test_trim_repeated_spans(spark):
+    """Removal twin of the span metric: keep_first retains exactly the
+    globally-first copy of each duplicated passage; keep_first=False
+    trims every copy. Brute-forced per doc."""
+    boiler = "terms of service apply to all"
+    texts = {
+        0: f"alpha beta {boiler} gamma delta",
+        1: f"{boiler} epsilon zeta eta theta iota",
+        2: "unique words entirely here today",
+        3: "too short",
+    }
+    n = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in dedup.trim_repeated_spans(df, n).collect()}
+
+    # doc 0 holds the global first occurrence (id 0, pos 2) -> intact
+    assert got[0]["text"] == texts[0]
+    assert got[0]["n_trimmed"] == 0
+    # doc 1's copy of the boilerplate is trimmed; its unique tail stays
+    assert got[1]["text"] == "epsilon zeta eta theta iota"
+    assert got[1]["n_trimmed"] == 6
+    assert got[2]["text"] == texts[2] and got[2]["n_trimmed"] == 0
+    assert got[3]["text"] == texts[3] and got[3]["n_trimmed"] == 0
+    for i, r in got.items():
+        assert r["n_tokens"] == len(texts[i].split())
+
+    # harsher variant: every occurrence goes
+    got_all = {
+        r["doc_id"]: r
+        for r in dedup.trim_repeated_spans(df, n, keep_first=False).collect()
+    }
+    assert got_all[0]["text"] == "alpha beta gamma delta"
+    assert got_all[0]["n_trimmed"] == 6
+    assert got_all[1]["n_trimmed"] == 6
+
+    # consistency with the metric: trimming removes >= metric coverage
+    # minus the kept-first copies, and a re-run on trimmed text finds
+    # no corpus-duplicated grams left under keep_first=False
+    retrimmed = dedup.trim_repeated_spans(
+        spark.createDataFrame(
+            [(i, r["text"]) for i, r in got_all.items()],
+            "doc_id long, text string",
+        ),
+        n,
+        keep_first=False,
+    ).collect()
+    assert all(r["n_trimmed"] == 0 for r in retrimmed)
+
+
 def _py_shingles(s, k=3):
     t = s.split()
     return set(" ".join(t[i : i + k]) for i in range(len(t) - k + 1))

@@ -300,6 +300,9 @@ def scrub_ladder(spark, sizes: list[int]) -> None:
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
         bloom as bloom_ops,
     )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+        dedup as dedup_mod,
+    )
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (
         paragraph_dedup,
     )
@@ -346,6 +349,13 @@ def scrub_ladder(spark, sizes: list[int]) -> None:
             paragraph_dedup(para_docs).agg(F.sum("n_dropped")).collect()[0][0]
         )
         t_para = time.time() - t0
+        t0 = time.time()
+        n_dup_toks = int(
+            dedup_mod.repeated_ngram_spans(docs, 8)
+            .agg(F.sum("dup_tokens"))
+            .collect()[0][0]
+        )
+        t_spans = time.time() - t0
         fps = docs.select(F.md5("text").alias("fp"))
         t0 = time.time()
         bf = bloom_ops.build(fps, "fp", expected_n=n)
@@ -369,6 +379,8 @@ def scrub_ladder(spark, sizes: list[int]) -> None:
                 "pii_redact_mb_s": round(mb / t_red, 1),
                 "para_dedup_sec": round(t_para, 2),
                 "para_dropped": n_dropped,
+                "ngram_spans_sec": round(t_spans, 2),
+                "dup_tokens_found": n_dup_toks,
                 "bloom_build_sec": round(t_build, 2),
                 "bloom_probe_sec": round(t_probe, 2),
                 "bloom_probe_docs_s": round(n / t_probe),
