@@ -3671,9 +3671,13 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal-TRUE invariant gate (vocab_stats.hll_ok pattern)."""
     docs = _docs(spark, sf_dir)
     base = docs.select("doc_id", _pii_ptext_expr().alias("_ptext"))
-    feats = pii_ops.pii_features(base, text_col="_ptext")
-    red = pii_ops.redact_pii(base, text_col="_ptext", out_col="_red").select(
-        "doc_id", "_red"
+    # detect + redact in ONE scan: redact first, carry the redacted
+    # text through the counting projection as a kept column (no join,
+    # no second scan of the corpus)
+    feats = pii_ops.pii_features(
+        pii_ops.redact_pii(base, text_col="_ptext", out_col="_red"),
+        text_col="_ptext",
+        keep_cols=("_red",),
     )
 
     def tok_count(c, tok):
@@ -3702,7 +3706,7 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return feats.join(red, "doc_id").withColumn("pii_ok", gate).drop("_red")
+    return feats.withColumn("pii_ok", gate).drop("_red")
 
 
 # literal SQL twin of _pii_ptext_expr (kept adjacent so drift is obvious)

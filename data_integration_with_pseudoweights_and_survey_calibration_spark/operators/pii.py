@@ -117,12 +117,18 @@ def luhn_valid(candidate: Column) -> Column:
 
 
 def pii_features(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document PII counts: ``n_<category>`` for every category in
     :data:`PII_PATTERNS`, plus ``n_card_luhn`` (candidates passing the
     Luhn checksum -- the count a compliance gate should act on) and
-    ``has_pii``.  One narrow projection, no shuffle.
+    ``has_pii``.  One narrow projection, no shuffle.  ``keep_cols``
+    pass through unchanged (e.g. carry :func:`redact_pii`'s output so
+    detect + redact stay ONE scan with no join).
 
     Counts are computed on PROGRESSIVELY REDACTED text, mirroring
     :func:`redact_pii`'s category order: each character is attributed
@@ -132,7 +138,7 @@ def pii_features(
     placeholders :func:`redact_pii` inserts."""
     stage: Column = F.col(text_col)
     luhn_stage: Column = stage
-    cols: list[Column] = [F.col(id_col)]
+    cols: list[Column] = [F.col(id_col), *(F.col(c) for c in keep_cols)]
     for cat, pat, token in PII_PATTERNS:
         cols.append(
             # idx=0 = whole match: the patterns use only non-capturing
