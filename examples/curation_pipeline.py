@@ -156,9 +156,14 @@ def main() -> None:
     n_span_trimmed = int(
         trimmed.agg(F.sum("n_trimmed")).collect()[0][0] or 0
     )
+    # localCheckpoint: the rebuilt-text lineage (paragraph dedup + span
+    # trim, each a groupBy rebuild) would otherwise be re-executed by
+    # EVERY downstream action of the funnel (MinHash, winnowing,
+    # packing, ...). Materialize once, truncate the lineage.
     exact_survivors = (
         exact_survivors.drop("text")
         .join(trimmed.select("doc_id", "text"), "doc_id")
+        .localCheckpoint()
     )
 
     # 3. near-dup: MinHash LSH pairs above tau -> connected components
