@@ -261,9 +261,10 @@ def test_trim_repeated_spans(spark):
     assert got_all[0]["n_trimmed"] == 6
     assert got_all[1]["n_trimmed"] == 6
 
-    # consistency with the metric: trimming removes >= metric coverage
-    # minus the kept-first copies, and a re-run on trimmed text finds
-    # no corpus-duplicated grams left under keep_first=False
+    # a re-run on THIS corpus's trimmed text finds nothing left (holds
+    # here because no junction grams collide; in general a single pass
+    # can create new cross-doc junction n-grams — see the operator
+    # docstring and the hypothesis invariants test)
     retrimmed = dedup.trim_repeated_spans(
         spark.createDataFrame(
             [(i, r["text"]) for i, r in got_all.items()],
