@@ -266,6 +266,76 @@ def trim_repeated_spans(
     return out
 
 
+def trim_repeated_spans_fixpoint(
+    df: DataFrame,
+    n: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    keep_first: bool = True,
+    max_rounds: int = 8,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Iterate :func:`trim_repeated_spans` to a FIXPOINT: re-trim until
+    a pass removes nothing (junction n-grams created by one round are
+    caught by the next).  Converges fast — each round strictly shrinks
+    total tokens, and in practice 2-3 rounds suffice (the first round
+    removes the planted duplication; later rounds only chase junction
+    artifacts).
+
+    Driver loop discipline (same as connected components / BPE): each
+    round ``localCheckpoint``s its output so round k+1 reads
+    materialized rows instead of replaying k stacked rebuild lineages,
+    and the driver sees only the single ``n_trimmed`` total per round.
+    ``stats['rounds']``/``stats['trimmed_per_round']`` report the
+    trajectory.  Returns (id, text, n_tokens, n_trimmed) where
+    ``n_tokens`` is the ORIGINAL token count and ``n_trimmed`` the
+    total across rounds."""
+    cur = df.select(F.col(id_col), F.col(text_col))
+    totals = None  # (id, n_tokens original, cumulative trimmed)
+    per_round: list[int] = []
+    rounds = 0
+    for _ in range(max_rounds):
+        out = trim_repeated_spans(
+            cur,
+            n,
+            id_col=id_col,
+            text_col=text_col,
+            min_count=min_count,
+            keep_first=keep_first,
+        ).localCheckpoint()
+        rounds += 1
+        round_trim = out.agg(F.sum("n_trimmed")).collect()[0][0] or 0
+        per_round.append(int(round_trim))
+        if totals is None:
+            totals = out.select(
+                F.col(id_col), "n_tokens", F.col("n_trimmed").alias("_cum")
+            )
+        else:
+            totals = (
+                totals.join(
+                    out.select(F.col(id_col), F.col("n_trimmed").alias("_r")),
+                    id_col,
+                )
+                .withColumn("_cum", F.col("_cum") + F.col("_r"))
+                .drop("_r")
+                .localCheckpoint()
+            )
+        cur = out.select(F.col(id_col), F.col(text_col))
+        if round_trim == 0:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["trimmed_per_round"] = per_round
+    return cur.join(totals, id_col).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col("n_tokens"),
+        F.col("_cum").alias("n_trimmed"),
+    )
+
+
 def exact_duplicates(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -276,6 +276,46 @@ def test_trim_repeated_spans(spark):
     assert all(r["n_trimmed"] == 0 for r in retrimmed)
 
 
+def test_trim_repeated_spans_fixpoint(spark):
+    """A corpus that NEEDS a second round (junction 3-grams collide
+    after round 1; verified in pure Python: round trims 57, 5, 0).
+    The fixpoint wrapper must converge, leave ZERO corpus-duplicated
+    grams, and keep token accounting exact across rounds."""
+    texts = {
+        0: "d b a c c d c c d d d d c",
+        1: "a a d b c b d a c a a d b",
+        2: "b d d b d c d b c c d b b d",
+        3: "d a d a d d d d c c c a",
+        4: "d a c b c c c b a d d a b a",
+        5: "a b d a a c a",
+        6: "b a",
+    }
+    n = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    stats = {}
+    out = dedup.trim_repeated_spans_fixpoint(
+        df, n, keep_first=False, stats=stats
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert stats["rounds"] >= 3  # 2 trimming rounds + the zero round
+    assert stats["trimmed_per_round"] == [57, 5, 0]
+    for i, t in texts.items():
+        r = rows[i]
+        assert r["n_tokens"] == len(t.split())
+        assert len(r["text"].split()) + r["n_trimmed"] == r["n_tokens"]
+    # fixpoint: the trimmed corpus has no corpus-duplicated n-gram left
+    left = dedup.repeated_ngram_spans(
+        spark.createDataFrame(
+            [(i, r["text"]) for i, r in rows.items()],
+            "doc_id long, text string",
+        ),
+        n,
+    ).agg(F.sum("dup_tokens")).collect()[0][0]
+    assert left == 0
+
+
 def _py_shingles(s, k=3):
     t = s.split()
     return set(" ".join(t[i : i + k]) for i in range(len(t) - k + 1))
