@@ -58,6 +58,8 @@ from .operators.dedup import (  # noqa: E402,F401
     connected_components,
     paragraph_dedup,
     repeated_ngram_spans,
+    trim_repeated_spans,
+    trim_repeated_spans_fixpoint,
 )
 from .operators.pii import pii_features, redact_pii  # noqa: E402,F401
 from .operators.quality import (  # noqa: E402,F401
@@ -105,6 +107,8 @@ __all__ = [
     "repeated_ngram_spans",
     "score_quality",
     "train_quality_classifier",
+    "trim_repeated_spans",
+    "trim_repeated_spans_fixpoint",
     "corpus_shuffle_split",
     "cox_fit",
     "decontaminate",
