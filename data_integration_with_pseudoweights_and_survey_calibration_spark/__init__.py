@@ -74,7 +74,10 @@ from .operators.ordering import (  # noqa: E402,F401
     corpus_shuffle_split,
     global_rank,
 )
-from .operators.packing import pack_sequences  # noqa: E402,F401
+from .operators.packing import (  # noqa: E402,F401
+    chunk_documents,
+    pack_sequences,
+)
 from .operators.propensity import fit_propensity, integrate  # noqa: E402,F401
 from .operators.pseudoweights import kw_weights, stack_samples  # noqa: E402,F401
 from .operators.sampling import (  # noqa: E402,F401
@@ -100,6 +103,7 @@ __all__ = [
     "bloom_contains",
     "bloom_filter_unseen",
     "calib_est",
+    "chunk_documents",
     "connected_components",
     "paragraph_dedup",
     "pii_features",

@@ -69,3 +69,78 @@ def pack_sequences(
     return src.repartition(int(n_shards), "shard").groupBy("shard").applyInPandas(
         _pack, schema="doc_id long, shard long, seq_id long, offset long, n_tok long"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    *,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tail: int | None = None,
+) -> DataFrame:
+    """Context-window chunking — the complement of :func:`pack_sequences`
+    (chunking SPLITS over-long documents to the window size; packing
+    CONCATENATES short ones): every document becomes ceil((n - overlap)
+    / stride) chunks of at most ``max_tokens`` whitespace tokens, with
+    consecutive chunks sharing ``overlap`` tokens (the standard sliding
+    window for long-document pretraining / embedding indexing).
+
+    Returns (id, chunk_id, chunk_text, n_chunk_tokens) with chunk_id
+    numbering from 0 per document; a trailing fragment of at most
+    ``min_tail - 1`` tokens (and not the document's only chunk) is
+    dropped.  ``min_tail`` defaults to ``overlap + 1`` — exactly the
+    threshold below which a tail is wholly contained in the previous
+    chunk's overlap and carries no new tokens.
+
+    100 TB shape: pure Column math — tokenize once, build the stride
+    start positions with ``sequence``, slice with a HOF transform, and
+    ``posexplode``.  Map-only, codegen-fused, no shuffle, no UDF;
+    output row count is sum(ceil(n/stride)) — linear in corpus tokens.
+    """
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < max_tokens ({max_tokens})"
+        )
+    if min_tail is None:
+        min_tail = overlap + 1
+    from .text import tokens
+
+    stride = max_tokens - overlap
+    # empty text tokenizes to [""] — drop empty tokens so an empty doc
+    # yields one empty chunk with n_chunk_tokens = 0
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    # chunk start positions (1-based for slice): 1, 1+stride, ...
+    # last start: the largest s with s <= n (guard n = 0 -> single
+    # empty chunk is dropped by the explode of an empty sequence; we
+    # keep empty docs as one empty chunk via greatest(n, 1))
+    starts = F.sequence(
+        F.lit(1), F.greatest(n, F.lit(1)), F.lit(int(stride))
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.slice(toks, s, int(max_tokens)),
+    )
+    out = (
+        df.select(
+            F.col(id_col),
+            n.alias("_n"),
+            F.posexplode(chunks).alias("chunk_id", "_chunk"),
+        )
+        .withColumn("n_chunk_tokens", F.size("_chunk"))
+        # a tail fragment fully covered by the previous chunk's overlap
+        # carries no new tokens
+        .where(
+            (F.col("chunk_id") == 0)
+            | (F.col("n_chunk_tokens") >= F.lit(int(min_tail)))
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(F.col("_chunk"), " ").alias("chunk_text"),
+            F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        )
+    )
+    return out

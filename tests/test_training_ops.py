@@ -1115,3 +1115,63 @@ def test_cosine_grid_no_duplicates_with_empty_block(spark):
     want = {(a, b) for a in range(6) for b in range(a + 1, 6)
             if a % 2 == b % 2}
     assert set(pairs) == want
+
+
+def test_chunk_documents_sliding_window(spark):
+    """Context-window chunking vs a brute-force Python twin: coverage
+    (every token appears in some chunk), overlap contract, tail
+    handling, empty and short docs."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    texts = {
+        0: " ".join(f"t{i}" for i in range(23)),  # 23 toks: 3 chunks @10/ov2
+        1: " ".join(f"u{i}" for i in range(10)),  # exactly one window
+        2: "a b c",  # shorter than window
+        3: "",  # empty doc
+        4: " ".join(f"v{i}" for i in range(18)),  # tail exactly == overlap
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {}
+    for r in chunk_documents(df, 10, overlap=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+        )
+    for i in got:
+        got[i].sort()
+
+    def brute(t, mx=10, ov=2):
+        w = t.split()
+        stride = mx - ov
+        out = []
+        s = 0
+        while True:
+            chunk = w[s : s + mx]
+            if s > 0 and len(chunk) <= ov:
+                break
+            out.append(" ".join(chunk))
+            if s + mx >= len(w):
+                break
+            s += stride
+        return out
+
+    for i, t in texts.items():
+        want = brute(t)
+        have = [c[1] for c in got[i]]
+        assert have == want, (i, have, want)
+        # consecutive chunks share exactly the overlap suffix/prefix
+        for a, b in zip(have, have[1:]):
+            assert a.split()[-2:] == b.split()[:2]
+        # coverage: concatenating chunks minus overlaps rebuilds the doc
+        rebuilt = have[0].split() if have else []
+        for c in have[1:]:
+            rebuilt += c.split()[2:]
+        assert rebuilt == t.split(), i
+    assert len(got[0]) == 3 and len(got[1]) == 1 and len(got[2]) == 1
+    assert got[3] == [(0, "", 0)]
+    # doc 4: 18 toks, stride 8 -> starts 0,8,16; tail (16..17) is 2 toks
+    # == overlap -> dropped; starts 0,8 cover everything
+    assert len(got[4]) == 2
