@@ -2520,21 +2520,56 @@ PACK_BUDGET = 256
 PACK_SHARDS = 8
 
 
+CHUNK_MAX = 16
+CHUNK_OVERLAP = 4
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: documents -> fixed 256-token training
-    sequences, next-fit in doc_id order within doc_id%8 shards."""
+    """Training-window layout suite, part-labeled in one union:
+
+    - part='pack': next-fit sequence packing — documents into fixed
+      256-token training sequences within doc_id%8 shards.
+    - part='chunk' (round 5): context-window chunking
+      (``operators/packing.py chunk_documents``) — every doc into
+      sliding 16-token windows with 4-token overlap; each chunk's text
+      is certified via md5, so the hash match proves the window slices
+      byte-exactly (the SQL oracle recomputes the same windows with
+      generate_series + array_slice)."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.packing import (
+        chunk_documents,
+    )
+
     docs = _docs(spark, sf_dir)
-    return pack_sequences(
+    packed = pack_sequences(
         docs,
         PACK_BUDGET,
         n_tok=text_ops.token_count("text"),
         n_shards=PACK_SHARDS,
+    ).select(
+        F.lit("pack").alias("part"),
+        "doc_id",
+        F.col("shard").cast("long").alias("a"),
+        F.col("seq_id").cast("long").alias("b"),
+        F.col("offset").cast("long").alias("c"),
+        F.col("n_tok").cast("long").alias("n"),
+        F.lit(None).cast("string").alias("fp"),
     )
+    chunks = chunk_documents(docs, CHUNK_MAX, overlap=CHUNK_OVERLAP).select(
+        F.lit("chunk").alias("part"),
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("a"),
+        F.col("n_chunk_tokens").cast("long").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+        F.lit(None).cast("long").alias("n"),
+        F.md5("chunk_text").alias("fp"),
+    )
+    return packed.unionByName(chunks)
 
 
 def _sql_pack_sequences() -> str:
     # the same next-fit recurrence, one recursion level per doc rank
-    # within its shard
+    # within its shard; plus the sliding-window chunk twin
+    stride = CHUNK_MAX - CHUNK_OVERLAP
     return f"""
     WITH RECURSIVE t AS (
       SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
@@ -2551,8 +2586,28 @@ def _sql_pack_sequences() -> str:
                   THEN p.seq_id ELSE p.seq_id + 1 END,
              CASE WHEN p.off + p.n_tok + o.n_tok <= {PACK_BUDGET}
                   THEN p.off + p.n_tok ELSE 0::BIGINT END
-      FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
-    SELECT doc_id, shard, seq_id, off AS offset, n_tok FROM pack
+      FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1),
+    ct AS (SELECT doc_id,
+                  list_filter({TOKS_SQL}, x -> x <> '') AS toks
+           FROM documents),
+    cs AS (SELECT doc_id, toks,
+                  unnest(generate_series(1, greatest(len(toks), 1),
+                                         {stride})) AS s
+           FROM ct),
+    ch AS (SELECT doc_id, (s - 1) / {stride} AS chunk_id,
+                  array_slice(toks, s, s + {CHUNK_MAX - 1}) AS chunk
+           FROM cs),
+    cf AS (SELECT doc_id, chunk_id, len(chunk) AS n_chunk,
+                  md5(array_to_string(chunk, ' ')) AS fp
+           FROM ch
+           WHERE chunk_id = 0 OR len(chunk) >= {CHUNK_OVERLAP + 1})
+    SELECT 'pack' AS part, doc_id, shard AS a, seq_id AS b,
+           off AS c, n_tok AS n, NULL::VARCHAR AS fp
+    FROM pack
+    UNION ALL
+    SELECT 'chunk', doc_id, chunk_id::BIGINT, n_chunk::BIGINT,
+           NULL::BIGINT, NULL::BIGINT, fp
+    FROM cf
     """
 
 
