@@ -1556,11 +1556,14 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts over ``documents`` — map-only array-HOF pass, no UDF
     (``operators/text.py winnow_fingerprints``).
 
-    Round 5 joins in the exact-substring-dedup signal
-    (``operators/dedup.py repeated_ngram_spans``, Lee et al. 2021):
-    per-doc count and fraction of tokens covered by 5-grams duplicated
-    corpus-wide — the interval-union coverage is recomputed verbatim by
-    the SQL oracle (same gram keys, same window arithmetic)."""
+    Round 5 joins in the exact-substring-dedup signal AND its removal
+    twin (``operators/dedup.py repeated_ngram_spans`` /
+    ``trim_repeated_spans``, Lee et al. 2021): per-doc count and
+    fraction of tokens covered by 5-grams duplicated corpus-wide, plus
+    the md5 of the keep-first-TRIMMED document and its removed-token
+    count — the oracle recomputes the interval-union coverage, the
+    keeper window, and the token-level rebuild verbatim, so the hash
+    match certifies the rebuilt documents byte-exactly."""
     docs = _docs(spark, sf_dir)
     fps = text_ops.winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
     bpe = docs.select(
@@ -1571,10 +1574,16 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_tokens",
         F.round("dup_frac", 9).alias("dup_frac"),
     )
+    trims = dedup_ops.trim_repeated_spans(docs, NGRAM_SPAN_N).select(
+        "doc_id",
+        F.md5("text").alias("trim_fp"),
+        F.col("n_trimmed").cast("long").alias("n_trimmed"),
+    )
     fp = F.col("fingerprints")
     return (
         bpe.join(fps, "doc_id")
         .join(spans, "doc_id")
+        .join(trims, "doc_id")
         .select(
             "doc_id",
             F.col("n_pieces").cast("long").alias("n_pieces"),
@@ -1587,6 +1596,8 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fp_checksum"),
             "dup_tokens",
             "dup_frac",
+            "trim_fp",
+            "n_trimmed",
         )
         # no global orderBy: the gate's compare is row-sorted, and a
         # total sort of a per-doc output is a needless O(n log n)
@@ -1633,7 +1644,26 @@ def _sql_doc_fingerprints() -> str:
                     lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
                     {n})) AS cov
            FROM fl),
-    du AS (SELECT doc_id, sum(cov) AS dup_tokens FROM cv GROUP BY 1)
+    du AS (SELECT doc_id, sum(cov) AS dup_tokens FROM cv GROUP BY 1),
+    k1 AS (SELECT doc_id, pos, row_number() OVER (
+               PARTITION BY gram ORDER BY doc_id, pos) AS rk
+           FROM gr JOIN dg USING (gram)),
+    cov2 AS (SELECT DISTINCT doc_id, tp
+             FROM (SELECT doc_id,
+                          unnest(generate_series(pos, pos + {n - 1})) AS tp
+                   FROM k1 WHERE rk > 1)),
+    tokrows AS (SELECT doc_id,
+                       unnest(generate_series(1, len(toks))) AS p1, toks
+                FROM t),
+    trr AS (SELECT tk.doc_id, tk.p1 - 1 AS tp, tk.toks[tk.p1] AS tok,
+                   c.tp IS NOT NULL AS cut
+            FROM tokrows tk
+            LEFT JOIN cov2 c ON c.doc_id = tk.doc_id AND c.tp = tk.p1 - 1),
+    tagg AS (SELECT doc_id,
+                    coalesce(string_agg(tok, ' ' ORDER BY tp)
+                             FILTER (WHERE NOT cut), '') AS ttext,
+                    count(*) FILTER (WHERE cut) AS n_trimmed
+             FROM trr GROUP BY doc_id)
     SELECT s.doc_id,
            len(regexp_extract_all(text, '{text_ops.BPE_PIECE_RE}'))::BIGINT
              AS n_pieces,
@@ -1643,9 +1673,12 @@ def _sql_doc_fingerprints() -> str:
              AS fp_checksum,
            coalesce(du.dup_tokens, 0)::BIGINT AS dup_tokens,
            round(coalesce(du.dup_tokens, 0) / tl.n_tok::DOUBLE, 9)
-             AS dup_frac
+             AS dup_frac,
+           md5(ta.ttext) AS trim_fp,
+           ta.n_trimmed::BIGINT AS n_trimmed
     FROM s
     JOIN tl USING (doc_id)
+    JOIN tagg ta ON s.doc_id = ta.doc_id
     LEFT JOIN du ON s.doc_id = du.doc_id
     ORDER BY s.doc_id
     """
