@@ -65,6 +65,33 @@ def _shingle_frame(
     )
 
 
+def _gram_occurrences(df, n, id_col, text_col):
+    """(grams, toks): the (doc, pos, gram) occurrence frame shared by
+    the span metric and the trim operators, plus the tokenized frame.
+    Short docs (< n tokens) contribute no grams (``sequence(1, 0)``
+    counts DOWN in Spark — guarded)."""
+    from .text import spread
+
+    toks = (
+        spread(df)
+        .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+        .withColumn("_len", F.size("_toks"))
+    )
+    starts = F.when(
+        F.col("_len") >= n,
+        F.sequence(F.lit(1), F.col("_len") - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                starts, lambda i: F.concat_ws(" ", F.slice("_toks", i, n))
+            )
+        ).alias("_pos", "_gram"),
+    )
+    return grams, toks
+
+
 def repeated_ngram_spans(
     df: DataFrame,
     n: int = 5,
@@ -84,46 +111,22 @@ def repeated_ngram_spans(
     Returns (id, n_tokens, dup_tokens, dup_frac).
 
     Scale shape: explode to (doc, pos, gram) — O(total tokens) narrow
-    rows; one groupBy on the gram (map-side partials) for corpus
-    counts; one equi-join of occurrences against the duplicated-gram
-    set (same gram key, so the shuffle partitioning is reused); one
-    doc-keyed window+aggregate for interval-union coverage.  No UDF,
-    no driver data.  Coverage needs no per-token explosion: sorting
-    flagged gram starts per doc, a gram at ``pos`` contributes
+    rows; corpus counts come from ONE gram-keyed window (``count(*)
+    over partitionBy(gram)``), so the explosion is scanned once and
+    there is no self-join of the gram frame; then one doc-keyed
+    window+aggregate for interval-union coverage.  No UDF, no driver
+    data.  Coverage needs no per-token explosion: sorting flagged gram
+    starts per doc, a gram at ``pos`` contributes
     ``min(n, next_pos - pos)`` new covered tokens (the last one
     ``n``) — the interval union in one window pass.  A production
     corpus would key the gram shuffle on ``xxhash64(gram)`` (8-byte
     keys); the string key here keeps the arithmetic identical to the
     SQL oracle.
     """
-    from .text import spread
-
-    toks = (
-        spread(df)
-        .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
-        .withColumn("_len", F.size("_toks"))
-    )
-    # sequence(1, 0) counts DOWN — guard short docs to an empty gram set
-    starts = F.when(
-        F.col("_len") >= n,
-        F.sequence(F.lit(1), F.col("_len") - F.lit(n - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    grams = toks.select(
-        "_id",
-        "_len",
-        F.posexplode(
-            F.transform(
-                starts, lambda i: F.concat_ws(" ", F.slice("_toks", i, n))
-            )
-        ).alias("_pos", "_gram"),
-    )
-    dup_grams = (
-        grams.groupBy("_gram")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .where(F.col("_cnt") >= min_count)
-        .select("_gram")
-    )
-    flagged = grams.join(dup_grams, "_gram")
+    grams, toks = _gram_occurrences(df, n, id_col, text_col)
+    flagged = grams.withColumn(
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_gram"))
+    ).where(F.col("_cnt") >= min_count)
     w = Window.partitionBy("_id").orderBy("_pos")
     cover = flagged.withColumn("_nxt", F.lead("_pos").over(w)).withColumn(
         "_cov",
@@ -179,43 +182,23 @@ def trim_repeated_spans(
     full elimination iterates the pass to a fixpoint; one pass removes
     every ORIGINAL duplicated occurrence.
 
-    Scale shape: the same explode + gram-keyed count as the span
-    metric, plus a window picking the keeper occurrence per gram, a
+    Scale shape: the same single-scan gram explosion as the span
+    metric, with corpus count AND keeper rank from ONE gram-keyed
+    window pass (``count(*)`` + ``row_number()`` over the same
+    partitioning — one shuffle, no self-join), then a
     ``sequence``-explode of covered token positions (O(n) rows per
-    flagged gram, narrow), and one doc-keyed anti-join + rebuild
+    flagged gram, narrow) and one doc-keyed anti-join + rebuild
     aggregate.  No UDF, no driver data.
     """
-    from .text import spread, tokens as _tokens
-
-    toks = (
-        spread(df)
-        .select(F.col(id_col).alias("_id"), _tokens(text_col).alias("_toks"))
-        .withColumn("_len", F.size("_toks"))
-    )
-    starts = F.when(
-        F.col("_len") >= n,
-        F.sequence(F.lit(1), F.col("_len") - F.lit(n - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    grams = toks.select(
-        "_id",
-        F.posexplode(
-            F.transform(
-                starts, lambda i: F.concat_ws(" ", F.slice("_toks", i, n))
-            )
-        ).alias("_pos", "_gram"),
-    )
-    dup_grams = (
-        grams.groupBy("_gram")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .where(F.col("_cnt") >= min_count)
-        .select("_gram")
-    )
-    flagged = grams.join(dup_grams, "_gram")
+    grams, toks = _gram_occurrences(df, n, id_col, text_col)
+    w_gram = Window.partitionBy("_gram").orderBy("_id", "_pos")
+    flagged = grams.withColumn(
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_gram"))
+    ).where(F.col("_cnt") >= min_count)
     if keep_first:
-        w = Window.partitionBy("_gram").orderBy("_id", "_pos")
-        flagged = flagged.withColumn("_rk", F.row_number().over(w)).where(
-            F.col("_rk") > 1
-        )
+        flagged = flagged.withColumn(
+            "_rk", F.row_number().over(w_gram)
+        ).where(F.col("_rk") > 1)
     # covered token positions (distinct per doc)
     covered = (
         flagged.select(
