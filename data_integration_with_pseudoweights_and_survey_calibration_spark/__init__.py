@@ -94,6 +94,10 @@ from .operators.text import (  # noqa: E402,F401
     winnow_fingerprints,
 )
 from .session import get_spark  # noqa: E402,F401
+from .sources.corpus import (  # noqa: E402,F401
+    read_csv_corpus,
+    read_jsonl_corpus,
+)
 from .sources.sinks import write_bucketed, write_partitioned  # noqa: E402,F401
 
 __all__ = [
@@ -135,6 +139,8 @@ __all__ = [
     "kw_weights",
     "post_stratify",
     "pps_sample",
+    "read_csv_corpus",
+    "read_jsonl_corpus",
     "run_simulation",
     "sessionize",
     "stack_samples",
