@@ -3,12 +3,15 @@
 of the engine's distributed operators.
 
     quality features -> language ID -> quality/language gate
+    -> trained quality classifier (ridge-IRLS logistic, map-only score)
     -> PII scrub (detect + redact, shuffle-free Column exprs)
     -> exact dedup (fingerprint groupBy, keep min id)
-    -> corpus-wide paragraph dedup (boilerplate first-occurrence pass)
-    -> exact-substring span trim (repeated 8-grams, keep-first)
-    -> near-dup (MinHash LSH candidates, keep min id per component edge)
+    -> near-dup (MinHash LSH -> components -> keep BEST-quality member)
     -> embedding near-dup (block-grid exact cosine)
+    -> content scrub on survivors: corpus-wide paragraph dedup, then
+       exact-substring span trim (repeated 8-grams, keep-first) —
+       doc-level dedup first, content-level after (trimming shared
+       content first would erase the similarity MinHash keys on)
     -> ANN enrichment (IVF top-k nearest neighbors per surviving doc)
     -> Bloom filter of the final fingerprints persisted next to the
        corpus (tomorrow's incremental crawl probes it map-only via
@@ -137,41 +140,29 @@ def main() -> None:
     exact_survivors = gated.join(F.broadcast(keep_exact), "doc_id")
     n_exact = exact_survivors.count()
 
-    # 2b. corpus-wide paragraph dedup (operators/dedup.py): drop every
-    # repeated boilerplate paragraph after its first (id, pos)
-    # occurrence and rebuild the documents — two bounded-key shuffles.
-    para = dedup.paragraph_dedup(exact_survivors)
-    n_paras_dropped = int(
-        para.agg(F.sum("n_dropped")).collect()[0][0] or 0
-    )
-    exact_survivors = (
-        exact_survivors.drop("text")
-        .join(para.select("doc_id", "text"), "doc_id")
-    )
-
-    # 2c. exact-substring span trim (Lee et al. 2021): drop every
-    # later occurrence of any 8-gram repeated corpus-wide, keeping the
-    # globally-first copy — gram-keyed joins + one doc-keyed rebuild.
-    trimmed = dedup.trim_repeated_spans(exact_survivors, 8)
-    n_span_trimmed = int(
-        trimmed.agg(F.sum("n_trimmed")).collect()[0][0] or 0
-    )
-    # localCheckpoint: the rebuilt-text lineage (paragraph dedup + span
-    # trim, each a groupBy rebuild) would otherwise be re-executed by
-    # EVERY downstream action of the funnel (MinHash, winnowing,
-    # packing, ...). Materialize once, truncate the lineage.
-    exact_survivors = (
-        exact_survivors.drop("text")
-        .join(trimmed.select("doc_id", "text"), "doc_id")
-        .localCheckpoint()
-    )
-
     # 3. near-dup: MinHash LSH pairs above tau -> connected components
-    # -> keep exactly the canonical (min-id) doc of every cluster
+    # -> QUALITY-AWARE resolution: keep the member with the highest
+    # classifier score per cluster (ties broken by min id), not blindly
+    # the min id — the real-world policy when duplicates differ in
+    # cleanliness. One keyed join of the component table against the
+    # classifier scores + a per-component max-struct aggregate.
     pairs = dedup.minhash_lsh_pairs(exact_survivors, JACCARD_TAU)
     n_near_pairs = pairs.count()
     comp = dedup.connected_components(pairs)
-    drop_near = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    keep_best = (
+        comp.join(clf_scores, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality_prob"), (-F.col("doc_id")).alias("_negid")
+                )
+            ).alias("_best")
+        )
+        .select((-F.col("_best._negid")).alias("doc_id"))
+    )
+    in_comp = comp.select("doc_id")
+    drop_near = in_comp.join(keep_best, "doc_id", "left_anti")
     near_survivors = exact_survivors.join(drop_near, "doc_id", "left_anti")
     n_near = near_survivors.count()
 
@@ -184,6 +175,28 @@ def main() -> None:
     drop_emb = epairs.select(F.col("id_b").alias("doc_id")).distinct()
     final = near_survivors.join(drop_emb, "doc_id", "left_anti").cache()
     n_final = final.count()
+
+    # 4b. CONTENT-level scrubbing on the doc-level survivors (ordering
+    # matters: near-dup detection wants the ORIGINAL text; trimming
+    # shared content first would erase the very similarity the MinHash
+    # stage keys on):
+    #   - corpus-wide paragraph dedup (first-occurrence boilerplate)
+    #   - exact-substring span trim (repeated 8-grams, keep-first)
+    para = dedup.paragraph_dedup(final)
+    n_paras_dropped = int(para.agg(F.sum("n_dropped")).collect()[0][0] or 0)
+    final = final.drop("text").join(para.select("doc_id", "text"), "doc_id")
+    trimmed = dedup.trim_repeated_spans(final, 8)
+    n_span_trimmed = int(
+        trimmed.agg(F.sum("n_trimmed")).collect()[0][0] or 0
+    )
+    # localCheckpoint: the rebuilt-text lineage (two groupBy rebuilds)
+    # would otherwise re-execute under EVERY downstream action
+    # (winnowing, packing, splits). Materialize once.
+    final = (
+        final.drop("text")
+        .join(trimmed.select("doc_id", "text"), "doc_id")
+        .localCheckpoint()
+    )
 
     # 5. ANN enrichment: 3 nearest (surviving) neighbors per doc via IVF
     final_emb = emb.join(
