@@ -111,3 +111,24 @@ def read_csv_corpus(
         },
     )
     return _split(lines, parsed, fields)
+
+
+def stream_jsonl_corpus(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming twin of :func:`read_jsonl_corpus`: watch ``path`` as a
+    file-source text STREAM and split each micro-batch into (good, bad)
+    with the same embedded-corrupt-field parse.  Both returned frames
+    are streaming DataFrames — route ``good`` into the corpus sink and
+    ``bad`` into a quarantine sink (two writeStreams over one source;
+    Spark plans them as independent queries against the same
+    directory listing, exactly-once per sink via checkpoints)."""
+    fields = _field_names(schema)
+    full = f"{schema}, {_CORRUPT} string"
+    lines = spark.readStream.text(path)
+    parsed = F.from_json(
+        F.col("value"),
+        full,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+    )
+    return _split(lines, parsed, fields)

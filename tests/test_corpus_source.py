@@ -53,3 +53,50 @@ def test_csv_quarantine(spark, tmp_path):
     assert g == {1: 10, 3: 30}
     b = [r["raw"] for r in bad.collect()]
     assert b == ["2,beta,twenty"]
+
+
+def test_stream_jsonl_quarantine(spark, tmp_path):
+    """The streaming reader splits identically to the batch one: run
+    both sinks to completion with availableNow and compare against the
+    batch split of the same directory."""
+    import shutil
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.corpus import (
+        stream_jsonl_corpus,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "garbage line\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+    )
+    (src / "b.jsonl").write_text(
+        '{"doc_id": 3, "text": "gamma"}\n'
+        '{"doc_id": "x", "text": "drift"}\n'
+    )
+    good, bad = stream_jsonl_corpus(spark, str(src), "doc_id long, text string")
+    qs = []
+    names = []
+    for frame, tag in ((good, "good"), (bad, "bad")):
+        name = f"corpus_{tag}_{tmp_path.name}"
+        names.append(name)
+        qs.append(
+            frame.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    for q in qs:
+        assert q.awaitTermination(120)
+    g = {r["doc_id"]: r["text"] for r in spark.table(names[0]).collect()}
+    b = sorted(r["raw"] for r in spark.table(names[1]).collect())
+    assert g == {1: "alpha", 2: "beta", 3: "gamma"}
+    assert b == ["garbage line", '{"doc_id": "x", "text": "drift"}']
+    for name in names:
+        spark.catalog.dropTempView(name)
+    shutil.rmtree(tmp_path / "ck_good", ignore_errors=True)
+    shutil.rmtree(tmp_path / "ck_bad", ignore_errors=True)
