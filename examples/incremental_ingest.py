@@ -1,0 +1,167 @@
+"""Day-2 incremental corpus ingestion: the continuous companion to
+``curation_pipeline.py`` (which builds day 1's corpus and persists a
+Bloom filter of its fingerprints).
+
+    new crawl drop (JSONL, dirty)
+      -> streaming quarantine split  (sources/corpus.py)
+      -> streaming exact dedup within the drop (streaming/stateful.py)
+      -> PII redaction               (operators/pii.py)
+      -> Bloom probe vs yesterday's corpus: keep only unseen docs
+                                     (operators/bloom.py, map-only)
+      -> append to the corpus + quarantine audit trail
+
+Everything incremental: the only state is the dedup store (bounded by
+the watermark horizon) and the Bloom bitmap (a broadcast, bounded by
+its sizing — never by history size). No join against the historical
+corpus ever runs.
+
+Usage:
+    python examples/incremental_ingest.py [bloom_parquet] [out_dir]
+    # with no args, builds a self-contained demo: a synthetic day-1
+    # corpus, its Bloom filter, and a dirty day-2 drop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark import get_spark
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+    bloom as bloom_ops,
+    pii as pii_ops,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+    fingerprint,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.corpus import (
+    stream_jsonl_corpus,
+)
+
+
+def _demo_fixture(spark, work: str) -> tuple[str, str]:
+    """Build day-1 corpus Bloom + a dirty day-2 JSONL drop."""
+    day1 = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("day one document number "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    bf = bloom_ops.build(
+        day1.select(fingerprint("text").alias("fp")), "fp", expected_n=200
+    )
+    bloom_path = os.path.join(work, "day1_bloom")
+    bloom_ops.to_df(spark, bf).write.mode("overwrite").parquet(bloom_path)
+
+    drop_dir = os.path.join(work, "day2_drop")
+    os.makedirs(drop_dir, exist_ok=True)
+    lines = []
+    for i in range(150, 350):  # 50 docs overlap day 1 -> must be dropped
+        lines.append(
+            json.dumps(
+                {"doc_id": 10_000 + i, "text": f"day one document number {i}"}
+                if i < 200
+                else {
+                    "doc_id": 10_000 + i,
+                    "text": f"fresh day two document {i} "
+                    f"contact u{i}@example.com",
+                }
+            )
+        )
+    lines.append(json.dumps({"doc_id": 10_999, "text": "fresh day two document 210 contact u210@example.com"}))  # in-drop dup
+    lines.append('{"doc_id": 99, "text": "truncated...')  # corrupt
+    lines.append("not json")
+    with open(os.path.join(drop_dir, "part-000.jsonl"), "w") as f:
+        f.write("\n".join(lines))
+    return bloom_path, drop_dir
+
+
+def main() -> None:
+    spark = get_spark("incremental-ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    work = tempfile.mkdtemp(prefix="sg_ingest_")
+    if len(sys.argv) > 2:
+        bloom_path, drop_dir = sys.argv[1], sys.argv[2]
+        out_dir = sys.argv[3] if len(sys.argv) > 3 else os.path.join(work, "out")
+    else:
+        bloom_path, drop_dir = _demo_fixture(spark, work)
+        out_dir = os.path.join(work, "out")
+
+    bf = bloom_ops.from_df(spark.read.parquet(bloom_path))
+
+    # 1. streaming quarantine split of the raw drop
+    good, bad = stream_jsonl_corpus(
+        spark, drop_dir, "doc_id long, text string"
+    )
+
+    # 2. within-drop streaming exact dedup (state bounded by watermark;
+    # the drop has no event time, so stamp arrival time)
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.streaming.stateful import (
+        stream_exact_dedup,
+    )
+
+    deduped = stream_exact_dedup(
+        good.withColumn("ts", F.current_timestamp()), watermark="1 hour"
+    )
+
+    # 3. PII redaction + 4. Bloom probe (both pure map work, fused into
+    # the same streaming plan)
+    scrubbed = pii_ops.redact_pii(deduped)
+    fresh = bloom_ops.filter_unseen(scrubbed, F.col("fp"), bf).drop("ts")
+
+    # 5. sinks: corpus append + quarantine audit, exactly-once via
+    # checkpoints (demo uses availableNow to drain the drop and stop)
+    q1 = (
+        fresh.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ck_corpus"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = (
+        bad.writeStream.format("parquet")
+        .option("path", out_dir + "_quarantine")
+        .option("checkpointLocation", os.path.join(work, "ck_quar"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q1.awaitTermination(300) and q2.awaitTermination(300)
+
+    ingested = spark.read.parquet(out_dir)
+    quarantined = spark.read.parquet(out_dir + "_quarantine")
+    n_in = ingested.count()
+    report = {
+        "ingested_docs": n_in,
+        "quarantined_lines": quarantined.count(),
+        "docs_with_pii_placeholder": ingested.where(
+            F.col("text").contains("[EMAIL]")
+        ).count(),
+        "corpus_parquet": out_dir,
+        "quarantine_parquet": out_dir + "_quarantine",
+        "total_sec": round(time.time() - t0, 1),
+    }
+    print(json.dumps(report, indent=2))
+    if len(sys.argv) <= 2:
+        # demo invariants: 203 parseable lines = 50 day-1 overlaps
+        # (Bloom-dropped, no false negatives) + 150 distinct fresh
+        # texts + 1 in-drop dup (streaming-dedup-dropped), so 150 fresh
+        # docs land minus Bloom false positives (~1% of 150 probes);
+        # both corrupt lines quarantined
+        assert 140 <= n_in <= 150, n_in
+        assert report["quarantined_lines"] == 2
+        assert report["docs_with_pii_placeholder"] == n_in  # every fresh doc had an email
+        shutil.rmtree(work, ignore_errors=True)
+        print("demo invariants hold")
+
+
+if __name__ == "__main__":
+    main()
