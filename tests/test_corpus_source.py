@@ -100,3 +100,38 @@ def test_stream_jsonl_quarantine(spark, tmp_path):
         spark.catalog.dropTempView(name)
     shutil.rmtree(tmp_path / "ck_good", ignore_errors=True)
     shutil.rmtree(tmp_path / "ck_bad", ignore_errors=True)
+
+
+def test_jsonl_quarantine_property(spark, tmp_path):
+    """Randomized mix of valid/sparse/corrupt lines: good + bad
+    partitions the input exactly, and the quarantine holds precisely
+    the lines Python's json cannot parse into the schema."""
+    import json as _json
+    import random
+
+    rng = random.Random(7)
+    lines = []
+    expect_bad = []
+    for i in range(200):
+        kind = rng.randrange(5)
+        if kind == 0:
+            lines.append(_json.dumps({"doc_id": i, "text": f"doc {i}"}))
+        elif kind == 1:  # sparse but valid
+            lines.append(_json.dumps({"doc_id": i}))
+        elif kind == 2:  # extra unknown field: valid, field ignored
+            lines.append(
+                _json.dumps({"doc_id": i, "text": "t", "extra": [1, 2]})
+            )
+        elif kind == 3:  # truncated JSON
+            s = _json.dumps({"doc_id": i, "text": "x" * 10})
+            lines.append(s[: len(s) // 2])
+            expect_bad.append(lines[-1])
+        else:  # type drift on doc_id
+            lines.append(_json.dumps({"doc_id": f"id-{i}", "text": "t"}))
+            expect_bad.append(lines[-1])
+    p = tmp_path / "mix.jsonl"
+    p.write_text("\n".join(lines))
+    good, bad = read_jsonl_corpus(spark, str(p), "doc_id long, text string")
+    n_good, got_bad = good.count(), sorted(r["raw"] for r in bad.collect())
+    assert n_good + len(got_bad) == len(lines)
+    assert got_bad == sorted(expect_bad)
