@@ -176,6 +176,23 @@ def filter_unseen(
     return marked.where(~F.col("_maybe_seen")).drop("_maybe_seen")
 
 
+def merge(a: BloomFilter, b: BloomFilter) -> BloomFilter:
+    """Union of two filters over the SAME (n_bits, k, seed) parameters:
+    bitwise OR of the bitmaps.  This is the day-N incremental-dedup
+    update — build a filter of TODAY'S new fingerprints with
+    yesterday's parameters, merge, persist; membership of the union is
+    exactly the union of memberships (no false negatives ever), and
+    the false-positive rate degrades gracefully with total load
+    (re-size and rebuild when ``fpp_estimate`` drifts past budget)."""
+    if (a.n_bits, a.k, a.seed) != (b.n_bits, b.k, b.seed):
+        raise ValueError(
+            "Bloom merge requires identical (n_bits, k, seed): "
+            f"{(a.n_bits, a.k, a.seed)} != {(b.n_bits, b.k, b.seed)}"
+        )
+    words = tuple(x | y for x, y in zip(a.words, b.words))
+    return BloomFilter(n_bits=a.n_bits, k=a.k, seed=a.seed, words=words)
+
+
 def to_df(spark: SparkSession, bloom: BloomFilter) -> DataFrame:
     """One-row frame (n_bits, k, seed, words) -- write as parquet to
     persist the filter next to the corpus it summarizes."""

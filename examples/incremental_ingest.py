@@ -9,6 +9,7 @@ Bloom filter of its fingerprints).
       -> Bloom probe vs yesterday's corpus: keep only unseen docs
                                      (operators/bloom.py, map-only)
       -> append to the corpus + quarantine audit trail
+      -> roll the filter forward: merge(yesterday, today) for day 3
 
 Everything incremental: the only state is the dedup store (bounded by
 the watermark horizon) and the Bloom bitmap (a broadcast, bounded by
@@ -55,8 +56,11 @@ def _demo_fixture(spark, work: str) -> tuple[str, str]:
             "text"
         ),
     )
+    # size with growth headroom: the filter accumulates every future
+    # day's fingerprints via merge, so expected_n is the corpus size
+    # you plan to GROW to before re-sizing, not today's count
     bf = bloom_ops.build(
-        day1.select(fingerprint("text").alias("fp")), "fp", expected_n=200
+        day1.select(fingerprint("text").alias("fp")), "fp", expected_n=2000
     )
     bloom_path = os.path.join(work, "day1_bloom")
     bloom_ops.to_df(spark, bf).write.mode("overwrite").parquet(bloom_path)
@@ -139,6 +143,18 @@ def main() -> None:
     ingested = spark.read.parquet(out_dir)
     quarantined = spark.read.parquet(out_dir + "_quarantine")
     n_in = ingested.count()
+
+    # 6. roll the filter forward for day 3: build a filter of TODAY'S
+    # ingested fingerprints with yesterday's parameters and merge
+    # (bitwise OR) — tomorrow's run probes one filter covering both days
+    bf_today = bloom_ops.build(
+        ingested.select("fp"), "fp", n_bits=bf.n_bits, k=bf.k, seed=bf.seed
+    )
+    bf_next = bloom_ops.merge(bf, bf_today)
+    bloom_ops.to_df(spark, bf_next).write.mode("overwrite").parquet(
+        out_dir + "_bloom"
+    )
+
     report = {
         "ingested_docs": n_in,
         "quarantined_lines": quarantined.count(),
@@ -147,6 +163,8 @@ def main() -> None:
         ).count(),
         "corpus_parquet": out_dir,
         "quarantine_parquet": out_dir + "_quarantine",
+        "next_bloom_parquet": out_dir + "_bloom",
+        "next_bloom_fpp": round(bf_next.fpp_estimate(), 6),
         "total_sec": round(time.time() - t0, 1),
     }
     print(json.dumps(report, indent=2))

@@ -110,3 +110,41 @@ def test_probe_plan_pure_jvm_no_shuffle(spark, seen_df, built):
     # the only join is the one-row broadcast of the bitmap
     assert "BroadcastNestedLoopJoin" in plan
     assert "ShuffleExchange" not in plan
+
+
+def test_merge_is_membership_union(spark):
+    """merge(a, b) membership == union of memberships (bitwise-OR
+    bitmap): every key from either side probes True; parameter
+    mismatch is rejected."""
+    import pytest as _pytest
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+        bloom as bloom_ops,
+    )
+
+    left = spark.range(0, 300).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key")
+    )
+    right = spark.range(300, 600).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key")
+    )
+    n_bits, k = bloom_ops.optimal_params(600, 0.01)
+    a = bloom_ops.build(left, "key", n_bits=n_bits, k=k)
+    b = bloom_ops.build(right, "key", n_bits=n_bits, k=k)
+    m = bloom_ops.merge(a, b)
+    both = left.unionByName(right)
+    hits = (
+        bloom_ops.contains(both, "key", m)
+        .where(F.col("maybe_seen"))
+        .count()
+    )
+    assert hits == 600  # no false negatives across the union
+    # the merged bitmap is exactly the OR
+    assert m.n_set_bits >= max(a.n_set_bits, b.n_set_bits)
+    assert all(
+        (x | y) == z for x, y, z in zip(a.words, b.words, m.words)
+    )
+    # incompatible parameters refuse to merge
+    c = bloom_ops.build(left, "key", n_bits=n_bits, k=k, seed=99)
+    with _pytest.raises(ValueError, match="identical"):
+        bloom_ops.merge(a, c)
