@@ -2032,7 +2032,17 @@ def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     unfiltered table computes subtotals per returnflag and the grand
     total in the same pass (partial aggs feed every grouping set; no
     repeated scans). Rollup rows carry NULL for the filtered-query-only
-    averages."""
+    averages.
+
+    Round 5 adds the quantile-sketch certificate: per group, the EXACT
+    median of l_quantity (value-checked vs the oracle's interpolating
+    quantile) and ``aq_ok`` — the mergeable one-pass
+    ``percentile_approx`` sketch must land within 0.51 of the exact
+    median (quantities are dense integers; the sketch's 1/10000 rank
+    accuracy makes the value error ~0).  The sketch is the 100 TB
+    quantile path — exact percentile buffers group values, the sketch
+    is bounded-memory and mergeable — and the gate certifies its
+    accuracy at query level (oracle states TRUE, hll_ok pattern)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     li = tpch.load_table(spark, sf_dir, "lineitem")
     pricing = (
@@ -2046,6 +2056,16 @@ def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.avg(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 6
             ).alias("avg_net"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias(
+                "med_qty"
+            ),
+            (
+                F.abs(
+                    F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000))
+                    - F.percentile("l_quantity", F.lit(0.5))
+                )
+                <= F.lit(0.51)
+            ).alias("aq_ok"),
         )
         .withColumn("part", F.lit("pricing"))
     )
@@ -2066,6 +2086,8 @@ def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_price",
         "avg_disc",
         "avg_net",
+        "med_qty",
+        "aq_ok",
     )
 
 
@@ -2076,7 +2098,9 @@ def _sql_lineitem_pricing() -> str:
            round(avg(l_quantity), 6) AS avg_qty,
            round(avg(l_extendedprice), 6) AS avg_price,
            round(avg(l_discount), 9) AS avg_disc,
-           round(avg(l_extendedprice * (1.0 - l_discount)), 6) AS avg_net
+           round(avg(l_extendedprice * (1.0 - l_discount)), 6) AS avg_net,
+           round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+           TRUE AS aq_ok
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-01'
     GROUP BY l_returnflag, l_linestatus
@@ -2085,7 +2109,8 @@ def _sql_lineitem_pricing() -> str:
            count(*) AS n_rows,
            round(avg(l_quantity), 6) AS avg_qty,
            NULL::DOUBLE AS avg_price, NULL::DOUBLE AS avg_disc,
-           NULL::DOUBLE AS avg_net
+           NULL::DOUBLE AS avg_net, NULL::DOUBLE AS med_qty,
+           NULL::BOOLEAN AS aq_ok
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """
