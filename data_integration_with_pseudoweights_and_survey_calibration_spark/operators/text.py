@@ -425,6 +425,66 @@ def repetition_features(
     )
 
 
+def line_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    short_len: int = 10,
+) -> DataFrame:
+    """LINE-level quality signals (the Gopher/C4 rule family that
+    document-level token stats cannot see): per document,
+
+    - ``n_lines``: non-empty lines;
+    - ``mean_line_chars``: mean characters per non-empty line;
+    - ``frac_short_lines``: share of non-empty lines with fewer than
+      ``short_len`` characters (nav menus, tag soup);
+    - ``frac_bullet_lines``: share starting with a bullet marker
+      (-, *, •, or "N." enumeration) — list-dominated pages;
+    - ``frac_ellipsis_lines``: share ending in "..." or "…" —
+      truncated teaser text;
+    - ``frac_caps_lines``: share of lines whose letters are ALL
+      uppercase (headlines, shouting).
+
+    Single-doc text (no newlines) scores as one line.  Pure
+    higher-order Column expressions over ``split(text, '\\n')`` — one
+    projection, zero shuffle, codegen-fused; empty documents report
+    zeros."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+
+    def frac(pred) -> Column:
+        return F.when(
+            F.size(lines) > 0,
+            F.size(F.filter(lines, pred)) / F.size(lines).cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    bullet = r"^(-|\*|•|[0-9]{1,3}\.)( |$)"
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.when(
+            F.size(lines) > 0,
+            F.aggregate(
+                lines, F.lit(0), lambda acc, l: acc + F.length(l)
+            )
+            / F.size(lines).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_line_chars"),
+        frac(lambda l: F.length(l) < short_len).alias("frac_short_lines"),
+        frac(lambda l: l.rlike(bullet)).alias("frac_bullet_lines"),
+        frac(
+            lambda l: l.rlike(r"(\.\.\.|…)$")
+        ).alias("frac_ellipsis_lines"),
+        frac(
+            lambda l: l.rlike("[A-Za-z]") & (l == F.upper(l))
+        ).alias("frac_caps_lines"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -1175,3 +1175,56 @@ def test_chunk_documents_sliding_window(spark):
     # doc 4: 18 toks, stride 8 -> starts 0,8,16; tail (16..17) is 2 toks
     # == overlap -> dropped; starts 0,8 cover everything
     assert len(got[4]) == 2
+
+
+def test_line_features_gopher_rules(spark):
+    """Brute-force twin over planted multiline docs: bullets,
+    enumerations, all-caps headlines, ellipsis teasers, short nav
+    lines, blank-line handling, and single-line / empty docs."""
+    texts = {
+        0: "A real paragraph of decent length here\n\n- first item\n- second item\n* third\n",
+        1: "HEADLINE SCREAMING LOUD\nnormal sentence follows with words\nRead more...\nclick…\n",
+        2: "nav\nhome\nabout\nlonger contact information line\n1. step one\n22. step two",
+        3: "just one single line of plain prose",
+        4: "",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in text.line_features(df).collect()}
+
+    import re
+
+    bullet = re.compile(r"^(-|\*|•|[0-9]{1,3}\.)( |$)")
+    for i, t in texts.items():
+        lines = [l.strip() for l in t.split("\n") if l.strip()]
+        r = got[i]
+        assert r["n_lines"] == len(lines), i
+        if lines:
+            assert r["mean_line_chars"] == pytest.approx(
+                sum(len(l) for l in lines) / len(lines)
+            )
+            assert r["frac_short_lines"] == pytest.approx(
+                sum(1 for l in lines if len(l) < 10) / len(lines)
+            )
+            assert r["frac_bullet_lines"] == pytest.approx(
+                sum(1 for l in lines if bullet.match(l)) / len(lines)
+            ), i
+            assert r["frac_ellipsis_lines"] == pytest.approx(
+                sum(1 for l in lines if l.endswith("...") or l.endswith("…"))
+                / len(lines)
+            )
+            assert r["frac_caps_lines"] == pytest.approx(
+                sum(
+                    1
+                    for l in lines
+                    if re.search("[A-Za-z]", l) and l == l.upper()
+                )
+                / len(lines)
+            )
+        else:
+            assert r["mean_line_chars"] == 0.0 and r["frac_short_lines"] == 0.0
+    assert got[0]["frac_bullet_lines"] == pytest.approx(3 / 4)
+    assert got[1]["frac_caps_lines"] == pytest.approx(1 / 4)
+    assert got[1]["frac_ellipsis_lines"] == pytest.approx(2 / 4)
+    assert got[2]["frac_bullet_lines"] == pytest.approx(2 / 6)
