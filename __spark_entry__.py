@@ -3873,17 +3873,104 @@ def _sql_pii_scrub() -> str:
     """
 
 
+def _lines_ptext_expr():
+    """Multiline text for the line_features certificate (the corpus
+    text has no newlines): a prose prefix plus doc_id-arithmetic lines
+    exercising every Gopher rule — bullet items (%3==0), numbered
+    enumerations (%3==1), an all-caps ellipsis teaser (%4==1), and a
+    short nav line (%5<2)."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.substring("text", 1, 60),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("\n- bullet item "), (did % 7).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 1,
+            F.concat(F.lit("\n"), (did % 9 + 1).cast("string"), F.lit(". step")),
+        ).otherwise(F.lit("")),
+        F.when(did % 4 == 1, F.lit("\nREAD MORE...")).otherwise(F.lit("")),
+        F.when(did % 5 < 2, F.lit("\nok")).otherwise(F.lit("")),
+    )
+
+
+def _q_line_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level Gopher rules (``operators/text.py line_features``)
+    over the injected multiline text; every fraction recomputed by the
+    oracle's list/regex machinery (patterns are RE2-safe)."""
+    docs = _docs(spark, sf_dir)
+    out = text_ops.line_features(
+        docs.withColumn("text", _lines_ptext_expr())
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        F.round("mean_line_chars", 9).alias("mean_line_chars"),
+        F.round("frac_short_lines", 9).alias("frac_short_lines"),
+        F.round("frac_bullet_lines", 9).alias("frac_bullet_lines"),
+        F.round("frac_ellipsis_lines", 9).alias("frac_ellipsis_lines"),
+        F.round("frac_caps_lines", 9).alias("frac_caps_lines"),
+    )
+
+
+def _sql_line_features() -> str:
+    ptext = """
+         substr(text, 1, 60)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || '- bullet item ' || (doc_id % 7)
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 1
+                 THEN chr(10) || (doc_id % 9 + 1) || '. step'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 1 THEN chr(10) || 'READ MORE...'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 < 2 THEN chr(10) || 'ok' ELSE '' END
+    """
+    return f"""
+    WITH base AS (SELECT doc_id, {ptext} AS ptext FROM documents),
+    l AS (SELECT doc_id,
+                 list_filter(
+                   list_transform(string_split(ptext, chr(10)),
+                                  x -> trim(x)),
+                   x -> x <> '') AS ls
+          FROM base)
+    SELECT doc_id,
+           len(ls)::BIGINT AS n_lines,
+           round(CASE WHEN len(ls) > 0
+                 THEN list_sum(list_transform(ls, x -> len(x))) * 1.0
+                      / len(ls) ELSE 0.0 END, 9) AS mean_line_chars,
+           round(CASE WHEN len(ls) > 0
+                 THEN len(list_filter(ls, x -> len(x) < 10)) * 1.0
+                      / len(ls) ELSE 0.0 END, 9) AS frac_short_lines,
+           round(CASE WHEN len(ls) > 0
+                 THEN len(list_filter(ls, x ->
+                      regexp_matches(x, '^(-|\\*|•|[0-9]{{1,3}}\\.)( |$)')))
+                      * 1.0 / len(ls) ELSE 0.0 END, 9) AS frac_bullet_lines,
+           round(CASE WHEN len(ls) > 0
+                 THEN len(list_filter(ls, x ->
+                      regexp_matches(x, '(\\.\\.\\.|…)$'))) * 1.0
+                      / len(ls) ELSE 0.0 END, 9) AS frac_ellipsis_lines,
+           round(CASE WHEN len(ls) > 0
+                 THEN len(list_filter(ls, x ->
+                      regexp_matches(x, '[A-Za-z]') AND x = upper(x)))
+                      * 1.0 / len(ls) ELSE 0.0 END, 9) AS frac_caps_lines
+    FROM l
+    """
+
+
 def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc curation feature bundle: quality stats + language id +
-    repetition features + PII scrub columns (round 5), joined on doc_id
-    (all are single-pass per-doc computations; the join keys are
-    unique, so the merged result certifies each column set exactly as
-    the separate queries did)."""
+    repetition features + PII scrub columns + line-level Gopher rules
+    (round 5), joined on doc_id (all are single-pass per-doc
+    computations; the join keys are unique, so the merged result
+    certifies each column set exactly as the separate queries did)."""
     return (
         _q_text_stats(spark, sf_dir)
         .join(_q_lang_id(spark, sf_dir), "doc_id")
         .join(_q_repetition_stats(spark, sf_dir), "doc_id")
         .join(_q_pii_scrub(spark, sf_dir), "doc_id")
+        .join(_q_line_features(spark, sf_dir), "doc_id")
     )
 
 
@@ -3894,6 +3981,7 @@ def _sql_text_features() -> str:
     JOIN ({_sql_lang_id()}) l USING (doc_id)
     JOIN ({_sql_repetition_stats()}) r USING (doc_id)
     JOIN ({_sql_pii_scrub()}) p USING (doc_id)
+    JOIN ({_sql_line_features()}) lf USING (doc_id)
     """
 
 
