@@ -90,6 +90,7 @@ from .operators.simulation import generate_population, run_simulation  # noqa: E
 from .operators.taylor import taylor_inference  # noqa: E402,F401
 from .operators.text import (  # noqa: E402,F401
     decontaminate,
+    line_features,
     tf_idf_top_terms,
     winnow_fingerprints,
 )
@@ -137,6 +138,7 @@ __all__ = [
     "integrate",
     "jk_variance",
     "kw_weights",
+    "line_features",
     "post_stratify",
     "pps_sample",
     "read_csv_corpus",
