@@ -1,0 +1,82 @@
+"""Round-over-round bench comparison: read every BENCH_r*.json in the
+repo root (driver wrapper shape: {..., "parsed": {"queries": ...}} or
+the raw bench.py line) and print per-round totals plus the per-query
+histories, flagging queries that regressed more than a threshold vs
+the previous round.
+
+Comparability notes baked into the output:
+- r1-r3 are single-pass timings; r4+ are min-of-N (bench.py records
+  ``passes`` and, from r5, ``first_pass`` for cold-cache comparison).
+- totals include queries added in later rounds; the per-query table is
+  the like-for-like view.
+
+Usage: python tools/bench_history.py [regression_threshold=1.5]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(path: str) -> dict | None:
+    with open(path) as f:
+        d = json.load(f)
+    if "parsed" in d and isinstance(d["parsed"], dict):
+        d = d["parsed"]
+    return d if "queries" in d else None
+
+
+def main() -> None:
+    thresh = float(sys.argv[1]) if len(sys.argv) > 1 else 1.5
+    rounds: list[tuple[str, dict]] = []
+    for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
+        tag = os.path.basename(path)[len("BENCH_") : -len(".json")]
+        d = _load(path)
+        if d:
+            rounds.append((tag, d))
+    if not rounds:
+        print("no parseable BENCH_r*.json found")
+        return
+    print("round totals (sec; r1-r3 single-pass, r4+ min-of-N):")
+    for tag, d in rounds:
+        n = len(d["queries"])
+        extra = f" passes={d.get('passes')}" if d.get("passes") else ""
+        load = (
+            f" load_start={d.get('load_start')}"
+            if d.get("load_start") is not None
+            else ""
+        )
+        print(f"  {tag}: {d['value']:8.1f}  ({n} queries){extra}{load}")
+
+    names = sorted({q for _, d in rounds for q in d["queries"]})
+    print(f"\nper-query history ({len(names)} queries):")
+    header = "query".ljust(24) + "".join(t.rjust(9) for t, _ in rounds)
+    print(header)
+    flags = []
+    for q in names:
+        row = q[:23].ljust(24)
+        prev = None
+        for tag, d in rounds:
+            v = d["queries"].get(q)
+            row += (f"{v:9.2f}" if v is not None else "        -")
+            if v is not None and prev is not None and prev > 0.3:
+                if v > prev * thresh and v - prev > 0.5:
+                    flags.append((q, tag, prev, v))
+            if v is not None:
+                prev = v
+        print(row)
+    if flags:
+        print(f"\nregressions > {thresh}x (and > 0.5s) vs previous round:")
+        for q, tag, a, b in flags:
+            print(f"  {q} @ {tag}: {a:.2f} -> {b:.2f}")
+    else:
+        print(f"\nno per-query regression > {thresh}x vs previous round")
+
+
+if __name__ == "__main__":
+    main()
