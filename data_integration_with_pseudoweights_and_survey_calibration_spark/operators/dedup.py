@@ -69,12 +69,20 @@ def _gram_occurrences(df, n, id_col, text_col):
     """(grams, toks): the (doc, pos, gram) occurrence frame shared by
     the span metric and the trim operators, plus the tokenized frame.
     Short docs (< n tokens) contribute no grams (``sequence(1, 0)``
-    counts DOWN in Spark — guarded)."""
+    counts DOWN in Spark — guarded).  Empty tokens are dropped (as in
+    ``chunk_documents``): empty/whitespace-only text tokenizes to
+    ``[""]``, which would otherwise report n_tokens=1 for empty docs
+    and skew dup_frac denominators."""
     from .text import spread
 
     toks = (
         spread(df)
-        .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.filter(tokens(text_col), lambda t: t != F.lit("")).alias(
+                "_toks"
+            ),
+        )
         .withColumn("_len", F.size("_toks"))
     )
     starts = F.when(

@@ -40,12 +40,22 @@ def _split(
     parsed = lines.select(
         F.col("value").alias("_raw"), parsed_struct.alias("_r")
     )
-    good = parsed.where(F.col(f"_r.{_CORRUPT}").isNull()).select(
+    # A line is clean only if it parsed to a NON-NULL struct with a null
+    # corrupt field AND is not blank: ``from_json('')`` returns a NULL
+    # struct (corrupt field null too — it would slip through a
+    # corrupt-only check as an all-null "good" row), and ``from_csv``
+    # parses a blank line as a row of nulls without setting the corrupt
+    # field at all.  Blank / whitespace-only lines are quarantine, not
+    # null documents.
+    ok = (
+        F.col("_r").isNotNull()
+        & (F.trim(F.col("_raw")) != "")
+        & F.col(f"_r.{_CORRUPT}").isNull()
+    )
+    good = parsed.where(ok).select(
         *[F.col(f"_r.{f}").alias(f) for f in schema_fields]
     )
-    bad = parsed.where(F.col(f"_r.{_CORRUPT}").isNotNull()).select(
-        F.col("_raw").alias("raw")
-    )
+    bad = parsed.where(~ok).select(F.col("_raw").alias("raw"))
     return good, bad
 
 
@@ -100,7 +110,17 @@ def read_csv_corpus(
     full = f"{schema}, {_CORRUPT} string"
     lines = spark.read.text(path)
     if header:
-        lines = lines.where(F.col("value") != sep.join(fields))
+        # Header match is case-insensitive and whitespace/quote
+        # tolerant (``"Doc_ID", Text`` still drops), because a real
+        # header that is not dropped lands in quarantine and inflates
+        # the ingest audit.  Documented limitation: a DATA line whose
+        # normalized form equals the header is dropped too — if field
+        # values can collide with field names, read with header=False
+        # and filter the header out upstream.
+        norm = lambda c: F.lower(F.regexp_replace(c, r'[\s"\']+', ""))  # noqa: E731
+        lines = lines.where(
+            norm(F.col("value")) != norm(F.lit(sep.join(fields)))
+        )
     parsed = F.from_csv(
         F.col("value"),
         full,

@@ -1,0 +1,74 @@
+"""Regression tests for the round-6 review fixes (ADVICE r5):
+
+1. Blank / whitespace-only JSONL lines quarantine instead of becoming
+   all-null "good" documents (``from_json('')`` returns a NULL struct
+   whose corrupt field is also null).
+2. CSV header matching is case/whitespace/quote tolerant, so a
+   reformatted real header no longer lands in quarantine.
+3. ``repeated_ngram_spans`` / ``trim_repeated_spans`` report
+   n_tokens=0 for empty documents (``tokens('')`` yields ``[""]``;
+   empty tokens are now filtered as in ``chunk_documents``).
+"""
+
+from __future__ import annotations
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+    dedup,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.corpus import (
+    read_csv_corpus,
+    read_jsonl_corpus,
+)
+
+
+def test_blank_jsonl_lines_quarantine(spark, tmp_path):
+    p = tmp_path / "blank.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "\n"  # blank line
+        "   \n"  # whitespace-only line
+        '{"doc_id": 2, "text": "beta"}\n'
+    )
+    good, bad = read_jsonl_corpus(spark, str(p), "doc_id long, text string")
+    g = {r["doc_id"] for r in good.collect()}
+    b = [r["raw"] for r in bad.collect()]
+    assert g == {1, 2}
+    # no all-null ghost rows in good, and nothing silently dropped
+    assert all(r["doc_id"] is not None for r in good.collect())
+    assert sorted(b) == ["", "   "]
+    assert good.count() + bad.count() == 4
+
+
+def test_blank_csv_lines_quarantine(spark, tmp_path):
+    p = tmp_path / "blank.csv"
+    p.write_text("doc_id,text\n1,alpha\n\n2,beta\n")
+    good, bad = read_csv_corpus(spark, str(p), "doc_id long, text string")
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    assert [r["raw"] for r in bad.collect()] == [""]
+
+
+def test_csv_header_tolerant_match(spark, tmp_path):
+    # reformatted header: spaces after commas, quoted names, mixed case
+    p = tmp_path / "hdr.csv"
+    p.write_text('"Doc_ID", Text\n1,alpha\n2,beta\n')
+    good, bad = read_csv_corpus(spark, str(p), "doc_id long, text string")
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    assert bad.count() == 0
+
+
+def test_span_ops_empty_doc_n_tokens_zero(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e"),  # internal 5-gram repeat
+            (2, ""),  # empty
+            (3, "   "),  # whitespace-only
+        ],
+        "doc_id long, text string",
+    )
+    spans = {r["doc_id"]: r for r in dedup.repeated_ngram_spans(df, 5).collect()}
+    assert spans[2]["n_tokens"] == 0 and spans[2]["dup_frac"] == 0.0
+    assert spans[3]["n_tokens"] == 0 and spans[3]["dup_frac"] == 0.0
+    assert spans[1]["n_tokens"] == 10
+    trims = {r["doc_id"]: r for r in dedup.trim_repeated_spans(df, 5).collect()}
+    assert trims[2]["n_tokens"] == 0 and trims[2]["text"] == ""
+    assert trims[3]["n_tokens"] == 0 and trims[3]["text"] == ""
