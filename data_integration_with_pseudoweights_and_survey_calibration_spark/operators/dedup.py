@@ -119,22 +119,35 @@ def repeated_ngram_spans(
     Returns (id, n_tokens, dup_tokens, dup_frac).
 
     Scale shape: explode to (doc, pos, gram) — O(total tokens) narrow
-    rows; corpus counts come from ONE gram-keyed window (``count(*)
-    over partitionBy(gram)``), so the explosion is scanned once and
-    there is no self-join of the gram frame; then one doc-keyed
-    window+aggregate for interval-union coverage.  No UDF, no driver
-    data.  Coverage needs no per-token explosion: sorting flagged gram
-    starts per doc, a gram at ``pos`` contributes
-    ``min(n, next_pos - pos)`` new covered tokens (the last one
-    ``n``) — the interval union in one window pass.  A production
-    corpus would key the gram shuffle on ``xxhash64(gram)`` (8-byte
-    keys); the string key here keeps the arithmetic identical to the
-    SQL oracle.
+    rows; corpus counts come from a partial-aggregable
+    ``groupBy(gram).count()`` filtered to duplicated grams and joined
+    back to the occurrences.  NOT a gram-keyed window: gram keys are
+    Zipfian on real corpora (stop-word n-grams, boilerplate), a window
+    cannot map-side combine and AQE cannot split a window partition,
+    so every occurrence of one hot gram would sort in ONE task —
+    straggler/OOM at 100 TB.  The groupBy combines hot keys down to
+    one row per map partition, the duplicated-gram side shrinks to
+    only repeated grams, and the join back on ``_gram`` is
+    AQE-skew-splittable (the aggregated side has one row per key and
+    can be duplicated across split probe partitions).  The price is
+    one extra scan of the gram explosion (agg side + probe side);
+    linear map work is the right trade against an unsplittable hot
+    task.  Coverage then takes one DOC-keyed window (bounded by doc
+    length): sorting flagged gram starts per doc, a gram at ``pos``
+    contributes ``min(n, next_pos - pos)`` new covered tokens (the
+    last one ``n``) — the interval union in one pass.  No UDF, no
+    driver data.  A production corpus would key the gram shuffle on
+    ``xxhash64(gram)`` (8-byte keys); the string key here keeps the
+    arithmetic identical to the SQL oracle.
     """
     grams, toks = _gram_occurrences(df, n, id_col, text_col)
-    flagged = grams.withColumn(
-        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_gram"))
-    ).where(F.col("_cnt") >= min_count)
+    dup_grams = (
+        grams.groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") >= min_count)
+        .select("_gram")
+    )
+    flagged = grams.join(dup_grams, "_gram")
     w = Window.partitionBy("_id").orderBy("_pos")
     cover = flagged.withColumn("_nxt", F.lead("_pos").over(w)).withColumn(
         "_cov",
@@ -190,23 +203,35 @@ def trim_repeated_spans(
     full elimination iterates the pass to a fixpoint; one pass removes
     every ORIGINAL duplicated occurrence.
 
-    Scale shape: the same single-scan gram explosion as the span
-    metric, with corpus count AND keeper rank from ONE gram-keyed
-    window pass (``count(*)`` + ``row_number()`` over the same
-    partitioning — one shuffle, no self-join), then a
+    Scale shape: the same gram explosion as the span metric; corpus
+    count AND keeper identity come from ONE partial-aggregable
+    ``groupBy(gram).agg(count(*), min(struct(id, pos)))`` — the argmin
+    struct identifies the globally-first occurrence with the exact
+    (id, pos) lexicographic order the old ``row_number`` window used,
+    but unlike a gram-keyed window it map-side combines hot Zipfian
+    gram keys and the join back on ``_gram`` is AQE-skew-splittable
+    (see :func:`repeated_ngram_spans` for the full skew rationale);
+    a kept occurrence is simply ``(id, pos) != argmin``.  Then a
     ``sequence``-explode of covered token positions (O(n) rows per
     flagged gram, narrow) and one doc-keyed anti-join + rebuild
     aggregate.  No UDF, no driver data.
     """
     grams, toks = _gram_occurrences(df, n, id_col, text_col)
-    w_gram = Window.partitionBy("_gram").orderBy("_id", "_pos")
-    flagged = grams.withColumn(
-        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_gram"))
-    ).where(F.col("_cnt") >= min_count)
+    gram_agg = (
+        grams.groupBy("_gram")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct("_id", "_pos")).alias("_first"),
+        )
+        .where(F.col("_cnt") >= min_count)
+        .select("_gram", "_first")
+    )
+    flagged = grams.join(gram_agg, "_gram")
     if keep_first:
-        flagged = flagged.withColumn(
-            "_rk", F.row_number().over(w_gram)
-        ).where(F.col("_rk") > 1)
+        flagged = flagged.where(
+            (F.col("_id") != F.col("_first._id"))
+            | (F.col("_pos") != F.col("_first._pos"))
+        )
     # covered token positions (distinct per doc)
     covered = (
         flagged.select(
@@ -974,11 +999,18 @@ def paragraph_dedup(
     Returns (id, text, n_kept, n_dropped) with ``text`` rebuilt via
     ``sep``.
 
-    Scale: exactly two shuffles, both on bounded keys -- one on the
-    paragraph hash (the first-occurrence window; partial ordering by
-    (id, pos) makes the winner deterministic) and one on the doc id
-    (reassembly).  Paragraph explosion is narrow (id, pos, hash) and
-    streams through codegen; no UDF, no driver state.
+    Scale: the first-occurrence pass is a partial-aggregable
+    ``groupBy(key).agg(min(struct(id, pos)))`` joined back to the
+    paragraph rows -- NOT a key-partitioned window.  Paragraph keys
+    are Zipfian on real corpora (a boilerplate footer can sit in 1-10%
+    of all documents); a window funnels every occurrence of one hot
+    key into a single unsplittable sort task, while the groupBy
+    map-side combines hot keys to one row per partition and the join
+    back on the key is AQE-skew-splittable.  A kept paragraph is
+    ``(id, pos) == argmin``.  Reassembly is one doc-keyed aggregate
+    (bounded by doc length).  Paragraph explosion is narrow
+    (id, pos, hash) and streams through codegen; no UDF, no driver
+    state.
     """
     import re as _re
 
@@ -992,19 +1024,27 @@ def paragraph_dedup(
     )
     norm = F.trim(F.regexp_replace(F.lower(F.col("_para")), r"\s+", " "))
     # Pass-through paragraphs get a per-row UNIQUE key (not null, not
-    # shared): a shared sentinel would funnel every blank/short
-    # paragraph in the corpus into ONE window partition -- a skew
-    # killer at scale.  Unique keys cost nothing (singleton windows).
+    # shared): a shared sentinel (or a NULL key surviving into an
+    # outer join) would funnel every blank/short paragraph in the
+    # corpus into ONE shuffle partition -- a skew killer at scale.
+    # Unique keys cost nothing (singleton groups) and distribute
+    # uniformly.
     paras = paras.withColumn(
         "_key",
         F.when(F.length(norm) >= min_chars, F.md5(norm)).otherwise(
             F.concat_ws("-", F.lit("pt"), F.col("_id"), F.col("_pos"))
         ),
     )
-    w = Window.partitionBy("_key").orderBy("_id", "_pos")
-    kept = paras.withColumn("_rank", F.row_number().over(w))
+    first = paras.groupBy("_key").agg(
+        F.min(F.struct("_id", "_pos")).alias("_first")
+    )
+    kept = paras.join(first, "_key")
     rebuilt = (
-        kept.withColumn("_keep", F.col("_rank") == 1)
+        kept.withColumn(
+            "_keep",
+            (F.col("_id") == F.col("_first._id"))
+            & (F.col("_pos") == F.col("_first._pos")),
+        )
         .groupBy("_id")
         .agg(
             F.array_join(

@@ -33,9 +33,16 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         (r"WholeStageCodegen|\*\(\d+\)", "grid math stays inside whole-stage codegen"),
         (r"hashpartitioning\(_?t#", "one shuffle keyed on the event time"),
     ],
+    "doc_fingerprints": [
+        (r"partial_count", "round 6: corpus gram counts are a partial-aggregable groupBy (map-side combines hot Zipfian grams), not a gram window"),
+        (r"partial_min", "round 6: keeper identity is min(struct(id,pos)) with map-side partials"),
+        (r"count<=0:windowspecdefinition\(_gram", "no gram-partitioned window anywhere (a hot gram would sort in ONE unsplittable task)"),
+    ],
     "exact_dedup": [
         (r"ReadSchema: struct<doc_id[^\n]*text", "only id+text read from parquet"),
         (r"partial_", "map-side partial aggregation"),
+        (r"partial_min", "round 6: paragraph first-occurrence is min(struct(id,pos)) with map-side partials, not a key window"),
+        (r"count<=0:windowspecdefinition\(_key", "no paragraph-key window (a boilerplate paragraph in 1-10%% of docs would sort in ONE task)"),
         (r"Union", "round 5: exact + paragraph + bloom certificates in one part-labeled union"),
         (r"BroadcastNestedLoopJoin|BroadcastExchange", "Bloom bitmap rides a ONE-ROW broadcast; the probe is map-only against it"),
         (r"count<=0:CartesianProduct", "no unbounded cartesian anywhere in the 3-part union (the only cross join is the bounded 1-row bitmap broadcast)"),
