@@ -4,9 +4,16 @@ the raw bench.py line) and print per-round totals plus the per-query
 histories, flagging queries that regressed more than a threshold vs
 the previous round.
 
+A round whose official artifact cannot be parsed (e.g. BENCH_r05.json,
+whose single JSON line outgrew the driver's tail capture) is NEVER
+silently dropped: it prints a loud UNPARSEABLE row, and if a
+``BENCH_rNN_reconstructed.json`` sibling exists (a clean same-machine
+re-run) that one is used instead, marked ``rNN*`` in the tables.
+
 Comparability notes baked into the output:
 - r1-r3 are single-pass timings; r4+ are min-of-N (bench.py records
-  ``passes`` and, from r5, ``first_pass`` for cold-cache comparison).
+  ``passes`` and, from r5, ``first_pass`` for cold-cache comparison —
+  from r6 on its own preceding stdout line).
 - totals include queries added in later rounds; the per-query table is
   the like-for-like view.
 
@@ -18,32 +25,61 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _load(path: str) -> dict | None:
-    with open(path) as f:
-        d = json.load(f)
-    if "parsed" in d and isinstance(d["parsed"], dict):
-        d = d["parsed"]
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    if "parsed" in d:
+        d = d["parsed"] if isinstance(d["parsed"], dict) else {}
     return d if "queries" in d else None
+
+
+def _rounds() -> list[tuple[str, dict | None]]:
+    """(tag, data) per round, sorted by round number.  ``tag`` carries
+    a ``*`` suffix when the reconstructed sibling stood in for an
+    unparseable official artifact; ``data`` is None when neither
+    parsed."""
+    out: list[tuple[str, dict | None]] = []
+    for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_r[0-9]*.json"))):
+        m = re.fullmatch(r"BENCH_(r\d+)\.json", os.path.basename(path))
+        if not m:  # suffixed siblings (reconstructed, reruns) are
+            continue  # fallbacks, not rounds of their own
+        tag = m.group(1)
+        d = _load(path)
+        if d is None:
+            recon = os.path.join(ROOT, f"BENCH_{tag}_reconstructed.json")
+            d = _load(recon)
+            if d is not None:
+                tag += "*"
+        out.append((tag, d))
+    return out
 
 
 def main() -> None:
     thresh = float(sys.argv[1]) if len(sys.argv) > 1 else 1.5
-    rounds: list[tuple[str, dict]] = []
-    for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
-        tag = os.path.basename(path)[len("BENCH_") : -len(".json")]
-        d = _load(path)
-        if d:
-            rounds.append((tag, d))
-    if not rounds:
+    rounds = _rounds()
+    parsed = [(t, d) for t, d in rounds if d is not None]
+    if not parsed:
         print("no parseable BENCH_r*.json found")
         return
-    print("round totals (sec; r1-r3 single-pass, r4+ min-of-N):")
+    print("round totals (sec; r1-r3 single-pass, r4+ min-of-N;")
+    print("  * = reconstructed from a clean re-run, official artifact unparseable):")
     for tag, d in rounds:
+        if d is None:
+            print(
+                f"  {tag}: *** UNPARSEABLE *** — BENCH_{tag}.json has no"
+                f" usable 'queries' and no BENCH_{tag}_reconstructed.json"
+                " sibling; the round's numbers are LOST, not zero"
+            )
+            continue
         n = len(d["queries"])
         extra = f" passes={d.get('passes')}" if d.get("passes") else ""
         load = (
@@ -53,15 +89,15 @@ def main() -> None:
         )
         print(f"  {tag}: {d['value']:8.1f}  ({n} queries){extra}{load}")
 
-    names = sorted({q for _, d in rounds for q in d["queries"]})
+    names = sorted({q for _, d in parsed for q in d["queries"]})
     print(f"\nper-query history ({len(names)} queries):")
-    header = "query".ljust(24) + "".join(t.rjust(9) for t, _ in rounds)
+    header = "query".ljust(24) + "".join(t.rjust(9) for t, _ in parsed)
     print(header)
     flags = []
     for q in names:
         row = q[:23].ljust(24)
         prev = None
-        for tag, d in rounds:
+        for tag, d in parsed:
             v = d["queries"].get(q)
             row += (f"{v:9.2f}" if v is not None else "        -")
             if v is not None and prev is not None and prev > 0.3:
