@@ -44,6 +44,41 @@ QUALITY_FEATURE_COLS: tuple[str, ...] = (
 )
 _INTERCEPT = "_qc_intercept"
 
+#: Frozen reference coefficients: trained once on the pinned
+#: prose-vs-junk gold set (tests/test_quality.py PROSE/JUNK, ridge
+#: 1e-2, IRLS converged in 9 iterations) and pinned as literals so the
+#: scoring path is reproducible without a training pass.
+#: tests/test_quality.py::test_frozen_betas_match_training re-trains
+#: and asserts these values; the driver's text_features row certifies
+#: the scoring sigmoid end-to-end against the SQL oracle.
+FROZEN_QUALITY_BETA: dict[str, float] = {
+    _INTERCEPT: -6.750982832169519,
+    "log_n_tokens": 1.0479493956307606,
+    "ttr": 4.024006568617985,
+    "stop_ratio": 3.1347382305659197,
+    "mean_token_len": 1.0146191487462826,
+    "punct_ratio": -1.0147292580833438,
+    "dup_token_frac": -4.024006568617962,
+    "dup_bigram_frac": -2.66490230031893,
+    "top_bigram_frac": -1.4211190006805434,
+}
+
+
+def frozen_quality_fit() -> GlmFit:
+    """The pinned reference classifier as a :class:`GlmFit`, ready for
+    :func:`score_quality` — betas enter the scoring plan as literals,
+    so a 100 TB scoring run is map-only with no training dependency."""
+    import numpy as np
+
+    return GlmFit(
+        x_cols=(_INTERCEPT, *QUALITY_FEATURE_COLS),
+        beta=np.array(
+            [FROZEN_QUALITY_BETA[c] for c in (_INTERCEPT, *QUALITY_FEATURE_COLS)]
+        ),
+        n_iter=9,
+        converged=True,
+    )
+
 
 def quality_feature_frame(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"

@@ -91,3 +91,45 @@ def test_scoring_plan_is_map_only(spark):
     plan = score_quality(train, fit)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_frozen_betas_match_training(spark):
+    """Golden pin of FROZEN_QUALITY_BETA: re-train on the pinned gold
+    set and assert the module literals (the betas the driver's
+    text_features quality_prob certificate scores with) are exactly
+    the converged fit."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.quality import (
+        FROZEN_QUALITY_BETA,
+        frozen_quality_fit,
+    )
+
+    fit = train_quality_classifier(_corpus(spark, PROSE, JUNK))
+    assert fit.converged
+    frozen = frozen_quality_fit()
+    assert fit.x_cols == frozen.x_cols
+    for c, b in zip(fit.x_cols, fit.beta):
+        assert b == pytest.approx(FROZEN_QUALITY_BETA[c], rel=1e-9, abs=1e-12), c
+
+
+def test_frozen_fit_scores_match_manual_sigmoid(spark):
+    """score_quality with the frozen fit equals a hand-computed
+    sigmoid over the feature frame (the exact relation the driver's
+    SQL oracle re-states)."""
+    import math
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.quality import (
+        FROZEN_QUALITY_BETA,
+        frozen_quality_fit,
+    )
+
+    df = _corpus(spark, PROSE[:2], JUNK[:2])
+    feats = {r["doc_id"]: r for r in quality_feature_frame(df).collect()}
+    got = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality(df, frozen_quality_fit()).collect()
+    }
+    for did, r in feats.items():
+        eta = FROZEN_QUALITY_BETA["_qc_intercept"] + sum(
+            FROZEN_QUALITY_BETA[c] * r[c] for c in QUALITY_FEATURE_COLS
+        )
+        assert got[did] == pytest.approx(1.0 / (1.0 + math.exp(-eta)), abs=1e-12)
