@@ -1,0 +1,114 @@
+"""Guard-the-guard: prove each load-bearing dual-dialect oracle twin
+can actually CATCH drift.
+
+The driver's correctness gate compares Spark output to a DuckDB twin;
+for the injection/rebuild certificates the twin re-states the expected
+values with its own literals.  A twin that silently stopped
+constraining anything (e.g. a tautological column) would keep the gate
+green forever — so this suite flips ONE literal in each twin and
+asserts the value compare now FAILS, exactly as the type-parity marker
+did for schemas in round 4.
+
+Covered twins (one mutation each):
+1. PII email injection (text_features): which docs carry an email.
+2. Gopher line injection (text_features): the bullet-line literal.
+3. Quality-classifier scoring (text_features): one frozen beta.
+4. Exact-substring-span rebuild (doc_fingerprints): the gram slice.
+5. Paragraph-dedup rebuild (exact_dedup): the keeper-rank filter.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.oracle_check import TABLES, _canon
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# (query, old_literal, new_literal) — old must occur in the twin (the
+# `in` assert guards against the twin drifting until the mutation
+# becomes a no-op), and the flip must change certified VALUES.
+MUTATIONS = [
+    (
+        "text_features",
+        "WHEN doc_id % 3 = 1",
+        "WHEN doc_id % 3 = 0",
+        "pii-email-injection",
+    ),
+    (
+        "text_features",
+        "'- bullet item '",
+        "'+ bullet item '",
+        "line-injection",
+    ),
+    (
+        "text_features",
+        "-6.750982832169519",
+        "-6.75",
+        "quality-beta",
+    ),
+    (
+        "doc_fingerprints",
+        "array_slice(toks, p1, p1 + 4)",
+        "array_slice(toks, p1, p1 + 3)",
+        "span-gram-slice",
+    ),
+    (
+        "exact_dedup",
+        "FILTER (WHERE rn = 1), '') AS text",
+        "FILTER (WHERE rn >= 1), '') AS text",
+        "paragraph-keeper-rank",
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield c
+    c.close()
+
+
+@pytest.fixture(scope="module")
+def spark_results(spark):
+    """Run each mutated query's Spark side ONCE; reuse across cases."""
+    out = {}
+    qs = entrymod.queries()
+    for name in {m[0] for m in MUTATIONS}:
+        df = qs[name](spark, SF_DIR)
+        out[name] = (df.columns, [tuple(r) for r in df.collect()])
+    return out
+
+
+def _matches(spark_cols, spark_rows, con, sql) -> bool:
+    rel = con.execute(sql)
+    dcols = [d[0] for d in rel.description]
+    drows = rel.fetchall()
+    if sorted(spark_cols) != sorted(dcols) or len(spark_rows) != len(drows):
+        return False
+    a = _canon(spark_rows, list(spark_cols))
+    b = _canon(drows, dcols)
+    return a == b
+
+
+@pytest.mark.parametrize(
+    "name,old,new,label", MUTATIONS, ids=[m[3] for m in MUTATIONS]
+)
+def test_mutated_twin_fails(name, old, new, label, con, spark_results):
+    sql = entrymod.oracle_sql()[name]
+    assert old in sql, f"{label}: literal {old!r} no longer in the twin"
+    cols, rows = spark_results[name]
+    # the untouched twin matches...
+    assert _matches(cols, rows, con, sql), f"{label}: baseline compare failed"
+    # ...and the single-literal flip is CAUGHT
+    mutated = sql.replace(old, new, 1)
+    assert not _matches(cols, rows, con, mutated), (
+        f"{label}: certificate did NOT catch the {old!r} -> {new!r} flip"
+    )
