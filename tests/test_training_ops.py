@@ -316,6 +316,51 @@ def test_trim_repeated_spans_fixpoint(spark):
     assert left == 0
 
 
+def test_trim_fixpoint_converges_on_random_corpora(spark):
+    """Convergence property (round 6): on random tiny-vocab corpora
+    (the worst case for junction-gram cascades — almost every 3-gram
+    collides corpus-wide), the fixpoint converges within max_rounds=8
+    in BOTH keeper modes and leaves ZERO corpus-duplicated grams, so
+    the bound is a measured property, not a guess.  The corpus-scale
+    telemetry twin is `tools/scale_bench.py --fixpoint`."""
+    import random
+
+    rng = random.Random(20260815)
+    n = 3
+    for trial in range(3):
+        vocab = [chr(ord("a") + i) for i in range(rng.randint(4, 6))]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 14))))
+            for i in range(rng.randint(10, 30))
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for keep_first in (True, False):
+            stats: dict = {}
+            out = dedup.trim_repeated_spans_fixpoint(
+                df, n, keep_first=keep_first, stats=stats
+            )
+            rows = {r["doc_id"]: r for r in out.collect()}
+            assert stats["rounds"] <= 8, (trial, keep_first, stats)
+            assert stats["trimmed_per_round"][-1] == 0, (trial, keep_first)
+            for i, t in docs:
+                r = rows[i]
+                assert len(r["text"].split()) + r["n_trimmed"] == len(
+                    t.split()
+                ), (trial, keep_first, i)
+            left = (
+                dedup.repeated_ngram_spans(
+                    spark.createDataFrame(
+                        [(i, r["text"]) for i, r in rows.items()],
+                        "doc_id long, text string",
+                    ),
+                    n,
+                )
+                .agg(F.sum("dup_tokens"))
+                .collect()[0][0]
+            )
+            assert left == 0, (trial, keep_first, left)
+
+
 def _py_shingles(s, k=3):
     t = s.split()
     return set(" ".join(t[i : i + k]) for i in range(len(t) - k + 1))

@@ -306,9 +306,19 @@ def scrub_ladder(spark, sizes: list[int]) -> None:
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (
         paragraph_dedup,
     )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.packing import (
+        chunk_documents,
+    )
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.pii import (
         pii_features,
         redact_pii,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.quality import (
+        frozen_quality_fit,
+        score_quality,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+        line_features,
     )
 
     points = []
@@ -356,6 +366,25 @@ def scrub_ladder(spark, sizes: list[int]) -> None:
             .collect()[0][0]
         )
         t_spans = time.time() - t0
+        # round-6 map-only funnel stages: context-window chunking,
+        # line-level Gopher features, frozen-beta quality scoring
+        t0 = time.time()
+        n_chunks = chunk_documents(docs, 32, overlap=4).count()
+        t_chunk = time.time() - t0
+        line_docs = docs.select(
+            "doc_id",
+            F.regexp_replace("text", r"(\w+ \w+ \w+ \w+ \w+) ", "$1\n").alias(
+                "text"
+            ),
+        )
+        t0 = time.time()
+        line_features(line_docs).agg(F.sum("n_lines")).collect()
+        t_lines = time.time() - t0
+        t0 = time.time()
+        score_quality(docs, frozen_quality_fit()).agg(
+            F.sum("quality_prob")
+        ).collect()
+        t_score = time.time() - t0
         fps = docs.select(F.md5("text").alias("fp"))
         t0 = time.time()
         bf = bloom_ops.build(fps, "fp", expected_n=n)
@@ -381,6 +410,13 @@ def scrub_ladder(spark, sizes: list[int]) -> None:
                 "para_dropped": n_dropped,
                 "ngram_spans_sec": round(t_spans, 2),
                 "dup_tokens_found": n_dup_toks,
+                "chunk_sec": round(t_chunk, 2),
+                "chunk_mb_s": round(mb / t_chunk, 1),
+                "n_chunks": int(n_chunks),
+                "line_feat_sec": round(t_lines, 2),
+                "line_feat_mb_s": round(mb / t_lines, 1),
+                "score_quality_sec": round(t_score, 2),
+                "score_quality_mb_s": round(mb / t_score, 1),
                 "bloom_build_sec": round(t_build, 2),
                 "bloom_probe_sec": round(t_probe, 2),
                 "bloom_probe_docs_s": round(n / t_probe),
@@ -389,6 +425,163 @@ def scrub_ladder(spark, sizes: list[int]) -> None:
         print(json.dumps(points[-1]), flush=True)
         docs.unpersist()
     print(json.dumps({"op": "scrub_ops", "points": points}))
+
+
+def hotkey_ladder(spark, sizes: list[int], hot_frac: float = 0.3) -> None:
+    """Planted-HOT-KEY probe for the corpus-wide scrub passes (round 6):
+    one 5-gram run and one paragraph planted in ``hot_frac`` of all
+    docs — the realistic Zipfian-boilerplate shape the uniform ladder
+    corpora never exercise.  Times the shipped partial-aggregable
+    groupBy+join implementations against inline twins of the round-5
+    WINDOW shape (count/row_number over partitionBy(key)), asserting
+    identical aggregate results.  The window funnels every occurrence
+    of the hot key into ONE unsplittable sort task, so its time grows
+    with corpus size regardless of core count; the groupBy map-side
+    combines the hot key and AQE can split the skewed probe join."""
+    from pyspark.sql import Window
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (
+        _gram_occurrences,
+        paragraph_dedup,
+        repeated_ngram_spans,
+    )
+
+    n = 5
+
+    def window_span_dup_tokens(docs):
+        # inline twin of the round-5 window shape (dedup.py pre-r6)
+        grams, toks = _gram_occurrences(docs, n, "doc_id", "text")
+        flagged = grams.withColumn(
+            "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_gram"))
+        ).where(F.col("_cnt") >= 2)
+        w = Window.partitionBy("_id").orderBy("_pos")
+        cover = flagged.withColumn("_nxt", F.lead("_pos").over(w)).withColumn(
+            "_cov",
+            F.least(
+                F.lit(n), F.coalesce(F.col("_nxt") - F.col("_pos"), F.lit(n))
+            ),
+        )
+        return cover.agg(F.sum("_cov")).collect()[0][0] or 0
+
+    def window_para_dropped(docs):
+        import re as _re
+
+        paras = docs.select(
+            F.col("doc_id").alias("_id"),
+            F.posexplode(F.split(F.col("text"), _re.escape("\n\n"))).alias(
+                "_pos", "_para"
+            ),
+        )
+        norm = F.trim(
+            F.regexp_replace(F.lower(F.col("_para")), r"\s+", " ")
+        )
+        paras = paras.withColumn(
+            "_key",
+            F.when(F.length(norm) >= 1, F.md5(norm)).otherwise(
+                F.concat_ws("-", F.lit("pt"), F.col("_id"), F.col("_pos"))
+            ),
+        )
+        w = Window.partitionBy("_key").orderBy("_id", "_pos")
+        return (
+            paras.withColumn("_rank", F.row_number().over(w))
+            .where(F.col("_rank") > 1)
+            .count()
+        )
+
+    mod = int(round(1.0 / hot_frac * 10))  # doc_id % mod < 10 ~= hot_frac
+    hot_sentence = F.lit(" h0 h1 h2 h3 h4 h5 h6 h7 h8 h9")
+    points = []
+    for size in sizes:
+        did = F.col("doc_id")
+        docs = (
+            synth_docs(spark, size)
+            .select(
+                "doc_id",
+                F.concat(
+                    "text",
+                    F.when(did % mod < 10, hot_sentence).otherwise(F.lit("")),
+                ).alias("text"),
+            )
+            .localCheckpoint()
+        )
+        para_docs = docs.select(
+            "doc_id",
+            F.concat(
+                "text",
+                F.when(
+                    did % mod < 10,
+                    F.lit("\n\ncommon hot footer boilerplate paragraph"),
+                ).otherwise(F.lit("")),
+                F.lit("\n\nunique tail "),
+                did.cast("string"),
+            ).alias("text"),
+        ).localCheckpoint()
+        t0 = time.time()
+        dup_g = int(
+            repeated_ngram_spans(docs, n).agg(F.sum("dup_tokens")).collect()[0][0]
+        )
+        t_span_group = time.time() - t0
+        t0 = time.time()
+        dup_w = int(window_span_dup_tokens(docs))
+        t_span_window = time.time() - t0
+        assert dup_g == dup_w, (dup_g, dup_w)
+        t0 = time.time()
+        drop_g = int(
+            paragraph_dedup(para_docs).agg(F.sum("n_dropped")).collect()[0][0]
+        )
+        t_para_group = time.time() - t0
+        t0 = time.time()
+        drop_w = int(window_para_dropped(para_docs))
+        t_para_window = time.time() - t0
+        assert drop_g == drop_w, (drop_g, drop_w)
+        points.append(
+            {
+                "n_docs": size,
+                "hot_frac": hot_frac,
+                "span_groupby_sec": round(t_span_group, 2),
+                "span_window_sec": round(t_span_window, 2),
+                "dup_tokens": dup_g,
+                "para_groupby_sec": round(t_para_group, 2),
+                "para_window_sec": round(t_para_window, 2),
+                "para_dropped": drop_g,
+            }
+        )
+        print(json.dumps(points[-1]), flush=True)
+    print(json.dumps({"op": "hotkey_scrub", "points": points}))
+
+
+def fixpoint_probe(spark, sizes: list[int]) -> None:
+    """Fixpoint-trim convergence telemetry (round 6): run
+    ``trim_repeated_spans_fixpoint`` on the ladder corpus (every 10th
+    doc a planted near-dup) and record rounds-to-converge + per-round
+    trimmed tokens, so ``max_rounds=8`` is a measured bound instead of
+    a guess.  Expected: the first round removes the planted
+    duplication, later rounds only chase junction grams; >=95% of the
+    work in round 1 and convergence in <=3 rounds."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (
+        trim_repeated_spans_fixpoint,
+    )
+
+    points = []
+    for size in sizes:
+        docs = synth_docs(spark, size).localCheckpoint()
+        stats: dict = {}
+        t0 = time.time()
+        out = trim_repeated_spans_fixpoint(docs, 5, stats=stats)
+        total_trimmed = int(out.agg(F.sum("n_trimmed")).collect()[0][0] or 0)
+        wall = time.time() - t0
+        per_round = stats["trimmed_per_round"]
+        points.append(
+            {
+                "n_docs": size,
+                "rounds": stats["rounds"],
+                "trimmed_per_round": per_round,
+                "round1_share": round(per_round[0] / max(total_trimmed, 1), 4),
+                "total_trimmed": total_trimmed,
+                "wall_sec": round(wall, 2),
+            }
+        )
+        print(json.dumps(points[-1]), flush=True)
+    print(json.dumps({"op": "fixpoint_trim", "points": points}))
 
 
 def bpe_ladder(spark, sf_dir: str, n_merges: int, batch_sizes, n_docs: int = 0) -> None:
@@ -537,6 +730,27 @@ def main() -> None:
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
         scrub_ladder(spark, sizes)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--hotkey":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [100_000, 400_000, 800_000]
+        )
+        hot_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.3
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        hotkey_ladder(spark, sizes, hot_frac)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--fixpoint":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [200_000, 800_000]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        fixpoint_probe(spark, sizes)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--stream-join":
         sizes = (
