@@ -1030,20 +1030,39 @@ def paragraph_dedup(
     # Unique keys cost nothing (singleton groups) and distribute
     # uniformly.
     paras = paras.withColumn(
+        "_is_content", F.length(norm) >= min_chars
+    ).withColumn(
         "_key",
-        F.when(F.length(norm) >= min_chars, F.md5(norm)).otherwise(
+        F.when(F.col("_is_content"), F.md5(norm)).otherwise(
             F.concat_ws("-", F.lit("pt"), F.col("_id"), F.col("_pos"))
         ),
     )
-    first = paras.groupBy("_key").agg(
-        F.min(F.struct("_id", "_pos")).alias("_first")
+    # Aggregate CONTENT rows only, and keep only keys that actually
+    # repeat: the agg side shrinks to (duplicated key, argmin) — small
+    # enough for AQE to broadcast on most corpora, in which case the
+    # paragraph frame never shuffles on the key at all and the only
+    # remaining exchange is the doc-keyed rebuild.  Pass-through rows
+    # (unique keys) can never match and fall out of the left join with
+    # _first null => kept.
+    dup_first = (
+        paras.where(F.col("_is_content"))
+        .groupBy("_key")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct("_id", "_pos")).alias("_first"),
+        )
+        .where(F.col("_cnt") >= 2)
+        .select("_key", "_first")
     )
-    kept = paras.join(first, "_key")
+    kept = paras.join(dup_first, "_key", "left")
     rebuilt = (
         kept.withColumn(
             "_keep",
-            (F.col("_id") == F.col("_first._id"))
-            & (F.col("_pos") == F.col("_first._pos")),
+            F.col("_first").isNull()
+            | (
+                (F.col("_id") == F.col("_first._id"))
+                & (F.col("_pos") == F.col("_first._pos"))
+            ),
         )
         .groupBy("_id")
         .agg(

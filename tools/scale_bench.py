@@ -427,7 +427,9 @@ def scrub_ladder(spark, sizes: list[int]) -> None:
     print(json.dumps({"op": "scrub_ops", "points": points}))
 
 
-def hotkey_ladder(spark, sizes: list[int], hot_frac: float = 0.3) -> None:
+def hotkey_ladder(
+    spark, sizes: list[int], hot_frac: float = 0.3, ops: str = "both"
+) -> None:
     """Planted-HOT-KEY probe for the corpus-wide scrub passes (round 6):
     one 5-gram run and one paragraph planted in ``hot_frac`` of all
     docs — the realistic Zipfian-boilerplate shape the uniform ladder
@@ -492,61 +494,73 @@ def hotkey_ladder(spark, sizes: list[int], hot_frac: float = 0.3) -> None:
     points = []
     for size in sizes:
         did = F.col("doc_id")
-        docs = (
-            synth_docs(spark, size)
-            .select(
-                "doc_id",
-                F.concat(
-                    "text",
-                    F.when(did % mod < 10, hot_sentence).otherwise(F.lit("")),
-                ).alias("text"),
+        point: dict = {"n_docs": size, "hot_frac": hot_frac}
+        if ops in ("both", "span"):
+            docs = (
+                synth_docs(spark, size)
+                .select(
+                    "doc_id",
+                    F.concat(
+                        "text",
+                        F.when(did % mod < 10, hot_sentence).otherwise(
+                            F.lit("")
+                        ),
+                    ).alias("text"),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
-        para_docs = docs.select(
-            "doc_id",
-            F.concat(
-                "text",
-                F.when(
-                    did % mod < 10,
-                    F.lit("\n\ncommon hot footer boilerplate paragraph"),
-                ).otherwise(F.lit("")),
-                F.lit("\n\nunique tail "),
-                did.cast("string"),
-            ).alias("text"),
-        ).localCheckpoint()
-        t0 = time.time()
-        dup_g = int(
-            repeated_ngram_spans(docs, n).agg(F.sum("dup_tokens")).collect()[0][0]
-        )
-        t_span_group = time.time() - t0
-        t0 = time.time()
-        dup_w = int(window_span_dup_tokens(docs))
-        t_span_window = time.time() - t0
-        assert dup_g == dup_w, (dup_g, dup_w)
-        t0 = time.time()
-        drop_g = int(
-            paragraph_dedup(para_docs).agg(F.sum("n_dropped")).collect()[0][0]
-        )
-        t_para_group = time.time() - t0
-        t0 = time.time()
-        drop_w = int(window_para_dropped(para_docs))
-        t_para_window = time.time() - t0
-        assert drop_g == drop_w, (drop_g, drop_w)
-        points.append(
-            {
-                "n_docs": size,
-                "hot_frac": hot_frac,
-                "span_groupby_sec": round(t_span_group, 2),
-                "span_window_sec": round(t_span_window, 2),
-                "dup_tokens": dup_g,
-                "para_groupby_sec": round(t_para_group, 2),
-                "para_window_sec": round(t_para_window, 2),
-                "para_dropped": drop_g,
-            }
-        )
+            t0 = time.time()
+            dup_g = int(
+                repeated_ngram_spans(docs, n)
+                .agg(F.sum("dup_tokens"))
+                .collect()[0][0]
+            )
+            t_span_group = time.time() - t0
+            t0 = time.time()
+            dup_w = int(window_span_dup_tokens(docs))
+            t_span_window = time.time() - t0
+            assert dup_g == dup_w, (dup_g, dup_w)
+            point.update(
+                span_groupby_sec=round(t_span_group, 2),
+                span_window_sec=round(t_span_window, 2),
+                dup_tokens=dup_g,
+            )
+        if ops in ("both", "para"):
+            # paragraph corpus built from a cheap id-derived body (not
+            # synth_docs) so the PARA rung can climb to many millions
+            # of docs — the hot-key geometry only needs the footer
+            para_docs = spark.range(size).select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit("body "),
+                    F.col("id").cast("string"),
+                    F.when(
+                        F.col("id") % mod < 10,
+                        F.lit("\n\ncommon hot footer boilerplate paragraph"),
+                    ).otherwise(F.lit("")),
+                    F.lit("\n\nunique tail "),
+                    F.col("id").cast("string"),
+                ).alias("text"),
+            ).localCheckpoint()
+            t0 = time.time()
+            drop_g = int(
+                paragraph_dedup(para_docs)
+                .agg(F.sum("n_dropped"))
+                .collect()[0][0]
+            )
+            t_para_group = time.time() - t0
+            t0 = time.time()
+            drop_w = int(window_para_dropped(para_docs))
+            t_para_window = time.time() - t0
+            assert drop_g == drop_w, (drop_g, drop_w)
+            point.update(
+                para_groupby_sec=round(t_para_group, 2),
+                para_window_sec=round(t_para_window, 2),
+                para_dropped=drop_g,
+            )
+        points.append(point)
         print(json.dumps(points[-1]), flush=True)
-    print(json.dumps({"op": "hotkey_scrub", "points": points}))
+    print(json.dumps({"op": "hotkey_scrub", "ops": ops, "points": points}))
 
 
 def fixpoint_probe(spark, sizes: list[int]) -> None:
@@ -738,9 +752,10 @@ def main() -> None:
             else [100_000, 400_000, 800_000]
         )
         hot_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.3
+        ops = sys.argv[4] if len(sys.argv) > 4 else "both"
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
-        hotkey_ladder(spark, sizes, hot_frac)
+        hotkey_ladder(spark, sizes, hot_frac, ops)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--fixpoint":
         sizes = (
