@@ -450,7 +450,9 @@ def hotkey_ladder(
     n = 5
 
     def window_span_dup_tokens(docs):
-        # inline twin of the round-5 window shape (dedup.py pre-r6)
+        # FULL replica of the round-5 window-shaped repeated_ngram_spans
+        # (dedup.py pre-r6) incl. the per-doc join-back, so the timing
+        # difference isolates ONLY the corpus-count pass
         grams, toks = _gram_occurrences(docs, n, "doc_id", "text")
         flagged = grams.withColumn(
             "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_gram"))
@@ -462,9 +464,15 @@ def hotkey_ladder(
                 F.lit(n), F.coalesce(F.col("_nxt") - F.col("_pos"), F.lit(n))
             ),
         )
-        return cover.agg(F.sum("_cov")).collect()[0][0] or 0
+        per_doc = cover.groupBy("_id").agg(F.sum("_cov").alias("dup_tokens"))
+        out = toks.select("_id").join(per_doc, "_id", "left").select(
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens")
+        )
+        return out.agg(F.sum("dup_tokens")).collect()[0][0] or 0
 
     def window_para_dropped(docs):
+        # FULL replica of the round-5 window-shaped paragraph_dedup
+        # incl. the doc-keyed rebuild aggregate
         import re as _re
 
         paras = docs.select(
@@ -483,11 +491,29 @@ def hotkey_ladder(
             ),
         )
         w = Window.partitionBy("_key").orderBy("_id", "_pos")
-        return (
-            paras.withColumn("_rank", F.row_number().over(w))
-            .where(F.col("_rank") > 1)
-            .count()
+        kept = paras.withColumn("_rank", F.row_number().over(w))
+        rebuilt = (
+            kept.withColumn("_keep", F.col("_rank") == 1)
+            .groupBy("_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_keep"),
+                                    F.struct(F.col("_pos"), F.col("_para")),
+                                )
+                            )
+                        ),
+                        lambda s: s["_para"],
+                    ),
+                    "\n\n",
+                ).alias("text"),
+                F.sum((~F.col("_keep")).cast("int")).alias("n_dropped"),
+            )
         )
+        return rebuilt.agg(F.sum("n_dropped")).collect()[0][0] or 0
 
     mod = int(round(1.0 / hot_frac * 10))  # doc_id % mod < 10 ~= hot_frac
     hot_sentence = F.lit(" h0 h1 h2 h3 h4 h5 h6 h7 h8 h9")
