@@ -3960,73 +3960,22 @@ def _sql_line_features() -> str:
     """
 
 
-def _q_quality_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained-quality-classifier SCORING certificate
-    (``operators/quality.py score_quality``): the map-only
-    sigmoid-of-linear-predictor over the 8 quality features with the
-    FROZEN reference betas (``FROZEN_QUALITY_BETA``, pinned from the
-    gold-set fit that tests/test_quality.py re-trains and asserts).
-    Training is iterative (golden-tested per SURVEY §5); scoring — the
-    leg a 100 TB curation run executes over EVERY document — is exactly
-    SQL-expressible, so the oracle recomputes the same features
-    unrounded and applies the same sigmoid with the same beta
-    literals.  Rounded to 6 dp (not 9): ``exp``/``log1p`` are the one
-    place JVM vs C library math can differ in the last ulp."""
-    out = quality_ops.score_quality(
-        _docs(spark, sf_dir), quality_ops.frozen_quality_fit()
-    )
-    return out.select(
-        "doc_id", F.round("quality_prob", 6).alias("quality_prob")
-    )
-
-
-def _sql_quality_prob() -> str:
-    sw = ", ".join(f"'{s}'" for s in text_ops.STOPWORDS)
+def _quality_eta_sql() -> str:
+    """The frozen-beta linear predictor over the text_features twin
+    columns (``log_n_tokens`` derived from the certified integer
+    ``n_tokens``; the other 7 features are the rounded twin columns
+    themselves — hash-certified identical to Spark's, so the sigmoid's
+    INPUT is bit-equal on both sides)."""
     b = quality_ops.FROZEN_QUALITY_BETA
-    eta = " + ".join(
+    exprs = {c: c for c in quality_ops.QUALITY_FEATURE_COLS}
+    exprs["log_n_tokens"] = "ln(1.0 + n_tokens)"
+    return " + ".join(
         [repr(b["_qc_intercept"])]
-        + [f"({b[c]!r}) * {c}" for c in quality_ops.QUALITY_FEATURE_COLS]
+        + [
+            f"({b[c]!r}) * {exprs[c]}"
+            for c in quality_ops.QUALITY_FEATURE_COLS
+        ]
     )
-    return f"""
-    WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
-    q AS (SELECT doc_id,
-             ln(1.0 + len(toks)) AS log_n_tokens,
-             coalesce(len(list_distinct(toks)) * 1.0 / len(toks), 0.0)
-               AS ttr,
-             coalesce(len(list_filter(toks, x -> list_contains([{sw}], x)))
-               * 1.0 / len(toks), 0.0) AS stop_ratio,
-             coalesce(list_sum(list_transform(toks, x -> len(x))) * 1.0
-               / len(toks), 0.0) AS mean_token_len,
-             coalesce((len(text)
-                       - len(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-               * 1.0 / len(text), 0.0) AS punct_ratio
-          FROM t),
-    base AS (SELECT doc_id,
-                    CASE WHEN len(toks) > 0
-                         THEN 1.0 - len(list_distinct(toks)) * 1.0 / len(toks)
-                         ELSE 0.0 END AS dup_token_frac
-             FROM t),
-    ex AS (SELECT doc_id,
-                  unnest(list_transform(range(1, len(toks)),
-                                        i -> toks[i] || ' ' || toks[i + 1]))
-                    AS g
-           FROM t WHERE len(toks) >= 2),
-    pg AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2),
-    agg AS (SELECT doc_id,
-                   1.0 - count(*) * 1.0 / sum(c) AS dup_bigram_frac,
-                   max(c) * 1.0 / sum(c) AS top_bigram_frac
-            FROM pg GROUP BY 1),
-    f AS (SELECT q.doc_id, log_n_tokens, ttr, stop_ratio, mean_token_len,
-                 punct_ratio, bs.dup_token_frac,
-                 coalesce(a.dup_bigram_frac, 0.0) AS dup_bigram_frac,
-                 coalesce(a.top_bigram_frac, 0.0) AS top_bigram_frac
-          FROM q
-          JOIN base bs ON q.doc_id = bs.doc_id
-          LEFT JOIN agg a ON q.doc_id = a.doc_id)
-    SELECT doc_id,
-           round(1.0 / (1.0 + exp(-({eta}))), 6) AS quality_prob
-    FROM f
-    """
 
 
 def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4035,26 +3984,52 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round 5) + the trained-classifier quality_prob (round 6), joined
     on doc_id (all are single-pass per-doc computations; the join keys
     are unique, so the merged result certifies each column set exactly
-    as the separate queries did)."""
-    return (
+    as the separate queries did).
+
+    quality_prob is the SCORING certificate for
+    ``operators/quality.py score_quality`` — the leg a 100 TB curation
+    run executes over EVERY document — with the FROZEN reference betas
+    (``FROZEN_QUALITY_BETA``, pinned from the gold-set fit that
+    tests/test_quality.py re-trains and asserts).  Training is
+    iterative (golden-tested per SURVEY §5); scoring is exactly
+    SQL-expressible.  The operator's real scoring expression
+    (``quality_prob_column`` — what ``score_quality`` selects) is
+    APPENDED to the bundle's own certified feature columns in the same
+    projection (no second tokenize/bigram pass, no self-join), so the
+    sigmoid's input is bit-identical to the oracle's and the hash
+    match certifies the scoring arithmetic itself.  Rounded to 6 dp
+    (not 9): ``exp``/``log1p`` are the one place JVM vs C library math
+    can differ in the last ulp."""
+    joined = (
         _q_text_stats(spark, sf_dir)
         .join(_q_lang_id(spark, sf_dir), "doc_id")
         .join(_q_repetition_stats(spark, sf_dir), "doc_id")
         .join(_q_pii_scrub(spark, sf_dir), "doc_id")
         .join(_q_line_features(spark, sf_dir), "doc_id")
-        .join(_q_quality_prob(spark, sf_dir), "doc_id")
+    )
+    prob = quality_ops.quality_prob_column(quality_ops.frozen_quality_fit())
+    return (
+        joined.withColumn(
+            "log_n_tokens", F.log1p(F.col("n_tokens").cast("double"))
+        )
+        .withColumn("quality_prob", F.round(prob, 6))
+        .drop("log_n_tokens")
     )
 
 
 def _sql_text_features() -> str:
     return f"""
-    SELECT *
-    FROM ({_sql_text_stats()}) s
-    JOIN ({_sql_lang_id()}) l USING (doc_id)
-    JOIN ({_sql_repetition_stats()}) r USING (doc_id)
-    JOIN ({_sql_pii_scrub()}) p USING (doc_id)
-    JOIN ({_sql_line_features()}) lf USING (doc_id)
-    JOIN ({_sql_quality_prob()}) qp USING (doc_id)
+    SELECT *,
+           round(1.0 / (1.0 + exp(-({_quality_eta_sql()}))), 6)
+             AS quality_prob
+    FROM (
+      SELECT *
+      FROM ({_sql_text_stats()}) s
+      JOIN ({_sql_lang_id()}) l USING (doc_id)
+      JOIN ({_sql_repetition_stats()}) r USING (doc_id)
+      JOIN ({_sql_pii_scrub()}) p USING (doc_id)
+      JOIN ({_sql_line_features()}) lf USING (doc_id)
+    )
     """
 
 

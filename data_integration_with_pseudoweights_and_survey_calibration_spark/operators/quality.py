@@ -157,17 +157,39 @@ def score_quality(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "quality_prob",
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """(id, quality_prob) for every document: sigmoid of the fitted
     linear predictor over the feature frame.  The betas enter the plan
     as literals — scoring is a map-only, shuffle-free pass fused with
     the feature expressions (one doc-keyed join of the two feature
-    scans)."""
-    feats = quality_feature_frame(df, id_col=id_col, text_col=text_col)
+    scans).
+
+    ``features``: optionally score a PRECOMPUTED frame carrying
+    ``id_col`` + :data:`QUALITY_FEATURE_COLS` instead of re-deriving
+    them from text — the right call when a pipeline has already
+    materialized the feature columns (e.g. alongside other per-doc
+    stats): scoring then adds two Column expressions to an existing
+    scan instead of two more tokenization passes."""
+    feats = (
+        features
+        if features is not None
+        else quality_feature_frame(df, id_col=id_col, text_col=text_col)
+    )
+    return feats.select(
+        F.col(id_col), quality_prob_column(fit).alias(out_col)
+    )
+
+
+def quality_prob_column(fit: GlmFit) -> Column:
+    """The scoring expression itself — sigmoid of the fitted linear
+    predictor over :data:`QUALITY_FEATURE_COLS` with the betas as plan
+    literals.  Exposed separately so a pipeline that already carries
+    the feature columns can APPEND the probability in the same
+    projection (one ``withColumn``, zero extra scans/joins);
+    :func:`score_quality` is this column over the feature frame."""
     beta = dict(zip(fit.x_cols, (float(b) for b in fit.beta)))
     eta: Column = F.lit(beta.get(_INTERCEPT, 0.0))
     for c in QUALITY_FEATURE_COLS:
         eta = eta + F.lit(beta[c]) * F.col(c)
-    return feats.select(
-        F.col(id_col), (F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))).alias(out_col)
-    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
