@@ -4049,15 +4049,97 @@ def _sql_doc_signatures() -> str:
     """
 
 
+SEM_K = 4  # semantic-dedup cells for the certificate branch
+
+
+def _sem_seed_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Deterministic unit-norm centroids for the semantic branch: the
+    SEM_K embeddings with smallest md5(vec_id) — exactly the spherical
+    k-means INIT rule (`similarity.kmeans_centroids`), skipping Lloyd
+    so the oracle can restate the model in SQL (the trained path is
+    iterative and golden-tested via `ivf_topk`).  One bounded k-row
+    collect; normalization is a left-fold sum (Python `sum` order ==
+    Spark's `aggregate` fold == the oracle's explicit chain), so the
+    centroid literals are bit-identical on both engines."""
+    import math
+
+    rows = (
+        _emb(spark, sf_dir)
+        .select(
+            "vec_id",
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(SEM_K)
+        .collect()
+    )
+    cens = []
+    for r in sorted(rows, key=lambda x: x["_h"]):
+        v = [float(x) for x in r["embedding"]]
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        nrm = math.sqrt(acc)
+        cens.append([x / nrm for x in v])
+    return cens
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup certificate (``operators/dedup.py
+    semantic_dedup_pairs``, Abbas et al. 2023): cluster-then-compare
+    semantic near-dup pairs over the FULL embeddings table —
+    assignment by literal-centroid fold expressions (``assign=
+    'column'``: same left-associated dots the oracle writes), pairs by
+    ONE equi-join on the cell id + exact cosine."""
+    emb = _emb(spark, sf_dir)
+    cen = _sem_seed_centroids(spark, sf_dir)
+    out = dedup_ops.semantic_dedup_pairs(
+        emb, EMB_TAU, centroids=cen, assign="column"
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _sql_semantic_dedup() -> str:
+    d = EMB_DIM
+
+    def chain(a: str, b: str) -> str:
+        return " + ".join(f"{a}[{j + 1}] * {b}[{j + 1}]" for j in range(d))
+
+    self_dot = chain("v", "v")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1
+                AS cell,
+              list_transform(v, x -> x / sqrt({self_dot})) AS c
+              FROM e ORDER BY md5(vec_id::VARCHAR) LIMIT {SEM_K}),
+    scored AS (SELECT e.vec_id, e.v, s.cell, ({chain('e.v', 's.c')}) AS sc
+               FROM e CROSS JOIN seeds s),
+    assigned AS (SELECT vec_id, v, cell FROM (
+                   SELECT *, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY sc DESC, cell ASC) AS rk
+                   FROM scored) WHERE rk = 1)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= {EMB_TAU}
+    """
+
+
 def _q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate candidate pairs from the three bucketed pair
+    """Near-duplicate candidate pairs from the four bucketed pair
     generators, method-labeled in one union: PPJoin n-gram Jaccard,
-    banded MinHash-LSH (both over documents), and blocked embedding
-    cosine (over embeddings). Each branch keeps its own bucketed
-    (never all-pairs) plan; the union is just a label. The two
-    shingle-based branches SHARE one cached shingle frame, so the
-    corpus is tokenized+shingled once for both methods instead of once
-    per method."""
+    banded MinHash-LSH (both over documents), blocked embedding
+    cosine, and SemDeDup cluster-then-compare (round 6, both over
+    embeddings). Each branch keeps its own bucketed (never all-pairs)
+    plan; the union is just a label. The two shingle-based branches
+    SHARE one cached shingle frame, so the corpus is tokenized+shingled
+    once for both methods instead of once per method."""
 
     def tag(df: DataFrame, method: str, score_col: str) -> DataFrame:
         return df.select(
@@ -4085,6 +4167,9 @@ def _q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             tag(_q_embedding_dedup(spark, sf_dir), "embedding_cosine", "cosine")
         )
+        .unionByName(
+            tag(_q_semantic_dedup(spark, sf_dir), "semantic", "cosine")
+        )
     )
 
 
@@ -4101,6 +4186,10 @@ def _sql_dedup_pairs() -> str:
     SELECT 'embedding_cosine' AS method, id_a::BIGINT, id_b::BIGINT,
            cosine::DOUBLE
     FROM ({_sql_embedding_dedup()})
+    UNION ALL
+    SELECT 'semantic' AS method, id_a::BIGINT, id_b::BIGINT,
+           cosine::DOUBLE
+    FROM ({_sql_semantic_dedup()})
     """
 
 

@@ -58,6 +58,8 @@ from .operators.dedup import (  # noqa: E402,F401
     connected_components,
     paragraph_dedup,
     repeated_ngram_spans,
+    semantic_dedup,
+    semantic_dedup_pairs,
     trim_repeated_spans,
     trim_repeated_spans_fixpoint,
 )
@@ -111,6 +113,8 @@ __all__ = [
     "chunk_documents",
     "connected_components",
     "paragraph_dedup",
+    "semantic_dedup",
+    "semantic_dedup_pairs",
     "pii_features",
     "redact_pii",
     "repeated_ngram_spans",

@@ -820,6 +820,133 @@ def embedding_cosine_pairs(
     return src.mapInPandas(_score, schema="id_a long, id_b long, cosine double")
 
 
+def centroid_assign_column(
+    centroids: list[list[float]], vec_col: str = "embedding"
+) -> "Column":
+    """Nearest-centroid cell id as a PURE Column expression: one
+    left-fold dot product per (unit-norm) centroid with the centroid
+    values as plan literals, argmax via greatest + a first-match CASE
+    chain (ties -> lowest cell id).  Map-only and oracle-replayable
+    (the SQL twin writes the identical left-associated chains); the
+    Arrow-matmul path (``similarity._assign_udf``) is the faster call
+    for large centroid counts, this one is exact-parity for modest k.
+    """
+    from .similarity import dot_expr
+
+    scores = [
+        dot_expr(vec_col, F.array(*[F.lit(float(x)) for x in cen]))
+        for cen in centroids
+    ]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    cell = F.lit(None).cast("int")
+    expr = None
+    for i, s in enumerate(scores):
+        expr = (
+            F.when(s == best, F.lit(i))
+            if expr is None
+            else expr.when(s == best, F.lit(i))
+        )
+    return expr.otherwise(cell)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float,
+    *,
+    centroids=None,
+    n_lists: int = 16,
+    max_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "arrow",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    near-duplicate pairs via cluster-then-compare — documents whose
+    embeddings land in the same k-means cell AND have cosine >=
+    ``threshold``.  Exact all-pairs cosine is O(n^2 d); clustering
+    first bounds the candidate set to within-cell pairs (sum of
+    cell-size^2), which is the SemDeDup contract: semantic duplicates
+    are near each other, so cross-cell pairs are not worth scoring.
+
+    ``centroids``: a (k x d) array/list of UNIT-NORM centroids (e.g.
+    from ``similarity.kmeans_centroids``); None trains the spherical
+    k-means here (``n_lists``/``max_iter``).  ``assign="arrow"`` uses
+    the Arrow-batched matmul assignment (the scale path shared with
+    IVF); ``assign="column"`` builds literal-centroid fold expressions
+    (:func:`centroid_assign_column`) — exact-parity with the SQL
+    oracle, right for modest k.
+
+    Returns (id_a, id_b, cosine, cell) with id_a < id_b.
+
+    Scale shape: assignment is map-only (broadcast-sized model); the
+    pair stage is ONE equi-join on the cell id (AQE-splittable if a
+    cell runs hot) followed by the cosine filter — no all-pairs stage.
+    Cell count trades recall for cost exactly as in the paper: at
+    100 TB pick n_lists ~ n / target_cell_size and write the indexed
+    frame bucketed by cell so the join is shuffle-free.
+    """
+    from .similarity import cosine_expr, with_norm
+
+    if centroids is None:
+        from .similarity import kmeans_centroids
+
+        centroids = kmeans_centroids(
+            df, vec_col=vec_col, id_col=id_col, n_lists=n_lists, max_iter=max_iter
+        )
+    if assign == "column":
+        cen_list = [list(map(float, c)) for c in centroids]
+        indexed = df.withColumn(
+            "_cell", centroid_assign_column(cen_list, vec_col)
+        )
+    else:
+        import numpy as np
+
+        from .similarity import ivf_index
+
+        indexed = ivf_index(
+            df, np.asarray(centroids, dtype=np.float64), vec_col=vec_col
+        ).withColumnRenamed("_list", "_cell")
+    t = float(threshold)
+    nd = with_norm(indexed, vec_col)
+    a = nd.select(
+        F.col("_cell"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = nd.select(
+        F.col("_cell"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    return (
+        a.join(b, "_cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("_va", "_vb", "_na", "_nb"))
+        .where(F.col("cosine") >= t)
+        .select("id_a", "id_b", "cosine", F.col("_cell").alias("cell"))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    **kwargs,
+) -> DataFrame:
+    """The removal half of :func:`semantic_dedup_pairs`: drop every
+    row that has a semantic duplicate with a SMALLER id in its cell
+    (the deterministic min-id keeper — one representative per
+    duplicate chain survives).  One left-anti join against the pair
+    table's ``id_b`` side."""
+    losers = semantic_dedup_pairs(
+        df, threshold, id_col=id_col, **kwargs
+    ).select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def _cosine_pairs_grid(
     df: DataFrame,
     t: float,

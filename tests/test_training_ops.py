@@ -1273,3 +1273,79 @@ def test_line_features_gopher_rules(spark):
     assert got[1]["frac_caps_lines"] == pytest.approx(1 / 4)
     assert got[1]["frac_ellipsis_lines"] == pytest.approx(2 / 4)
     assert got[2]["frac_bullet_lines"] == pytest.approx(2 / 6)
+
+
+def test_semantic_dedup_pairs_vs_bruteforce(spark, sf_dir):
+    """SemDeDup: within-cell pairs equal a pure-Python mirror (same
+    centroids, same argmax-with-lowest-tie assignment, brute-force
+    cosine within cells), in BOTH assignment modes; the keeper op
+    drops exactly the ids with a smaller-id in-cell duplicate."""
+    import math
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cen = kmeans_centroids(emb, n_lists=4, max_iter=2)
+    tau = 0.4
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cells: dict[int, int] = {}
+    for vid, v in vecs.items():
+        scores = [dot(v, list(map(float, c))) for c in cen]
+        best = max(scores)
+        cells[vid] = min(i for i, s in enumerate(scores) if s == best)
+    want = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if cells[a] != cells[b]:
+                continue
+            na = math.sqrt(dot(vecs[a], vecs[a]))
+            nb = math.sqrt(dot(vecs[b], vecs[b]))
+            if dot(vecs[a], vecs[b]) / (na * nb) >= tau:
+                want.add((a, b))
+    for mode in ("column", "arrow"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.semantic_dedup_pairs(
+                emb, tau, centroids=cen, assign=mode
+            ).collect()
+        }
+        assert got == want, (mode, len(got), len(want))
+    # keeper: drop exactly the ids that pair with a smaller id
+    losers = {b for _, b in want}
+    kept = {
+        r["vec_id"]
+        for r in dedup.semantic_dedup(
+            emb, tau, centroids=cen, assign="column"
+        ).collect()
+    }
+    assert kept == set(ids) - losers
+
+
+def test_semantic_pairs_subset_of_allpairs(spark, sf_dir):
+    """Cluster-then-compare can only MISS cross-cell pairs, never
+    invent one: every semantic pair is an all-pairs cosine pair at the
+    same threshold."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sem = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.semantic_dedup_pairs(emb, 0.4, n_lists=4).collect()
+    }
+    allp = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(
+            emb, 0.4, id_col="vec_id", method="pair_join"
+        ).collect()
+    }
+    assert sem <= allp
+    assert sem, "no semantic pairs found at tau=0.4 — test corpus drifted?"
