@@ -61,6 +61,12 @@ MUTATIONS = [
         "FILTER (WHERE rn >= 1), '') AS text",
         "paragraph-keeper-rank",
     ),
+    (
+        "dedup_pairs",
+        "LIMIT 4",
+        "LIMIT 3",
+        "semantic-seed-count",
+    ),
 ]
 
 
