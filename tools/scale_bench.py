@@ -589,6 +589,67 @@ def hotkey_ladder(
     print(json.dumps({"op": "hotkey_scrub", "ops": ops, "points": points}))
 
 
+def synth_embeddings(spark, n: int, dim: int = 32):
+    """Distributed synthetic embeddings: hash-derived uniform values in
+    [-1, 1) (random pairs' cosine ~ 0), with every 10th row a planted
+    near-duplicate of the previous row (one dimension nudged)."""
+    base = F.when(F.col("id") % 10 == 0, F.col("id") - 1).otherwise(F.col("id"))
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (
+            F.pmod(F.hash(base * F.lit(131) + i.cast("long")), F.lit(2000))
+            / F.lit(1000.0)
+            - F.lit(1.0)
+        )
+        + F.when(
+            (F.col("id") % 10 == 0) & (i == 3), F.lit(0.05)
+        ).otherwise(F.lit(0.0)),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+
+
+def semantic_ladder(spark, sizes: list[int], tau: float = 0.9) -> None:
+    """SemDeDup scale probe: k-means cells sized ~5k rows each bound
+    the candidate set; planted near-dups (cosine ~ 1) must be found
+    (they share a cell by construction — near-identical vectors argmax
+    to the same centroid), random pairs (~0 cosine) must not."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+
+    points = []
+    for n in sizes:
+        emb = synth_embeddings(spark, n).localCheckpoint()
+        # candidate volume is ~ n^2 / k: size cells to ~2k rows so the
+        # within-cell compare stays bounded as n grows (the SemDeDup
+        # recall/cost dial)
+        k = max(4, n // 2000)
+        t0 = time.time()
+        pairs = semantic_dedup_pairs(emb, tau, n_lists=k, max_iter=2)
+        planted = pairs.where(
+            (F.col("id_b") - F.col("id_a") == 1) & (F.col("id_b") % 10 == 0)
+        ).count()
+        total = pairs.count()
+        wall = time.time() - t0
+        expect = n // 10 - (1 if n % 10 == 0 else 0)
+        recall = planted / max(expect, 1)
+        assert recall >= 0.95, (planted, expect)
+        points.append(
+            {
+                "n_vecs": n,
+                "n_cells": k,
+                "planted_found": int(planted),
+                "planted_recall": round(recall, 4),
+                "pairs_total": int(total),
+                "wall_sec": round(wall, 2),
+            }
+        )
+        print(json.dumps(points[-1]), flush=True)
+    print(json.dumps({"op": "semantic_dedup", "tau": tau, "points": points}))
+
+
 def fixpoint_probe(spark, sizes: list[int]) -> None:
     """Fixpoint-trim convergence telemetry (round 6): run
     ``trim_repeated_spans_fixpoint`` on the ladder corpus (every 10th
@@ -782,6 +843,16 @@ def main() -> None:
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
         hotkey_ladder(spark, sizes, hot_frac, ops)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--semantic":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [50_000, 200_000, 800_000]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        semantic_ladder(spark, sizes)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--fixpoint":
         sizes = (
