@@ -129,6 +129,7 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
     "dedup_pairs": [
         (r"count>=2:InMemoryTableScan", "ngram and LSH branches both read the ONE cached shingle frame (no second tokenize/shingle scan)"),
         (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", "pair generation is a hash equi-join on bucket keys, not a nested loop"),
+        (r"Join \[_cell#\d+\], \[_cell#\d+\]|hashpartitioning\(_cell", "round 6: the SemDeDup branch joins on the cell id only (cluster-then-compare, no all-pairs stage; AQE broadcasts the small side here, shuffles on _cell at scale)"),
     ],
     "jk_cox_refits": [
         # the executed AQE dump prints the single node twice (Final +
