@@ -7,7 +7,7 @@ of the engine's distributed operators.
     -> PII scrub (detect + redact, shuffle-free Column exprs)
     -> exact dedup (fingerprint groupBy, keep min id)
     -> near-dup (MinHash LSH -> components -> keep BEST-quality member)
-    -> embedding near-dup (block-grid exact cosine)
+    -> semantic near-dup (SemDeDup: k-means cells -> within-cell cosine)
     -> content scrub on survivors: corpus-wide paragraph dedup, then
        exact-substring span trim (repeated 8-grams, keep-first) —
        doc-level dedup first, content-level after (trimming shared
@@ -166,11 +166,17 @@ def main() -> None:
     near_survivors = exact_survivors.join(drop_near, "doc_id", "left_anti")
     n_near = near_survivors.count()
 
-    # 4. embedding near-dup on the surviving docs' vectors
+    # 4. SEMANTIC near-dup on the surviving docs' vectors — SemDeDup
+    # cluster-then-compare (round 6): k-means cells bound the
+    # candidate set, so this stage is ONE cell-keyed equi-join at any
+    # corpus size (the exact all-pairs block grid stays available as
+    # dedup.embedding_cosine_pairs for an exhaustive audit run).
     surv_emb = emb.join(
         near_survivors.select(F.col("doc_id").alias("vec_id")), "vec_id"
     )
-    epairs = dedup.embedding_cosine_pairs(surv_emb, COSINE_TAU)
+    epairs = dedup.semantic_dedup_pairs(
+        surv_emb, COSINE_TAU, n_lists=8, max_iter=2
+    )
     n_emb_pairs = epairs.count()
     drop_emb = epairs.select(F.col("id_b").alias("doc_id")).distinct()
     final = near_survivors.join(drop_emb, "doc_id", "left_anti").cache()
@@ -304,8 +310,8 @@ def main() -> None:
         "repeated_span_tokens_trimmed": n_span_trimmed,
         "minhash_pairs_found": n_near_pairs,
         "after_minhash_neardup": n_near,
-        "embedding_pairs_found": n_emb_pairs,
-        "after_embedding_neardup": n_final,
+        "semantic_pairs_found": n_emb_pairs,
+        "after_semantic_neardup": n_final,
         "curated_token_budget_bpe": int(n_tokens_total),
         "after_domain_mix": n_mixed,
         "split_counts": split_counts,
