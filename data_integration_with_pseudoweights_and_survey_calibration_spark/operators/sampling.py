@@ -213,15 +213,45 @@ def assign_jk_groups(
 
     ``hash`` (default): ``pmod(hash(id, seed), m) + 1`` -- deterministic
     under recomputation and SQL-expressible (the variant SURVEY §2 F7
-    recommends for the oracle). ``ntile``: random equal-size cut like
-    the reference's quantile trick (``jk_fun.R:282-287``).
+    recommends for the oracle); group sizes are binomial, not exact.
+    ``ntile``: EXACT equal-size cut (sizes differ by <= 1) like the
+    reference's quantile trick (``jk_fun.R:282-287``) -- rewritten in
+    round 6 from ``ntile over Window.orderBy(rand)`` to a seeded
+    md5-permutation rank through ``ordering.global_rank``: the old
+    shape was BOTH a single-partition global window (every row sorts
+    in one task) and partition-layout-dependent ``rand`` (the r4/r5
+    re-evaluation hazard class); the hash permutation is uniformly
+    random across seeds, deterministic under recomputation, and ranks
+    without any global window.
     """
     if method == "hash":
         expr = F.pmod(F.hash(F.col(id_col), F.lit(seed)), F.lit(n_groups)) + 1
         return df.withColumn(out_col, expr)
     if method == "ntile":
-        w = Window.orderBy(F.rand(seed))
-        return df.withColumn(out_col, F.ntile(n_groups).over(w))
+        from .ordering import global_rank
+
+        key = F.md5(
+            F.concat_ws("-", F.lit(f"jk{seed}"), F.col(id_col).cast("string"))
+        )
+        ranked = global_rank(df, key, out_col="_jk_r")
+        tot = ranked.agg(F.max("_jk_r").alias("_jk_n"))
+        # ntile semantics: first (n % m) groups get the extra row --
+        # group = floor((r-1) * m / n) + 1
+        return (
+            ranked.crossJoin(F.broadcast(tot))
+            .withColumn(
+                out_col,
+                (
+                    F.floor(
+                        (F.col("_jk_r") - 1)
+                        * F.lit(int(n_groups))
+                        / F.col("_jk_n")
+                    )
+                    + 1
+                ).cast("int"),
+            )
+            .drop("_jk_r", "_jk_n")
+        )
     raise ValueError(f"unknown method {method!r}")
 
 

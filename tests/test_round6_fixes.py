@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
     dedup,
 )
@@ -72,3 +74,40 @@ def test_span_ops_empty_doc_n_tokens_zero(spark):
     trims = {r["doc_id"]: r for r in dedup.trim_repeated_spans(df, 5).collect()}
     assert trims[2]["n_tokens"] == 0 and trims[2]["text"] == ""
     assert trims[3]["n_tokens"] == 0 and trims[3]["text"] == ""
+
+
+def test_ntile_jk_groups_balanced_and_deterministic(spark):
+    """Round-6 rewrite of assign_jk_groups(method='ntile'): exact
+    equal-size groups (sizes differ <= 1), deterministic across
+    re-execution and partition layouts (the old rand global window was
+    both a single-task sort and layout-dependent)."""
+    from collections import Counter
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+        assign_jk_groups,
+    )
+
+    df = spark.range(103).select(F.col("id"), (F.col("id") * 2.0).alias("x"))
+    out = assign_jk_groups(df, 10, id_col="id", seed=3, method="ntile")
+    a = {r["id"]: r["jk_group"] for r in out.collect()}
+    sizes = Counter(a.values())
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == 103
+    # re-execution of the SAME frame and a different partition layout
+    b = {r["id"]: r["jk_group"] for r in out.collect()}
+    c = {
+        r["id"]: r["jk_group"]
+        for r in assign_jk_groups(
+            df.repartition(7), 10, id_col="id", seed=3, method="ntile"
+        ).collect()
+    }
+    assert a == b == c
+    # different seed -> different permutation
+    d = {
+        r["id"]: r["jk_group"]
+        for r in assign_jk_groups(
+            df, 10, id_col="id", seed=4, method="ntile"
+        ).collect()
+    }
+    assert d != a
