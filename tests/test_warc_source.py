@@ -1,0 +1,108 @@
+"""WARC ingestion (sources/warc.py): record splitting (plain + gzip
+per-record members), header parsing, HTTP-response document
+extraction, and truncation tolerance."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    warc_to_documents,
+)
+
+HTML = (
+    b"<html><head><title>T</title><style>p{color:red}</style></head>"
+    b"<body><h1>Hello  WARC</h1>\n<p>line two</p>"
+    b"<script>var x = 1;</script></body></html>"
+)
+
+
+def _record(rid: str, rtype: str, uri: str, payload: bytes) -> bytes:
+    hdr = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Date: 2026-08-15T00:00:00Z\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return hdr + payload + b"\r\n\r\n"
+
+
+def _http(status: bytes, body: bytes) -> bytes:
+    return (
+        b"HTTP/1.1 " + status + b"\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+
+
+RECORDS = [
+    ("aaa", "warcinfo", "", b"software: test\r\n"),
+    ("bbb", "request", "http://ex.com/x", b"GET /x HTTP/1.1\r\n"),
+    ("ccc", "response", "http://ex.com/x", _http(b"200 OK", HTML)),
+    ("ddd", "response", "http://ex.com/y", _http(b"404 Not Found", b"nope")),
+]
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    recs = [_record(*r) for r in RECORDS]
+    (d / "plain.warc").write_bytes(b"".join(recs[:2]))
+    # per-record gzip members, the Common Crawl layout
+    (d / "members.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs[2:])
+    )
+    return str(d)
+
+
+def test_parse_warc_bytes_fields():
+    recs = list(parse_warc_bytes(b"".join(_record(*r) for r in RECORDS)))
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo",
+        "request",
+        "response",
+        "response",
+    ]
+    assert recs[2]["target_uri"] == "http://ex.com/x"
+    assert recs[2]["record_id"] == "<urn:uuid:ccc>"
+    assert recs[2]["content"] == _http(b"200 OK", HTML)
+    assert recs[2]["content_length"] == len(_http(b"200 OK", HTML))
+
+
+def test_parse_warc_truncation_tolerant():
+    data = b"".join(_record(*r) for r in RECORDS[:2])
+    # chop the last record mid-payload: earlier records still parse
+    recs = list(parse_warc_bytes(data[: len(data) - 8] ))
+    assert len(recs) >= 1 and recs[0]["warc_type"] == "warcinfo"
+
+
+def test_read_warc_plain_and_gz(spark, warc_dir):
+    out = read_warc(spark, warc_dir).collect()
+    by_id = {r["record_id"]: r for r in out}
+    assert len(out) == 4
+    assert by_id["<urn:uuid:ccc>"]["warc_type"] == "response"
+    assert bytes(by_id["<urn:uuid:ccc>"]["content"]) == _http(b"200 OK", HTML)
+    # gz and plain files both contributed
+    assert {r["path"].rsplit("/", 1)[-1] for r in out} == {
+        "plain.warc",
+        "members.warc.gz",
+    }
+
+
+def test_warc_to_documents_extracts_200_html(spark, warc_dir):
+    docs = warc_to_documents(read_warc(spark, warc_dir)).collect()
+    # only the 200 response becomes a document
+    assert len(docs) == 1
+    d = docs[0]
+    assert d["url"] == "http://ex.com/x"
+    assert d["doc_id"] is not None
+    # markup/script/style stripped, line structure kept
+    assert "Hello WARC" in d["text"]
+    assert "line two" in d["text"]
+    assert "var x" not in d["text"] and "color:red" not in d["text"]
+    assert "<" not in d["text"]
