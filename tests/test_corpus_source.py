@@ -135,3 +135,21 @@ def test_jsonl_quarantine_property(spark, tmp_path):
     n_good, got_bad = good.count(), sorted(r["raw"] for r in bad.collect())
     assert n_good + len(got_bad) == len(lines)
     assert got_bad == sorted(expect_bad)
+
+
+def test_jsonl_quarantine_gzipped(spark, tmp_path):
+    """Crawl drops arrive compressed: spark.read.text decompresses
+    .gz transparently, and the quarantine split behaves identically."""
+    import gzip
+
+    p = tmp_path / "docs.jsonl.gz"
+    p.write_bytes(
+        gzip.compress(
+            b'{"doc_id": 1, "text": "alpha"}\n'
+            b"broken line\n"
+            b'{"doc_id": 2, "text": "beta"}\n'
+        )
+    )
+    good, bad = read_jsonl_corpus(spark, str(p), "doc_id long, text string")
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    assert [r["raw"] for r in bad.collect()] == ["broken line"]

@@ -650,6 +650,68 @@ def semantic_ladder(spark, sizes: list[int], tau: float = 0.9) -> None:
     print(json.dumps({"op": "semantic_dedup", "tau": tau, "points": points}))
 
 
+def warc_ladder(spark, sizes: list[int], docs_per_file: int = 2000) -> None:
+    """WARC ingestion throughput: synthetic .warc.gz archives written
+    once (driver loop, per-record gzip members like Common Crawl),
+    then ``read_warc`` + ``warc_to_documents`` timed over the
+    directory.  Parallelism is per-file — the production shape."""
+    import gzip
+    import shutil
+    import tempfile
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        read_warc,
+        warc_to_documents,
+    )
+
+    def _record(i: int) -> bytes:
+        body = (
+            b"<html><body><h1>doc %d</h1>" % i
+            + b"<p>" + (b"w%d " % (i * 7 % 997)) * 120 + b"</p>"
+            + b"<script>x=1</script></body></html>"
+        )
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + b"WARC-Record-ID: <urn:uuid:%08d>\r\n" % i
+            + b"WARC-Target-URI: http://ex.com/%d\r\n" % i
+            + b"WARC-Date: 2026-08-15T00:00:00Z\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(http)
+        )
+        return hdr + http + b"\r\n\r\n"
+
+    points = []
+    for n in sizes:
+        d = tempfile.mkdtemp(prefix="sg_warc_")
+        nf = max(1, n // docs_per_file)
+        total_bytes = 0
+        for f in range(nf):
+            blob = b"".join(
+                gzip.compress(_record(f * docs_per_file + i))
+                for i in range(docs_per_file)
+            )
+            total_bytes += len(blob)
+            with open(f"{d}/part-{f:05d}.warc.gz", "wb") as fh:
+                fh.write(blob)
+        t0 = time.time()
+        n_docs = warc_to_documents(read_warc(spark, d)).count()
+        wall = time.time() - t0
+        assert n_docs == n, (n_docs, n)
+        points.append(
+            {
+                "n_records": n,
+                "n_files": nf,
+                "gz_mb": round(total_bytes / 1e6, 1),
+                "wall_sec": round(wall, 2),
+                "gz_mb_s": round(total_bytes / 1e6 / wall, 1),
+                "docs_s": round(n / wall),
+            }
+        )
+        print(json.dumps(points[-1]), flush=True)
+        shutil.rmtree(d, ignore_errors=True)
+    print(json.dumps({"op": "warc_ingest", "points": points}))
+
+
 def fixpoint_probe(spark, sizes: list[int]) -> None:
     """Fixpoint-trim convergence telemetry (round 6): run
     ``trim_repeated_spans_fixpoint`` on the ladder corpus (every 10th
@@ -843,6 +905,16 @@ def main() -> None:
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
         hotkey_ladder(spark, sizes, hot_frac, ops)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--warc":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [20_000, 80_000, 320_000]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        warc_ladder(spark, sizes)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--semantic":
         sizes = (
