@@ -878,6 +878,12 @@ def semantic_dedup_pairs(
 
     Returns (id_a, id_b, cosine, cell) with id_a < id_b.
 
+    NULL embeddings (undecodable docs) never form pairs and pass
+    through :func:`semantic_dedup` untouched — in ``column`` mode the
+    null scores yield a null cell that no equi-join matches;
+    ``arrow`` mode expects non-null vectors (pre-filter nulls before
+    the Arrow matmul).
+
     Scale shape: assignment is map-only (broadcast-sized model); the
     pair stage is ONE equi-join on the cell id (AQE-splittable if a
     cell runs hot) followed by the cosine filter — no all-pairs stage.

@@ -1349,3 +1349,27 @@ def test_semantic_pairs_subset_of_allpairs(spark, sf_dir):
     }
     assert sem <= allp
     assert sem, "no semantic pairs found at tau=0.4 — test corpus drifted?"
+
+
+def test_semantic_dedup_null_embedding_rows(spark):
+    """Rows with a NULL embedding can't be compared: they never form
+    pairs, and the keeper op passes them through untouched."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0]),  # near-dup of 1
+        (3, None),
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cen = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    pairs = dedup.semantic_dedup_pairs(
+        df, 0.99, centroids=cen, assign="column"
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    kept = {
+        r["vec_id"]
+        for r in dedup.semantic_dedup(
+            df, 0.99, centroids=cen, assign="column"
+        ).collect()
+    }
+    assert kept == {1, 3, 4}
