@@ -83,7 +83,8 @@ def _gram_occurrences(df, n, id_col, text_col):
                 "_toks"
             ),
         )
-        .withColumn("_len", F.size("_toks"))
+        # size(NULL) is -1, not null: a NULL text must count 0 tokens
+        .withColumn("_len", F.greatest(F.size("_toks"), F.lit(0)))
     )
     starts = F.when(
         F.col("_len") >= n,
@@ -1151,9 +1152,12 @@ def paragraph_dedup(
 
     paras = spread(df).select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
-            "_pos", "_para"
-        ),
+        # NULL text would make posexplode DROP the doc from the output
+        # entirely; coalesce to '' so it survives as one pass-through
+        # empty paragraph and rebuilds to ''
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("_pos", "_para"),
     )
     norm = F.trim(F.regexp_replace(F.lower(F.col("_para")), r"\s+", " "))
     # Pass-through paragraphs get a per-row UNIQUE key (not null, not

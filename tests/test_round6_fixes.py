@@ -111,3 +111,20 @@ def test_ntile_jk_groups_balanced_and_deterministic(spark):
         ).collect()
     }
     assert d != a
+
+
+def test_scrub_ops_null_text(spark):
+    """NULL text (undecodable docs in a real crawl) must not corrupt
+    the scrub outputs: span ops report n_tokens=0 (size(NULL) is -1 in
+    Spark), paragraph dedup keeps the doc as an empty rebuild instead
+    of silently dropping it."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, None)], "doc_id long, text string"
+    )
+    spans = {r["doc_id"]: r for r in dedup.repeated_ngram_spans(df, 5).collect()}
+    assert spans[2]["n_tokens"] == 0 and spans[2]["dup_tokens"] == 0
+    trims = {r["doc_id"]: r for r in dedup.trim_repeated_spans(df, 5).collect()}
+    assert trims[2]["n_tokens"] == 0 and trims[2]["text"] == ""
+    para = {r["doc_id"]: r for r in dedup.paragraph_dedup(df).collect()}
+    assert 2 in para, "null-text doc dropped from paragraph_dedup output"
+    assert para[2]["text"] == "" and para[2]["n_dropped"] == 0
