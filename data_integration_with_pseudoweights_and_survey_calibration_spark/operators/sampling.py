@@ -222,7 +222,9 @@ def assign_jk_groups(
     in one task) and partition-layout-dependent ``rand`` (the r4/r5
     re-evaluation hazard class); the hash permutation is uniformly
     random across seeds, deterministic under recomputation, and ranks
-    without any global window.
+    without any global window.  ``floor((r-1)*m/n)+1`` equals SQL
+    NTILE for the usual ``m <= n``; with more groups than rows the
+    occupied group IDs differ from NTILE's ``1..n`` (sizes match).
     """
     if method == "hash":
         expr = F.pmod(F.hash(F.col(id_col), F.lit(seed)), F.lit(n_groups)) + 1
