@@ -1,5 +1,5 @@
 """Pure-stdlib/NumPy media codecs: PNG (zlib + struct), WAV (stdlib
-``wave``) and baseline JPEG (``operators/jpeg.py``, NumPy DCT +
+``wave``) and JPEG (``operators/jpeg.py``, NumPy DCT +
 canonical Huffman).  No PIL/ffmpeg/torchaudio exists in this
 environment, but these formats need nothing beyond the standard
 library + NumPy, so the ``decoder="real"`` path in
@@ -9,7 +9,8 @@ stub.  Scope (documented, guarded):
 - PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
   4 (gray+alpha), 6 (RGBA); non-interlaced; all five scanline filters.
 - WAV: PCM 8/16/32-bit, any channel count / sample rate.
-- JPEG: baseline/extended-sequential Huffman (SOF0/SOF1), 8-bit,
+- JPEG: baseline/extended-sequential (SOF0/SOF1) AND progressive
+  (SOF2, all four Annex-G scan types, round 6) Huffman, 8-bit,
   gray or YCbCr, any 1..4 sampling factors, restart markers;
   progressive/arithmetic raise.
 

@@ -4,20 +4,30 @@ Upgrades the multimodal ``decoder="real"`` path from "PNG/WAV only"
 to cover the most common training-corpus image format without any
 external library.  Scope (guarded with clear errors):
 
-- **Decoder**: baseline + extended sequential DCT, Huffman coding
-  (SOF0/SOF1), 8-bit samples, 1 or 3 components, any sampling factors
-  in 1..4, restart markers, multi-table DQT/DHT segments.  Canonical
-  Huffman tables are rebuilt from DHT per spec C.2 -- the decoder
-  reads real-world baseline JPEGs, not just this module's output.
-  Progressive (SOF2) and arithmetic coding raise ``ValueError``.
-- **Encoder**: baseline, quality-scaled Annex-K quantization tables,
-  4:4:4 or 4:2:0, optional restart intervals.  Huffman tables are
-  emitted in DHT as simple fixed-length canonical codes (4-bit DC /
-  8-bit AC) -- larger files than libjpeg's default tables but exactly
-  as valid, and they keep this module free of transcribed table
-  blobs.  The encoder exists so the decoder can be round-trip tested
-  hermetically (plus DC-exactness goldens below); production corpora
-  arrive already encoded.
+- **Decoder**: baseline + extended sequential DCT (SOF0/SOF1) AND
+  progressive DCT (SOF2, round 6) with Huffman coding, 8-bit samples,
+  1 or 3 components, any sampling factors in 1..4, restart markers,
+  multi-table DQT/DHT segments.  Progressive implements all four scan
+  types of T.81 Annex G -- DC first/refine (successive approximation)
+  and AC first/refine with EOB-run coding -- accumulating quantized
+  coefficients across scans and reconstructing once at EOI.
+  Canonical Huffman tables are rebuilt from DHT per spec C.2 -- the
+  decoder reads real-world JPEGs, not just this module's output.
+  Arithmetic coding, hierarchical, and lossless raise ``ValueError``.
+- **Encoder**: baseline (``encode_jpeg``) and progressive
+  (``encode_jpeg_progressive``, round 6: DC-first Al=1 -> DC refine ->
+  per-component AC-first Al=1 -> AC refine, i.e. every scan type the
+  decoder supports), quality-scaled Annex-K quantization tables,
+  4:4:4 or 4:2:0, optional restart intervals (baseline).  Huffman
+  tables are emitted in DHT as simple fixed-length canonical codes
+  (4-bit DC / 8-bit AC) -- larger files than libjpeg's default tables
+  but exactly as valid, and they keep this module free of transcribed
+  table blobs.  The encoders exist so the decoder can be round-trip
+  tested hermetically (plus DC-exactness goldens below); production
+  corpora arrive already encoded.  Both encoders quantize through the
+  IDENTICAL DCT path, so progressive-encode -> decode equals
+  baseline-encode -> decode EXACTLY (coefficient-domain losslessness
+  of the scan split) -- the round-trip gate the tests pin.
 
 Per-row cost: the entropy decode is a per-symbol Python loop (fine
 for the Arrow-batched ``mapInPandas`` stages that call it); DCT /
@@ -150,6 +160,8 @@ _AC_SYMBOLS = [0x00, 0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ]  # EOB, ZRL, (run, size) -- the 162 valid AC symbols, sorted below
 _AC_SYMBOLS = sorted(_AC_SYMBOLS)
+# progressive scans additionally use EOBRUN symbols (r, 0), r=1..14
+_AC_SYMBOLS_PROG = sorted(_AC_SYMBOLS + [r << 4 for r in range(1, 15)])
 
 
 # --------------------------------------------------------------------------
@@ -231,6 +243,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     restart_interval = 0
     i = 2
     img = None
+    prog_state = None
     while i + 2 <= len(b):
         if b[i] != 0xFF:
             raise ValueError("JPEG: marker expected")
@@ -264,7 +277,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + n])
                 huff[(tc, th)] = _HuffTable(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             prec = seg[0]
             if prec != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
@@ -276,9 +289,12 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise ValueError("JPEG: progressive (SOF2) unsupported")
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"JPEG: unsupported SOF marker 0x{marker:02x}")
         elif marker == 0xDD:  # DRI
@@ -288,16 +304,42 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
             scan_tabs = {}
+            scan_comps = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
                 scan_tabs[cs] = (tdta >> 4, tdta & 15)
+                scan_comps.append(cs)
             data_start = i + 2 + seg_len
-            img, consumed = _decode_scan(
-                b, data_start, frame, scan_tabs, qt, huff, restart_interval
-            )
+            if frame["progressive"]:
+                if prog_state is None:
+                    prog_state = _init_prog_state(frame)
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                consumed = _decode_scan_progressive(
+                    b,
+                    data_start,
+                    frame,
+                    scan_comps,
+                    scan_tabs,
+                    huff,
+                    restart_interval,
+                    ss,
+                    se,
+                    ahal >> 4,
+                    ahal & 15,
+                    prog_state,
+                )
+            else:
+                img, consumed = _decode_scan(
+                    b, data_start, frame, scan_tabs, qt, huff, restart_interval
+                )
             i = consumed
             continue
         i += 2 + seg_len
+    if frame is not None and frame["progressive"]:
+        if prog_state is None:
+            raise ValueError("JPEG: no scan data")
+        return _reconstruct_progressive(frame, prog_state, qt)
     if img is None:
         raise ValueError("JPEG: no scan data")
     return img
@@ -413,6 +455,266 @@ def _decode_scan(b, start, frame, scan_tabs, qt, huff, restart_interval):
 
 
 # --------------------------------------------------------------------------
+# Progressive decoder (T.81 Annex G)
+# --------------------------------------------------------------------------
+
+
+def _split_entropy(b: bytes, start: int) -> tuple[list[bytes], int]:
+    """Unstuff FF00 and split the entropy stream at RSTn markers;
+    returns (intervals, offset of the marker that ended the scan)."""
+    intervals: list[bytes] = []
+    cur = bytearray()
+    i = start
+    end = len(b)
+    while i < end:
+        byte = b[i]
+        if byte == 0xFF and i + 1 < end:
+            nxt = b[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # any other marker ends the scan
+        cur.append(byte)
+        i += 1
+    intervals.append(bytes(cur))
+    return intervals, i
+
+
+def _init_prog_state(frame) -> dict:
+    """Per-component quantized-coefficient accumulators, MCU-padded
+    (interleaved DC scans code the padding blocks too); 64 RASTER
+    positions per block."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    coefs = [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+    return {"coefs": coefs, "mcus_x": mcus_x, "mcus_y": mcus_y}
+
+
+def _ac_first_block(br, coef, ss, se, al, eobrun, ac_tab) -> int:
+    """G.1.2.2: first (Ah=0) AC scan for one block's band."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac_tab.decode(br)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG: AC index overflow in progressive scan")
+        coef[ZIGZAG[k]] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, coef, ss, se, al, eobrun, ac_tab) -> int:
+    """G.1.2.3: refinement (Ah>0) AC scan for one block's band —
+    newly-significant coefficients arrive as runs over ZERO-HISTORY
+    positions; every nonzero-history position crossed (and, on EOB,
+    every remaining one) carries a correction bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac_tab.decode(br)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    # full run INCLUDING this block: the tail branch
+                    # below refines the current band then decrements
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("JPEG: bad magnitude in AC refinement")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                if coef[z] != 0:
+                    if br.read_bit() and (coef[z] & p1) == 0:
+                        coef[z] += p1 if coef[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            coef[z] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if coef[z] != 0:
+                if br.read_bit() and (coef[z] & p1) == 0:
+                    coef[z] += p1 if coef[z] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_progressive(
+    b,
+    start,
+    frame,
+    scan_comps,
+    scan_tabs,
+    huff,
+    restart_interval,
+    ss,
+    se,
+    ah,
+    al,
+    state,
+) -> int:
+    """One progressive SOS: route each block to the right scan-type
+    handler, honoring restart intervals (predictors and the EOB run
+    reset per interval).  Mutates ``state`` and returns the offset
+    where the next marker starts."""
+    comps = frame["comps"]
+    by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    intervals, scan_end = _split_entropy(b, start)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("JPEG: DC scan with Se != 0")
+    if not is_dc and len(scan_comps) != 1:
+        raise ValueError("JPEG: progressive AC scan must be non-interleaved")
+
+    # (ci, comp, blocks in scan order) generator per MCU walk
+    def mcu_units():
+        if len(scan_comps) == 1:
+            ci, c = by_id[scan_comps[0]]
+            bh = -(-(frame["h"] * c["v"]) // (vmax * 8))
+            bw = -(-(frame["w"] * c["h"]) // (hmax * 8))
+            for y in range(bh):
+                for x in range(bw):
+                    yield (ci, c, y, x)
+        else:
+            for my in range(state["mcus_y"]):
+                for mx in range(state["mcus_x"]):
+                    for cs in scan_comps:
+                        ci, c = by_id[cs]
+                        for by_ in range(c["v"]):
+                            for bx in range(c["h"]):
+                                yield (
+                                    ci,
+                                    c,
+                                    my * c["v"] + by_,
+                                    mx * c["h"] + bx,
+                                )
+
+    # units per restart interval: an MCU is one unit in interleaved
+    # scans, one block in non-interleaved ones
+    blocks_per_mcu = (
+        1
+        if len(scan_comps) == 1
+        else sum(by_id[cs][1]["h"] * by_id[cs][1]["v"] for cs in scan_comps)
+    )
+    br = _BitReader(intervals[0])
+    interval_idx = 0
+    preds = [0] * len(comps)
+    eobrun = 0
+    blocks_done = 0
+    for ci, c, by_, bx in mcu_units():
+        if (
+            restart_interval
+            and blocks_done
+            and blocks_done % (restart_interval * blocks_per_mcu) == 0
+        ):
+            interval_idx += 1
+            if interval_idx >= len(intervals):
+                raise ValueError("JPEG: missing restart interval data")
+            br = _BitReader(intervals[interval_idx])
+            preds = [0] * len(comps)
+            eobrun = 0
+        coef = state["coefs"][ci][by_, bx]
+        if is_dc:
+            if ah == 0:
+                td, _ = scan_tabs[c["id"]]
+                dc_tab = huff.get((0, td))
+                if dc_tab is None:
+                    raise ValueError("JPEG: missing DC table for scan")
+                s = dc_tab.decode(br)
+                preds[ci] += _extend(br.receive(s), s) if s else 0
+                coef[0] = preds[ci] << al
+            else:
+                if br.read_bit():
+                    coef[0] |= 1 << al
+        else:
+            _, ta = scan_tabs[c["id"]]
+            ac_tab = huff.get((1, ta))
+            if ac_tab is None:
+                raise ValueError("JPEG: missing AC table for scan")
+            if ah == 0:
+                eobrun = _ac_first_block(br, coef, ss, se, al, eobrun, ac_tab)
+            else:
+                eobrun = _ac_refine_block(br, coef, ss, se, al, eobrun, ac_tab)
+        blocks_done += 1
+    return scan_end
+
+
+def _reconstruct_progressive(frame, state, qt) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficients and assemble the
+    image exactly as the sequential path does."""
+    comps = frame["comps"]
+    h_img, w_img = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("JPEG: missing quant table")
+        arr = state["coefs"][ci]
+        bh, bw = arr.shape[:2]
+        p = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for y in range(bh):
+            for x in range(bw):
+                block = arr[y, x].reshape(8, 8) * q
+                p[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = (
+                    _C.T @ block @ _C + 128.0
+                )
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        planes.append(p[:h_img, :w_img])
+    if len(planes) == 1:
+        return np.clip(planes[0] + 0.5, 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    rgb = np.stack([r, g, bl], axis=2)
+    return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
 # Encoder
 # --------------------------------------------------------------------------
 
@@ -466,16 +768,9 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    *,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """(H, W), (H, W, 1) or (H, W, 3) uint8 -> baseline JPEG bytes.
-    ``subsample=True`` writes 4:2:0 chroma; ``restart_interval`` > 0
-    emits DRI + RSTn markers every that many MCUs."""
+def _prepare_planes(img: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half: color transform, chroma subsampling,
+    MCU edge padding, quality-scaled tables."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -520,6 +815,33 @@ def encode_jpeg(
     padded = []
     for (sh, sv), p in zip(samp, planes):
         padded.append(_edge_pad(p, mcus_y * sv * 8, mcus_x * sh * 8))
+    return h, w, ch, samp, padded, quants, qids, ql, qc, mcus_x, mcus_y
+
+
+def _emit_headers(out, segment, h, w, ch, samp, qids, ql, qc, sof_marker):
+    for tq, q in ((0, ql),) + (((1, qc),) if ch == 3 else ()):
+        # DQT stores the table in zigzag order
+        zzq = q.reshape(64)[ZIGZAG].astype(np.uint8)
+        segment(0xDB, bytes([tq]) + zzq.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ch)
+    for ci in range(ch):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
+    segment(sof_marker, sof)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    *,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W), (H, W, 1) or (H, W, 3) uint8 -> baseline JPEG bytes.
+    ``subsample=True`` writes 4:2:0 chroma; ``restart_interval`` > 0
+    emits DRI + RSTn markers every that many MCUs."""
+    (h, w, ch, samp, padded, quants, qids, ql, qc, mcus_x, mcus_y) = (
+        _prepare_planes(img, quality, subsample)
+    )
 
     dc_bits, dc_vals = _fixed_length_table(_DC_SYMBOLS, 4)
     ac_bits, ac_vals = _fixed_length_table(_AC_SYMBOLS, 8)
@@ -532,14 +854,7 @@ def encode_jpeg(
         out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
         out.extend(payload)
 
-    for tq, q in ((0, ql),) + (((1, qc),) if ch == 3 else ()):
-        # DQT stores the table in zigzag order
-        zzq = q.reshape(64)[ZIGZAG].astype(np.uint8)
-        segment(0xDB, bytes([tq]) + zzq.tobytes())
-    sof = struct.pack(">BHHB", 8, h, w, ch)
-    for ci in range(ch):
-        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
-    segment(0xC0, sof)
+    _emit_headers(out, segment, h, w, ch, samp, qids, ql, qc, 0xC0)
     for tc in (0, 1):
         for th in {0} | ({1} if ch == 3 else set()):
             bits, vals = (dc_bits, dc_vals) if tc == 0 else (ac_bits, ac_vals)
@@ -595,3 +910,284 @@ def encode_jpeg(
 def _edge_pad(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
     h, w = p.shape
     return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+# --------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G) — exists so the progressive
+# decoder is hermetically round-trip testable; the scan script
+# exercises every scan type the decoder implements.
+# --------------------------------------------------------------------------
+
+
+def _mag(x: int) -> tuple[int, int]:
+    """(size category, appended-bits value) per T.81 F.1.2.1."""
+    s = int(x).bit_length() if x > 0 else int(-x).bit_length()
+    v = x if x >= 0 else x + (1 << s) - 1
+    return s, v
+
+
+def _encode_ac_first_block(bw, tvals, ac_enc) -> None:
+    """First (Ah=0) AC scan for one block's band: baseline-style
+    run/size coding of the point-transformed values, EOB per block
+    (EOBRUN length 1 — always valid)."""
+    last = -1
+    for j in range(len(tvals) - 1, -1, -1):
+        if tvals[j]:
+            last = j
+            break
+    run = 0
+    for j in range(last + 1):
+        x = int(tvals[j])
+        if x == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s, v = _mag(x)
+        code, ln = ac_enc[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v, s)
+        run = 0
+    if last < len(tvals) - 1:
+        code, ln = ac_enc[0x00]
+        bw.write(code, ln)
+
+
+def _encode_ac_refine_block(bw, band, ac_enc) -> None:
+    """Refinement (Ah=1, Al=0) AC scan for one block: emits the exact
+    bit sequence ``_ac_refine_block`` consumes — newly-significant
+    coefficients as runs over zero-history positions (sign bit after
+    the RS symbol), correction bits for crossed nonzero-history
+    positions after that, EOB carrying the tail's correction bits."""
+    events = []  # positional: ("corr", bit) | ("zero", new value)
+    for v in band:
+        v = int(v)
+        hist = abs(v) >> 1
+        if hist:
+            events.append(("corr", abs(v) & 1))
+        else:
+            events.append(("zero", v))  # v in {-1, 0, 1}
+    n = len(events)
+    last_sig = -1
+    for j in range(n - 1, -1, -1):
+        if events[j][0] == "zero" and events[j][1] != 0:
+            last_sig = j
+            break
+    i = 0
+    while i <= last_sig:
+        r = 0
+        corr: list[int] = []
+        j = i
+        while j < n:
+            kind, p = events[j]
+            if kind == "corr":
+                corr.append(p)
+                j += 1
+                continue
+            if p != 0:
+                break  # newly-significant zero-history position
+            r += 1
+            j += 1
+            if r == 16:
+                break
+        if r == 16:
+            code, ln = ac_enc[0xF0]  # ZRL: 16 zero-history skips
+            bw.write(code, ln)
+            for bit in corr:
+                bw.write(bit, 1)
+            i = j
+            continue
+        code, ln = ac_enc[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if events[j][1] > 0 else 0, 1)
+        for bit in corr:
+            bw.write(bit, 1)
+        i = j + 1
+    if i < n:
+        code, ln = ac_enc[0x00]  # EOB: refine the rest of the band
+        bw.write(code, ln)
+        for kind, p in events[i:]:
+            if kind == "corr":
+                bw.write(p, 1)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, *, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """(H, W[, 1|3]) uint8 -> progressive (SOF2) JPEG bytes.
+
+    Scan script (covers all four scan types):
+      1. DC first, all components interleaved, Al=1
+      2. DC refinement, Al=0 (raw bits, no Huffman)
+      3. per component: AC first, band 1..63, Al=1
+      4. per component: AC refinement, band 1..63, Al=0
+
+    Coefficients quantize through the IDENTICAL DCT path as
+    ``encode_jpeg``, so decoding this stream yields EXACTLY the same
+    image as decoding the baseline stream at the same settings — the
+    scan split is lossless in the coefficient domain.
+    """
+    (h, w, ch, samp, padded, quants, qids, ql, qc, mcus_x, mcus_y) = (
+        _prepare_planes(img, quality, subsample)
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    # quantized coefficients, zigzag order, per component block grid
+    zz_all = []
+    for ci in range(ch):
+        sh, sv = samp[ci]
+        bh, bw_ = mcus_y * sv, mcus_x * sh
+        arr = np.zeros((bh, bw_, 64), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bw_):
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = np.round(
+                    (_C @ (block - 128.0) @ _C.T) / quants[ci]
+                ).astype(np.int32)
+                arr[by, bx] = coef.reshape(64)[ZIGZAG]
+        zz_all.append(arr)
+
+    dc_bits, dc_vals = _fixed_length_table(_DC_SYMBOLS, 4)
+    ac_bits, ac_vals = _fixed_length_table(_AC_SYMBOLS_PROG, 8)
+    dc_tab = _HuffTable(dc_bits, dc_vals)
+    ac_tab = _HuffTable(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    _emit_headers(out, segment, h, w, ch, samp, qids, ql, qc, 0xC2)
+    for tc in (0, 1):
+        for th in {0} | ({1} if ch == 3 else set()):
+            bits, vals = (dc_bits, dc_vals) if tc == 0 else (ac_bits, ac_vals)
+            segment(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+
+    def sos(comp_ids, tabs, ss, se, ah, al):
+        payload = bytes([len(comp_ids)])
+        for cid, (td, ta) in zip(comp_ids, tabs):
+            payload += bytes([cid, (td << 4) | ta])
+        payload += bytes([ss, se, (ah << 4) | al])
+        segment(0xDA, payload)
+
+    def mcu_blocks(ci):
+        sh, sv = samp[ci]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(sv):
+                    for bx in range(sh):
+                        yield my * sv + by, mx * sh + bx
+
+    # 1. DC first (interleaved), Al=1
+    sos(
+        list(range(1, ch + 1)),
+        [(0 if ci == 0 else 1, 0) for ci in range(ch)],
+        0,
+        0,
+        0,
+        1,
+    )
+    bw = _BitWriter()
+    preds = [0] * ch
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ch):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(zz_all[ci][my * sv + by, mx * sh + bx, 0])
+                        v = dc >> 1  # arithmetic shift, per A.4.4
+                        s, m = _mag(v - preds[ci])
+                        preds[ci] = v
+                        code, ln = dc_tab.enc[s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(m, s)
+    bw.flush()
+    out.extend(bw.out)
+
+    # 2. DC refinement, Al=0 (one raw bit per block, same walk)
+    sos(
+        list(range(1, ch + 1)),
+        [(0, 0) for _ in range(ch)],
+        0,
+        0,
+        1,
+        0,
+    )
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ch):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        bw.write(
+                            int(zz_all[ci][my * sv + by, mx * sh + bx, 0]) & 1,
+                            1,
+                        )
+    bw.flush()
+    out.extend(bw.out)
+
+    # 3 + 4. per-component AC scans over the TRUE block grid
+    # (non-interleaved scans never code the MCU padding blocks).
+    # Consecutive blocks with nothing to code batch into real EOB RUNS
+    # ((r, 0) symbols + extra bits) — both the compression the spec
+    # intends and round-trip coverage of the decoder's EOBRUN paths.
+    def flush_eobrun(bwr, blocks_bits: list[list[int]]) -> None:
+        while blocks_bits:
+            chunk = min(len(blocks_bits), 32767)
+            r = chunk.bit_length() - 1
+            code, ln = ac_tab.enc[r << 4]
+            bwr.write(code, ln)
+            if r:
+                bwr.write(chunk - (1 << r), r)
+            for bits in blocks_bits[:chunk]:
+                for bit in bits:
+                    bwr.write(bit, 1)
+            del blocks_bits[:chunk]
+
+    for ci in range(ch):
+        sh, sv = samp[ci]
+        bh_t = -(-(h * sv) // (vmax * 8))
+        bw_t = -(-(w * sh) // (hmax * 8))
+        ta = 0 if ci == 0 else 1
+        sos([ci + 1], [(0, ta)], 1, 63, 0, 1)
+        bwr = _BitWriter()
+        run_blocks: list[list[int]] = []
+        for by in range(bh_t):
+            for bx in range(bw_t):
+                band = zz_all[ci][by, bx, 1:64]
+                t = np.sign(band) * (np.abs(band) >> 1)
+                if not t.any():
+                    run_blocks.append([])  # no correction bits at Ah=0
+                    continue
+                flush_eobrun(bwr, run_blocks)
+                _encode_ac_first_block(bwr, t, ac_tab.enc)
+        flush_eobrun(bwr, run_blocks)
+        bwr.flush()
+        out.extend(bwr.out)
+        sos([ci + 1], [(0, ta)], 1, 63, 1, 0)
+        bwr = _BitWriter()
+        for by in range(bh_t):
+            for bx in range(bw_t):
+                band = zz_all[ci][by, bx, 1:64]
+                # blocks with no NEWLY-significant coefs ride the EOB
+                # run; their correction bits queue in block order
+                if not np.any(np.abs(band) == 1):
+                    run_blocks.append(
+                        [int(abs(int(v)) & 1) for v in band if abs(int(v)) >> 1]
+                    )
+                    continue
+                flush_eobrun(bwr, run_blocks)
+                _encode_ac_refine_block(bwr, band, ac_tab.enc)
+        flush_eobrun(bwr, run_blocks)
+        bwr.flush()
+        out.extend(bwr.out)
+
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

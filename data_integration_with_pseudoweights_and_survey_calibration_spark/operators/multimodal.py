@@ -7,7 +7,7 @@ batch, never one row at a time.
 
 Decoder tiers:
 
-- ``decoder="real"``: WORKING decode for PNG, baseline JPEG and WAV
+- ``decoder="real"``: WORKING decode for PNG, JPEG (baseline + progressive, round 6) and WAV
   via the pure-stdlib/NumPy codecs in ``operators/codecs.py`` +
   ``operators/jpeg.py`` (no PIL/ffmpeg needed) — real pixels /
   samples in, real image/audio features and real resized PNG bytes
@@ -97,7 +97,7 @@ def extract_features(
         if on_unknown == "fake":
             return _fake_features(b, dim)
         raise ValueError(
-            "decoder='real' handles PNG, baseline JPEG and WAV "
+            "decoder='real' handles PNG, JPEG (baseline+progressive) and WAV "
             "(pure-stdlib/NumPy codecs); got unrecognized bytes "
             f"(first 8: {b[:8]!r}). Pass on_unknown='fake' to degrade "
             "gracefully, or wire a codec for this format into "
@@ -203,7 +203,7 @@ def resize_images(
     """Image resize via ``mapInPandas`` (same contract as
     ``extract_features``):
 
-    - ``decoder="real"``: PNG or baseline JPEG in, nearest-neighbor-
+    - ``decoder="real"``: PNG or JPEG (baseline/progressive) in, nearest-neighbor-
       resized PNG out (JPEG re-encodes as PNG so the output bytes stay
       deterministic and lossless after the resize);
     - ``decoder="fake"``: deterministic byte-resample of length

@@ -145,12 +145,14 @@ def test_restart_markers_equivalent():
     assert np.array_equal(plain, rst)
 
 
-def test_progressive_and_garbage_raise():
+def test_malformed_and_garbage_raise():
     img = np.zeros((8, 8), dtype=np.uint8)
     b = bytearray(jpeg.encode_jpeg(img))
     sof = b.find(b"\xff\xc0")
-    b[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="progressive"):
+    # a BASELINE stream mislabeled as SOF2 is malformed progressive
+    # (its single scan covers Ss=0..Se=63): still a clean ValueError
+    b[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
         jpeg.decode_jpeg(bytes(b))
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(b"\x00\x01\x02")
@@ -198,3 +200,69 @@ def test_spark_resize_jpeg_to_png(spark):
     # resized content tracks the source (nearest of decoded pixels)
     src = codecs.resize_nearest(jpeg.decode_jpeg(b), 16, 12)
     assert np.array_equal(resized, src)
+
+
+PROG_CASES = [
+    ("flat_gray_q100", lambda rng: np.full((48, 48), 77, np.uint8), 100, False),
+    ("flat_color_420", lambda rng: np.full((33, 65, 3), 200, np.uint8), 50, True),
+    ("gray_random", lambda rng: rng.integers(0, 256, (24, 40), np.uint8), 85, False),
+    ("color_444", lambda rng: rng.integers(0, 256, (17, 23, 3), np.uint8), 70, False),
+    ("color_420_odd", lambda rng: rng.integers(0, 256, (19, 29, 3), np.uint8), 60, True),
+    (
+        "smooth_gradient",
+        lambda rng: (np.add.outer(np.arange(32), np.arange(48)) * 2 % 256).astype(np.uint8),
+        90,
+        False,
+    ),
+    (
+        "sparse_detail",
+        lambda rng: np.where(rng.random((40, 56)) < 0.02, 255, 128).astype(np.uint8),
+        30,
+        False,
+    ),
+    ("big_flat", lambda rng: np.full((128, 256), 42, np.uint8), 75, False),
+]
+
+
+@pytest.mark.parametrize(
+    "name,mk,quality,sub", PROG_CASES, ids=[c[0] for c in PROG_CASES]
+)
+def test_progressive_equals_baseline(name, mk, quality, sub):
+    """The scan split is LOSSLESS in the coefficient domain: both
+    encoders quantize through the identical DCT path, so progressive
+    encode->decode must equal baseline encode->decode EXACTLY. The
+    flat cases span many all-zero blocks, driving multi-block EOB runs
+    through the decoder's general EOBRUN paths; the random cases drive
+    AC-refinement insertions, ZRL skips, and correction bits."""
+    rng = np.random.default_rng(7)
+    img = mk(rng)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=quality, subsample=sub))
+    pbytes = jpeg.encode_jpeg_progressive(img, quality=quality, subsample=sub)
+    assert b"\xff\xc2" in pbytes  # really SOF2
+    prog = jpeg.decode_jpeg(pbytes)
+    assert np.array_equal(base, prog), name
+
+
+def test_progressive_flat_gray_q100_exact():
+    """Quality-100 flat gray survives the full progressive pipeline
+    bit-exactly (the DC-exactness golden the baseline codec pins)."""
+    img = np.full((16, 24), 77, np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality=100))
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_progressive_stream_structure():
+    """The emitted scan script has one SOS per scan type: DC first,
+    DC refine, then AC first + AC refine per component."""
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    b = jpeg.encode_jpeg_progressive(img)
+    assert b.count(b"\xff\xda") == 2 + 2 * 3
+    assert b.count(b"\xff\xc2") == 1 and b.count(b"\xff\xc0") == 0
+
+
+def test_probe_progressive_dims(spark):
+    """probe_media reads dimensions from SOF2 headers too."""
+    img = np.zeros((12, 20, 3), dtype=np.uint8)
+    b = jpeg.encode_jpeg_progressive(img, quality=50)
+    p = codecs.probe_bytes(b)
+    assert (p["format"], p["width"], p["height"]) == ("jpeg", 20, 12)
