@@ -2227,6 +2227,7 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.jpeg import (
         decode_jpeg,
         encode_jpeg,
+        encode_jpeg_progressive,
     )
 
     def _mp4_blob(ts: int, dur: int, v: int) -> bytes:
@@ -2245,6 +2246,7 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             png_fmt, png_w, png_h = [], [], []
             jpg_fmt, jpg_w, jpg_h = [], [], []
             jv, je, m4f, m4d = [], [], [], []
+            jpv, jpe = [], []
             for did, t in zip(pdf["doc_id"], pdf["text"]):
                 digest = hashlib.md5(str(t).encode("utf-8")).digest()
                 img = np.frombuffer(digest, dtype=np.uint8).reshape(4, 4)
@@ -2273,6 +2275,21 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 je.append(
                     int(np.abs(dec[:, :, 0].astype(int) - int(digest[0])).max())
                 )
+                # round 6: PROGRESSIVE legs — flat-gray q100 exactness
+                # (oracle states the value from the md5 hex) and the
+                # coefficient-domain losslessness gate on a NON-flat
+                # block (progressive decode must equal baseline decode
+                # bit-for-bit; oracle states 0)
+                pdec = decode_jpeg(encode_jpeg_progressive(flat, quality=100))
+                jpv.append(int(pdec[0, 0, 0]))
+                img8 = np.tile(
+                    np.frombuffer(digest, dtype=np.uint8), 4
+                ).reshape(8, 8)
+                bdec = decode_jpeg(encode_jpeg(img8, quality=85))
+                pdec8 = decode_jpeg(encode_jpeg_progressive(img8, quality=85))
+                jpe.append(
+                    int(np.abs(bdec.astype(int) - pdec8.astype(int)).max())
+                )
                 dur = int(did) % 90000 + 1000
                 pm = probe_bytes(_mp4_blob(1000, dur, int(did) % 2))
                 m4f.append(pm["format"])
@@ -2292,6 +2309,8 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "jpg_h": jpg_h,
                     "jpeg_val": jv,
                     "jpeg_err": je,
+                    "jprog_val": jpv,
+                    "jprog_err": jpe,
                     "mp4_fmt": m4f,
                     "mp4_dur": m4d,
                 }
@@ -2305,7 +2324,8 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, width int, height int, px_sum long, "
             "px_mean double, png_fmt string, png_w int, png_h int, "
             "jpg_fmt string, jpg_w int, jpg_h int, "
-            "jpeg_val int, jpeg_err int, mp4_fmt string, mp4_dur long"
+            "jpeg_val int, jpeg_err int, jprog_val int, jprog_err int, "
+            "mp4_fmt string, mp4_dur long"
         ),
     )
 
@@ -2327,6 +2347,8 @@ def _sql_media_features() -> str:
            (doc_id % 7 + 1)::INTEGER AS jpg_h,
            bytes[1]::INTEGER AS jpeg_val,
            0::INTEGER AS jpeg_err,
+           bytes[1]::INTEGER AS jprog_val,
+           0::INTEGER AS jprog_err,
            'mp4' AS mp4_fmt,
            (doc_id % 90000 + 1000)::BIGINT AS mp4_dur
     FROM b
