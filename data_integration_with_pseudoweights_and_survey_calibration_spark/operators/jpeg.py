@@ -1014,7 +1014,11 @@ def _encode_ac_refine_block(bw, band, ac_enc) -> None:
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, *, quality: int = 85, subsample: bool = False
+    img: np.ndarray,
+    *,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """(H, W[, 1|3]) uint8 -> progressive (SOF2) JPEG bytes.
 
@@ -1023,6 +1027,11 @@ def encode_jpeg_progressive(
       2. DC refinement, Al=0 (raw bits, no Huffman)
       3. per component: AC first, band 1..63, Al=1
       4. per component: AC refinement, band 1..63, Al=0
+
+    ``restart_interval`` > 0 emits DRI + RSTn in EVERY scan (the
+    restart unit is an MCU in the interleaved DC scans and a block in
+    the non-interleaved AC scans, per spec); DC predictors and EOB
+    runs reset at each marker.
 
     Coefficients quantize through the IDENTICAL DCT path as
     ``encode_jpeg``, so decoding this stream yields EXACTLY the same
@@ -1066,6 +1075,8 @@ def encode_jpeg_progressive(
         for th in {0} | ({1} if ch == 3 else set()):
             bits, vals = (dc_bits, dc_vals) if tc == 0 else (ac_bits, ac_vals)
             segment(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        segment(0xDD, struct.pack(">H", restart_interval))
 
     def sos(comp_ids, tabs, ss, se, ah, al):
         payload = bytes([len(comp_ids)])
@@ -1073,6 +1084,35 @@ def encode_jpeg_progressive(
             payload += bytes([cid, (td << 4) | ta])
         payload += bytes([ss, se, (ah << 4) | al])
         segment(0xDA, payload)
+
+    class _RestartCtx:
+        """Per-scan restart bookkeeping: flush the bit stream and emit
+        RSTn every ``restart_interval`` units (MCU or block)."""
+
+        def __init__(self):
+            self.bw = _BitWriter()
+            self.units = 0
+            self.rst = 0
+
+        def begin_unit(self, on_reset=None) -> None:
+            # RST goes BETWEEN units (never after the scan's last one)
+            if (
+                restart_interval
+                and self.units
+                and self.units % restart_interval == 0
+            ):
+                self.bw.flush()
+                out.extend(self.bw.out)
+                out.extend(bytes([0xFF, 0xD0 + (self.rst & 7)]))
+                self.rst += 1
+                self.bw = _BitWriter()
+                if on_reset is not None:
+                    on_reset()
+            self.units += 1
+
+        def finish(self) -> None:
+            self.bw.flush()
+            out.extend(self.bw.out)
 
     def mcu_blocks(ci):
         sh, sv = samp[ci]
@@ -1091,10 +1131,16 @@ def encode_jpeg_progressive(
         0,
         1,
     )
-    bw = _BitWriter()
+    ctx = _RestartCtx()
     preds = [0] * ch
+
+    def _reset_preds():
+        for i in range(ch):
+            preds[i] = 0
+
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            ctx.begin_unit(_reset_preds)
             for ci in range(ch):
                 sh, sv = samp[ci]
                 for by in range(sv):
@@ -1104,11 +1150,10 @@ def encode_jpeg_progressive(
                         s, m = _mag(v - preds[ci])
                         preds[ci] = v
                         code, ln = dc_tab.enc[s]
-                        bw.write(code, ln)
+                        ctx.bw.write(code, ln)
                         if s:
-                            bw.write(m, s)
-    bw.flush()
-    out.extend(bw.out)
+                            ctx.bw.write(m, s)
+    ctx.finish()
 
     # 2. DC refinement, Al=0 (one raw bit per block, same walk)
     sos(
@@ -1119,19 +1164,19 @@ def encode_jpeg_progressive(
         1,
         0,
     )
-    bw = _BitWriter()
+    ctx = _RestartCtx()
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            ctx.begin_unit()
             for ci in range(ch):
                 sh, sv = samp[ci]
                 for by in range(sv):
                     for bx in range(sh):
-                        bw.write(
+                        ctx.bw.write(
                             int(zz_all[ci][my * sv + by, mx * sh + bx, 0]) & 1,
                             1,
                         )
-    bw.flush()
-    out.extend(bw.out)
+    ctx.finish()
 
     # 3 + 4. per-component AC scans over the TRUE block grid
     # (non-interleaved scans never code the MCU padding blocks).
@@ -1156,25 +1201,38 @@ def encode_jpeg_progressive(
         bh_t = -(-(h * sv) // (vmax * 8))
         bw_t = -(-(w * sh) // (hmax * 8))
         ta = 0 if ci == 0 else 1
-        sos([ci + 1], [(0, ta)], 1, 63, 0, 1)
-        bwr = _BitWriter()
         run_blocks: list[list[int]] = []
+
+        def _ac_begin(ctx):
+            # EOB runs cannot span a restart: flush into the ENDING
+            # interval before the marker resets the entropy stream
+            if (
+                restart_interval
+                and ctx.units
+                and ctx.units % restart_interval == 0
+            ):
+                flush_eobrun(ctx.bw, run_blocks)
+            ctx.begin_unit()
+
+        sos([ci + 1], [(0, ta)], 1, 63, 0, 1)
+        ctx = _RestartCtx()
         for by in range(bh_t):
             for bx in range(bw_t):
+                _ac_begin(ctx)
                 band = zz_all[ci][by, bx, 1:64]
                 t = np.sign(band) * (np.abs(band) >> 1)
                 if not t.any():
                     run_blocks.append([])  # no correction bits at Ah=0
                     continue
-                flush_eobrun(bwr, run_blocks)
-                _encode_ac_first_block(bwr, t, ac_tab.enc)
-        flush_eobrun(bwr, run_blocks)
-        bwr.flush()
-        out.extend(bwr.out)
+                flush_eobrun(ctx.bw, run_blocks)
+                _encode_ac_first_block(ctx.bw, t, ac_tab.enc)
+        flush_eobrun(ctx.bw, run_blocks)
+        ctx.finish()
         sos([ci + 1], [(0, ta)], 1, 63, 1, 0)
-        bwr = _BitWriter()
+        ctx = _RestartCtx()
         for by in range(bh_t):
             for bx in range(bw_t):
+                _ac_begin(ctx)
                 band = zz_all[ci][by, bx, 1:64]
                 # blocks with no NEWLY-significant coefs ride the EOB
                 # run; their correction bits queue in block order
@@ -1183,11 +1241,10 @@ def encode_jpeg_progressive(
                         [int(abs(int(v)) & 1) for v in band if abs(int(v)) >> 1]
                     )
                     continue
-                flush_eobrun(bwr, run_blocks)
-                _encode_ac_refine_block(bwr, band, ac_tab.enc)
-        flush_eobrun(bwr, run_blocks)
-        bwr.flush()
-        out.extend(bwr.out)
+                flush_eobrun(ctx.bw, run_blocks)
+                _encode_ac_refine_block(ctx.bw, band, ac_tab.enc)
+        flush_eobrun(ctx.bw, run_blocks)
+        ctx.finish()
 
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)

@@ -266,3 +266,23 @@ def test_probe_progressive_dims(spark):
     b = jpeg.encode_jpeg_progressive(img, quality=50)
     p = codecs.probe_bytes(b)
     assert (p["format"], p["width"], p["height"]) == ("jpeg", 20, 12)
+
+
+@pytest.mark.parametrize("ri", [1, 3])
+def test_progressive_restart_intervals(ri):
+    """Restart markers in EVERY progressive scan type: DC predictors
+    and EOB runs reset per interval (runs are flushed into the ending
+    interval, never spanning a marker); output still equals baseline
+    exactly."""
+    rng = np.random.default_rng(11)
+    for img, kw in [
+        (np.full((48, 48), 77, np.uint8), dict(quality=100)),
+        (
+            rng.integers(0, 256, (35, 51, 3), np.uint8),
+            dict(quality=70, subsample=True),
+        ),
+    ]:
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, **kw))
+        pbytes = jpeg.encode_jpeg_progressive(img, restart_interval=ri, **kw)
+        assert b"\xff\xdd" in pbytes and b"\xff\xd0" in pbytes
+        assert np.array_equal(base, jpeg.decode_jpeg(pbytes))
