@@ -692,13 +692,12 @@ def _reconstruct_progressive(frame, state, qt) -> np.ndarray:
             raise ValueError("JPEG: missing quant table")
         arr = state["coefs"][ci]
         bh, bw = arr.shape[:2]
-        p = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        for y in range(bh):
-            for x in range(bw):
-                block = arr[y, x].reshape(8, 8) * q
-                p[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = (
-                    _C.T @ block @ _C + 128.0
-                )
+        # vectorized dequant + IDCT over ALL blocks at once (unlike the
+        # sequential path, reconstruction here is decoupled from the
+        # entropy loop, so it batches)
+        blocks = arr.reshape(bh, bw, 8, 8).astype(np.float64) * q
+        pix = np.einsum("ij,xyjk,kl->xyil", _C.T, blocks, _C) + 128.0
+        p = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         if c["h"] != hmax or c["v"] != vmax:
             p = np.repeat(
                 np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
