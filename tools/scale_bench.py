@@ -650,6 +650,52 @@ def semantic_ladder(spark, sizes: list[int], tau: float = 0.9) -> None:
     print(json.dumps({"op": "semantic_dedup", "tau": tau, "points": points}))
 
 
+def jpeg_ladder(spark, sizes: list[int]) -> None:
+    """Codec throughput through the PRODUCTION path (Arrow-batched
+    ``multimodal.extract_features(decoder='real')``): baseline vs
+    progressive JPEG decode, images/s on local[32].  Images are
+    32x32 random gray, encoded once on the driver (bytes are the
+    input at scale; generation is not the measured stage)."""
+    import numpy as np
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+        multimodal,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    points = []
+    for n in sizes:
+        imgs = [
+            rng.integers(0, 256, (32, 32), np.uint8) for _ in range(n)
+        ]
+        for mode, enc in (
+            ("baseline", encode_jpeg),
+            ("progressive", encode_jpeg_progressive),
+        ):
+            df = spark.createDataFrame(
+                [(i, bytearray(enc(im, quality=85))) for i, im in enumerate(imgs)],
+                "media_id long, content binary",
+            ).localCheckpoint()
+            t0 = time.time()
+            got = multimodal.extract_features(df, decoder="real", dim=8).count()
+            wall = time.time() - t0
+            assert got == n
+            points.append(
+                {
+                    "mode": mode,
+                    "n_images": n,
+                    "wall_sec": round(wall, 2),
+                    "images_s": round(n / wall),
+                }
+            )
+            print(json.dumps(points[-1]), flush=True)
+    print(json.dumps({"op": "jpeg_decode", "points": points}))
+
+
 def warc_ladder(spark, sizes: list[int], docs_per_file: int = 2000) -> None:
     """WARC ingestion throughput: synthetic .warc.gz archives written
     once (driver loop, per-record gzip members like Common Crawl),
@@ -905,6 +951,16 @@ def main() -> None:
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
         hotkey_ladder(spark, sizes, hot_frac, ops)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--jpeg":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [1_000, 4_000]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        jpeg_ladder(spark, sizes)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--warc":
         sizes = (
