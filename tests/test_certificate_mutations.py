@@ -15,6 +15,8 @@ Covered twins (one mutation each):
 3. Quality-classifier scoring (text_features): one frozen beta.
 4. Exact-substring-span rebuild (doc_fingerprints): the gram slice.
 5. Paragraph-dedup rebuild (exact_dedup): the keeper-rank filter.
+6. SemDeDup seed count (dedup_pairs) and the progressive-JPEG value
+   statement (media_features).
 """
 
 from __future__ import annotations
@@ -66,6 +68,12 @@ MUTATIONS = [
         "LIMIT 4",
         "LIMIT 3",
         "semantic-seed-count",
+    ),
+    (
+        "media_features",
+        "bytes[1]::INTEGER AS jprog_val",
+        "bytes[2]::INTEGER AS jprog_val",
+        "progressive-jpeg-value",
     ),
 ]
 
