@@ -232,8 +232,25 @@ class _BitWriter:
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Baseline/extended-sequential JPEG bytes -> (H, W, 3) RGB uint8
-    (or (H, W, 1) for grayscale)."""
+    """JPEG bytes (baseline, extended-sequential, or progressive) ->
+    (H, W, 3) RGB uint8 (or (H, W, 1) for grayscale).
+
+    Contract for corpus audits: MALFORMED input raises ``ValueError``,
+    never a raw ``IndexError``/``KeyError``/``OverflowError`` from deep
+    inside the entropy loop (a corrupt image in a 100 TB corpus must
+    be catchable, not a job-killing surprise type) — fuzzed over
+    exhaustive truncations and random byte corruptions in tests."""
+    try:
+        return _decode_jpeg_inner(content)
+    except ValueError:
+        raise
+    except (KeyError, IndexError, OverflowError, struct.error) as e:
+        # garbage that happens to parse far enough to index/overflow:
+        # same class as any other malformed stream
+        raise ValueError(f"JPEG: corrupt stream ({type(e).__name__})") from e
+
+
+def _decode_jpeg_inner(content: bytes) -> np.ndarray:
     b = content
     if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
         raise ValueError("not a JPEG (bad SOI)")
@@ -256,6 +273,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         if i + 4 > len(b):
             raise ValueError("JPEG: truncated segment")
         seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if seg_len < 2 or i + 2 + seg_len > len(b):
+            raise ValueError("JPEG: truncated segment")
         seg = b[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT
             p = 0
@@ -278,6 +297,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 huff[(tc, th)] = _HuffTable(bits, vals)
                 p += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
+                raise ValueError("JPEG: malformed SOF segment")
             prec = seg[0]
             if prec != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
@@ -302,6 +323,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")
+            if len(seg) < 1 or len(seg) < 4 + 2 * seg[0]:
+                raise ValueError("JPEG: truncated SOS header")
             ns = seg[0]
             scan_tabs = {}
             scan_comps = []

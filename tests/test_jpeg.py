@@ -286,3 +286,31 @@ def test_progressive_restart_intervals(ri):
         pbytes = jpeg.encode_jpeg_progressive(img, restart_interval=ri, **kw)
         assert b"\xff\xdd" in pbytes and b"\xff\xd0" in pbytes
         assert np.array_equal(base, jpeg.decode_jpeg(pbytes))
+
+
+def test_truncation_and_corruption_raise_valueerror_only():
+    """Corpus-audit contract: malformed JPEG input (every truncation
+    point, random byte corruptions, baseline AND progressive, with
+    restarts) either decodes or raises ValueError — never a raw
+    IndexError/KeyError/OverflowError from the entropy loop."""
+    import random
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 40, 3), np.uint8)
+    py = random.Random(2)
+    for b in (
+        jpeg.encode_jpeg_progressive(img, quality=80, restart_interval=2),
+        jpeg.encode_jpeg(img, quality=80, restart_interval=3),
+    ):
+        for cut in range(2, len(b), 3):
+            try:
+                jpeg.decode_jpeg(b[:cut])
+            except ValueError:
+                pass
+        for _ in range(300):
+            bb = bytearray(b)
+            bb[py.randrange(len(bb))] ^= py.randrange(1, 256)
+            try:
+                jpeg.decode_jpeg(bytes(bb))
+            except ValueError:
+                pass
