@@ -106,3 +106,48 @@ def test_warc_to_documents_extracts_200_html(spark, warc_dir):
     assert "line two" in d["text"]
     assert "var x" not in d["text"] and "color:red" not in d["text"]
     assert "<" not in d["text"]
+
+
+def test_warc_feeds_the_curation_operators(spark, tmp_path):
+    """The WARC entry point composes with the engine end-to-end:
+    extracted documents flow through quality features, PII redaction,
+    and exact dedup unchanged — a crawl archive can replace the
+    parquet documents table as the funnel's source."""
+    import gzip
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+        dedup,
+        pii,
+        text,
+    )
+
+    body = (
+        b"<html><body><p>the data table is sorted and the query runs "
+        b"fast in memory, contact admin@example.com for access</p>"
+        b"</body></html>"
+    )
+    recs = []
+    for i in range(6):
+        # docs 0/1 identical -> exact dups; 5 is junk
+        payload = body if i < 2 else (
+            b"<html><body><p>spam spam spam spam spam</p></body></html>"
+            if i == 5
+            else b"<html><body><p>doc %d has its own words entirely</p></body></html>" % i
+        )
+        recs.append(
+            _record(f"r{i}", "response", f"http://ex.com/{i}", _http(b"200 OK", payload))
+        )
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg.warc.gz").write_bytes(b"".join(gzip.compress(r) for r in recs))
+
+    docs = warc_to_documents(read_warc(spark, str(d)))
+    assert docs.count() == 6
+    feats = text.quality_features(docs).select("doc_id", "ttr", "n_tokens")
+    assert feats.where("n_tokens > 0").count() == 6
+    red = pii.redact_pii(docs)
+    txts = {r["doc_id"]: r["text"] for r in red.collect()}
+    assert sum("[EMAIL]" in t for t in txts.values()) == 2
+    assert not any("admin@example.com" in t for t in txts.values())
+    groups = dedup.exact_duplicates(docs)
+    assert groups.where("n_dups = 2").count() == 1  # the planted pair
