@@ -12,7 +12,7 @@ stub.  Scope (documented, guarded):
 - JPEG: baseline/extended-sequential (SOF0/SOF1) AND progressive
   (SOF2, all four Annex-G scan types, round 6) Huffman, 8-bit,
   gray or YCbCr, any 1..4 sampling factors, restart markers;
-  progressive/arithmetic raise.
+  arithmetic/hierarchical/lossless raise.
 
 Everything is deterministic and executor-side safe (no global state);
 the per-row cost is NumPy-vectorized except the per-scanline unfilter

@@ -222,9 +222,13 @@ def assign_jk_groups(
     in one task) and partition-layout-dependent ``rand`` (the r4/r5
     re-evaluation hazard class); the hash permutation is uniformly
     random across seeds, deterministic under recomputation, and ranks
-    without any global window.  ``floor((r-1)*m/n)+1`` equals SQL
-    NTILE for the usual ``m <= n``; with more groups than rows the
-    occupied group IDs differ from NTILE's ``1..n`` (sizes match).
+    without any global window.  ``floor((r-1)*m/n)+1`` yields balanced
+    groups (sizes differ by <= 1, deterministic); it equals SQL NTILE
+    only when ``m`` divides ``n`` — otherwise NTILE front-loads the
+    ``n % m`` larger groups while this cut spreads them evenly (e.g.
+    n=10, m=4: sizes 3,2,3,2 vs NTILE's 3,3,2,2).  With more groups
+    than rows the occupied group IDs differ from NTILE's ``1..n``
+    (sizes still match).
     """
     if method == "hash":
         expr = F.pmod(F.hash(F.col(id_col), F.lit(seed)), F.lit(n_groups)) + 1
@@ -237,7 +241,7 @@ def assign_jk_groups(
         )
         ranked = global_rank(df, key, out_col="_jk_r")
         tot = ranked.agg(F.max("_jk_r").alias("_jk_n"))
-        # ntile semantics: first (n % m) groups get the extra row --
+        # balanced cut (extras spread evenly, not NTILE-front-loaded):
         # group = floor((r-1) * m / n) + 1
         return (
             ranked.crossJoin(F.broadcast(tot))

@@ -44,13 +44,18 @@ _HDR_RE = re.compile(rb"^([A-Za-z0-9_-]+):[ \t]*(.*?)\r?$")
 
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress a concatenation of gzip members (the per-record
-    layout of ``.warc.gz``) into one byte stream."""
+    layout of ``.warc.gz``) into one byte stream.  A corrupt member
+    raises ``ValueError`` (never a raw ``zlib.error``) so callers can
+    quarantine the file per the corpus-audit contract."""
     out = []
     rest = data
     while rest:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(rest))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(rest))
+            out.append(d.flush())
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member: {e}") from e
         if not d.unused_data or d.unused_data == rest:
             break
         rest = d.unused_data
@@ -106,10 +111,22 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
         pos = body_start + clen
 
 
+#: ``warc_type`` marker of quarantine rows emitted for unreadable files
+CORRUPT_TYPE = "__corrupt__"
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """All WARC records under ``path`` (glob ok; ``.gz`` handled by
     magic-byte sniff, not extension), one row per record with the raw
-    payload as a ``binary`` column — see :data:`WARC_SCHEMA`."""
+    payload as a ``binary`` column — see :data:`WARC_SCHEMA`.
+
+    A file whose gzip stream is corrupt does NOT fail the task: it
+    yields ONE quarantine row (``warc_type = '__corrupt__'``, null
+    content) so the loss is auditable — the same
+    no-silent-drop / no-job-kill contract as the corpus quarantine
+    readers (``sources/corpus.py``).  ``warc_to_documents`` keeps only
+    ``response`` records, so quarantine rows never become documents.
+    """
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path).select(
@@ -121,8 +138,23 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             rows = []
             for p, blob in zip(pdf["path"], pdf["content"]):
                 data = bytes(blob)
-                if data[:2] == b"\x1f\x8b":
-                    data = _gunzip_members(data)
+                try:
+                    if data[:2] == b"\x1f\x8b":
+                        data = _gunzip_members(data)
+                except ValueError:
+                    rows.append(
+                        {
+                            "record_id": "",
+                            "warc_type": CORRUPT_TYPE,
+                            "target_uri": "",
+                            "warc_date": "",
+                            "content_type": "",
+                            "content_length": None,
+                            "content": None,
+                            "path": p,
+                        }
+                    )
+                    continue
                 for rec in parse_warc_bytes(data):
                     rec["path"] = p
                     rows.append(rec)
@@ -189,9 +221,16 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
                 if typ != "response":
                     continue
                 raw = bytes(blob)
-                head, _, body = raw.partition(b"\r\n\r\n")
-                status_line = head.split(b"\r\n", 1)[0]
-                if b" 200 " not in status_line + b" ":
+                # CRLF per RFC; tolerate LF-only servers
+                head, sep, body = raw.partition(b"\r\n\r\n")
+                if not sep:
+                    head, _, body = raw.partition(b"\n\n")
+                # status code = 2nd whitespace token of the status
+                # line (a reason phrase containing " 200 " must not
+                # pass a non-200 response)
+                status_line = head.split(b"\n", 1)[0]
+                parts = status_line.split()
+                if len(parts) < 2 or parts[1] != b"200":
                     continue
                 out["record_id"].append(rid)
                 out["url"].append(uri)

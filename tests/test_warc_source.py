@@ -151,3 +151,51 @@ def test_warc_feeds_the_curation_operators(spark, tmp_path):
     assert not any("admin@example.com" in t for t in txts.values())
     groups = dedup.exact_duplicates(docs)
     assert groups.where("n_dups = 2").count() == 1  # the planted pair
+
+
+def test_warc_corrupt_gz_quarantined_not_fatal(spark, tmp_path):
+    """A corrupt .warc.gz member yields ONE auditable quarantine row
+    (warc_type='__corrupt__') instead of failing the Spark task, and
+    never becomes a document — the corpus-audit contract."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    good = _record("ok1", "response", "http://ex.com/ok", _http(b"200 OK", HTML))
+    (d / "good.warc.gz").write_bytes(gzip.compress(good))
+    blob = bytearray(gzip.compress(good))
+    blob[len(blob) // 2] ^= 0xFF  # flip a byte mid-stream
+    (d / "bad.warc.gz").write_bytes(bytes(blob))
+
+    out = read_warc(spark, str(d))
+    rows = out.collect()
+    corrupt = [r for r in rows if r["warc_type"] == "__corrupt__"]
+    assert len(corrupt) == 1
+    assert corrupt[0]["path"].endswith("bad.warc.gz")
+    assert corrupt[0]["content"] is None
+    ok = [r for r in rows if r["warc_type"] == "response"]
+    assert len(ok) == 1 and ok[0]["record_id"] == "<urn:uuid:ok1>"
+    # quarantine rows never reach the documents projection
+    assert warc_to_documents(out).count() == 1
+
+
+def test_warc_status_parsed_by_token_not_substring(spark, tmp_path):
+    """A non-200 response whose reason phrase contains ' 200 ' must
+    NOT be classified as 200; an LF-only HTTP response must still
+    split headers from body (not yield empty text)."""
+    d = tmp_path / "status"
+    d.mkdir()
+    tricky = _http(b"503 Over 200 Connections", b"<p>down</p>")
+    lf_only = (
+        b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n"
+        b"<html><body><p>lf body text here</p></body></html>"
+    )
+    recs = [
+        _record("t1", "response", "http://ex.com/t", tricky),
+        _record("t2", "response", "http://ex.com/lf", lf_only),
+    ]
+    (d / "s.warc").write_bytes(b"".join(recs))
+    docs = {
+        r["url"]: r["text"]
+        for r in warc_to_documents(read_warc(spark, str(d))).collect()
+    }
+    assert "http://ex.com/t" not in docs  # 503 stays out
+    assert "lf body text here" in docs.get("http://ex.com/lf", "")
