@@ -860,6 +860,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign: str = "arrow",
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
     near-duplicate pairs via cluster-then-compare — documents whose
@@ -871,19 +872,19 @@ def semantic_dedup_pairs(
 
     ``centroids``: a (k x d) array/list of UNIT-NORM centroids (e.g.
     from ``similarity.kmeans_centroids``); None trains the spherical
-    k-means here (``n_lists``/``max_iter``).  ``assign="arrow"`` uses
-    the Arrow-batched matmul assignment (the scale path shared with
-    IVF); ``assign="column"`` builds literal-centroid fold expressions
-    (:func:`centroid_assign_column`) — exact-parity with the SQL
-    oracle, right for modest k.
+    k-means here (``n_lists``/``max_iter``; ``train_fraction`` keeps
+    Lloyd linear at scale — see ``kmeans_centroids``).
+    ``assign="arrow"`` uses the Arrow-batched matmul assignment (the
+    scale path shared with IVF); ``assign="column"`` builds
+    literal-centroid fold expressions (:func:`centroid_assign_column`)
+    — exact-parity with the SQL oracle, right for modest k.
 
     Returns (id_a, id_b, cosine, cell) with id_a < id_b.
 
     NULL embeddings (undecodable docs) never form pairs and pass
-    through :func:`semantic_dedup` untouched — in ``column`` mode the
-    null scores yield a null cell that no equi-join matches;
-    ``arrow`` mode expects non-null vectors (pre-filter nulls before
-    the Arrow matmul).
+    through :func:`semantic_dedup` untouched, in BOTH assign modes —
+    ``column`` mode's null scores yield a null cell no equi-join
+    matches; ``arrow`` mode filters null vectors before the matmul.
 
     Scale shape: assignment is map-only (broadcast-sized model); the
     pair stage is ONE equi-join on the cell id (AQE-splittable if a
@@ -898,7 +899,8 @@ def semantic_dedup_pairs(
         from .similarity import kmeans_centroids
 
         centroids = kmeans_centroids(
-            df, vec_col=vec_col, id_col=id_col, n_lists=n_lists, max_iter=max_iter
+            df, vec_col=vec_col, id_col=id_col, n_lists=n_lists,
+            max_iter=max_iter, train_fraction=train_fraction,
         )
     if assign == "column":
         cen_list = [list(map(float, c)) for c in centroids]
@@ -911,7 +913,9 @@ def semantic_dedup_pairs(
         from .similarity import ivf_index
 
         indexed = ivf_index(
-            df, np.asarray(centroids, dtype=np.float64), vec_col=vec_col
+            df.where(F.col(vec_col).isNotNull()),
+            np.asarray(centroids, dtype=np.float64),
+            vec_col=vec_col,
         ).withColumnRenamed("_list", "_cell")
     t = float(threshold)
     nd = with_norm(indexed, vec_col)

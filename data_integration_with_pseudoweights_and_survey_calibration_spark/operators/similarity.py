@@ -249,6 +249,8 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     n_lists: int = 16,
     max_iter: int = 4,
+    train_fraction: float | None = None,
+    train_target: int = 200_000,
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer, fully distributed:
 
@@ -260,10 +262,37 @@ def kmeans_centroids(
       shuffle of (n_lists x dim) partial sums per iteration, the
       canonical distributed-Lloyd shape.
 
+    Lloyd trains on a SAMPLE, not the full table: assignment inside
+    the loop is O(rows x n_lists x dim) per iteration, and a
+    production quantizer picks ``n_lists ~ n / cell_size``, which
+    makes full-table training quadratic in n.  ``train_fraction``
+    bounds that: None (default) auto-picks
+    ``min(1, train_target / n)`` (one ``count()``), a float in (0, 1]
+    pins it.  The sample is a deterministic md5-threshold cut on the
+    id (no ``rand()``, stable under recomputation), so the model --
+    and every hash downstream of FIXED centroids -- is reproducible.
+    Quantizer quality degrades only marginally: centroids are cell
+    MEANS, and a 200k sample estimates k<=4096 means tightly (the
+    IVF/SemDeDup recall gates in tests/ and the scale ladder hold).
+    Assignment of the FULL corpus happens downstream (``ivf_index``)
+    and is unaffected.  NULL vectors are excluded from training.
+
     Only the (n_lists, dim) model ever reaches the driver.
     """
+    train = corpus.where(F.col(vec_col).isNotNull())
+    if train_fraction is None:
+        n = train.count()
+        train_fraction = min(1.0, float(train_target) / max(n, 1))
+    if train_fraction < 1.0:
+        # first 15 hex chars of md5(id) as a uniform u in [0,1): keeps
+        # the cut deterministic and consistent with the seed ordering
+        # (lexicographic hex == numeric prefix order)
+        u = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("double") / F.lit(float(16**15))
+        train = train.where(u < F.lit(float(train_fraction)))
     seed_rows = (
-        corpus.select(
+        train.select(
             F.col(vec_col).alias("_v"),
             F.md5(F.col(id_col).cast("string")).alias("_h"),
         )
@@ -274,7 +303,7 @@ def kmeans_centroids(
     cen = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in seed_rows])
     cen /= np.maximum(np.linalg.norm(cen, axis=1)[:, None], 1e-12)
 
-    vecs = corpus.select(F.col(vec_col).alias("_v")).cache()
+    vecs = train.select(F.col(vec_col).alias("_v")).cache()
     try:
         for _ in range(int(max_iter)):
             assign = _assign_udf(cen, 1)
@@ -329,6 +358,7 @@ def ivf_topk(
     max_iter: int = 4,
     exclude_self: bool = True,
     centroids: np.ndarray | None = None,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF coarse quantizer: score a
     corpus row only when it lives in one of the ``n_probe`` cells
@@ -346,6 +376,7 @@ def ivf_topk(
         else kmeans_centroids(
             corpus, vec_col=vec_col, id_col=id_col,
             n_lists=n_lists, max_iter=max_iter,
+            train_fraction=train_fraction,
         )
     )
     c = ivf_index(corpus, cen, vec_col=vec_col)

@@ -1353,7 +1353,9 @@ def test_semantic_pairs_subset_of_allpairs(spark, sf_dir):
 
 def test_semantic_dedup_null_embedding_rows(spark):
     """Rows with a NULL embedding can't be compared: they never form
-    pairs, and the keeper op passes them through untouched."""
+    pairs, and the keeper op passes them through untouched — the same
+    contract in BOTH assign modes (arrow pre-filters nulls before the
+    matmul; column's null scores yield a null cell)."""
     rows = [
         (1, [1.0, 0.0, 0.0]),
         (2, [1.0, 0.001, 0.0]),  # near-dup of 1
@@ -1362,14 +1364,43 @@ def test_semantic_dedup_null_embedding_rows(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cen = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
-    pairs = dedup.semantic_dedup_pairs(
-        df, 0.99, centroids=cen, assign="column"
-    ).collect()
-    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
-    kept = {
-        r["vec_id"]
-        for r in dedup.semantic_dedup(
-            df, 0.99, centroids=cen, assign="column"
+    for mode in ("column", "arrow"):
+        pairs = dedup.semantic_dedup_pairs(
+            df, 0.99, centroids=cen, assign=mode
         ).collect()
-    }
-    assert kept == {1, 3, 4}
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}, mode
+        kept = {
+            r["vec_id"]
+            for r in dedup.semantic_dedup(
+                df, 0.99, centroids=cen, assign=mode
+            ).collect()
+        }
+        assert kept == {1, 3, 4}, mode
+
+
+def test_kmeans_sample_training_deterministic_and_linear_shape(spark):
+    """``train_fraction`` cuts Lloyd's training set by a deterministic
+    md5 threshold: same fraction twice -> identical model; fraction 1.0
+    (and the small-n auto default) -> the full-data model; a fractional
+    cut still yields unit-norm centroids that spread the corpus."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 16))
+    rows = [
+        (int(i), (base[i % 4] + 0.05 * rng.normal(size=16)).tolist())
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = similarity.kmeans_centroids(df, n_lists=4, max_iter=2)
+    auto = similarity.kmeans_centroids(df, n_lists=4, max_iter=2)  # n << target
+    np.testing.assert_allclose(full, auto, rtol=0, atol=0)
+    s1 = similarity.kmeans_centroids(df, n_lists=4, max_iter=2, train_fraction=0.5)
+    s2 = similarity.kmeans_centroids(df, n_lists=4, max_iter=2, train_fraction=0.5)
+    np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
+    np.testing.assert_allclose(np.linalg.norm(s1, axis=1), 1.0, rtol=1e-9)
+    # the sampled model still separates the 4 planted clusters
+    idx = similarity.ivf_index(df, s1)
+    counts = idx.groupBy("_list").count().collect()
+    assert len(counts) == 4
+    assert min(r["count"] for r in counts) >= 20
