@@ -90,3 +90,45 @@ def partitioned_cumsum(
             f"{out_prefix}{v}", F.col(f"{out_prefix}{v}") + F.col(f"_off_{v}")
         ).drop(f"_off_{v}")
     return out.drop("_csb")
+
+
+#: grids below this row count use the single-partition window (exact,
+#: one small task); above it the two-pass distributed recipe kicks in
+AUTO_GRID_ROWS = 1_000_000
+
+
+def resolve_grid_route(df: DataFrame, grid_partitions, *, threshold: int | None = None):
+    """Route a grid cumsum: return ``(grid, n_buckets | None)``.
+
+    ``grid_partitions`` semantics (shared by ``survival.hazard_grid``
+    and ``cox._grid_terms`` so callers never have to know the grid is
+    huge):
+
+    - ``"auto"`` (the default upstream): persist the grid (it is about
+      to be consumed at least twice and is always far smaller than the
+      source table), count it — the count job materializes the cache
+      the downstream plan then reuses, so the aggregation still runs
+      ONCE — and pick the two-pass ``partitioned_cumsum`` when the
+      grid exceeds ``threshold`` rows (continuous event times at
+      population scale; reference grids are the distinct-event-time
+      table, thousands of rows, and keep the window).  The bucketed
+      recipe is exact, so the routing never changes values — only the
+      floating-point association, which is why the cutover sits far
+      above every certificate geometry.
+    - ``None``: always the single-partition window (pre-round-7
+      behavior).
+    - an int: force the two-pass path at that parallelism.
+    """
+    if threshold is None:
+        threshold = AUTO_GRID_ROWS  # read at call time so tests can lower it
+    if grid_partitions is None:
+        return df, None
+    if grid_partitions == "auto":
+        grid = df.persist()
+        if grid.count() <= threshold:
+            return grid, None
+        sp = int(
+            grid.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        return grid, max(32, sp)
+    return df, int(grid_partitions)

@@ -56,6 +56,14 @@ class CoxFit:
         return F.exp(linear_predictor(list(self.x_cols), self.beta))
 
 
+def _release_grid(grid: DataFrame) -> None:
+    """Drop the auto-route's persisted grid once its one consumer has
+    collected (the Newton loop builds a fresh grid every iteration)."""
+    cache = getattr(grid, "_grid_cache", None)
+    if cache is not None:
+        cache.unpersist(blocking=False)
+
+
 def _grid_terms(
     df: DataFrame,
     x_cols: Sequence[str],
@@ -63,9 +71,19 @@ def _grid_terms(
     t: str,
     d: str,
     w: str,
+    grid_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """One distributed pass: per distinct time, partial sums needed for
-    the score and Hessian; then reverse-cumsum S0/S1/S2 on the grid."""
+    the score and Hessian; then reverse-cumsum S0/S1/S2 on the grid.
+
+    ``grid_partitions="auto"`` (default) routes the reverse cumsums to
+    the two-pass distributed recipe when the distinct-time grid exceeds
+    ``cumsum.AUTO_GRID_ROWS`` — continuous-time data at population
+    scale never hits a single-partition window.  The auto route
+    persists the grid (so the count job's aggregation is reused); the
+    handle rides the returned frame as ``_grid_cache`` and the Newton
+    loop releases it each iteration.
+    """
     p = len(x_cols)
     we = F.col(w) * F.exp(linear_predictor(list(x_cols), beta))
     wd = F.col(w) * F.col(d).cast("double")
@@ -79,15 +97,46 @@ def _grid_terms(
                 F.sum(we * F.col(x_cols[i]) * F.col(x_cols[j])).alias(f"s2p_{i}_{j}")
             )
     grid = df.groupBy(F.col(t).alias("_t")).agg(*aggs)
-    rev = Window.orderBy(F.col("_t").desc()).rangeBetween(Window.unboundedPreceding, 0)
-    cols = [F.sum("s0p").over(rev).alias("s0")]
-    cols += [F.sum(f"s1p_{i}").over(rev).alias(f"s1_{i}") for i in range(p)]
-    cols += [
-        F.sum(f"s2p_{i}_{j}").over(rev).alias(f"s2_{i}_{j}")
-        for i in range(p)
-        for j in range(i, p)
-    ]
-    return grid.select("_t", "du", *[F.col(f"dx_{i}") for i in range(p)], *cols)
+
+    from ..functions.cumsum import resolve_grid_route
+
+    grid, n_buckets = resolve_grid_route(grid, grid_partitions)
+    vcols = (
+        ["s0p"]
+        + [f"s1p_{i}" for i in range(p)]
+        + [f"s2p_{i}_{j}" for i in range(p) for j in range(i, p)]
+    )
+    if n_buckets is not None:
+        from ..functions.cumsum import partitioned_cumsum
+
+        cummed = partitioned_cumsum(
+            grid, "_t", vcols, reverse=True, n_buckets=n_buckets
+        )
+        cols = [F.col("cum_s0p").alias("s0")]
+        cols += [F.col(f"cum_s1p_{i}").alias(f"s1_{i}") for i in range(p)]
+        cols += [
+            F.col(f"cum_s2p_{i}_{j}").alias(f"s2_{i}_{j}")
+            for i in range(p)
+            for j in range(i, p)
+        ]
+    else:
+        rev = Window.orderBy(F.col("_t").desc()).rangeBetween(
+            Window.unboundedPreceding, 0
+        )
+        cummed = grid
+        cols = [F.sum("s0p").over(rev).alias("s0")]
+        cols += [F.sum(f"s1p_{i}").over(rev).alias(f"s1_{i}") for i in range(p)]
+        cols += [
+            F.sum(f"s2p_{i}_{j}").over(rev).alias(f"s2_{i}_{j}")
+            for i in range(p)
+            for j in range(i, p)
+        ]
+    out = cummed.select(
+        "_t", "du", *[F.col(f"dx_{i}") for i in range(p)], *cols
+    )
+    if grid_partitions == "auto":
+        out._grid_cache = grid  # released by the consumer post-collect
+    return out
 
 
 def _score_hessian(
@@ -152,6 +201,7 @@ def cox_fit(
         for it in range(1, max_iter + 1):
             grid = _grid_terms(base, x_cols, beta, t, d, w)
             u, h, _ = _score_hessian(grid, p)
+            _release_grid(grid)
             step = solve_sym(h, u)
             beta = beta + step
             if float(np.max(np.abs(step))) < tol:
@@ -160,6 +210,7 @@ def cox_fit(
         # Final score check at the solution (reference ``U()`` diagnostic).
         grid = _grid_terms(base, x_cols, beta, t, d, w)
         u, h, snorm = _score_hessian(grid, p)
+        _release_grid(grid)
     finally:
         base.unpersist(blocking=False)
     return CoxFit(tuple(x_cols), beta, it, converged, snorm, h)
@@ -177,4 +228,6 @@ def cox_score_norm(
     """I23: sum |U(beta)| -- the reference's solver self-check
     (``taylor_deviate.R:1167-1198``)."""
     grid = _grid_terms(df, list(x_cols), np.asarray(beta, float), t, d, w)
-    return _score_hessian(grid, len(x_cols))[2]
+    out = _score_hessian(grid, len(x_cols))[2]
+    _release_grid(grid)
+    return out

@@ -36,7 +36,7 @@ def hazard_grid(
     d: str = "d",
     w: str = "w",
     rel_hzd: str | Column | None = None,
-    grid_partitions: int | None = None,
+    grid_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """E11: per distinct event time u --
 
@@ -49,10 +49,14 @@ def hazard_grid(
     the n x T indicator matrices with the grid recipe above.
     Output: one row per distinct *event* time, ascending.
 
-    ``grid_partitions``: when the grid itself is huge (continuous event
-    times at population scale), compute the reverse cumsums with the
-    two-pass distributed recipe (``functions/cumsum.py``) at that
-    parallelism instead of one single-partition window.
+    ``grid_partitions``: ``"auto"`` (default) counts the grid once (the
+    count materializes the persisted grid the rest of the plan reuses)
+    and switches the reverse cumsums to the two-pass distributed recipe
+    (``functions/cumsum.py``) when the grid exceeds
+    ``cumsum.AUTO_GRID_ROWS`` — huge grids (continuous event times at
+    population scale) never hit a single-partition window without the
+    caller having to know.  ``None`` forces the window; an int forces
+    the two-pass path at that parallelism.
     """
     rel = F.lit(1.0) if rel_hzd is None else (
         F.col(rel_hzd) if isinstance(rel_hzd, str) else rel_hzd
@@ -69,7 +73,10 @@ def hazard_grid(
     # *descending* time order means every row with the same t shares the
     # full tie-group total -- the reference's tie fix
     # (``taylor_deviate.R:621-626``) for free.
-    if grid_partitions is not None:
+    from ..functions.cumsum import resolve_grid_route
+
+    grid, n_buckets = resolve_grid_route(grid, grid_partitions)
+    if n_buckets is not None:
         from ..functions.cumsum import partitioned_cumsum
 
         grid = partitioned_cumsum(
@@ -77,7 +84,7 @@ def hazard_grid(
             "t",
             ["_we_sum", "_w_sum"],
             reverse=True,
-            n_buckets=grid_partitions,
+            n_buckets=n_buckets,
         )
         grid = grid.withColumn("Zt", F.col("cum__we_sum")).withColumn(
             "Yt", F.col("cum__w_sum")

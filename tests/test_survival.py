@@ -252,3 +252,52 @@ def test_cox_fit_weighted_breslow(spark):
     assert fit.score_norm < 1e-6
     # score check API at a non-solution point is far from zero
     assert cox_score_norm(spark.createDataFrame(pdf), ["x1", "x2"], [0.0, 0.0]) > 1.0
+
+
+def test_hazard_grid_auto_routes_huge_grids(spark, monkeypatch):
+    """grid_partitions='auto' (the default) keeps the window for small
+    grids and switches to the two-pass cumsum — same values — once the
+    distinct-time grid crosses the threshold, without the caller
+    passing anything."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.functions import cumsum
+
+    pdf = _surv_data()
+    rel = np.exp(0.4 * pdf.x1.values)
+    df = spark.createDataFrame(pdf.assign(rel=rel))
+    base = hazard_grid(df, rel_hzd="rel", grid_partitions=None).orderBy("t").toPandas()
+    # default auto, small grid -> same values (window route)
+    auto_small = hazard_grid(df, rel_hzd="rel").orderBy("t").toPandas()
+    for c in ["Nt", "Zt", "Yt", "lambda", "one_minus_ar"]:
+        np.testing.assert_allclose(base[c], auto_small[c], rtol=0, err_msg=c)
+    # lower the cutover: the same call now takes the partitioned path
+    monkeypatch.setattr(cumsum, "AUTO_GRID_ROWS", 3)
+    routed = hazard_grid(df, rel_hzd="rel")
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    auto_big = routed.orderBy("t").toPandas()
+    assert "_csb" in plan, "expected the bucketed two-pass cumsum route"
+    for c in ["Nt", "Zt", "Yt", "lambda", "one_minus_ar"]:
+        np.testing.assert_allclose(base[c], auto_big[c], rtol=1e-12, err_msg=c)
+
+
+def test_cox_grid_terms_auto_routes(spark, monkeypatch):
+    """cox._grid_terms gets the same automatic huge-grid hook: the
+    routed S0/S1/S2 cumsums reproduce the window values exactly, so a
+    Newton step is unchanged."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.functions import cumsum
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.cox import (
+        _grid_terms,
+        _score_hessian,
+    )
+
+    pdf = _surv_data()
+    df = spark.createDataFrame(pdf)
+    beta = np.array([0.3, -0.2])
+    u0, h0, n0 = _score_hessian(_grid_terms(df, ["x1", "x2"], beta, "t", "d", "w"), 2)
+    monkeypatch.setattr(cumsum, "AUTO_GRID_ROWS", 3)
+    grid = _grid_terms(df, ["x1", "x2"], beta, "t", "d", "w")
+    plan = grid._jdf.queryExecution().executedPlan().toString()
+    assert "_csb" in plan, "expected the bucketed two-pass cumsum route"
+    u1, h1, n1 = _score_hessian(grid, 2)
+    np.testing.assert_allclose(u0, u1, rtol=1e-12)
+    np.testing.assert_allclose(h0, h1, rtol=1e-12)
+    assert n0 == pytest.approx(n1, rel=1e-12)

@@ -152,6 +152,24 @@ def _bpe_vocab(spark, sf_dir):
     return learn_bpe_merges(docs, n_merges=8, min_freq=2, batch_size=4).vocab
 
 
+def _huge_grid(spark, sf_dir):
+    """hazard_grid over 2M DISTINCT continuous event times — above the
+    round-7 auto-route threshold, so the default call must pick the
+    two-pass bucketed cumsum with no caller hint."""
+    from pyspark.sql import functions as F
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.survival import (
+        hazard_grid,
+    )
+
+    df = spark.range(2_000_000).select(
+        (F.col("id").cast("double") / 7.0).alias("t"),
+        (F.col("id") % 2).cast("double").alias("d"),
+        F.lit(1.0).alias("w"),
+    )
+    return hazard_grid(df)
+
+
 CUSTOM_AUDITS: dict[str, tuple] = {
     "bpe_merges (vocab after batched rounds)": (
         _bpe_vocab,
@@ -160,6 +178,13 @@ CUSTOM_AUDITS: dict[str, tuple] = {
             # final plan must read the round-k checkpoint, not replay
             # the iterative fold lineage
             (r"Scan ExistingRDD", "vocab reads round-k checkpoint; no lineage replay"),
+        ],
+    ),
+    "hazard_grid (2M distinct continuous times, auto route)": (
+        _huge_grid,
+        [
+            (r"_csb", "round 7: grid above AUTO_GRID_ROWS auto-routes to the bucketed two-pass cumsum — no caller flag needed"),
+            (r"count<=0:windowspecdefinition\(t#", "no partition-less grid window (a 100× continuous-time grid would sort in ONE task); every remaining window keys on the bucket id"),
         ],
     ),
 }

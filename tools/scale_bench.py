@@ -793,6 +793,56 @@ def fixpoint_probe(spark, sizes: list[int]) -> None:
     print(json.dumps({"op": "fixpoint_trim", "points": points}))
 
 
+def hugegrid_ladder(spark, sizes: list[int]) -> None:
+    """Huge-grid cumsum A/B (round 7): hazard_grid over CONTINUOUS
+    event times (every row a distinct time — the population-scale
+    geometry the reference never hits).  Compares the forced
+    single-partition window route against the default ``"auto"`` route
+    (which must pick the bucketed two-pass cumsum above
+    ``cumsum.AUTO_GRID_ROWS``); values must agree, and the window's
+    one-task sort should lose ground as the grid grows."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.survival import (
+        hazard_grid,
+    )
+
+    points = []
+    for n in sizes:
+        df = (
+            spark.range(n)
+            .select(
+                (F.col("id").cast("double") / 7.0).alias("t"),
+                (F.col("id") % 2).cast("double").alias("d"),
+                F.lit(1.0).alias("w"),
+            )
+            .localCheckpoint()
+        )
+        agg = lambda g: g.agg(  # noqa: E731
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("Zt").alias("zt"),
+            F.sum("lambda").alias("lam"),
+        ).first()
+        t0 = time.time()
+        r_win = agg(hazard_grid(df, grid_partitions=None))
+        w_window = time.time() - t0
+        t0 = time.time()
+        r_auto = agg(hazard_grid(df))  # default: auto-route
+        w_auto = time.time() - t0
+        assert r_win["rows"] == r_auto["rows"], (r_win, r_auto)
+        assert abs(r_win["zt"] - r_auto["zt"]) <= 1e-6 * abs(r_win["zt"])
+        assert abs(r_win["lam"] - r_auto["lam"]) <= 1e-6 * abs(r_win["lam"])
+        spark.catalog.clearCache()  # release the auto route's grid persist
+        points.append(
+            {
+                "n_times": n,
+                "grid_rows": int(r_win["rows"]),
+                "window_sec": round(w_window, 2),
+                "auto_sec": round(w_auto, 2),
+            }
+        )
+        print(json.dumps(points[-1]), flush=True)
+    print(json.dumps({"op": "hugegrid_cumsum", "points": points}))
+
+
 def bpe_ladder(spark, sf_dir: str, n_merges: int, batch_sizes, n_docs: int = 0) -> None:
     """Batched-BPE round/wall ladder (BENCH_SCALE 3d-bis): same corpus
     and merge count, varying batch_size — per-round cost is flat
@@ -981,6 +1031,16 @@ def main() -> None:
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
         semantic_ladder(spark, sizes)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--hugegrid":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [2_000_000, 8_000_000]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        hugegrid_ladder(spark, sizes)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--fixpoint":
         sizes = (
