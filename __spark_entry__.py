@@ -2212,7 +2212,17 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       ftyp+moov/mvhd blob with timescale 1000 and duration
       doc_id % 90000 + 1000, version 0 for even docs and version 1
       (64-bit times) for odd — both parser paths value-checked
-      against the oracle's arithmetic (``mp4_fmt``, ``mp4_dur``)."""
+      against the oracle's arithmetic (``mp4_fmt``, ``mp4_dur``).
+
+    Round 7 adds REAL VIDEO legs (``operators/video.py``): an MJPEG
+    AVI with doc_id % 3 + 1 flat-gray frames (value = the doc's first
+    md5 byte) at 25 fps, q100, built by the engine's own hermetic
+    encoder, then container-split + frame-decoded back.  ``vid_frames``
+    counts decoded frames (oracle: doc_id % 3 + 1), ``vid_val`` is the
+    first decoded pixel (DC-only q100 exactness again — oracle states
+    it from the md5 hex), and ``vid_dur`` is the avih header probe's
+    duration (oracle: frames × 40 ms).  A hash match certifies the
+    RIFF writer+splitter and the per-frame JPEG path end to end."""
     import hashlib
     import struct
 
@@ -2228,6 +2238,11 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_jpeg,
         encode_jpeg,
         encode_jpeg_progressive,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.video import (
+        decode_mjpeg,
+        encode_mjpeg_avi,
+        probe_avi,
     )
 
     def _mp4_blob(ts: int, dur: int, v: int) -> bytes:
@@ -2247,6 +2262,7 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             jpg_fmt, jpg_w, jpg_h = [], [], []
             jv, je, m4f, m4d = [], [], [], []
             jpv, jpe = [], []
+            vfr, vv, vd = [], [], []
             for did, t in zip(pdf["doc_id"], pdf["text"]):
                 digest = hashlib.md5(str(t).encode("utf-8")).digest()
                 img = np.frombuffer(digest, dtype=np.uint8).reshape(4, 4)
@@ -2294,6 +2310,12 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pm = probe_bytes(_mp4_blob(1000, dur, int(did) % 2))
                 m4f.append(pm["format"])
                 m4d.append(pm["duration_ms"])
+                nfr = int(did) % 3 + 1
+                avi = encode_mjpeg_avi([flat] * nfr, fps=25, quality=100)
+                vdec = decode_mjpeg(avi)
+                vfr.append(len(vdec))
+                vv.append(int(vdec[0][0, 0, 0]))
+                vd.append(int(probe_avi(avi)["duration_ms"]))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -2313,6 +2335,9 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "jprog_err": jpe,
                     "mp4_fmt": m4f,
                     "mp4_dur": m4d,
+                    "vid_frames": vfr,
+                    "vid_val": vv,
+                    "vid_dur": vd,
                 }
             )
 
@@ -2325,7 +2350,8 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "px_mean double, png_fmt string, png_w int, png_h int, "
             "jpg_fmt string, jpg_w int, jpg_h int, "
             "jpeg_val int, jpeg_err int, jprog_val int, jprog_err int, "
-            "mp4_fmt string, mp4_dur long"
+            "mp4_fmt string, mp4_dur long, "
+            "vid_frames int, vid_val int, vid_dur long"
         ),
     )
 
@@ -2350,7 +2376,10 @@ def _sql_media_features() -> str:
            bytes[1]::INTEGER AS jprog_val,
            0::INTEGER AS jprog_err,
            'mp4' AS mp4_fmt,
-           (doc_id % 90000 + 1000)::BIGINT AS mp4_dur
+           (doc_id % 90000 + 1000)::BIGINT AS mp4_dur,
+           (doc_id % 3 + 1)::INTEGER AS vid_frames,
+           bytes[1]::INTEGER AS vid_val,
+           ((doc_id % 3 + 1) * 40)::BIGINT AS vid_dur
     FROM b
     """
 

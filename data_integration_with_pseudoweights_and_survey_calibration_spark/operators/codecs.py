@@ -38,11 +38,14 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff(content: bytes) -> str | None:
-    """Cheap magic-byte format sniff: 'png' | 'wav' | 'jpeg' | None."""
+    """Cheap magic-byte format sniff:
+    'png' | 'wav' | 'jpeg' | 'avi' | None."""
     if content.startswith(_PNG_MAGIC):
         return "png"
     if content.startswith(_RIFF_MAGIC) and content[8:12] == b"WAVE":
         return "wav"
+    if content.startswith(_RIFF_MAGIC) and content[8:12] == b"AVI ":
+        return "avi"
     if content[:2] == b"\xff\xd8":
         return "jpeg"
     return None
@@ -396,6 +399,18 @@ def probe_bytes(b: bytes) -> dict:
             m = None
         if m:
             out.update(m)
+        return out
+    if b.startswith(_RIFF_MAGIC) and b[8:12] == b"AVI ":
+        from .video import probe_avi
+
+        m = probe_avi(b)
+        if m:
+            out.update(
+                format=m["format"],
+                width=m["width"],
+                height=m["height"],
+                duration_ms=m["duration_ms"],
+            )
         return out
     if b.startswith(_RIFF_MAGIC) and b[8:12] == b"WAVE" and len(b) >= 44:
         # canonical header: fmt chunk at 12 (channels @22, rate @24,

@@ -7,16 +7,19 @@ batch, never one row at a time.
 
 Decoder tiers:
 
-- ``decoder="real"``: WORKING decode for PNG, JPEG (baseline + progressive, round 6) and WAV
-  via the pure-stdlib/NumPy codecs in ``operators/codecs.py`` +
-  ``operators/jpeg.py`` (no PIL/ffmpeg needed) — real pixels /
-  samples in, real image/audio features and real resized PNG bytes
-  out.  Unrecognized formats raise (or fall back per ``on_unknown``).
+- ``decoder="real"``: WORKING decode for PNG, JPEG (baseline +
+  progressive, round 6), WAV, and Motion-JPEG video in AVI containers
+  (round 7, ``operators/video.py`` — frame split + the same JPEG
+  decoder) via the pure-stdlib/NumPy codecs in ``operators/codecs.py``
+  + ``operators/jpeg.py`` (no PIL/ffmpeg needed) — real pixels /
+  samples / frames in, real features and real resized PNG bytes out.
+  Unrecognized formats raise (or fall back per ``on_unknown``).
 - ``decoder="fake"``: deterministic byte-derived features; exercises the
   full distributed path with any bytes.
 - ``decoder="stub"``: raises NotImplementedError at execution time with
-  the integration point documented (for formats like video that truly
-  need ffmpeg/pyav, which this environment lacks).
+  the integration point documented (for codecs that truly need
+  ffmpeg/pyav — H.264-class inter-frame video — which this
+  environment lacks).
 """
 
 from __future__ import annotations
@@ -94,14 +97,26 @@ def extract_features(
             return codecs.image_features(codecs.decode_jpeg(b), dim)
         if kind == "wav":
             return codecs.audio_features(*codecs.decode_wav(b), dim)
+        if kind == "avi":
+            # Motion-JPEG: mean of per-frame image features — a real
+            # whole-clip summary (every frame decodes); per-frame
+            # fan-out is video_frame_features
+            from .video import decode_mjpeg
+
+            frames = decode_mjpeg(b)
+            if not frames:
+                return np.zeros(dim, dtype=np.float32)
+            return np.mean(
+                [codecs.image_features(f, dim) for f in frames], axis=0
+            ).astype(np.float32)
         if on_unknown == "fake":
             return _fake_features(b, dim)
         raise ValueError(
-            "decoder='real' handles PNG, JPEG (baseline+progressive) and WAV "
-            "(pure-stdlib/NumPy codecs); got unrecognized bytes "
-            f"(first 8: {b[:8]!r}). Pass on_unknown='fake' to degrade "
-            "gracefully, or wire a codec for this format into "
-            "operators/codecs.py"
+            "decoder='real' handles PNG, JPEG (baseline+progressive), WAV "
+            "and MJPEG/AVI video (pure-stdlib/NumPy codecs); got "
+            f"unrecognized bytes (first 8: {b[:8]!r}). Pass "
+            "on_unknown='fake' to degrade gracefully, or wire a codec "
+            "for this format into operators/codecs.py"
         )
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -109,9 +124,10 @@ def extract_features(
             if decoder == "stub":
                 raise NotImplementedError(
                     "this format needs a codec not present in this "
-                    "environment (e.g. video -> pyav/ffmpeg); PNG/WAV "
-                    "work today via decoder='real' "
-                    "(operators/codecs.py), byte-derived features via "
+                    "environment (H.264-class video -> pyav/ffmpeg); "
+                    "PNG/JPEG/WAV/MJPEG-AVI work today via "
+                    "decoder='real' (operators/codecs.py, "
+                    "operators/video.py), byte-derived features via "
                     "decoder='fake'"
                 )
             feats, nb, bm, bs = [], [], [], []

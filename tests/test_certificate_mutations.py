@@ -17,6 +17,16 @@ Covered twins (one mutation each):
 5. Paragraph-dedup rebuild (exact_dedup): the keeper-rank filter.
 6. SemDeDup seed count (dedup_pairs) and the progressive-JPEG value
    statement (media_features).
+7. Round 7: gaussian kernel exponent + triangular support edge
+   (kw_kernels), the Silverman IQR/1.34 constant (survey_scalars),
+   the reverse risk-set direction (hazard_grid), the as-of predicate
+   (events_flow), and the MJPEG frame count (media_features).
+
+   NOT mutatable by design: the gaussian dnorm normalizer
+   (sqrt(2 pi)) cancels in kw = sum(w k)/sum(k) — it is not
+   load-bearing, so a flip would (correctly) not be caught; and the
+   semantic cosine chain's left-association differs from any other
+   association by < the 6 dp the certificate rounds to.
 """
 
 from __future__ import annotations
@@ -74,6 +84,43 @@ MUTATIONS = [
         "bytes[1]::INTEGER AS jprog_val",
         "bytes[2]::INTEGER AS jprog_val",
         "progressive-jpeg-value",
+    ),
+    # round 7: the remaining load-bearing twins
+    (
+        "kw_kernels",
+        "/ 2.0)",  # first occurrence = the gaussian kernel exponent
+        "/ 2.1)",
+        "gauss-kernel-exponent",
+    ),
+    (
+        "kw_kernels",
+        "1.0 - abs((s.ps - c.ps)",  # triangular kernel support edge
+        "0.9 - abs((s.ps - c.ps)",
+        "triang-kernel-support",
+    ),
+    (
+        "survey_scalars",
+        "iqr / 1.34",  # Silverman bw.nrd0: min(sd, IQR/1.34); on this
+        "iqr / 134.0",  # data sd < IQR/1.34, so the flip must push the
+        "nrd0-iqr-constant",  # IQR arm below sd to be observable
+    ),
+    (
+        "hazard_grid",
+        "OVER (ORDER BY t DESC) AS zt",  # reverse risk-set direction
+        "OVER (ORDER BY t ASC) AS zt",
+        "risk-set-direction",
+    ),
+    (
+        "events_flow",
+        "v.ts <= p.ts",  # the as-of predicate (last view BEFORE)
+        "v.ts >= p.ts",
+        "asof-predicate",
+    ),
+    (
+        "media_features",
+        "(doc_id % 3 + 1)::INTEGER AS vid_frames",  # MJPEG frame count
+        "(doc_id % 3 + 2)::INTEGER AS vid_frames",
+        "video-frame-count",
     ),
 ]
 

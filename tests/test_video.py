@@ -1,0 +1,122 @@
+"""MJPEG/AVI video decode (operators/video.py): container round-trip
+through the engine's own JPEG codec, header probe, fuzz hardening
+(truncation/corruption => ValueError only), the H.264 guard, and the
+Spark-side composition through multimodal.extract_features."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import codecs
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.video import (
+    decode_mjpeg,
+    encode_mjpeg_avi,
+    probe_avi,
+    split_mjpeg_frames,
+)
+
+
+def _frames(n: int, h: int = 16, w: int = 24, seed: int = 3) -> list[np.ndarray]:
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(n)]
+
+
+def test_mjpeg_roundtrip_frame_count_and_pixels():
+    frames = _frames(5)
+    avi = encode_mjpeg_avi(frames, fps=25, quality=90)
+    assert codecs.sniff(avi) == "avi"
+    split = split_mjpeg_frames(avi)
+    assert len(split) == 5
+    decoded = decode_mjpeg(avi)
+    assert len(decoded) == 5
+    for src, dec in zip(frames, decoded):
+        assert dec.shape == (16, 24, 1)
+        # lossy but close at q90
+        assert np.abs(dec[:, :, 0].astype(int) - src.astype(int)).mean() < 12
+
+
+def test_mjpeg_flat_q100_exact():
+    """A flat gray frame at q100 is DC-only and round-trips exactly —
+    the same invariant the media_features driver leg states."""
+    img = np.full((4, 4), 137, dtype=np.uint8)
+    dec = decode_mjpeg(encode_mjpeg_avi([img, img, img], quality=100))
+    assert len(dec) == 3
+    for d in dec:
+        assert (d[:, :, 0] == 137).all()
+
+
+def test_probe_avi_header_fields():
+    avi = encode_mjpeg_avi(_frames(7, h=32, w=40), fps=25)
+    p = probe_avi(avi)
+    assert p == {
+        "format": "avi",
+        "width": 40,
+        "height": 32,
+        "n_frames": 7,
+        "duration_ms": 7 * 40,  # 25 fps -> 40 ms/frame
+    }
+    # probe_bytes routes RIFF/AVI to the same parser
+    pb = codecs.probe_bytes(avi)
+    assert pb["format"] == "avi" and pb["width"] == 40 and pb["duration_ms"] == 280
+
+
+def test_mjpeg_truncation_and_corruption_raise_valueerror_only():
+    avi = encode_mjpeg_avi(_frames(3), fps=25)
+    for cut in range(1, len(avi), 97):
+        try:
+            decode_mjpeg(avi[:cut])
+        except ValueError:
+            pass  # the only acceptable failure type
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        blob = bytearray(avi)
+        for _ in range(3):
+            blob[int(rng.integers(0, len(blob)))] = int(rng.integers(0, 256))
+        try:
+            decode_mjpeg(bytes(blob))
+        except ValueError:
+            pass
+
+
+def test_non_mjpeg_fourcc_guarded():
+    avi = bytearray(encode_mjpeg_avi(_frames(2), fps=25))
+    i = avi.find(b"vids" + b"MJPG")
+    assert i > 0
+    avi[i + 4 : i + 8] = b"H264"
+    with pytest.raises(ValueError, match="H.264|not Motion-JPEG"):
+        split_mjpeg_frames(bytes(avi))
+
+
+def test_mjpeg_probe_garbage_returns_none():
+    assert probe_avi(b"") is None
+    assert probe_avi(b"RIFF" + struct.pack("<I", 4) + b"AVI ") is None
+    assert probe_avi(b"\x00" * 64) is None
+
+
+def test_video_features_through_spark_path(spark):
+    """extract_features(decoder='real') decodes every MJPEG frame and
+    yields the mean per-frame image feature — real video through the
+    Arrow mapInPandas plumbing, alongside PNG rows in the same batch."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    avi = encode_mjpeg_avi([img, img], fps=10, quality=100)
+    png = codecs.encode_png(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(png))],
+        "media_id long, content binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in extract_features(df, decoder="real", dim=8).collect()
+    }
+    assert out[1]["n_bytes"] == len(avi)
+    # identical frames -> the clip feature equals the single-image one
+    np.testing.assert_allclose(
+        out[1]["feature"], out[2]["feature"], atol=1e-4
+    )
