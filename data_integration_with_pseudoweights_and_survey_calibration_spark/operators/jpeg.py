@@ -54,6 +54,9 @@ ZIGZAG = np.array(
     ],
     dtype=np.intp,
 )
+# plain-int twin for the entropy hot loops (list indexing by Python
+# int beats numpy scalar indexing ~3x in pure-Python code)
+ZIGZAG_LIST = [int(z) for z in ZIGZAG]
 
 # Annex K.1/K.2 reference quantization tables (raster order).
 QUANT_LUMA = np.array(
@@ -112,37 +115,66 @@ def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
 
 
 class _HuffTable:
-    """Canonical Huffman per T.81 C.2: mincode/maxcode/valptr per
-    length for the decoder; sym -> (code, length) for the encoder."""
+    """Canonical Huffman per T.81 C.2: sym -> (code, length) for the
+    encoder, and (round 7) a 16-bit-peek lookup table for the decoder.
+
+    The LUT replaces the classic mincode/maxcode bit-by-bit walk: every
+    16-bit window whose prefix is a valid code maps to the packed
+    ``(length << 8) | symbol``; windows matching no code map to 0 (and
+    0 can never be a valid packing, since a real entry has length >=
+    1).  One peek + one list index + one cursor bump per symbol,
+    bit-identical to the spec walk (same canonical code book), ~5x
+    fewer Python ops in the entropy hot loop."""
 
     def __init__(self, bits: list[int], vals: list[int]):
         if len(bits) != 16 or sum(bits) != len(vals):
             raise ValueError("JPEG: malformed Huffman table")
         self.vals = vals
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
         code = 0
         ptr = 0
         self.enc: dict[int, tuple[int, int]] = {}
+        lut = [0] * 65536
         for length in range(1, 17):
             n = bits[length - 1]
-            self.valptr[length] = ptr
-            self.mincode[length] = code
             for i in range(n):
-                self.enc[vals[ptr + i]] = (code + i, length)
+                c = code + i
+                self.enc[vals[ptr + i]] = (c, length)
+                lo = c << (16 - length)
+                hi = lo + (1 << (16 - length))
+                if hi > 65536:
+                    raise ValueError("JPEG: malformed Huffman table")
+                lut[lo:hi] = [(length << 8) | vals[ptr + i]] * (hi - lo)
             code += n
             ptr += n
-            self.maxcode[length] = code - 1
             code <<= 1
+        self.lut = lut
 
     def decode(self, br: "_BitReader") -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.read_bit()
-            if self.maxcode[length] >= code >= self.mincode[length]:
-                return self.vals[self.valptr[length] + code - self.mincode[length]]
-        raise ValueError("JPEG: invalid Huffman code")
+        e = self.lut[br.peek16()]
+        if e == 0:
+            raise ValueError("JPEG: invalid Huffman code")
+        br.pos += e >> 8
+        return e & 0xFF
+
+
+_TABLE_CACHE: dict[tuple, _HuffTable] = {}
+
+
+def _huff_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    """Memoized table build: the 64 KiB decoder LUT costs ~0.35 ms to
+    fill, and real corpora reuse a handful of table definitions across
+    millions of images (libjpeg's defaults, or one encoder's fixed
+    tables), so cache by content.  Bounded: a corpus with >256 distinct
+    table definitions just starts over (still correct — the cache is
+    pure)."""
+    key = (tuple(bits), tuple(vals))
+    tab = _TABLE_CACHE.get(key)
+    if tab is None:
+        if len(_TABLE_CACHE) >= 256:
+            _TABLE_CACHE.clear()
+        tab = _HuffTable(bits, vals)
+        _TABLE_CACHE[key] = tab
+    return tab
 
 
 def _fixed_length_table(symbols: list[int], length: int) -> tuple[list[int], list[int]]:
@@ -170,31 +202,49 @@ _AC_SYMBOLS_PROG = sorted(_AC_SYMBOLS + [r << 4 for r in range(1, 15)])
 
 
 class _BitReader:
-    """MSB-first reader over UNSTUFFED entropy bytes."""
+    """MSB-first reader over UNSTUFFED entropy bytes.
 
-    __slots__ = ("data", "pos", "bit")
+    Round 7: a flat bit cursor over a 0xFF-padded buffer; every read
+    slices a 4-byte window and shifts, so ``receive(n)`` is O(1)
+    instead of n ``read_bit`` calls and ``peek16`` feeds the Huffman
+    LUT.  Past-the-end bits still read as 1s (the padding convention
+    the spec's pad bits rely on): the byte index clamps into the 0xFF
+    tail once the cursor runs off the data, reproducing the old
+    reader's infinite-1s semantics exactly."""
+
+    __slots__ = ("data", "pos", "_clamp")
 
     def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.bit = 0
+        self.data = data + b"\xff\xff\xff\xff"
+        self.pos = 0  # bit cursor
+        self._clamp = len(data)
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            # past-the-end bits read as 1s (padding convention)
-            return 1
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
+        p = self.pos >> 3
+        if p > self._clamp:
+            p = self._clamp
+        b = self.pos & 7
+        self.pos += 1
+        return (self.data[p] >> (7 - b)) & 1
+
+    def peek16(self) -> int:
+        p = self.pos >> 3
+        if p > self._clamp:
+            p = self._clamp
+        b = self.pos & 7
+        v = int.from_bytes(self.data[p : p + 4], "big")
+        return (v >> (16 - b)) & 0xFFFF
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        p = self.pos >> 3
+        if p > self._clamp:
+            p = self._clamp
+        b = self.pos & 7
+        self.pos += n
+        v = int.from_bytes(self.data[p : p + 4], "big")
+        return (v >> (32 - b - n)) & ((1 << n) - 1)
 
 
 def _extend(v: int, s: int) -> int:
@@ -294,7 +344,7 @@ def _decode_jpeg_inner(content: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 n = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + n])
-                huff[(tc, th)] = _HuffTable(bits, vals)
+                huff[(tc, th)] = _huff_table(bits, vals)
                 p += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
@@ -377,34 +427,22 @@ def _decode_scan(b, start, frame, scan_tabs, qt, huff, restart_interval):
     mcus_y = -(-h_img // (8 * vmax))
 
     # split entropy data into restart intervals, unstuffing FF00
-    intervals: list[bytes] = []
-    cur = bytearray()
-    i = start
-    end = len(b)
-    while i < end:
-        byte = b[i]
-        if byte == 0xFF and i + 1 < end:
-            nxt = b[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                intervals.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # any other marker ends the scan
-        cur.append(byte)
-        i += 1
-    intervals.append(bytes(cur))
-    scan_end = i
+    # (find/replace-based — see _split_entropy)
+    intervals, scan_end = _split_entropy(b, start)
 
-    planes = []
+    # entropy loop fills PLAIN PYTHON coefficient lists (element writes
+    # into numpy arrays are ~3x slower from Python); dequant + IDCT
+    # then batch over all blocks at once, like the progressive path
+    tabs = []
     for c in comps:
-        pw = mcus_x * c["h"] * 8
-        ph = mcus_y * c["v"] * 8
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
+        td, ta = scan_tabs[c["id"]]
+        dc_tab = huff.get((0, td))
+        ac_tab = huff.get((1, ta))
+        if dc_tab is None or ac_tab is None or qt.get(c["tq"]) is None:
+            raise ValueError("JPEG: missing table for scan")
+        tabs.append((dc_tab, ac_tab))
+    coef_rows: list[list] = [[] for _ in comps]  # per comp: (row, col, coef64)
+    zig = ZIGZAG_LIST
 
     preds = [0] * len(comps)
     br = _BitReader(intervals[0])
@@ -423,15 +461,10 @@ def _decode_scan(b, start, frame, scan_tabs, qt, huff, restart_interval):
                 br = _BitReader(intervals[interval_idx])
                 preds = [0] * len(comps)
             for ci, c in enumerate(comps):
-                td, ta = scan_tabs[c["id"]]
-                dc_tab = huff.get((0, td))
-                ac_tab = huff.get((1, ta))
-                q = qt.get(c["tq"])
-                if dc_tab is None or ac_tab is None or q is None:
-                    raise ValueError("JPEG: missing table for scan")
+                dc_tab, ac_tab = tabs[ci]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        coef = np.zeros(64, dtype=np.int32)
+                        coef = [0] * 64
                         s = dc_tab.decode(br)
                         diff = _extend(br.receive(s), s) if s else 0
                         preds[ci] += diff
@@ -448,19 +481,27 @@ def _decode_scan(b, start, frame, scan_tabs, qt, huff, restart_interval):
                             k += r
                             if k > 63:
                                 raise ValueError("JPEG: AC index overflow")
-                            coef[ZIGZAG[k]] = _extend(br.receive(sz), sz)
+                            coef[zig[k]] = _extend(br.receive(sz), sz)
                             k += 1
-                        block = coef.reshape(8, 8) * q
-                        pix = _C.T @ block @ _C + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+                        coef_rows[ci].append(
+                            (my * c["v"] + by, mx * c["h"] + bx, coef)
+                        )
             mcu_count += 1
 
-    # upsample to full resolution and crop
+    # batched dequant + IDCT + plane assembly, then upsample and crop
     full = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
+        rows = mcus_y * c["v"]
+        cols = mcus_x * c["h"]
+        q = qt[c["tq"]]
+        arr = np.zeros((rows, cols, 64), dtype=np.float64)
+        for r_, c_, coef in coef_rows[ci]:
+            arr[r_, c_] = coef
+        blocks = arr.reshape(rows, cols, 8, 8) * q
+        # broadcasted matmul chain is BIT-IDENTICAL to the old
+        # per-block `_C.T @ block @ _C` (checked; einsum is not)
+        pix = (_C.T @ blocks) @ _C + 128.0
+        p = pix.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
         if c["h"] != hmax or c["v"] != vmax:
             p = np.repeat(
                 np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
@@ -484,42 +525,50 @@ def _decode_scan(b, start, frame, scan_tabs, qt, huff, restart_interval):
 
 def _split_entropy(b: bytes, start: int) -> tuple[list[bytes], int]:
     """Unstuff FF00 and split the entropy stream at RSTn markers;
-    returns (intervals, offset of the marker that ended the scan)."""
+    returns (intervals, offset of the marker that ended the scan).
+
+    Round 7: marker scan via ``bytes.find`` + one ``replace`` per
+    interval instead of a per-byte Python loop (entropy data is ~all
+    non-marker bytes, so this is the difference between O(bytes) and
+    O(markers) Python iterations)."""
     intervals: list[bytes] = []
-    cur = bytearray()
-    i = start
     end = len(b)
-    while i < end:
-        byte = b[i]
-        if byte == 0xFF and i + 1 < end:
-            nxt = b[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                intervals.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # any other marker ends the scan
-        cur.append(byte)
-        i += 1
-    intervals.append(bytes(cur))
-    return intervals, i
+    seg_start = i = start
+    while True:
+        j = b.find(b"\xff", i)
+        if j == -1 or j + 1 >= end:
+            # trailing data with no terminating marker (truncated
+            # stream): everything left is the last interval
+            intervals.append(b[seg_start:end].replace(b"\xff\x00", b"\xff"))
+            return intervals, end
+        nxt = b[j + 1]
+        if nxt == 0x00:  # stuffed FF, stays in the interval
+            i = j + 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:  # RSTn
+            intervals.append(b[seg_start:j].replace(b"\xff\x00", b"\xff"))
+            seg_start = i = j + 2
+            continue
+        intervals.append(b[seg_start:j].replace(b"\xff\x00", b"\xff"))
+        return intervals, j  # any other marker ends the scan
 
 
 def _init_prog_state(frame) -> dict:
     """Per-component quantized-coefficient accumulators, MCU-padded
     (interleaved DC scans code the padding blocks too); 64 RASTER
-    positions per block."""
+    positions per block.  Round 7: plain nested Python lists (rows x
+    cols x 64 ints) — element reads/writes from the entropy loops are
+    ~3x faster than on numpy views; reconstruction converts once."""
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-frame["w"] // (8 * hmax))
     mcus_y = -(-frame["h"] // (8 * vmax))
     coefs = [
-        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        [
+            [[0] * 64 for _ in range(mcus_x * c["h"])]
+            for _ in range(mcus_y * c["v"])
+        ]
         for c in comps
     ]
     return {"coefs": coefs, "mcus_x": mcus_x, "mcus_y": mcus_y}
@@ -544,7 +593,7 @@ def _ac_first_block(br, coef, ss, se, al, eobrun, ac_tab) -> int:
         k += r
         if k > se:
             raise ValueError("JPEG: AC index overflow in progressive scan")
-        coef[ZIGZAG[k]] = _extend(br.receive(s), s) << al
+        coef[ZIGZAG_LIST[k]] = _extend(br.receive(s), s) << al
         k += 1
     return eobrun
 
@@ -575,7 +624,7 @@ def _ac_refine_block(br, coef, ss, se, al, eobrun, ac_tab) -> int:
                     raise ValueError("JPEG: bad magnitude in AC refinement")
                 val = p1 if br.read_bit() else m1
             while k <= se:
-                z = ZIGZAG[k]
+                z = ZIGZAG_LIST[k]
                 if coef[z] != 0:
                     if br.read_bit() and (coef[z] & p1) == 0:
                         coef[z] += p1 if coef[z] >= 0 else m1
@@ -589,7 +638,7 @@ def _ac_refine_block(br, coef, ss, se, al, eobrun, ac_tab) -> int:
                 k += 1
     if eobrun > 0:
         while k <= se:
-            z = ZIGZAG[k]
+            z = ZIGZAG_LIST[k]
             if coef[z] != 0:
                 if br.read_bit() and (coef[z] & p1) == 0:
                     coef[z] += p1 if coef[z] >= 0 else m1
@@ -675,7 +724,7 @@ def _decode_scan_progressive(
             br = _BitReader(intervals[interval_idx])
             preds = [0] * len(comps)
             eobrun = 0
-        coef = state["coefs"][ci][by_, bx]
+        coef = state["coefs"][ci][by_][bx]
         if is_dc:
             if ah == 0:
                 td, _ = scan_tabs[c["id"]]
@@ -713,13 +762,16 @@ def _reconstruct_progressive(frame, state, qt) -> np.ndarray:
         q = qt.get(c["tq"])
         if q is None:
             raise ValueError("JPEG: missing quant table")
-        arr = state["coefs"][ci]
+        arr = np.asarray(state["coefs"][ci], dtype=np.float64)
         bh, bw = arr.shape[:2]
         # vectorized dequant + IDCT over ALL blocks at once (unlike the
         # sequential path, reconstruction here is decoupled from the
         # entropy loop, so it batches)
-        blocks = arr.reshape(bh, bw, 8, 8).astype(np.float64) * q
-        pix = np.einsum("ij,xyjk,kl->xyil", _C.T, blocks, _C) + 128.0
+        blocks = arr.reshape(bh, bw, 8, 8) * q
+        # broadcasted matmul: the SAME chain as the sequential path,
+        # so both decoders share one IDCT bit for bit (round 7; was
+        # einsum, equal at uint8 but not at the ulp)
+        pix = (_C.T @ blocks) @ _C + 128.0
         p = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         if c["h"] != hmax or c["v"] != vmax:
             p = np.repeat(
@@ -867,8 +919,8 @@ def encode_jpeg(
 
     dc_bits, dc_vals = _fixed_length_table(_DC_SYMBOLS, 4)
     ac_bits, ac_vals = _fixed_length_table(_AC_SYMBOLS, 8)
-    dc_tab = _HuffTable(dc_bits, dc_vals)
-    ac_tab = _HuffTable(ac_bits, ac_vals)
+    dc_tab = _huff_table(dc_bits, dc_vals)
+    ac_tab = _huff_table(ac_bits, ac_vals)
 
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -1083,8 +1135,8 @@ def encode_jpeg_progressive(
 
     dc_bits, dc_vals = _fixed_length_table(_DC_SYMBOLS, 4)
     ac_bits, ac_vals = _fixed_length_table(_AC_SYMBOLS_PROG, 8)
-    dc_tab = _HuffTable(dc_bits, dc_vals)
-    ac_tab = _HuffTable(ac_bits, ac_vals)
+    dc_tab = _huff_table(dc_bits, dc_vals)
+    ac_tab = _huff_table(ac_bits, ac_vals)
 
     out = bytearray(b"\xff\xd8")  # SOI
 

@@ -46,28 +46,44 @@ def _gunzip_members(data: bytes) -> bytes:
     """Decompress a concatenation of gzip members (the per-record
     layout of ``.warc.gz``) into one byte stream.  A corrupt member
     raises ``ValueError`` (never a raw ``zlib.error``) so callers can
-    quarantine the file per the corpus-audit contract."""
-    out = []
+    quarantine the file per the corpus-audit contract.
+
+    Prefer :func:`_iter_gzip_members` in streaming contexts — this
+    helper holds the WHOLE decompressed archive, the iterator holds
+    one member at a time."""
+    return b"".join(_iter_gzip_members(data))
+
+
+def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Yield the decompressed bytes of each gzip member in turn.
+    Memory high-water mark is ONE member (~one WARC record in the
+    Common Crawl layout), not the whole decompressed archive — the
+    round-7 guard for archives larger than task memory."""
     rest = data
     while rest:
         d = zlib.decompressobj(wbits=31)
         try:
-            out.append(d.decompress(rest))
-            out.append(d.flush())
+            chunk = d.decompress(rest)
+            chunk += d.flush()
         except zlib.error as e:
             raise ValueError(f"corrupt gzip member: {e}") from e
+        yield chunk
         if not d.unused_data or d.unused_data == rest:
             break
         rest = d.unused_data
-    return b"".join(out)
 
 
-def parse_warc_bytes(data: bytes) -> Iterator[dict]:
-    """Yield one dict per WARC record from raw (already-decompressed)
-    archive bytes.  Tolerant of CRLF/LF and of trailing garbage: a
-    block that does not start with ``WARC/`` or lacks a parseable
-    ``Content-Length`` ends the scan (crawl files are append-only, so
-    truncation only loses the tail record)."""
+def _parse_records(data: bytes, final: bool = True) -> Iterator[tuple[dict, int]]:
+    """Yield ``(record, end_offset)`` per WARC record in ``data``.
+
+    ``final=True`` (whole archive in hand): tolerant of truncation and
+    trailing garbage — a block that does not start with ``WARC/`` or
+    lacks a parseable ``Content-Length`` ends the scan (crawl files
+    are append-only, so truncation only loses the tail record).
+    ``final=False`` (incremental feed): additionally STOPS before a
+    record whose header or body is not fully buffered yet, so the
+    caller can resume at the returned offset once more bytes arrive.
+    """
     pos = 0
     n = len(data)
     while pos < n:
@@ -79,6 +95,8 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
         if pos >= n:
             return
         if not data.startswith(b"WARC/", pos):
+            if not final and n - pos < 5 and b"WARC/".startswith(data[pos:n]):
+                return  # a header may still be arriving
             return
         hdr_end = data.find(b"\r\n\r\n", pos)
         sep = 4
@@ -86,7 +104,7 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
         if hdr_end == -1 or (alt != -1 and alt < hdr_end):
             hdr_end, sep = alt, 2
         if hdr_end == -1:
-            return
+            return  # incomplete header: final -> truncated tail; else resume here
         headers: dict[str, str] = {}
         for line in data[pos:hdr_end].split(b"\n")[1:]:
             m = _HDR_RE.match(line)
@@ -99,6 +117,8 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
         except ValueError:
             return
         body_start = hdr_end + sep
+        if not final and body_start + clen > n:
+            return  # body still arriving: resume at this record
         yield {
             "record_id": headers.get("warc-record-id", ""),
             "warc_type": headers.get("warc-type", ""),
@@ -107,8 +127,32 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
             "content_type": headers.get("content-type", ""),
             "content_length": clen,
             "content": data[body_start : body_start + clen],
-        }
+        }, body_start + clen
         pos = body_start + clen
+
+
+def parse_warc_bytes(data: bytes) -> Iterator[dict]:
+    """Yield one dict per WARC record from raw (already-decompressed)
+    archive bytes — see :func:`_parse_records` for tolerance rules."""
+    for rec, _ in _parse_records(data, final=True):
+        yield rec
+
+
+def iter_warc_records(chunks) -> Iterator[dict]:
+    """Incremental WARC parse over an iterator of decompressed byte
+    chunks (e.g. :func:`_iter_gzip_members`): buffers only the bytes
+    of at most one in-flight record, so a multi-GB archive never
+    materializes decompressed in task memory."""
+    buf = b""
+    for chunk in chunks:
+        buf = buf + chunk if buf else chunk
+        pos = 0
+        for rec, end in _parse_records(buf, final=False):
+            yield rec
+            pos = end
+        if pos:
+            buf = buf[pos:]
+    yield from parse_warc_bytes(buf)
 
 
 #: ``warc_type`` marker of quarantine rows emitted for unreadable files
@@ -126,21 +170,48 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     no-silent-drop / no-job-kill contract as the corpus quarantine
     readers (``sources/corpus.py``).  ``warc_to_documents`` keeps only
     ``response`` records, so quarantine rows never become documents.
-    """
-    import pandas as pd
 
+    Memory guard (round 7): ``.gz`` archives are decompressed ONE GZIP
+    MEMBER AT A TIME (:func:`iter_warc_records` buffers at most one
+    in-flight record) and rows flush every ``batch_rows`` records, so
+    the task high-water mark is the compressed blob + one row batch —
+    never the whole decompressed archive (a 1 GB crawl segment
+    decompresses to several GB).
+    """
     files = spark.read.format("binaryFile").load(path).select(
         "path", "content"
     )
+    batch_rows = 2000
+    cols = [
+        "path",
+        "record_id",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "content_type",
+        "content_length",
+        "content",
+    ]
 
     def _parse(batches):
+        import pandas as pd
+
+        rows: list[dict] = []
         for pdf in batches:
-            rows = []
             for p, blob in zip(pdf["path"], pdf["content"]):
                 data = bytes(blob)
                 try:
-                    if data[:2] == b"\x1f\x8b":
-                        data = _gunzip_members(data)
+                    recs = (
+                        iter_warc_records(_iter_gzip_members(data))
+                        if data[:2] == b"\x1f\x8b"
+                        else parse_warc_bytes(data)
+                    )
+                    for rec in recs:
+                        rec["path"] = p
+                        rows.append(rec)
+                        if len(rows) >= batch_rows:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
                 except ValueError:
                     rows.append(
                         {
@@ -154,23 +225,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             "path": p,
                         }
                     )
-                    continue
-                for rec in parse_warc_bytes(data):
-                    rec["path"] = p
-                    rows.append(rec)
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "path",
-                    "record_id",
-                    "warc_type",
-                    "target_uri",
-                    "warc_date",
-                    "content_type",
-                    "content_length",
-                    "content",
-                ],
-            )
+        yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(_parse, schema=WARC_SCHEMA)
 

@@ -199,3 +199,38 @@ def test_warc_status_parsed_by_token_not_substring(spark, tmp_path):
     }
     assert "http://ex.com/t" not in docs  # 503 stays out
     assert "lf body text here" in docs.get("http://ex.com/lf", "")
+
+
+def test_iter_warc_records_streaming_matches_batch():
+    """The round-7 incremental parse (member-at-a-time, at most one
+    buffered record) yields exactly what the whole-archive parse does,
+    for every chunking of the stream — including chunk boundaries
+    mid-header and mid-body."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        iter_warc_records,
+    )
+
+    data = b"".join(_record(*r) for r in RECORDS)
+    want = list(parse_warc_bytes(data))
+    assert len(want) == 4
+    for step in (1, 7, 33, 100, len(data)):
+        chunks = [data[i : i + step] for i in range(0, len(data), step)]
+        got = list(iter_warc_records(iter(chunks)))
+        assert got == want, f"chunk step {step} diverged"
+
+
+def test_read_warc_batches_large_archives(spark, tmp_path):
+    """An archive with more records than the row-batch size still
+    yields every record exactly once (the batched-flush path)."""
+    d = tmp_path / "big"
+    d.mkdir()
+    n = 4500  # > 2x the 2000-row flush size
+    recs = [
+        _record(f"r{i}", "resource", f"http://ex.com/{i}", b"x" * (i % 50))
+        for i in range(n)
+    ]
+    (d / "big.warc.gz").write_bytes(b"".join(gzip.compress(r) for r in recs))
+    out = read_warc(spark, str(d))
+    assert out.count() == n
+    ids = [r["record_id"] for r in out.collect()]
+    assert len(set(ids)) == n

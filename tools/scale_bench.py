@@ -696,11 +696,18 @@ def jpeg_ladder(spark, sizes: list[int]) -> None:
     print(json.dumps({"op": "jpeg_decode", "points": points}))
 
 
-def warc_ladder(spark, sizes: list[int], docs_per_file: int = 2000) -> None:
+def warc_ladder(
+    spark, sizes: list[int], docs_per_file: int = 2000, body_words: int = 120
+) -> None:
     """WARC ingestion throughput: synthetic .warc.gz archives written
     once (driver loop, per-record gzip members like Common Crawl),
     then ``read_warc`` + ``warc_to_documents`` timed over the
-    directory.  Parallelism is per-file — the production shape."""
+    directory.  Parallelism is per-file — the production shape.
+
+    ``body_words`` sets the record size: 120 words ~ 240 gz B/record
+    (the worst case for per-member setup, the round-6 rung); ~5000
+    words ~ 20 KB records, the realistic crawl shape — per-record
+    Python overhead amortizes over ~40x more payload bytes."""
     import gzip
     import shutil
     import tempfile
@@ -713,7 +720,7 @@ def warc_ladder(spark, sizes: list[int], docs_per_file: int = 2000) -> None:
     def _record(i: int) -> bytes:
         body = (
             b"<html><body><h1>doc %d</h1>" % i
-            + b"<p>" + (b"w%d " % (i * 7 % 997)) * 120 + b"</p>"
+            + b"<p>" + (b"w%d " % (i * 7 % 997)) * body_words + b"</p>"
             + b"<script>x=1</script></body></html>"
         )
         http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
@@ -731,11 +738,11 @@ def warc_ladder(spark, sizes: list[int], docs_per_file: int = 2000) -> None:
         d = tempfile.mkdtemp(prefix="sg_warc_")
         nf = max(1, n // docs_per_file)
         total_bytes = 0
+        raw_bytes = 0
         for f in range(nf):
-            blob = b"".join(
-                gzip.compress(_record(f * docs_per_file + i))
-                for i in range(docs_per_file)
-            )
+            recs = [_record(f * docs_per_file + i) for i in range(docs_per_file)]
+            raw_bytes += sum(len(r) for r in recs)
+            blob = b"".join(gzip.compress(r) for r in recs)
             total_bytes += len(blob)
             with open(f"{d}/part-{f:05d}.warc.gz", "wb") as fh:
                 fh.write(blob)
@@ -748,8 +755,9 @@ def warc_ladder(spark, sizes: list[int], docs_per_file: int = 2000) -> None:
                 "n_records": n,
                 "n_files": nf,
                 "gz_mb": round(total_bytes / 1e6, 1),
+                "raw_mb": round(raw_bytes / 1e6, 1),
                 "wall_sec": round(wall, 2),
-                "gz_mb_s": round(total_bytes / 1e6 / wall, 1),
+                "raw_mb_s": round(raw_bytes / 1e6 / wall, 1),
                 "docs_s": round(n / wall),
             }
         )
@@ -1018,9 +1026,10 @@ def main() -> None:
             if len(sys.argv) > 2
             else [20_000, 80_000, 320_000]
         )
+        body_words = int(sys.argv[3]) if len(sys.argv) > 3 else 120
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
-        warc_ladder(spark, sizes)
+        warc_ladder(spark, sizes, body_words=body_words)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--semantic":
         sizes = (
