@@ -96,12 +96,22 @@ from .operators.text import (  # noqa: E402,F401
     tf_idf_top_terms,
     winnow_fingerprints,
 )
+from .operators.video import (  # noqa: E402,F401
+    decode_mjpeg,
+    encode_mjpeg_avi,
+    probe_avi,
+    split_mjpeg_frames,
+)
 from .session import get_spark  # noqa: E402,F401
 from .sources.corpus import (  # noqa: E402,F401
     read_csv_corpus,
     read_jsonl_corpus,
 )
 from .sources.sinks import write_bucketed, write_partitioned  # noqa: E402,F401
+from .sources.warc import (  # noqa: E402,F401
+    read_warc,
+    warc_to_documents,
+)
 
 __all__ = [
     "__version__",
@@ -124,7 +134,13 @@ __all__ = [
     "trim_repeated_spans_fixpoint",
     "corpus_shuffle_split",
     "cox_fit",
+    "decode_mjpeg",
     "decontaminate",
+    "encode_mjpeg_avi",
+    "probe_avi",
+    "read_warc",
+    "split_mjpeg_frames",
+    "warc_to_documents",
     "domain_mix_sample",
     "embedding_moments",
     "embedding_pca",

@@ -861,6 +861,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     assign: str = "arrow",
     train_fraction: float | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
     near-duplicate pairs via cluster-then-compare — documents whose
@@ -886,6 +887,18 @@ def semantic_dedup_pairs(
     ``column`` mode's null scores yield a null cell no equi-join
     matches; ``arrow`` mode filters null vectors before the matmul.
 
+    ``n_probe`` (arrow mode, round 7): assign each vector to its
+    ``n_probe`` nearest cells instead of one — a near-dup pair whose
+    perturbed member argmaxes into a NEIGHBORING cell (the ~2%
+    boundary miss the §3j ladder measures at n_probe=1) is recovered
+    when any probed cell is shared; measured recall 100% at n_probe=2.
+    Cost: per-cell occupancy scales by ``n_probe``, so candidate
+    volume grows ~``n_probe**2`` at fixed ``n_lists`` (measured ~3.9×
+    wall at n_probe=2) — scale ``n_lists`` by ``n_probe**2`` to hold
+    the compare cost while keeping the recall win.  Duplicate hits
+    from multiply-shared cells collapse to one row (min cell kept,
+    cosine unchanged).
+
     Scale shape: assignment is map-only (broadcast-sized model); the
     pair stage is ONE equi-join on the cell id (AQE-splittable if a
     cell runs hot) followed by the cosine filter — no all-pairs stage.
@@ -903,6 +916,11 @@ def semantic_dedup_pairs(
             max_iter=max_iter, train_fraction=train_fraction,
         )
     if assign == "column":
+        if n_probe != 1:
+            raise ValueError(
+                "n_probe > 1 needs assign='arrow' (the column-expression "
+                "assignment is single-cell by construction)"
+            )
         cen_list = [list(map(float, c)) for c in centroids]
         indexed = df.withColumn(
             "_cell", centroid_assign_column(cen_list, vec_col)
@@ -910,13 +928,17 @@ def semantic_dedup_pairs(
     else:
         import numpy as np
 
-        from .similarity import ivf_index
+        from .similarity import _assign_udf, ivf_index
 
-        indexed = ivf_index(
-            df.where(F.col(vec_col).isNotNull()),
-            np.asarray(centroids, dtype=np.float64),
-            vec_col=vec_col,
-        ).withColumnRenamed("_list", "_cell")
+        nn = df.where(F.col(vec_col).isNotNull())
+        cen = np.asarray(centroids, dtype=np.float64)
+        if n_probe == 1:
+            indexed = ivf_index(nn, cen, vec_col=vec_col).withColumnRenamed(
+                "_list", "_cell"
+            )
+        else:
+            probe = _assign_udf(cen, int(n_probe))
+            indexed = nn.withColumn("_cell", F.explode(probe(vec_col)))
     t = float(threshold)
     nd = with_norm(indexed, vec_col)
     a = nd.select(
@@ -931,13 +953,20 @@ def semantic_dedup_pairs(
         F.col(vec_col).alias("_vb"),
         F.col("_norm").alias("_nb"),
     )
-    return (
+    pairs = (
         a.join(b, "_cell")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cosine_expr("_va", "_vb", "_na", "_nb"))
         .where(F.col("cosine") >= t)
         .select("id_a", "id_b", "cosine", F.col("_cell").alias("cell"))
     )
+    if n_probe != 1:
+        # a pair sharing several probed cells would surface once per
+        # shared cell; collapse to one row (min cell — deterministic)
+        pairs = pairs.groupBy("id_a", "id_b", "cosine").agg(
+            F.min("cell").alias("cell")
+        )
+    return pairs
 
 
 def semantic_dedup(

@@ -1404,3 +1404,40 @@ def test_kmeans_sample_training_deterministic_and_linear_shape(spark):
     counts = idx.groupBy("_list").count().collect()
     assert len(counts) == 4
     assert min(r["count"] for r in counts) >= 20
+
+
+def test_semantic_multiprobe_recall_and_exhaustive_equivalence(spark, sf_dir):
+    """Round 7 multi-probe: n_probe=2 pairs are a SUPERSET of
+    n_probe=1 pairs and a subset of all-pairs; with n_probe=n_lists
+    every vector probes every cell, so the result EQUALS the
+    brute-force cosine pair set — the exactness gate."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cen = kmeans_centroids(emb, n_lists=4, max_iter=2)
+    tau = 0.4
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in dedup.semantic_dedup_pairs(
+                emb, tau, centroids=cen, **kw
+            ).collect()
+        }
+
+    p1 = pairs(assign="arrow", n_probe=1)
+    p2 = pairs(assign="arrow", n_probe=2)
+    allp = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(
+            emb, tau, id_col="vec_id", method="pair_join"
+        ).collect()
+    }
+    assert p1 <= p2 <= allp
+    assert pairs(assign="arrow", n_probe=4) == allp
+    with pytest.raises(ValueError, match="n_probe"):
+        dedup.semantic_dedup_pairs(
+            emb, tau, centroids=cen, assign="column", n_probe=2
+        )

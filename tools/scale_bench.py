@@ -610,7 +610,9 @@ def synth_embeddings(spark, n: int, dim: int = 32):
     )
 
 
-def semantic_ladder(spark, sizes: list[int], tau: float = 0.9) -> None:
+def semantic_ladder(
+    spark, sizes: list[int], tau: float = 0.9, n_probe: int = 1
+) -> None:
     """SemDeDup scale probe: k-means cells sized ~5k rows each bound
     the candidate set; planted near-dups (cosine ~ 1) must be found
     (they share a cell by construction — near-identical vectors argmax
@@ -627,7 +629,9 @@ def semantic_ladder(spark, sizes: list[int], tau: float = 0.9) -> None:
         # recall/cost dial)
         k = max(4, n // 2000)
         t0 = time.time()
-        pairs = semantic_dedup_pairs(emb, tau, n_lists=k, max_iter=2)
+        pairs = semantic_dedup_pairs(
+            emb, tau, n_lists=k, max_iter=2, n_probe=n_probe
+        )
         planted = pairs.where(
             (F.col("id_b") - F.col("id_a") == 1) & (F.col("id_b") % 10 == 0)
         ).count()
@@ -640,6 +644,7 @@ def semantic_ladder(spark, sizes: list[int], tau: float = 0.9) -> None:
             {
                 "n_vecs": n,
                 "n_cells": k,
+                "n_probe": n_probe,
                 "planted_found": int(planted),
                 "planted_recall": round(recall, 4),
                 "pairs_total": int(total),
@@ -764,6 +769,137 @@ def warc_ladder(
         print(json.dumps(points[-1]), flush=True)
         shutil.rmtree(d, ignore_errors=True)
     print(json.dumps({"op": "warc_ingest", "points": points}))
+
+
+def warc_funnel_ladder(spark, sizes: list[int], docs_per_file: int = 2000) -> None:
+    """Round 7: the full Common-Crawl-shaped path in ONE measured run —
+    WARC ingest -> HTML->text -> quality gate -> PII scrub -> exact
+    dedup -> SemDeDup — per-stage wall times at ladder scale.  The
+    composition test (tests/test_warc_source.py) proves correctness at
+    toy scale; this rung prices it.
+
+    Planted structure: every 10th record's body duplicates its
+    predecessor (exact-dedup load), every 7th carries an email (PII
+    load), embeddings plant a near-dup every 10th vec (SemDeDup load).
+    """
+    import gzip
+    import shutil
+    import tempfile
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+        dedup,
+        pii,
+        text,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        read_warc,
+        warc_to_documents,
+    )
+
+    def _body(i: int) -> bytes:
+        # stride 9 for TEXT dups (embeddings plant theirs at stride 10,
+        # so the semantic stage still has survivors to pair)
+        src = i - 1 if i % 9 == 0 and i else i
+        # large prime modulus: texts must not cycle into accidental
+        # twins below the ladder's max n (caught at the 200k rung with
+        # a 99991 modulus)
+        words = b" ".join(
+            b"w%d" % ((src * 2654435761 + j * 7919) % 999999937)
+            for j in range(60)
+        )
+        # keyed on src so a planted dup copies its predecessor EXACTLY
+        mail = b" contact admin%d@example.com now" % src if src % 7 == 0 else b""
+        return (
+            b"<html><body><p>" + words + mail + b"</p></body></html>"
+        )
+
+    def _record(i: int) -> bytes:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + _body(i)
+        )
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + b"WARC-Record-ID: <urn:uuid:%08d>\r\n" % i
+            + b"WARC-Target-URI: http://ex.com/%d\r\n" % i
+            + b"WARC-Date: 2026-08-15T00:00:00Z\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(http)
+        )
+        return hdr + http + b"\r\n\r\n"
+
+    points = []
+    for n in sizes:
+        d = tempfile.mkdtemp(prefix="sg_funnel_")
+        nf = max(1, n // docs_per_file)
+        for f in range(nf):
+            blob = b"".join(
+                gzip.compress(_record(f * docs_per_file + i))
+                for i in range(docs_per_file)
+            )
+            with open(f"{d}/part-{f:05d}.warc.gz", "wb") as fh:
+                fh.write(blob)
+        stage: dict[str, float] = {}
+
+        t0 = time.time()
+        docs = warc_to_documents(read_warc(spark, d)).withColumn(
+            "idx", F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+        ).localCheckpoint()
+        n_in = docs.count()
+        stage["warc_ingest"] = round(time.time() - t0, 2)
+        assert n_in == n, (n_in, n)
+
+        t0 = time.time()
+        feats = text.quality_features(docs).select("doc_id", "n_tokens")
+        kept = docs.join(
+            feats.where(F.col("n_tokens") >= 5).select("doc_id"), "doc_id"
+        )
+        n_q = kept.count()
+        stage["quality_gate"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        scrubbed = pii.redact_pii(kept).localCheckpoint()
+        n_mail = scrubbed.where(F.col("text").contains("[EMAIL]")).count()
+        stage["pii_scrub"] = round(time.time() - t0, 2)
+        assert n_mail >= int(0.9 * (n // 7)), (n_mail, n // 7)
+
+        t0 = time.time()
+        groups = dedup.exact_duplicates(scrubbed)
+        keep_exact = groups.select(F.col("keep_id").alias("doc_id"))
+        exact_surv = scrubbed.join(keep_exact, "doc_id")
+        n_exact = exact_surv.count()
+        stage["exact_dedup"] = round(time.time() - t0, 2)
+        assert n_exact <= n - int(0.9 * (n // 9 - 1)), (n_exact, n)
+
+        t0 = time.time()
+        emb = synth_embeddings(spark, n).join(
+            exact_surv.select(F.col("idx").alias("vec_id")), "vec_id"
+        ).localCheckpoint()
+        k = max(4, n // 2000)
+        losers = (
+            dedup.semantic_dedup_pairs(emb, 0.9, n_lists=k, max_iter=2)
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+        )
+        final = exact_surv.join(
+            losers.withColumnRenamed("vec_id", "idx"), "idx", "left_anti"
+        )
+        n_final = final.count()
+        stage["semantic_dedup"] = round(time.time() - t0, 2)
+
+        shutil.rmtree(d, ignore_errors=True)
+        spark.catalog.clearCache()
+        points.append(
+            {
+                "n_records": n,
+                "n_after_quality": int(n_q),
+                "n_after_exact": int(n_exact),
+                "n_final": int(n_final),
+                "emails_redacted_docs": int(n_mail),
+                "stages_sec": stage,
+                "total_sec": round(sum(stage.values()), 2),
+            }
+        )
+        print(json.dumps(points[-1]), flush=True)
+    print(json.dumps({"op": "warc_funnel", "points": points}))
 
 
 def fixpoint_probe(spark, sizes: list[int]) -> None:
@@ -1037,9 +1173,20 @@ def main() -> None:
             if len(sys.argv) > 2
             else [50_000, 200_000, 800_000]
         )
+        n_probe = int(sys.argv[3]) if len(sys.argv) > 3 else 1
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
-        semantic_ladder(spark, sizes)
+        semantic_ladder(spark, sizes, n_probe=n_probe)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--funnel":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [200_000, 800_000]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        warc_funnel_ladder(spark, sizes)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--hugegrid":
         sizes = (
