@@ -107,6 +107,9 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.packing import (  # noqa: E402
     pack_sequences,
 )
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.pq import (  # noqa: E402
+    ivfpq_topk,
+)
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
     ivf_topk,
@@ -2942,6 +2945,30 @@ def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pq_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ machinery at n_probe == n_lists with a re-rank window
+    wider than the corpus: every candidate survives the ADC cut and is
+    exact-cosine re-ranked, so the result is EXACTLY brute-force top-k
+    -- hash-checked against the same oracle SQL.  This executes (and
+    therefore gates) the full IVF-PQ path end to end: coarse
+    assignment, sub-quantizer codebook training, binary m-byte encode,
+    per-query LUT build, the Arrow ADC gather (the finite ``rerank``
+    keeps the ADC window in the executed plan -- ``rerank=None`` would
+    let Catalyst prune the unused score), and the re-rank join back to
+    original vectors."""
+    emb = _emb(spark, sf_dir)
+    out = ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 5), 3, n_lists=8, n_probe=8,
+        m=8, ksub=16, rerank=1_000_000, max_iter=1,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed weighted totals over the events table (the
     batch twin of the streaming aggregation; F.window semantics)."""
@@ -4453,6 +4480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": _q_embedding_pca,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk_exact,
+        "pq_topk": _q_pq_topk_exact,
         # events suite
         "events_windowed": _q_events_windowed,
         "events_totals": _q_events_totals,
@@ -4518,6 +4546,10 @@ def oracle_sql() -> dict[str, str]:
         # ivf_topk runs at full probe: scanning every cell makes the
         # result exactly brute-force top-k, same oracle
         "ivf_topk": _sql_embedding_topk(),
+        # pq_topk runs at full probe + corpus-wide re-rank: the exact
+        # re-rank (same cosine fold as brute force) restores the exact
+        # answer after the ADC stage executes, same oracle
+        "pq_topk": _sql_embedding_topk(),
         "events_windowed": _sql_events_windowed(),
         "events_totals": _sql_events_totals(),
         "events_flow": _sql_events_flow(),

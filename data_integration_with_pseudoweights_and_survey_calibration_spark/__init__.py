@@ -80,6 +80,12 @@ from .operators.packing import (  # noqa: E402,F401
     chunk_documents,
     pack_sequences,
 )
+from .operators.pq import (  # noqa: E402,F401
+    adc_topk,
+    ivfpq_topk,
+    pq_codebooks,
+    pq_encode,
+)
 from .operators.propensity import fit_propensity, integrate  # noqa: E402,F401
 from .operators.pseudoweights import kw_weights, stack_samples  # noqa: E402,F401
 from .operators.sampling import (  # noqa: E402,F401
@@ -161,6 +167,10 @@ __all__ = [
     "line_features",
     "post_stratify",
     "pps_sample",
+    "adc_topk",
+    "ivfpq_topk",
+    "pq_codebooks",
+    "pq_encode",
     "read_csv_corpus",
     "read_jsonl_corpus",
     "run_simulation",

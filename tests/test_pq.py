@@ -1,0 +1,161 @@
+"""IVF-PQ (operators/pq.py) correctness gates, per the SURVEY §5
+contract for trained/iterative operators:
+
+- golden NumPy mirror: the ADC scores the Spark pipeline emits are
+  recomputed independently in dense NumPy from the collected data and
+  the returned codebook tensor (argmin encode + LUT gather), matched
+  to 1e-12;
+- exactness: full probe + corpus-wide re-rank reproduces brute-force
+  top-k row for row (the driver row `pq_topk` hash-checks the same
+  statement against the DuckDB oracle);
+- recall: partial probe + narrow re-rank keeps substantial recall and
+  every emitted cosine is EXACT (ADC selects, never reports);
+- determinism: codebooks are reproducible (md5-threshold sampling, no
+  rand()).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import pq, similarity
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb_df):
+    return pq.pq_codebooks(emb_df, m=8, ksub=16, max_iter=3)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    return mat / n[:, None]
+
+
+def test_pq_codebooks_shape_and_determinism(emb_df, codebooks):
+    assert codebooks.shape == (8, 16, 8)  # dim 64, m 8 -> dsub 8
+    again = pq.pq_codebooks(emb_df, m=8, ksub=16, max_iter=3)
+    np.testing.assert_array_equal(codebooks, again)
+    # pinned-fraction training is deterministic too (md5 cut, no rand)
+    s1 = pq.pq_codebooks(emb_df, m=8, ksub=16, max_iter=2, train_fraction=0.5)
+    s2 = pq.pq_codebooks(emb_df, m=8, ksub=16, max_iter=2, train_fraction=0.5)
+    np.testing.assert_array_equal(s1, s2)
+    assert not np.array_equal(s1, codebooks)  # different training set
+
+
+def test_pq_codebooks_validation(emb_df):
+    with pytest.raises(ValueError, match="ksub"):
+        pq.pq_codebooks(emb_df, m=8, ksub=257)
+    with pytest.raises(ValueError, match="divisible"):
+        pq.pq_codebooks(emb_df, m=7, ksub=16)
+
+
+def test_pq_encode_binary_and_null_passthrough(spark, emb_df, codebooks):
+    coded = pq.pq_encode(emb_df, codebooks).select("vec_id", "_pq").toPandas()
+    assert coded["_pq"].notna().all()
+    mat = np.frombuffer(b"".join(coded["_pq"]), dtype=np.uint8).reshape(-1, 8)
+    assert mat.shape[0] == len(coded)
+    assert (mat < 16).all()  # every code addresses a real codeword
+    # NULL embedding -> NULL code, row preserved
+    one_null = spark.createDataFrame(
+        [(99_999, None)], "vec_id long, embedding array<float>"
+    )
+    got = pq.pq_encode(one_null, codebooks).toPandas()
+    assert len(got) == 1 and got["_pq"][0] is None
+
+
+def test_adc_scores_golden_numpy_mirror(emb_df, codebooks):
+    """The Spark ADC pipeline (binary encode -> LUT gather) must equal
+    the dense NumPy restatement of Jegou et al.'s ADC to float64
+    round-off."""
+    queries = emb_df.where(F.col("vec_id") < 3)
+    got = (
+        pq.adc_topk(emb_df, queries, 5, codebooks)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pdf = emb_df.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = _normalize(np.array(pdf["embedding"].tolist(), dtype=np.float64))
+    m, ksub, dsub = codebooks.shape
+    sub = mat.reshape(len(mat), m, dsub)
+    d2 = (codebooks**2).sum(axis=2)[None] - 2 * np.einsum(
+        "bmd,mkd->bmk", sub, codebooks
+    )
+    codes = np.argmin(d2, axis=2)  # (n, m)
+    for qid in range(3):
+        qi = np.where(ids == qid)[0][0]
+        lut = np.einsum("md,mkd->mk", sub[qi], codebooks)
+        scores = lut[np.arange(m), codes].sum(axis=1)
+        scores[qi] = -np.inf  # exclude self
+        order = np.lexsort((ids, -scores))[:5]
+        g = got[got.query_id == qid].sort_values("rank")
+        assert list(g["neighbor_id"]) == list(ids[order])
+        np.testing.assert_allclose(
+            g["adc_score"].to_numpy(), scores[order], atol=1e-12
+        )
+
+
+def test_ivfpq_full_probe_full_rerank_is_exact(emb_df, codebooks):
+    queries = emb_df.where(F.col("vec_id") < 20)
+    exact = (
+        similarity.brute_force_topk(emb_df, queries, 5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    full = (
+        pq.ivfpq_topk(
+            emb_df, queries, 5, n_lists=8, n_probe=8, m=8, ksub=16,
+            rerank=1_000_000, max_iter=1, codebooks=codebooks,
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert (full["neighbor_id"] == exact["neighbor_id"]).all()
+    np.testing.assert_allclose(full["cosine"], exact["cosine"], rtol=1e-9)
+
+
+def test_ivfpq_partial_recall_and_exact_cosines(emb_df, codebooks):
+    queries = emb_df.where(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb_df, queries, 5).toPandas()
+    # i.i.d.-random synthetic embeddings are PQ's WORST case (no
+    # cluster structure for the sub-quantizers to exploit), so the
+    # re-rank window does the heavy lifting here; real embedding
+    # manifolds sit far above this bound at the same settings.
+    approx = pq.ivfpq_topk(
+        emb_df, queries, 5, n_lists=8, n_probe=4, m=8, ksub=16,
+        rerank=100, codebooks=codebooks,
+    ).toPandas()
+    merged = approx.merge(
+        exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"),
+        how="inner",
+    )
+    # re-ranked hits carry EXACT cosines
+    np.testing.assert_allclose(merged["cosine_a"], merged["cosine_e"], rtol=1e-9)
+    recall = len(merged) / len(exact)
+    assert recall >= 0.5, f"IVF-PQ recall too low: {recall}"
+
+
+def test_ivfpq_null_embeddings_never_pair(spark, emb_df, codebooks):
+    withnull = emb_df.unionByName(
+        spark.createDataFrame(
+            [(99_999, None, None)],
+            "vec_id long, embedding array<float>, label int",
+        )
+    )
+    out = pq.ivfpq_topk(
+        withnull, withnull.where(F.col("vec_id") < 3), 3,
+        n_lists=4, n_probe=4, m=8, ksub=16, rerank=64, codebooks=codebooks,
+    ).toPandas()
+    assert (out["neighbor_id"] != 99_999).all()
+    assert (out["query_id"] != 99_999).all()
