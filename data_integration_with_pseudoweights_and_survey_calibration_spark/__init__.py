@@ -82,6 +82,7 @@ from .operators.packing import (  # noqa: E402,F401
 )
 from .operators.pq import (  # noqa: E402,F401
     adc_topk,
+    ivfpq_index,
     ivfpq_topk,
     pq_codebooks,
     pq_encode,
@@ -168,6 +169,7 @@ __all__ = [
     "post_stratify",
     "pps_sample",
     "adc_topk",
+    "ivfpq_index",
     "ivfpq_topk",
     "pq_codebooks",
     "pq_encode",

@@ -61,6 +61,7 @@ __all__ = [
     "pq_codebooks",
     "pq_encode",
     "adc_topk",
+    "ivfpq_index",
     "ivfpq_topk",
 ]
 
@@ -342,6 +343,30 @@ def adc_topk(
     )
 
 
+def ivfpq_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The stored IVF-PQ index: (id, coarse cell ``_list``, ``m``-byte
+    code ``_pq``) for every non-null-vector row.  Build ONCE, persist
+    (at scale: write partitioned/bucketed by ``_list`` so probe joins
+    are partition-pruned scans), and hand to ``ivfpq_topk(index=...)``
+    -- the query path then never touches full vectors except for the
+    |Q| x rerank re-rank fetch."""
+    assign1 = _assign_udf(centroids, 1)
+    return pq_encode(
+        corpus.where(F.col(vec_col).isNotNull()), codebooks, vec_col=vec_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(assign1(vec_col), 1).alias("_list"),
+        "_pq",
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -359,6 +384,7 @@ def ivfpq_topk(
     exclude_self: bool = True,
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    index: DataFrame | None = None,
     train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF-PQ cosine top-k: probe the ``n_probe`` nearest coarse cells,
@@ -381,6 +407,12 @@ def ivfpq_topk(
     no full-vector scan.
     """
     corpus_nn = corpus.where(F.col(vec_col).isNotNull())
+    if index is not None and (centroids is None or codebooks is None):
+        raise ValueError(
+            "ivfpq_topk: a prebuilt index needs the centroids and "
+            "codebooks it was built with (probe assignment and query "
+            "LUTs must use the same models)"
+        )
     cen = (
         centroids
         if centroids is not None
@@ -397,13 +429,9 @@ def ivfpq_topk(
             max_iter=max_iter, train_fraction=train_fraction,
         )
     )
-    # codes-only index: id + coarse cell + m-byte code
-    assign1 = _assign_udf(cen, 1)
-    index = pq_encode(corpus_nn, cb, vec_col=vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.element_at(assign1(vec_col), 1).alias("_list"),
-        "_pq",
-    )
+    if index is None:
+        # codes-only index: id + coarse cell + m-byte code
+        index = ivfpq_index(corpus_nn, cen, cb, id_col=id_col, vec_col=vec_col)
     luts = _query_luts(queries, cb, query_id_col, vec_col)
     probe = _assign_udf(cen, n_probe)
     q_cells = (

@@ -146,6 +146,31 @@ def test_ivfpq_partial_recall_and_exact_cosines(emb_df, codebooks):
     assert recall >= 0.5, f"IVF-PQ recall too low: {recall}"
 
 
+def test_ivfpq_prebuilt_index_matches_inline(emb_df, codebooks):
+    """The stored-index query path (build once with ivfpq_index, query
+    with index=) must return exactly what the inline path returns, and
+    demand the models it was built with."""
+    queries = emb_df.where(F.col("vec_id") < 10)
+    cen = similarity.kmeans_centroids(emb_df, n_lists=8, max_iter=2)
+    index = pq.ivfpq_index(emb_df, cen, codebooks).localCheckpoint()
+    kw = dict(
+        n_lists=8, n_probe=2, m=8, ksub=16, rerank=20,
+        centroids=cen, codebooks=codebooks,
+    )
+    inline = (
+        pq.ivfpq_topk(emb_df, queries, 5, **kw)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    stored = (
+        pq.ivfpq_topk(emb_df, queries, 5, index=index, **kw)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (inline["neighbor_id"] == stored["neighbor_id"]).all()
+    np.testing.assert_allclose(inline["cosine"], stored["cosine"], rtol=0)
+    with pytest.raises(ValueError, match="prebuilt index"):
+        pq.ivfpq_topk(emb_df, queries, 5, index=index, n_lists=8)
+
+
 def test_ivfpq_null_embeddings_never_pair(spark, emb_df, codebooks):
     withnull = emb_df.unionByName(
         spark.createDataFrame(

@@ -655,6 +655,110 @@ def semantic_ladder(
     print(json.dumps({"op": "semantic_dedup", "tau": tau, "points": points}))
 
 
+def pq_ladder(
+    spark,
+    sizes: list[int],
+    dim: int = 32,
+    m: int = 8,
+    ksub: int = 256,
+    n_queries: int = 16,
+) -> None:
+    """IVF-PQ scale probe (operators/pq.py).  Per rung: codebook
+    training wall (sample-bounded distributed Lloyd), encode wall +
+    rows/s, MEASURED index compression (sum(len(code)) vs 4*dim*n),
+    the exact brute-force scan wall as the baseline, and the IVF-PQ
+    query wall at fixed cell size (~2k rows) with rerank=40.
+
+    Recall metric: planted near-duplicates (synth_embeddings puts a
+    cosine~1 twin at every 10th id) must surface at rank 1 after the
+    exact re-rank — the near-dup-retrieval ask the pipeline actually
+    serves.  Random-pair top-10 recall is reported informationally:
+    i.i.d.-random vectors are ANN's worst case (true neighbours are
+    scattered uniformly over cells), so it bounds from below."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+        pq as pqmod,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+        similarity,
+    )
+
+    points = []
+    for n in sizes:
+        emb = synth_embeddings(spark, n, dim).localCheckpoint()
+        # ~n_queries planted rows (id % 10 == 0 -> twin at id-1)
+        step = max(10, (n // n_queries) // 10 * 10)
+        queries = emb.where(
+            (F.col("vec_id") % 10 == 0) & (F.col("vec_id") % step == 0)
+            & (F.col("vec_id") > 0)
+        ).localCheckpoint()
+        nq = queries.count()
+
+        t0 = time.time()
+        cb = pqmod.pq_codebooks(emb, m=m, ksub=ksub, max_iter=2)
+        t_train = time.time() - t0
+
+        t0 = time.time()
+        code_bytes = (
+            pqmod.pq_encode(emb, cb)
+            .agg(F.sum(F.length("_pq")).alias("b"))
+            .collect()[0]["b"]
+        )
+        t_encode = time.time() - t0
+        raw_bytes = n * dim * 4
+
+        n_lists = max(4, n // 2000)
+        t0 = time.time()
+        cen = similarity.kmeans_centroids(emb, n_lists=n_lists, max_iter=2)
+        t_coarse = time.time() - t0
+
+        # one-time index build (stored at scale: codes partitioned by
+        # cell), materialized so the query wall below is query-only
+        t0 = time.time()
+        index = pqmod.ivfpq_index(emb, cen, cb).localCheckpoint()
+        t_index = time.time() - t0
+
+        t0 = time.time()
+        exact = similarity.brute_force_topk(emb, queries, 10).toPandas()
+        t_exact = time.time() - t0
+
+        t0 = time.time()
+        approx = pqmod.ivfpq_topk(
+            emb, queries, 10, n_lists=n_lists, n_probe=2, m=m, ksub=ksub,
+            rerank=40, centroids=cen, codebooks=cb, index=index,
+        ).toPandas()
+        t_query = time.time() - t0
+
+        top1 = approx[approx["rank"] == 1]
+        planted_hit = int(
+            (top1["neighbor_id"] == top1["query_id"] - 1).sum()
+        )
+        merged = approx.merge(
+            exact, on=["query_id", "neighbor_id"], how="inner"
+        )
+        assert planted_hit >= 0.95 * nq, (planted_hit, nq)
+        points.append(
+            {
+                "n_vecs": n,
+                "n_lists": n_lists,
+                "ksub": ksub,
+                "m": m,
+                "queries": int(nq),
+                "train_sec": round(t_train, 2),
+                "encode_sec": round(t_encode, 2),
+                "encode_rows_per_s": int(n / max(t_encode, 1e-9)),
+                "compression_x": round(raw_bytes / code_bytes, 2),
+                "coarse_train_sec": round(t_coarse, 2),
+                "index_build_sec": round(t_index, 2),
+                "exact_scan_sec": round(t_exact, 2),
+                "ivfpq_query_sec": round(t_query, 2),
+                "planted_top1_recall": round(planted_hit / max(nq, 1), 4),
+                "random_top10_recall": round(len(merged) / len(exact), 4),
+            }
+        )
+        print(json.dumps(points[-1]), flush=True)
+    print(json.dumps({"op": "ivfpq", "dim": dim, "points": points}))
+
+
 def jpeg_ladder(spark, sizes: list[int]) -> None:
     """Codec throughput through the PRODUCTION path (Arrow-batched
     ``multimodal.extract_features(decoder='real')``): baseline vs
@@ -1166,6 +1270,16 @@ def main() -> None:
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
         warc_ladder(spark, sizes, body_words=body_words)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--pq":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [50_000, 200_000, 800_000]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        pq_ladder(spark, sizes)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--semantic":
         sizes = (
