@@ -2222,10 +2222,18 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 byte) at 25 fps, q100, built by the engine's own hermetic
     encoder, then container-split + frame-decoded back.  ``vid_frames``
     counts decoded frames (oracle: doc_id % 3 + 1), ``vid_val`` is the
-    first decoded pixel (DC-only q100 exactness again — oracle states
-    it from the md5 hex), and ``vid_dur`` is the avih header probe's
-    duration (oracle: frames × 40 ms).  A hash match certifies the
-    RIFF writer+splitter and the per-frame JPEG path end to end."""
+    first decoded pixel (oracle states it from the md5 hex), and
+    ``vid_dur`` is the avih header probe's duration (oracle:
+    frames × 40 ms).  A hash match certifies the RIFF writer+splitter
+    and the per-frame JPEG path end to end.
+
+    Round 7 also adds GIF legs (``codecs.decode_gif``/``encode_gif``,
+    full variable-width LZW): the same 4x4 md5-digest image is
+    GIF-encoded (INTERLACED for odd docs — the 4-pass row shuffle must
+    invert exactly) and decoded back; GIF is palette-indexed, so the
+    round trip is lossless and the oracle states the first pixel from
+    the md5 hex (``gif_val``) and a zero max-abs-error gate over all
+    16 pixels (``gif_err``)."""
     import hashlib
     import struct
 
@@ -2233,7 +2241,9 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.codecs import (
+        decode_gif,
         decode_png,
+        encode_gif,
         encode_png,
         probe_bytes,
     )
@@ -2266,6 +2276,7 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             jv, je, m4f, m4d = [], [], [], []
             jpv, jpe = [], []
             vfr, vv, vd = [], [], []
+            gv, ge = [], []
             for did, t in zip(pdf["doc_id"], pdf["text"]):
                 digest = hashlib.md5(str(t).encode("utf-8")).digest()
                 img = np.frombuffer(digest, dtype=np.uint8).reshape(4, 4)
@@ -2319,6 +2330,13 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vfr.append(len(vdec))
                 vv.append(int(vdec[0][0, 0, 0]))
                 vd.append(int(probe_avi(avi)["duration_ms"]))
+                gdec = decode_gif(
+                    encode_gif(img, interlace=bool(int(did) % 2))
+                )
+                gv.append(int(gdec[0, 0, 0]))
+                ge.append(
+                    int(np.abs(gdec[:, :, 0].astype(int) - img.astype(int)).max())
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -2341,6 +2359,8 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "vid_frames": vfr,
                     "vid_val": vv,
                     "vid_dur": vd,
+                    "gif_val": gv,
+                    "gif_err": ge,
                 }
             )
 
@@ -2354,7 +2374,8 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jpg_fmt string, jpg_w int, jpg_h int, "
             "jpeg_val int, jpeg_err int, jprog_val int, jprog_err int, "
             "mp4_fmt string, mp4_dur long, "
-            "vid_frames int, vid_val int, vid_dur long"
+            "vid_frames int, vid_val int, vid_dur long, "
+            "gif_val int, gif_err int"
         ),
     )
 
@@ -2382,7 +2403,9 @@ def _sql_media_features() -> str:
            (doc_id % 90000 + 1000)::BIGINT AS mp4_dur,
            (doc_id % 3 + 1)::INTEGER AS vid_frames,
            bytes[1]::INTEGER AS vid_val,
-           ((doc_id % 3 + 1) * 40)::BIGINT AS vid_dur
+           ((doc_id % 3 + 1) * 40)::BIGINT AS vid_dur,
+           bytes[1]::INTEGER AS gif_val,
+           0::INTEGER AS gif_err
     FROM b
     """
 

@@ -13,6 +13,11 @@ stub.  Scope (documented, guarded):
   (SOF2, all four Annex-G scan types, round 6) Huffman, 8-bit,
   gray or YCbCr, any 1..4 sampling factors, restart markers;
   arithmetic/hierarchical/lossless raise.
+- GIF (round 7): 87a/89a, global/local color tables, interlaced and
+  non-interlaced, GCE transparency (transparent pixels keep the
+  background color), full variable-width LZW with dictionary resets;
+  FIRST frame only (animation composition is out of scope, the frame
+  count is cheap to add on demand).
 
 Everything is deterministic and executor-side safe (no global state);
 the per-row cost is NumPy-vectorized except the per-scanline unfilter
@@ -39,7 +44,7 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 def sniff(content: bytes) -> str | None:
     """Cheap magic-byte format sniff:
-    'png' | 'wav' | 'jpeg' | 'avi' | None."""
+    'png' | 'wav' | 'jpeg' | 'avi' | 'gif' | None."""
     if content.startswith(_PNG_MAGIC):
         return "png"
     if content.startswith(_RIFF_MAGIC) and content[8:12] == b"WAVE":
@@ -48,6 +53,8 @@ def sniff(content: bytes) -> str | None:
         return "avi"
     if content[:2] == b"\xff\xd8":
         return "jpeg"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -217,6 +224,284 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
         f.setframerate(int(sample_rate))
         f.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# --------------------------------------------------------------------------
+# GIF (87a/89a, spec: GIF89a specification; LZW per Appendix F)
+# --------------------------------------------------------------------------
+
+_GIF_MAX_CODE = 4096  # 12-bit LZW ceiling (spec Appendix F)
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """Variable-width LSB-first LZW (GIF flavor): clear code resets the
+    table, widths grow when the next free slot crosses a power of two,
+    capped at 12 bits.  Returns exactly ``n_pixels`` uint8 indices;
+    any malformed stream raises ValueError."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # dictionary as a list of bytes (literals preallocated)
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF: LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF: first LZW code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("GIF: LZW code out of range")
+        if n_out + len(entry) > n_pixels:
+            entry = entry[: n_pixels - n_out]  # spec-tolerant overrun trim
+        out[n_out : n_out + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
+        n_out += len(entry)
+        if prev is not None and len(table) < _GIF_MAX_CODE:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = table[code] if code < len(table) else entry
+        if n_out >= n_pixels:
+            break
+    if n_out < n_pixels:
+        raise ValueError(f"GIF: LZW underrun ({n_out} of {n_pixels} pixels)")
+    return out
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """The encoder mirror of ``_gif_lzw_decode`` (width grows when
+    ``next == (1 << width) + 1`` -- one step after the decoder, which
+    adds entries one code behind).  Emits clear / rebuilds at the
+    12-bit ceiling."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    buf = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    nxt = eoi + 1
+    emit(clear)
+    w = b""
+    for k in indices.tobytes():
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if nxt < _GIF_MAX_CODE:
+            table[wk] = nxt
+            nxt += 1
+            if nxt == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt = eoi + 1
+            width = min_code_size + 1
+        w = bytes([k])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _deinterlace_order(height: int) -> list[int]:
+    """Row storage order of an interlaced GIF (spec: 4 passes)."""
+    return [
+        y for start, step in _GIF_INTERLACE_PASSES
+        for y in range(start, height, step)
+    ]
+
+
+def decode_gif(content: bytes) -> np.ndarray:
+    """GIF bytes -> (screen_height, screen_width, 3) uint8 RGB of the
+    FIRST frame composed onto a background-color canvas (frames may be
+    smaller than the logical screen).  Transparent pixels (GCE flag)
+    keep the background.  Malformed input raises ValueError."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad magic)")
+    if len(content) < 13:
+        raise ValueError("GIF: truncated header")
+    sw, sh, packed, bg, _ = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(content):
+            raise ValueError("GIF: truncated global color table")
+        gct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    transparent: int | None = None
+    while pos < len(content):
+        b0 = content[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            if pos + 1 > len(content):
+                raise ValueError("GIF: truncated extension")
+            label = content[pos]
+            pos += 1
+            blocks = []
+            while True:
+                if pos >= len(content):
+                    raise ValueError("GIF: truncated extension blocks")
+                sz = content[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                blocks.append(content[pos : pos + sz])
+                pos += sz
+            if label == 0xF9 and blocks and len(blocks[0]) >= 4:
+                flags = blocks[0][0]
+                if flags & 0x01:
+                    transparent = blocks[0][3]
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unknown block 0x{b0:02x}")
+        # image descriptor
+        if pos + 9 > len(content):
+            raise ValueError("GIF: truncated image descriptor")
+        left, top, fw, fh, ipk = struct.unpack("<HHHHB", content[pos : pos + 9])
+        pos += 9
+        pal = gct
+        if ipk & 0x80:
+            n = 2 << (ipk & 0x07)
+            if pos + 3 * n > len(content):
+                raise ValueError("GIF: truncated local color table")
+            pal = np.frombuffer(
+                content[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF: no color table for image")
+        if pos >= len(content):
+            raise ValueError("GIF: missing LZW minimum code size")
+        min_code = content[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"GIF: bad LZW minimum code size {min_code}")
+        data = bytearray()
+        while True:
+            if pos >= len(content):
+                raise ValueError("GIF: truncated image data")
+            sz = content[pos]
+            pos += 1
+            if sz == 0:
+                break
+            data.extend(content[pos : pos + sz])
+            pos += sz
+        idx = _gif_lzw_decode(bytes(data), min_code, fw * fh).reshape(fh, fw)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("GIF: pixel index outside color table")
+        if ipk & 0x40:  # interlaced: rows arrive in 4-pass order
+            rows = np.empty((fh, fw), dtype=np.uint8)
+            rows[_deinterlace_order(fh)] = idx
+            idx = rows
+        bg_rgb = (
+            gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+        )
+        canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+        y1, x1 = min(top + fh, sh), min(left + fw, sw)
+        frame = pal[idx][: y1 - top, : x1 - left]
+        if transparent is not None:
+            keep = (idx != transparent)[: y1 - top, : x1 - left, None]
+            canvas[top:y1, left:x1] = np.where(
+                keep, frame, canvas[top:y1, left:x1]
+            )
+        else:
+            canvas[top:y1, left:x1] = frame
+        return canvas
+    raise ValueError("GIF: no image data before trailer")
+
+
+def encode_gif(
+    img: np.ndarray,
+    *,
+    interlace: bool = False,
+    transparent: int | None = None,
+) -> bytes:
+    """(H, W) uint8 palette indices with the identity gray palette, or
+    (H, W, 3) uint8 RGB with <= 256 distinct colors -> GIF89a bytes
+    (one frame, global color table).  The hermetic twin of
+    ``decode_gif`` for tests and driver certificates."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        idx = img
+        pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    elif img.ndim == 3 and img.shape[2] == 3:
+        flat = img.reshape(-1, 3)
+        pal, inv = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError(f"GIF encode: {len(pal)} colors > 256")
+        idx = inv.astype(np.uint8).reshape(img.shape[:2])
+    else:
+        raise ValueError("GIF encode: expected (H, W) or (H, W, 3) uint8")
+    h, w = idx.shape
+    n_pal = len(pal)
+    size_bits = max(1, (max(n_pal, 2) - 1).bit_length())
+    gct = np.zeros((1 << size_bits, 3), dtype=np.uint8)
+    gct[:n_pal] = pal
+    min_code = max(2, size_bits)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((size_bits - 1) & 7), 0, 0)
+    out += gct.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent & 0xFF, 0])
+    out += bytes([0x2C]) + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    rows = idx[_deinterlace_order(h)] if interlace else idx
+    out.append(min_code)
+    payload = _gif_lzw_encode(rows.reshape(-1), min_code)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
 
 
 def audio_features(samples: np.ndarray, sr: int, dim: int) -> np.ndarray:

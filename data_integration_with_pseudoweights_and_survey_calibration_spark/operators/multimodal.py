@@ -95,6 +95,8 @@ def extract_features(
             return codecs.image_features(codecs.decode_png(b), dim)
         if kind == "jpeg":
             return codecs.image_features(codecs.decode_jpeg(b), dim)
+        if kind == "gif":
+            return codecs.image_features(codecs.decode_gif(b), dim)
         if kind == "wav":
             return codecs.audio_features(*codecs.decode_wav(b), dim)
         if kind == "avi":
@@ -112,8 +114,8 @@ def extract_features(
         if on_unknown == "fake":
             return _fake_features(b, dim)
         raise ValueError(
-            "decoder='real' handles PNG, JPEG (baseline+progressive), WAV "
-            "and MJPEG/AVI video (pure-stdlib/NumPy codecs); got "
+            "decoder='real' handles PNG, JPEG (baseline+progressive), GIF, "
+            "WAV and MJPEG/AVI video (pure-stdlib/NumPy codecs); got "
             f"unrecognized bytes (first 8: {b[:8]!r}). Pass "
             "on_unknown='fake' to degrade gracefully, or wire a codec "
             "for this format into operators/codecs.py"
@@ -125,7 +127,7 @@ def extract_features(
                 raise NotImplementedError(
                     "this format needs a codec not present in this "
                     "environment (H.264-class video -> pyav/ffmpeg); "
-                    "PNG/JPEG/WAV/MJPEG-AVI work today via "
+                    "PNG/JPEG/GIF/WAV/MJPEG-AVI work today via "
                     "decoder='real' (operators/codecs.py, "
                     "operators/video.py), byte-derived features via "
                     "decoder='fake'"

@@ -290,3 +290,85 @@ def test_probe_bytes_mp4():
     # truncated moov: format detected, duration unknown
     p = codecs.probe_bytes(_mp4_blob(1000, 2500)[:20])
     assert p["format"] == "mp4" and p["duration_ms"] is None
+
+
+# ---------------------------------------------------------------------------
+# GIF (round 7): full variable-width LZW, interlace, transparency
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip_gray(interlace):
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (23, 17), dtype=np.uint8)
+    dec = codecs.decode_gif(codecs.encode_gif(img, interlace=interlace))
+    assert dec.shape == (23, 17, 3)
+    # identity gray palette: every channel equals the index
+    for c in range(3):
+        np.testing.assert_array_equal(dec[:, :, c], img)
+
+
+def test_gif_roundtrip_rgb_palette():
+    rng = np.random.default_rng(12)
+    pal = rng.integers(0, 256, (40, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 40, (31, 29))]
+    np.testing.assert_array_equal(
+        codecs.decode_gif(codecs.encode_gif(img)), img
+    )
+    with pytest.raises(ValueError, match="colors"):
+        # (i % 256, i // 256, 0) for i in 0..271 -> 272 distinct colors
+        i = np.arange(17 * 16, dtype=np.int64)
+        over = np.stack([i % 256, i // 256, 0 * i], axis=1).astype(np.uint8)
+        codecs.encode_gif(over.reshape(17, 16, 3))
+
+
+def test_gif_lzw_width_growth_and_reset():
+    """60k random pixels force code widths 9..12 AND a dictionary
+    reset at the 4096-entry ceiling — the whole Appendix-F state
+    machine must invert exactly."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (200, 300), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        codecs.decode_gif(codecs.encode_gif(img))[:, :, 0], img
+    )
+
+
+def test_gif_transparency_keeps_background():
+    img = np.full((5, 5), 9, dtype=np.uint8)
+    img[2, 2] = 7
+    dec = codecs.decode_gif(codecs.encode_gif(img, transparent=7))
+    assert dec[2, 2, 0] == 0  # background color (index 0 = black)
+    assert dec[0, 0, 0] == 9
+
+
+def test_gif_malformed_raises_valueerror_only():
+    rng = np.random.default_rng(14)
+    good = codecs.encode_gif(rng.integers(0, 256, (9, 9), dtype=np.uint8))
+    for bad in (
+        b"",
+        b"GIF89a",
+        b"GIF89a" + bytes(7),
+        good[:40],          # truncated mid color table / data
+        good[:-2],          # missing terminator+trailer
+        # unknown block type injected after the global color table
+        good[: 13 + 768] + b"\x99" + good[13 + 768 :],
+    ):
+        with pytest.raises(ValueError):
+            codecs.decode_gif(bad)
+
+
+def test_gif_sniff_and_extract_features(spark):
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    blob = codecs.encode_gif(img)
+    assert codecs.sniff(blob) == "gif"
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    row = (
+        multimodal.extract_features(df, decoder="real", dim=4)
+        .select("media_id", "feature")
+        .collect()[0]
+    )
+    expect = codecs.image_features(codecs.decode_gif(blob), 4)
+    np.testing.assert_allclose(row["feature"], expect, rtol=1e-6)
