@@ -2233,7 +2233,14 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     invert exactly) and decoded back; GIF is palette-indexed, so the
     round trip is lossless and the oracle states the first pixel from
     the md5 hex (``gif_val``) and a zero max-abs-error gate over all
-    16 pixels (``gif_err``)."""
+    16 pixels (``gif_err``).
+
+    Round 7 also adds WAV legs (the one media format that had only
+    unit tests): a doc_id % 50 + 10-frame stereo PCM clip at 8 kHz is
+    WAV-encoded and decoded back (``wav_n`` = decoded frame count,
+    integer-exact) and header-probed (``wav_dur`` = frames * 1000 //
+    8000 ms from the RIFF chunk walk) — oracle arithmetic certifies
+    the stdlib-wave writer, reader and prober agree on real bytes."""
     import hashlib
     import struct
 
@@ -2243,8 +2250,10 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.codecs import (
         decode_gif,
         decode_png,
+        decode_wav,
         encode_gif,
         encode_png,
+        encode_wav,
         probe_bytes,
     )
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.jpeg import (
@@ -2277,6 +2286,7 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             jpv, jpe = [], []
             vfr, vv, vd = [], [], []
             gv, ge = [], []
+            wn, wd = [], []
             for did, t in zip(pdf["doc_id"], pdf["text"]):
                 digest = hashlib.md5(str(t).encode("utf-8")).digest()
                 img = np.frombuffer(digest, dtype=np.uint8).reshape(4, 4)
@@ -2337,6 +2347,17 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ge.append(
                     int(np.abs(gdec[:, :, 0].astype(int) - img.astype(int)).max())
                 )
+                nsm = int(did) % 50 + 10
+                tone = np.stack(
+                    [
+                        np.sin(np.arange(nsm) * 0.1, dtype=np.float64),
+                        np.cos(np.arange(nsm) * 0.1, dtype=np.float64),
+                    ],
+                    axis=1,
+                )
+                wav = encode_wav(tone * 0.5, 8000)
+                wn.append(int(decode_wav(wav)[0].shape[0]))
+                wd.append(int(probe_bytes(wav)["duration_ms"]))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -2361,6 +2382,8 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "vid_dur": vd,
                     "gif_val": gv,
                     "gif_err": ge,
+                    "wav_n": wn,
+                    "wav_dur": wd,
                 }
             )
 
@@ -2375,7 +2398,7 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jpeg_val int, jpeg_err int, jprog_val int, jprog_err int, "
             "mp4_fmt string, mp4_dur long, "
             "vid_frames int, vid_val int, vid_dur long, "
-            "gif_val int, gif_err int"
+            "gif_val int, gif_err int, wav_n int, wav_dur long"
         ),
     )
 
@@ -2405,7 +2428,9 @@ def _sql_media_features() -> str:
            bytes[1]::INTEGER AS vid_val,
            ((doc_id % 3 + 1) * 40)::BIGINT AS vid_dur,
            bytes[1]::INTEGER AS gif_val,
-           0::INTEGER AS gif_err
+           0::INTEGER AS gif_err,
+           (doc_id % 50 + 10)::INTEGER AS wav_n,
+           ((doc_id % 50 + 10) * 1000 // 8000)::BIGINT AS wav_dur
     FROM b
     """
 
