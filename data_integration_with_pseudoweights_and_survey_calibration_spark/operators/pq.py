@@ -75,14 +75,28 @@ def _normalize_rows(mat: np.ndarray) -> np.ndarray:
 def _codes_udf(codebooks: np.ndarray, as_binary: bool):
     """Arrow-batched PQ encoder: embedding batch -> ``m`` sub-quantizer
     cell ids (argmin L2 per subspace, over the L2-NORMALIZED vector so
-    ADC approximates cosine).  One ``(b, ksub)`` distance matrix per
-    subspace per batch; the codebook tensor rides the closure
-    (``m x ksub x dsub`` -- model-sized).  NULL embeddings map to NULL
-    codes (nulls never pair, same contract as the dedup family)."""
+    ADC approximates cosine).  NULL embeddings map to NULL codes
+    (nulls never pair, same contract as the dedup family).
+
+    The ``m`` per-subspace dot-product stacks are ONE dense
+    block-diagonal GEMM ``(b, dim) @ (dim, m*ksub)``: a batched
+    ``einsum('bmd,mkd->bmk')`` contracts over only ``dsub`` (4-8)
+    elements, a shape BLAS runs at under 1 GFLOPS -- the dense GEMM
+    spends 4x the FLOPs to go ~20x faster (measured in the --pq
+    ladder).  The zero blocks add exact 0.0 terms, so scores differ
+    from the per-subspace formulation only by float summation order.
+    The score pass is in-place (one (b, m*ksub) buffer)."""
     cb = codebooks.astype(np.float64)  # (m, ksub, dsub)
     m, ksub, dsub = cb.shape
+    dim = m * dsub
     # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c drops ||x||^2
     cb_sq = (cb**2).sum(axis=2)  # (m, ksub)
+    cb_sq_flat = cb_sq.reshape(-1)  # (m*ksub,)
+    blockdiag = np.zeros((dim, m * ksub))
+    for s in range(m):
+        blockdiag[s * dsub : (s + 1) * dsub, s * ksub : (s + 1) * ksub] = cb[
+            s
+        ].T
 
     def _encode_block(vecs: pd.Series) -> list:
         mask = vecs.notna().to_numpy()
@@ -91,12 +105,13 @@ def _codes_udf(codebooks: np.ndarray, as_binary: bool):
             return out
         mat = _normalize_rows(
             np.stack(vecs[mask].to_numpy()).astype(np.float64)
-        )  # (b, m*dsub)
-        sub = mat.reshape(len(mat), m, dsub)  # (b, m, dsub)
-        # (b, m, ksub): -2 x.c + ||c||^2 via one einsum-free batched matmul
-        dots = np.einsum("bmd,mkd->bmk", sub, cb, optimize=True)
-        codes = np.argmin(cb_sq[None, :, :] - 2.0 * dots, axis=2)  # (b, m)
-        codes = codes.astype(np.uint8)
+        )  # (b, dim)
+        scores = mat @ blockdiag  # (b, m*ksub) dots, zero blocks exact
+        scores *= -2.0
+        scores += cb_sq_flat[None, :]
+        codes = (
+            scores.reshape(-1, ksub).argmin(axis=1).astype(np.uint8)
+        ).reshape(len(mat), m)
         vals = (
             [r.tobytes() for r in codes]
             if as_binary
