@@ -20,7 +20,8 @@ Covered twins (one mutation each):
 7. Round 7: gaussian kernel exponent + triangular support edge
    (kw_kernels), the Silverman IQR/1.34 constant (survey_scalars),
    the reverse risk-set direction (hazard_grid), the as-of predicate
-   (events_flow), and the MJPEG frame count (media_features).
+   (events_flow), the MJPEG frame count, the GIF first-pixel
+   statement and the WAV duration arithmetic (media_features).
 
    NOT mutatable by design: the gaussian dnorm normalizer
    (sqrt(2 pi)) cancels in kw = sum(w k)/sum(k) — it is not
@@ -121,6 +122,18 @@ MUTATIONS = [
         "(doc_id % 3 + 1)::INTEGER AS vid_frames",  # MJPEG frame count
         "(doc_id % 3 + 2)::INTEGER AS vid_frames",
         "video-frame-count",
+    ),
+    (
+        "media_features",
+        "bytes[1]::INTEGER AS gif_val",  # GIF round-trip first pixel
+        "bytes[2]::INTEGER AS gif_val",
+        "gif-value",
+    ),
+    (
+        "media_features",
+        "* 1000 // 8000",  # WAV probe duration arithmetic
+        "* 1000 // 4000",
+        "wav-duration",
     ),
 ]
 
