@@ -86,6 +86,7 @@ from .operators.pq import (  # noqa: E402,F401
     ivfpq_topk,
     pq_codebooks,
     pq_encode,
+    sdc_table,
 )
 from .operators.propensity import fit_propensity, integrate  # noqa: E402,F401
 from .operators.pseudoweights import kw_weights, stack_samples  # noqa: E402,F401
@@ -173,6 +174,7 @@ __all__ = [
     "ivfpq_topk",
     "pq_codebooks",
     "pq_encode",
+    "sdc_table",
     "read_csv_corpus",
     "read_jsonl_corpus",
     "run_simulation",

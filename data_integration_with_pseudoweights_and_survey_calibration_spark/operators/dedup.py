@@ -850,6 +850,70 @@ def centroid_assign_column(
     return expr.otherwise(cell)
 
 
+def _semantic_pairs_pq(
+    df: DataFrame,
+    indexed: DataFrame,
+    threshold: float,
+    codebooks,
+    margin: float,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """The PQ-prefiltered within-cell compare behind
+    ``semantic_dedup_pairs(pq_codebooks=...)``: codes-only cell join →
+    SDC quantized-cosine cut at ``threshold - margin`` → exact-cosine
+    verify of the survivors against the real vectors (joined back by
+    id).  Output schema and final predicate match the exact path."""
+    import numpy as np
+
+    from .pq import pq_encode, sdc_cosine_udf
+    from .similarity import cosine_expr, with_norm
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    coded = pq_encode(indexed, cb, vec_col=vec_col).select(
+        "_cell", F.col(id_col).alias("_id"), "_pq"
+    )
+    a = coded.select(
+        "_cell", F.col("_id").alias("id_a"), F.col("_pq").alias("_ca")
+    )
+    b = coded.select(
+        "_cell", F.col("_id").alias("id_b"), F.col("_pq").alias("_cb")
+    )
+    sdc = sdc_cosine_udf(cb)
+    survivors = (
+        a.join(b, "_cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("_q", sdc("_ca", "_cb"))
+        .where(F.col("_q") >= F.lit(threshold - margin))
+        .select("id_a", "id_b", "_cell")
+    )
+    nd = with_norm(df.where(F.col(vec_col).isNotNull()), vec_col)
+    va = nd.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    vb = nd.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    pairs = (
+        survivors.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_expr("_va", "_vb", "_na", "_nb"))
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine", F.col("_cell").alias("cell"))
+    )
+    if n_probe != 1:
+        pairs = pairs.groupBy("id_a", "id_b", "cosine").agg(
+            F.min("cell").alias("cell")
+        )
+    return pairs
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     threshold: float,
@@ -862,6 +926,8 @@ def semantic_dedup_pairs(
     assign: str = "arrow",
     train_fraction: float | None = None,
     n_probe: int = 1,
+    pq_codebooks=None,
+    pq_margin: float = 0.1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
     near-duplicate pairs via cluster-then-compare — documents whose
@@ -898,6 +964,22 @@ def semantic_dedup_pairs(
     the compare cost while keeping the recall win.  Duplicate hits
     from multiply-shared cells collapse to one row (min cell kept,
     cosine unchanged).
+
+    ``pq_codebooks`` (arrow mode, round 7): a trained
+    ``operators.pq.pq_codebooks`` tensor switches the within-cell
+    compare to a two-stage PQ prefilter — the cell join carries only
+    the ``m``-BYTE codes (not the full vectors), pairs are scored by
+    Symmetric Distance Computation (``pq.sdc_table`` lookups, m adds
+    per pair), and only pairs with quantized cosine >=
+    ``threshold - pq_margin`` are joined back to real vectors for the
+    EXACT cosine test.  The final filter is exact, so the prefilter
+    can never ADMIT a false pair; ``pq_margin`` bounds the miss risk
+    (quantized-vs-true cosine error <~ ||a - a_hat|| + ||b - b_hat||;
+    near-dup pairs at cosine ~1 quantize almost identically, so the
+    default 0.1 is conservative — the planted-recall test and ladder
+    hold at 100%).  At 100 TB this is the difference between
+    shuffling/scoring ``cell_size^2`` full vectors per cell and
+    ``cell_size^2`` m-byte codes + |survivors| vectors.
 
     Scale shape: assignment is map-only (broadcast-sized model); the
     pair stage is ONE equi-join on the cell id (AQE-splittable if a
@@ -940,6 +1022,16 @@ def semantic_dedup_pairs(
             probe = _assign_udf(cen, int(n_probe))
             indexed = nn.withColumn("_cell", F.explode(probe(vec_col)))
     t = float(threshold)
+    if pq_codebooks is not None:
+        if assign == "column":
+            raise ValueError(
+                "pq_codebooks prefilter needs assign='arrow' (the "
+                "column path is the exact-parity certificate branch)"
+            )
+        return _semantic_pairs_pq(
+            df, indexed, t, pq_codebooks, float(pq_margin),
+            id_col=id_col, vec_col=vec_col, n_probe=n_probe,
+        )
     nd = with_norm(indexed, vec_col)
     a = nd.select(
         F.col("_cell"),

@@ -184,3 +184,84 @@ def test_ivfpq_null_embeddings_never_pair(spark, emb_df, codebooks):
     ).toPandas()
     assert (out["neighbor_id"] != 99_999).all()
     assert (out["query_id"] != 99_999).all()
+
+
+# ---------------------------------------------------------------------------
+# SDC prefilter for SemDeDup (semantic_dedup_pairs(pq_codebooks=...))
+# ---------------------------------------------------------------------------
+
+
+def test_sdc_table_symmetry_and_values(codebooks):
+    t = pq.sdc_table(codebooks)
+    assert t.shape == (8, 16, 16)
+    np.testing.assert_allclose(t, np.transpose(t, (0, 2, 1)), rtol=0)
+    np.testing.assert_allclose(
+        t[3, 5, 7], float(np.dot(codebooks[3, 5], codebooks[3, 7])),
+        atol=1e-15,
+    )
+
+
+def _planted_emb(spark, n=200, dim=64):
+    """Every 10th vector a near-duplicate of its predecessor (cosine
+    ~0.9996), everything else ~orthogonal random — the ladder's
+    planted-pair shape as a small deterministic frame."""
+    rng = np.random.default_rng(21)
+    mat = rng.normal(size=(n, dim))
+    for i in range(10, n, 10):
+        mat[i] = mat[i - 1] + 0.02 * rng.normal(size=dim)
+    mat /= np.linalg.norm(mat, axis=1)[:, None]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_semantic_pq_prefilter_equals_exact_path(spark):
+    """With a margin wide enough to admit every candidate, the PQ
+    two-stage compare must return EXACTLY the exact path's pairs (the
+    final filter is the same exact cosine); at the default margin the
+    planted near-dups (the pairs SemDeDup exists to find) all survive
+    the SDC cut."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+
+    emb = _planted_emb(spark).localCheckpoint()
+    cen = similarity.kmeans_centroids(emb, n_lists=4, max_iter=2)
+    cb = pq.pq_codebooks(emb, m=8, ksub=16, max_iter=2)
+    kw = dict(centroids=cen, id_col="vec_id", vec_col="embedding")
+    exact = (
+        semantic_dedup_pairs(emb, 0.9, **kw)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(exact) >= 15  # the planted twins land in shared cells
+    wide = (
+        semantic_dedup_pairs(emb, 0.9, pq_codebooks=cb, pq_margin=2.0, **kw)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert (wide[["id_a", "id_b", "cell"]].values
+            == exact[["id_a", "id_b", "cell"]].values).all()
+    np.testing.assert_allclose(wide["cosine"], exact["cosine"], rtol=0)
+    # default margin: every exact pair survives the SDC cut here (the
+    # planted pairs quantize near-identically)
+    dflt = (
+        semantic_dedup_pairs(emb, 0.9, pq_codebooks=cb, **kw)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert (dflt[["id_a", "id_b"]].values
+            == exact[["id_a", "id_b"]].values).all()
+
+
+def test_semantic_pq_prefilter_rejects_column_mode(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+
+    emb = _planted_emb(spark, n=40)
+    cb = pq.pq_codebooks(emb, m=8, ksub=8, max_iter=1)
+    cen = similarity.kmeans_centroids(emb, n_lists=2, max_iter=1)
+    with pytest.raises(ValueError, match="assign='arrow'"):
+        semantic_dedup_pairs(
+            emb, 0.9, centroids=[list(map(float, c)) for c in cen],
+            assign="column", pq_codebooks=cb,
+        )

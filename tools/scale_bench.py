@@ -611,12 +611,18 @@ def synth_embeddings(spark, n: int, dim: int = 32):
 
 
 def semantic_ladder(
-    spark, sizes: list[int], tau: float = 0.9, n_probe: int = 1
+    spark, sizes: list[int], tau: float = 0.9, n_probe: int = 1,
+    use_pq: bool = False,
 ) -> None:
     """SemDeDup scale probe: k-means cells sized ~5k rows each bound
     the candidate set; planted near-dups (cosine ~ 1) must be found
     (they share a cell by construction — near-identical vectors argmax
-    to the same centroid), random pairs (~0 cosine) must not."""
+    to the same centroid), random pairs (~0 cosine) must not.
+
+    ``use_pq``: route the within-cell compare through the round-7 PQ
+    SDC prefilter (codes-only pair join + normalized quantized cosine
+    cut + exact verify of survivors) — same recall assertions, walls
+    show what the m-byte prefilter buys over full-vector compare."""
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (
         semantic_dedup_pairs,
     )
@@ -624,13 +630,22 @@ def semantic_ladder(
     points = []
     for n in sizes:
         emb = synth_embeddings(spark, n).localCheckpoint()
+        pq_kw = {}
+        if use_pq:
+            from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.pq import (
+                pq_codebooks,
+            )
+
+            pq_kw = {
+                "pq_codebooks": pq_codebooks(emb, m=8, ksub=256, max_iter=2)
+            }
         # candidate volume is ~ n^2 / k: size cells to ~2k rows so the
         # within-cell compare stays bounded as n grows (the SemDeDup
         # recall/cost dial)
         k = max(4, n // 2000)
         t0 = time.time()
         pairs = semantic_dedup_pairs(
-            emb, tau, n_lists=k, max_iter=2, n_probe=n_probe
+            emb, tau, n_lists=k, max_iter=2, n_probe=n_probe, **pq_kw
         )
         planted = pairs.where(
             (F.col("id_b") - F.col("id_a") == 1) & (F.col("id_b") % 10 == 0)
@@ -645,6 +660,7 @@ def semantic_ladder(
                 "n_vecs": n,
                 "n_cells": k,
                 "n_probe": n_probe,
+                "pq_prefilter": bool(use_pq),
                 "planted_found": int(planted),
                 "planted_recall": round(recall, 4),
                 "pairs_total": int(total),
@@ -1288,9 +1304,10 @@ def main() -> None:
             else [50_000, 200_000, 800_000]
         )
         n_probe = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+        use_pq = len(sys.argv) > 4 and sys.argv[4] == "pq"
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
-        semantic_ladder(spark, sizes, n_probe=n_probe)
+        semantic_ladder(spark, sizes, n_probe=n_probe, use_pq=use_pq)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--funnel":
         sizes = (
