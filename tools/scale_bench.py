@@ -891,12 +891,17 @@ def warc_ladder(
     print(json.dumps({"op": "warc_ingest", "points": points}))
 
 
-def warc_funnel_ladder(spark, sizes: list[int], docs_per_file: int = 2000) -> None:
+def warc_funnel_ladder(
+    spark, sizes: list[int], docs_per_file: int = 2000,
+    use_pq: bool = False,
+) -> None:
     """Round 7: the full Common-Crawl-shaped path in ONE measured run —
     WARC ingest -> HTML->text -> quality gate -> PII scrub -> exact
     dedup -> SemDeDup — per-stage wall times at ladder scale.  The
     composition test (tests/test_warc_source.py) proves correctness at
-    toy scale; this rung prices it.
+    toy scale; this rung prices it.  ``use_pq`` routes the SemDeDup
+    stage through the PQ-SDC prefilter (codebook training included in
+    the stage wall).
 
     Planted structure: every 10th record's body duplicates its
     predecessor (exact-dedup load), every 7th carries an email (PII
@@ -994,8 +999,17 @@ def warc_funnel_ladder(spark, sizes: list[int], docs_per_file: int = 2000) -> No
             exact_surv.select(F.col("idx").alias("vec_id")), "vec_id"
         ).localCheckpoint()
         k = max(4, n // 2000)
+        pq_kw = {}
+        if use_pq:
+            from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.pq import (
+                pq_codebooks,
+            )
+
+            pq_kw = {
+                "pq_codebooks": pq_codebooks(emb, m=8, ksub=256, max_iter=2)
+            }
         losers = (
-            dedup.semantic_dedup_pairs(emb, 0.9, n_lists=k, max_iter=2)
+            dedup.semantic_dedup_pairs(emb, 0.9, n_lists=k, max_iter=2, **pq_kw)
             .select(F.col("id_b").alias("vec_id"))
             .distinct()
         )
@@ -1010,6 +1024,7 @@ def warc_funnel_ladder(spark, sizes: list[int], docs_per_file: int = 2000) -> No
         points.append(
             {
                 "n_records": n,
+                "pq_prefilter": bool(use_pq),
                 "n_after_quality": int(n_q),
                 "n_after_exact": int(n_exact),
                 "n_final": int(n_final),
@@ -1315,9 +1330,10 @@ def main() -> None:
             if len(sys.argv) > 2
             else [200_000, 800_000]
         )
+        use_pq = len(sys.argv) > 3 and sys.argv[3] == "pq"
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
-        warc_funnel_ladder(spark, sizes)
+        warc_funnel_ladder(spark, sizes, use_pq=use_pq)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--hugegrid":
         sizes = (
