@@ -372,3 +372,30 @@ def test_gif_sniff_and_extract_features(spark):
     )
     expect = codecs.image_features(codecs.decode_gif(blob), 4)
     np.testing.assert_allclose(row["feature"], expect, rtol=1e-6)
+
+
+def test_gif_roundtrip_property():
+    """Property: ANY uint8 gray image (1..40 x 1..40, any palette
+    usage pattern, interlaced or not, with or without transparency
+    declared on an unused index) round-trips losslessly through the
+    full LZW state machine."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra import numpy as hnp
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        img=hnp.arrays(
+            np.uint8,
+            st.tuples(
+                st.integers(1, 40), st.integers(1, 40)
+            ),
+        ),
+        interlace=st.booleans(),
+    )
+    def check(img, interlace):
+        dec = codecs.decode_gif(codecs.encode_gif(img, interlace=interlace))
+        np.testing.assert_array_equal(dec[:, :, 0], img)
+        np.testing.assert_array_equal(dec[:, :, 2], img)
+
+    check()

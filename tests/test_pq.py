@@ -265,3 +265,29 @@ def test_semantic_pq_prefilter_rejects_column_mode(spark):
             emb, 0.9, centroids=[list(map(float, c)) for c in cen],
             assign="column", pq_codebooks=cb,
         )
+
+
+def test_semantic_pq_prefilter_composes_with_multiprobe(spark):
+    """pq_codebooks + n_probe=2: the prefiltered multi-probe pair set
+    must equal the exact multi-probe pair set (the n_probe collapse
+    runs after the exact verify in both paths)."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+
+    emb = _planted_emb(spark).localCheckpoint()
+    cen = similarity.kmeans_centroids(emb, n_lists=4, max_iter=2)
+    cb = pq.pq_codebooks(emb, m=8, ksub=16, max_iter=2)
+    kw = dict(centroids=cen, id_col="vec_id", vec_col="embedding", n_probe=2)
+    exact = (
+        semantic_dedup_pairs(emb, 0.9, **kw)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    got = (
+        semantic_dedup_pairs(emb, 0.9, pq_codebooks=cb, **kw)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(exact) >= 15
+    assert (got[["id_a", "id_b", "cell"]].values
+            == exact[["id_a", "id_b", "cell"]].values).all()
+    np.testing.assert_allclose(got["cosine"], exact["cosine"], rtol=0)
