@@ -2240,7 +2240,14 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WAV-encoded and decoded back (``wav_n`` = decoded frame count,
     integer-exact) and header-probed (``wav_dur`` = frames * 1000 //
     8000 ms from the RIFF chunk walk) — oracle arithmetic certifies
-    the stdlib-wave writer, reader and prober agree on real bytes."""
+    the stdlib-wave writer, reader and prober agree on real bytes.
+
+    Round 7 also adds FLAC legs (``operators/flac.py`` — fixed/LPC
+    prediction + Rice residuals, the speech-corpus format): md5-derived
+    samples are FLAC-encoded and decoded back; FLAC is LOSSLESS, so
+    the oracle states the first reconstructed PCM value exactly
+    (``flac_val`` = bytes[1]*128 - 16384; every arithmetic step is
+    exact in float32) and the decoded frame count (``flac_n``)."""
     import hashlib
     import struct
 
@@ -2255,6 +2262,10 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_png,
         encode_wav,
         probe_bytes,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.flac import (
+        decode_flac,
+        encode_flac,
     )
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.jpeg import (
         decode_jpeg,
@@ -2287,6 +2298,7 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             vfr, vv, vd = [], [], []
             gv, ge = [], []
             wn, wd = [], []
+            fn, fv = [], []
             for did, t in zip(pdf["doc_id"], pdf["text"]):
                 digest = hashlib.md5(str(t).encode("utf-8")).digest()
                 img = np.frombuffer(digest, dtype=np.uint8).reshape(4, 4)
@@ -2358,6 +2370,17 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 wav = encode_wav(tone * 0.5, 8000)
                 wn.append(int(decode_wav(wav)[0].shape[0]))
                 wd.append(int(probe_bytes(wav)["duration_ms"]))
+                fl_in = (
+                    np.array(
+                        [digest[i % 16] for i in range(nsm)],
+                        dtype=np.float64,
+                    )
+                    / 256.0
+                    - 0.5
+                ).astype(np.float32)
+                fdec, _ = decode_flac(encode_flac(fl_in, 8000))
+                fn.append(int(fdec.shape[0]))
+                fv.append(int(np.rint(float(fdec[0, 0]) * 32768.0)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -2384,6 +2407,8 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "gif_err": ge,
                     "wav_n": wn,
                     "wav_dur": wd,
+                    "flac_n": fn,
+                    "flac_val": fv,
                 }
             )
 
@@ -2398,7 +2423,8 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jpeg_val int, jpeg_err int, jprog_val int, jprog_err int, "
             "mp4_fmt string, mp4_dur long, "
             "vid_frames int, vid_val int, vid_dur long, "
-            "gif_val int, gif_err int, wav_n int, wav_dur long"
+            "gif_val int, gif_err int, wav_n int, wav_dur long, "
+            "flac_n int, flac_val int"
         ),
     )
 
@@ -2430,7 +2456,9 @@ def _sql_media_features() -> str:
            bytes[1]::INTEGER AS gif_val,
            0::INTEGER AS gif_err,
            (doc_id % 50 + 10)::INTEGER AS wav_n,
-           ((doc_id % 50 + 10) * 1000 // 8000)::BIGINT AS wav_dur
+           ((doc_id % 50 + 10) * 1000 // 8000)::BIGINT AS wav_dur,
+           (doc_id % 50 + 10)::INTEGER AS flac_n,
+           (bytes[1] * 128 - 16384)::INTEGER AS flac_val
     FROM b
     """
 

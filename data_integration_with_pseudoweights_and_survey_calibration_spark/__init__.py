@@ -80,6 +80,11 @@ from .operators.packing import (  # noqa: E402,F401
     chunk_documents,
     pack_sequences,
 )
+from .operators.flac import (  # noqa: E402,F401
+    decode_flac,
+    encode_flac,
+    probe_flac,
+)
 from .operators.pq import (  # noqa: E402,F401
     adc_topk,
     ivfpq_index,
@@ -170,6 +175,9 @@ __all__ = [
     "post_stratify",
     "pps_sample",
     "adc_topk",
+    "decode_flac",
+    "encode_flac",
+    "probe_flac",
     "ivfpq_index",
     "ivfpq_topk",
     "pq_codebooks",

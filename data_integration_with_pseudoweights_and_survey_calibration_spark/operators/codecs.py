@@ -18,6 +18,10 @@ stub.  Scope (documented, guarded):
   background color), full variable-width LZW with dictionary resets;
   FIRST frame only (animation composition is out of scope, the frame
   count is cheap to add on demand).
+- FLAC (round 7, ``operators/flac.py``): full decode (fixed + LPC
+  prediction, Rice residuals incl. escapes, all four stereo
+  decorrelations, 8-24 bps) + a hermetic 16-bit fixed-predictor
+  encoder; the speech-corpus ingest format (LibriSpeech et al.).
 
 Everything is deterministic and executor-side safe (no global state);
 the per-row cost is NumPy-vectorized except the per-scanline unfilter
@@ -44,7 +48,7 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 def sniff(content: bytes) -> str | None:
     """Cheap magic-byte format sniff:
-    'png' | 'wav' | 'jpeg' | 'avi' | 'gif' | None."""
+    'png' | 'wav' | 'jpeg' | 'avi' | 'gif' | 'flac' | None."""
     if content.startswith(_PNG_MAGIC):
         return "png"
     if content.startswith(_RIFF_MAGIC) and content[8:12] == b"WAVE":
@@ -55,6 +59,8 @@ def sniff(content: bytes) -> str | None:
         return "jpeg"
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if content[:4] == b"fLaC":
+        return "flac"
     return None
 
 
@@ -694,6 +700,18 @@ def probe_bytes(b: bytes) -> dict:
                 format=m["format"],
                 width=m["width"],
                 height=m["height"],
+                duration_ms=m["duration_ms"],
+            )
+        return out
+    if b[:4] == b"fLaC":
+        from .flac import probe_flac
+
+        m = probe_flac(b)
+        if m:
+            out.update(
+                format="flac",
+                n_channels=m["n_channels"],
+                sample_rate=m["sample_rate"],
                 duration_ms=m["duration_ms"],
             )
         return out

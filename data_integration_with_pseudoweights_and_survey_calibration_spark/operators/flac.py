@@ -1,0 +1,544 @@
+"""Pure-stdlib/NumPy FLAC codec (decode + hermetic subset encoder).
+
+Why FLAC: it is THE interchange format for speech training corpora
+(LibriSpeech, MLS, people's podcast dumps ship .flac), so an audio
+curation pipeline that only reads WAV stalls at ingest.  FLAC decode
+is pure integer math — fixed/LPC prediction + Rice-coded residuals —
+no float filterbanks, no entropy-coder patents, which puts it inside
+this repo's pure-stdlib codec charter (same as PNG/JPEG/GIF/MJPEG in
+``operators/codecs.py`` / ``operators/jpeg.py``).
+
+Spec: "FLAC format" (xiph.org / RFC 9639).  Scope (documented,
+guarded):
+
+- decode: any fixed-blocksize stream with CONSTANT / VERBATIM /
+  FIXED(0-4) / LPC(1-32) subframes, Rice method 0 and 1 (4- and 5-bit
+  parameters) incl. escape partitions, wasted bits, all four stereo
+  decorrelations (independent, left/side, right/side, mid/side),
+  8-24 bps.  Variable-blocksize streams and bps > 24 raise
+  ValueError (never seen from real encoders at default settings).
+- encode (the hermetic round-trip twin, 16-bit PCM): fixed
+  predictors order 0-2 chosen per block by residual magnitude,
+  single-partition Rice residuals, independent or mid/side stereo,
+  correct CRC-8 / CRC-16 trailers.  Lossless by construction — the
+  round-trip test asserts bit-exact int16 recovery.
+
+Everything is executor-side safe (no global state); decode cost is a
+Python loop over subframe samples (same honesty note as the JPEG
+entropy loop — a vectorized bitstream is the known next step if audio
+ever dominates a real run; the Arrow batching above amortizes it).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_flac", "encode_flac", "probe_flac"]
+
+_MAGIC = b"fLaC"
+
+# fixed-predictor coefficients, order 0..4 (spec 9.2.1)
+_FIXED_COEF = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+# --------------------------------------------------------------------------
+# bit I/O (FLAC is an MSB-first bitstream)
+# --------------------------------------------------------------------------
+
+
+class _Reader:
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        """n-bit unsigned, MSB first."""
+        out = 0
+        data, pos, bit = self.data, self.pos, self.bit
+        while n > 0:
+            if pos >= len(data):
+                raise ValueError("FLAC: bitstream truncated")
+            avail = 8 - bit
+            take = avail if avail < n else n
+            byte = data[pos]
+            out = (out << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            bit += take
+            n -= take
+            if bit == 8:
+                bit = 0
+                pos += 1
+        self.pos, self.bit = pos, bit
+        return out
+
+    def sread(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        """Count of 0 bits before the terminating 1."""
+        q = 0
+        data, pos, bit = self.data, self.pos, self.bit
+        while True:
+            if pos >= len(data):
+                raise ValueError("FLAC: bitstream truncated in unary")
+            byte = data[pos]
+            rest = byte & ((1 << (8 - bit)) - 1)
+            if rest == 0:
+                q += 8 - bit
+                pos += 1
+                bit = 0
+                continue
+            top = rest.bit_length()  # position of highest set bit
+            q += (8 - bit) - top
+            bit = 8 - top + 1
+            if bit == 8:
+                bit = 0
+                pos += 1
+            self.pos, self.bit = pos, bit
+            return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+class _Writer:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a 1
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+def _make_crc_table(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _make_crc_table(0x07, 8)
+_CRC16_TABLE = _make_crc_table(0x8005, 16)
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = _CRC8_TABLE[crc ^ b]
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = _CRC16_TABLE[((crc >> 8) ^ b) & 0xFF] ^ ((crc << 8) & 0xFFFF)
+    return crc
+
+
+def _read_utf8_number(r: _Reader) -> int:
+    """FLAC's extended UTF-8-style frame/sample number (spec 9.1.5)."""
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x40
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n == 0 or n > 6:
+        raise ValueError("FLAC: bad UTF-8-coded number")
+    val = b0 & (mask - 1)
+    for _ in range(n):
+        c = r.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("FLAC: bad UTF-8 continuation")
+        val = (val << 6) | (c & 0x3F)
+    return val
+
+
+# --------------------------------------------------------------------------
+# decode
+# --------------------------------------------------------------------------
+
+_BLOCKSIZE_CODE = {1: 192, **{i: 576 << (i - 2) for i in range(2, 6)},
+                   **{i: 256 << (i - 8) for i in range(8, 16)}}
+_BPS_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def probe_flac(content: bytes) -> dict | None:
+    """STREAMINFO-only probe (sample rate, channels, bps, duration) —
+    the header-only corpus-audit primitive, no sample decode."""
+    if not content.startswith(_MAGIC) or len(content) < 8 + 34:
+        return None
+    # first metadata block must be STREAMINFO (type 0), 34 bytes
+    btype = content[4] & 0x7F
+    size = int.from_bytes(content[5:8], "big")
+    if btype != 0 or size < 34:
+        return None
+    r = _Reader(content, 8)
+    r.read(16)  # min block
+    r.read(16)  # max block
+    r.read(24)  # min frame
+    r.read(24)  # max frame
+    rate = r.read(20)
+    ch = r.read(3) + 1
+    bps = r.read(5) + 1
+    total = r.read(36)
+    return {
+        "format": "flac",
+        "sample_rate": rate,
+        "n_channels": ch,
+        "bits_per_sample": bps,
+        "duration_ms": int(total * 1000 // rate) if rate else None,
+    }
+
+
+def _decode_residual(r: _Reader, blocksize: int, order: int) -> list[int]:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError(f"FLAC: reserved residual method {method}")
+    plen = 4 + method
+    escape = (1 << plen) - 1
+    po = r.read(4)
+    nparts = 1 << po
+    if blocksize % nparts:
+        raise ValueError("FLAC: partition count does not divide block size")
+    out: list[int] = []
+    for p in range(nparts):
+        n = blocksize // nparts - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC: predictor order exceeds first partition")
+        param = r.read(plen)
+        if param == escape:
+            raw = r.read(5)
+            out.extend(r.sread(raw) if raw else 0 for _ in range(n))
+        else:
+            for _ in range(n):
+                q = r.unary()
+                u = (q << param) | r.read(param)
+                out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+def _decode_subframe(r: _Reader, blocksize: int, bps: int) -> list[int]:
+    if r.read(1):
+        raise ValueError("FLAC: subframe padding bit set")
+    stype = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.unary() + 1
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        samples = [r.sread(bps)] * blocksize
+    elif stype == 1:  # VERBATIM
+        samples = [r.sread(bps) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED, order = stype - 8
+        order = stype - 8
+        samples = [r.sread(bps) for _ in range(order)]
+        res = _decode_residual(r, blocksize, order)
+        coef = _FIXED_COEF[order]
+        for e in res:
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coef))
+            samples.append(e + pred)
+    elif stype >= 32:  # LPC, order = (stype & 31) + 1
+        order = (stype & 31) + 1
+        samples = [r.sread(bps) for _ in range(order)]
+        prec = r.read(4) + 1
+        if prec == 16:
+            raise ValueError("FLAC: invalid qlp precision")
+        shift = r.read(5)
+        coef = [r.sread(prec) for _ in range(order)]
+        res = _decode_residual(r, blocksize, order)
+        for e in res:
+            acc = sum(c * samples[-1 - j] for j, c in enumerate(coef))
+            samples.append(e + (acc >> shift))
+    else:
+        raise ValueError(f"FLAC: reserved subframe type {stype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def decode_flac(content: bytes) -> tuple[np.ndarray, int]:
+    """FLAC bytes -> (float32 samples in [-1, 1] shaped (n, channels),
+    sample_rate) — same contract as ``codecs.decode_wav``.  Malformed
+    input raises ValueError."""
+    info = probe_flac(content)
+    if info is None:
+        raise ValueError("not a FLAC stream (bad magic or STREAMINFO)")
+    rate, nch, bps = (
+        info["sample_rate"], info["n_channels"], info["bits_per_sample"]
+    )
+    if bps > 24:
+        raise ValueError(f"FLAC: bps {bps} unsupported (8-24)")
+    # skip metadata blocks
+    pos = 4
+    while True:
+        if pos + 4 > len(content):
+            raise ValueError("FLAC: truncated metadata")
+        last = content[pos] & 0x80
+        size = int.from_bytes(content[pos + 1 : pos + 4], "big")
+        pos += 4 + size
+        if last:
+            break
+    chans: list[list[int]] = [[] for _ in range(nch)]
+    while pos < len(content):
+        r = _Reader(content, pos)
+        sync = r.read(14)
+        if sync != 0x3FFE:
+            raise ValueError(f"FLAC: lost frame sync at byte {pos}")
+        r.read(1)  # reserved
+        if r.read(1):
+            raise ValueError("FLAC: variable-blocksize streams unsupported")
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        ch_code = r.read(4)
+        bps_code = r.read(3)
+        r.read(1)  # reserved
+        _read_utf8_number(r)
+        if bs_code == 0:
+            raise ValueError("FLAC: reserved block size code")
+        elif bs_code == 6:
+            blocksize = r.read(8) + 1
+        elif bs_code == 7:
+            blocksize = r.read(16) + 1
+        else:
+            blocksize = _BLOCKSIZE_CODE[bs_code]
+        if sr_code == 12:
+            r.read(8)
+        elif sr_code in (13, 14):
+            r.read(16)
+        fbps = bps if bps_code == 0 else _BPS_CODE.get(bps_code)
+        if fbps is None:
+            raise ValueError(f"FLAC: reserved bps code {bps_code}")
+        r.read(8)  # header CRC-8 (validated implicitly by sync + footer)
+        if ch_code < 8:
+            if ch_code + 1 != nch:
+                raise ValueError("FLAC: frame channel count != STREAMINFO")
+            subs = [_decode_subframe(r, blocksize, fbps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            if nch != 2:
+                raise ValueError("FLAC: decorrelated frame in non-stereo stream")
+            if ch_code == 8:  # left/side
+                left = _decode_subframe(r, blocksize, fbps)
+                side = _decode_subframe(r, blocksize, fbps + 1)
+                subs = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _decode_subframe(r, blocksize, fbps + 1)
+                right = _decode_subframe(r, blocksize, fbps)
+                subs = [[s + rr for s, rr in zip(side, right)], right]
+            else:  # mid/side
+                mid = _decode_subframe(r, blocksize, fbps)
+                side = _decode_subframe(r, blocksize, fbps + 1)
+                left, right = [], []
+                for mm, ss in zip(mid, side):
+                    m2 = (mm << 1) | (ss & 1)
+                    left.append((m2 + ss) >> 1)
+                    right.append((m2 - ss) >> 1)
+                subs = [left, right]
+        else:
+            raise ValueError(f"FLAC: reserved channel assignment {ch_code}")
+        r.align()
+        want = _crc16(content[pos : r.pos])  # whole frame incl. header
+        got = r.read(16)
+        if got != want:
+            raise ValueError(
+                f"FLAC: frame CRC-16 mismatch at byte {pos} "
+                f"(corrupt stream)"
+            )
+        for c in range(nch):
+            chans[c].extend(subs[c])
+        pos = r.pos
+    n = min(len(c) for c in chans) if chans else 0
+    arr = np.array([c[:n] for c in chans], dtype=np.float64).T  # (n, ch)
+    out = (arr / float(1 << (bps - 1))).astype(np.float32)
+    return out, rate
+
+
+# --------------------------------------------------------------------------
+# encode (hermetic subset: 16-bit, fixed predictors 0-2, rice order 0)
+# --------------------------------------------------------------------------
+
+
+def _encode_residual(w: _Writer, res: list[int]) -> None:
+    """Method 0, partition order 0, one Rice parameter for the block;
+    escape to verbatim when residuals are too wide for rice-14."""
+    mean = sum(abs(e) for e in res) / max(len(res), 1)
+    param = 0
+    while param < 14 and (1 << param) < mean * 1.3 + 1:
+        param += 1
+    maxu = max((abs(e) << 1) for e in res) if res else 0
+    if maxu and (maxu >> param) > 1 << 16:  # pathological: escape raw
+        w.write(0, 2)
+        w.write(0, 4)
+        w.write(15, 4)  # escape
+        raw = max(e.bit_length() + 1 for e in res)
+        w.write(raw, 5)
+        for e in res:
+            w.write(e & ((1 << raw) - 1), raw)
+        return
+    w.write(0, 2)   # rice method 0
+    w.write(0, 4)   # partition order 0
+    w.write(param, 4)
+    for e in res:
+        u = ((-e << 1) - 1) if e < 0 else (e << 1)  # zigzag
+        w.unary(u >> param)
+        if param:
+            w.write(u & ((1 << param) - 1), param)
+
+
+def _encode_subframe(w: _Writer, samples: list[int], bps: int) -> None:
+    w.write(0, 1)
+    if all(s == samples[0] for s in samples):
+        w.write(0, 6)   # CONSTANT
+        w.write(0, 1)   # no wasted bits
+        w.write(samples[0] & ((1 << bps) - 1), bps)
+        return
+    # pick fixed order 0-2 by total residual magnitude
+    best_order, best_res, best_cost = 0, samples, sum(map(abs, samples))
+    s = samples
+    for order in (1, 2):
+        if len(s) <= order:
+            break
+        coef = _FIXED_COEF[order]
+        res = [
+            s[i] - sum(c * s[i - 1 - j] for j, c in enumerate(coef))
+            for i in range(order, len(s))
+        ]
+        cost = sum(map(abs, res))
+        if cost < best_cost:
+            best_order, best_res, best_cost = order, res, cost
+    w.write(8 + best_order, 6)  # FIXED, order
+    w.write(0, 1)               # no wasted bits
+    for i in range(best_order):
+        w.write(s[i] & ((1 << bps) - 1), bps)
+    _encode_residual(w, best_res)
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int,
+    *,
+    block_size: int = 4096,
+    stereo: str = "independent",
+) -> bytes:
+    """float32 [-1, 1] (n,) or (n, ch) -> FLAC bytes at 16 bps.
+    ``stereo``: 'independent' | 'mid-side' | 'left-side' |
+    'right-side' (2-channel input only) — exercises every decoder
+    decorrelation path.  Lossless: ``decode_flac(encode_flac(x))``
+    recovers the 16-bit quantization of ``x`` exactly."""
+    s = np.asarray(samples, dtype=np.float32)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, nch = s.shape
+    if stereo != "independent" and nch != 2:
+        raise ValueError("FLAC encode: stereo modes need 2 channels")
+    pcm = np.clip(np.rint(s * 32768.0), -32768, 32767).astype(np.int64)
+    bps = 16
+
+    out = bytearray(_MAGIC)
+    si = _Writer()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(int(sample_rate), 20)
+    si.write(nch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n, 36)
+    body = si.bytes() + bytes(16)  # zero MD5 = unverified (spec-legal)
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    ch_code = {
+        "independent": nch - 1,
+        "left-side": 8,
+        "right-side": 9,
+        "mid-side": 10,
+    }[stereo]
+    for fi, start in enumerate(range(0, n, block_size)):
+        blk = pcm[start : start + block_size]
+        bs = len(blk)
+        hw = _Writer()
+        hw.write(0x3FFE, 14)
+        hw.write(0, 1)
+        hw.write(0, 1)  # fixed blocksize
+        hw.write(7, 4)  # 16-bit blocksize-1 follows
+        hw.write(0, 4)  # sample rate from STREAMINFO
+        hw.write(ch_code, 4)
+        hw.write(4, 3)  # 16 bps
+        hw.write(0, 1)
+        # UTF-8 frame number (fits 7 bits for fi < 128, else 2 bytes)
+        if fi < 0x80:
+            hw.write(fi, 8)
+        elif fi < 0x800:
+            hw.write(0xC0 | (fi >> 6), 8)
+            hw.write(0x80 | (fi & 0x3F), 8)
+        else:
+            raise ValueError("FLAC encode: too many frames (demo encoder)")
+        hw.write(bs - 1, 16)
+        header = hw.bytes()
+        header += bytes([_crc8(header)])
+
+        bw = _Writer()
+        if stereo == "independent":
+            for c in range(nch):
+                _encode_subframe(bw, [int(x) for x in blk[:, c]], bps)
+        else:
+            left = [int(x) for x in blk[:, 0]]
+            right = [int(x) for x in blk[:, 1]]
+            side = [l - rr for l, rr in zip(left, right)]
+            if stereo == "left-side":
+                _encode_subframe(bw, left, bps)
+                _encode_subframe(bw, side, bps + 1)
+            elif stereo == "right-side":
+                _encode_subframe(bw, side, bps + 1)
+                _encode_subframe(bw, right, bps)
+            else:  # mid-side
+                mid = [(l + rr) >> 1 for l, rr in zip(left, right)]
+                _encode_subframe(bw, mid, bps)
+                _encode_subframe(bw, side, bps + 1)
+        bw.align()
+        frame = header + bw.bytes()
+        frame += struct.pack(">H", _crc16(frame))
+        out += frame
+    return bytes(out)

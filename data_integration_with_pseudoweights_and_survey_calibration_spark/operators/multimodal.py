@@ -99,6 +99,10 @@ def extract_features(
             return codecs.image_features(codecs.decode_gif(b), dim)
         if kind == "wav":
             return codecs.audio_features(*codecs.decode_wav(b), dim)
+        if kind == "flac":
+            from .flac import decode_flac
+
+            return codecs.audio_features(*decode_flac(b), dim)
         if kind == "avi":
             # Motion-JPEG: mean of per-frame image features — a real
             # whole-clip summary (every frame decodes); per-frame
@@ -115,7 +119,7 @@ def extract_features(
             return _fake_features(b, dim)
         raise ValueError(
             "decoder='real' handles PNG, JPEG (baseline+progressive), GIF, "
-            "WAV and MJPEG/AVI video (pure-stdlib/NumPy codecs); got "
+            "WAV, FLAC and MJPEG/AVI video (pure-stdlib/NumPy codecs); got "
             f"unrecognized bytes (first 8: {b[:8]!r}). Pass "
             "on_unknown='fake' to degrade gracefully, or wire a codec "
             "for this format into operators/codecs.py"
@@ -127,7 +131,7 @@ def extract_features(
                 raise NotImplementedError(
                     "this format needs a codec not present in this "
                     "environment (H.264-class video -> pyav/ffmpeg); "
-                    "PNG/JPEG/GIF/WAV/MJPEG-AVI work today via "
+                    "PNG/JPEG/GIF/WAV/FLAC/MJPEG-AVI work today via "
                     "decoder='real' (operators/codecs.py, "
                     "operators/video.py), byte-derived features via "
                     "decoder='fake'"

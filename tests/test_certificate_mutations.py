@@ -21,7 +21,8 @@ Covered twins (one mutation each):
    (kw_kernels), the Silverman IQR/1.34 constant (survey_scalars),
    the reverse risk-set direction (hazard_grid), the as-of predicate
    (events_flow), the MJPEG frame count, the GIF first-pixel
-   statement and the WAV duration arithmetic (media_features).
+   statement, the WAV duration arithmetic and the FLAC lossless
+   first-sample statement (media_features).
 
    NOT mutatable by design: the gaussian dnorm normalizer
    (sqrt(2 pi)) cancels in kw = sum(w k)/sum(k) — it is not
@@ -134,6 +135,12 @@ MUTATIONS = [
         "* 1000 // 8000",  # WAV probe duration arithmetic
         "* 1000 // 4000",
         "wav-duration",
+    ),
+    (
+        "media_features",
+        "bytes[1] * 128 - 16384",  # FLAC lossless first-sample statement
+        "bytes[1] * 128 - 16383",
+        "flac-value",
     ),
 ]
 

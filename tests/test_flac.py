@@ -1,0 +1,226 @@
+"""FLAC codec (operators/flac.py) gates: bit-exact round trips through
+the hermetic encoder (all stereo decorrelations, constant blocks, tiny
+and default block sizes), hand-built frames for the decode paths the
+subset encoder never emits (LPC prediction, Rice method 1, escape
+partitions, wasted bits), STREAMINFO probe, fuzz (truncation and
+corruption raise ValueError only), and the Spark extract_features
+dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+    codecs,
+    flac,
+    multimodal,
+)
+
+
+def _pcm16(x: np.ndarray) -> np.ndarray:
+    return np.clip(np.rint(np.asarray(x, dtype=np.float64) * 32768), -32768, 32767)
+
+
+def _tone(n=12000, sr=16000, seed=3):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    return (
+        0.4 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.normal(size=n)
+    ).astype(np.float32)
+
+
+def test_flac_mono_roundtrip_bit_exact():
+    sig = _tone()
+    dec, sr = flac.decode_flac(flac.encode_flac(sig, 16000))
+    assert sr == 16000 and dec.shape == (len(sig), 1)
+    np.testing.assert_array_equal(_pcm16(dec[:, 0]), _pcm16(sig))
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left-side", "right-side", "mid-side"]
+)
+def test_flac_stereo_decorrelations_bit_exact(mode):
+    sig = _tone(8000)
+    st = np.stack([sig, np.roll(sig, 3) * 0.9], axis=1).astype(np.float32)
+    dec, _ = flac.decode_flac(flac.encode_flac(st, 16000, stereo=mode))
+    np.testing.assert_array_equal(_pcm16(dec), _pcm16(st))
+
+
+def test_flac_constant_and_tiny_blocks():
+    dec, _ = flac.decode_flac(
+        flac.encode_flac(np.zeros(5000, dtype=np.float32), 8000, block_size=192)
+    )
+    assert dec.shape == (5000, 1) and (dec == 0).all()
+
+
+def test_flac_probe_and_probe_bytes():
+    blob = flac.encode_flac(_tone(4000, sr=22050), 22050)
+    p = flac.probe_flac(blob)
+    assert (p["sample_rate"], p["n_channels"], p["bits_per_sample"]) == (
+        22050, 1, 16,
+    )
+    assert p["duration_ms"] == 4000 * 1000 // 22050
+    pb = codecs.probe_bytes(blob)
+    assert (pb["format"], pb["sample_rate"], pb["duration_ms"]) == (
+        "flac", 22050, p["duration_ms"],
+    )
+    assert codecs.sniff(blob) == "flac"
+
+
+def _handbuilt_frame(samples, *, lpc=None, rice2=False, wasted=0,
+                     escape=False, sr=8000):
+    """A single-frame FLAC stream written bit-by-bit, exercising
+    decoder paths the subset encoder never emits.  ``lpc`` = (coefs,
+    shift) encodes `samples` as an LPC subframe (residuals computed
+    here); otherwise VERBATIM.  ``rice2`` uses residual method 1;
+    ``escape`` forces the escape partition; ``wasted`` shifts samples
+    down by k bits and declares k wasted bits."""
+    bps = 16
+    n = len(samples)
+    w = flac._Writer()
+    w.write(0x3FFE, 14)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(7, 4)       # 16-bit blocksize-1 follows
+    w.write(0, 4)       # sample rate from STREAMINFO
+    w.write(0, 4)       # 1 channel
+    w.write(4, 3)       # 16 bps
+    w.write(0, 1)
+    w.write(0, 8)       # frame number 0 (UTF-8 1 byte)
+    w.write(n - 1, 16)
+    header = w.bytes()
+    header += bytes([flac._crc8(header)])
+
+    b = flac._Writer()
+    b.write(0, 1)
+    eff = bps - wasted
+    vals = [s >> wasted for s in samples]
+    if lpc is None:
+        b.write(1, 6)  # VERBATIM
+        b.write(1 if wasted else 0, 1)
+        if wasted:
+            b.unary(wasted - 1)
+        for s in vals:
+            b.write(s & ((1 << eff) - 1), eff)
+    else:
+        coefs, shift = lpc
+        order = len(coefs)
+        b.write(32 | (order - 1), 6)
+        b.write(1 if wasted else 0, 1)
+        if wasted:
+            b.unary(wasted - 1)
+        for s in vals[:order]:
+            b.write(s & ((1 << eff) - 1), eff)
+        prec = 12
+        b.write(prec - 1, 4)
+        b.write(shift, 5)
+        for c in coefs:
+            b.write(c & ((1 << prec) - 1), prec)
+        res = [
+            vals[i]
+            - (sum(c * vals[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+            for i in range(order, n)
+        ]
+        plen = 5 if rice2 else 4
+        b.write(1 if rice2 else 0, 2)
+        b.write(0, 4)  # partition order 0
+        if escape:
+            b.write((1 << plen) - 1, plen)
+            raw = max(e.bit_length() + 1 for e in res) if res else 1
+            b.write(raw, 5)
+            for e in res:
+                b.write(e & ((1 << raw) - 1), raw)
+        else:
+            param = 6
+            b.write(param, plen)
+            for e in res:
+                u = ((-e << 1) - 1) if e < 0 else (e << 1)
+                b.unary(u >> param)
+                b.write(u & ((1 << param) - 1), param)
+    b.align()
+    frame = header + b.bytes()
+    frame += int.to_bytes(flac._crc16(frame), 2, "big")
+
+    si = flac._Writer()
+    si.write(n, 16)
+    si.write(n, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sr, 20)
+    si.write(0, 3)   # 1 channel
+    si.write(bps - 1, 5)
+    si.write(n, 36)
+    body = si.bytes() + bytes(16)
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body + frame
+
+
+def test_flac_decodes_lpc_rice2_escape_wasted():
+    rng = np.random.default_rng(9)
+    base = np.cumsum(rng.integers(-50, 51, size=300)).astype(np.int64)
+    samples = [int(v) for v in np.clip(base, -30000, 30000)]
+
+    # plain LPC, rice method 0
+    blob = _handbuilt_frame(samples, lpc=([1024, -512], 10))
+    dec, sr = flac.decode_flac(blob)
+    np.testing.assert_array_equal(_pcm16(dec[:, 0]), samples)
+    assert sr == 8000
+
+    # LPC + rice method 1 (5-bit parameter); coef must fit signed-12
+    dec, _ = flac.decode_flac(
+        _handbuilt_frame(samples, lpc=([1024], 10), rice2=True)
+    )
+    np.testing.assert_array_equal(_pcm16(dec[:, 0]), samples)
+
+    # LPC + escape partition (verbatim residuals)
+    dec, _ = flac.decode_flac(
+        _handbuilt_frame(samples, lpc=([1024, -512], 10), escape=True)
+    )
+    np.testing.assert_array_equal(_pcm16(dec[:, 0]), samples)
+
+    # wasted bits: samples divisible by 8 -> 3 wasted bits
+    s8 = [s & ~7 for s in samples]
+    dec, _ = flac.decode_flac(_handbuilt_frame(s8, lpc=([512], 9), wasted=3))
+    np.testing.assert_array_equal(_pcm16(dec[:, 0]), s8)
+    dec, _ = flac.decode_flac(_handbuilt_frame(s8, lpc=([1024], 10), wasted=3))
+    np.testing.assert_array_equal(_pcm16(dec[:, 0]), s8)
+
+    # verbatim + wasted bits
+    dec, _ = flac.decode_flac(_handbuilt_frame(s8, wasted=3))
+    np.testing.assert_array_equal(_pcm16(dec[:, 0]), s8)
+
+
+def test_flac_malformed_raises_valueerror_only():
+    good = flac.encode_flac(_tone(2000), 16000)
+    for bad in (
+        b"",
+        b"fLaC",
+        b"fLaC" + bytes(10),
+        good[:30],
+        good[:-5],
+        good[:60] + b"\xff\xff" + good[62:],  # corrupt frame area
+        b"RIFF1234WAVE",
+    ):
+        with pytest.raises(ValueError):
+            flac.decode_flac(bad)
+
+
+def test_flac_extract_features_spark(spark):
+    sig = _tone(4000)
+    blob = flac.encode_flac(sig, 16000)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    row = (
+        multimodal.extract_features(df, decoder="real", dim=6)
+        .select("feature")
+        .collect()[0]
+    )
+    expect = codecs.audio_features(*flac.decode_flac(blob), 6)
+    np.testing.assert_allclose(row["feature"], expect, rtol=1e-6)
+    # FLAC and WAV of the same signal featurize identically (both
+    # decode to the same 16-bit PCM)
+    wav_feat = codecs.audio_features(
+        *codecs.decode_wav(codecs.encode_wav(sig, 16000)), 6
+    )
+    np.testing.assert_allclose(row["feature"], wav_feat, atol=2e-4)
