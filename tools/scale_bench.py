@@ -775,6 +775,61 @@ def pq_ladder(
     print(json.dumps({"op": "ivfpq", "dim": dim, "points": points}))
 
 
+def flac_ladder(spark, sizes: list[int], clip_s: float = 1.0) -> None:
+    """Audio decode throughput through the PRODUCTION path
+    (Arrow-batched ``extract_features(decoder='real')``): FLAC vs WAV
+    for the same 16 kHz mono PCM — prices the per-sample Python
+    bitstream loop honestly against the numpy WAV read (same contract
+    as the JPEG rung, §3l)."""
+    import numpy as np
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+        codecs,
+        multimodal,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.flac import (
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(5)
+    sr = 16000
+    nsamp = int(sr * clip_s)
+    t = np.arange(nsamp) / sr
+    points = []
+    for n in sizes:
+        clips = [
+            (
+                0.3 * np.sin(2 * np.pi * (200 + 13 * i) * t)
+                + 0.03 * rng.normal(size=nsamp)
+            ).astype(np.float32)
+            for i in range(n)
+        ]
+        for mode, enc in (
+            ("flac", lambda c: encode_flac(c, sr)),
+            ("wav", lambda c: codecs.encode_wav(c, sr)),
+        ):
+            df = spark.createDataFrame(
+                [(i, bytearray(enc(c))) for i, c in enumerate(clips)],
+                "media_id long, content binary",
+            ).localCheckpoint()
+            t0 = time.time()
+            got = multimodal.extract_features(df, decoder="real", dim=8).count()
+            wall = time.time() - t0
+            assert got == n
+            points.append(
+                {
+                    "mode": mode,
+                    "n_clips": n,
+                    "clip_s": clip_s,
+                    "wall_sec": round(wall, 2),
+                    "clips_per_s": round(n / wall, 1),
+                    "audio_s_per_s": round(n * clip_s / wall, 1),
+                }
+            )
+            print(json.dumps(points[-1]), flush=True)
+    print(json.dumps({"op": "flac_decode", "points": points}))
+
+
 def jpeg_ladder(spark, sizes: list[int]) -> None:
     """Codec throughput through the PRODUCTION path (Arrow-batched
     ``multimodal.extract_features(decoder='real')``): baseline vs
@@ -1290,6 +1345,16 @@ def main() -> None:
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
         jpeg_ladder(spark, sizes)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--flac":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [200, 800]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        flac_ladder(spark, sizes)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--warc":
         sizes = (
