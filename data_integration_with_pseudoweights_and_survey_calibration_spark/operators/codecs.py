@@ -678,6 +678,36 @@ def probe_bytes(b: bytes) -> dict:
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         w, h = struct.unpack("<HH", b[6:10])
         out.update(format="gif", width=w, height=h)
+        # animation duration: block walk over HEADERS + sub-block
+        # LENGTH bytes only (LZW payloads skipped by size, never
+        # decoded) summing GCE delays (centiseconds).  Malformed
+        # tails degrade to dims-only, they never raise.
+        try:
+            pos = 13 + (3 * (2 << (b[10] & 7)) if b[10] & 0x80 else 0)
+            delay_cs = 0
+
+            def _skip_subblocks(p: int) -> int:
+                while b[p]:
+                    p += 1 + b[p]
+                return p + 1
+
+            while pos < len(b) and b[pos] != 0x3B:
+                if b[pos] == 0x21:  # extension
+                    if b[pos + 1] == 0xF9 and b[pos + 2] >= 4:
+                        delay_cs += struct.unpack(
+                            "<H", b[pos + 4 : pos + 6]
+                        )[0]
+                    pos = _skip_subblocks(pos + 2)
+                elif b[pos] == 0x2C:  # image descriptor
+                    ipk = b[pos + 9]
+                    pos += 10 + (3 * (2 << (ipk & 7)) if ipk & 0x80 else 0)
+                    pos = _skip_subblocks(pos + 1)  # +1 = LZW min code
+                else:
+                    break
+            if delay_cs:
+                out.update(duration_ms=delay_cs * 10)
+        except IndexError:
+            pass
         return out
     if b[:2] == b"BM" and len(b) >= 26:
         w, h = struct.unpack("<ii", b[18:26])

@@ -399,3 +399,33 @@ def test_gif_roundtrip_property():
         np.testing.assert_array_equal(dec[:, :, 2], img)
 
     check()
+
+
+def test_gif_probe_animation_duration():
+    """probe_bytes sums GCE frame delays (headers + sub-block length
+    bytes only — no LZW decode) into duration_ms for animated GIFs;
+    single-frame stills keep duration None."""
+    rng = np.random.default_rng(16)
+    f1 = codecs.encode_gif(rng.integers(0, 256, (6, 6), dtype=np.uint8))
+    f2 = codecs.encode_gif(rng.integers(0, 256, (6, 6), dtype=np.uint8))
+    assert codecs.probe_bytes(f1)["duration_ms"] is None
+
+    def gce(delay_cs):
+        return b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+
+    hdr_len = 13 + 3 * 256  # header + identity gray GCT
+    anim = (
+        f1[:-1]                      # header + GCT + frame 1, minus trailer
+        + gce(7) + f2[hdr_len:-1]    # delayed frame 2 (descriptor onward)
+        + b"\x3b"
+    )
+    p = codecs.probe_bytes(anim)
+    assert p["format"] == "gif" and (p["width"], p["height"]) == (6, 6)
+    assert p["duration_ms"] == 70
+    # the first frame still decodes (animation composition out of scope)
+    np.testing.assert_array_equal(
+        codecs.decode_gif(anim), codecs.decode_gif(f1)
+    )
+    # truncated tail: dims survive, duration degrades to None
+    pt = codecs.probe_bytes(anim[: hdr_len + 5])
+    assert pt["format"] == "gif" and pt["duration_ms"] is None
