@@ -1,0 +1,188 @@
+"""Multimodal corpus audit: the media twin of ``curation_pipeline.py``.
+
+A crawl drop lands as a directory of opaque media files.  Before any
+expensive decode, a 100 TB pipeline wants the HEADER-ONLY triage —
+format histogram, resolution/duration screens, corrupt-file routing —
+and only then pixel/sample decode for the survivors:
+
+    media directory (mixed formats, some corrupt)
+      -> spark.read.format("binaryFile")       (per-FILE parallelism)
+      -> sniff + probe_media                   (headers only: format,
+         dims, sample rate, duration — operators/codecs.py)
+      -> audit gates: unknown format -> quarantine; images below a
+         resolution floor / clips below a duration floor -> rejected
+      -> REAL decode + featurization of the survivors only
+         (extract_features(decoder='real'): PNG, JPEG incl.
+         progressive, GIF, WAV, FLAC, MJPEG-AVI — operators/codecs.py,
+         operators/jpeg.py, operators/flac.py, operators/video.py)
+      -> per-format feature summary
+
+Self-checking: the demo fixture plants known counts per format, one
+corrupt blob and one sub-floor image, and asserts every stage's
+output matches — run it, and a green exit IS the audit invariant.
+
+Usage:
+    python examples/media_audit.py [media_dir]
+    # with no args, builds a self-contained mixed-media fixture.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark import get_spark
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+    codecs,
+    multimodal,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.flac import (
+    encode_flac,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.video import (
+    encode_mjpeg_avi,
+)
+
+MIN_PIXELS = 64          # images below this resolution are rejected
+MIN_DURATION_MS = 200    # clips shorter than this are rejected
+
+
+def _demo_fixture(work: str) -> dict[str, int]:
+    """Write a mixed-media directory; return planted per-format counts."""
+    rng = np.random.default_rng(29)
+    sr = 8000
+    t = np.arange(sr) / sr  # 1 s of audio
+    counts = {"png": 3, "jpeg": 3, "gif": 2, "wav": 2, "flac": 2, "avi": 1}
+    i = 0
+
+    def put(name: str, blob: bytes) -> None:
+        nonlocal i
+        with open(os.path.join(work, f"{i:03d}-{name}"), "wb") as f:
+            f.write(blob)
+        i += 1
+
+    for _ in range(counts["png"]):
+        put("img.png", codecs.encode_png(
+            rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)))
+    for _ in range(counts["jpeg"]):
+        put("img.jpg", codecs.encode_jpeg(
+            rng.integers(0, 256, (16, 16), dtype=np.uint8), quality=90))
+    for _ in range(counts["gif"]):
+        put("img.gif", codecs.encode_gif(
+            rng.integers(0, 256, (16, 16), dtype=np.uint8)))
+    for _ in range(counts["wav"]):
+        put("clip.wav", codecs.encode_wav(
+            0.3 * np.sin(2 * np.pi * 440 * t).astype(np.float32), sr))
+    for _ in range(counts["flac"]):
+        put("clip.flac", encode_flac(
+            0.3 * np.sin(2 * np.pi * 330 * t).astype(np.float32), sr))
+    for _ in range(counts["avi"]):
+        # 8 frames at 25 fps = 320 ms, above the duration floor
+        put("clip.avi", encode_mjpeg_avi(
+            [np.full((8, 8), 77, dtype=np.uint8)] * 8, fps=25, quality=100))
+    # planted rejects: one unknown blob, one 4x4 PNG below the floor
+    put("junk.bin", b"\x00\x01not a media file")
+    put("tiny.png", codecs.encode_png(np.zeros((4, 4), dtype=np.uint8)))
+    return counts
+
+
+def main() -> None:
+    spark = get_spark("media-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = None
+    if len(sys.argv) > 1:
+        media_dir = sys.argv[1]
+        planted = None
+    else:
+        work = tempfile.mkdtemp(prefix="sg_media_")
+        planted = _demo_fixture(work)
+        media_dir = work
+
+    try:
+        raw = (
+            spark.read.format("binaryFile")
+            .load(media_dir)
+            .select(
+                # probe/extract schemas key on a LONG id; the path
+                # stays joinable for humans via the same hash
+                F.xxhash64("path").alias("media_id"),
+                F.col("path"),
+                F.col("content"),
+            )
+        )
+
+        # ---- stage 1: header-only triage (no pixel/sample decode) ----
+        probed = multimodal.probe_media(raw, id_col="media_id").join(
+            raw.select("media_id", "content"), "media_id"
+        )
+        hist = {
+            r["format"]: r["n"]
+            for r in probed.groupBy("format")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print("format histogram:", hist)
+
+        quarantined = probed.where(F.col("format").isNull())
+        too_small = probed.where(
+            F.col("width").isNotNull()
+            & (F.col("width") * F.col("height") < MIN_PIXELS)
+        )
+        too_short = probed.where(
+            F.col("duration_ms").isNotNull()
+            & (F.col("duration_ms") < MIN_DURATION_MS)
+        )
+        survivors = (
+            probed.where(F.col("format").isNotNull())
+            .join(too_small.select("media_id"), "media_id", "left_anti")
+            .join(too_short.select("media_id"), "media_id", "left_anti")
+        )
+        n_q, n_small, n_surv = (
+            quarantined.count(), too_small.count(), survivors.count()
+        )
+        print(f"quarantined={n_q} below_floor={n_small} survivors={n_surv}")
+
+        # ---- stage 2: REAL decode of the survivors only ----
+        feats = multimodal.extract_features(
+            survivors.select("media_id", "content"),
+            id_col="media_id",
+            decoder="real",
+            dim=8,
+        )
+        summary = (
+            feats.join(probed.select("media_id", "format"), "media_id")
+            .groupBy("format")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg(F.element_at("feature", 1)), 4).alias("f1_mean"),
+            )
+            .orderBy("format")
+        )
+        summary.show(truncate=False)
+
+        if planted is not None:
+            total = sum(planted.values())
+            assert n_q == 1, n_q                      # the junk blob
+            assert n_small == 1, n_small              # the 4x4 PNG
+            assert n_surv == total, (n_surv, total)
+            for fmt, n in planted.items():
+                want = n + (1 if fmt == "png" else 0)  # tiny.png probes as png
+                assert hist.get(fmt) == want, (fmt, hist)
+            assert feats.where(F.col("feature").isNull()).count() == 0
+            print("media audit invariants: ALL GREEN")
+    finally:
+        if work:
+            shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
