@@ -91,6 +91,7 @@ from .operators.pq import (  # noqa: E402,F401
     ivfpq_topk,
     pq_codebooks,
     pq_encode,
+    sdc_cosine_udf,
     sdc_table,
 )
 from .operators.propensity import fit_propensity, integrate  # noqa: E402,F401
@@ -182,6 +183,7 @@ __all__ = [
     "ivfpq_topk",
     "pq_codebooks",
     "pq_encode",
+    "sdc_cosine_udf",
     "sdc_table",
     "read_csv_corpus",
     "read_jsonl_corpus",

@@ -706,7 +706,8 @@ def probe_bytes(b: bytes) -> dict:
                     break
             if delay_cs:
                 out.update(duration_ms=delay_cs * 10)
-        except IndexError:
+        except (IndexError, struct.error):
+            # truncated mid-GCE/descriptor: dims-only, never raise
             pass
         return out
     if b[:2] == b"BM" and len(b) >= 26:

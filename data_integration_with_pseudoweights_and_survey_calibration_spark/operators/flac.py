@@ -229,7 +229,9 @@ def probe_flac(content: bytes) -> dict | None:
         "sample_rate": rate,
         "n_channels": ch,
         "bits_per_sample": bps,
-        "duration_ms": int(total * 1000 // rate) if rate else None,
+        # total_samples == 0 is spec-legal "unknown length" (streamed
+        # captures): report None like the WAV/MP4 probes, not 0 ms
+        "duration_ms": int(total * 1000 // rate) if rate and total else None,
     }
 
 

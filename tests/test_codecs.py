@@ -429,3 +429,19 @@ def test_gif_probe_animation_duration():
     # truncated tail: dims survive, duration degrades to None
     pt = codecs.probe_bytes(anim[: hdr_len + 5])
     assert pt["format"] == "gif" and pt["duration_ms"] is None
+
+
+def test_gif_probe_never_raises_on_any_truncation():
+    """Round-7 review fix: a GIF truncated ANYWHERE inside the
+    animation walk (mid-GCE included) probes as dims-only — struct
+    short-reads must degrade, not raise."""
+    rng = np.random.default_rng(17)
+    f1 = codecs.encode_gif(rng.integers(0, 256, (6, 6), dtype=np.uint8))
+    f2 = codecs.encode_gif(rng.integers(0, 256, (6, 6), dtype=np.uint8))
+    anim = (
+        f1[:-1] + b"\x21\xf9\x04\x00" + struct.pack("<H", 7) + b"\x00\x00"
+        + f2[13 + 768 : -1] + b"\x3b"
+    )
+    for cut in range(len(f1), len(anim)):
+        p = codecs.probe_bytes(anim[:cut])
+        assert p["format"] == "gif" and p["width"] == 6

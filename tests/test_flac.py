@@ -224,3 +224,17 @@ def test_flac_extract_features_spark(spark):
         *codecs.decode_wav(codecs.encode_wav(sig, 16000)), 6
     )
     np.testing.assert_allclose(row["feature"], wav_feat, atol=2e-4)
+
+
+def test_flac_probe_unknown_length_reports_none():
+    """STREAMINFO total_samples == 0 is spec-legal 'unknown length'
+    (streamed captures): duration_ms must be None, not 0 — otherwise
+    duration floors wrongly reject every unknown-length stream."""
+    blob = bytearray(flac.encode_flac(np.zeros(1000, dtype=np.float32), 8000))
+    # total_samples(36) = low nibble of abs byte 21 + abs bytes 22..25
+    blob[21] &= 0xF0
+    for k in range(22, 26):
+        blob[k] = 0
+    p = flac.probe_flac(bytes(blob))
+    assert p["duration_ms"] is None
+    assert (p["sample_rate"], p["n_channels"]) == (8000, 1)

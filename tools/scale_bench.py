@@ -631,14 +631,20 @@ def semantic_ladder(
     for n in sizes:
         emb = synth_embeddings(spark, n).localCheckpoint()
         pq_kw = {}
+        pq_train = 0.0
         if use_pq:
             from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.pq import (
                 pq_codebooks,
             )
 
+            # timed separately and REPORTED: a one-time model cost
+            # (codebooks are reused across corpus reruns), unlike the
+            # per-run pair stage below — §3j charges it both ways
+            t0 = time.time()
             pq_kw = {
                 "pq_codebooks": pq_codebooks(emb, m=8, ksub=256, max_iter=2)
             }
+            pq_train = time.time() - t0
         # candidate volume is ~ n^2 / k: size cells to ~2k rows so the
         # within-cell compare stays bounded as n grows (the SemDeDup
         # recall/cost dial)
@@ -661,6 +667,7 @@ def semantic_ladder(
                 "n_cells": k,
                 "n_probe": n_probe,
                 "pq_prefilter": bool(use_pq),
+                "pq_train_sec": round(pq_train, 2),
                 "planted_found": int(planted),
                 "planted_recall": round(recall, 4),
                 "pairs_total": int(total),
@@ -708,6 +715,7 @@ def pq_ladder(
             & (F.col("vec_id") > 0)
         ).localCheckpoint()
         nq = queries.count()
+        assert nq > 0, f"--pq rung n={n} too small for planted queries"
 
         t0 = time.time()
         cb = pqmod.pq_codebooks(emb, m=m, ksub=ksub, max_iter=2)
