@@ -22,6 +22,8 @@ stub.  Scope (documented, guarded):
   prediction, Rice residuals incl. escapes, all four stereo
   decorrelations, 8-24 bps) + a hermetic 16-bit fixed-predictor
   encoder; the speech-corpus ingest format (LibriSpeech et al.).
+- BMP (round 7): uncompressed BI_RGB — 8-bit paletted, 24-bit BGR,
+  32-bit BGRA, bottom-up or top-down; RLE/bitfields raise.
 
 Everything is deterministic and executor-side safe (no global state);
 the per-row cost is NumPy-vectorized except the per-scanline unfilter
@@ -48,7 +50,7 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 def sniff(content: bytes) -> str | None:
     """Cheap magic-byte format sniff:
-    'png' | 'wav' | 'jpeg' | 'avi' | 'gif' | 'flac' | None."""
+    'png' | 'wav' | 'jpeg' | 'avi' | 'gif' | 'flac' | 'bmp' | None."""
     if content.startswith(_PNG_MAGIC):
         return "png"
     if content.startswith(_RIFF_MAGIC) and content[8:12] == b"WAVE":
@@ -61,6 +63,8 @@ def sniff(content: bytes) -> str | None:
         return "gif"
     if content[:4] == b"fLaC":
         return "flac"
+    if content[:2] == b"BM" and len(content) >= 54:
+        return "bmp"
     return None
 
 
@@ -230,6 +234,78 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
         f.setframerate(int(sample_rate))
         f.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# --------------------------------------------------------------------------
+# BMP (Windows BITMAPINFOHEADER, uncompressed BI_RGB)
+# --------------------------------------------------------------------------
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """BMP bytes -> (height, width, 3) uint8 RGB.  Scope: the
+    uncompressed BI_RGB forms a crawl actually contains — 8-bit
+    paletted, 24-bit BGR, 32-bit BGRA (alpha dropped), bottom-up or
+    top-down rows, BITMAPINFOHEADER-or-larger DIB headers.  RLE and
+    bitfield compressions raise ValueError."""
+    if content[:2] != b"BM" or len(content) < 54:
+        raise ValueError("not a BMP (bad magic or truncated header)")
+    pix_off = struct.unpack("<I", content[10:14])[0]
+    hdr_size = struct.unpack("<I", content[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"BMP: unsupported DIB header size {hdr_size}")
+    w, h = struct.unpack("<ii", content[18:26])
+    bpp = struct.unpack("<H", content[28:30])[0]
+    comp = struct.unpack("<I", content[30:34])[0]
+    if comp != 0:
+        raise ValueError(f"BMP: unsupported compression {comp} (BI_RGB only)")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"BMP: unsupported bit depth {bpp}")
+    if w <= 0 or h == 0:
+        raise ValueError("BMP: bad dimensions")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * bpp // 8 + 3) & ~3  # rows padded to 4 bytes
+    if pix_off + stride * h > len(content):
+        raise ValueError("BMP: pixel data truncated")
+    raw = np.frombuffer(
+        content, dtype=np.uint8, count=stride * h, offset=pix_off
+    ).reshape(h, stride)
+    if not top_down:
+        raw = raw[::-1]
+    if bpp == 8:
+        n_colors = struct.unpack("<I", content[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_colors > len(content):
+            raise ValueError("BMP: palette truncated")
+        pal = np.frombuffer(
+            content, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(n_colors, 4)[:, [2, 1, 0]]  # BGRA -> RGB
+        idx = raw[:, :w]
+        if idx.max(initial=0) >= n_colors:
+            raise ValueError("BMP: pixel index outside palette")
+        return pal[idx]
+    ch = bpp // 8
+    px = raw[:, : w * ch].reshape(h, w, ch)
+    return px[:, :, [2, 1, 0]].copy()  # BGR(A) -> RGB, alpha dropped
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 -> 24-bit BI_RGB BMP bytes
+    (bottom-up).  The hermetic round-trip twin of ``decode_bmp``."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, [2, 1, 0]].reshape(h, w * 3)  # RGB->BGR
+    pix = rows.tobytes()
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    )
+    return header + pix
 
 
 # --------------------------------------------------------------------------

@@ -97,6 +97,8 @@ def extract_features(
             return codecs.image_features(codecs.decode_jpeg(b), dim)
         if kind == "gif":
             return codecs.image_features(codecs.decode_gif(b), dim)
+        if kind == "bmp":
+            return codecs.image_features(codecs.decode_bmp(b), dim)
         if kind == "wav":
             return codecs.audio_features(*codecs.decode_wav(b), dim)
         if kind == "flac":
@@ -119,7 +121,7 @@ def extract_features(
             return _fake_features(b, dim)
         raise ValueError(
             "decoder='real' handles PNG, JPEG (baseline+progressive), GIF, "
-            "WAV, FLAC and MJPEG/AVI video (pure-stdlib/NumPy codecs); got "
+            "BMP, WAV, FLAC and MJPEG/AVI video (pure-stdlib codecs); got "
             f"unrecognized bytes (first 8: {b[:8]!r}). Pass "
             "on_unknown='fake' to degrade gracefully, or wire a codec "
             "for this format into operators/codecs.py"

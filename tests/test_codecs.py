@@ -445,3 +445,55 @@ def test_gif_probe_never_raises_on_any_truncation():
     for cut in range(len(f1), len(anim)):
         p = codecs.probe_bytes(anim[:cut])
         assert p["format"] == "gif" and p["width"] == 6
+
+
+# ---------------------------------------------------------------------------
+# BMP (round 7): uncompressed BI_RGB
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(7, 5, 3), (6, 6), (9, 3, 3)])
+def test_bmp_roundtrip(shape):
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    dec = codecs.decode_bmp(codecs.encode_bmp(img))
+    expect = img if img.ndim == 3 else np.repeat(img[:, :, None], 3, axis=2)
+    np.testing.assert_array_equal(dec, expect)
+    assert codecs.sniff(codecs.encode_bmp(img)) == "bmp"
+
+
+def test_bmp_paletted_topdown_and_32bit():
+    # hand-build an 8-bit paletted, TOP-DOWN (negative height) BMP
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (5, 6), dtype=np.uint8)
+    h, w = idx.shape
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = idx
+    pal_bgra = np.zeros((16, 4), dtype=np.uint8)
+    pal_bgra[:, :3] = pal[:, [2, 1, 0]]
+    off = 54 + 64
+    blob = (
+        b"BM" + struct.pack("<IHHI", off + rows.size, 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 8, 0, rows.size, 0, 0, 16, 0)
+        + pal_bgra.tobytes() + rows.tobytes()
+    )
+    np.testing.assert_array_equal(codecs.decode_bmp(blob), pal[idx])
+    # 32-bit BGRA, bottom-up: alpha dropped
+    img = rng.integers(0, 256, (4, 3, 3), dtype=np.uint8)
+    raw = np.zeros((4, 12), dtype=np.uint8)
+    raw.reshape(4, 3, 4)[:, :, :3] = img[::-1][:, :, [2, 1, 0]]
+    blob32 = (
+        b"BM" + struct.pack("<IHHI", 54 + raw.size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 4, 1, 32, 0, raw.size, 0, 0, 0, 0)
+        + raw.tobytes()
+    )
+    np.testing.assert_array_equal(codecs.decode_bmp(blob32), img)
+
+
+def test_bmp_malformed_raises_valueerror_only():
+    good = codecs.encode_bmp(rng.integers(0, 256, (5, 5), dtype=np.uint8))
+    rle = bytearray(good)
+    rle[30] = 1  # BI_RLE8
+    for bad in (b"", b"BM", good[:53], good[:-7], bytes(rle)):
+        with pytest.raises(ValueError):
+            codecs.decode_bmp(bad)
