@@ -3001,48 +3001,62 @@ def _sql_lsh_topk() -> str:
 
 
 def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF machinery at n_probe == n_lists: the probe join scans every
-    cell, so the result is EXACTLY brute-force top-k -- hash-checked
-    against the same oracle SQL (gates the quantizer + index join +
-    scoring plumbing end to end)."""
+    """IVF and IVF-PQ machinery as a method-labeled union (merged in
+    round 8 so the whole registry fits inside the driver's 50-row
+    correctness window with zero lost evidence -- the
+    ``dedup_pairs``/``kw_kernels`` pattern).
+
+    Branch ``ivf``: n_probe == n_lists, so the probe join scans every
+    cell and the result is EXACTLY brute-force top-k (gates the
+    quantizer + index join + scoring plumbing end to end).
+
+    Branch ``pq``: IVF-PQ at n_probe == n_lists with a re-rank window
+    wider than the corpus: every candidate survives the ADC cut and is
+    exact-cosine re-ranked, so the result is also EXACTLY brute-force
+    top-k.  This executes (and therefore gates) the full IVF-PQ path:
+    coarse assignment, sub-quantizer codebook training, binary m-byte
+    encode, per-query LUT build, the Arrow ADC gather (the finite
+    ``rerank`` keeps the ADC window in the executed plan --
+    ``rerank=None`` would let Catalyst prune the unused score), and
+    the re-rank join back to original vectors.
+
+    Both branches are hash-checked against the same brute-force oracle
+    cross-joined with the two method labels."""
     emb = _emb(spark, sf_dir)
     # exactness at full probe holds for ANY centroids: one Lloyd pass
     # is enough for the gate (quantizer quality only matters at
     # partial probe)
-    out = ivf_topk(
+    ivf_out = ivf_topk(
         emb, emb.where(F.col("vec_id") < 5), 3, n_lists=8, n_probe=8,
         max_iter=1,
-    )
-    return out.select(
+    ).select(
+        F.lit("ivf").alias("method"),
         "query_id",
         "neighbor_id",
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
-
-
-def _q_pq_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ machinery at n_probe == n_lists with a re-rank window
-    wider than the corpus: every candidate survives the ADC cut and is
-    exact-cosine re-ranked, so the result is EXACTLY brute-force top-k
-    -- hash-checked against the same oracle SQL.  This executes (and
-    therefore gates) the full IVF-PQ path end to end: coarse
-    assignment, sub-quantizer codebook training, binary m-byte encode,
-    per-query LUT build, the Arrow ADC gather (the finite ``rerank``
-    keeps the ADC window in the executed plan -- ``rerank=None`` would
-    let Catalyst prune the unused score), and the re-rank join back to
-    original vectors."""
-    emb = _emb(spark, sf_dir)
-    out = ivfpq_topk(
+    pq_out = ivfpq_topk(
         emb, emb.where(F.col("vec_id") < 5), 3, n_lists=8, n_probe=8,
         m=8, ksub=16, rerank=1_000_000, max_iter=1,
-    )
-    return out.select(
+    ).select(
+        F.lit("pq").alias("method"),
         "query_id",
         "neighbor_id",
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
+    return ivf_out.unionByName(pq_out)
+
+
+def _sql_ivf_pq_topk() -> str:
+    """Brute-force top-k (the exactness oracle for BOTH full-probe IVF
+    and full-probe+corpus-re-rank IVF-PQ) labeled per method."""
+    return f"""
+    SELECT m.method, t.query_id, t.neighbor_id, t.cosine, t.rank
+    FROM ({_sql_embedding_topk()}) t
+    CROSS JOIN (VALUES ('ivf'), ('pq')) AS m(method)
+    """
 
 
 def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4502,11 +4516,12 @@ def _sql_survey_scalars(sf_dir: str) -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 declared queries — consolidated in round 3 so EVERY entry
-    fits inside the driver's 50-row correctness window. Certificate
-    siblings were merged, never dropped: each former standalone query
-    survives as a labeled branch / joined column set of a merged entry
-    (see the per-query docstrings), so every SURVEY §2 operator keeps a
+    """50 declared queries — consolidated (round 3, re-fitted round 8
+    after pq_topk merged into ivf_topk) so EVERY entry fits inside the
+    driver's 50-row correctness window. Certificate siblings were
+    merged, never dropped: each former standalone query survives as a
+    labeled branch / joined column set of a merged entry (see the
+    per-query docstrings), so every SURVEY §2 operator keeps a
     value-checked driver row."""
     return {
         # survey / statistics core
@@ -4556,7 +4571,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": _q_embedding_pca,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk_exact,
-        "pq_topk": _q_pq_topk_exact,
         # events suite
         "events_windowed": _q_events_windowed,
         "events_totals": _q_events_totals,
@@ -4619,13 +4633,13 @@ def oracle_sql() -> dict[str, str]:
         # lsh_topk: deterministic hyperplanes inlined into the oracle,
         # so even the APPROXIMATE candidate sets are value-checked
         "lsh_topk": _sql_lsh_topk(),
-        # ivf_topk runs at full probe: scanning every cell makes the
-        # result exactly brute-force top-k, same oracle
-        "ivf_topk": _sql_embedding_topk(),
-        # pq_topk runs at full probe + corpus-wide re-rank: the exact
-        # re-rank (same cosine fold as brute force) restores the exact
-        # answer after the ADC stage executes, same oracle
-        "pq_topk": _sql_embedding_topk(),
+        # ivf_topk (merged r8): the 'ivf' branch runs at full probe
+        # (scanning every cell == brute force) and the 'pq' branch at
+        # full probe + corpus-wide exact re-rank (same cosine fold as
+        # brute force restores the exact answer after the ADC stage
+        # executes) -- both hash-checked against the same brute-force
+        # oracle, labeled per method
+        "ivf_topk": _sql_ivf_pq_topk(),
         "events_windowed": _sql_events_windowed(),
         "events_totals": _sql_events_totals(),
         "events_flow": _sql_events_flow(),

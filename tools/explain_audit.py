@@ -131,9 +131,11 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", "pair generation is a hash equi-join on bucket keys, not a nested loop"),
         (r"Join \[_cell#\d+\], \[_cell#\d+\]|hashpartitioning\(_cell", "round 6: the SemDeDup branch joins on the cell id only (cluster-then-compare, no all-pairs stage; AQE broadcasts the small side here, shuffles on _cell at scale)"),
     ],
-    "pq_topk": [
+    "ivf_topk": [
+        # merged r8: the query unions the full-probe IVF branch and the
+        # full IVF-PQ branch; these checks cover the union plan
         (r"ArrowEvalPython|MapInPandas", "PQ encode / coarse assign / ADC gather run as Arrow-batched passes, never row-at-a-time"),
-        (r"count<=0:BatchEvalPython", "no row-at-a-time Python anywhere in the IVF-PQ path"),
+        (r"count<=0:BatchEvalPython", "no row-at-a-time Python anywhere in the IVF / IVF-PQ path"),
         (r"count<=0:CartesianProduct", "candidates come from the _list equi-join + broadcast id joins — no all-pairs stage"),
         (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", "probe join is a hash equi-join on the coarse cell id"),
     ],
