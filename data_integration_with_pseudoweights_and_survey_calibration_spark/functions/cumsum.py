@@ -42,31 +42,45 @@ def partitioned_cumsum(
     tie-group total (rangeBetween semantics).
     """
     value_cols = list(value_cols)
-    edges = df.approxQuantile(
-        order_col, [i / n_buckets for i in range(1, n_buckets)], 0.001
-    )
-    # Strictly increasing interior edges; equal order values can never
-    # straddle a bucket boundary because assignment is by `x <= edge`.
-    edges = sorted(set(edges))
-    bucket = F.lit(len(edges))
-    for i in range(len(edges) - 1, -1, -1):
-        bucket = F.when(F.col(order_col) <= F.lit(edges[i]), F.lit(i)).otherwise(bucket)
-    out = df.withColumn("_csb", bucket)
+    # The input is consumed three times (quantile probe, per-bucket
+    # totals, the caller's final action); persist across the two
+    # internal jobs and release before returning.  The caller's action
+    # re-derives the input lineage once, which BOUNDS the cache
+    # lifetime to this call — callers (hazard_grid, cox._grid_terms,
+    # arbitrary users) never have to know a persist happened, and
+    # nothing leaks for the rest of the session (round-8 fix: the old
+    # route-level persist had no release path outside cox).
+    df = df.persist()
+    try:
+        edges = df.approxQuantile(
+            order_col, [i / n_buckets for i in range(1, n_buckets)], 0.001
+        )
+        # Strictly increasing interior edges; equal order values can never
+        # straddle a bucket boundary because assignment is by `x <= edge`.
+        edges = sorted(set(edges))
+        bucket = F.lit(len(edges))
+        for i in range(len(edges) - 1, -1, -1):
+            bucket = F.when(
+                F.col(order_col) <= F.lit(edges[i]), F.lit(i)
+            ).otherwise(bucket)
+        out = df.withColumn("_csb", bucket)
 
-    order = F.col(order_col).desc() if reverse else F.col(order_col).asc()
-    win = (
-        Window.partitionBy("_csb")
-        .orderBy(order)
-        .rangeBetween(Window.unboundedPreceding, 0)
-    )
-    for v in value_cols:
-        out = out.withColumn(f"{out_prefix}{v}", F.sum(v).over(win))
+        order = F.col(order_col).desc() if reverse else F.col(order_col).asc()
+        win = (
+            Window.partitionBy("_csb")
+            .orderBy(order)
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        for v in value_cols:
+            out = out.withColumn(f"{out_prefix}{v}", F.sum(v).over(win))
 
-    totals = (
-        out.groupBy("_csb")
-        .agg(*[F.sum(v).alias(f"_t_{v}") for v in value_cols])
-        .collect()
-    )
+        totals = (
+            out.groupBy("_csb")
+            .agg(*[F.sum(v).alias(f"_t_{v}") for v in value_cols])
+            .collect()
+        )
+    finally:
+        df.unpersist(blocking=False)
     totals_by_bucket = {int(r["_csb"]): r for r in totals}
     order_ids = sorted(totals_by_bucket)
     if reverse:
@@ -97,38 +111,56 @@ def partitioned_cumsum(
 AUTO_GRID_ROWS = 1_000_000
 
 
-def resolve_grid_route(df: DataFrame, grid_partitions, *, threshold: int | None = None):
-    """Route a grid cumsum: return ``(grid, n_buckets | None)``.
+def grid_route_buckets(
+    source: DataFrame,
+    order_col: str,
+    grid_partitions,
+    *,
+    threshold: int | None = None,
+) -> int | None:
+    """Decide the cumsum route for a distinct-value grid derived from
+    ``source[order_col]``: ``None`` -> single-partition window; int n
+    -> two-pass ``partitioned_cumsum`` at n buckets.
 
     ``grid_partitions`` semantics (shared by ``survival.hazard_grid``
     and ``cox._grid_terms`` so callers never have to know the grid is
     huge):
 
-    - ``"auto"`` (the default upstream): persist the grid (it is about
-      to be consumed at least twice and is always far smaller than the
-      source table), count it — the count job materializes the cache
-      the downstream plan then reuses, so the aggregation still runs
-      ONCE — and pick the two-pass ``partitioned_cumsum`` when the
-      grid exceeds ``threshold`` rows (continuous event times at
-      population scale; reference grids are the distinct-event-time
-      table, thousands of rows, and keep the window).  The bucketed
-      recipe is exact, so the routing never changes values — only the
-      floating-point association, which is why the cutover sits far
-      above every certificate geometry.
+    - ``"auto"`` (the default upstream): probe the distinct-value
+      count with ONE ``approx_count_distinct`` job over the pruned
+      ``source[order_col]`` column — HLL partials over a single
+      column, far cheaper than materializing the grid aggregation
+      itself, and NOTHING is persisted (round-8 rework: the old
+      persist+count of the full grid had no release path outside cox
+      and re-ran per Cox Newton iteration).  **NOTE: "auto" launches
+      an eager Spark job at plan-CONSTRUCTION time**; callers that
+      need fully lazy plan building must pass ``None`` or an int.
+      Routing never changes values (the bucketed recipe is exact) —
+      only the floating-point association and the parallelism — so
+      the ~5 % HLL error near the threshold is harmless, and the
+      cutover sits far above every certificate geometry.
     - ``None``: always the single-partition window (pre-round-7
-      behavior).
-    - an int: force the two-pass path at that parallelism.
+      behavior; fully lazy).
+    - an int: force the two-pass path at that parallelism (lazy).
+
+    Iterative fitters should resolve the route ONCE per fit and pass
+    the resolved value down — the distinct-time grid's row count is
+    invariant across e.g. Cox Newton iterations (β changes values,
+    never the set of distinct t), so re-probing per iteration is pure
+    waste (``cox_fit`` does this hoist).
     """
     if threshold is None:
         threshold = AUTO_GRID_ROWS  # read at call time so tests can lower it
     if grid_partitions is None:
-        return df, None
+        return None
     if grid_partitions == "auto":
-        grid = df.persist()
-        if grid.count() <= threshold:
-            return grid, None
+        n = source.select(
+            F.approx_count_distinct(order_col).alias("n")
+        ).collect()[0]["n"]
+        if n <= threshold:
+            return None
         sp = int(
-            grid.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            source.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
-        return grid, max(32, sp)
-    return df, int(grid_partitions)
+        return max(32, sp)
+    return int(grid_partitions)

@@ -56,14 +56,6 @@ class CoxFit:
         return F.exp(linear_predictor(list(self.x_cols), self.beta))
 
 
-def _release_grid(grid: DataFrame) -> None:
-    """Drop the auto-route's persisted grid once its one consumer has
-    collected (the Newton loop builds a fresh grid every iteration)."""
-    cache = getattr(grid, "_grid_cache", None)
-    if cache is not None:
-        cache.unpersist(blocking=False)
-
-
 def _grid_terms(
     df: DataFrame,
     x_cols: Sequence[str],
@@ -79,10 +71,12 @@ def _grid_terms(
     ``grid_partitions="auto"`` (default) routes the reverse cumsums to
     the two-pass distributed recipe when the distinct-time grid exceeds
     ``cumsum.AUTO_GRID_ROWS`` — continuous-time data at population
-    scale never hits a single-partition window.  The auto route
-    persists the grid (so the count job's aggregation is reused); the
-    handle rides the returned frame as ``_grid_cache`` and the Newton
-    loop releases it each iteration.
+    scale never hits a single-partition window.  The "auto" probe is
+    one cheap ``approx_count_distinct(t)`` job (eager at call time;
+    nothing persisted — see ``cumsum.grid_route_buckets``).  The
+    distinct-t count is β-invariant, so ``cox_fit`` resolves the route
+    ONCE and passes the resolved value here for every Newton iteration
+    instead of re-probing per pass (round-8 hoist).
     """
     p = len(x_cols)
     we = F.col(w) * F.exp(linear_predictor(list(x_cols), beta))
@@ -98,9 +92,9 @@ def _grid_terms(
             )
     grid = df.groupBy(F.col(t).alias("_t")).agg(*aggs)
 
-    from ..functions.cumsum import resolve_grid_route
+    from ..functions.cumsum import grid_route_buckets
 
-    grid, n_buckets = resolve_grid_route(grid, grid_partitions)
+    n_buckets = grid_route_buckets(df, t, grid_partitions)
     vcols = (
         ["s0p"]
         + [f"s1p_{i}" for i in range(p)]
@@ -131,12 +125,9 @@ def _grid_terms(
             for i in range(p)
             for j in range(i, p)
         ]
-    out = cummed.select(
+    return cummed.select(
         "_t", "du", *[F.col(f"dx_{i}") for i in range(p)], *cols
     )
-    if grid_partitions == "auto":
-        out._grid_cache = grid  # released by the consumer post-collect
-    return out
 
 
 def _score_hessian(
@@ -194,23 +185,29 @@ def cox_fit(
     beta = np.zeros(p) if init is None else np.asarray(init, dtype=float)
     base = df.select(*dict.fromkeys([t, d, w, *x_cols])).cache()
     try:
+        # Resolve the huge-grid route ONCE: the distinct-t grid's row
+        # count is invariant across Newton iterations (β changes
+        # values, never the set of distinct t), so probing per
+        # iteration is pure waste (round-7 regression, fixed r8).  The
+        # probe job doubles as the cache materializer for `base`.
+        from ..functions.cumsum import grid_route_buckets
+
+        route = grid_route_buckets(base, t, "auto")
         converged = False
         it = 0
         u = np.zeros(p)
         h = np.eye(p)
         for it in range(1, max_iter + 1):
-            grid = _grid_terms(base, x_cols, beta, t, d, w)
+            grid = _grid_terms(base, x_cols, beta, t, d, w, route)
             u, h, _ = _score_hessian(grid, p)
-            _release_grid(grid)
             step = solve_sym(h, u)
             beta = beta + step
             if float(np.max(np.abs(step))) < tol:
                 converged = True
                 break
         # Final score check at the solution (reference ``U()`` diagnostic).
-        grid = _grid_terms(base, x_cols, beta, t, d, w)
+        grid = _grid_terms(base, x_cols, beta, t, d, w, route)
         u, h, snorm = _score_hessian(grid, p)
-        _release_grid(grid)
     finally:
         base.unpersist(blocking=False)
     return CoxFit(tuple(x_cols), beta, it, converged, snorm, h)
@@ -228,6 +225,4 @@ def cox_score_norm(
     """I23: sum |U(beta)| -- the reference's solver self-check
     (``taylor_deviate.R:1167-1198``)."""
     grid = _grid_terms(df, list(x_cols), np.asarray(beta, float), t, d, w)
-    out = _score_hessian(grid, len(x_cols))[2]
-    _release_grid(grid)
-    return out
+    return _score_hessian(grid, len(x_cols))[2]

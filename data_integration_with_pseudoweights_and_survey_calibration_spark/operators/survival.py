@@ -49,15 +49,22 @@ def hazard_grid(
     the n x T indicator matrices with the grid recipe above.
     Output: one row per distinct *event* time, ascending.
 
-    ``grid_partitions``: ``"auto"`` (default) counts the grid once (the
-    count materializes the persisted grid the rest of the plan reuses)
-    and switches the reverse cumsums to the two-pass distributed recipe
-    (``functions/cumsum.py``) when the grid exceeds
-    ``cumsum.AUTO_GRID_ROWS`` — huge grids (continuous event times at
-    population scale) never hit a single-partition window without the
-    caller having to know.  ``None`` forces the window; an int forces
-    the two-pass path at that parallelism.
+    ``grid_partitions``: ``"auto"`` (default) probes the distinct-time
+    count with one cheap column-pruned ``approx_count_distinct`` job
+    (**an eager Spark job at call time** — pass ``None``/an int for
+    fully lazy plan building) and switches the reverse cumsums to the
+    two-pass distributed recipe (``functions/cumsum.py``) when the
+    grid exceeds ``cumsum.AUTO_GRID_ROWS`` — huge grids (continuous
+    event times at population scale) never hit a single-partition
+    window without the caller having to know.  Nothing is persisted on
+    the probe (round-8 fix: the old persist+count leaked one cached
+    grid per call); the two-pass path's internal persist is released
+    inside ``partitioned_cumsum``.  ``None`` forces the window; an int
+    forces the two-pass path at that parallelism.
     """
+    from ..functions.cumsum import grid_route_buckets
+
+    n_buckets = grid_route_buckets(df, t, grid_partitions)
     rel = F.lit(1.0) if rel_hzd is None else (
         F.col(rel_hzd) if isinstance(rel_hzd, str) else rel_hzd
     )
@@ -73,9 +80,6 @@ def hazard_grid(
     # *descending* time order means every row with the same t shares the
     # full tie-group total -- the reference's tie fix
     # (``taylor_deviate.R:621-626``) for free.
-    from ..functions.cumsum import resolve_grid_route
-
-    grid, n_buckets = resolve_grid_route(grid, grid_partitions)
     if n_buckets is not None:
         from ..functions.cumsum import partitioned_cumsum
 
