@@ -525,6 +525,14 @@ def decode_gif(content: bytes) -> np.ndarray:
             gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
         )
         canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+        if top >= sh or left >= sw:
+            # a frame placed entirely off the logical screen would make
+            # y1 - top negative and slice from the END of the frame —
+            # an opaque shape-mismatch crash instead of a clear error
+            raise ValueError(
+                f"GIF: frame at ({left}, {top}) lies outside the "
+                f"{sw}x{sh} logical screen"
+            )
         y1, x1 = min(top + fh, sh), min(left + fw, sw)
         frame = pal[idx][: y1 - top, : x1 - left]
         if transparent is not None:

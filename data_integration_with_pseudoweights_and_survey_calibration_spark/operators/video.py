@@ -76,29 +76,55 @@ def split_mjpeg_frames(content: bytes) -> list[bytes]:
         (riff_sz,) = struct.unpack("<I", content[4:8])
         hi = min(len(content), 8 + riff_sz)
 
-        frames: list[bytes] = []
-        handler: bytes | None = None
+        # AVI streams are numbered by the order of their 'strl' lists
+        # in hdrl, and movi chunk ids carry that number as the leading
+        # two digits ('00dc', '01wb', ...).  Keep every frame chunk
+        # WITH its id and every 'vids' strh WITH its stream ordinal so
+        # a multi-stream file (video + audio, or two video streams)
+        # yields only the MJPEG stream's frames in order, instead of
+        # interleaving every stream while validating just one handler.
+        chunks: list[tuple[bytes, bytes]] = []  # (chunk id, payload)
+        vids: list[tuple[int, bytes]] = []  # (stream ordinal, handler)
+        n_strl = 0
 
         def walk(lo: int, hi: int) -> None:
-            nonlocal handler
+            nonlocal n_strl
             for cid, blo, bhi in _fourcc_chunks(content, lo, hi):
                 if cid == b"LIST":
                     ltype = content[blo : blo + 4]
-                    if ltype in (b"hdrl", b"strl", b"movi", b"rec "):
+                    if ltype == b"strl":
+                        stream_ix = n_strl
+                        n_strl += 1
+                        for cid2, lo2, hi2 in _fourcc_chunks(
+                            content, blo + 4, bhi
+                        ):
+                            if (
+                                cid2 == b"strh"
+                                and hi2 - lo2 >= 8
+                                and content[lo2 : lo2 + 4] == b"vids"
+                            ):
+                                vids.append(
+                                    (stream_ix, content[lo2 + 4 : lo2 + 8])
+                                )
+                    elif ltype in (b"hdrl", b"movi", b"rec "):
                         walk(blo + 4, bhi)
-                elif cid == b"strh" and bhi - blo >= 8:
-                    if content[blo : blo + 4] == b"vids":
-                        handler = content[blo + 4 : blo + 8]
                 elif cid[2:4] in (b"dc", b"db"):
-                    frames.append(content[blo:bhi])
+                    chunks.append((cid, content[blo:bhi]))
 
         walk(12, hi)
-        if handler is not None and handler not in _VIDEO_HANDLERS_MJPEG:
-            raise ValueError(
-                f"video stream fourcc {handler!r} is not Motion-JPEG; "
-                "H.264-class codecs need an external decoder "
-                "(see multimodal.extract_features decoder tiers)"
-            )
+        if vids:
+            mjpeg = [(ix, h) for ix, h in vids if h in _VIDEO_HANDLERS_MJPEG]
+            if not mjpeg:
+                raise ValueError(
+                    f"video stream fourcc {vids[0][1]!r} is not Motion-JPEG; "
+                    "H.264-class codecs need an external decoder "
+                    "(see multimodal.extract_features decoder tiers)"
+                )
+            want = b"%02d" % mjpeg[0][0]
+            frames = [payload for cid, payload in chunks if cid[:2] == want]
+        else:
+            # header-less fragment: no strl to bind streams, keep all
+            frames = [payload for _, payload in chunks]
         for i, f in enumerate(frames):
             if f[:2] != b"\xff\xd8":
                 raise ValueError(f"frame {i} is not a JPEG (starts {f[:4]!r})")

@@ -497,3 +497,22 @@ def test_bmp_malformed_raises_valueerror_only():
     for bad in (b"", b"BM", good[:53], good[:-7], bytes(rle)):
         with pytest.raises(ValueError):
             codecs.decode_bmp(bad)
+
+
+def test_gif_frame_off_logical_screen_raises_descriptive():
+    """ADVICE r7: a frame descriptor placing the frame entirely off the
+    logical screen must raise a descriptive ValueError, not an opaque
+    NumPy shape-mismatch from a negative end-relative slice."""
+    rng = np.random.default_rng(15)
+    good = bytearray(codecs.encode_gif(rng.integers(0, 256, (9, 9), dtype=np.uint8)))
+    # image separator position: header(6) + LSD(7) + GCT (size from the
+    # LSD packed byte); our encoder emits no GCE for opaque frames
+    packed = good[10]
+    assert packed & 0x80, "encoder always writes a GCT"
+    sep = 13 + 3 * (2 << (packed & 7))
+    assert good[sep] == 0x2C
+    for left, top in ((0, 9), (9, 0), (200, 300)):
+        blob = bytearray(good)
+        blob[sep + 1 : sep + 5] = struct.pack("<HH", left, top)
+        with pytest.raises(ValueError, match="outside the|logical screen"):
+            codecs.decode_gif(bytes(blob))

@@ -120,3 +120,76 @@ def test_video_features_through_spark_path(spark):
     np.testing.assert_allclose(
         out[1]["feature"], out[2]["feature"], atol=1e-4
     )
+
+
+def _chunk(cid: bytes, payload: bytes) -> bytes:
+    return cid + struct.pack("<I", len(payload)) + payload + (
+        b"\x00" if len(payload) & 1 else b""
+    )
+
+
+def _lst(ltype: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", ltype + payload)
+
+
+def _strl(fcc_type: bytes, handler: bytes) -> bytes:
+    strh = fcc_type + handler + b"\x00" * 48
+    strf = b"\x00" * 40
+    return _lst(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+
+
+def _multi_stream_avi(stream0: bytes, stream1: bytes, jpegs, other) -> bytes:
+    """Hand-built two-stream AVI: stream 0 = `stream0` strl, stream 1 =
+    `stream1` strl; movi interleaves stream-1 video chunks (`jpegs`)
+    with stream-0 chunks (`other`, '00wb' audio-style or '00dc')."""
+    avih = struct.pack("<14I", 40000, 0, 0, 0, len(jpegs), 0, 2, 0, 8, 8, 0, 0, 0, 0)
+    hdrl = _lst(b"hdrl", _chunk(b"avih", avih) + stream0 + stream1)
+    movi_chunks = b""
+    for j, o in zip(jpegs, other):
+        movi_chunks += _chunk(o[0], o[1]) + _chunk(b"01dc", j)
+    movi = _lst(b"movi", movi_chunks)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_multi_stream_avi_filters_to_mjpeg_stream():
+    """ADVICE r7: an AVI with an audio stream 0 and an MJPEG video
+    stream 1 must yield ONLY the video stream's frames (not interleave
+    '00wb' audio payloads into the frame list)."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.jpeg import encode_jpeg
+
+    img = np.full((4, 4), 99, dtype=np.uint8)
+    jpegs = [encode_jpeg(img, quality=100) for _ in range(3)]
+    audio = [(b"00wb", b"\x01\x02\x03\x04") for _ in range(3)]
+    avi = _multi_stream_avi(_strl(b"auds", b"\x01\x00\x00\x00"), _strl(b"vids", b"MJPG"), jpegs, audio)
+    frames = split_mjpeg_frames(avi)
+    assert len(frames) == 3
+    for f in frames:
+        assert f[:2] == b"\xff\xd8"
+    dec = decode_mjpeg(avi)
+    assert len(dec) == 3 and all((d[:, :, 0] == 99).all() for d in dec)
+
+
+def test_two_video_streams_picks_the_mjpeg_one():
+    """Two 'vids' streams where only stream 1 is MJPEG: the splitter
+    keeps the MJPEG stream's chunks and ignores the other video
+    stream's, instead of failing on (or mixing in) the non-MJPEG one."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.jpeg import encode_jpeg
+
+    img = np.full((4, 4), 50, dtype=np.uint8)
+    jpegs = [encode_jpeg(img, quality=100) for _ in range(2)]
+    h264 = [(b"00dc", b"\x00\x00\x00\x01\x67") for _ in range(2)]
+    avi = _multi_stream_avi(_strl(b"vids", b"H264"), _strl(b"vids", b"MJPG"), jpegs, h264)
+    frames = split_mjpeg_frames(avi)
+    assert len(frames) == 2 and all(f[:2] == b"\xff\xd8" for f in frames)
+
+
+def test_all_video_streams_non_mjpeg_still_guarded():
+    """If no vids stream is MJPEG the fourcc guard still fires."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.jpeg import encode_jpeg
+
+    img = np.full((4, 4), 50, dtype=np.uint8)
+    jpegs = [encode_jpeg(img, quality=100)]
+    avi = _multi_stream_avi(_strl(b"vids", b"H264"), _strl(b"auds", b"\x01\x00\x00\x00"), jpegs, [(b"00dc", b"\x00\x00\x01")])
+    with pytest.raises(ValueError, match="H.264|not Motion-JPEG"):
+        split_mjpeg_frames(avi)
