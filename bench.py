@@ -38,8 +38,10 @@ any pass after the very first invocation of the session.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -50,7 +52,14 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.session im
     get_spark,
 )
 
-LOAD_GATE = 2.0
+# Tightened 2.0 -> 1.0 in round 8: BENCH_r07 started at load 1.91 —
+# under the old gate on a technicality but visibly contaminated (~5s
+# of its 79.4s total was box noise vs a clean 74.2s rerun).
+LOAD_GATE = 1.0
+# Self-check: if the median per-query ratio vs the previous round's
+# artifact exceeds this for queries present in both, something other
+# than the code changed (machine load, zombie JVM) — warn loudly.
+RATIO_WARN = 1.10
 
 
 def _load1() -> float:
@@ -73,6 +82,58 @@ def _wait_for_quiet(max_wait_s: float) -> float:
         time.sleep(10)
         load = _load1()
     return load
+
+
+def _prev_round_queries(sf: float) -> tuple[str, dict[str, float]] | None:
+    """Per-query timings from the newest parseable BENCH_r*.json in the
+    repo root (the driver's artifact from the previous round) recorded
+    at the SAME scale factor, for the median-ratio self-check.
+    Returns (artifact name, queries) or None."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    arts = [
+        p
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
+    ]
+    for path in sorted(arts, reverse=True):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            parsed = doc.get("parsed") if isinstance(doc, dict) else None
+            qs = (parsed or {}).get("queries")
+            if (
+                isinstance(qs, dict)
+                and qs
+                and abs(float(parsed.get("sf", -1.0)) - sf) < 1e-9
+            ):
+                return os.path.basename(path), {
+                    k: float(v) for k, v in qs.items()
+                }
+        except (OSError, ValueError, TypeError):
+            continue
+    return None
+
+
+def _median_ratio(
+    now: dict[str, float], prev: dict[str, float]
+) -> tuple[float | None, int]:
+    """Median of now/prev over queries present in both rounds and slow
+    enough for the ratio to mean something (>= 0.3 s previously — a
+    0.05 s query's jitter would dominate otherwise)."""
+    ratios = sorted(
+        now[k] / prev[k]
+        for k in now
+        if k in prev and prev[k] >= 0.3 and now[k] > 0
+    )
+    if not ratios:
+        return None, 0
+    mid = len(ratios) // 2
+    med = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    return round(med, 3), len(ratios)
 
 
 def main() -> None:
@@ -119,6 +180,22 @@ def main() -> None:
         run(name, lambda fn=fn: fn(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
+    # Contamination self-check vs the previous round's artifact: code
+    # changes move individual queries, but the MEDIAN ratio across all
+    # shared queries only moves when the box does.
+    prev = _prev_round_queries(sf)
+    ratio, n_shared = (None, 0)
+    prev_name = None
+    if prev is not None:
+        prev_name, prev_qs = prev
+        ratio, n_shared = _median_ratio(timings, prev_qs)
+        if ratio is not None and ratio > RATIO_WARN:
+            print(
+                f"bench: WARNING median ratio vs {prev_name} is {ratio} "
+                f"over {n_shared} shared queries (> {RATIO_WARN}) — this "
+                "run is likely load-contaminated; rerun on a quiet box",
+                file=sys.stderr,
+            )
     # first_pass on its OWN line, before the official one: the driver
     # captures a bounded tail of stdout, so the official line must be
     # short and last (see module docstring).
@@ -134,6 +211,8 @@ def main() -> None:
                 "passes": passes,
                 "load_start": round(load_start, 2),
                 "load_end": round(_load1(), 2),
+                "ratio_prev": ratio,
+                "prev": prev_name,
             }
         )
     )
