@@ -30,10 +30,18 @@ Scale story per stage:
   so with ``n_probe == n_lists`` and ``rerank=None`` the output is
   EXACTLY the brute-force answer (the driver-row correctness gate).
 
-Variant note: this is "IVF + PQ on the raw (normalized) vector", not
-residual-encoded IVFADC; residual encoding refines quantizer quality
-but changes no plan shape, and the exactness/recall gates here do not
-depend on it.
+Variant note (round 8): the IVF path is residual-encoded IVFADC by
+default -- the FAISS-standard refinement where PQ quantizes the
+residual ``x_hat - c(x)`` against per-subspace codebooks TRAINED on
+residuals, and ADC scores ``q_hat . x_hat ~= q_hat . c_list +
+sum_s lut[s, code_s]`` (the coarse term is one (|Q| x n_lists) table
+gather).  Residuals are far more concentrated than raw vectors, so
+the same ``m`` bytes buy materially better ADC ranking at identical
+(n_probe, rerank); the plan shape is unchanged (same codes column,
+same ``_list`` equi-join), and the exactness gates do not depend on
+it (ADC only selects, never reports).  ``residual=False`` restores
+the raw-vector encoding; the SDC SemDeDup prefilter keeps raw codes
+(SDC needs both sides in ONE codebook space, independent of cell).
 
 Reference parity: the reference repo (R) has no ANN surface at all --
 this module is part of the training-data-pipeline extension mandated
@@ -74,11 +82,9 @@ def _normalize_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
-def _codes_udf(codebooks: np.ndarray, as_binary: bool):
-    """Arrow-batched PQ encoder: embedding batch -> ``m`` sub-quantizer
-    cell ids (argmin L2 per subspace, over the L2-NORMALIZED vector so
-    ADC approximates cosine).  NULL embeddings map to NULL codes
-    (nulls never pair, same contract as the dedup family).
+def _encode_mats(codebooks: np.ndarray):
+    """Dense encode operands shared by the raw and residual encoders:
+    the block-diagonal codeword matrix and the flat ``||c||^2`` row.
 
     The ``m`` per-subspace dot-product stacks are ONE dense
     block-diagonal GEMM ``(b, dim) @ (dim, m*ksub)``: a batched
@@ -86,34 +92,51 @@ def _codes_udf(codebooks: np.ndarray, as_binary: bool):
     elements, a shape BLAS runs at under 1 GFLOPS -- the dense GEMM
     spends 4x the FLOPs to go ~20x faster (measured in the --pq
     ladder).  The zero blocks add exact 0.0 terms, so scores differ
-    from the per-subspace formulation only by float summation order.
-    The score pass is in-place (one (b, m*ksub) buffer)."""
+    from the per-subspace formulation only by float summation order."""
     cb = codebooks.astype(np.float64)  # (m, ksub, dsub)
     m, ksub, dsub = cb.shape
     dim = m * dsub
     # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c drops ||x||^2
-    cb_sq = (cb**2).sum(axis=2)  # (m, ksub)
-    cb_sq_flat = cb_sq.reshape(-1)  # (m*ksub,)
+    cb_sq_flat = (cb**2).sum(axis=2).reshape(-1)  # (m*ksub,)
     blockdiag = np.zeros((dim, m * ksub))
     for s in range(m):
         blockdiag[s * dsub : (s + 1) * dsub, s * ksub : (s + 1) * ksub] = cb[
             s
         ].T
+    return m, ksub, blockdiag, cb_sq_flat
+
+
+def _encode_mat(
+    mat: np.ndarray, m: int, ksub: int, blockdiag: np.ndarray, cb_sq_flat: np.ndarray
+) -> np.ndarray:
+    """(b, dim) float64 -> (b, m) uint8 argmin codes.  The score pass
+    is in-place (one (b, m*ksub) buffer)."""
+    scores = mat @ blockdiag  # (b, m*ksub) dots, zero blocks exact
+    scores *= -2.0
+    scores += cb_sq_flat[None, :]
+    return (
+        scores.reshape(-1, ksub).argmin(axis=1).astype(np.uint8)
+    ).reshape(len(mat), m)
+
+
+def _codes_udf(codebooks: np.ndarray, as_binary: bool, normalize: bool = True):
+    """Arrow-batched PQ encoder: embedding batch -> ``m`` sub-quantizer
+    cell ids (argmin L2 per subspace, over the L2-NORMALIZED vector so
+    ADC approximates cosine; ``normalize=False`` for inputs that are
+    already in quantizer space, e.g. residuals).  NULL embeddings map
+    to NULL codes (nulls never pair, same contract as the dedup
+    family)."""
+    m, ksub, blockdiag, cb_sq_flat = _encode_mats(codebooks)
 
     def _encode_block(vecs: pd.Series) -> list:
         mask = vecs.notna().to_numpy()
         out: list = [None] * len(vecs)
         if not mask.any():
             return out
-        mat = _normalize_rows(
-            np.stack(vecs[mask].to_numpy()).astype(np.float64)
-        )  # (b, dim)
-        scores = mat @ blockdiag  # (b, m*ksub) dots, zero blocks exact
-        scores *= -2.0
-        scores += cb_sq_flat[None, :]
-        codes = (
-            scores.reshape(-1, ksub).argmin(axis=1).astype(np.uint8)
-        ).reshape(len(mat), m)
+        mat = np.stack(vecs[mask].to_numpy()).astype(np.float64)  # (b, dim)
+        if normalize:
+            mat = _normalize_rows(mat)
+        codes = _encode_mat(mat, m, ksub, blockdiag, cb_sq_flat)
         vals = (
             [r.tobytes() for r in codes]
             if as_binary
@@ -136,6 +159,69 @@ def _codes_udf(codebooks: np.ndarray, as_binary: bool):
     return encode
 
 
+def _residual_udf(centroids: np.ndarray):
+    """Arrow-batched residual extractor: embedding batch -> the IVFADC
+    quantizer-space vector ``x_hat - c(x)`` (normalized vector minus
+    its nearest coarse centroid by dot product -- centroids are
+    unit-norm from ``kmeans_centroids``).  NULL in -> NULL out."""
+    cen = centroids.astype(np.float64)
+
+    @pandas_udf("array<double>")
+    def resid(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batches:
+            mask = vecs.notna().to_numpy()
+            out: list = [None] * len(vecs)
+            if mask.any():
+                mat = _normalize_rows(
+                    np.stack(vecs[mask].to_numpy()).astype(np.float64)
+                )
+                assign = np.argmax(mat @ cen.T, axis=1)
+                res = mat - cen[assign]
+                j = 0
+                for i, ok in enumerate(mask):
+                    if ok:
+                        out[i] = res[j]
+                        j += 1
+            yield pd.Series(out, dtype=object)
+
+    return resid
+
+
+def _residual_codes_udf(centroids: np.ndarray, codebooks: np.ndarray):
+    """Combined IVFADC assign + encode: one Arrow pass that normalizes
+    the vector, picks the nearest coarse centroid (``_list``), and
+    PQ-encodes the residual against the residual-trained codebooks
+    (``_pq``) -- one normalization and one centroid GEMM instead of
+    the two separate UDF passes the raw path pays."""
+    cen = centroids.astype(np.float64)
+    m, ksub, blockdiag, cb_sq_flat = _encode_mats(codebooks)
+
+    @pandas_udf("_list int, _pq binary")
+    def enc(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for vecs in batches:
+            mask = vecs.notna().to_numpy()
+            lists: list = [None] * len(vecs)
+            codes: list = [None] * len(vecs)
+            if mask.any():
+                mat = _normalize_rows(
+                    np.stack(vecs[mask].to_numpy()).astype(np.float64)
+                )
+                assign = np.argmax(mat @ cen.T, axis=1)
+                cmat = _encode_mat(
+                    mat - cen[assign], m, ksub, blockdiag, cb_sq_flat
+                )
+                j = 0
+                for i, ok in enumerate(mask):
+                    if ok:
+                        lists[i] = int(assign[j])
+                        codes[i] = cmat[j].tobytes()
+                        j += 1
+            yield pd.DataFrame({"_list": pd.Series(lists, dtype=object),
+                                "_pq": pd.Series(codes, dtype=object)})
+
+    return enc
+
+
 def pq_codebooks(
     corpus: DataFrame,
     *,
@@ -146,10 +232,19 @@ def pq_codebooks(
     max_iter: int = 6,
     train_fraction: float | None = None,
     train_target: int = 200_000,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Train the ``m`` per-subspace codebooks, fully distributed.
     Returns ``(m, ksub, dsub)`` float64 -- the only driver-resident
     object.
+
+    ``centroids`` (round 8, IVFADC): when the coarse quantizer's
+    centroid matrix is passed, training runs on the RESIDUALS
+    ``x_hat - c(x)`` instead of the normalized vectors -- the
+    FAISS-standard refinement; residuals are much more concentrated
+    than raw vectors, so the same ``(m, ksub)`` budget quantizes them
+    far more accurately.  Residuals are NOT re-normalized (they live
+    in quantizer space, not on the sphere).
 
     Same training discipline as ``similarity.kmeans_centroids``:
 
@@ -193,6 +288,9 @@ def pq_codebooks(
     seeds = _normalize_rows(
         np.stack([np.asarray(r["_v"], dtype=np.float64) for r in seed_rows])
     )
+    if centroids is not None:
+        cen = centroids.astype(np.float64)
+        seeds = seeds - cen[np.argmax(seeds @ cen.T, axis=1)]
     dim = seeds.shape[1]
     if dim % m != 0:
         raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
@@ -202,27 +300,44 @@ def pq_codebooks(
     for s in range(m):
         cb[s] = seeds[:, s * dsub : (s + 1) * dsub]
 
-    # normalized vector as a column expression (re-derived per pass;
-    # cheaper than caching a second materialized copy of the corpus)
-    vecs = train.select(F.col(vec_col).alias("_v")).cache()
+    # training-space vector, computed ONCE in one Arrow pass and
+    # cached: normalized embedding (raw mode) or x_hat - c(x)
+    # (residual mode).  Pre-transforming matters: the old raw-mode
+    # recipe re-derived the norm with a HOF aggregate in the same
+    # projection as the posexplode, which Catalyst evaluates per
+    # EXPLODED row — O(dim^2) work per vector per Lloyd pass (measured
+    # 42.9s -> 4.9s at a 200k/dim-32 rung when pre-transformed).
+    if centroids is not None:
+        xform = _residual_udf(centroids)
+    else:
+        @pandas_udf("array<double>")
+        def xform(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for vecs_b in batches:
+                mask = vecs_b.notna().to_numpy()
+                out: list = [None] * len(vecs_b)
+                if mask.any():
+                    mat = _normalize_rows(
+                        np.stack(vecs_b[mask].to_numpy()).astype(np.float64)
+                    )
+                    j = 0
+                    for i, ok in enumerate(mask):
+                        if ok:
+                            out[i] = mat[j]
+                            j += 1
+                yield pd.Series(out, dtype=object)
+
+    vecs = train.select(xform(F.col(vec_col)).alias("_v")).cache()
     try:
         for _ in range(int(max_iter)):
-            encode = _codes_udf(cb, as_binary=False)
+            # vectors are already in quantizer space
+            encode = _codes_udf(cb, as_binary=False, normalize=False)
             coded = vecs.withColumn("_codes", encode("_v"))
-            # normalized component values, keyed by (position, code of
-            # the subspace that owns the position)
-            nrm = F.sqrt(
-                F.aggregate(
-                    F.transform(F.col("_v"), lambda x: x.cast("double") * x),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-            )
-            nrm = F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm)
+            # training-space component values, keyed by (position, code
+            # of the subspace that owns the position)
             sums = (
                 coded.select(
                     F.posexplode(F.col("_v")).alias("_p", "_x"),
-                    (F.col("_x").cast("double") / nrm).alias("_xn"),
+                    F.col("_x").cast("double").alias("_xn"),
                     F.col("_codes"),
                 )
                 .select(
@@ -269,21 +384,28 @@ def pq_encode(
     return df.withColumn(out_col, _codes_udf(codebooks, as_binary=True)(vec_col))
 
 
-def _adc_udf(codebooks: np.ndarray, luts: dict):
-    """Arrow-batched ADC scorer: (pq code bytes, query id) -> the
-    approximate cosine ``sum_s lut[qid][s, code_s]``.  ``luts`` maps
-    query id -> ``(m, ksub)`` float64 table (normalized-query x
-    codeword dot products); it rides the closure, |Q| x m x ksub
-    doubles.  Scoring is one fancy-index gather + row sum per unique
-    query in the batch -- no per-row Python."""
+def _adc_udf(codebooks: np.ndarray, luts: dict, qdotc: dict | None = None):
+    """Arrow-batched ADC scorer: (pq code bytes, query id[, coarse
+    cell id]) -> the approximate cosine.  ``luts`` maps query id ->
+    ``(m, ksub)`` float64 table (normalized-query x codeword dot
+    products); it rides the closure, |Q| x m x ksub doubles.
+
+    Raw mode (``qdotc=None``): score = ``sum_s lut[qid][s, code_s]``.
+    Residual mode (IVFADC): the code quantizes ``x_hat - c_list``, so
+    score = ``qdotc[qid][list] + sum_s lut[qid][s, code_s]`` where
+    ``qdotc`` maps query id -> the (n_lists,) table of
+    normalized-query x coarse-centroid dots (|Q| x n_lists doubles,
+    also closure-sized).  Scoring is one fancy-index gather + row sum
+    per unique query in the batch -- no per-row Python."""
     m = codebooks.shape[0]
 
     @pandas_udf("double")
     def score(
-        batches: Iterator[tuple[pd.Series, pd.Series]],
+        batches: Iterator[tuple[pd.Series, ...]],
     ) -> Iterator[pd.Series]:
         cols = np.arange(m)
-        for codes, qids in batches:
+        for batch in batches:
+            codes, qids = batch[0], batch[1]
             if len(codes) == 0:
                 yield pd.Series([], dtype="float64")
                 continue
@@ -292,20 +414,29 @@ def _adc_udf(codebooks: np.ndarray, luts: dict):
             ).reshape(len(codes), m)
             out = np.empty(len(codes), dtype=np.float64)
             qarr = qids.to_numpy()
+            lists = batch[2].to_numpy() if qdotc is not None else None
             for qid in pd.unique(qids):
                 sel = qarr == qid
                 out[sel] = luts[qid][cols, code_mat[sel]].sum(axis=1)
+                if qdotc is not None:
+                    out[sel] += qdotc[qid][lists[sel].astype(np.int64)]
             yield pd.Series(out)
 
     return score
 
 
 def _query_luts(
-    queries: DataFrame, codebooks: np.ndarray, id_col: str, vec_col: str
-) -> dict:
-    """One ``(m, ksub)`` dot-product table per query row.  The query
-    set is the broadcast-small side by contract (same as
-    ``brute_force_topk``), so this collect is |Q| x dim."""
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray | None = None,
+) -> tuple[dict, dict | None]:
+    """One ``(m, ksub)`` dot-product table per query row, plus (when
+    ``centroids`` is given, residual/IVFADC mode) one ``(n_lists,)``
+    coarse-dot table per query.  The query set is the broadcast-small
+    side by contract (same as ``brute_force_topk``), so this collect
+    is |Q| x dim."""
     m, ksub, dsub = codebooks.shape
     rows = (
         queries.where(F.col(vec_col).isNotNull())
@@ -313,13 +444,16 @@ def _query_luts(
         .collect()
     )
     luts = {}
+    qdotc: dict | None = {} if centroids is not None else None
     for r in rows:
         q = np.asarray(r["_v"], dtype=np.float64)
         nq = np.linalg.norm(q)
         q = q / (nq if nq else 1.0)
         sub = q.reshape(m, dsub)  # (m, dsub)
         luts[r["_i"]] = np.einsum("md,mkd->mk", sub, codebooks, optimize=True)
-    return luts
+        if qdotc is not None:
+            qdotc[r["_i"]] = centroids.astype(np.float64) @ q
+    return luts, qdotc
 
 
 def sdc_table(codebooks: np.ndarray) -> np.ndarray:
@@ -391,7 +525,7 @@ def adc_topk(
     coded = pq_encode(
         corpus.where(F.col(vec_col).isNotNull()), codebooks, vec_col=vec_col
     ).select(F.col(id_col).alias("neighbor_id"), "_pq")
-    luts = _query_luts(queries, codebooks, query_id_col, vec_col)
+    luts, _ = _query_luts(queries, codebooks, query_id_col, vec_col)
     scorer = _adc_udf(codebooks, luts)
     qids = F.array(*[F.lit(i) for i in luts])
     cand = coded.select(
@@ -417,17 +551,30 @@ def ivfpq_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = True,
 ) -> DataFrame:
     """The stored IVF-PQ index: (id, coarse cell ``_list``, ``m``-byte
     code ``_pq``) for every non-null-vector row.  Build ONCE, persist
     (at scale: write partitioned/bucketed by ``_list`` so probe joins
     are partition-pruned scans), and hand to ``ivfpq_topk(index=...)``
     -- the query path then never touches full vectors except for the
-    |Q| x rerank re-rank fetch."""
+    |Q| x rerank re-rank fetch.
+
+    ``residual=True`` (default, IVFADC): the code quantizes
+    ``x_hat - c_list`` with residual-trained ``codebooks``
+    (``pq_codebooks(centroids=...)``); assign + encode run in ONE
+    Arrow pass.  ``residual=False``: raw normalized-vector codes (two
+    Arrow passes, codebooks trained without centroids).  Queries must
+    use the matching mode -- ``ivfpq_topk`` threads one flag through
+    both sides."""
+    nn = corpus.where(F.col(vec_col).isNotNull())
+    if residual:
+        enc = _residual_codes_udf(centroids, codebooks)
+        return nn.select(
+            F.col(id_col).alias("neighbor_id"), enc(vec_col).alias("_e")
+        ).select("neighbor_id", "_e._list", "_e._pq")
     assign1 = _assign_udf(centroids, 1)
-    return pq_encode(
-        corpus.where(F.col(vec_col).isNotNull()), codebooks, vec_col=vec_col
-    ).select(
+    return pq_encode(nn, codebooks, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.element_at(assign1(vec_col), 1).alias("_list"),
         "_pq",
@@ -453,6 +600,7 @@ def ivfpq_topk(
     codebooks: np.ndarray | None = None,
     index: DataFrame | None = None,
     train_fraction: float | None = None,
+    residual: bool = True,
 ) -> DataFrame:
     """IVF-PQ cosine top-k: probe the ``n_probe`` nearest coarse cells,
     score candidates by ADC over ``m``-byte codes, exact-cosine re-rank
@@ -463,9 +611,18 @@ def ivfpq_topk(
     - every emitted cosine is EXACT (ADC only selects, never reports);
     - with ``n_probe == n_lists`` and ``rerank=None`` (re-rank every
       candidate) the result is EXACTLY brute force -- the driver-row
-      gate (`pq_topk` in ``__spark_entry__``), which certifies coarse
-      assignment, codebook training, binary encode, LUT build, ADC
-      gather and the re-rank join end to end.
+      gate (the `pq` branch of `ivf_topk` in ``__spark_entry__``),
+      which certifies coarse assignment, codebook training, binary
+      encode, LUT build, ADC gather and the re-rank join end to end.
+
+    ``residual=True`` (default, round 8): IVFADC -- codebooks train
+    on and codes quantize the residual ``x_hat - c_list``; ADC adds
+    the per-(query, cell) coarse dot ``q_hat . c_list`` from a
+    closure-sized (|Q| x n_lists) table.  Materially better ADC
+    ranking at identical (n_probe, rerank); same plan shape, and
+    exactness gates are encoding-invariant (ADC only selects).
+    Caller-provided ``codebooks``/``index`` must match the flag
+    (residual codebooks come from ``pq_codebooks(centroids=...)``).
 
     Plan shape: candidates come from ONE equi-join on the coarse cell
     id against the codes-only index projection (``m`` bytes/row); the
@@ -494,12 +651,18 @@ def ivfpq_topk(
         else pq_codebooks(
             corpus_nn, vec_col=vec_col, id_col=id_col, m=m, ksub=ksub,
             max_iter=max_iter, train_fraction=train_fraction,
+            centroids=cen if residual else None,
         )
     )
     if index is None:
         # codes-only index: id + coarse cell + m-byte code
-        index = ivfpq_index(corpus_nn, cen, cb, id_col=id_col, vec_col=vec_col)
-    luts = _query_luts(queries, cb, query_id_col, vec_col)
+        index = ivfpq_index(
+            corpus_nn, cen, cb, id_col=id_col, vec_col=vec_col,
+            residual=residual,
+        )
+    luts, qdotc = _query_luts(
+        queries, cb, query_id_col, vec_col, centroids=cen if residual else None
+    )
     probe = _assign_udf(cen, n_probe)
     q_cells = (
         queries.where(F.col(vec_col).isNotNull())
@@ -511,7 +674,12 @@ def ivfpq_topk(
     cand = index.join(F.broadcast(q_cells), "_list")
     if exclude_self:
         cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
-    scored = cand.withColumn("adc_score", _adc_udf(cb, luts)("_pq", "query_id"))
+    scorer = _adc_udf(cb, luts, qdotc)
+    scored = cand.withColumn(
+        "adc_score",
+        scorer("_pq", "query_id", "_list") if residual
+        else scorer("_pq", "query_id"),
+    )
     if rerank is not None:
         wa = Window.partitionBy("query_id").orderBy(
             F.col("adc_score").desc(), F.col("neighbor_id")

@@ -116,6 +116,7 @@ def test_ivfpq_full_probe_full_rerank_is_exact(emb_df, codebooks):
         pq.ivfpq_topk(
             emb_df, queries, 5, n_lists=8, n_probe=8, m=8, ksub=16,
             rerank=1_000_000, max_iter=1, codebooks=codebooks,
+            residual=False,
         )
         .toPandas()
         .sort_values(["query_id", "rank"])
@@ -123,6 +124,19 @@ def test_ivfpq_full_probe_full_rerank_is_exact(emb_df, codebooks):
     )
     assert (full["neighbor_id"] == exact["neighbor_id"]).all()
     np.testing.assert_allclose(full["cosine"], exact["cosine"], rtol=1e-9)
+    # residual (IVFADC) mode: different codes, same exactness — the
+    # re-rank is encoding-invariant at full probe + corpus-wide window
+    full_r = (
+        pq.ivfpq_topk(
+            emb_df, queries, 5, n_lists=8, n_probe=8, m=8, ksub=16,
+            rerank=1_000_000, max_iter=1,
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert (full_r["neighbor_id"] == exact["neighbor_id"]).all()
+    np.testing.assert_allclose(full_r["cosine"], exact["cosine"], rtol=1e-9)
 
 
 def test_ivfpq_partial_recall_and_exact_cosines(emb_df, codebooks):
@@ -134,7 +148,7 @@ def test_ivfpq_partial_recall_and_exact_cosines(emb_df, codebooks):
     # manifolds sit far above this bound at the same settings.
     approx = pq.ivfpq_topk(
         emb_df, queries, 5, n_lists=8, n_probe=4, m=8, ksub=16,
-        rerank=100, codebooks=codebooks,
+        rerank=100, codebooks=codebooks, residual=False,
     ).toPandas()
     merged = approx.merge(
         exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"),
@@ -146,16 +160,102 @@ def test_ivfpq_partial_recall_and_exact_cosines(emb_df, codebooks):
     assert recall >= 0.5, f"IVF-PQ recall too low: {recall}"
 
 
+def test_ivfadc_residual_recall_not_worse_than_raw(emb_df):
+    """IVFADC (residual) vs raw encoding at identical (n_probe,
+    rerank): residual quantization error is never larger in aggregate,
+    so recall against brute force must hold at least the raw path's
+    floor (on real embedding manifolds it is materially higher — the
+    §3o ladder quantifies it; i.i.d. random vectors are the worst
+    case, so equality is acceptable here)."""
+    queries = emb_df.where(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb_df, queries, 5).toPandas()
+    cen = similarity.kmeans_centroids(emb_df, n_lists=8, max_iter=2)
+    kw = dict(n_lists=8, n_probe=4, m=8, ksub=16, rerank=100,
+              max_iter=2, centroids=cen)
+
+    def recall(residual):
+        approx = pq.ivfpq_topk(
+            emb_df, queries, 5, residual=residual, **kw
+        ).toPandas()
+        merged = approx.merge(
+            exact, on=["query_id", "neighbor_id"], how="inner",
+            suffixes=("_a", "_e"),
+        )
+        np.testing.assert_allclose(
+            merged["cosine_a"], merged["cosine_e"], rtol=1e-9
+        )
+        return len(merged) / len(exact)
+
+    r_res, r_raw = recall(True), recall(False)
+    assert r_res >= max(0.5, r_raw - 0.05), (r_res, r_raw)
+
+
+def test_residual_codebooks_deterministic_and_distinct(emb_df):
+    cen = similarity.kmeans_centroids(emb_df, n_lists=8, max_iter=2)
+    cb1 = pq.pq_codebooks(emb_df, m=8, ksub=16, max_iter=2, centroids=cen)
+    cb2 = pq.pq_codebooks(emb_df, m=8, ksub=16, max_iter=2, centroids=cen)
+    raw = pq.pq_codebooks(emb_df, m=8, ksub=16, max_iter=2)
+    np.testing.assert_array_equal(cb1, cb2)
+    assert not np.array_equal(cb1, raw)
+
+
+def _clustered_emb(spark, n=2000, dim=64, ncl=16, noise=0.04):
+    """Tightly clustered unit vectors — the manifold shape where
+    residual encoding earns its keep (on an i.i.d. sphere the residual
+    norm exceeds 1 and the refinement legitimately ties or loses; the
+    --pqresidual scale rung quantifies both)."""
+    rng = np.random.default_rng(33)
+    centers = rng.normal(size=(ncl, dim))
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    mat = centers[rng.integers(0, ncl, n)] + noise * rng.normal(size=(n, dim))
+    mat /= np.linalg.norm(mat, axis=1)[:, None]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_residual_reconstruction_beats_raw_on_clustered_data(spark):
+    """The point of IVFADC: on clustered data, reconstructing x_hat as
+    c(x) + decode(residual code) beats decoding raw-vector codes —
+    quantizing the residual keeps the coarse information instead of
+    discarding it (Jegou et al. TPAMI 2011 §IV; FAISS by_residual)."""
+    emb = _clustered_emb(spark).localCheckpoint()
+    cen = similarity.kmeans_centroids(emb, n_lists=8, max_iter=3)
+    raw = pq.pq_codebooks(emb, m=8, ksub=16, max_iter=3)
+    res = pq.pq_codebooks(emb, m=8, ksub=16, max_iter=3, centroids=cen)
+    pdf = emb.toPandas()
+    mat = _normalize(np.array(pdf["embedding"].tolist(), dtype=np.float64))
+    m, ksub, dsub = raw.shape
+    assign = np.argmax(mat @ cen.T, axis=1)
+
+    def recon_err(cb, subvecs, base):
+        d2 = (cb**2).sum(axis=2)[None] - 2 * np.einsum(
+            "bmd,mkd->bmk", subvecs, cb
+        )
+        codes = np.argmin(d2, axis=2)
+        dec = cb[np.arange(m)[None], codes].reshape(len(mat), -1)
+        return float(((mat - (base + dec)) ** 2).sum(axis=1).mean())
+
+    err_raw = recon_err(raw, mat.reshape(len(mat), m, dsub), 0.0)
+    err_res = recon_err(
+        res, (mat - cen[assign]).reshape(len(mat), m, dsub), cen[assign]
+    )
+    # measured ~2-3x on the --pqresidual rung; demand a real margin
+    assert err_res < 0.75 * err_raw, (err_res, err_raw)
+
+
 def test_ivfpq_prebuilt_index_matches_inline(emb_df, codebooks):
     """The stored-index query path (build once with ivfpq_index, query
     with index=) must return exactly what the inline path returns, and
     demand the models it was built with."""
     queries = emb_df.where(F.col("vec_id") < 10)
     cen = similarity.kmeans_centroids(emb_df, n_lists=8, max_iter=2)
-    index = pq.ivfpq_index(emb_df, cen, codebooks).localCheckpoint()
+    rcb = pq.pq_codebooks(emb_df, m=8, ksub=16, max_iter=3, centroids=cen)
+    index = pq.ivfpq_index(emb_df, cen, rcb).localCheckpoint()
     kw = dict(
         n_lists=8, n_probe=2, m=8, ksub=16, rerank=20,
-        centroids=cen, codebooks=codebooks,
+        centroids=cen, codebooks=rcb,
     )
     inline = (
         pq.ivfpq_topk(emb_df, queries, 5, **kw)
@@ -181,6 +281,7 @@ def test_ivfpq_null_embeddings_never_pair(spark, emb_df, codebooks):
     out = pq.ivfpq_topk(
         withnull, withnull.where(F.col("vec_id") < 3), 3,
         n_lists=4, n_probe=4, m=8, ksub=16, rerank=64, codebooks=codebooks,
+        residual=False,
     ).toPandas()
     assert (out["neighbor_id"] != 99_999).all()
     assert (out["query_id"] != 99_999).all()
