@@ -234,3 +234,121 @@ def test_read_warc_batches_large_archives(spark, tmp_path):
     assert out.count() == n
     ids = [r["record_id"] for r in out.collect()]
     assert len(set(ids)) == n
+
+
+# ---------------------------------------------------------------------------
+# round 8: ranged multi-task ingest of giant archives (split_bytes)
+# ---------------------------------------------------------------------------
+
+
+def _many_records_gz(n: int, body_bytes: int = 4000) -> bytes:
+    """n per-record gzip members (Common Crawl layout) with sizeable,
+    poorly-compressible bodies so split ranges actually form."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    out = []
+    for i in range(n):
+        body = rng.integers(32, 127, body_bytes, dtype=np.uint8).tobytes()
+        out.append(gzip.compress(_record(f"r{i:05d}", "response", f"http://ex.com/{i}", _http(b"200 OK", body)), compresslevel=1))
+    return b"".join(out)
+
+
+def _rows_key(rows):
+    return sorted(
+        (r["record_id"], r["warc_type"], r["content_length"],
+         None if r["content"] is None else bytes(r["content"]))
+        for r in rows
+    )
+
+
+def test_member_offsets_and_ranges():
+    from io import BytesIO
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        iter_member_offsets,
+        member_split_ranges,
+    )
+
+    blob = _many_records_gz(20)
+    offs = list(iter_member_offsets(BytesIO(blob).read))
+    assert len(offs) == 20
+    assert offs[0][0] == 0 and offs[-1][1] == len(blob)
+    # contiguous, and every member head is a fresh WARC record here
+    for (s1, e1, h1), (s2, e2, h2) in zip(offs, offs[1:]):
+        assert e1 == s2 and h2.startswith(b"WARC/")
+    ranges = list(member_split_ranges(BytesIO(blob).read, split_bytes=12_000))
+    assert len(ranges) > 1
+    assert ranges[0][0] == 0 and ranges[-1][1] == len(blob)
+    for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+        assert e1 == s2
+    # each range starts on a member offset
+    starts = {s for s, _, _ in offs}
+    assert all(s in starts for s, _ in ranges)
+
+
+def test_split_never_cuts_a_multi_member_record():
+    """A record whose header and body land in SEPARATE gzip members (a
+    legal non-recommended layout): ranges may only close before a
+    member that STARTS a 'WARC/' record, so the split parse stays
+    lossless."""
+    from io import BytesIO
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        member_split_ranges,
+    )
+
+    rec = _record("xyz", "response", "http://ex.com/z", _http(b"200 OK", b"A" * 9000))
+    # header member + body member (split mid-record), then normal members
+    parts = [gzip.compress(rec[:40], 1), gzip.compress(rec[40:], 1)]
+    blob = b"".join(parts) + _many_records_gz(6)
+    # tiny split_bytes would love to cut after the header member; the
+    # WARC/-head rule forbids it
+    ranges = list(member_split_ranges(BytesIO(blob).read, split_bytes=10))
+    boundary = len(parts[0])
+    assert all(s != boundary for s, _ in ranges)
+    total = b""  # ranges reassemble the archive exactly
+    assert ranges[0][0] == 0 and ranges[-1][1] == len(blob)
+
+
+def test_read_warc_split_rows_identical(spark, tmp_path):
+    p = tmp_path / "big.warc.gz"
+    p.write_bytes(_many_records_gz(60))
+    single = read_warc(spark, str(p)).collect()
+    split = read_warc(spark, str(p), split_bytes=20_000).collect()
+    assert len(single) == 60
+    assert _rows_key(single) == _rows_key(split)
+    # the split path really produced multiple ranges
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        member_split_ranges,
+    )
+
+    ranges = list(member_split_ranges(open(p, "rb").read, 20_000))
+    assert len(ranges) > 2
+
+
+def test_read_warc_split_plain_and_corrupt(spark, tmp_path):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        CORRUPT_TYPE,
+    )
+
+    recs = [_record(*r) for r in RECORDS[:2]]
+    (tmp_path / "plain.warc").write_bytes(b"".join(recs))
+    bad = bytearray(_many_records_gz(4))
+    bad[10] ^= 0xFF  # corrupt the first member's deflate stream
+    (tmp_path / "bad.warc.gz").write_bytes(bytes(bad))
+    out = read_warc(spark, str(tmp_path), split_bytes=10_000).collect()
+    by_file = {}
+    for r in out:
+        by_file.setdefault(r["path"].rsplit("/", 1)[-1], []).append(r)
+    # plain file: single full range, all records
+    assert len(by_file["plain.warc"]) == 2
+    # corrupt archive: quarantined, not fatal
+    assert [r["warc_type"] for r in by_file["bad.warc.gz"]] == [CORRUPT_TYPE]
+
+
+def test_warc_to_documents_composes_with_split(spark, tmp_path):
+    p = tmp_path / "docs.warc.gz"
+    p.write_bytes(_many_records_gz(30, body_bytes=500))
+    docs = warc_to_documents(read_warc(spark, str(p), split_bytes=5_000))
+    assert docs.count() == 30

@@ -1101,6 +1101,102 @@ def warc_ladder(
     print(json.dumps({"op": "warc_ingest", "points": points}))
 
 
+def warc_split_rung(
+    spark, gz_gb: float = 1.0, body_words: int = 5000
+) -> None:
+    """Round 8 (§3k follow-up): ONE giant ``.warc.gz`` archive —
+    single-task (`read_warc`) vs ranged multi-task
+    (`read_warc(split_bytes=64MB)`) ingest.  Asserts identical record
+    counts and an identical order-insensitive record_id/content-length
+    checksum; reports the index-pass wall (the gunzip-speed offset
+    scan) separately from the parse speedup it buys.  Written in
+    ~200 MB pieces so building the archive never holds it in memory."""
+    import gzip
+    import hashlib
+    import os
+    import tempfile
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        member_split_ranges,
+        read_warc,
+    )
+
+    def _record(i: int) -> bytes:
+        # hash-salted words: poorly compressible, realistic ~20KB
+        words = b" ".join(
+            hashlib.md5(b"%d-%d" % (i, j)).hexdigest()[:8].encode()
+            for j in range(body_words // 1)
+        )
+        body = b"<html><body><p>" + words + b"</p></body></html>"
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + b"WARC-Record-ID: <urn:uuid:%08d>\r\n" % i
+            + b"WARC-Target-URI: http://ex.com/%d\r\n" % i
+            + b"WARC-Date: 2026-08-15T00:00:00Z\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(http)
+        )
+        return hdr + http + b"\r\n\r\n"
+
+    d = tempfile.mkdtemp(prefix="sg_warcsplit_")
+    path = f"{d}/giant.warc.gz"
+    target = int(gz_gb * 1e9)
+    n = 0
+    t0 = time.time()
+    with open(path, "wb") as fh:
+        written = 0
+        while written < target:
+            blob = b"".join(
+                gzip.compress(_record(n + i), compresslevel=1)
+                for i in range(200)
+            )
+            fh.write(blob)
+            written += len(blob)
+            n += 200
+    gz_bytes = os.path.getsize(path)
+    t_build = time.time() - t0
+
+    def checksum(df):
+        from pyspark.sql import functions as F
+
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("record_id", "content_length")).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    t0 = time.time()
+    n1, h1 = checksum(read_warc(spark, path))
+    t_single = time.time() - t0
+
+    t0 = time.time()
+    ranges = list(member_split_ranges(open(path, "rb").read, 64 << 20))
+    t_index = time.time() - t0
+
+    t0 = time.time()
+    n2, h2 = checksum(read_warc(spark, path, split_bytes=64 << 20))
+    t_split = time.time() - t0
+
+    assert (n1, h1) == (n2, h2), ((n1, h1), (n2, h2))
+    assert n1 == n, (n1, n)
+    out = {
+        "op": "warc_split",
+        "gz_mb": round(gz_bytes / 1e6, 1),
+        "n_records": n,
+        "build_sec": round(t_build, 1),
+        "n_ranges": len(ranges),
+        "index_pass_sec": round(t_index, 2),
+        "single_task_sec": round(t_single, 2),
+        "split_total_sec": round(t_split, 2),
+        "speedup_x": round(t_single / max(t_split, 1e-9), 2),
+        "rows_identical": True,
+    }
+    print(json.dumps(out), flush=True)
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def warc_funnel_ladder(
     spark, sizes: list[int], docs_per_file: int = 2000,
     use_pq: bool = False,
@@ -1531,6 +1627,12 @@ def main() -> None:
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
         pq_ladder(spark, sizes)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--warcsplit":
+        gz_gb = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        warc_split_rung(spark, gz_gb=gz_gb)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--pqresidual":
         sizes = (
