@@ -24,6 +24,10 @@ Covered twins (one mutation each):
    statement, the WAV duration arithmetic and the FLAC lossless
    first-sample statement (media_features).
 
+8. Round 8: the streaming twins — the 24h attribution band literal
+   (streaming_interval's stream-stream interval join) and the 6h
+   event-time window width (streaming_windowed's batch twin).
+
    NOT mutatable by design: the gaussian dnorm normalizer
    (sqrt(2 pi)) cancels in kw = sum(w k)/sum(k) — it is not
    load-bearing, so a flip would (correctly) not be caught; and the
@@ -141,6 +145,19 @@ MUTATIONS = [
         "bytes[1] * 128 - 16384",  # FLAC lossless first-sample statement
         "bytes[1] * 128 - 16383",
         "flac-value",
+    ),
+    # round 8: the streaming twins (both load-bearing, neither covered)
+    (
+        "streaming_interval",
+        "v.t >= p.t - 86400",  # the 24h attribution band literal
+        "v.t >= p.t - 86000",
+        "attribution-band-width",
+    ),
+    (
+        "streaming_windowed",
+        "INTERVAL '6 hours'",  # the event-time window width
+        "INTERVAL '4 hours'",
+        "streaming-window-width",
     ),
 ]
 

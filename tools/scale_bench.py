@@ -1325,6 +1325,54 @@ def warc_funnel_ladder(
         n_final = final.count()
         stage["semantic_dedup"] = round(time.time() - t0, 2)
 
+        # round 8: a training-data pipeline ends at PACKED SEQUENCES,
+        # not at dedup — chunk the survivors to the context window,
+        # then next-fit pack the chunks, with token-count conservation
+        # asserted at both steps (chunking with overlap=0 must neither
+        # create nor lose a token; packing only relabels rows).
+        t0 = time.time()
+        final = final.localCheckpoint()
+        from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+            packing,
+        )
+        from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+            tokens,
+        )
+
+        src_tokens = int(
+            final.select(
+                F.sum(
+                    F.size(F.filter(tokens("text"), lambda t: t != F.lit("")))
+                ).alias("s")
+            ).collect()[0]["s"]
+        )
+        chunked = packing.chunk_documents(final, max_tokens=16).withColumn(
+            "chunk_key", F.xxhash64("doc_id", "chunk_id")
+        ).localCheckpoint()
+        chunk_tokens = int(
+            chunked.agg(F.sum("n_chunk_tokens").alias("s")).collect()[0]["s"]
+        )
+        assert chunk_tokens == src_tokens, (chunk_tokens, src_tokens)
+        stage["chunk"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        packed = packing.pack_sequences(
+            chunked, budget=256, id_col="chunk_key", n_tok="n_chunk_tokens",
+            n_shards=32,
+        ).localCheckpoint()
+        prow = packed.agg(
+            F.sum("n_tok").alias("s"), F.count(F.lit(1)).alias("rows")
+        ).collect()[0]
+        assert int(prow["s"]) == chunk_tokens, (int(prow["s"]), chunk_tokens)
+        assert int(prow["rows"]) == chunked.count()
+        fill = packed.groupBy("shard", "seq_id").agg(
+            F.sum("n_tok").alias("fill")
+        )
+        n_seqs = fill.count()
+        max_fill = fill.agg(F.max("fill")).collect()[0][0]
+        assert max_fill <= 256, max_fill  # no chunk exceeds the budget
+        stage["pack"] = round(time.time() - t0, 2)
+
         shutil.rmtree(d, ignore_errors=True)
         spark.catalog.clearCache()
         points.append(
@@ -1335,6 +1383,10 @@ def warc_funnel_ladder(
                 "n_after_exact": int(n_exact),
                 "n_final": int(n_final),
                 "emails_redacted_docs": int(n_mail),
+                "corpus_tokens": src_tokens,
+                "n_chunks": int(prow["rows"]),
+                "n_sequences": int(n_seqs),
+                "tokens_conserved": True,
                 "stages_sec": stage,
                 "total_sec": round(sum(stage.values()), 2),
             }
