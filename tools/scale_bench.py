@@ -1330,8 +1330,6 @@ def warc_funnel_ladder(
         # then next-fit pack the chunks, with token-count conservation
         # asserted at both steps (chunking with overlap=0 must neither
         # create nor lose a token; packing only relabels rows).
-        t0 = time.time()
-        final = final.localCheckpoint()
         from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
             packing,
         )
@@ -1339,6 +1337,10 @@ def warc_funnel_ladder(
             tokens,
         )
 
+        # assert scaffolding (NOT stage wall): materialize the survivor
+        # set and count its tokens once, so the conservation asserts
+        # below don't charge their extra tokenize pass to the stages
+        final = final.localCheckpoint()
         src_tokens = int(
             final.select(
                 F.sum(
@@ -1346,14 +1348,16 @@ def warc_funnel_ladder(
                 ).alias("s")
             ).collect()[0]["s"]
         )
+
+        t0 = time.time()
         chunked = packing.chunk_documents(final, max_tokens=16).withColumn(
             "chunk_key", F.xxhash64("doc_id", "chunk_id")
         ).localCheckpoint()
         chunk_tokens = int(
             chunked.agg(F.sum("n_chunk_tokens").alias("s")).collect()[0]["s"]
         )
-        assert chunk_tokens == src_tokens, (chunk_tokens, src_tokens)
         stage["chunk"] = round(time.time() - t0, 2)
+        assert chunk_tokens == src_tokens, (chunk_tokens, src_tokens)
 
         t0 = time.time()
         packed = packing.pack_sequences(
