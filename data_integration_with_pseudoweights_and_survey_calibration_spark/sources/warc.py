@@ -411,16 +411,42 @@ def read_warc_split(
                     out["start"].append(0)
                     out["end"].append(os.path.getsize(lp))
                     continue
+                # group member offsets into ranges inline (rather than
+                # via member_split_ranges) so a corrupt member mid-
+                # archive still FLUSHES the partial range before the
+                # quarantine marker — every valid record up to the
+                # corruption is parsed, matching the single-task
+                # path's rows-then-quarantine semantics
+                cur_start: int | None = None
+                cur_end = 0
                 try:
                     with open(lp, "rb") as f:
-                        for s, e in member_split_ranges(f.read, split_bytes):
-                            out["path"].append(p)
-                            out["start"].append(s)
-                            out["end"].append(e)
+                        for s, e, head in iter_member_offsets(f.read):
+                            if cur_start is None:
+                                cur_start = s
+                            elif (
+                                s - cur_start >= split_bytes
+                                and head.startswith(b"WARC/")
+                            ):
+                                out["path"].append(p)
+                                out["start"].append(cur_start)
+                                out["end"].append(s)
+                                cur_start = s
+                            cur_end = e
                 except ValueError:
+                    if cur_start is not None and cur_end > cur_start:
+                        out["path"].append(p)
+                        out["start"].append(cur_start)
+                        out["end"].append(cur_end)
+                        cur_start = None
                     out["path"].append(p)
                     out["start"].append(-1)  # quarantine marker
                     out["end"].append(-1)
+                else:
+                    if cur_start is not None and cur_end > cur_start:
+                        out["path"].append(p)
+                        out["start"].append(cur_start)
+                        out["end"].append(cur_end)
             yield pd.DataFrame(out)
 
     ranges = files.mapInPandas(_scan, schema="path string, start long, end long")

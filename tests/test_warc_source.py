@@ -352,3 +352,23 @@ def test_warc_to_documents_composes_with_split(spark, tmp_path):
     p.write_bytes(_many_records_gz(30, body_bytes=500))
     docs = warc_to_documents(read_warc(spark, str(p), split_bytes=5_000))
     assert docs.count() == 30
+
+
+def test_split_corrupt_mid_archive_keeps_prior_records(spark, tmp_path):
+    """A corrupt member MID-archive: records up to the corruption must
+    still parse (plus one quarantine row) — the same rows-then-
+    quarantine semantics as the single-task path."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        CORRUPT_TYPE,
+    )
+
+    good = _many_records_gz(10)
+    bad_tail = bytearray(_many_records_gz(4))
+    bad_tail[10] ^= 0xFF
+    p = tmp_path / "mid.warc.gz"
+    p.write_bytes(good + bytes(bad_tail))
+    out = read_warc(spark, str(p), split_bytes=8_000).collect()
+    types = [r["warc_type"] for r in out]
+    assert types.count(CORRUPT_TYPE) == 1
+    # all 10 pre-corruption records survive
+    assert sum(1 for r in out if r["warc_type"] == "response") == 10
