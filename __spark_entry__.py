@@ -3025,10 +3025,16 @@ def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     # exactness at full probe holds for ANY centroids: one Lloyd pass
     # is enough for the gate (quantizer quality only matters at
-    # partial probe)
+    # partial probe), and ONE coarse quantizer serves both branches
+    # (training it twice would gate nothing extra)
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    cen = kmeans_centroids(emb, n_lists=8, max_iter=1)
     ivf_out = ivf_topk(
         emb, emb.where(F.col("vec_id") < 5), 3, n_lists=8, n_probe=8,
-        max_iter=1,
+        max_iter=1, centroids=cen,
     ).select(
         F.lit("ivf").alias("method"),
         "query_id",
@@ -3038,7 +3044,7 @@ def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pq_out = ivfpq_topk(
         emb, emb.where(F.col("vec_id") < 5), 3, n_lists=8, n_probe=8,
-        m=8, ksub=16, rerank=1_000_000, max_iter=1,
+        m=8, ksub=16, rerank=1_000_000, max_iter=1, centroids=cen,
     ).select(
         F.lit("pq").alias("method"),
         "query_id",
