@@ -56,6 +56,12 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.session im
 # under the old gate on a technicality but visibly contaminated (~5s
 # of its 79.4s total was box noise vs a clean 74.2s rerun).
 LOAD_GATE = 1.0
+# The 1-min average drops to ~0 within a minute of a big job exiting
+# while the box is still settling (page cache churn, cgroup rebalance
+# — two same-code runs 20 min apart measured 72.6s vs 83.2s with
+# 1-min loads of 0.10 and 0.02 but 5-min loads of 0.9 vs 1.8), so the
+# gate also requires the 5-MINUTE average below this:
+LOAD5_GATE = 1.5
 # Self-check: if the median per-query ratio vs the previous round's
 # artifact exceeds this for queries present in both, something other
 # than the code changed (machine load, zombie JVM) — warn loudly.
@@ -69,18 +75,29 @@ def _load1() -> float:
         return 0.0
 
 
+def _load5() -> float:
+    try:
+        return os.getloadavg()[1]
+    except OSError:
+        return 0.0
+
+
 def _wait_for_quiet(max_wait_s: float) -> float:
-    """Block until the 1-min load average drops under LOAD_GATE or the
-    budget runs out; returns the final observed load."""
+    """Block until the 1-min load average drops under LOAD_GATE AND the
+    5-min average under LOAD5_GATE, or the budget runs out; returns the
+    final observed 1-min load."""
     deadline = time.monotonic() + max_wait_s
-    load = _load1()
-    while load >= LOAD_GATE and time.monotonic() < deadline:
+    load, load5 = _load1(), _load5()
+    while (
+        load >= LOAD_GATE or load5 >= LOAD5_GATE
+    ) and time.monotonic() < deadline:
         print(
-            f"bench: 1-min load {load:.2f} >= {LOAD_GATE}; waiting for quiet...",
+            f"bench: load {load:.2f}/{load5:.2f} (1m/5m) >= gate "
+            f"{LOAD_GATE}/{LOAD5_GATE}; waiting for quiet...",
             file=sys.stderr,
         )
         time.sleep(10)
-        load = _load1()
+        load, load5 = _load1(), _load5()
     return load
 
 
@@ -143,6 +160,7 @@ def main() -> None:
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "180"))
 
     load_start = _wait_for_quiet(max_wait)
+    load5_start = _load5()
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -210,6 +228,7 @@ def main() -> None:
                 "sf": sf,
                 "passes": passes,
                 "load_start": round(load_start, 2),
+                "load5_start": round(load5_start, 2),
                 "load_end": round(_load1(), 2),
                 "ratio_prev": ratio,
                 "prev": prev_name,
