@@ -372,3 +372,60 @@ def test_split_corrupt_mid_archive_keeps_prior_records(spark, tmp_path):
     assert types.count(CORRUPT_TYPE) == 1
     # all 10 pre-corruption records survive
     assert sum(1 for r in out if r["warc_type"] == "response") == 10
+
+
+def test_member_offsets_property_random_layouts():
+    """Property (hypothesis): for ANY record sizes, member grouping
+    (records-per-member), and split_bytes, (a) member offsets tile the
+    archive exactly, (b) ranges tile it exactly and start on member
+    boundaries, and (c) concatenating the per-range streaming parses
+    yields byte-identical records to the whole-archive parse."""
+    from io import BytesIO
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        _iter_gzip_members,
+        iter_member_offsets,
+        iter_warc_records,
+        member_split_ranges,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(0, 400), min_size=1, max_size=30),
+        group=st.integers(1, 4),
+        split=st.integers(1, 20_000),
+    )
+    def prop(sizes, group, split):
+        recs = [
+            _record(f"p{i}", "response", f"http://e/{i}", b"x" * s)
+            for i, s in enumerate(sizes)
+        ]
+        # group `group` records per gzip member (1 = Common Crawl shape)
+        blob = b"".join(
+            gzip.compress(b"".join(recs[i : i + group]), 1)
+            for i in range(0, len(recs), group)
+        )
+        offs = list(iter_member_offsets(BytesIO(blob).read))
+        assert offs[0][0] == 0 and offs[-1][1] == len(blob)
+        assert all(e1 == s2 for (_, e1, _), (s2, _, _) in zip(offs, offs[1:]))
+        ranges = list(member_split_ranges(BytesIO(blob).read, split))
+        assert ranges[0][0] == 0 and ranges[-1][1] == len(blob)
+        assert all(e1 == s2 for (_, e1), (s2, _) in zip(ranges, ranges[1:]))
+        starts = {s for s, _, _ in offs}
+        assert all(s in starts for s, _ in ranges)
+        whole = [
+            (r["record_id"], r["content"])
+            for r in iter_warc_records(_iter_gzip_members(blob))
+        ]
+        split_parse = [
+            (r["record_id"], r["content"])
+            for s, e in ranges
+            for r in iter_warc_records(_iter_gzip_members(blob[s:e]))
+        ]
+        assert split_parse == whole
+        assert len(whole) == len(recs)
+
+    prop()
