@@ -2634,21 +2634,51 @@ def _sql_lm_scores() -> str:
     """
 
 
+#: word-gram width of the GPT-3-style eval-overlap branch (13 is the
+#: published constant; 8 keeps fractions informative at the synthetic
+#: corpus's doc lengths while exercising the identical plan shape)
+N_OVERLAP = 8
+
+
 def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark-leakage removal: odd doc_ids act as the eval corpus,
-    even ones as train; flag every train doc sharing a winnowing
-    fingerprint with eval (broadcast fingerprint equi-join)."""
+    """Benchmark-leakage detection, BOTH published directions as a
+    labeled union (round 8): odd doc_ids act as the eval corpus, even
+    ones as train.
+
+    - ``side='train'``: flag every train doc sharing a winnowing
+      fingerprint with eval (broadcast fingerprint equi-join; the
+      winnowing guarantee makes any shared >= w+k-1-token run
+      detectable) — ``n`` = shared fingerprints, ``frac`` NULL.
+    - ``side='eval'``: the GPT-3 appendix-C / PaLM "dirty eval"
+      methodology — per eval doc, the fraction of its distinct
+      {N_OVERLAP}-grams occurring anywhere in train (train side
+      map-only against the broadcast eval gram set) — ``n`` = matched
+      distinct grams, ``frac`` = overlap fraction.
+    """
     docs = _docs(spark, sf_dir)
     train = docs.where(F.col("doc_id") % 2 == 0)
     ev = docs.where(F.col("doc_id") % 2 == 1)
     _, contaminated = text_ops.decontaminate(
         train, ev, k=WINNOW_K, w=WINNOW_W
     )
-    return contaminated.select("doc_id", "n_shared")
+    flag = contaminated.select(
+        F.lit("train").alias("side"),
+        "doc_id",
+        F.col("n_shared").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("frac"),
+    )
+    overlap = text_ops.ngram_overlap_scores(train, ev, n=N_OVERLAP).select(
+        F.lit("eval").alias("side"),
+        "doc_id",
+        F.col("n_matched").cast("long").alias("n"),
+        F.round("overlap_frac", 6).alias("frac"),
+    )
+    return flag.unionByName(overlap)
 
 
 def _sql_decontamination() -> str:
     kg = " || ' ' || ".join(f"toks[i + {j}]" for j in range(WINNOW_K))
+    og = " || ' ' || ".join(f"toks[i + {j}]" for j in range(N_OVERLAP))
     fp_cte = f"""
     t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
     g AS (SELECT doc_id,
@@ -2670,11 +2700,32 @@ def _sql_decontamination() -> str:
     return f"""
     WITH {fp_cte},
     ex AS (SELECT doc_id, unnest(fp) AS f FROM s),
-    evfp AS (SELECT DISTINCT f FROM ex WHERE doc_id % 2 = 1)
-    SELECT ex.doc_id, count(*) AS n_shared
+    evfp AS (SELECT DISTINCT f FROM ex WHERE doc_id % 2 = 1),
+    gr AS (SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(toks) - {N_OVERLAP - 1}),
+               i -> {og})) AS g
+           FROM t WHERE len(toks) >= {N_OVERLAP}),
+    evg AS (SELECT DISTINCT doc_id, g FROM gr WHERE doc_id % 2 = 1),
+    trg AS (SELECT DISTINCT g FROM gr WHERE doc_id % 2 = 0),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM evg GROUP BY 1),
+    mat AS (SELECT evg.doc_id, count(*) AS n_matched
+            FROM evg JOIN trg USING (g) GROUP BY 1)
+    SELECT 'train' AS side, ex.doc_id, count(*)::BIGINT AS n,
+           CAST(NULL AS DOUBLE) AS frac
     FROM ex JOIN evfp USING (f)
     WHERE ex.doc_id % 2 = 0
     GROUP BY ex.doc_id
+    UNION ALL
+    SELECT 'eval' AS side, d.doc_id,
+           coalesce(mat.n_matched, 0)::BIGINT AS n,
+           CASE WHEN coalesce(tot.n_grams, 0) > 0
+                THEN round(coalesce(mat.n_matched, 0)::DOUBLE
+                           / tot.n_grams, 6)
+                ELSE 0.0 END AS frac
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN tot USING (doc_id)
+    LEFT JOIN mat USING (doc_id)
     """
 
 

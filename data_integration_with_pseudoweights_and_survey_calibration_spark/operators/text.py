@@ -524,6 +524,72 @@ def decontaminate(
     return clean, shared
 
 
+def ngram_overlap_scores(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per EVAL document: its distinct word n-grams, how many occur
+    ANYWHERE in the train corpus, and the overlap fraction — the
+    GPT-3 appendix-C / PaLM "dirty eval" contamination methodology
+    (train-side exact n-gram containment), complementing
+    :func:`decontaminate`'s train-side winnowing flag.  Output:
+    ``(id, n_grams, n_matched, overlap_frac)``, one row per eval doc
+    (docs shorter than ``n`` tokens report 0 grams and fraction 0.0).
+
+    100 TB shape: the eval corpus is benchmark-sized by contract, so
+    its distinct (gram, eval-id) pairs BROADCAST; the train corpus
+    explodes to grams map-only and joins the broadcast set — the
+    train side never shuffles, and the only aggregation key space is
+    the matched pair set (bounded by the eval gram count, partial-
+    aggregated map-side).  Gram equality is on the raw token strings,
+    so the DuckDB oracle reproduces matches exactly (no hash-collision
+    caveat).
+    """
+    def grams(df: DataFrame, keep_id: bool):
+        toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+        g = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        cols = [F.col(id_col).alias("_eid")] if keep_id else []
+        return df.select(*cols, F.explode(g).alias("_g"))
+
+    ev_grams = grams(eval_df, keep_id=True).distinct()
+    totals = ev_grams.groupBy("_eid").agg(F.count(F.lit(1)).alias("n_grams"))
+    matched = (
+        grams(train, keep_id=False)
+        .join(F.broadcast(ev_grams), "_g")
+        .select("_eid", "_g")
+        .distinct()
+        .groupBy("_eid")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    base = eval_df.select(F.col(id_col).alias("_eid")).distinct()
+    return (
+        base.join(totals, "_eid", "left")
+        .join(matched, "_eid", "left")
+        .select(
+            F.col("_eid").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.coalesce("n_matched", F.lit(0)).cast("double")
+                / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("overlap_frac"),
+        )
+    )
+
+
 def bigram_logprob_scores(
     df: DataFrame,
     *,

@@ -146,6 +146,14 @@ MUTATIONS = [
         "bytes[1] * 128 - 16383",
         "flac-value",
     ),
+    # round 8: the eval-overlap contamination branch — flipping the
+    # gram width changes every eval doc's gram total and fraction
+    (
+        "decontamination",
+        "len(toks) - 7",
+        "len(toks) - 6",
+        "overlap-gram-width",
+    ),
     # round 8: the streaming twins (both load-bearing, neither covered)
     (
         "streaming_interval",

@@ -1441,3 +1441,59 @@ def test_semantic_multiprobe_recall_and_exhaustive_equivalence(spark, sf_dir):
         dedup.semantic_dedup_pairs(
             emb, tau, centroids=cen, assign="column", n_probe=2
         )
+
+
+def test_ngram_overlap_scores_exact_fractions(spark):
+    """GPT-3-style per-eval-example contamination fractions, checked
+    against hand-counted gram sets (n=3)."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+        ngram_overlap_scores,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (0, "a b c d e"),            # grams: abc bcd cde
+            (2, "x y z a b"),            # grams: xyz yza zab
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, "a b c d"),              # abc bcd -> both in train: 2/2
+            (3, "c d e x y z"),          # cde dex exy xyz -> cde,xyz: 2/4
+            (5, "q r s t"),              # qrs rst -> none: 0/2
+            (7, "a b"),                  # shorter than n -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_overlap_scores(train, ev, n=3).collect()
+    }
+    assert (out[1]["n_grams"], out[1]["n_matched"]) == (2, 2)
+    assert out[1]["overlap_frac"] == 1.0
+    assert (out[3]["n_grams"], out[3]["n_matched"]) == (4, 2)
+    assert out[3]["overlap_frac"] == 0.5
+    assert (out[5]["n_grams"], out[5]["n_matched"]) == (2, 0)
+    assert out[5]["overlap_frac"] == 0.0
+    assert (out[7]["n_grams"], out[7]["overlap_frac"]) == (0, 0.0)
+
+
+def test_ngram_overlap_duplicate_grams_counted_once(spark):
+    """Distinct-gram semantics on both sides: repeated grams in either
+    corpus must not inflate counts or fractions."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+        ngram_overlap_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "p q r p q r p q r")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(1, "p q r p q r")], "doc_id long, text string"
+    )
+    row = ngram_overlap_scores(train, ev, n=3).collect()[0]
+    # eval distinct 3-grams: pqr qrp rpq qrp pqr -> {pqr, qrp, rpq} = 3+1? count:
+    # tokens p q r p q r -> grams pqr qrp rpq qrp -> distinct {pqr,qrp,rpq}
+    assert row["n_grams"] == 3
+    assert row["n_matched"] == 3 and row["overlap_frac"] == 1.0
