@@ -59,6 +59,7 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
 )
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (  # noqa: E402
     domain_mix_sample,
+    materialize_mixture,
     pps_sample,
     salted_agg,
     stratified_sample,
@@ -2515,21 +2516,55 @@ def _sql_zorder_keys() -> str:
     """
 
 
+#: target weights of the explicit-mixture branch, derived from the
+#: source NAME so the oracle can restate them: srcN gets weight
+#: (N % 4) + 1 (normalizer = 50 over the generator's 20 sources)
+MIX_TARGETS = {f"src{i}": float(i % 4 + 1) for i in range(20)}
+MIX_WSUM = 50.0
+
+
 def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature (alpha=0.5) domain mixing over documents.source with
-    deterministic hash acceptance; inverse-probability mix weights."""
-    out = domain_mix_sample(_docs(spark, sf_dir), alpha=0.5)
-    return out.select(
+    """Domain mixing, both published modes as a labeled union:
+
+    - ``part='temp'``: temperature (alpha=0.5) flattening with
+      deterministic hash acceptance + inverse-probability weights
+      (a=p_share, b=keep_rate, c=mix_wt; downsampling only).
+    - ``part='target'`` (round 8, ``materialize_mixture``): EXPLICIT
+      target token shares (DoReMi-style applied weights, srcN
+      weighted (N%4)+1) — domains upsample via repeat_ix copies or
+      downsample via hash acceptance so expected token shares hit the
+      target (a=target_share, b=rate, c=mix_wt=1/rate).  Token
+      counts, rates, and the Bernoulli fraction all reproduce in the
+      oracle exactly (integer token sums are order-independent in
+      doubles; rate arithmetic is the same left-associated w*B/T)."""
+    docs = _docs(spark, sf_dir)
+    temp = domain_mix_sample(docs, alpha=0.5).select(
+        F.lit("temp").alias("part"),
         "doc_id",
         "source",
-        F.round("p_share", 9).alias("p_share"),
-        F.round("keep_rate", 9).alias("keep_rate"),
-        F.round("mix_wt", 9).alias("mix_wt"),
+        F.lit(0).cast("long").alias("rep"),
+        F.round("p_share", 9).alias("a"),
+        F.round("keep_rate", 9).alias("b"),
+        F.round("mix_wt", 9).alias("c"),
     )
+    n_tok = F.size(text_ops.tokens("text")).cast("double")
+    tgt = materialize_mixture(
+        docs, MIX_TARGETS, n_tok=n_tok, seed="mixt"
+    ).select(
+        F.lit("target").alias("part"),
+        "doc_id",
+        "source",
+        F.col("repeat_ix").cast("long").alias("rep"),
+        F.round("target_share", 9).alias("a"),
+        F.round("rate", 9).alias("b"),
+        F.round("mix_wt", 9).alias("c"),
+    )
+    return temp.unionByName(tgt)
 
 
 def _sql_domain_mix() -> str:
     uu = MD5INT_SQL.format(x="concat_ws('-', 'mix', doc_id::VARCHAR)")
+    ut = MD5INT_SQL.format(x="concat_ws('-', 'mixt', doc_id::VARCHAR)")
     return f"""
     WITH s AS (
       SELECT source, count(*) * 1.0 / sum(count(*)) OVER () AS p_share
@@ -2539,12 +2574,35 @@ def _sql_domain_mix() -> str:
           FROM s),
     u AS (SELECT doc_id, source,
                  {uu} / 281474976710656.0 AS uu
-          FROM documents)
-    SELECT u.doc_id, u.source,
-           round(p_share, 9) AS p_share,
-           round(keep_rate, 9) AS keep_rate,
-           round(1.0 / keep_rate, 9) AS mix_wt
+          FROM documents),
+    tm AS (SELECT doc_id, source,
+                  len({TOKS_SQL})::DOUBLE AS nt,
+                  {ut} / 281474976710656.0 AS ut
+           FROM documents),
+    td AS (SELECT source, sum(nt) AS t_d FROM tm GROUP BY 1),
+    bb AS (SELECT sum(t_d) AS b FROM td),
+    rr AS (SELECT source,
+                  ((substr(source, 4)::INT % 4) + 1) / {MIX_WSUM} AS w,
+                  ((substr(source, 4)::INT % 4) + 1) / {MIX_WSUM}
+                    * bb.b / t_d AS rate
+           FROM td, bb),
+    k AS (SELECT tm.doc_id, tm.source, rr.w, rr.rate,
+                 floor(rate)::BIGINT
+                   + CASE WHEN tm.ut < rate - floor(rate)
+                          THEN 1 ELSE 0 END AS nc
+          FROM tm JOIN rr USING (source))
+    SELECT 'temp' AS part, u.doc_id, u.source, 0::BIGINT AS rep,
+           round(p_share, 9) AS a,
+           round(keep_rate, 9) AS b,
+           round(1.0 / keep_rate, 9) AS c
     FROM u JOIN r USING (source) WHERE uu < keep_rate
+    UNION ALL
+    SELECT 'target' AS part, doc_id, source,
+           unnest(generate_series(0, nc - 1))::BIGINT AS rep,
+           round(w, 9) AS a,
+           round(rate, 9) AS b,
+           round(1.0 / rate, 9) AS c
+    FROM k WHERE nc > 0
     """
 
 

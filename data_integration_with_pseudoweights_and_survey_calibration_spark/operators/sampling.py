@@ -315,6 +315,87 @@ def domain_mix_sample(
     )
 
 
+def materialize_mixture(
+    df: DataFrame,
+    targets: dict[str, float],
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_tok: Column | None = None,
+    seed: str = "mixt",
+) -> DataFrame:
+    """Materialize an EXPLICIT target data mixture (the data-mix step
+    before pretraining, e.g. applying DoReMi / hand-tuned domain
+    weights): emit each document of domain d ``rate_d`` times in
+    expectation, where
+
+        rate_d = (w_d * B) / T_d,
+        w_d = normalized ``targets[d]``,
+        T_d = domain token (or doc) total,  B = corpus total,
+
+    so the emitted corpus's EXPECTED per-domain token share equals the
+    target while total volume stays ~B.  ``rate_d > 1`` upsamples
+    (multiple epochs of a small domain), ``< 1`` downsamples.  Each doc
+    emits ``floor(rate) + Bernoulli(frac(rate))`` copies via a
+    deterministic hash-uniform (reproducible, partitioning-independent,
+    SQL-oracle-checkable), labeled ``repeat_ix`` 0..k-1, with
+    ``mix_wt = 1/rate`` restoring unbiased corpus totals.  Domains
+    absent from ``targets`` are dropped (weight 0).
+
+    ``n_tok``: Column of per-doc token counts (domain sizes measured in
+    tokens — the usual pretraining currency); None counts documents.
+
+    100 TB shape: ONE groupBy for the domain-count-sized totals table,
+    rates computed driver-side from the targets dict, broadcast back;
+    copy fan-out is a map-side ``explode(sequence(...))``. No corpus
+    shuffle anywhere.
+    """
+    if not targets:
+        raise ValueError("materialize_mixture: empty targets")
+    wsum = float(sum(targets.values()))
+    if wsum <= 0:
+        raise ValueError("materialize_mixture: target weights must sum > 0")
+    size = n_tok if n_tok is not None else F.lit(1.0)
+    totals = (
+        df.groupBy(group_col)
+        .agg(F.sum(size.cast("double")).alias("_t_d"))
+        .collect()
+    )
+    b_total = sum(float(r["_t_d"]) for r in totals)
+    rate_rows = []
+    for r in totals:
+        w = float(targets.get(r[group_col], 0.0)) / wsum
+        t_d = float(r["_t_d"])
+        if w > 0 and t_d > 0:
+            rate_rows.append((r[group_col], w, w * b_total / t_d))
+    if not rate_rows:
+        raise ValueError(
+            "materialize_mixture: no target domain present in the corpus"
+        )
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        rate_rows, f"{group_col} string, target_share double, rate double"
+    )
+    from .text import hash48
+
+    u = hash48(
+        F.concat_ws("-", F.lit(seed), F.col(id_col).cast("string"))
+    ).cast("double") / F.lit(float(1 << 48))
+    n_copies = F.floor("rate").cast("long") + F.when(
+        u < (F.col("rate") - F.floor("rate")), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn("_k", n_copies)
+        .where(F.col("_k") > 0)
+        .withColumn(
+            "repeat_ix", F.explode(F.sequence(F.lit(0), F.col("_k") - 1))
+        )
+        .withColumn("mix_wt", F.lit(1.0) / F.col("rate"))
+        .drop("_k")
+    )
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],

@@ -154,6 +154,14 @@ MUTATIONS = [
         "len(toks) - 6",
         "overlap-gram-width",
     ),
+    # round 8: the explicit-mixture branch — flipping the name-derived
+    # target weight changes every 'target' row's share column
+    (
+        "domain_mix",
+        "((substr(source, 4)::INT % 4) + 1) / 50.0 AS w",
+        "((substr(source, 4)::INT % 4) + 2) / 50.0 AS w",
+        "mixture-target-weight",
+    ),
     # round 8: the streaming twins (both load-bearing, neither covered)
     (
         "streaming_interval",

@@ -1497,3 +1497,62 @@ def test_ngram_overlap_duplicate_grams_counted_once(spark):
     # tokens p q r p q r -> grams pqr qrp rpq qrp -> distinct {pqr,qrp,rpq}
     assert row["n_grams"] == 3
     assert row["n_matched"] == 3 and row["overlap_frac"] == 1.0
+
+
+def test_materialize_mixture_upsamples_and_downsamples(spark):
+    """Explicit target mixture: a small domain with a big target weight
+    upsamples (repeat_ix > 0 copies appear), a big domain with a small
+    weight downsamples; expected token shares approach the targets and
+    mix_wt restores unbiased domain totals in expectation."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+        materialize_mixture,
+    )
+
+    rows = [(i, "big", 10.0) for i in range(900)] + [
+        (i, "small", 10.0) for i in range(900, 1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, tok double")
+    out = materialize_mixture(
+        df, {"big": 0.5, "small": 0.5}, n_tok=F.col("tok")
+    ).toPandas()
+    # rates: B=10000 tokens; big: 0.5*10000/9000 = 0.5556 (down);
+    # small: 0.5*10000/1000 = 5.0 (up: exactly 5 copies per doc)
+    small = out[out.source == "small"]
+    big = out[out.source == "big"]
+    assert small.repeat_ix.max() == 4
+    assert len(small) == 500  # exact: integer rate 5.0, no Bernoulli
+    assert set(small.groupby("doc_id").size()) == {5}
+    # big: Bernoulli(0.5556) per doc — deterministic hash, bounded band
+    assert 0.45 * 900 < len(big) < 0.65 * 900
+    assert big.repeat_ix.max() == 0
+    # emitted token share near target 50/50
+    tok_small = small.tok.sum()
+    tok_big = big.tok.sum()
+    assert abs(tok_small / (tok_small + tok_big) - 0.5) < 0.06
+    # inverse-rate weights restore domain totals in expectation
+    assert abs((big.tok * big.mix_wt).sum() - 9000.0) < 900
+    np.testing.assert_allclose((small.tok * small.mix_wt).sum(), 1000.0)
+    # deterministic
+    again = materialize_mixture(
+        df, {"big": 0.5, "small": 0.5}, n_tok=F.col("tok")
+    ).toPandas()
+    key = ["doc_id", "repeat_ix"]
+    assert sorted(map(tuple, out[key].values.tolist())) == sorted(
+        map(tuple, again[key].values.tolist())
+    )
+
+
+def test_materialize_mixture_drops_untargeted_and_validates(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+        materialize_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "doc_id long, source string"
+    )
+    out = materialize_mixture(df, {"a": 1.0, "b": 1.0}).toPandas()
+    assert set(out.source) <= {"a", "b"}
+    with pytest.raises(ValueError, match="empty targets"):
+        materialize_mixture(df, {})
+    with pytest.raises(ValueError, match="no target domain"):
+        materialize_mixture(df, {"zzz": 1.0})
