@@ -550,16 +550,31 @@ def ngram_overlap_scores(
     caveat).
     """
     def grams(df: DataFrame, keep_id: bool):
-        toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+        cols = [F.col(id_col).alias("_eid")] if keep_id else []
+        # STAGE the token array through an attribute before the
+        # transform: referencing tokens() inline inside the lambda lets
+        # Catalyst inline the split() into every element evaluation
+        # once the downstream explode merges projections — O(tokens ×
+        # grams) re-tokenization per row (measured 6.4 s vs 1.6 s for
+        # the sf0.1 driver row)
+        staged = df.select(
+            *cols,
+            F.filter(tokens(text_col), lambda t: t != F.lit("")).alias(
+                "_toks"
+            ),
+        )
         g = F.when(
-            F.size(toks) >= n,
+            F.size("_toks") >= n,
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        cols = [F.col(id_col).alias("_eid")] if keep_id else []
-        return df.select(*cols, F.explode(g).alias("_g"))
+        return staged.select(
+            *(["_eid"] if keep_id else []), F.explode(g).alias("_g")
+        )
 
     ev_grams = grams(eval_df, keep_id=True).distinct()
     totals = ev_grams.groupBy("_eid").agg(F.count(F.lit(1)).alias("n_grams"))
