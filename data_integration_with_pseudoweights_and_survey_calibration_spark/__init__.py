@@ -98,6 +98,7 @@ from .operators.propensity import fit_propensity, integrate  # noqa: E402,F401
 from .operators.pseudoweights import kw_weights, stack_samples  # noqa: E402,F401
 from .operators.sampling import (  # noqa: E402,F401
     domain_mix_sample,
+    materialize_mixture,
     pps_sample,
     stratified_sample,
 )
@@ -107,6 +108,7 @@ from .operators.taylor import taylor_inference  # noqa: E402,F401
 from .operators.text import (  # noqa: E402,F401
     decontaminate,
     line_features,
+    ngram_overlap_scores,
     tf_idf_top_terms,
     winnow_fingerprints,
 )
@@ -150,12 +152,14 @@ __all__ = [
     "cox_fit",
     "decode_mjpeg",
     "decontaminate",
+    "ngram_overlap_scores",
     "encode_mjpeg_avi",
     "probe_avi",
     "read_warc",
     "split_mjpeg_frames",
     "warc_to_documents",
     "domain_mix_sample",
+    "materialize_mixture",
     "embedding_moments",
     "embedding_pca",
     "global_rank",
