@@ -268,6 +268,49 @@ def main() -> None:
     train = mixed.join(
         splits.where(F.col("split") == "train").select("doc_id", "rank"), "doc_id"
     )
+
+    # 7b. benchmark decontamination of the TRAIN split against the
+    # held-out test split (both published directions, round 8): drop
+    # train docs sharing a winnowing fingerprint with test, and report
+    # the per-test-doc n-gram overlap fractions (GPT-3 appendix-C
+    # "dirty eval" — how contaminated each benchmark example would
+    # have been without the scrub)
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+        decontaminate,
+        ngram_overlap_scores,
+    )
+
+    test_docs = mixed.join(
+        splits.where(F.col("split") == "test").select("doc_id"), "doc_id"
+    )
+    train, leaked = decontaminate(train, test_docs)
+    n_leaked = leaked.count()
+    dirty = ngram_overlap_scores(train, test_docs, n=8)
+    n_dirty_eval = dirty.where(F.col("overlap_frac") > 0.1).count()
+
+    # 7c. explicit target mixture (round 8): upweight the rarest third
+    # of domains 2x (a hand-tuned DoReMi-style mix), materialized with
+    # repeat_ix epochs / hash downsampling; expected token shares hit
+    # the targets exactly in expectation
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+        materialize_mixture,
+    )
+
+    by_size = [
+        r["source"]
+        for r in train.groupBy("source")
+        .agg(F.sum("n_pieces").alias("t"))
+        .orderBy("t", "source")
+        .collect()
+    ]
+    rare = set(by_size[: max(1, len(by_size) // 3)])
+    targets = {s: (2.0 if s in rare else 1.0) for s in by_size}
+    train = materialize_mixture(
+        train, targets, n_tok=F.col("n_pieces")
+    ).withColumn(
+        # repeats must pack as distinct rows: key on (doc, epoch)
+        "doc_id", F.xxhash64("doc_id", "repeat_ix")
+    )
     packed = pack_sequences(train, 512, n_tok=F.col("n_pieces"), n_shards=8)
     seq_stats = packed.groupBy("shard", "seq_id").agg(
         F.sum("n_tok").alias("fill"), F.count(F.lit(1)).alias("n_docs")
@@ -315,6 +358,8 @@ def main() -> None:
         "curated_token_budget_bpe": int(n_tokens_total),
         "after_domain_mix": n_mixed,
         "split_counts": split_counts,
+        "train_docs_leaking_into_test": int(n_leaked),
+        "test_docs_over_10pct_8gram_overlap": int(n_dirty_eval),
         "train_sequences_512tok": int(n_seqs),
         "train_sequence_mean_fill": (
             round(float(mean_fill), 1) if mean_fill is not None else None
