@@ -4476,10 +4476,29 @@ def _sql_dedup_pairs() -> str:
     """
 
 
+DOMAIN_CAP_N = 25
+
+
 def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Storage-layout keys, part-labeled: the deterministic corpus
-    shuffle/split rank over documents and the Z-order (Morton) keys
-    over orders — both pure key arithmetic ahead of a write."""
+    """Storage-layout / corpus-selection keys, part-labeled:
+
+    - ``corpus_shuffle``: deterministic shuffle/split rank over docs;
+    - ``zorder``: Z-order (Morton) keys over orders;
+    - ``url_norm`` (round 8): URL normalization + registered-domain
+      extraction over INJECTED messy URLs (mixed-case scheme/host,
+      default port, trailing slash, utm tracking param, fragment —
+      all derived from doc_id arithmetic).  The oracle independently
+      re-derives the EXPECTED canonical string from the same
+      arithmetic (the PII injection-oracle pattern), so ``k`` — the
+      48-bit md5 of the normalized URL — hash-checks every
+      normalization rule at once; ``split`` carries the registered
+      domain.
+    - ``domain_cap`` (round 8): skew-safe per-domain capping — keep
+      the top {DOMAIN_CAP_N} docs per registered domain by
+      (n_chars DESC, doc_id) via the salted two-window top-N
+      (``operators/urls.py``); the oracle restates it as a plain
+      window, proving the salted shape exact.
+    """
     shuf = _q_corpus_shuffle(spark, sf_dir).select(
         F.lit("corpus_shuffle").alias("part"),
         F.col("doc_id").cast("long").alias("id"),
@@ -4492,10 +4511,52 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zkey").cast("long").alias("k"),
         F.lit(None).cast("string").alias("split"),
     )
-    return shuf.unionByName(zo)
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.urls import (
+        cap_per_domain,
+        normalize_url,
+        registered_domain,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+        hash48,
+    )
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("HTTPS://Crawl.Site"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit(".COM:443/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=bench&id="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("#frag"),
+    )
+    urled = docs.withColumn("_url", url)
+    un = urled.select(
+        F.lit("url_norm").alias("part"),
+        F.col("doc_id").cast("long").alias("id"),
+        hash48(normalize_url("_url")).cast("long").alias("k"),
+        registered_domain("_url").alias("split"),
+    )
+    capped = cap_per_domain(
+        urled.withColumn("_dom", registered_domain("_url")),
+        DOMAIN_CAP_N,
+        key_col="_dom",
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        salt=8,
+    ).select(
+        F.lit("domain_cap").alias("part"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("rank").alias("k"),
+        F.col("domain").alias("split"),
+    )
+    return shuf.unionByName(zo).unionByName(un).unionByName(capped)
 
 
 def _sql_layout_keys() -> str:
+    norm = (
+        "'https://crawl.site' || (doc_id % 13) || '.com/p/' || doc_id"
+        " || '?id=' || (doc_id % 7)"
+    )
     return f"""
     SELECT 'corpus_shuffle' AS part, doc_id::BIGINT AS id,
            rank::BIGINT AS k, split
@@ -4504,6 +4565,20 @@ def _sql_layout_keys() -> str:
     SELECT 'zorder' AS part, o_orderkey::BIGINT, zkey::BIGINT,
            NULL::VARCHAR
     FROM ({_sql_zorder_keys()})
+    UNION ALL
+    SELECT 'url_norm' AS part, doc_id::BIGINT,
+           {MD5INT_SQL.format(x=norm)},
+           'site' || (doc_id % 13) || '.com'
+    FROM documents
+    UNION ALL
+    SELECT 'domain_cap' AS part, doc_id::BIGINT, rank::BIGINT, dom
+    FROM (
+      SELECT doc_id, 'site' || (doc_id % 13) || '.com' AS dom,
+             row_number() OVER (
+               PARTITION BY doc_id % 13
+               ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents)
+    WHERE rank <= {DOMAIN_CAP_N}
     """
 
 

@@ -112,6 +112,11 @@ from .operators.text import (  # noqa: E402,F401
     tf_idf_top_terms,
     winnow_fingerprints,
 )
+from .operators.urls import (  # noqa: E402,F401
+    cap_per_domain,
+    normalize_url,
+    registered_domain,
+)
 from .operators.video import (  # noqa: E402,F401
     decode_mjpeg,
     encode_mjpeg_avi,
@@ -151,8 +156,11 @@ __all__ = [
     "corpus_shuffle_split",
     "cox_fit",
     "decode_mjpeg",
+    "cap_per_domain",
     "decontaminate",
     "ngram_overlap_scores",
+    "normalize_url",
+    "registered_domain",
     "encode_mjpeg_avi",
     "probe_avi",
     "read_warc",

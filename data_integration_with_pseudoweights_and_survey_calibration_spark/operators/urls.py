@@ -1,0 +1,131 @@
+"""URL curation operators — the Common-Crawl-side selection steps a
+web-corpus pipeline runs before/alongside text filtering (CCNet,
+RefinedWeb): URL normalization for URL-level dedup keys, registered-
+domain extraction, and skew-safe per-domain document capping.
+
+Reference parity: the reference repo (R) has no web-corpus surface —
+this module is part of the training-data-pipeline extension mandated
+by the build brief, same family as text.py / dedup.py.
+
+Everything here is pure Column expressions or salted windows:
+
+- :func:`normalize_url` / :func:`registered_domain` are single-pass
+  regex Column math (map-only, codegen-fused, dual-dialect: every
+  pattern is RE2-safe — no lookarounds — so the DuckDB oracle can
+  restate it verbatim);
+- :func:`cap_per_domain` is the hot-key-safe top-N per key: the first
+  window partitions on (key, salt) so one mega-domain spreads over
+  ``salt`` sortable (spillable) partitions, the second re-ranks the
+  surviving ≤ salt×n rows per key.  Top-N is exact under any salting
+  because per-salt top-N is a superset of the global top-N members in
+  that salt.  (A plain ``Window.partitionBy(domain)`` is the round-6
+  lesson's unsplittable-hot-key shape — a single host with 10^8 pages
+  would sort in ONE task.)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["normalize_url", "registered_domain", "cap_per_domain"]
+
+#: query parameters dropped by :func:`normalize_url` (tracking junk —
+#: the standard CCNet/RefinedWeb-style normalization set)
+TRACKING_PARAM_RE = r"(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref_src)"
+
+
+def _lower_host(url: Column) -> Column:
+    """scheme + host lowercased, default ports stripped; path/query
+    case preserved (paths are case-sensitive, hosts are not)."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(host, r":(?:80|443)$", "")
+    rest = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    return scheme, host, rest
+
+
+def normalize_url(url: str | Column) -> Column:
+    """Canonical URL for URL-level dedup keys: lowercase scheme+host,
+    strip the default port, drop the fragment, drop tracking query
+    parameters (``utm_*``, ``fbclid``, ``gclid``, ...), tidy dangling
+    ``?``/``&``, and strip one trailing ``/``.  Rows that do not look
+    like ``scheme://host...`` pass through unchanged (minus fragment).
+
+    Pure Column regex — one map-side pass, no UDF; every pattern is
+    RE2-compatible so a SQL oracle can restate it.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme, host, rest = _lower_host(u)
+    # drop tracking params wherever they sit in the query string
+    rest = F.regexp_replace(rest, TRACKING_PARAM_RE + r"=[^&#]*&", "")
+    rest = F.regexp_replace(rest, r"[?&]" + TRACKING_PARAM_RE + r"=[^&#]*", "")
+    # tidy: '?&' from a dropped first param, then dangling '?'/'&'
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"[?&]$", "")
+    # trailing path slash, bare or ahead of the query string
+    rest = F.regexp_replace(rest, r"/\?", "?")
+    rest = F.regexp_replace(rest, r"/$", "")
+    norm = F.concat(scheme, F.lit("://"), host, rest)
+    # non-URL fallback: fragment strip only
+    return F.when(host != "", norm).otherwise(
+        F.regexp_replace(u, r"#.*$", "")
+    )
+
+
+def registered_domain(url: str | Column) -> Column:
+    """Last two labels of the host (``a.b.c.example.com`` ->
+    ``example.com``): the grouping key for per-domain caps and domain
+    mixing.  Heuristic — a public-suffix list refines ``co.uk``-style
+    suffixes; the operator contract (one key per host, stable,
+    map-only) is unchanged when one is swapped in.  Non-URLs yield
+    the empty string."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)
+    )
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(two != "", two).otherwise(host)
+
+
+def cap_per_domain(
+    df: DataFrame,
+    n: int,
+    *,
+    key_col: str | Column,
+    order_by: Sequence[Column],
+    id_col: str = "doc_id",
+    salt: int = 16,
+) -> DataFrame:
+    """Keep at most ``n`` rows per key (domain capping — RefinedWeb-
+    style host/domain limits): returns ``(id, key, rank)`` with rank
+    1..n in ``order_by`` order (make it TOTAL — append a unique
+    tiebreak like the id — or ranks are nondeterministic; callers
+    join back on the id for the full rows).
+
+    Skew-safe shape: window 1 ranks within (key, salt-of-id) — a hot
+    key spreads over ``salt`` spillable sort partitions — and keeps
+    its per-salt top-n (a superset of the key's global top-n); window
+    2 re-ranks the ≤ salt×n survivors per key.  Exact for any salt;
+    size ``salt`` so hot-key/salt partitions fit an executor at the
+    target scale.
+    """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    order = list(order_by)  # SortOrder exprs — applied in-window only
+    w1 = Window.partitionBy(
+        key, F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt)))
+    ).orderBy(*order)
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= int(n))
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= int(n))
+        .select(
+            F.col(id_col),
+            key.alias("domain"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -162,6 +162,22 @@ MUTATIONS = [
         "((substr(source, 4)::INT % 4) + 2) / 50.0 AS w",
         "mixture-target-weight",
     ),
+    # round 8: the URL-normalization injection statement (the oracle
+    # re-derives the canonical URL from doc_id arithmetic; flipping
+    # the query-string literal must break every url_norm hash)
+    (
+        "layout_keys",
+        "|| '?id=' ||",
+        "|| '?id =' ||",
+        "url-normalization-statement",
+    ),
+    # round 8: the per-domain cap bound
+    (
+        "layout_keys",
+        "WHERE rank <= 25",
+        "WHERE rank <= 24",
+        "domain-cap-bound",
+    ),
     # round 8: the streaming twins (both load-bearing, neither covered)
     (
         "streaming_interval",

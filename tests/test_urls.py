@@ -1,0 +1,116 @@
+"""URL curation operators (operators/urls.py): normalization cases,
+registered-domain extraction, and skew-safe per-domain capping checked
+against the plain (hot-key-unsafe) single-window reference."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.urls import (
+    cap_per_domain,
+    normalize_url,
+    registered_domain,
+)
+
+CASES = [
+    # (raw, normalized, registered domain)
+    (
+        "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&id=3#frag",
+        "https://www.example.com/Path?id=3",
+        "example.com",
+    ),
+    (
+        "http://a.b.site.org:80/p/q/",
+        "http://a.b.site.org/p/q",
+        "site.org",
+    ),
+    (
+        "https://host.io/?utm_campaign=z",
+        "https://host.io",
+        "host.io",
+    ),
+    (
+        "https://x.net/p?id=1&fbclid=abc&q=2",
+        "https://x.net/p?id=1&q=2",
+        "x.net",
+    ),
+    (
+        "https://x.net/p?gclid=abc",
+        "https://x.net/p",
+        "x.net",
+    ),
+    ("not a url #frag", "not a url ", ""),
+    ("https://onelabel/path", "https://onelabel/path", "onelabel"),
+]
+
+
+def test_normalize_and_domain_cases(spark):
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(CASES)], "i long, url string"
+    )
+    got = (
+        df.select(
+            "i",
+            normalize_url("url").alias("n"),
+            registered_domain("url").alias("d"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for row, (raw, want_n, want_d) in zip(got, CASES):
+        assert row["n"] == want_n, (raw, row["n"], want_n)
+        assert row["d"] == want_d, (raw, row["d"], want_d)
+
+
+def test_normalized_url_is_a_stable_dedup_key(spark):
+    """Tracking-param / case / port / fragment variants of one page
+    must collapse to ONE normalized key."""
+    variants = [
+        "https://Example.com/a/b?utm_source=tw",
+        "https://example.com:443/a/b#top",
+        "https://example.com/a/b/",
+        "https://example.com/a/b?gclid=zzz",
+    ]
+    df = spark.createDataFrame([(v,) for v in variants], "url string")
+    keys = {r[0] for r in df.select(normalize_url("url")).collect()}
+    assert keys == {"https://example.com/a/b"}
+
+
+def test_cap_per_domain_matches_plain_window_and_is_deterministic(spark):
+    """The salted two-window cap must equal the plain single-window
+    top-n (exactness under salting), with one hot domain dominating
+    the corpus — and identical ranks on a rerun."""
+    rows = []
+    for i in range(3000):
+        dom = "hot.com" if i % 10 else f"rare{i % 7}.org"
+        rows.append((i, dom, float((i * 37) % 1000)))
+    df = spark.createDataFrame(rows, "doc_id long, domain string, q double")
+    order = [F.col("q").desc(), F.col("doc_id").asc()]
+    got = (
+        cap_per_domain(df, 25, key_col="domain", order_by=order, salt=8)
+        .orderBy("domain", "rank")
+        .collect()
+    )
+    w = Window.partitionBy("domain").orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    want = (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 25)
+        .orderBy("domain", "rank")
+        .collect()
+    )
+    assert [(r["doc_id"], r["domain"], r["rank"]) for r in got] == [
+        (r["doc_id"], r["domain"], r["rank"]) for r in want
+    ]
+    again = (
+        cap_per_domain(df, 25, key_col="domain", order_by=order, salt=8)
+        .orderBy("domain", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    # every domain capped at 25; small domains keep everything
+    from collections import Counter
+
+    c = Counter(r["domain"] for r in got)
+    assert c["hot.com"] == 25
+    assert all(v <= 25 for v in c.values())
