@@ -114,3 +114,24 @@ def test_cap_per_domain_matches_plain_window_and_is_deterministic(spark):
     c = Counter(r["domain"] for r in got)
     assert c["hot.com"] == 25
     assert all(v <= 25 for v in c.values())
+
+
+def test_normalized_url_composes_with_exact_dedup(spark):
+    """The user story the normalizer exists for: URL-level dedup.
+    Normalize -> group -> keep min doc_id collapses tracking/case/port
+    variants of one page to a single kept row."""
+    rows = [
+        (1, "https://Example.com/a?utm_source=tw", "x"),
+        (2, "https://example.com:443/a", "y"),
+        (3, "https://example.com/a/", "z"),
+        (4, "https://example.com/b", "w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    keyed = df.withColumn("_key", normalize_url("url"))
+    kept = (
+        keyed.groupBy("_key")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["doc_id"] for r in kept] == [1, 4]
