@@ -4243,6 +4243,124 @@ def _sql_line_features() -> str:
     """
 
 
+def _c4_ptext_expr():
+    """Multiline text for the c4_rules certificate, exercising every
+    C4 rule from doc_id arithmetic: a long terminal first line (always
+    passes the line filter), a too-short line (%3==0), a javascript
+    line (%4==1), a lorem-ipsum page arm (%5==2), a curly-brace code
+    arm (%7==3), a blocklist-token arm (%11==4), and an extra good
+    sentence (%6<2) that pushes the page over the 3-sentence bar."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.substring("text", 1, 50),
+        F.lit(" sentence one ends here. And two more words follow now!"),
+        F.when(did % 3 == 0, F.lit("\nToo short.")).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 1,
+            F.lit("\nPlease enable JavaScript to view this site today."),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 2,
+            F.lit("\nLorem ipsum dolor sit amet placeholder text here."),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 3, F.lit("\nfunction f() { return 1; }")
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 4,
+            F.lit("\nthis page contains badword somewhere inside it."),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 6 < 2,
+            F.lit("\nAnother good sentence follows with many words here?"),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 document-level cleaning rules (``operators/text.py
+    c4_rules``, Raffel et al. 2020 §2.2) over injected multiline text;
+    the oracle restates the sentence counter, the line filter
+    (terminal punctuation + >=5 words + no "javascript"), the
+    lorem/brace page flags, the blocklist token count, and the
+    composite ``c4_keep`` verdict verbatim."""
+    docs = _docs(spark, sf_dir)
+    out = text_ops.c4_rules(docs.withColumn("text", _c4_ptext_expr()))
+    return out.select(
+        "doc_id",
+        "c4_n_sentences",
+        F.round("c4_kept_line_frac", 9).alias("c4_kept_line_frac"),
+        "c4_has_lorem",
+        "c4_has_brace",
+        "c4_blocklist_hits",
+        "c4_keep",
+    )
+
+
+def _sql_c4_rules() -> str:
+    ptext = """
+         substr(text, 1, 50)
+         || ' sentence one ends here. And two more words follow now!'
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Too short.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 1
+                 THEN chr(10)
+                      || 'Please enable JavaScript to view this site today.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 2
+                 THEN chr(10)
+                      || 'Lorem ipsum dolor sit amet placeholder text here.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 3
+                 THEN chr(10) || 'function f() { return 1; }'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 4
+                 THEN chr(10)
+                      || 'this page contains badword somewhere inside it.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 6 < 2
+                 THEN chr(10)
+                      || 'Another good sentence follows with many words here?'
+                 ELSE '' END
+    """
+    line_ok = (
+        "regexp_matches(x, '[.!?\"]$') "
+        "AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 5 "
+        "AND NOT contains(lower(x), 'javascript')"
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, {ptext} AS ptext FROM documents),
+    l AS (SELECT doc_id, ptext,
+                 list_filter(
+                   list_transform(string_split(ptext, chr(10)),
+                                  x -> trim(x)),
+                   x -> x <> '') AS ls
+          FROM base)
+    SELECT doc_id,
+           (len(ptext) - len(regexp_replace(ptext, '[.!?]', '', 'g')))::BIGINT
+             AS c4_n_sentences,
+           round(CASE WHEN len(ls) > 0
+                 THEN len(list_filter(ls, x -> {line_ok})) * 1.0 / len(ls)
+                 ELSE 0.0 END, 9) AS c4_kept_line_frac,
+           contains(lower(ptext), 'lorem ipsum') AS c4_has_lorem,
+           contains(ptext, '{{') AS c4_has_brace,
+           len(list_filter(regexp_split_to_array(trim(ptext), '\\s+'),
+               t -> list_contains(['unsafeword', 'badword'], lower(t))
+           ))::BIGINT AS c4_blocklist_hits,
+           (
+             (len(ptext) - len(regexp_replace(ptext, '[.!?]', '', 'g'))) >= 3
+             AND (CASE WHEN len(ls) > 0
+                  THEN len(list_filter(ls, x -> {line_ok})) * 1.0 / len(ls)
+                  ELSE 0.0 END) > 0.0
+             AND NOT contains(lower(ptext), 'lorem ipsum')
+             AND NOT contains(ptext, '{{')
+             AND len(list_filter(regexp_split_to_array(trim(ptext), '\\s+'),
+                 t -> list_contains(['unsafeword', 'badword'], lower(t)))) = 0
+           ) AS c4_keep
+    FROM l
+    """
+
+
 def _quality_eta_sql() -> str:
     """The frozen-beta linear predictor over the text_features twin
     columns (``log_n_tokens`` derived from the certified integer
@@ -4264,10 +4382,11 @@ def _quality_eta_sql() -> str:
 def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc curation feature bundle: quality stats + language id +
     repetition features + PII scrub columns + line-level Gopher rules
-    (round 5) + the trained-classifier quality_prob (round 6), joined
-    on doc_id (all are single-pass per-doc computations; the join keys
-    are unique, so the merged result certifies each column set exactly
-    as the separate queries did).
+    (round 5) + the trained-classifier quality_prob (round 6) + the C4
+    document-level rules (round 8), joined on doc_id (all are
+    single-pass per-doc computations; the join keys are unique, so the
+    merged result certifies each column set exactly as the separate
+    queries did).
 
     quality_prob is the SCORING certificate for
     ``operators/quality.py score_quality`` — the leg a 100 TB curation
@@ -4289,6 +4408,7 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_q_repetition_stats(spark, sf_dir), "doc_id")
         .join(_q_pii_scrub(spark, sf_dir), "doc_id")
         .join(_q_line_features(spark, sf_dir), "doc_id")
+        .join(_q_c4_rules(spark, sf_dir), "doc_id")
     )
     prob = quality_ops.quality_prob_column(quality_ops.frozen_quality_fit())
     return (
@@ -4312,6 +4432,7 @@ def _sql_text_features() -> str:
       JOIN ({_sql_repetition_stats()}) r USING (doc_id)
       JOIN ({_sql_pii_scrub()}) p USING (doc_id)
       JOIN ({_sql_line_features()}) lf USING (doc_id)
+      JOIN ({_sql_c4_rules()}) c4 USING (doc_id)
     )
     """
 

@@ -106,6 +106,7 @@ from .operators.sessions import sessionize  # noqa: E402,F401
 from .operators.simulation import generate_population, run_simulation  # noqa: E402,F401
 from .operators.taylor import taylor_inference  # noqa: E402,F401
 from .operators.text import (  # noqa: E402,F401
+    c4_rules,
     decontaminate,
     line_features,
     ngram_overlap_scores,
@@ -184,6 +185,7 @@ __all__ = [
     "integrate",
     "jk_variance",
     "kw_weights",
+    "c4_rules",
     "line_features",
     "post_stratify",
     "pps_sample",

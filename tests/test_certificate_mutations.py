@@ -191,6 +191,25 @@ MUTATIONS = [
         "INTERVAL '4 hours'",
         "streaming-window-width",
     ),
+    # round 8: the C4 rules (text_features).  Narrowing the terminal-
+    # punctuation class drops the '?'-terminated good-sentence line
+    # (%6<2 docs) from kept_line_frac's numerator — first occurrence
+    # of the literal is the kept_frac column, so only it mutates.
+    (
+        "text_features",
+        "regexp_matches(x, '[.!?\"]$')",
+        "regexp_matches(x, '[.!]$')",
+        "c4-terminal-punct",
+    ),
+    # ...and de-listing 'badword' zeroes c4_blocklist_hits for every
+    # %11==4 doc (first occurrence = the hits column; c4_keep still
+    # reads the unmutated second occurrence, so hits alone must flip).
+    (
+        "text_features",
+        "list_contains(['unsafeword', 'badword'], lower(t))",
+        "list_contains(['unsafeword', 'nosuchword'], lower(t))",
+        "c4-blocklist",
+    ),
 ]
 
 

@@ -1556,3 +1556,78 @@ def test_materialize_mixture_drops_untargeted_and_validates(spark):
         materialize_mixture(df, {})
     with pytest.raises(ValueError, match="no target domain"):
         materialize_mixture(df, {"zzz": 1.0})
+
+
+def test_c4_rules_verdicts(spark):
+    rows = [
+        # clean prose: 3 sentences, every line passes the line filter
+        (0, "One good sentence with several words inside. Another one "
+            "follows right here! And a third closes the page."),
+        # lorem-ipsum page: enough sentences but flagged
+        (1, "Lorem ipsum dolor sit amet and more words. Second sentence "
+            "right here. Third sentence closes it."),
+        # code page: curly brace
+        (2, "Real prose sentence number one right here. Also two. And "
+            "three. function f() { return 1; }"),
+        # blocklist page
+        (3, "This page mentions badword in plain sight. Sentence two "
+            "is fine. Sentence three as well."),
+        # too few sentences
+        (4, "Only one sentence lives on this page."),
+        # javascript-only line: no line survives
+        (5, "Please enable javascript to read this. And yet more "
+            "javascript here too. Even a third javascript line."),
+        # short lines: terminal punct but < 5 words each
+        (6, "Too short.\nAlso short.\nStill short."),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.c4_rules(df).collect()}
+    assert got[0]["c4_keep"] and got[0]["c4_n_sentences"] == 3
+    assert got[0]["c4_kept_line_frac"] == 1.0
+    assert got[1]["c4_has_lorem"] and not got[1]["c4_keep"]
+    assert got[2]["c4_has_brace"] and not got[2]["c4_keep"]
+    assert got[3]["c4_blocklist_hits"] == 1 and not got[3]["c4_keep"]
+    assert got[4]["c4_n_sentences"] == 1 and not got[4]["c4_keep"]
+    # every line mentions javascript -> kept_line_frac 0 -> page fails
+    assert got[5]["c4_kept_line_frac"] == 0.0 and not got[5]["c4_keep"]
+    assert got[6]["c4_kept_line_frac"] == 0.0 and not got[6]["c4_keep"]
+    assert not got[7]["c4_keep"]
+
+
+def test_c4_rules_line_filter_fraction(spark):
+    txt = (
+        "A proper long sentence with enough words here.\n"   # pass
+        "short line.\n"                                       # < 5 words
+        "No terminal punctuation on this line at all\n"       # no terminal
+        "Enable javascript to continue reading this page.\n"  # javascript
+        "Final good sentence carries plenty of words too!"    # pass
+    )
+    df = spark.createDataFrame([(0, txt)], "doc_id long, text string")
+    r = text.c4_rules(df).collect()[0]
+    assert r["c4_kept_line_frac"] == pytest.approx(2 / 5)
+    # thresholds are parameters, not constants (both passing lines
+    # have exactly 8 words, so raising the bar to 9 kills both)
+    r6 = text.c4_rules(df, min_words_per_line=9).collect()[0]
+    assert r6["c4_kept_line_frac"] == 0.0
+    r2 = text.c4_rules(df, min_sentences=99).collect()[0]
+    assert not r2["c4_keep"]
+
+
+def test_c4_rules_blocklist_token_match(spark):
+    # whole-token, case-insensitive: 'BadWord' hits, 'badwords' does not
+    df = spark.createDataFrame(
+        [
+            (0, "contains BadWord twice badword in one page. Two. Three."),
+            (1, "but badwords embedded does not count at all. Two. Three."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.c4_rules(df).collect()}
+    assert got[0]["c4_blocklist_hits"] == 2 and not got[0]["c4_keep"]
+    assert got[1]["c4_blocklist_hits"] == 0 and got[1]["c4_keep"]
+    # custom blocklist
+    custom = text.c4_rules(df, blocklist=("badwords",)).collect()
+    by = {r["doc_id"]: r for r in custom}
+    assert by[0]["c4_blocklist_hits"] == 0  # 'badword' not in custom list
+    assert by[1]["c4_blocklist_hits"] == 1  # whole token 'badwords' is
