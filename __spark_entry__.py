@@ -78,6 +78,7 @@ from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.
 from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (  # noqa: E402
     bloom as bloom_ops,
     dedup as dedup_ops,
+    html as html_ops,
     pii as pii_ops,
     quality as quality_ops,
     text as text_ops,
@@ -4361,6 +4362,104 @@ def _sql_c4_rules() -> str:
     """
 
 
+_HTML_GOOD_PARA = (
+    "the rain is a thing of the day and the tea is a thing of the night "
+    "and to walk in the park is a joy of the morning and to rest in the "
+    "shade is a gift of the afternoon and to read in the evening is a "
+    "calm end of it all"
+)  # 217 chars, stopword density 0.63 — a context-free jusText 'good'
+
+
+def _html_page_expr():
+    """Synthetic HTML for the boilerplate-removal certificate, built
+    from doc_id arithmetic: a fully-linked nav (always boilerplate), a
+    long stopword-dense paragraph (always good), a short note (%3==0;
+    rescued by the good neighbour), a link-farm list item (%4==1), a
+    copyright footer (%5==2), and a second good paragraph (%6<2)."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit(
+            '<html><body><nav><a href="/">Home</a> '
+            '<a href="/x">About page</a></nav><p>'
+        ),
+        F.lit(_HTML_GOOD_PARA + " item "),
+        (did % 100).cast("string"),
+        F.lit(".</p>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("<p>short note "), (did % 7).cast("string"), F.lit("</p>")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 1,
+            F.lit('<ul><li><a href="/1">more links here</a></li></ul>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 2,
+            F.lit("<footer>copyright 2026 example com</footer>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 6 < 2,
+            F.concat(
+                F.lit("<p>" + _HTML_GOOD_PARA + " tail "),
+                (did % 9).cast("string"),
+                F.lit(".</p>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+
+
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style boilerplate removal (``operators/html.py
+    extract_main_text``, Pomikálek 2011) over injected synthetic HTML.
+    The oracle re-derives the EXPECTED extracted text from the same
+    doc_id arithmetic and md5s it, so the hash certifies the full
+    segment → classify → context-rescue → rebuild path end to end:
+    which blocks survive (nav/link-farm/copyright dropped, short note
+    rescued by its good neighbour) and the exact rebuilt string."""
+    docs = _docs(spark, sf_dir)
+    out = html_ops.extract_main_text(
+        docs.withColumn("html", _html_page_expr()), html_col="html"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_blocks").alias("html_n_blocks"),
+        F.col("n_good_blocks").alias("html_n_good"),
+        F.md5("text").alias("html_text_md5"),
+        F.round("link_density", 9).alias("html_link_density"),
+    )
+
+
+def _sql_html_extract() -> str:
+    p = _HTML_GOOD_PARA
+    return f"""
+    WITH b AS (SELECT doc_id,
+        '{p} item ' || (doc_id % 100) || '.' AS p1,
+        CASE WHEN doc_id % 3 = 0
+             THEN 'short note ' || (doc_id % 7) ELSE NULL END AS sn,
+        CASE WHEN doc_id % 6 < 2
+             THEN '{p} tail ' || (doc_id % 9) || '.' ELSE NULL END AS p2
+      FROM documents)
+    SELECT doc_id,
+      (2 + (doc_id % 3 = 0)::INT + (doc_id % 4 = 1)::INT
+         + (doc_id % 5 = 2)::INT + (doc_id % 6 < 2)::INT)::BIGINT
+        AS html_n_blocks,
+      (1 + (doc_id % 3 = 0)::INT + (doc_id % 6 < 2)::INT)::BIGINT
+        AS html_n_good,
+      md5(p1
+          || COALESCE(chr(10) || chr(10) || sn, '')
+          || COALESCE(chr(10) || chr(10) || p2, '')) AS html_text_md5,
+      round((14 + CASE WHEN doc_id % 4 = 1 THEN 15 ELSE 0 END) * 1.0
+            / (15 + len(p1) + COALESCE(len(sn), 0)
+               + CASE WHEN doc_id % 4 = 1 THEN 15 ELSE 0 END
+               + CASE WHEN doc_id % 5 = 2 THEN 26 ELSE 0 END
+               + COALESCE(len(p2), 0)), 9) AS html_link_density
+    FROM b
+    """
+
+
 def _quality_eta_sql() -> str:
     """The frozen-beta linear predictor over the text_features twin
     columns (``log_n_tokens`` derived from the certified integer
@@ -4409,6 +4508,7 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_q_pii_scrub(spark, sf_dir), "doc_id")
         .join(_q_line_features(spark, sf_dir), "doc_id")
         .join(_q_c4_rules(spark, sf_dir), "doc_id")
+        .join(_q_html_extract(spark, sf_dir), "doc_id")
     )
     prob = quality_ops.quality_prob_column(quality_ops.frozen_quality_fit())
     return (
@@ -4433,6 +4533,7 @@ def _sql_text_features() -> str:
       JOIN ({_sql_pii_scrub()}) p USING (doc_id)
       JOIN ({_sql_line_features()}) lf USING (doc_id)
       JOIN ({_sql_c4_rules()}) c4 USING (doc_id)
+      JOIN ({_sql_html_extract()}) hx USING (doc_id)
     )
     """
 

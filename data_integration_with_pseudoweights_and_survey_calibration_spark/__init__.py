@@ -113,6 +113,11 @@ from .operators.text import (  # noqa: E402,F401
     tf_idf_top_terms,
     winnow_fingerprints,
 )
+from .operators.html import (  # noqa: E402,F401
+    classify_blocks,
+    extract_main_text,
+    segment_blocks,
+)
 from .operators.urls import (  # noqa: E402,F401
     cap_per_domain,
     normalize_url,
@@ -186,6 +191,9 @@ __all__ = [
     "jk_variance",
     "kw_weights",
     "c4_rules",
+    "classify_blocks",
+    "extract_main_text",
+    "segment_blocks",
     "line_features",
     "post_stratify",
     "pps_sample",

@@ -210,6 +210,22 @@ MUTATIONS = [
         "list_contains(['unsafeword', 'nosuchword'], lower(t))",
         "c4-blocklist",
     ),
+    # round 8: the HTML boilerplate-removal certificate.  The rescued
+    # short note's content feeds the rebuilt-text md5 — flipping its
+    # modulus changes the extracted string for every %3==0 doc.
+    (
+        "text_features",
+        "'short note ' || (doc_id % 7)",
+        "'short note ' || (doc_id % 8)",
+        "html-rescued-block",
+    ),
+    # ...and the nav link-char numerator anchors page link density.
+    (
+        "text_features",
+        "(14 + CASE WHEN doc_id % 4 = 1 THEN 15 ELSE 0 END)",
+        "(13 + CASE WHEN doc_id % 4 = 1 THEN 15 ELSE 0 END)",
+        "html-link-density",
+    ),
 ]
 
 

@@ -1,0 +1,98 @@
+"""jusText-style boilerplate removal (operators/html.py): block
+segmentation, two-pass classification, main-text rebuild."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import html as H
+
+GOOD_PARA = (
+    "The quick brown fox jumps over the lazy dog while the rain in "
+    "the plain stays mainly in the valley and the weather is a fine "
+    "thing to talk about when the conversation is slow and the tea "
+    "is warm and the evening is long."
+)  # > 200 chars, stopword-dense
+
+PAGE = f"""<html><head><title>t</title>
+<script>var x = 1;</script><style>p {{ color: red }}</style></head>
+<body>
+<nav><a href="/">Home</a> <a href="/about">About</a></nav>
+<h1>A headline of the day</h1>
+<p>{GOOD_PARA}</p>
+<p>short note</p>
+<ul><li><a href="/1">link one</a></li><li><a href="/2">link two</a></li></ul>
+<p>{GOOD_PARA} Extra tail.</p>
+<footer>copyright 2026 example.com</footer>
+</body></html>"""
+
+
+@pytest.fixture(scope="module")
+def page_df(spark):
+    return spark.createDataFrame([(1, PAGE)], "doc_id long, html string")
+
+
+def test_segment_blocks(spark, page_df):
+    rows = (
+        H.segment_blocks(page_df).orderBy("pos").collect()
+    )
+    texts = [r["text"] for r in rows]
+    # script/style/head content never appears
+    assert not any("var x" in t or "color: red" in t or t == "t" for t in texts)
+    # nav block is fully linked
+    nav = next(r for r in rows if "Home" in r["text"])
+    # 'Home' + 'About' linked; the joining space between the two <a>
+    # elements belongs to neither anchor
+    assert nav["link_chars"] == nav["n_chars"] - 1
+    # the good paragraph survives with zero link chars
+    para = next(r for r in rows if r["text"].startswith("The quick"))
+    assert para["link_chars"] == 0 and para["tag"] == "p"
+    # document order is preserved
+    assert texts.index("A headline of the day") < texts.index(
+        "short note"
+    )
+
+
+def test_classify_and_context_pass(spark, page_df):
+    out = H.classify_blocks(H.segment_blocks(page_df))
+    by = {r["text"][:12]: r for r in out.collect()}
+    assert by["Home About"[:12]]["cls"] == "bad"  # link farm
+    assert by["The quick br"]["cls"] == "good"
+    # short block between two good paragraphs is rescued by context
+    assert by["short note"]["cls"] == "short"
+    assert by["short note"]["final"] == "good"
+    # copyright footer is bad even though link-free
+    assert by["copyright 20"]["final"] == "boilerplate"
+    # headline: short, neighbour good -> rescued
+    assert by["A headline o"]["final"] == "good"
+
+
+def test_extract_main_text(spark, page_df):
+    r = H.extract_main_text(page_df).collect()[0]
+    assert r["text"].startswith("A headline of the day\n\nThe quick")
+    assert "short note" in r["text"]
+    assert "link one" not in r["text"]
+    assert "copyright" not in r["text"]
+    assert r["n_good_blocks"] == 4 and r["n_blocks"] >= 6
+    assert 0.0 < r["link_density"] < 0.5
+
+
+def test_extract_handles_null_and_malformed(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "<p>broken <b>nested"), (3, "no tags at all")],
+        "doc_id long, html string",
+    )
+    got = {r["doc_id"]: r for r in H.extract_main_text(df).collect()}
+    assert got[1]["text"] == "" and got[1]["n_blocks"] == 0
+    # malformed markup parses leniently, never raises
+    assert got[2]["n_blocks"] == 1
+    assert got[3]["n_blocks"] == 1  # bare text is one body block
+
+
+def test_extract_thresholds_are_parameters(spark, page_df):
+    # raising length_low above the good paragraph demotes it to short,
+    # and with no context-free good block nothing is rescued
+    r = H.extract_main_text(
+        page_df, length_low=10_000, length_high=20_000
+    ).collect()[0]
+    assert r["n_good_blocks"] == 0 and r["text"] == ""
