@@ -526,13 +526,20 @@ def _html_to_text(html: str) -> str:
     return "\n".join(ln for ln in lines if ln)
 
 
-def warc_to_documents(records: DataFrame) -> DataFrame:
+def warc_to_documents(
+    records: DataFrame, *, extractor: str = "strip"
+) -> DataFrame:
     """Project WARC ``response`` records into the engine's documents
     shape: ``(doc_id, url, fetch_date, text)``.
 
     - keeps ``warc_type = 'response'`` with an HTTP 200 status line;
     - splits the HTTP headers off the payload, decodes the body as
-      UTF-8 (replace) and strips markup (:func:`_html_to_text`);
+      UTF-8 (replace) and extracts text per ``extractor``:
+      ``"strip"`` (default) = the crude tag strip
+      (:func:`_html_to_text`); ``"raw"`` = the undecoded body HTML
+      verbatim, for callers that run a real boilerplate-removal pass
+      downstream (``operators.html.extract_main_text`` — the jusText
+      stage; same column, richer extraction);
     - ``doc_id`` is ``xxhash64(record_id)`` — deterministic, join-ready
       with every downstream operator (dedup, scrub, packing).
 
@@ -540,6 +547,8 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
     scale fuse them (this function only adds columns) and feed the
     result straight into the quarantine/scrub funnel.
     """
+    if extractor not in ("strip", "raw"):
+        raise ValueError(f"unknown extractor {extractor!r}")
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -570,8 +579,9 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
                 out["record_id"].append(rid)
                 out["url"].append(uri)
                 out["fetch_date"].append(date)
+                decoded = body.decode("utf-8", "replace")
                 out["text"].append(
-                    _html_to_text(body.decode("utf-8", "replace"))
+                    decoded if extractor == "raw" else _html_to_text(decoded)
                 )
             yield pd.DataFrame(out)
 

@@ -429,3 +429,48 @@ def test_member_offsets_property_random_layouts():
         assert len(whole) == len(recs)
 
     prop()
+
+
+def test_warc_raw_extractor_feeds_justext(spark, tmp_path):
+    """extractor='raw' hands the undecoded body HTML to the jusText
+    stage (operators/html.py): boilerplate nav/footer vanish, the
+    stopword-dense paragraph survives — while the default 'strip'
+    extractor keeps nav text (the crude path's known limitation)."""
+    import gzip
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.html import (
+        extract_main_text,
+    )
+
+    good = (
+        "the rain is a thing of the day and the tea is a thing of the "
+        "night and to walk in the park is a joy of the morning and to "
+        "rest in the shade is a gift of the afternoon and to read in "
+        "the evening is a calm end of it all"
+    )
+    page = (
+        '<html><body><nav><a href="/">Home</a> <a href="/x">About '
+        "page</a></nav><p>" + good + "</p>"
+        "<footer>copyright 2026 example com</footer></body></html>"
+    ).encode()
+    rec = _record("eee", "response", "http://ex.com/p", _http(b"200 OK", page))
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "one.warc.gz").write_bytes(gzip.compress(rec))
+
+    raw = warc_to_documents(read_warc(spark, str(d)), extractor="raw")
+    row = raw.collect()[0]
+    assert "<nav>" in row["text"]  # raw HTML passes through
+
+    clean = extract_main_text(raw, html_col="text").collect()[0]
+    assert clean["text"] == good
+    assert "Home" not in clean["text"] and "copyright" not in clean["text"]
+
+    # the crude strip keeps the nav words — the documented difference
+    stripped = warc_to_documents(read_warc(spark, str(d))).collect()[0]
+    assert "Home" in stripped["text"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown extractor"):
+        warc_to_documents(read_warc(spark, str(d)), extractor="trafilatura")

@@ -1031,6 +1031,92 @@ def jpeg_ladder(spark, sizes: list[int]) -> None:
     print(json.dumps({"op": "jpeg_decode", "points": points}))
 
 
+def html_ladder(spark, sizes: list[int]) -> None:
+    """jusText boilerplate-removal throughput (operators/html.py
+    extract_main_text): realistic synthetic pages built JVM-side
+    (nav + 8 paragraphs with arithmetic good/boilerplate mix + a link
+    list + a copyright footer, ~2.5 KB/page), pages/s and MB/s through
+    the full segment -> classify -> rescue -> rebuild path.  In-rung
+    asserts: every page parses, nav text never survives, and the
+    planted good-paragraph count is recovered exactly."""
+    from pyspark.sql import functions as F
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
+        html as H,
+    )
+
+    good = (
+        "the rain is a thing of the day and the tea is a thing of the "
+        "night and to walk in the park is a joy of the morning and to "
+        "rest in the shade is a gift of the afternoon and to read in "
+        "the evening is a calm end of it all"
+    )
+    junk = (
+        "click here now buy cheap deals discount offers subscribe "
+        "newsletter follow share like comment register login signup"
+    )
+    did = F.col("id")
+    paras = []
+    for j in range(8):
+        # paragraphs alternate good/junk on (id + j) % 2 — 4 good each
+        paras.append(
+            F.when(
+                (did + j) % 2 == 0,
+                F.concat(
+                    F.lit("<p>" + good + " item "),
+                    ((did + j) % 100).cast("string"),
+                    F.lit(".</p>"),
+                ),
+            ).otherwise(F.lit("<p>" + junk + "</p>"))
+        )
+    page = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a> '
+              '<a href="/x">About page</a></nav>'),
+        *paras,
+        F.lit('<ul><li><a href="/1">more links here</a></li></ul>'
+              "<footer>copyright 2026 example com</footer>"
+              "</body></html>"),
+    )
+    points = []
+    for n in sizes:
+        df = (
+            spark.range(n)
+            .repartition(32)
+            .select(F.col("id").alias("doc_id"), page.alias("html"))
+            .localCheckpoint()
+        )
+        total_mb = (
+            df.agg(F.sum(F.length("html"))).collect()[0][0] or 0
+        ) / 1e6
+        t0 = time.time()
+        agg = (
+            H.extract_main_text(df)
+            .agg(
+                F.count(F.lit(1)).alias("pages"),
+                F.sum("n_good_blocks").alias("good"),
+                F.sum(
+                    F.col("text").contains("Home").cast("long")
+                ).alias("nav_leaks"),
+            )
+            .collect()[0]
+        )
+        wall = time.time() - t0
+        assert agg["pages"] == n
+        assert agg["nav_leaks"] == 0
+        assert agg["good"] == 4 * n, (agg["good"], 4 * n)
+        points.append(
+            {
+                "n_pages": n,
+                "mb": round(total_mb, 1),
+                "wall_sec": round(wall, 2),
+                "pages_s": round(n / wall),
+                "mb_s": round(total_mb / wall, 1),
+            }
+        )
+        print(json.dumps(points[-1]), flush=True)
+    print(json.dumps({"op": "html_extract", "points": points}))
+
+
 def warc_ladder(
     spark, sizes: list[int], docs_per_file: int = 2000, body_words: int = 120
 ) -> None:
@@ -1662,6 +1748,16 @@ def main() -> None:
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
         flac_ladder(spark, sizes)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--html":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [20_000, 80_000]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        html_ladder(spark, sizes)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--warc":
         sizes = (
