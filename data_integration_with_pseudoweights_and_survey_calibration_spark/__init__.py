@@ -101,6 +101,7 @@ from .operators.sampling import (  # noqa: E402,F401
     materialize_mixture,
     pps_sample,
     stratified_sample,
+    temperature_shares,
 )
 from .operators.sessions import sessionize  # noqa: E402,F401
 from .operators.simulation import generate_population, run_simulation  # noqa: E402,F401
@@ -213,6 +214,7 @@ __all__ = [
     "sessionize",
     "stack_samples",
     "stratified_sample",
+    "temperature_shares",
     "taylor_inference",
     "tf_idf_top_terms",
     "weighted_linear",

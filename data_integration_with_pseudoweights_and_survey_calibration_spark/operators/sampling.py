@@ -315,6 +315,40 @@ def domain_mix_sample(
     )
 
 
+def temperature_shares(
+    df: DataFrame,
+    alpha: float = 0.3,
+    *,
+    group_col: str = "source",
+    n_tok: Column | None = None,
+) -> dict[str, float]:
+    """Temperature-smoothed mixture shares — the multilingual /
+    multi-domain sampling rule of mBERT and XLM-R (Conneau et al.
+    2020, arXiv:1911.02116 §3.1): share_d ∝ T_d^alpha, where T_d is
+    the domain's token (or doc) total.  alpha = 1 reproduces natural
+    proportions; alpha → 0 approaches uniform; the published default
+    for low-resource upsampling is alpha ≈ 0.3.
+
+    Returns the normalized shares dict — feed it straight into
+    :func:`materialize_mixture` as ``targets`` (one groupBy over the
+    corpus for the domain totals, exponentiation driver-side on the
+    domain-count-sized result; nothing else touches the data)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"temperature_shares: alpha must be in (0, 1], got {alpha}")
+    size = n_tok if n_tok is not None else F.lit(1.0)
+    rows = (
+        df.groupBy(group_col)
+        .agg(F.sum(size).alias("_t"))
+        .where(F.col("_t") > 0)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("temperature_shares: no non-empty domains")
+    powered = {r[group_col]: float(r["_t"]) ** alpha for r in rows}
+    z = sum(powered.values())
+    return {d: v / z for d, v in sorted(powered.items())}
+
+
 def materialize_mixture(
     df: DataFrame,
     targets: dict[str, float],

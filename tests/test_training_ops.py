@@ -1631,3 +1631,41 @@ def test_c4_rules_blocklist_token_match(spark):
     by = {r["doc_id"]: r for r in custom}
     assert by[0]["c4_blocklist_hits"] == 0  # 'badword' not in custom list
     assert by[1]["c4_blocklist_hits"] == 1  # whole token 'badwords' is
+
+
+def test_temperature_shares(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
+        materialize_mixture,
+        temperature_shares,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small", 10) for i in range(100)],
+        "doc_id long, source string, n_tok int",
+    )
+    # alpha=1: natural proportions
+    nat = temperature_shares(df, 1.0, n_tok=F.col("n_tok"))
+    assert nat["big"] == pytest.approx(0.9) and nat["small"] == pytest.approx(0.1)
+    # alpha=0.3: low-resource domain upsampled, order preserved
+    t = temperature_shares(df, 0.3, n_tok=F.col("n_tok"))
+    expect_big = 900**0.3 / (900**0.3 + 100**0.3)
+    assert t["big"] == pytest.approx(expect_big)
+    assert 0.1 < t["small"] < 0.5 and t["big"] > t["small"]
+    assert sum(t.values()) == pytest.approx(1.0)
+    # doc-counted when n_tok omitted (same totals here up to the x10)
+    assert temperature_shares(df, 0.3)["small"] == pytest.approx(t["small"])
+    # feeds materialize_mixture directly: expected small-domain token
+    # share rises toward the smoothed target
+    mixed = materialize_mixture(df, t, n_tok=F.col("n_tok"))
+    got = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source")
+        .agg(F.sum("n_tok").alias("n"))
+        .collect()
+    }
+    small_share = got["small"] / (got["big"] + got["small"])
+    assert small_share == pytest.approx(t["small"], abs=0.05)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_shares(df, 0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_shares(df, 1.5)
