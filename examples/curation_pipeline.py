@@ -67,6 +67,76 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n0 = docs.count()
 
+    # 0. boilerplate removal (round 8, operators/html.py) + C4 page
+    # rules.  The corpus parquet is already extracted text, so the
+    # stage demonstrates itself the way the driver certificate does:
+    # wrap every doc in a synthetic page (fully-linked nav + body +
+    # copyright footer), run the jusText extractor, and ASSERT the
+    # rebuilt body equals the original text verbatim with zero
+    # nav/footer leaks.  Stopword/length thresholds are loosened to
+    # accept the synthetic corpus's non-prose vocabulary (a real web
+    # run keeps the jusText defaults); the nav/footer still die on the
+    # vocabulary-independent rules (link density, copyright).
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.html import (
+        extract_main_text,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.text import (
+        c4_rules,
+    )
+
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><body><nav><a href="/">Home</a> '
+                '<a href="/m">Menu link</a></nav><p>'
+            ),
+            F.col("text"),
+            F.lit(
+                "</p><footer>copyright 2026 example com</footer>"
+                "</body></html>"
+            ),
+        ).alias("html"),
+    )
+    rebuilt = extract_main_text(
+        pages,
+        stopwords_low=0.0,
+        stopwords_high=0.0,
+        length_low=1,
+        length_high=0,
+    ).withColumnRenamed("text", "clean")
+    bp = (
+        rebuilt.join(docs.select("doc_id", "text"), "doc_id")
+        .agg(
+            F.sum((F.col("clean") != F.col("text")).cast("long")).alias(
+                "mismatch"
+            ),
+            F.sum(F.col("clean").contains("Home").cast("long")).alias(
+                "nav_leaks"
+            ),
+        )
+        .collect()[0]
+    )
+    assert bp["mismatch"] == 0, bp
+    assert bp["nav_leaks"] == 0, bp
+    # C4 page verdicts on the real corpus text: the synthetic docs have
+    # no sentence punctuation, so gate only on the vocabulary rules
+    # (blocklist / lorem / code braces) here
+    c4 = c4_rules(docs)
+    n_c4_flagged = c4.where(
+        (F.col("c4_blocklist_hits") > 0)
+        | F.col("c4_has_lorem")
+        | F.col("c4_has_brace")
+    ).count()
+    docs = docs.join(
+        c4.where(
+            (F.col("c4_blocklist_hits") == 0)
+            & ~F.col("c4_has_lorem")
+            & ~F.col("c4_has_brace")
+        ).select("doc_id"),
+        "doc_id",
+    )
+
     # 1. quality + language gate (pure Column exprs, one scan), plus a
     # corpus-trained bigram-LM floor (perplexity filter): drop the
     # bottom 5% by mean log-prob
@@ -343,6 +413,8 @@ def main() -> None:
 
     print(json.dumps({
         "input_docs": n0,
+        "boilerplate_rebuild_mismatches": int(bp["mismatch"]),
+        "c4_flagged_docs": int(n_c4_flagged),
         "after_quality_language_lm_gate": n_gate,
         "docs_with_pii_redacted": n_pii_docs,
         "classifier_converged": bool(qfit.converged),
