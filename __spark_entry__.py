@@ -4346,7 +4346,8 @@ def _sql_c4_rules() -> str:
            contains(lower(ptext), 'lorem ipsum') AS c4_has_lorem,
            contains(ptext, '{{') AS c4_has_brace,
            len(list_filter(regexp_split_to_array(trim(ptext), '\\s+'),
-               t -> list_contains(['unsafeword', 'badword'], lower(t))
+               t -> list_contains(['unsafeword', 'badword'],
+                    lower(regexp_replace(t, '^\\W+|\\W+$', '', 'g')))
            ))::BIGINT AS c4_blocklist_hits,
            (
              (len(ptext) - len(regexp_replace(ptext, '[.!?]', '', 'g'))) >= 3
@@ -4356,7 +4357,8 @@ def _sql_c4_rules() -> str:
              AND NOT contains(lower(ptext), 'lorem ipsum')
              AND NOT contains(ptext, '{{')
              AND len(list_filter(regexp_split_to_array(trim(ptext), '\\s+'),
-                 t -> list_contains(['unsafeword', 'badword'], lower(t)))) = 0
+                 t -> list_contains(['unsafeword', 'badword'],
+                      lower(regexp_replace(t, '^\\W+|\\W+$', '', 'g'))))) = 0
            ) AS c4_keep
     FROM l
     """

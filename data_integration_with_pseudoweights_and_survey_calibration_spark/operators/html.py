@@ -47,9 +47,8 @@ BLOCK_TAGS = frozenset(
 # Subtrees whose text never reaches the corpus.
 SKIP_TAGS = frozenset("script style noscript template head svg iframe".split())
 
-BLOCK_SCHEMA = (
-    "doc_id long, pos int, tag string, text string, "
-    "n_chars int, link_chars int"
+_BLOCK_SCHEMA_TAIL = (
+    "pos int, tag string, text string, n_chars int, link_chars int"
 )
 
 # jusText defaults (Pomikálek 2011, §5.2).
@@ -74,7 +73,7 @@ class _BlockParser(HTMLParser):
         self._link_chars = 0
         self._tag = "body"
         self._a_depth = 0
-        self._skip_depth = 0
+        self._skip_stack: list[str] = []
 
     def _flush(self, next_tag: str) -> None:
         text = " ".join(" ".join(self._parts).split())
@@ -83,29 +82,43 @@ class _BlockParser(HTMLParser):
         self._parts, self._link_chars, self._tag = [], 0, next_tag
 
     def handle_starttag(self, tag, attrs):
+        # HTML5 permits omitting </head>: <body> or any block-level
+        # start tag implicitly closes an open head, so a spec-valid
+        # page never loses its body to a stuck skip state.
+        if (
+            tag == "body" or tag in BLOCK_TAGS
+        ) and "head" in self._skip_stack:
+            self._skip_stack = [t for t in self._skip_stack if t != "head"]
         if tag in SKIP_TAGS:
-            self._skip_depth += 1
+            self._skip_stack.append(tag)
             return
-        if self._skip_depth:
+        if self._skip_stack:
             return
         if tag == "a":
-            self._a_depth += 1
+            # <a> cannot nest: a second start tag implicitly closes
+            # the open anchor (HTML5 tree construction), so a
+            # malformed nav never inflates the depth and poisons
+            # every later block's link count
+            self._a_depth = 1
         if tag in BLOCK_TAGS:
             self._flush(tag)
 
     def handle_endtag(self, tag):
         if tag in SKIP_TAGS:
-            self._skip_depth = max(0, self._skip_depth - 1)
+            if tag in self._skip_stack:
+                # pop through unclosed inner skips up to this tag
+                while self._skip_stack and self._skip_stack.pop() != tag:
+                    pass
             return
-        if self._skip_depth:
+        if self._skip_stack:
             return
         if tag == "a":
-            self._a_depth = max(0, self._a_depth - 1)
+            self._a_depth = 0
         if tag in BLOCK_TAGS:
             self._flush("body")
 
     def handle_data(self, data):
-        if self._skip_depth:
+        if self._skip_stack:
             return
         stripped = " ".join(data.split())
         if not stripped:
@@ -123,11 +136,14 @@ def segment_blocks(
     df: DataFrame, *, id_col: str = "doc_id", html_col: str = "html"
 ) -> DataFrame:
     """HTML → one row per candidate text block, in document order:
-    (doc_id, pos, tag, text, n_chars, link_chars).  One Arrow
-    ``mapInPandas`` pass; malformed markup never raises (stdlib
-    HTMLParser is lenient by construction), NULL html yields no
-    blocks."""
+    (doc_id, pos, tag, text, n_chars, link_chars) — the id field keeps
+    ``id_col``'s input type (string record ids work as well as longs).
+    One Arrow ``mapInPandas`` pass; malformed markup never raises
+    (stdlib HTMLParser is lenient by construction), NULL html yields
+    no blocks."""
     import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -156,7 +172,7 @@ def segment_blocks(
 
     return df.select(
         F.col(id_col).alias(id_col), F.col(html_col).alias(html_col)
-    ).mapInPandas(_parse, schema=BLOCK_SCHEMA)
+    ).mapInPandas(_parse, schema=f"doc_id {id_type}, {_BLOCK_SCHEMA_TAIL}")
 
 
 def _stopword_density(text_col: Column, stopwords: tuple[str, ...]) -> Column:
@@ -257,11 +273,15 @@ def extract_main_text(
     stopwords_high: float = STOPWORDS_HIGH,
 ) -> DataFrame:
     """Full pipeline: segment → classify → rebuild.  Returns one row
-    per input document: (id, text, n_blocks, n_good_blocks,
-    link_density) where ``text`` joins the good blocks in document
-    order with blank lines, ``link_density`` is the page-level linked
-    character share, and pages with no blocks (or NULL html) come back
-    with empty text and zero counts."""
+    per input document: every input column EXCEPT ``html_col`` passes
+    through unchanged (so a WARC documents frame keeps url/fetch_date
+    for the downstream URL/attribution stages), plus ``text`` (the
+    good blocks joined in document order with blank lines — REPLACING
+    the page markup), ``n_blocks``, ``n_good_blocks`` and
+    ``link_density`` (page-level linked character share).  Pages with
+    no blocks (or NULL html) come back with empty text and zero
+    counts.  Input columns that collide with the four output names are
+    dropped in favour of the outputs."""
     blocks = segment_blocks(df, id_col=id_col, html_col=html_col)
     classified = classify_blocks(
         blocks,
@@ -298,11 +318,16 @@ def extract_main_text(
         .otherwise(F.lit(0.0))
         .alias("link_density"),
     )
+    out_cols = ("text", "n_blocks", "n_good_blocks", "link_density")
+    passthrough = [
+        c for c in df.columns if c not in (id_col, html_col) + out_cols
+    ]
     return (
-        df.select(F.col(id_col).alias("doc_id"))
+        df.select(F.col(id_col).alias("doc_id"), *passthrough)
         .join(per_doc, "doc_id", "left")
         .select(
             F.col("doc_id").alias(id_col),
+            *passthrough,
             F.coalesce("text", F.lit("")).alias("text"),
             F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
             F.coalesce("n_good_blocks", F.lit(0)).alias("n_good_blocks"),

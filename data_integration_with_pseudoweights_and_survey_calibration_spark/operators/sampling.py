@@ -332,12 +332,16 @@ def temperature_shares(
     Returns the normalized shares dict — feed it straight into
     :func:`materialize_mixture` as ``targets`` (one groupBy over the
     corpus for the domain totals, exponentiation driver-side on the
-    domain-count-sized result; nothing else touches the data)."""
+    domain-count-sized result; nothing else touches the data).  Rows
+    with a NULL domain are excluded — an unlabeled document is not a
+    mixture target (and ``materialize_mixture`` would drop it anyway,
+    since NULL never equals a targets key)."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"temperature_shares: alpha must be in (0, 1], got {alpha}")
     size = n_tok if n_tok is not None else F.lit(1.0)
     rows = (
-        df.groupBy(group_col)
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(group_col)
         .agg(F.sum(size).alias("_t"))
         .where(F.col("_t") > 0)
         .collect()

@@ -721,7 +721,9 @@ def c4_rules(
       boilerplate);
     - ``c4_has_brace``: page contains ``{`` (code, not prose);
     - ``c4_blocklist_hits``: tokens matching the blocklist
-      (case-insensitive whole-token match);
+      (case-insensitive whole-word match after stripping surrounding
+      punctuation, so "badword." at a sentence end still hits — the
+      real C4 uses word-boundary regexes);
     - ``c4_keep``: the composite page verdict — enough sentences, at
       least one surviving line, no lorem/brace/blocklist hit.
 
@@ -751,7 +753,10 @@ def c4_rules(
     hits = F.size(
         F.filter(
             F.split(F.trim(tc), r"\s+"),
-            lambda t: F.array_contains(blockarr, F.lower(t)),
+            lambda t: F.array_contains(
+                blockarr,
+                F.lower(F.regexp_replace(t, r"^\W+|\W+$", "")),
+            ),
         )
     ).cast("long")
     kept_frac = F.when(

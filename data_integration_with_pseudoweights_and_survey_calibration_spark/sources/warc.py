@@ -536,10 +536,12 @@ def warc_to_documents(
     - splits the HTTP headers off the payload, decodes the body as
       UTF-8 (replace) and extracts text per ``extractor``:
       ``"strip"`` (default) = the crude tag strip
-      (:func:`_html_to_text`); ``"raw"`` = the undecoded body HTML
-      verbatim, for callers that run a real boilerplate-removal pass
-      downstream (``operators.html.extract_main_text`` — the jusText
-      stage; same column, richer extraction);
+      (:func:`_html_to_text`); ``"raw"`` = the UTF-8-decoded body
+      markup un-stripped (decode is always utf-8/replace — "raw"
+      means "not tag-stripped", not bytes-faithful), for callers that
+      run a real boilerplate-removal pass downstream
+      (``operators.html.extract_main_text`` — the jusText stage; same
+      column, richer extraction);
     - ``doc_id`` is ``xxhash64(record_id)`` — deterministic, join-ready
       with every downstream operator (dedup, scrub, packing).
 

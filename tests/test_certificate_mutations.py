@@ -206,8 +206,8 @@ MUTATIONS = [
     # reads the unmutated second occurrence, so hits alone must flip).
     (
         "text_features",
-        "list_contains(['unsafeword', 'badword'], lower(t))",
-        "list_contains(['unsafeword', 'nosuchword'], lower(t))",
+        "['unsafeword', 'badword']",  # first occurrence = hits column
+        "['unsafeword', 'nosuchword']",
         "c4-blocklist",
     ),
     # round 8: the HTML boilerplate-removal certificate.  The rescued

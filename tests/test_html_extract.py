@@ -96,3 +96,53 @@ def test_extract_thresholds_are_parameters(spark, page_df):
         page_df, length_low=10_000, length_high=20_000
     ).collect()[0]
     assert r["n_good_blocks"] == 0 and r["text"] == ""
+
+
+def test_omitted_head_close_and_unclosed_anchor(spark):
+    # HTML5 allows omitting </head>; a second <a> implicitly closes
+    # the first (both shapes are everywhere in real crawls)
+    good = (
+        "The quick brown fox jumps over the lazy dog while the rain in "
+        "the plain stays mainly in the valley and the weather is a fine "
+        "thing to talk about when the conversation is slow and the tea "
+        "is warm and the evening is long."
+    )
+    no_head_close = (
+        "<html><head><title>T</title><body><p>" + good + "</p></body></html>"
+    )
+    bad_nav = (
+        '<html><body><nav><a href="/">Home <a href="/x">About</a></nav>'
+        "<p>" + good + "</p></body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, no_head_close), (2, bad_nav)], "doc_id long, html string"
+    )
+    got = {r["doc_id"]: r for r in H.extract_main_text(df).collect()}
+    # the body survives the stuck-head trap (and the head's title
+    # text stays skipped)
+    assert got[1]["text"] == good and got[1]["n_blocks"] == 1
+    # ...and the malformed nav doesn't poison the paragraph's link count
+    assert got[2]["text"] == good
+    blocks = {
+        r["text"][:9]: r
+        for r in H.segment_blocks(df.where("doc_id = 2")).collect()
+    }
+    assert blocks["The quick"]["link_chars"] == 0
+
+
+def test_extract_passes_through_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "<p>text here</p>", "http://ex.com/a", "2026-08-15")],
+        "doc_id long, html string, url string, fetch_date string",
+    )
+    r = H.extract_main_text(df).collect()[0]
+    assert r["url"] == "http://ex.com/a" and r["fetch_date"] == "2026-08-15"
+    assert "html" not in H.extract_main_text(df).columns
+
+
+def test_segment_blocks_string_ids(spark):
+    df = spark.createDataFrame(
+        [("rec-1", "<p>alpha beta</p>")], "doc_id string, html string"
+    )
+    rows = H.segment_blocks(df).collect()
+    assert rows[0]["doc_id"] == "rec-1" and rows[0]["text"] == "alpha beta"

@@ -1626,6 +1626,12 @@ def test_c4_rules_blocklist_token_match(spark):
     got = {r["doc_id"]: r for r in text.c4_rules(df).collect()}
     assert got[0]["c4_blocklist_hits"] == 2 and not got[0]["c4_keep"]
     assert got[1]["c4_blocklist_hits"] == 0 and got[1]["c4_keep"]
+    # punctuation-adjacent hits count (the sentence-final position)
+    punct = spark.createDataFrame(
+        [(9, "This page mentions badword. Sentence two! Sentence three?")],
+        "doc_id long, text string",
+    )
+    assert text.c4_rules(punct).collect()[0]["c4_blocklist_hits"] == 1
     # custom blocklist
     custom = text.c4_rules(df, blocklist=("badwords",)).collect()
     by = {r["doc_id"]: r for r in custom}
@@ -1665,6 +1671,11 @@ def test_temperature_shares(spark):
     }
     small_share = got["small"] / (got["big"] + got["small"])
     assert small_share == pytest.approx(t["small"], abs=0.05)
+    # NULL domains are excluded, not a crash
+    with_null = df.union(
+        spark.createDataFrame([(999, None, 10)], df.schema)
+    )
+    assert set(temperature_shares(with_null, 0.3)) == {"big", "small"}
     with pytest.raises(ValueError, match="alpha"):
         temperature_shares(df, 0.0)
     with pytest.raises(ValueError, match="alpha"):
