@@ -3,7 +3,7 @@ fixed token-budget training sequences (context windows).
 
 Global next-fit packing is inherently sequential, so -- as production
 training pipelines do -- packing is performed independently within
-deterministic SHARDS (``doc_id % n_shards``): each shard's documents
+deterministic SHARDS (``pmod(doc_id, n_shards)`` — sign-safe for hash-derived ids): each shard's documents
 are packed next-fit in ``doc_id`` order. The result is reproducible on
 any cluster size and every shard is one Arrow batch in one task.
 
@@ -36,7 +36,8 @@ def pack_sequences(
     n_shards: int = 8,
 ) -> DataFrame:
     """Next-fit packing of documents into ``budget``-token sequences
-    within ``doc_id % n_shards`` shards (deterministic, order-free).
+    within ``pmod(doc_id, n_shards)`` shards (deterministic, order-free;
+    pmod so hash-derived negative ids still land in 0..n_shards-1).
 
     ``n_tok``: a column name or Column expression giving each doc's
     token count.
@@ -45,7 +46,12 @@ def pack_sequences(
     b = int(budget)
     src = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        (F.col(id_col).cast("long") % F.lit(int(n_shards))).alias("shard"),
+        # pmod, not %: Spark's % keeps the sign, so hash-derived
+        # NEGATIVE ids (xxhash64 keys) would fan out to 2*n_shards-1
+        # shard labels instead of the documented n_shards
+        F.pmod(F.col(id_col).cast("long"), F.lit(int(n_shards))).alias(
+            "shard"
+        ),
         tok.cast("long").alias("n_tok"),
     )
 

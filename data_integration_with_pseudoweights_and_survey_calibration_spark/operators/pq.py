@@ -76,6 +76,38 @@ __all__ = [
 ]
 
 
+class PQCodebooks(np.ndarray):
+    """``(m, ksub, dsub)`` codebook tensor with the training MODE
+    stamped on it: ``residual=True`` means the codewords quantize
+    IVFADC residuals (trained via ``pq_codebooks(centroids=...)``),
+    ``False`` means raw normalized vectors.  The query/index builders
+    check the stamp against their ``residual`` flag and REFUSE a
+    mismatch — encoding raw-trained codebooks in residual mode (or
+    vice versa) raises no numeric error but silently degrades ADC
+    ranking, the worst failure shape.  Plain ``np.ndarray`` codebooks
+    (user-built) skip the check."""
+
+    residual: bool = False
+
+
+def _stamp(cb: np.ndarray, residual: bool) -> "PQCodebooks":
+    out = cb.view(PQCodebooks)
+    out.residual = bool(residual)
+    return out
+
+
+def _check_codebook_mode(codebooks, residual: bool, fn: str) -> None:
+    got = getattr(codebooks, "residual", None)
+    if got is not None and got != residual:
+        trained = "on residuals" if got else "on raw vectors"
+        raise ValueError(
+            f"{fn}: codebooks were trained {trained} but residual="
+            f"{residual}; pass residual={got}, or retrain with "
+            f"pq_codebooks({'centroids=...' if residual else ''}) to "
+            "match the requested mode"
+        )
+
+
 def _normalize_rows(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
@@ -366,7 +398,7 @@ def pq_codebooks(
             cb = new
     finally:
         vecs.unpersist()
-    return cb
+    return _stamp(cb, centroids is not None)
 
 
 def pq_encode(
@@ -567,6 +599,7 @@ def ivfpq_index(
     Arrow passes, codebooks trained without centroids).  Queries must
     use the matching mode -- ``ivfpq_topk`` threads one flag through
     both sides."""
+    _check_codebook_mode(codebooks, residual, "ivfpq_index")
     nn = corpus.where(F.col(vec_col).isNotNull())
     if residual:
         enc = _residual_codes_udf(centroids, codebooks)
@@ -631,6 +664,8 @@ def ivfpq_topk(
     no full-vector scan.
     """
     corpus_nn = corpus.where(F.col(vec_col).isNotNull())
+    if codebooks is not None:
+        _check_codebook_mode(codebooks, residual, "ivfpq_topk")
     if index is not None and (centroids is None or codebooks is None):
         raise ValueError(
             "ivfpq_topk: a prebuilt index needs the centroids and "

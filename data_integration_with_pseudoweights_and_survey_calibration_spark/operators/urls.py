@@ -38,37 +38,55 @@ TRACKING_PARAM_RE = r"(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref_src)"
 
 
 def _lower_host(url: Column) -> Column:
-    """scheme + host lowercased, default ports stripped; path/query
-    case preserved (paths are case-sensitive, hosts are not)."""
+    """scheme + host lowercased, the scheme's OWN default port
+    stripped (http:80 / https:443 — ``http://a.com:443`` is a
+    different origin and keeps its port); path/query case preserved
+    (paths are case-sensitive, hosts are not)."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    host = F.regexp_replace(host, r":(?:80|443)$", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
     rest = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
     return scheme, host, rest
 
 
 def normalize_url(url: str | Column) -> Column:
     """Canonical URL for URL-level dedup keys: lowercase scheme+host,
-    strip the default port, drop the fragment, drop tracking query
-    parameters (``utm_*``, ``fbclid``, ``gclid``, ...), tidy dangling
-    ``?``/``&``, and strip one trailing ``/``.  Rows that do not look
-    like ``scheme://host...`` pass through unchanged (minus fragment).
+    strip the scheme's default port, drop the fragment, drop tracking
+    query parameters (``utm_*``, ``fbclid``, ``gclid``, ...), drop
+    empty params / dangling ``?``, and strip one trailing path ``/``.
+    Rows that do not look like ``scheme://host...`` pass through
+    unchanged (minus fragment).
 
-    Pure Column regex — one map-side pass, no UDF; every pattern is
-    RE2-compatible so a SQL oracle can restate it.
+    The query string is handled STRUCTURALLY — split on ``&``, filter
+    params by name, rejoin — never by in-place regex over the whole
+    path+query (an unanchored strip corrupts params whose names merely
+    end in a tracking name, e.g. ``xgclid``, and a global ``/?`` tidy
+    rewrites legal query VALUES containing those characters).  Pure
+    Column regex + array HOFs — one map-side pass, no UDF; every
+    pattern is RE2-compatible so a SQL oracle can restate it.
     """
     u = F.col(url) if isinstance(url, str) else url
     scheme, host, rest = _lower_host(u)
-    # drop tracking params wherever they sit in the query string
-    rest = F.regexp_replace(rest, TRACKING_PARAM_RE + r"=[^&#]*&", "")
-    rest = F.regexp_replace(rest, r"[?&]" + TRACKING_PARAM_RE + r"=[^&#]*", "")
-    # tidy: '?&' from a dropped first param, then dangling '?'/'&'
-    rest = F.regexp_replace(rest, r"\?&", "?")
-    rest = F.regexp_replace(rest, r"[?&]$", "")
-    # trailing path slash, bare or ahead of the query string
-    rest = F.regexp_replace(rest, r"/\?", "?")
-    rest = F.regexp_replace(rest, r"/$", "")
-    norm = F.concat(scheme, F.lit("://"), host, rest)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.when(
+        rest.contains("?"),
+        F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1),
+    ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit(""))
+        & ~p.rlike("^" + TRACKING_PARAM_RE + "="),
+    )
+    path = F.regexp_replace(path, r"/$", "")
+    tidied = F.when(
+        F.size(params) > 0,
+        F.concat(path, F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(path)
+    norm = F.concat(scheme, F.lit("://"), host, tidied)
     # non-URL fallback: fragment strip only
     return F.when(host != "", norm).otherwise(
         F.regexp_replace(u, r"#.*$", "")

@@ -91,7 +91,9 @@ def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
         yield bytes(out)
 
 
-def _parse_records(data: bytes, final: bool = True) -> Iterator[tuple[dict, int]]:
+def _parse_records(
+    data: bytes, final: bool = True, drop_partial_tail: bool = False
+) -> Iterator[tuple[dict, int]]:
     """Yield ``(record, end_offset)`` per WARC record in ``data``.
 
     ``final=True`` (whole archive in hand): tolerant of truncation and
@@ -101,6 +103,10 @@ def _parse_records(data: bytes, final: bool = True) -> Iterator[tuple[dict, int]
     ``final=False`` (incremental feed): additionally STOPS before a
     record whose header or body is not fully buffered yet, so the
     caller can resume at the returned offset once more bytes arrive.
+    ``drop_partial_tail`` (final mode): a tail record whose declared
+    body extends past the buffer is NOT yielded — for ranges that end
+    at a corruption point, where the single-task path raises before
+    its final flush and therefore never emits that record.
     """
     pos = 0
     n = len(data)
@@ -124,6 +130,17 @@ def _parse_records(data: bytes, final: bool = True) -> Iterator[tuple[dict, int]
         hdr_end = data.find(b"\r\n\r\n", pos, lim)
         sep = 4
         alt = data.find(b"\n\n", pos, lim)
+        if hdr_end == -1 and alt == -1 and lim < n:
+            # >64KB header block (the spec sets no size limit): fall
+            # back to ONE unbounded search rather than silently
+            # dropping every remaining record.  No quadratic risk:
+            # normal headers resolve inside the window, and this scan
+            # stops at the first terminator (or runs once for a
+            # genuinely terminator-less tail).
+            hdr_end = data.find(b"\r\n\r\n", pos)
+            alt = data.find(
+                b"\n\n", pos, hdr_end if hdr_end != -1 else n
+            )
         if hdr_end == -1 or (alt != -1 and alt < hdr_end):
             hdr_end, sep = alt, 2
         if hdr_end == -1:
@@ -140,8 +157,13 @@ def _parse_records(data: bytes, final: bool = True) -> Iterator[tuple[dict, int]
         except ValueError:
             return
         body_start = hdr_end + sep
-        if not final and body_start + clen > n:
-            return  # body still arriving: resume at this record
+        if body_start + clen > n:
+            if not final:
+                return  # body still arriving: resume at this record
+            if drop_partial_tail:
+                return  # range ends at a corruption point: parity
+                # with the single-task path, which raises before
+                # flushing this in-flight record
         yield {
             "record_id": headers.get("warc-record-id", ""),
             "warc_type": headers.get("warc-type", ""),
@@ -154,14 +176,18 @@ def _parse_records(data: bytes, final: bool = True) -> Iterator[tuple[dict, int]
         pos = body_start + clen
 
 
-def parse_warc_bytes(data: bytes) -> Iterator[dict]:
+def parse_warc_bytes(
+    data: bytes, drop_partial_tail: bool = False
+) -> Iterator[dict]:
     """Yield one dict per WARC record from raw (already-decompressed)
     archive bytes — see :func:`_parse_records` for tolerance rules."""
-    for rec, _ in _parse_records(data, final=True):
+    for rec, _ in _parse_records(
+        data, final=True, drop_partial_tail=drop_partial_tail
+    ):
         yield rec
 
 
-def iter_warc_records(chunks) -> Iterator[dict]:
+def iter_warc_records(chunks, drop_partial_tail: bool = False) -> Iterator[dict]:
     """Incremental WARC parse over an iterator of decompressed byte
     chunks (e.g. :func:`_iter_gzip_members`): buffers only the bytes
     of at most one in-flight record, so a multi-GB archive never
@@ -175,7 +201,7 @@ def iter_warc_records(chunks) -> Iterator[dict]:
             pos = end
         if pos:
             buf = buf[pos:]
-    yield from parse_warc_bytes(buf)
+    yield from parse_warc_bytes(buf, drop_partial_tail=drop_partial_tail)
 
 
 #: ``warc_type`` marker of quarantine rows emitted for unreadable files
@@ -267,10 +293,19 @@ def _local_path(uri: str) -> str:
     same primitive) and raises a clear error here rather than decoding
     garbage."""
     if uri.startswith("file:"):
-        p = uri[5:]
-        while p.startswith("//"):
-            p = p[1:]
-        return p
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(uri)
+        if parsed.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"ranged WARC split cannot read a remote file authority "
+                f"({uri!r}); mount it locally or use "
+                "read_warc(split_bytes=None)"
+            )
+        # Spark's binaryFile path column percent-encodes (spaces,
+        # non-ASCII, '#'): decode before open() or the task dies with
+        # FileNotFoundError on any such filename
+        return unquote(parsed.path)
     if "://" in uri:
         raise ValueError(
             f"ranged WARC split needs a locally readable path, got {uri!r}; "
@@ -396,7 +431,7 @@ def read_warc_split(
         import pandas as pd
 
         for pdf in batches:
-            out = {"path": [], "start": [], "end": []}
+            out = {"path": [], "start": [], "end": [], "drop_tail": []}
             for p in pdf["path"]:
                 lp = _local_path(p)
                 with open(lp, "rb") as f:
@@ -410,6 +445,7 @@ def read_warc_split(
                     out["path"].append(p)
                     out["start"].append(0)
                     out["end"].append(os.path.getsize(lp))
+                    out["drop_tail"].append(False)
                     continue
                 # group member offsets into ranges inline (rather than
                 # via member_split_ranges) so a corrupt member mid-
@@ -431,6 +467,7 @@ def read_warc_split(
                                 out["path"].append(p)
                                 out["start"].append(cur_start)
                                 out["end"].append(s)
+                                out["drop_tail"].append(False)
                                 cur_start = s
                             cur_end = e
                 except ValueError:
@@ -438,18 +475,28 @@ def read_warc_split(
                         out["path"].append(p)
                         out["start"].append(cur_start)
                         out["end"].append(cur_end)
+                        # this range ends AT the corruption: a record
+                        # spanning into the corrupt member must not
+                        # surface truncated (the single-task path
+                        # raises before flushing it)
+                        out["drop_tail"].append(True)
                         cur_start = None
                     out["path"].append(p)
                     out["start"].append(-1)  # quarantine marker
                     out["end"].append(-1)
+                    out["drop_tail"].append(False)
                 else:
                     if cur_start is not None and cur_end > cur_start:
                         out["path"].append(p)
                         out["start"].append(cur_start)
                         out["end"].append(cur_end)
+                        out["drop_tail"].append(False)
             yield pd.DataFrame(out)
 
-    ranges = files.mapInPandas(_scan, schema="path string, start long, end long")
+    ranges = files.mapInPandas(
+        _scan,
+        schema="path string, start long, end long, drop_tail boolean",
+    )
     # spread the ranges of one archive across the cluster; row-level
     # output is partitioning-independent
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -484,7 +531,9 @@ def read_warc_split(
 
         rows: list[dict] = []
         for pdf in batches:
-            for p, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
+            for p, s, e, dt in zip(
+                pdf["path"], pdf["start"], pdf["end"], pdf["drop_tail"]
+            ):
                 if s < 0:
                     rows.append(_quarantine(p))
                     continue
@@ -493,9 +542,14 @@ def read_warc_split(
                     blob = f.read(int(e) - int(s))
                 try:
                     recs = (
-                        iter_warc_records(_iter_gzip_members(blob))
+                        iter_warc_records(
+                            _iter_gzip_members(blob),
+                            drop_partial_tail=bool(dt),
+                        )
                         if blob[:2] == b"\x1f\x8b"
-                        else parse_warc_bytes(blob)
+                        else parse_warc_bytes(
+                            blob, drop_partial_tail=bool(dt)
+                        )
                     )
                     for rec in recs:
                         rec["path"] = p

@@ -353,10 +353,13 @@ def main() -> None:
     test_docs = mixed.join(
         splits.where(F.col("split") == "test").select("doc_id"), "doc_id"
     )
-    train, leaked = decontaminate(train, test_docs)
-    n_leaked = leaked.count()
+    # measure PRE-scrub contamination first — scoring after the
+    # fingerprint scrub would systematically understate it (any test
+    # doc whose overlapping train docs were all removed reports 0.0)
     dirty = ngram_overlap_scores(train, test_docs, n=8)
     n_dirty_eval = dirty.where(F.col("overlap_frac") > 0.1).count()
+    train, leaked = decontaminate(train, test_docs)
+    n_leaked = leaked.count()
 
     # 7c. explicit target mixture (round 8): upweight the rarest third
     # of domains 2x (a hand-tuned DoReMi-style mix), materialized with

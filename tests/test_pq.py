@@ -392,3 +392,37 @@ def test_semantic_pq_prefilter_composes_with_multiprobe(spark):
     assert (got[["id_a", "id_b", "cell"]].values
             == exact[["id_a", "id_b", "cell"]].values).all()
     np.testing.assert_allclose(got["cosine"], exact["cosine"], rtol=0)
+
+
+def test_codebook_mode_mismatch_refused(emb_df, codebooks):
+    """Raw-trained codebooks in residual mode (and vice versa) raise
+    instead of silently degrading ADC ranking — the round-7 documented
+    flow (raw codebooks, default topk flags) must fail loudly now that
+    the default flipped to residual=True."""
+    cen = similarity.kmeans_centroids(emb_df, n_lists=4, max_iter=1)
+    q = emb_df.where(F.col("vec_id") < 3)
+    # codebooks fixture is raw-trained; default residual=True must refuse
+    assert getattr(codebooks, "residual", None) is False
+    with pytest.raises(ValueError, match="trained on raw vectors"):
+        pq.ivfpq_topk(emb_df, q, 3, centroids=cen, codebooks=codebooks)
+    with pytest.raises(ValueError, match="trained on raw vectors"):
+        pq.ivfpq_index(emb_df, cen, codebooks)
+    # residual-trained codebooks refuse raw mode
+    rcb = pq.pq_codebooks(
+        emb_df, m=8, ksub=16, max_iter=1, centroids=cen
+    )
+    assert rcb.residual is True
+    with pytest.raises(ValueError, match="trained on residuals"):
+        pq.ivfpq_topk(
+            emb_df, q, 3, centroids=cen, codebooks=rcb, residual=False
+        )
+    # matching modes pass through
+    pq.ivfpq_topk(
+        emb_df, q, 3, centroids=cen, codebooks=codebooks, residual=False
+    ).limit(1).collect()
+    pq.ivfpq_topk(emb_df, q, 3, centroids=cen, codebooks=rcb).limit(
+        1
+    ).collect()
+    # plain ndarrays (user-built) skip the stamp check
+    bare = np.asarray(codebooks)
+    pq.ivfpq_index(emb_df, cen, bare).limit(1).collect()

@@ -1680,3 +1680,24 @@ def test_temperature_shares(spark):
         temperature_shares(df, 0.0)
     with pytest.raises(ValueError, match="alpha"):
         temperature_shares(df, 1.5)
+
+
+def test_pack_sequences_negative_ids_shard_range(spark):
+    """Hash-derived ids are negative half the time: shards must stay
+    in 0..n_shards-1 (pmod), not fan out to signed remainders."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "raw long"
+    ).select(F.xxhash64("raw").alias("doc_id"), F.lit(5).alias("n_tok"))
+    assert df.where(F.col("doc_id") < 0).count() > 0  # negatives present
+    packed = pack_sequences(df, budget=20, n_shards=8)
+    shards = [r["shard"] for r in packed.select("shard").distinct().collect()]
+    assert all(0 <= s < 8 for s in shards) and len(shards) == 8
+    # token conservation unaffected
+    assert (
+        packed.agg(F.sum("n_tok")).collect()[0][0]
+        == df.agg(F.sum("n_tok")).collect()[0][0]
+    )

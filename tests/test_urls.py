@@ -135,3 +135,39 @@ def test_normalized_url_composes_with_exact_dedup(spark):
         .collect()
     )
     assert [r["doc_id"] for r in kept] == [1, 4]
+
+
+def test_normalize_url_edge_shapes(spark):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.urls import (
+        normalize_url,
+    )
+
+    cases = [
+        # a param NAME merely ending in a tracking name must survive
+        ("https://x.net/p?a=1&xgclid=foo&b=2",
+         "https://x.net/p?a=1&xgclid=foo&b=2"),
+        # consecutive tracking params all drop (structural filter,
+        # not an alternating regex pass)
+        ("https://x.net/p?utm_a=1&utm_b=2&x=3", "https://x.net/p?x=3"),
+        ("https://x.net/p?utm_a=1&utm_b=2&utm_c=3", "https://x.net/p"),
+        # legal '/' and '?' inside a query VALUE are untouched
+        ("https://a.com/r?next=/x/?y=1", "https://a.com/r?next=/x/?y=1"),
+        # default-port strip is scheme-conditional: these are real,
+        # distinct origins and must keep their ports
+        ("http://a.com:443/x", "http://a.com:443/x"),
+        ("https://b.com:80/y", "https://b.com:80/y"),
+        ("http://a.com:80/x", "http://a.com/x"),
+        ("https://b.com:443/y", "https://b.com/y"),
+        # empty params tidy away
+        ("https://c.io/p?&&a=1", "https://c.io/p?a=1"),
+        ("https://c.io/p?", "https://c.io/p"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_url("url").alias("n")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)

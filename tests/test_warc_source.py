@@ -474,3 +474,76 @@ def test_warc_raw_extractor_feeds_justext(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown extractor"):
         warc_to_documents(read_warc(spark, str(d)), extractor="trafilatura")
+
+
+def test_parse_drop_partial_tail():
+    """A tail record whose declared body extends past the buffer is
+    yielded under the default tolerance but suppressed with
+    drop_partial_tail=True (the corruption-range parity mode)."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        parse_warc_bytes,
+    )
+
+    full = _record("aa", "response", "http://ex.com/1", b"x" * 40)
+    partial = _record("bb", "response", "http://ex.com/2", b"y" * 40)
+    blob = full + partial[: len(partial) - 30]  # body cut short
+    tolerant = list(parse_warc_bytes(blob))
+    assert [r["record_id"] for r in tolerant] == [
+        "<urn:uuid:aa>",
+        "<urn:uuid:bb>",
+    ]
+    assert len(tolerant[1]["content"]) < 40  # visibly truncated
+    strict = list(parse_warc_bytes(blob, drop_partial_tail=True))
+    assert [r["record_id"] for r in strict] == ["<urn:uuid:aa>"]
+    # complete records are never affected by the flag
+    assert list(parse_warc_bytes(full, drop_partial_tail=True))
+
+
+def test_local_path_decoding(tmp_path):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        _local_path,
+    )
+
+    assert _local_path("file:/data/my%20archive.warc.gz") == (
+        "/data/my archive.warc.gz"
+    )
+    assert _local_path("file:///tmp/a%23b.gz") == "/tmp/a#b.gz"
+    assert _local_path("/plain/path.gz") == "/plain/path.gz"
+    with pytest.raises(ValueError, match="remote file authority"):
+        _local_path("file://otherhost/tmp/x.gz")
+    with pytest.raises(ValueError, match="ranged WARC split"):
+        _local_path("s3://bucket/x.gz")
+
+
+def test_split_ingest_handles_percent_encoded_names(spark, tmp_path):
+    """A filename Spark URI-encodes (space) must survive the ranged
+    path end to end, not die in _scan's open()."""
+    import gzip
+
+    rec = _record("sp", "response", "http://ex.com/sp", _http(b"200 OK", b"<p>hi</p>"))
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "my archive.warc.gz").write_bytes(gzip.compress(rec))
+    plain = read_warc(spark, str(d)).count()
+    ranged = read_warc(spark, str(d), split_bytes=1).count()
+    assert plain == ranged == 1
+
+
+def test_oversized_header_block_not_dropped():
+    """The 64KB bounded terminator search must fall back, not silently
+    drop every remaining record, when a header block exceeds the
+    window (the spec sets no header-size limit)."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        parse_warc_bytes,
+    )
+
+    huge_uri = "http://ex.com/" + "q" * 70_000
+    r1 = _record("h1", "response", huge_uri, b"body-one")
+    r2 = _record("h2", "response", "http://ex.com/2", b"body-two")
+    got = list(parse_warc_bytes(r1 + r2))
+    assert [r["record_id"] for r in got] == [
+        "<urn:uuid:h1>",
+        "<urn:uuid:h2>",
+    ]
+    assert got[0]["target_uri"] == huge_uri
+    assert got[1]["content"] == b"body-two"
