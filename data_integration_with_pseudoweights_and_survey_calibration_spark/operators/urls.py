@@ -7,20 +7,23 @@ Reference parity: the reference repo (R) has no web-corpus surface —
 this module is part of the training-data-pipeline extension mandated
 by the build brief, same family as text.py / dedup.py.
 
-Everything here is pure Column expressions or salted windows:
+Everything here is pure Column expressions or rank-limit windows:
 
 - :func:`normalize_url` / :func:`registered_domain` are single-pass
   regex Column math (map-only, codegen-fused, dual-dialect: every
   pattern is RE2-safe — no lookarounds — so the DuckDB oracle can
   restate it verbatim);
-- :func:`cap_per_domain` is the hot-key-safe top-N per key: the first
-  window partitions on (key, salt) so one mega-domain spreads over
-  ``salt`` sortable (spillable) partitions, the second re-ranks the
-  surviving ≤ salt×n rows per key.  Top-N is exact under any salting
-  because per-salt top-N is a superset of the global top-N members in
-  that salt.  (A plain ``Window.partitionBy(domain)`` is the round-6
-  lesson's unsplittable-hot-key shape — a single host with 10^8 pages
-  would sort in ONE task.)
+- :func:`cap_per_domain` is the top-N per key.  It is ONE plain
+  ``row_number <= n`` window — skew-safe NOT by hand-salting but
+  because Spark ≥3.5 plans that filter as a partial-then-final
+  ``WindowGroupLimit`` (SPARK-37099): every map task forwards at most
+  n rows per key, so the hot-domain reducer sees ≤ n × map-tasks rows
+  however hot the key.  The round-8 ``--urlcap`` A/B measured the
+  retired hand-salted two-window variant at wall PARITY with this
+  (identical rows asserted) — the optimizer already provides the
+  volume bound the salting existed for.  Unbounded windows over
+  content keys remain the round-6 hot-key hazard; the exception is
+  specifically rank-limit windows.
 """
 
 from __future__ import annotations
@@ -123,23 +126,29 @@ def cap_per_domain(
     tiebreak like the id — or ranks are nondeterministic; callers
     join back on the id for the full rows).
 
-    Skew-safe shape: window 1 ranks within (key, salt-of-id) — a hot
-    key spreads over ``salt`` spillable sort partitions — and keeps
-    its per-salt top-n (a superset of the key's global top-n); window
-    2 re-ranks the ≤ salt×n survivors per key.  Exact for any salt;
-    size ``salt`` so hot-key/salt partitions fit an executor at the
-    target scale.
+    Skew story (round-8 simplification): this is ONE plain
+    ``row_number <= n`` window.  Spark ≥3.5 rewrites that filter into
+    ``WindowGroupLimit`` with a PARTIAL pass before the exchange
+    (SPARK-37099; visible as ``WindowGroupLimit ... Partial`` in the
+    plan), so each map task ships at most ``n`` rows per key — the
+    hot-domain reducer receives ≤ n × map-tasks rows no matter how
+    hot the key, which is the map-side-combine property the round-6
+    hot-key rule demands of corpus-content keys.  That boundedness is
+    what the previous hand-salted two-window shape (rank within
+    (key, salt), re-rank survivors) existed to provide — the
+    optimizer now provides it for free, so the salting is redundant
+    machinery.  The ``--urlcap`` planted-hot-domain A/B (BENCH_SCALE
+    §3r) measured the two shapes at PARITY on wall (0.6–1.4× across
+    16M–64M rungs, noise-dominated, identical output rows asserted);
+    the simplification is kept for the smaller plan and the
+    optimizer-provided volume bound, not a wall-clock win.  ``salt``
+    is kept for signature compatibility and ignored.
     """
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     order = list(order_by)  # SortOrder exprs — applied in-window only
-    w1 = Window.partitionBy(
-        key, F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt)))
-    ).orderBy(*order)
-    w2 = Window.partitionBy(key).orderBy(*order)
+    w = Window.partitionBy(key).orderBy(*order)
     return (
-        df.withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= int(n))
-        .withColumn("rank", F.row_number().over(w2))
+        df.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= int(n))
         .select(
             F.col(id_col),

@@ -1117,6 +1117,105 @@ def html_ladder(spark, sizes: list[int]) -> None:
     print(json.dumps({"op": "html_extract", "points": points}))
 
 
+def urlcap_ladder(spark, sizes: list[int], hot_frac: float = 0.5) -> None:
+    """Planted-hot-domain A/B for cap_per_domain (operators/urls.py):
+    one mega-domain holds ``hot_frac`` of all rows (the real shape —
+    a handful of hosts dominate any crawl).  The CURRENT operator (one
+    plain rank-limit window, which Spark ≥3.5 plans as partial+final
+    WindowGroupLimit — at most n rows per key leave each map task)
+    races the round-8-retired hand-salted two-window shape, rebuilt
+    inline here as the B arm.  In-rung assert: both return IDENTICAL
+    (id, domain, rank) rows — retiring the salting changed nothing
+    but the wall clock."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.urls import (
+        cap_per_domain,
+    )
+
+    n_keep = 25
+    points = []
+    for n in sizes:
+        df = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(
+                    (F.xxhash64("id") % 100) < int(hot_frac * 100),
+                    F.lit("megahost.com"),
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit("site"),
+                        F.pmod(
+                            F.xxhash64("id", F.lit(1)), F.lit(5000)
+                        ).cast("string"),
+                        F.lit(".com"),
+                    )
+                )
+                .alias("_dom"),
+                F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100000)).alias(
+                    "n_chars"
+                ),
+            )
+            .localCheckpoint()
+        )
+        order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+
+        df.count()  # warm the checkpoint: neither arm pays the cold read
+
+        current = cap_per_domain(
+            df, n_keep, key_col="_dom", order_by=order
+        )
+        w1 = Window.partitionBy(
+            "_dom", F.pmod(F.xxhash64("doc_id"), F.lit(16))
+        ).orderBy(*order)
+        w2 = Window.partitionBy("_dom").orderBy(*order)
+        salted = (
+            df.withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= n_keep)
+            .withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= n_keep)
+            .select(
+                "doc_id",
+                F.col("_dom").alias("domain"),
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+
+        def _time(frame):
+            best, rows = None, None
+            for _ in range(2):
+                t0 = time.time()
+                rows = frame.count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            return best, rows
+
+        t_current, current_rows = _time(current)
+        t_salted, salted_rows = _time(salted)
+
+        assert current_rows == salted_rows
+        mism = (
+            current.exceptAll(salted).count()
+            + salted.exceptAll(current).count()
+        )
+        assert mism == 0, mism
+        points.append(
+            {
+                "n_rows": n,
+                "hot_frac": hot_frac,
+                "kept": int(current_rows),
+                "current_window_sec": round(t_current, 2),
+                "retired_salted_sec": round(t_salted, 2),
+                "speedup": round(t_salted / max(t_current, 1e-9), 2),
+            }
+        )
+        print(json.dumps(points[-1]), flush=True)
+    print(json.dumps({"op": "urlcap_hotkey", "points": points}))
+
+
 def warc_ladder(
     spark, sizes: list[int], docs_per_file: int = 2000, body_words: int = 120
 ) -> None:
@@ -1748,6 +1847,17 @@ def main() -> None:
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
         flac_ladder(spark, sizes)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--urlcap":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [1_000_000, 4_000_000]
+        )
+        hot = float(sys.argv[3]) if len(sys.argv) > 3 else 0.5
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        urlcap_ladder(spark, sizes, hot)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--html":
         sizes = (
