@@ -4717,11 +4717,21 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
       48-bit md5 of the normalized URL — hash-checks every
       normalization rule at once; ``split`` carries the registered
       domain.
-    - ``domain_cap`` (round 8): skew-safe per-domain capping — keep
-      the top {DOMAIN_CAP_N} docs per registered domain by
-      (n_chars DESC, doc_id) via the salted two-window top-N
-      (``operators/urls.py``); the oracle restates it as a plain
-      window, proving the salted shape exact.
+    - ``domain_cap`` (round 8): per-domain capping — keep the top
+      {DOMAIN_CAP_N} docs per registered domain by
+      (n_chars DESC, doc_id) via the rank-limit window
+      (``operators/urls.py``; Spark plans it as partial+final
+      WindowGroupLimit — the oracle is the same plain window).
+    - ``robots`` (round 8): RFC 9309 robots.txt verdicts
+      (``operators/robots.py``) — per-domain robots bodies injected
+      from doc_id arithmetic (a decoy ``otherbot`` group that must NOT
+      apply, a prefix disallow ``/p/<d>``, a one-longer allow
+      ``/p/<d><e>``, and for every third domain a wildcard-anchored
+      ``/p/*&id=3$``), parsed and matched against the SAME injected
+      messy URLs; ``k`` is the allowed verdict.  The oracle re-derives
+      every verdict from the arithmetic — group selection, longest-
+      match precedence, ``*``/``$`` semantics and the default-allow
+      all hash-checked.
     """
     shuf = _q_corpus_shuffle(spark, sf_dir).select(
         F.lit("corpus_shuffle").alias("part"),
@@ -4773,7 +4783,49 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("k"),
         F.col("domain").alias("split"),
     )
-    return shuf.unionByName(zo).unionByName(un).unionByName(capped)
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
+        robots_rules,
+        robots_verdict,
+    )
+
+    d = F.col("id")  # range(13): one host per doc_id % 13 residue
+    e = (d + 1) % 10
+    robots_df = spark.range(13).select(
+        F.concat(
+            F.lit("crawl.site"), F.col("id").cast("string"), F.lit(".com")
+        ).alias("host"),
+        F.concat(
+            F.lit("User-agent: otherbot\nDisallow: /\n\n"
+                  "User-agent: *\nDisallow: /p/"),
+            d.cast("string"),
+            F.lit("\nAllow: /p/"),
+            d.cast("string"),
+            e.cast("string"),
+            F.when(
+                d % 3 == 0, F.lit("\nDisallow: /p/*&id=3$")
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    rob = robots_verdict(
+        urled.select("doc_id", F.col("_url").alias("url")),
+        robots_rules(robots_df),
+        url_col="url",
+    ).select(
+        F.lit("robots").alias("part"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("robots_allowed").cast("long").alias("k"),
+        F.concat(
+            F.lit("site"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".com"),
+        ).alias("split"),
+    )
+    return (
+        shuf.unionByName(zo)
+        .unionByName(un)
+        .unionByName(capped)
+        .unionByName(rob)
+    )
 
 
 def _sql_layout_keys() -> str:
@@ -4803,6 +4855,19 @@ def _sql_layout_keys() -> str:
                ORDER BY n_chars DESC, doc_id) AS rank
       FROM documents)
     WHERE rank <= {DOMAIN_CAP_N}
+    UNION ALL
+    SELECT 'robots' AS part, doc_id::BIGINT,
+           (CASE
+              WHEN (doc_id % 13) % 3 = 0 AND doc_id % 7 = 3 THEN 0
+              WHEN starts_with(doc_id::VARCHAR,
+                     (doc_id % 13)::VARCHAR
+                     || ((doc_id % 13 + 1) % 10)::VARCHAR) THEN 1
+              WHEN starts_with(doc_id::VARCHAR,
+                     (doc_id % 13)::VARCHAR) THEN 0
+              ELSE 1
+            END)::BIGINT,
+           'site' || (doc_id % 13) || '.com'
+    FROM documents
     """
 
 

@@ -103,6 +103,11 @@ from .operators.sampling import (  # noqa: E402,F401
     stratified_sample,
     temperature_shares,
 )
+from .operators.robots import (  # noqa: E402,F401
+    parse_robots,
+    robots_rules,
+    robots_verdict,
+)
 from .operators.sessions import sessionize  # noqa: E402,F401
 from .operators.simulation import generate_population, run_simulation  # noqa: E402,F401
 from .operators.taylor import taylor_inference  # noqa: E402,F401
@@ -168,6 +173,8 @@ __all__ = [
     "ngram_overlap_scores",
     "normalize_url",
     "registered_domain",
+    "robots_rules",
+    "robots_verdict",
     "encode_mjpeg_avi",
     "probe_avi",
     "read_warc",
@@ -197,6 +204,7 @@ __all__ = [
     "segment_blocks",
     "line_features",
     "post_stratify",
+    "parse_robots",
     "pps_sample",
     "adc_topk",
     "decode_flac",

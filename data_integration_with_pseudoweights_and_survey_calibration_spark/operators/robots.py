@@ -1,0 +1,185 @@
+"""robots.txt compliance filtering (RFC 9309) — the crawl-side
+selection step a responsible web-corpus pipeline runs first: parse
+each host's robots.txt, pick the group that governs the crawler's
+user-agent, and keep only URLs the rules allow.
+
+RFC 9309 semantics implemented:
+
+- groups: consecutive ``User-agent`` lines share the rule block that
+  follows; the crawler obeys the group whose agent token equals its
+  product token case-insensitively, else the ``*`` group;
+- rules: ``Allow`` / ``Disallow`` path patterns, ``*`` matching any
+  octet sequence and a trailing ``$`` anchoring the end; matching is
+  against path + optional query;
+- precedence: the MOST SPECIFIC match wins (longest pattern in
+  octets); on an allow/disallow tie, allow wins; no matching rule (or
+  no robots.txt) means allowed; an empty ``Disallow:`` value allows
+  everything (it can never match-and-block).
+
+Scale shape: robots.txt is DIMENSION data — one small text per host —
+so parsing runs in one Arrow ``mapInPandas`` over the robots frame
+(stdlib only) and the verdict is a BROADCAST join of the exploded
+rule table against the URL corpus keyed on host, followed by one
+corpus-keyed groupBy taking ``max(struct(plen, allow))`` (the RFC
+precedence encoded as struct ordering: longer pattern first, allow
+beating disallow on ties).  Patterns are precompiled to anchored
+regexes on the dim side; the per-row match is JVM-side
+``regexp_like(path, pattern_col)``.  The corpus never shuffles for
+the join (rules broadcast); the verdict groupBy is keyed on the URL
+row id, never on content.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["parse_robots", "robots_rules", "robots_verdict"]
+
+
+def parse_robots(txt: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """Parse one robots.txt body and return the ``(pattern, allow)``
+    rules of the group governing ``agent`` (exact case-insensitive
+    token match, else the ``*`` group; empty list when neither
+    exists).  Pure stdlib; tolerant of comments, blank lines, mixed
+    case field names and missing colons (skipped)."""
+    groups: dict[str, list[tuple[str, bool]]] = {}
+    current: list[str] = []
+    collecting_agents = True
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not collecting_agents:
+                current = []
+                collecting_agents = True
+            tok = value.lower()
+            current.append(tok)
+            groups.setdefault(tok, [])
+        elif field in ("allow", "disallow"):
+            collecting_agents = False
+            if not value:
+                continue  # empty pattern can never match: no-op rule
+            for tok in current:
+                groups.setdefault(tok, []).append(
+                    (value, field == "allow")
+                )
+        else:
+            # crawl-delay / sitemap / unknown fields end the agent run
+            collecting_agents = False
+    key = agent.lower()
+    if key in groups:
+        return groups[key]
+    return groups.get("*", [])
+
+
+def _pattern_regex(pattern: str) -> str:
+    """RFC 9309 pattern -> anchored regex: ``*`` matches any sequence,
+    a trailing ``$`` anchors the end, everything else is literal."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "^" + ".*".join(re.escape(part) for part in body.split("*"))
+    return rx + "$" if anchored else rx
+
+
+def robots_rules(
+    robots: DataFrame,
+    *,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Explode per-host robots.txt bodies into the rule table
+    ``(host, pattern, _re, allow, plen)`` for ``agent`` — one Arrow
+    pass over the dimension-sized robots frame.  Hosts whose file
+    yields no rules for the agent emit no rows (their URLs default to
+    allowed in :func:`robots_verdict`)."""
+    import pandas as pd
+
+    def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {
+                "host": [],
+                "pattern": [],
+                "_re": [],
+                "allow": [],
+                "plen": [],
+            }
+            for host, txt in zip(pdf[host_col], pdf[txt_col]):
+                if txt is None:
+                    continue
+                for pattern, allow in parse_robots(str(txt), agent):
+                    out["host"].append(host)
+                    out["pattern"].append(pattern)
+                    out["_re"].append(_pattern_regex(pattern))
+                    out["allow"].append(allow)
+                    out["plen"].append(len(pattern))
+            yield pd.DataFrame(out)
+
+    return robots.select(
+        F.col(host_col).alias(host_col), F.col(txt_col).alias(txt_col)
+    ).mapInPandas(
+        _parse,
+        schema="host string, pattern string, _re string, "
+        "allow boolean, plen int",
+    )
+
+
+def robots_verdict(
+    urls: DataFrame,
+    rules: DataFrame,
+    *,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-URL crawl verdict: every input column plus ``robots_allowed``
+    (boolean).  ``rules`` is :func:`robots_rules` output — dimension-
+    sized, broadcast.
+
+    Matching: host = lowercased authority (port stripped — robots
+    govern the origin's path space), target = path + optional query
+    (fragment dropped, empty path = ``/``); a URL matches a rule when
+    ``regexp_like(target, rule._re)``.  Verdict = the matched rule
+    with the longest pattern, allow winning ties (one
+    ``max(struct(plen, allow))`` per URL row — struct ordering IS the
+    RFC precedence); unmatched or rule-less URLs are allowed."""
+    u = F.col(url_col)
+    host = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)
+    )
+    target = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
+    target = F.when(target == "", F.lit("/")).otherwise(target)
+    keyed = urls.withColumn("_host", host).withColumn("_target", target)
+    joined = keyed.select(F.col(id_col), "_host", "_target").join(
+        F.broadcast(rules.withColumnRenamed("host", "_host")), "_host", "left"
+    )
+    verdict = (
+        joined.withColumn(
+            "_hit",
+            F.when(
+                F.col("_re").isNotNull()
+                & F.regexp_like("_target", F.col("_re")),
+                F.struct(F.col("plen"), F.col("allow")),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.max("_hit").alias("_best"))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_best.allow"), F.lit(True)).alias(
+                "robots_allowed"
+            ),
+        )
+    )
+    return urls.join(verdict, id_col, "left").withColumn(
+        "robots_allowed", F.coalesce("robots_allowed", F.lit(True))
+    )

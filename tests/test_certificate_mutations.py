@@ -226,6 +226,24 @@ MUTATIONS = [
         "(13 + CASE WHEN doc_id % 4 = 1 THEN 15 ELSE 0 END)",
         "html-link-density",
     ),
+    # round 8: the robots.txt certificate (layout_keys 'robots').  The
+    # wildcard-anchored '/p/*&id=3$' disallow binds to doc_id%7==3 on
+    # every third domain — flipping the id literal flips those
+    # verdicts.
+    (
+        "layout_keys",
+        "AND doc_id % 7 = 3 THEN 0",
+        "AND doc_id % 7 = 4 THEN 0",
+        "robots-wildcard-rule",
+    ),
+    # ...and the one-octet-longer Allow beating the prefix Disallow is
+    # the RFC longest-match arm: flipping its verdict must be caught.
+    (
+        "layout_keys",
+        "% 10)::VARCHAR) THEN 1",
+        "% 10)::VARCHAR) THEN 0",
+        "robots-longest-match-allow",
+    ),
 ]
 
 

@@ -1,0 +1,115 @@
+"""robots.txt compliance filtering (operators/robots.py, RFC 9309):
+group selection, pattern matching with * and $, longest-match
+precedence, allow-wins-ties, default allow."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import robots as R
+
+ROBOTS = """
+# comments and blank lines are fine
+
+User-agent: otherbot
+Disallow: /
+
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /tmp/*.bak$
+Disallow:            # empty value: no-op
+Crawl-delay: 10
+
+User-agent: mybot
+User-Agent: friendbot
+Allow: /private
+"""
+
+
+def test_parse_robots_groups_and_fields():
+    star = R.parse_robots(ROBOTS, "*")
+    assert ("/private", False) in star
+    assert ("/private/ok", True) in star
+    assert ("/tmp/*.bak$", False) in star
+    assert all(p != "" for p, _ in star)  # empty Disallow dropped
+    # exact-token group beats *, case-insensitively; shared groups work
+    assert R.parse_robots(ROBOTS, "MyBot") == [("/private", True)]
+    assert R.parse_robots(ROBOTS, "friendbot") == [("/private", True)]
+    assert R.parse_robots(ROBOTS, "otherbot") == [("/", False)]
+    # unknown agent falls back to *
+    assert R.parse_robots(ROBOTS, "newbot") == star
+    # no groups at all -> no rules
+    assert R.parse_robots("Sitemap: http://x/s.xml") == []
+
+
+def test_pattern_regex_semantics():
+    assert R._pattern_regex("/a/*.bak$") == "^/a/.*\\.bak$"
+    assert R._pattern_regex("/plain") == "^/plain"
+
+
+def test_robots_verdict_end_to_end(spark):
+    rob = spark.createDataFrame(
+        [
+            ("ex.com", ROBOTS),
+            ("empty.com", "User-agent: *\nDisallow:"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = R.robots_rules(rob)
+    urls = spark.createDataFrame(
+        [
+            (0, "https://ex.com/public/page"),        # no rule -> allow
+            (1, "https://ex.com/private/x"),           # /private -> block
+            (2, "https://ex.com/private/ok/x"),        # longer allow wins
+            (3, "https://EX.com/tmp/a.bak"),           # * and $ match
+            (4, "https://ex.com/tmp/a.bak.txt"),       # $ anchor: no match
+            (5, "https://norobots.com/anything"),      # no robots -> allow
+            (6, "https://empty.com/x"),                # empty disallow -> allow
+            (7, "https://ex.com:443/private/y"),       # port stripped
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in R.robots_verdict(urls, rules).collect()
+    }
+    assert got == {
+        0: True, 1: False, 2: True, 3: False,
+        4: True, 5: True, 6: True, 7: False,
+    }
+    # agent-specific rules flip the verdict for the same URL
+    myrules = R.robots_rules(rob, agent="mybot")
+    got_my = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in R.robots_verdict(urls, myrules).collect()
+    }
+    assert got_my[1] is True  # mybot group allows /private
+
+
+def test_allow_disallow_tie_prefers_allow(spark):
+    rob = spark.createDataFrame(
+        [("t.com", "User-agent: *\nDisallow: /a/b\nAllow: /a/c")],
+        "host string, robots_txt string",
+    )
+    rules = R.robots_rules(rob)
+    urls = spark.createDataFrame(
+        [(1, "https://t.com/a/b/x"), (2, "https://t.com/a/c/x")],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in R.robots_verdict(urls, rules).collect()
+    }
+    assert got == {1: False, 2: True}
+    # equal-length allow vs disallow on the SAME path: allow wins
+    rob2 = spark.createDataFrame(
+        [("t.com", "User-agent: *\nDisallow: /a/b\nAllow: /a/b")],
+        "host string, robots_txt string",
+    )
+    out = R.robots_verdict(
+        spark.createDataFrame([(1, "https://t.com/a/b")], "doc_id long, url string"),
+        R.robots_rules(rob2),
+    ).collect()[0]
+    assert out["robots_allowed"] is True
