@@ -4722,6 +4722,11 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
       (n_chars DESC, doc_id) via the rank-limit window
       (``operators/urls.py``; Spark plans it as partial+final
       WindowGroupLimit — the oracle is the same plain window).
+    - ``url_psl`` (round 9): public-suffix-aware registered domains —
+      injected hosts cycle ``.co.uk`` / ``.com.au`` (multi-label
+      public suffixes: key one label deeper) and ``.de`` (single-label
+      control: last-two-labels), so ``split`` certifies the PSL branch
+      and ``k`` the normalization of the same URLs.
     - ``robots`` (round 8): RFC 9309 robots.txt verdicts
       (``operators/robots.py``) — per-domain robots bodies injected
       from doc_id arithmetic (a decoy ``otherbot`` group that must NOT
@@ -4770,6 +4775,28 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("id"),
         hash48(normalize_url("_url")).cast("long").alias("k"),
         registered_domain("_url").alias("split"),
+    )
+    # round 9: public-suffix handling — hosts whose last two labels
+    # are a public suffix (co.uk / com.au) must key one label deeper,
+    # single-label TLDs (.de) keep last-two; the oracle re-derives the
+    # expected domain from the same arithmetic
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".CO.UK"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".Com.Au"))
+        .otherwise(F.lit(".DE"))
+    )
+    url2 = F.concat(
+        F.lit("https://www.shop"),
+        (F.col("doc_id") % 11).cast("string"),
+        tld,
+        F.lit("/item/"),
+        F.col("doc_id").cast("string"),
+    )
+    psl = docs.withColumn("_url2", url2).select(
+        F.lit("url_psl").alias("part"),
+        F.col("doc_id").cast("long").alias("id"),
+        hash48(normalize_url("_url2")).cast("long").alias("k"),
+        registered_domain("_url2").alias("split"),
     )
     capped = cap_per_domain(
         urled.withColumn("_dom", registered_domain("_url")),
@@ -4823,6 +4850,7 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shuf.unionByName(zo)
         .unionByName(un)
+        .unionByName(psl)
         .unionByName(capped)
         .unionByName(rob)
     )
@@ -4832,6 +4860,12 @@ def _sql_layout_keys() -> str:
     norm = (
         "'https://crawl.site' || (doc_id % 13) || '.com/p/' || doc_id"
         " || '?id=' || (doc_id % 7)"
+    )
+    psl_norm = (
+        "'https://www.shop' || (doc_id % 11)"
+        " || CASE doc_id % 3 WHEN 0 THEN '.co.uk'"
+        " WHEN 1 THEN '.com.au' ELSE '.de' END"
+        " || '/item/' || doc_id"
     )
     return f"""
     SELECT 'corpus_shuffle' AS part, doc_id::BIGINT AS id,
@@ -4845,6 +4879,13 @@ def _sql_layout_keys() -> str:
     SELECT 'url_norm' AS part, doc_id::BIGINT,
            {MD5INT_SQL.format(x=norm)},
            'site' || (doc_id % 13) || '.com'
+    FROM documents
+    UNION ALL
+    SELECT 'url_psl' AS part, doc_id::BIGINT,
+           {MD5INT_SQL.format(x=psl_norm)},
+           'shop' || (doc_id % 11)
+             || CASE doc_id % 3 WHEN 0 THEN '.co.uk'
+                WHEN 1 THEN '.com.au' ELSE '.de' END
     FROM documents
     UNION ALL
     SELECT 'domain_cap' AS part, doc_id::BIGINT, rank::BIGINT, dom

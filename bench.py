@@ -27,13 +27,36 @@ run of identical code measured 128.5s):
   official numbers out of BENCH_r05.json (``parsed: null``) — the
   artifact must survive a bounded tail read.
 
-Caching caveat for readers of the per-query numbers: a few queries
-cache an intermediate frame for reuse across their own certificate
-pieces (``survey_scalars``'s units frame is the big one). Spark's
-CacheManager dedups by plan, so a second invocation of the same query
-reuses the cache warmed by the first — min-of-N for those queries
-measures the cached steady state, and even ``first_pass`` is warm for
-any pass after the very first invocation of the session.
+Round-9 hardening (after BENCH_r08 shipped at 122.06s with its own
+``ratio_prev: 1.342`` self-check screaming — 86.6s clean for the same
+code, the second contaminated official artifact in a row):
+
+* **the ratio self-check is BINDING** — if the median per-query ratio
+  vs the previous same-sf artifact exceeds ``RATIO_WARN`` the whole
+  suite automatically RE-RUNS once (after re-waiting for quiet) and
+  the better-ratio attempt becomes the candidate; if BOTH attempts
+  fail the check, the official ``headline_queries_total`` line is
+  REFUSED — a short ``{"metric": "bench_refused", ...}`` line with
+  both attempts' ratios/loads ships instead (set
+  ``SPARK_GRAFT_BENCH_FORCE=1`` to emit the best attempt anyway,
+  marked ``"self_check": "failed"``).  A wrong official perf record
+  is worse than a missing one.
+* **per-query cache isolation** — ``spark.catalog.clearCache()``
+  before EVERY query, so each number measures that query from a
+  clean cache state (pass 1 warms its own caches, pass 2 is its own
+  steady state) instead of measuring interference from the caches 49
+  other queries left behind (r8 clean rerun: dedup_pairs 10.3s
+  mid-session vs 7.4s isolated — same plan, different neighbours).
+* **mid-run load sampling** — the 1-min load is sampled after every
+  query; the max ships as ``load_max_during``.  It includes the
+  bench's OWN 32-thread load, so it cannot gate — it documents
+  contention that starts AFTER the pre-flight gate passed.
+* **isolation recheck** — after the accepted attempt, the top
+  ``ISO_CHECK_TOP`` slowest queries re-run once from a cleared cache
+  and the median relative delta vs their recorded cold ``first_pass``
+  ships as ``iso_med`` (both sides are cold-start measurements of the
+  same isolated query; a big delta means the box moved mid-run).
+  ``SPARK_GRAFT_BENCH_ISOCHECK=0`` skips it.
 """
 
 from __future__ import annotations
@@ -64,8 +87,11 @@ LOAD_GATE = 1.0
 LOAD5_GATE = 1.5
 # Self-check: if the median per-query ratio vs the previous round's
 # artifact exceeds this for queries present in both, something other
-# than the code changed (machine load, zombie JVM) — warn loudly.
+# than the code changed (machine load, zombie JVM).  BINDING since
+# round 9: one automatic re-run, then refusal of the official line.
 RATIO_WARN = 1.10
+# How many of the slowest queries the isolation recheck re-measures.
+ISO_CHECK_TOP = 5
 
 
 def _load1() -> float:
@@ -153,88 +179,162 @@ def _median_ratio(
     return round(med, 3), len(ratios)
 
 
+def _query_list(spark, sf_dir):
+    pairs = [
+        ("flagship_ipsw_kw", lambda: entrymod.flagship(spark, sf_dir))
+    ]
+    for name, fn in entrymod.queries().items():
+        pairs.append((name, lambda fn=fn: fn(spark, sf_dir)))
+    return pairs
+
+
+def _time_query(spark, fn, passes: int) -> tuple[float, float]:
+    """(first-pass seconds, min-of-passes seconds) from a CLEAN cache
+    state: pass 1 is the query's own cold start, later passes its own
+    steady state — never another query's leftovers."""
+    spark.catalog.clearCache()
+    best = first = None
+    for i in range(passes):
+        t0 = time.perf_counter()
+        # Force full execution; results are small (aggregates) or
+        # mid-size (per-unit weights) -- count() executes the plan.
+        fn().count()
+        dt = time.perf_counter() - t0
+        if i == 0:
+            first = dt
+        best = dt if best is None else min(best, dt)
+    return round(first, 3), round(best, 3)
+
+
+def _run_suite(spark, sf_dir: str, passes: int):
+    """One full attempt: every query from a cleared cache, load
+    sampled after each.  Returns (timings, first_pass, load_max)."""
+    timings: dict[str, float] = {}
+    first_pass: dict[str, float] = {}
+    load_max = _load1()
+    for name, fn in _query_list(spark, sf_dir):
+        first_pass[name], timings[name] = _time_query(spark, fn, passes)
+        load_max = max(load_max, _load1())
+    return timings, first_pass, round(load_max, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "180"))
-
-    load_start = _wait_for_quiet(max_wait)
-    load5_start = _load5()
+    force = os.environ.get("SPARK_GRAFT_BENCH_FORCE", "") == "1"
+    iso_check = os.environ.get("SPARK_GRAFT_BENCH_ISOCHECK", "1") == "1"
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    # Warm up the JVM / parquet footer caches and the Python/Arrow
-    # worker pool once so the first timed query is not charged for
-    # session start-up (applies equally to every run, so comparisons
-    # stay fair; the first mapInPandas otherwise absorbs ~10s of
-    # worker spin-up).
-    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
-    spark.range(64).repartition(32).mapInPandas(
-        lambda it: it, schema="id long"
-    ).count()
+    prev = _prev_round_queries(sf)
+    attempts = []  # (timings, first_pass, meta) per attempt
+    for attempt in range(2):
+        load_start = _wait_for_quiet(max_wait)
+        load5_start = _load5()
+        if attempt == 0:
+            # Warm up the JVM / parquet footer caches and the Python/
+            # Arrow worker pool once so the first timed query is not
+            # charged for session start-up (applies equally to every
+            # run, so comparisons stay fair; the first mapInPandas
+            # otherwise absorbs ~10s of worker spin-up).
+            spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+            spark.range(64).repartition(32).mapInPandas(
+                lambda it: it, schema="id long"
+            ).count()
+        timings, first_pass, load_max = _run_suite(spark, sf_dir, passes)
+        ratio, n_shared = (None, 0)
+        if prev is not None:
+            ratio, n_shared = _median_ratio(timings, prev[1])
+        attempts.append(
+            (
+                timings,
+                first_pass,
+                {
+                    "ratio_prev": ratio,
+                    "n_shared": n_shared,
+                    "load_start": round(load_start, 2),
+                    "load5_start": round(load5_start, 2),
+                    "load_max_during": load_max,
+                },
+            )
+        )
+        if ratio is None or ratio <= RATIO_WARN:
+            break
+        print(
+            f"bench: attempt {attempt + 1} median ratio vs "
+            f"{prev[0]} is {ratio} over {n_shared} shared queries "
+            f"(> {RATIO_WARN}) — load-contaminated; "
+            + ("re-running the whole suite once" if attempt == 0 else
+               "both attempts failed the self-check"),
+            file=sys.stderr,
+        )
 
-    timings: dict[str, float] = {}
-    first_pass: dict[str, float] = {}
+    # best attempt = lowest ratio (None ratio means no comparable
+    # artifact — the first attempt stands)
+    timings, first_pass, meta = min(
+        attempts,
+        key=lambda a: (a[2]["ratio_prev"] is None, a[2]["ratio_prev"] or 0),
+    )
+    ratio = meta["ratio_prev"]
+    self_check_failed = ratio is not None and ratio > RATIO_WARN
 
-    def run(name, fn):
-        best = None
-        for i in range(passes):
+    iso_med = None
+    if iso_check and not self_check_failed:
+        # re-measure the slowest queries cold and compare against
+        # their recorded cold first_pass — both isolated-from-cache
+        # numbers; drift here means the box moved mid-run
+        by_fn = dict(_query_list(spark, sf_dir))
+        top = sorted(timings, key=timings.get, reverse=True)[:ISO_CHECK_TOP]
+        deltas = []
+        for name in top:
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
-            df = fn()
-            # Force full execution; results are small (aggregates) or
-            # mid-size (per-unit weights) -- count() executes the plan.
-            df.count()
+            by_fn[name]().count()
             dt = time.perf_counter() - t0
-            if i == 0:
-                first_pass[name] = round(dt, 3)
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-
-    run("flagship_ipsw_kw", lambda: entrymod.flagship(spark, sf_dir))
-    for name, fn in entrymod.queries().items():
-        run(name, lambda fn=fn: fn(spark, sf_dir))
+            deltas.append(abs(dt - first_pass[name]) / first_pass[name])
+        deltas.sort()
+        iso_med = round(deltas[len(deltas) // 2], 3)
 
     total = round(sum(timings.values()), 3)
-    # Contamination self-check vs the previous round's artifact: code
-    # changes move individual queries, but the MEDIAN ratio across all
-    # shared queries only moves when the box does.
-    prev = _prev_round_queries(sf)
-    ratio, n_shared = (None, 0)
-    prev_name = None
-    if prev is not None:
-        prev_name, prev_qs = prev
-        ratio, n_shared = _median_ratio(timings, prev_qs)
-        if ratio is not None and ratio > RATIO_WARN:
-            print(
-                f"bench: WARNING median ratio vs {prev_name} is {ratio} "
-                f"over {n_shared} shared queries (> {RATIO_WARN}) — this "
-                "run is likely load-contaminated; rerun on a quiet box",
-                file=sys.stderr,
-            )
     # first_pass on its OWN line, before the official one: the driver
     # captures a bounded tail of stdout, so the official line must be
     # short and last (see module docstring).
     print(json.dumps({"metric": "first_pass", "queries": first_pass}))
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "passes": passes,
-                "load_start": round(load_start, 2),
-                "load5_start": round(load5_start, 2),
-                "load_end": round(_load1(), 2),
-                "ratio_prev": ratio,
-                "prev": prev_name,
-            }
+    if self_check_failed and not force:
+        print(
+            json.dumps(
+                {
+                    "metric": "bench_refused",
+                    "reason": f"ratio_prev > {RATIO_WARN} on both attempts"
+                    " — box contaminated; official total withheld"
+                    " (SPARK_GRAFT_BENCH_FORCE=1 overrides)",
+                    "sf": sf,
+                    "attempts": [a[2] for a in attempts],
+                    "prev": prev[0] if prev else None,
+                }
+            )
         )
-    )
+        sys.exit(3)
+    official = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "passes": passes,
+        **meta,
+        "load_end": round(_load1(), 2),
+        "iso_med": iso_med,
+        "n_attempts": len(attempts),
+        "prev": prev[0] if prev else None,
+    }
+    if self_check_failed:
+        official["self_check"] = "failed"
+    print(json.dumps(official))
 
 
 if __name__ == "__main__":

@@ -199,7 +199,11 @@ def classify_blocks(
     output.  Context-free pass (pure Column):
 
     - ``bad``  if link_density > max_link_density, or the block carries
-      a copyright mark (© / "copyright");
+      a copyright mark: the ``©`` symbol anywhere (published jusText
+      keys on the symbol), or the word "copyright" in a block that is
+      SHORT (n_chars < length_high) or stopword-poor
+      (sw_density < stopwords_low) — a long good prose paragraph
+      *discussing* copyright law survives; a footer line does not;
     - ``short`` if n_chars < length_low and link-free (link-bearing
       short blocks are ``bad``);
     - ``good`` if stopword density >= stopwords_high and
@@ -221,9 +225,16 @@ def classify_blocks(
     scored = blocks.withColumn("link_density", ld).withColumn(
         "sw_density", sd
     )
-    has_copy = F.lower(F.col("text")).contains("copyright") | F.col(
-        "text"
-    ).contains("©")
+    # © anywhere is a boilerplate mark (jusText keys on the symbol);
+    # the English-word heuristic only applies to short or
+    # stopword-poor blocks so prose ABOUT copyright is not wiped
+    has_copy = F.col("text").contains("©") | (
+        F.lower(F.col("text")).contains("copyright")
+        & (
+            (F.col("n_chars") < F.lit(int(length_high)))
+            | (F.col("sw_density") < F.lit(float(stopwords_low)))
+        )
+    )
     cls = (
         F.when(
             (F.col("link_density") > F.lit(float(max_link_density)))
@@ -292,6 +303,11 @@ def extract_main_text(
         stopwords_low=stopwords_low,
         stopwords_high=stopwords_high,
     )
+    # unique internal join key: with id_col != 'doc_id' on an input
+    # that ALSO carries a 'doc_id' passthrough column, aliasing id_col
+    # to 'doc_id' would collide with the passthrough and make the join
+    # ambiguous
+    jk = "__jtx_doc_id"
     per_doc = classified.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
@@ -323,10 +339,10 @@ def extract_main_text(
         c for c in df.columns if c not in (id_col, html_col) + out_cols
     ]
     return (
-        df.select(F.col(id_col).alias("doc_id"), *passthrough)
-        .join(per_doc, "doc_id", "left")
+        df.select(F.col(id_col).alias(jk), *passthrough)
+        .join(per_doc.withColumnRenamed("doc_id", jk), jk, "left")
         .select(
-            F.col("doc_id").alias(id_col),
+            F.col(jk).alias(id_col),
             *passthrough,
             F.coalesce("text", F.lit("")).alias("text"),
             F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),

@@ -85,9 +85,32 @@ class PQCodebooks(np.ndarray):
     mismatch — encoding raw-trained codebooks in residual mode (or
     vice versa) raises no numeric error but silently degrades ADC
     ranking, the worst failure shape.  Plain ``np.ndarray`` codebooks
-    (user-built) skip the check."""
+    (user-built) skip the check.
 
-    residual: bool = False
+    The stamp survives every ndarray lifecycle path: ``.copy()``,
+    slicing and ufunc views propagate it via ``__array_finalize__``;
+    pickle round-trips (persisting codebooks to disk) carry it through
+    ``__reduce__``/``__setstate__``.  The class default is ``None``
+    (UNKNOWN), not ``False``: if some exotic path still drops the
+    attribute, the mode check is SKIPPED rather than misreporting a
+    residual-trained codebook as raw-trained — a lost stamp degrades
+    to the plain-ndarray behaviour instead of steering the caller into
+    the exact mismatch the stamp exists to prevent."""
+
+    residual: bool | None = None
+
+    def __array_finalize__(self, obj) -> None:
+        if obj is None:  # explicit __new__ — _stamp() sets it next
+            return
+        self.residual = getattr(obj, "residual", None)
+
+    def __reduce__(self):
+        reconstruct, args, state = super().__reduce__()
+        return (reconstruct, args, state + (self.residual,))
+
+    def __setstate__(self, state):
+        self.residual = state[-1]
+        super().__setstate__(state[:-1])
 
 
 def _stamp(cb: np.ndarray, residual: bool) -> "PQCodebooks":

@@ -18,15 +18,16 @@ RFC 9309 semantics implemented:
 
 Scale shape: robots.txt is DIMENSION data — one small text per host —
 so parsing runs in one Arrow ``mapInPandas`` over the robots frame
-(stdlib only) and the verdict is a BROADCAST join of the exploded
-rule table against the URL corpus keyed on host, followed by one
-corpus-keyed groupBy taking ``max(struct(plen, allow))`` (the RFC
-precedence encoded as struct ordering: longer pattern first, allow
-beating disallow on ties).  Patterns are precompiled to anchored
-regexes on the dim side; the per-row match is JVM-side
-``regexp_like(path, pattern_col)``.  The corpus never shuffles for
-the join (rules broadcast); the verdict groupBy is keyed on the URL
-row id, never on content.
+(stdlib only).  The verdict is ZERO corpus shuffles: the rule table
+is rolled up to one row per host (an array of ``(plen, allow, _re)``
+structs — a dimension-side groupBy), BROADCAST-joined to the URL
+corpus on host, and the precedence is evaluated map-side with array
+higher-order functions — ``filter`` the host's rules by
+``regexp_like(target, rule._re)``, then ``array_max`` of
+``struct(plen, allow)`` (struct ordering IS the RFC precedence:
+longer pattern first, allow beating disallow on ties).  Patterns are
+precompiled to anchored regexes on the dim side.  The corpus never
+exchanges: no explode, no corpus-keyed groupBy, no join-back.
 """
 
 from __future__ import annotations
@@ -97,10 +98,20 @@ def robots_rules(
     agent: str = "*",
 ) -> DataFrame:
     """Explode per-host robots.txt bodies into the rule table
-    ``(host, pattern, _re, allow, plen)`` for ``agent`` — one Arrow
-    pass over the dimension-sized robots frame.  Hosts whose file
-    yields no rules for the agent emit no rows (their URLs default to
-    allowed in :func:`robots_verdict`)."""
+    ``(host, pattern, _re, allow, plen, is_rx)`` for ``agent`` — one
+    Arrow pass over the dimension-sized robots frame.  Hosts whose
+    file yields no rules for the agent emit no rows (their URLs
+    default to allowed in :func:`robots_verdict`).
+
+    ``is_rx`` marks the rules that actually need a regex (pattern
+    contains ``*`` or a trailing ``$``); the overwhelmingly common
+    plain-prefix rule matches with ``startswith`` instead — a plain
+    JVM string compare with no compile step.  Honest measurement
+    (§3s rung, 1000 hosts x 10-100 rules, hot host): the split is
+    1.0x at 1M URLs and 1.22x at 4M vs forcing every rule through the
+    non-literal ``regexp_like`` — Spark's regex path is cheaper than
+    feared for tiny anchored patterns, so this is a modest win plus
+    one less compile per evaluation, not a rescue."""
     import pandas as pd
 
     def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -111,6 +122,7 @@ def robots_rules(
                 "_re": [],
                 "allow": [],
                 "plen": [],
+                "is_rx": [],
             }
             for host, txt in zip(pdf[host_col], pdf[txt_col]):
                 if txt is None:
@@ -120,7 +132,11 @@ def robots_rules(
                     out["pattern"].append(pattern)
                     out["_re"].append(_pattern_regex(pattern))
                     out["allow"].append(allow)
-                    out["plen"].append(len(pattern))
+                    # RFC 9309 §2.2.2 ranks precedence by OCTETS, not
+                    # characters — a non-ASCII pattern is longer than
+                    # its len() says
+                    out["plen"].append(len(pattern.encode("utf-8")))
+                    out["is_rx"].append("*" in pattern or pattern.endswith("$"))
             yield pd.DataFrame(out)
 
     return robots.select(
@@ -128,7 +144,7 @@ def robots_rules(
     ).mapInPandas(
         _parse,
         schema="host string, pattern string, _re string, "
-        "allow boolean, plen int",
+        "allow boolean, plen int, is_rx boolean",
     )
 
 
@@ -145,11 +161,20 @@ def robots_verdict(
 
     Matching: host = lowercased authority (port stripped — robots
     govern the origin's path space), target = path + optional query
-    (fragment dropped, empty path = ``/``); a URL matches a rule when
-    ``regexp_like(target, rule._re)``.  Verdict = the matched rule
-    with the longest pattern, allow winning ties (one
-    ``max(struct(plen, allow))`` per URL row — struct ordering IS the
-    RFC precedence); unmatched or rule-less URLs are allowed."""
+    (fragment dropped; a missing path is ``/``, and a query with no
+    path — ``https://ex.com?x=1`` — gets its leading ``/`` restored so
+    path rules like ``Disallow: /`` can match it); a URL matches a
+    rule when ``regexp_like(target, rule._re)``.  Verdict = the
+    matched rule with the longest pattern (octets), allow winning
+    ties — ``array_max`` over ``struct(plen, allow)`` encodes the RFC
+    precedence; unmatched or rule-less URLs are allowed.
+
+    Zero corpus shuffles: rules roll up to ONE row per host
+    (dimension-side groupBy into a struct array), broadcast to the
+    corpus, and the whole verdict — filter-by-regex, precedence max —
+    runs map-side as array higher-order functions.  The ``id_col``
+    argument is kept for signature compatibility; no corpus-keyed
+    exchange or join-back remains."""
     u = F.col(url_col)
     host = F.lower(
         F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)
@@ -157,29 +182,39 @@ def robots_verdict(
     target = F.regexp_extract(
         u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
     )
-    target = F.when(target == "", F.lit("/")).otherwise(target)
-    keyed = urls.withColumn("_host", host).withColumn("_target", target)
-    joined = keyed.select(F.col(id_col), "_host", "_target").join(
-        F.broadcast(rules.withColumnRenamed("host", "_host")), "_host", "left"
+    # empty path -> "/"; query-only target ("?x=1") -> "/?x=1"
+    target = F.when(
+        target.startswith("/"), target
+    ).otherwise(F.concat(F.lit("/"), target))
+    by_host = rules.groupBy("host").agg(
+        F.collect_list(
+            F.struct("plen", "allow", "_re", "pattern", "is_rx")
+        ).alias("_rules")
     )
-    verdict = (
-        joined.withColumn(
-            "_hit",
-            F.when(
-                F.col("_re").isNotNull()
-                & F.regexp_like("_target", F.col("_re")),
-                F.struct(F.col("plen"), F.col("allow")),
+    joined = urls.withColumn("_host", host).join(
+        F.broadcast(by_host.withColumnRenamed("host", "_host")),
+        "_host",
+        "left",
+    )
+    # prefix rules (no * / $ — the overwhelming majority in real
+    # robots.txt) match with startswith, a compile-free JVM string
+    # compare; regexp_like is reserved for the rules that need it
+    # (measured 1.0-1.22x vs all-regex at 1-4M URLs, §3s — modest,
+    # never worse)
+    hits = F.filter(
+        F.col("_rules"),
+        lambda r: F.when(
+            r["is_rx"], F.regexp_like(target, r["_re"])
+        ).otherwise(target.startswith(r["pattern"])),
+    )
+    best = F.array_max(
+        F.transform(
+            hits,
+            lambda r: F.struct(
+                r["plen"].alias("plen"), r["allow"].alias("allow")
             ),
         )
-        .groupBy(id_col)
-        .agg(F.max("_hit").alias("_best"))
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("_best.allow"), F.lit(True)).alias(
-                "robots_allowed"
-            ),
-        )
     )
-    return urls.join(verdict, id_col, "left").withColumn(
-        "robots_allowed", F.coalesce("robots_allowed", F.lit(True))
-    )
+    return joined.withColumn(
+        "robots_allowed", F.coalesce(best["allow"], F.lit(True))
+    ).drop("_host", "_rules")

@@ -33,11 +33,79 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["normalize_url", "registered_domain", "cap_per_domain"]
+__all__ = [
+    "normalize_url",
+    "registered_domain",
+    "cap_per_domain",
+    "PUBLIC_SUFFIXES",
+]
 
 #: query parameters dropped by :func:`normalize_url` (tracking junk —
 #: the standard CCNet/RefinedWeb-style normalization set)
 TRACKING_PARAM_RE = r"(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref_src)"
+
+#: Compact multi-label public-suffix subset (publicsuffix.org — the
+#: high-traffic two-label ccTLD suffixes plus the big shared-hosting
+#: private suffixes).  Covers the registrable-domain boundary for the
+#: ccTLDs where "last two labels" is WRONG: without it every
+#: ``.co.uk`` site collapses into one "co.uk" domain key and
+#: per-domain capping caps the entire UK commercial web as a single
+#: domain.  Deliberately a subset — callers with a full PSL snapshot
+#: pass it via ``public_suffixes=``; the operator shape (map-only
+#: Column exprs) is unchanged at any list size.
+PUBLIC_SUFFIXES: tuple[str, ...] = tuple(
+    """
+    co.uk org.uk ac.uk gov.uk net.uk me.uk ltd.uk plc.uk sch.uk nhs.uk
+    com.au net.au org.au edu.au gov.au asn.au id.au
+    co.jp ne.jp or.jp ac.jp go.jp ad.jp ed.jp gr.jp lg.jp
+    com.br net.br org.br gov.br edu.br art.br blog.br
+    co.nz net.nz org.nz govt.nz ac.nz geek.nz gen.nz kiwi.nz maori.nz
+    co.in net.in org.in firm.in gen.in ind.in ac.in edu.in gov.in res.in
+    com.cn net.cn org.cn gov.cn edu.cn ac.cn
+    com.mx org.mx net.mx edu.mx gob.mx
+    co.za org.za net.za gov.za ac.za web.za
+    com.ar net.ar org.ar edu.ar gob.ar int.ar mil.ar
+    com.tr net.tr org.tr edu.tr gov.tr web.tr
+    co.kr or.kr ne.kr re.kr go.kr ac.kr pe.kr
+    com.sg net.sg org.sg edu.sg gov.sg
+    com.hk net.hk org.hk edu.hk gov.hk idv.hk
+    com.tw net.tw org.tw edu.tw gov.tw idv.tw
+    co.il org.il net.il ac.il gov.il muni.il k12.il
+    com.my net.my org.my edu.my gov.my
+    co.id com.id net.id or.id ac.id go.id web.id sch.id
+    com.ua net.ua org.ua edu.ua gov.ua in.ua
+    com.pl net.pl org.pl edu.pl gov.pl info.pl waw.pl
+    co.th com.th net.th or.th ac.th go.th in.th
+    com.vn net.vn org.vn edu.vn gov.vn
+    com.ph net.ph org.ph edu.ph gov.ph
+    com.pk net.pk org.pk edu.pk gov.pk
+    com.eg net.eg org.eg edu.eg gov.eg
+    com.sa net.sa org.sa edu.sa gov.sa
+    com.ng net.ng org.ng edu.ng gov.ng
+    co.ke or.ke ne.ke ac.ke go.ke
+    com.co net.co org.co edu.co gov.co nom.co
+    com.pe net.pe org.pe edu.pe gob.pe nom.pe
+    com.ve net.ve org.ve co.ve web.ve
+    com.uy edu.uy gub.uy net.uy org.uy
+    com.ec net.ec org.ec edu.ec gob.ec
+    com.bd net.bd org.bd edu.bd gov.bd
+    com.np net.np org.np edu.np gov.np
+    co.ir net.ir org.ir ac.ir gov.ir sch.ir
+    com.kz org.kz edu.kz gov.kz
+    com.do net.do org.do edu.do gob.do web.do
+    com.gt net.gt org.gt edu.gt gob.gt
+    co.cr ac.cr ed.cr fi.cr go.cr or.cr sa.cr
+    com.pa net.pa org.pa edu.pa gob.pa
+    com.py net.py org.py edu.py gov.py
+    com.bo net.bo org.bo edu.bo gob.bo web.bo
+    com.sv org.sv edu.sv gob.sv red.sv
+    com.ni net.ni org.ni edu.ni gob.ni
+    com.hn net.hn org.hn edu.hn gob.hn
+    github.io gitlab.io pages.dev netlify.app vercel.app web.app
+    blogspot.com wordpress.com appspot.com herokuapp.com
+    amazonaws.com azurewebsites.net cloudfront.net
+    """.split()
+)
 
 
 def _lower_host(url: Column) -> Column:
@@ -96,19 +164,37 @@ def normalize_url(url: str | Column) -> Column:
     )
 
 
-def registered_domain(url: str | Column) -> Column:
-    """Last two labels of the host (``a.b.c.example.com`` ->
-    ``example.com``): the grouping key for per-domain caps and domain
-    mixing.  Heuristic — a public-suffix list refines ``co.uk``-style
-    suffixes; the operator contract (one key per host, stable,
-    map-only) is unchanged when one is swapped in.  Non-URLs yield
-    the empty string."""
+def registered_domain(
+    url: str | Column,
+    *,
+    public_suffixes: Sequence[str] = PUBLIC_SUFFIXES,
+) -> Column:
+    """Registrable domain of the host: the grouping key for per-domain
+    caps and domain mixing.  ``a.b.c.example.com`` -> ``example.com``;
+    when the last TWO labels are a public suffix from
+    ``public_suffixes`` (``shop.example.co.uk`` — ``co.uk`` registers
+    sites one label deeper) the last THREE labels are returned
+    (``example.co.uk``), so every ``.co.uk`` site gets its own domain
+    key instead of the whole ccTLD collapsing into one.  Swap in a
+    full publicsuffix.org snapshot via ``public_suffixes=`` for exact
+    boundaries; pass ``()`` to restore the bare last-two-labels
+    heuristic.  Map-only Column math (one ``array_contains`` over a
+    literal array + RE2-safe regex) — no UDF, no shuffle, and a SQL
+    oracle can restate it verbatim.  Non-URLs yield the empty
+    string."""
     u = F.col(url) if isinstance(url, str) else url
     host = F.lower(
         F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)
     )
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    return F.when(two != "", two).otherwise(host)
+    out = F.when(two != "", two).otherwise(host)
+    if public_suffixes:
+        three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+        psl = F.array(*[F.lit(s) for s in public_suffixes])
+        out = F.when(
+            F.array_contains(psl, two) & (three != ""), three
+        ).otherwise(out)
+    return out
 
 
 def cap_per_domain(

@@ -315,6 +315,93 @@ def _local_path(uri: str) -> str:
     return uri
 
 
+class LocalRangeReader:
+    """Ranged-read adapter for locally readable paths (bare paths,
+    ``file:`` URIs, NFS mounts): plain ``seek`` + bounded ``read``.
+    This is the reference implementation of the adapter protocol the
+    ranged WARC ingest talks to — see :func:`register_range_reader`."""
+
+    def read_range(self, uri: str, start: int, length: int) -> bytes:
+        with open(_local_path(uri), "rb") as f:
+            f.seek(int(start))
+            return f.read(int(length))
+
+    def size(self, uri: str) -> int:
+        import os
+
+        return os.path.getsize(_local_path(uri))
+
+    def list_files(self, path: str) -> list[str]:
+        import glob as _glob
+
+        return sorted(_glob.glob(_local_path(path)))
+
+
+LOCAL_RANGE_READER = LocalRangeReader()
+
+#: scheme (lowercase, no '://') -> adapter; see register_range_reader
+_RANGE_READERS: dict[str, object] = {}
+
+
+def register_range_reader(scheme: str, reader) -> None:
+    """Wire a remote store's ranged-GET primitive into the ranged WARC
+    ingest.  ``reader`` implements the :class:`LocalRangeReader`
+    protocol:
+
+    - ``read_range(uri, start, length) -> bytes`` — the bytes at
+      ``[start, start+length)``, short at EOF.  For S3 this is ONE
+      ``GetObject`` with ``Range: bytes=start-...``; for HTTPS a
+      ranged GET; for HDFS a seek+read.  This is the ONLY data-path
+      call the ingest makes — both the index pass (consecutive
+      bounded windows from offset 0) and the per-range parse (one
+      ``[start, end)`` read per task) go through it, so the access
+      pattern is pure ranged-GET with no whole-object download.
+    - ``size(uri) -> int`` — object length (S3 HeadObject).
+    - ``list_files(path) -> list[str]`` — expand the load path/glob
+      into concrete object URIs (S3 ListObjectsV2).
+
+    The adapter instance is resolved on the DRIVER at
+    :func:`read_warc_split` call time and shipped inside the task
+    closures (cloudpickle), so it must be picklable — keep clients
+    lazily constructed (e.g. create the boto3 client on first use in
+    the task, not in ``__init__``)."""
+    _RANGE_READERS[scheme.lower()] = reader
+
+
+def range_reader_for(path: str):
+    """Adapter for ``path``'s scheme: local paths / ``file:`` URIs get
+    :data:`LOCAL_RANGE_READER`; other schemes must have been wired via
+    :func:`register_range_reader` (raises with instructions
+    otherwise)."""
+    scheme = path.split("://", 1)[0].lower() if "://" in path else ""
+    if scheme in ("", "file"):
+        return LOCAL_RANGE_READER
+    reader = _RANGE_READERS.get(scheme)
+    if reader is None:
+        raise ValueError(
+            f"no ranged-read adapter registered for scheme "
+            f"{scheme!r} ({path!r}); call register_range_reader("
+            f"{scheme!r}, reader) with a read_range/size/list_files "
+            "adapter, or use read_warc(split_bytes=None)"
+        )
+    return reader
+
+
+def _chunk_reader(reader, uri: str):
+    """Adapt ``reader.read_range`` into the sequential ``read(n)``
+    callable :func:`iter_member_offsets` streams from — consecutive
+    bounded windows, each one ranged GET."""
+    pos = 0
+
+    def read(n: int) -> bytes:
+        nonlocal pos
+        b = reader.read_range(uri, pos, n)
+        pos += len(b)
+        return b
+
+    return read
+
+
 def read_warc(
     spark: SparkSession, path: str, *, split_bytes: int | None = None
 ) -> DataFrame:
@@ -421,11 +508,22 @@ def read_warc_split(
        single-task path.
 
     Row-for-row identical to ``read_warc(path)`` (asserted by tests
-    and the §3k rung).  Local/NFS ``file:`` URIs are read directly;
-    remote stores need their ranged-GET primitive wired into
-    ``_local_path`` (the access pattern — seek + bounded read — is
-    exactly what S3/HDFS expose)."""
-    files = spark.read.format("binaryFile").load(path).select("path")
+    and the §3k rung).  All byte access goes through the ranged-read
+    seam (:func:`range_reader_for` — resolved on the driver, shipped
+    in the task closures): local/NFS ``file:`` URIs use seek+read;
+    remote stores (S3/HTTPS/HDFS) plug their ranged-GET primitive in
+    via :func:`register_range_reader` — the access pattern on both
+    stages is pure bounded ranged reads, never a whole-object
+    download."""
+    reader = range_reader_for(path)
+    if reader is LOCAL_RANGE_READER:
+        files = spark.read.format("binaryFile").load(path).select("path")
+    else:
+        # remote stores list through the adapter (S3 ListObjectsV2);
+        # binaryFile would need a Hadoop connector for the scheme
+        files = spark.createDataFrame(
+            [(p,) for p in reader.list_files(path)], "path string"
+        )
 
     def _scan(batches):
         import pandas as pd
@@ -433,18 +531,14 @@ def read_warc_split(
         for pdf in batches:
             out = {"path": [], "start": [], "end": [], "drop_tail": []}
             for p in pdf["path"]:
-                lp = _local_path(p)
-                with open(lp, "rb") as f:
-                    magic = f.read(2)
+                magic = reader.read_range(p, 0, 2)
                 if magic != b"\x1f\x8b":
                     # plain .warc: no member structure to split on;
                     # single range, the parse stage sniffs and falls
                     # back to the whole-file record parser
-                    import os
-
                     out["path"].append(p)
                     out["start"].append(0)
-                    out["end"].append(os.path.getsize(lp))
+                    out["end"].append(reader.size(p))
                     out["drop_tail"].append(False)
                     continue
                 # group member offsets into ranges inline (rather than
@@ -456,20 +550,21 @@ def read_warc_split(
                 cur_start: int | None = None
                 cur_end = 0
                 try:
-                    with open(lp, "rb") as f:
-                        for s, e, head in iter_member_offsets(f.read):
-                            if cur_start is None:
-                                cur_start = s
-                            elif (
-                                s - cur_start >= split_bytes
-                                and head.startswith(b"WARC/")
-                            ):
-                                out["path"].append(p)
-                                out["start"].append(cur_start)
-                                out["end"].append(s)
-                                out["drop_tail"].append(False)
-                                cur_start = s
-                            cur_end = e
+                    for s, e, head in iter_member_offsets(
+                        _chunk_reader(reader, p)
+                    ):
+                        if cur_start is None:
+                            cur_start = s
+                        elif (
+                            s - cur_start >= split_bytes
+                            and head.startswith(b"WARC/")
+                        ):
+                            out["path"].append(p)
+                            out["start"].append(cur_start)
+                            out["end"].append(s)
+                            out["drop_tail"].append(False)
+                            cur_start = s
+                        cur_end = e
                 except ValueError:
                     if cur_start is not None and cur_end > cur_start:
                         out["path"].append(p)
@@ -537,9 +632,7 @@ def read_warc_split(
                 if s < 0:
                     rows.append(_quarantine(p))
                     continue
-                with open(_local_path(p), "rb") as f:
-                    f.seek(int(s))
-                    blob = f.read(int(e) - int(s))
+                blob = reader.read_range(p, int(s), int(e) - int(s))
                 try:
                     recs = (
                         iter_warc_records(

@@ -28,6 +28,12 @@ Covered twins (one mutation each):
    (streaming_interval's stream-stream interval join) and the 6h
    event-time window width (streaming_windowed's batch twin).
 
+9. Round 9: the public-suffix registered-domain branch (layout_keys
+   'url_psl'), the jackknife g/(g-1) rescale + (g-1)/g variance
+   weight (jk_replicates), the Newton-step expansion point
+   (jk_newton_steps — the reweight there is scale-invariant, see the
+   case comment), and the GREG benchmark total (greg_weights).
+
    NOT mutatable by design: the gaussian dnorm normalizer
    (sqrt(2 pi)) cancels in kw = sum(w k)/sum(k) — it is not
    load-bearing, so a flip would (correctly) not be caught; and the
@@ -243,6 +249,55 @@ MUTATIONS = [
         "% 10)::VARCHAR) THEN 1",
         "% 10)::VARCHAR) THEN 0",
         "robots-longest-match-allow",
+    ),
+    # round 9: the public-suffix branch (layout_keys 'url_psl') — the
+    # split column is registered_domain over co.uk/com.au/de hosts;
+    # corrupting the expected site prefix must break every url_psl
+    # domain key ('https://www.shop' in the k statement is a DIFFERENT
+    # literal, so the flip hits only the domain column).
+    (
+        "layout_keys",
+        "'shop' || (doc_id % 11)",
+        "'shep' || (doc_id % 11)",
+        "psl-registered-domain",
+    ),
+    # round 9: the jackknife rescale literal g/(g-1) — the
+    # leave-one-group-out total T_(k) = (T - T_k) * 8/7 (first
+    # occurrence = tot_wt; tot_wtd reads the second, theta_mean and
+    # jk_var shift with it).
+    (
+        "jk_replicates",
+        "* 8.0 / 7.0",
+        "* 8.0 / 7.5",
+        "jk-rescale-factor",
+    ),
+    # ...and the variance weight (g-1)/g of the pseudo-value spread.
+    (
+        "jk_replicates",
+        "sum(7.0 / 8.0",
+        "sum(7.5 / 8.0",
+        "jk-variance-factor",
+    ),
+    # round 9: the Newton-step expansion point — rel = exp(b1 * x1)
+    # drives U and H nonlinearly, so the flip moves every replicate's
+    # beta1_x1.  (The g/(g-1) reweight in THIS query is provably NOT
+    # load-bearing: a uniform weight scale multiplies U and H by the
+    # same constant and cancels in beta + U/H — verified by mutating
+    # it and watching the compare stay green; the rescale IS certified
+    # where it binds, in jk_replicates' totals.)
+    (
+        "jk_newton_steps",
+        "exp(0.05 * c.x1) AS rel",
+        "exp(0.06 * c.x1) AS rel",
+        "jk-newton-expansion-point",
+    ),
+    # round 9: the GREG benchmark total — calibration targets the FULL
+    # population count; inflating v0 moves b0 and every g/calib_wt.
+    (
+        "greg_weights",
+        "count(*) * 1.0 AS v0",
+        "count(*) * 1.001 AS v0",
+        "greg-benchmark-total",
     ),
 ]
 

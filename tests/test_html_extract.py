@@ -146,3 +146,40 @@ def test_segment_blocks_string_ids(spark):
     )
     rows = H.segment_blocks(df).collect()
     assert rows[0]["doc_id"] == "rec-1" and rows[0]["text"] == "alpha beta"
+
+
+def test_copyright_word_spares_long_prose(spark):
+    # round 9 (ADVICE): published jusText keys on the © symbol — the
+    # English-word heuristic must not wipe a long stopword-dense
+    # paragraph DISCUSSING copyright law
+    prose = (
+        "The history of the copyright law is a story of the tension "
+        "between the author and the public and it is a tale that is "
+        "told in the courts and in the parliament and in the press "
+        "and the balance of it has moved with the times and the "
+        "technology of the day and the mood of the people."
+    )  # > 200 chars, stopword-dense, contains 'copyright'
+    df = spark.createDataFrame(
+        [
+            (1, f"<p>{prose}</p>"),
+            (2, f"<p>{prose} © 2026 the author.</p>"),  # © -> bad
+            (3, "<footer>copyright 2026 example.com</footer>"),
+        ],
+        "doc_id long, html string",
+    )
+    got = {r["doc_id"]: r for r in H.extract_main_text(df).collect()}
+    assert got[1]["text"] == prose  # word alone: survives
+    assert got[2]["text"] == ""  # the symbol is unconditional
+    assert got[3]["text"] == ""  # short footer: word heuristic holds
+
+
+def test_extract_custom_id_col_with_doc_id_passthrough(spark):
+    # round 9 (ADVICE): id_col != 'doc_id' on an input that ALSO has a
+    # 'doc_id' passthrough column must not produce an ambiguous join
+    df = spark.createDataFrame(
+        [("r1", 99, "<p>alpha beta gamma</p>")],
+        "rec string, doc_id long, html string",
+    )
+    r = H.extract_main_text(df, id_col="rec").collect()[0]
+    assert r["rec"] == "r1" and r["doc_id"] == 99
+    assert r["n_blocks"] == 1

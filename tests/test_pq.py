@@ -426,3 +426,31 @@ def test_codebook_mode_mismatch_refused(emb_df, codebooks):
     # plain ndarrays (user-built) skip the stamp check
     bare = np.asarray(codebooks)
     pq.ivfpq_index(emb_df, cen, bare).limit(1).collect()
+
+
+def test_mode_stamp_survives_copy_slice_pickle(emb_df):
+    # round 9 (ADVICE): the residual stamp must survive every ndarray
+    # lifecycle path — .copy(), slicing, ufunc views, pickle — or a
+    # persisted residual-trained codebook silently reads as raw
+    import pickle
+
+    cents = similarity.kmeans_centroids(emb_df, n_lists=4, max_iter=2)
+    res = pq.pq_codebooks(emb_df, m=8, ksub=16, max_iter=2, centroids=cents)
+    assert res.residual is True
+    assert res.copy().residual is True
+    assert res[:2].residual is True
+    assert (res * 1.0).residual is True
+    rt = pickle.loads(pickle.dumps(res))
+    assert type(rt) is pq.PQCodebooks and rt.residual is True
+    np.testing.assert_array_equal(rt, res)
+    raw = pq.pq_codebooks(emb_df, m=8, ksub=16, max_iter=2)
+    assert pickle.loads(pickle.dumps(raw)).residual is False
+    # a round-tripped residual codebook is still REFUSED in raw mode
+    with pytest.raises(ValueError, match="trained on residuals"):
+        pq._check_codebook_mode(rt, False, "test")
+    # an UNKNOWN stamp (plain ndarray view) degrades to check-skipped,
+    # never to a false 'raw-trained' claim
+    plain = np.asarray(res).view(pq.PQCodebooks)
+    plain.residual = None
+    pq._check_codebook_mode(plain, True, "test")
+    pq._check_codebook_mode(plain, False, "test")

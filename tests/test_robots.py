@@ -113,3 +113,62 @@ def test_allow_disallow_tie_prefers_allow(spark):
         R.robots_rules(rob2),
     ).collect()[0]
     assert out["robots_allowed"] is True
+
+
+def test_query_only_url_gets_leading_slash(spark):
+    # round 9 (ADVICE): https://ex.com?x=1 has a query but no path —
+    # the target must be '/?x=1' so 'Disallow: /' can match
+    rob = spark.createDataFrame(
+        [("t.com", "User-agent: *\nDisallow: /")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://t.com?x=1"), (2, "https://t.com"), (3, "https://t.com/")],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in R.robots_verdict(urls, R.robots_rules(rob)).collect()
+    }
+    assert got == {1: False, 2: False, 3: False}
+
+
+def test_precedence_ranks_by_octets_not_chars(spark):
+    # RFC 9309 §2.2.2: most-specific = longest in OCTETS. '/éé' is 3
+    # chars / 5 octets; '/*/x' is 4 chars / 4 octets — byte ranking
+    # blocks, char ranking would allow.
+    rob = spark.createDataFrame(
+        [("t.com", "User-agent: *\nDisallow: /éé\nAllow: /*/x")],
+        "host string, robots_txt string",
+    )
+    rules = R.robots_rules(rob)
+    assert {r["pattern"]: r["plen"] for r in rules.collect()} == {
+        "/éé": 5,
+        "/*/x": 4,
+    }
+    out = R.robots_verdict(
+        spark.createDataFrame(
+            [(1, "https://t.com/éé/x")], "doc_id long, url string"
+        ),
+        rules,
+    ).collect()[0]
+    assert out["robots_allowed"] is False
+
+
+def test_verdict_never_shuffles_the_corpus(spark):
+    # round 9: the verdict is HOF evaluation after a broadcast join —
+    # no corpus-keyed exchange (the old shape grouped by doc_id and
+    # joined back: two id-keyed shuffles)
+    rob = spark.createDataFrame(
+        [("t.com", "User-agent: *\nDisallow: /p")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://t.com/p/x")], "doc_id long, url string"
+    )
+    out = R.robots_verdict(urls, R.robots_rules(rob))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(doc_id" not in plan
+    # output schema: input columns then the verdict
+    assert out.columns == ["doc_id", "url", "robots_allowed"]

@@ -171,3 +171,36 @@ def test_normalize_url_edge_shapes(spark):
     }
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_registered_domain_public_suffix_list(spark):
+    # round 9: '.co.uk'-style ccTLDs register one label deeper — the
+    # PSL subset gives each site its own domain key instead of
+    # collapsing the whole ccTLD into 'co.uk'
+    cases = [
+        (0, "https://www.shop.example.co.uk/x", "example.co.uk"),
+        (1, "https://news.example.com.au/y", "example.com.au"),
+        (2, "https://a.b.example.co.jp/", "example.co.jp"),
+        (3, "https://www.example.de/z", "example.de"),  # single-label TLD
+        (4, "https://someuser.github.io/p", "someuser.github.io"),
+        (5, "https://co.uk/", "co.uk"),  # degenerate: host IS the suffix
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "i long, url string"
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", registered_domain("url").alias("d")
+        ).collect()
+    }
+    assert got == {i: d for i, _, d in cases}
+    # empty list restores the bare last-two-labels heuristic
+    bare = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i",
+            registered_domain("url", public_suffixes=()).alias("d"),
+        ).collect()
+    }
+    assert bare[0] == "co.uk" and bare[3] == "example.de"

@@ -547,3 +547,72 @@ def test_oversized_header_block_not_dropped():
     ]
     assert got[0]["target_uri"] == huge_uri
     assert got[1]["content"] == b"body-two"
+
+
+# ---------------------------------------------------------------------------
+# round 9: ranged-read seam — remote stores plug in via ranged-GET
+# ---------------------------------------------------------------------------
+
+
+def test_ranged_seam_mock_object_store(spark, tmp_path):
+    """A mocked S3-style object store wired via register_range_reader:
+    rows identical to the local parse of the same bytes, and the call
+    log proves the access pattern is PURE bounded ranged GETs — no
+    whole-object download, and the parse stage fetches exactly the
+    member-aligned ranges."""
+    from io import BytesIO
+    from types import SimpleNamespace
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        _RANGE_READERS,
+        member_split_ranges,
+        register_range_reader,
+    )
+
+    blob = _many_records_gz(30)
+    uri = "mock://bucket/big.warc.gz"
+    objects = {uri: blob}
+    log_path = str(tmp_path / "calls.log")
+
+    def _get(u, start, length):
+        # append is atomic-enough per line across executor processes
+        with open(log_path, "a") as f:
+            f.write(f"get\t{u}\t{int(start)}\t{int(length)}\n")
+        return objects[u][int(start) : int(start) + int(length)]
+
+    store = SimpleNamespace(
+        read_range=_get,
+        size=lambda u: len(objects[u]),
+        list_files=lambda path: sorted(objects),
+    )
+    register_range_reader("mock", store)
+    try:
+        rows = read_warc(
+            spark, "mock://bucket/*.warc.gz", split_bytes=20_000
+        ).collect()
+    finally:
+        _RANGE_READERS.pop("mock", None)
+
+    p = tmp_path / "big.warc.gz"
+    p.write_bytes(blob)
+    assert _rows_key(rows) == _rows_key(read_warc(spark, str(p)).collect())
+    assert {r["path"] for r in rows} == {uri}
+
+    gets = []
+    with open(log_path) as f:
+        for line in f:
+            _, u, s, n = line.rstrip("\n").split("\t")
+            gets.append((u, int(s), int(n)))
+    # every call is a bounded range: <= the 4 MB index window
+    assert gets and all(
+        u == uri and s >= 0 and 0 < n <= (1 << 22) for u, s, n in gets
+    )
+    # the parse stage fetched exactly the member-aligned split ranges
+    expect = set(member_split_ranges(BytesIO(blob).read, 20_000))
+    assert len(expect) > 2
+    assert {(s, s + n) for _, s, n in gets if (s, s + n) in expect} == expect
+
+
+def test_ranged_unregistered_scheme_raises(spark):
+    with pytest.raises(ValueError, match="no ranged-read adapter"):
+        read_warc(spark, "s3://bucket/x.warc.gz", split_bytes=1000)

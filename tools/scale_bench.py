@@ -1216,6 +1216,130 @@ def urlcap_ladder(spark, sizes: list[int], hot_frac: float = 0.5) -> None:
     print(json.dumps({"op": "urlcap_hotkey", "points": points}))
 
 
+def robots_ladder(
+    spark,
+    sizes: list[int],
+    n_hosts: int = 1000,
+    hot_frac: float = 0.3,
+) -> None:
+    """§3s: robots_verdict (operators/robots.py) throughput at crawl
+    shape — ``n_hosts`` hosts with 10-100 rules each (R(h) = 10 +
+    h % 91: prefix Disallow /pj/, an Allow /pj/ok every 5th, one
+    wildcard /w/*9$ per host, plus a decoy otherbot group), a hot
+    host holding ``hot_frac`` of all URLs, and three URL shapes that
+    exercise prefix match, longest-match allow, and the $-anchored
+    wildcard.  In-rung oracle: the expected verdict is re-derived
+    from the same arithmetic as a Column and mismatches must be 0 —
+    full-corpus parity, not a sample.
+
+    A/B: the CURRENT prefix-split match (startswith for literal
+    rules, regexp_like only for */$ rules) races the all-regex shape
+    (every rule forced through the non-literal regexp_like, whose
+    single-slot pattern cache thrashes as the rules array cycles)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
+        robots_rules,
+        robots_verdict,
+    )
+
+    bodies = []
+    for h in range(n_hosts):
+        r = 10 + h % 91
+        lines = ["User-agent: otherbot", "Disallow: /", ""]
+        lines.append("User-agent: *")
+        for j in range(r):
+            lines.append(f"Disallow: /p{j}/")
+            if j % 5 == 0:
+                lines.append(f"Allow: /p{j}/ok")
+        lines.append("Disallow: /w/*9$")
+        bodies.append((f"h{h}.com", "\n".join(lines)))
+    robots_df = spark.createDataFrame(
+        bodies, "host string, robots_txt string"
+    )
+    rules = robots_rules(robots_df).cache()
+    n_rules = rules.count()
+    rules_rx = rules.withColumn("is_rx", F.lit(True))
+
+    points = []
+    for n in sizes:
+        hid = F.when(
+            F.pmod(F.xxhash64("id"), F.lit(100)) < int(hot_frac * 100),
+            F.lit(0),
+        ).otherwise(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_hosts)))
+        j = F.pmod(F.xxhash64("id", F.lit(2)), F.lit(128))
+        variant = F.pmod(F.xxhash64("id", F.lit(3)), F.lit(3))
+        nine = F.pmod(F.xxhash64("id", F.lit(4)), F.lit(2)) == 0
+        path = (
+            F.when(
+                variant == 0,
+                F.concat(F.lit("/p"), j, F.lit("/x"), F.col("id")),
+            )
+            .when(
+                variant == 1,
+                F.concat(F.lit("/p"), j, F.lit("/ok/x"), F.col("id")),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("/w/a"),
+                    F.col("id"),
+                    F.when(nine, F.lit("9")).otherwise(F.lit("8")),
+                )
+            )
+        )
+        r_h = F.lit(10) + F.pmod(hid, F.lit(91))
+        expected = (
+            F.when(variant == 0, ~(j < r_h))
+            .when(variant == 1, (j >= r_h) | (j % 5 == 0))
+            .otherwise(~nine)
+        )
+        urls = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit("https://h"), hid, F.lit(".com"), path
+                ).alias("url"),
+                expected.alias("expected"),
+            )
+            .localCheckpoint()
+        )
+        urls.count()  # warm: neither arm pays the checkpoint read
+
+        def _run(rule_frame):
+            out = robots_verdict(urls, rule_frame)
+            best = blocked = None
+            for _ in range(2):
+                t0 = time.time()
+                blocked = out.where(~F.col("robots_allowed")).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            mism = out.where(
+                F.col("robots_allowed") != F.col("expected")
+            ).count()
+            assert mism == 0, f"verdict parity broke: {mism} mismatches"
+            return best, blocked
+
+        t_split, blocked = _run(rules)
+        t_rx, blocked_rx = _run(rules_rx)
+        assert blocked == blocked_rx
+        points.append(
+            {
+                "n_urls": n,
+                "n_hosts": n_hosts,
+                "n_rules": int(n_rules),
+                "hot_frac": hot_frac,
+                "blocked": int(blocked),
+                "prefix_split_sec": round(t_split, 2),
+                "all_regex_sec": round(t_rx, 2),
+                "urls_per_sec": int(n / max(t_split, 1e-9)),
+                "speedup_vs_all_regex": round(t_rx / max(t_split, 1e-9), 2),
+            }
+        )
+        print(json.dumps(points[-1]), flush=True)
+    print(json.dumps({"op": "robots_verdict", "points": points}))
+
+
 def warc_ladder(
     spark, sizes: list[int], docs_per_file: int = 2000, body_words: int = 120
 ) -> None:
@@ -1868,6 +1992,18 @@ def main() -> None:
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
         html_ladder(spark, sizes)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--robots":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [1_000_000, 4_000_000]
+        )
+        n_hosts = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
+        hot = float(sys.argv[4]) if len(sys.argv) > 4 else 0.3
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        robots_ladder(spark, sizes, n_hosts, hot)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--warc":
         sizes = (
