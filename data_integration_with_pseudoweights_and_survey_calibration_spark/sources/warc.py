@@ -433,6 +433,9 @@ def read_warc(
     bytes aligned on gzip-member boundaries that START a ``WARC/``
     record, and the record parse fans out over ranges — N tasks per
     archive, identical rows (tests + the §3k rung assert equality).
+    Byte access goes through the ranged-read seam: local paths work
+    out of the box; S3/HTTPS/HDFS plug in via
+    :func:`register_range_reader` (round 9).
     """
     if split_bytes is not None:
         return read_warc_split(spark, path, split_bytes=int(split_bytes))

@@ -71,12 +71,15 @@ def main() -> None:
     # rules.  The corpus parquet is already extracted text, so the
     # stage demonstrates itself the way the driver certificate does:
     # wrap every doc in a synthetic page (fully-linked nav + body +
-    # copyright footer), run the jusText extractor, and ASSERT the
+    # © footer), run the jusText extractor, and ASSERT the
     # rebuilt body equals the original text verbatim with zero
     # nav/footer leaks.  Stopword/length thresholds are loosened to
     # accept the synthetic corpus's non-prose vocabulary (a real web
     # run keeps the jusText defaults); the nav/footer still die on the
-    # vocabulary-independent rules (link density, copyright).
+    # vocabulary-independent rules (link density, the © symbol —
+    # round 9 narrowed the word-"copyright" heuristic to short/
+    # stopword-poor blocks, so with these degenerate thresholds only
+    # the symbol rule is threshold-independent).
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.html import (
         extract_main_text,
     )
@@ -93,7 +96,7 @@ def main() -> None:
             ),
             F.col("text"),
             F.lit(
-                "</p><footer>copyright 2026 example com</footer>"
+                "</p><footer>© 2026 example com</footer>"
                 "</body></html>"
             ),
         ).alias("html"),

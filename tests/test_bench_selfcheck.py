@@ -1,0 +1,34 @@
+"""bench.py self-check helpers (round 9: the ratio check became
+BINDING — these are the pure functions the refusal path rides on)."""
+
+from __future__ import annotations
+
+import bench
+
+
+def test_median_ratio_basic():
+    now = {"a": 2.0, "b": 1.0, "c": 4.0}
+    prev = {"a": 1.0, "b": 1.0, "c": 2.0}
+    ratio, n = bench._median_ratio(now, prev)
+    assert n == 3 and ratio == 2.0
+
+
+def test_median_ratio_ignores_fast_and_missing_queries():
+    now = {"a": 2.0, "fast": 50.0, "new": 9.0}
+    prev = {"a": 1.0, "fast": 0.05, "gone": 3.0}  # fast < 0.3s floor
+    ratio, n = bench._median_ratio(now, prev)
+    assert n == 1 and ratio == 2.0
+    assert bench._median_ratio({}, prev) == (None, 0)
+
+
+def test_median_ratio_even_count_averages():
+    now = {"a": 1.0, "b": 3.0}
+    prev = {"a": 1.0, "b": 1.0}
+    ratio, n = bench._median_ratio(now, prev)
+    assert n == 2 and ratio == 2.0
+
+
+def test_ratio_warn_is_binding_constants():
+    # the refusal path keys off these; a silent change should be loud
+    assert bench.RATIO_WARN == 1.10
+    assert bench.ISO_CHECK_TOP == 5

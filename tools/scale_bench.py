@@ -1520,7 +1520,20 @@ def warc_funnel_ladder(
 
     Planted structure: every 10th record's body duplicates its
     predecessor (exact-dedup load), every 7th carries an email (PII
-    load), embeddings plant a near-dup every 10th vec (SemDeDup load).
+    load), embeddings plant a near-dup every 10th vec (SemDeDup load),
+    and ~24 survivor texts become the planted eval set (contamination
+    recall asserted: every planted doc must be flagged and excluded).
+
+    Round 9 additions: (a) the decontamination and target-mixture
+    legs a real pretraining pipeline runs between dedup and chunking
+    — chunk/pack now consume the MATERIALIZED MIXTURE, with token
+    conservation asserted against the mixture's tokens and the
+    mix_wt-weighted doc total asserted unbiased vs the clean corpus;
+    (b) the two big text frames (ingest output, PII output) spill to
+    SCRATCH PARQUET instead of localCheckpoint — columnar + snappy +
+    column-prunable, attacking the §3n-ter finding that ingest/
+    quality went disk-bound at 3.2M docs on uncompressed
+    deserialized checkpoint blocks.
     """
     import gzip
     import shutil
@@ -1529,6 +1542,7 @@ def warc_funnel_ladder(
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import (
         dedup,
         pii,
+        sampling,
         text,
     )
     from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
@@ -1578,27 +1592,48 @@ def warc_funnel_ladder(
             with open(f"{d}/part-{f:05d}.warc.gz", "wb") as fh:
                 fh.write(blob)
         stage: dict[str, float] = {}
+        scratch = tempfile.mkdtemp(prefix="sg_funnel_spill_")
 
+        def _spill(df, name):
+            """Materialize to scratch parquet instead of
+            localCheckpoint: compressed columnar blocks (~5-10x less
+            I/O than deserialized checkpoint partitions for text
+            frames) and column-prunable — the quality stage reads
+            only (doc_id, text) instead of whole rows."""
+            p = f"{scratch}/{name}.parquet"
+            df.write.mode("overwrite").parquet(p)
+            return spark.read.parquet(p)
+
+        # Round 9 restructure of the funnel head (the §3n-ter
+        # "disk-bound" finding): ingest → quality → PII are ALL
+        # map-only, so the pipeline materializes ONCE, after PII —
+        # spilled to scratch parquet (columnar + snappy + prunable),
+        # not localCheckpoint (uncompressed deserialized blocks).
+        # Profiled at 3.2M docs: the parse costs 21 s, each parquet
+        # write of the text corpus ~40 s — the old shape paid that
+        # write TWICE (docs + scrubbed) plus, from round 9's first
+        # attempt, a broadcast-threshold cliff in the quality join
+        # (43.5 s at 3.2M vs 1.7 s at 800k once the kept-id side
+        # outgrew autoBroadcast; quality_features keeps every input
+        # column, so the gate is a where(), never a join).
         t0 = time.time()
         docs = warc_to_documents(read_warc(spark, d)).withColumn(
             "idx", F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
-        ).localCheckpoint()
+        )
         n_in = docs.count()
         stage["warc_ingest"] = round(time.time() - t0, 2)
         assert n_in == n, (n_in, n)
 
         t0 = time.time()
-        feats = text.quality_features(docs).select("doc_id", "n_tokens")
-        kept = docs.join(
-            feats.where(F.col("n_tokens") >= 5).select("doc_id"), "doc_id"
+        kept = (
+            text.quality_features(docs)
+            .where(F.col("n_tokens") >= 5)
+            .select(*docs.columns)
         )
-        n_q = kept.count()
-        stage["quality_gate"] = round(time.time() - t0, 2)
-
-        t0 = time.time()
-        scrubbed = pii.redact_pii(kept).localCheckpoint()
+        scrubbed = _spill(pii.redact_pii(kept), "scrubbed")
+        n_q = scrubbed.count()  # PII drops no rows: quality survivors
         n_mail = scrubbed.where(F.col("text").contains("[EMAIL]")).count()
-        stage["pii_scrub"] = round(time.time() - t0, 2)
+        stage["quality_pii_materialize"] = round(time.time() - t0, 2)
         assert n_mail >= int(0.9 * (n // 7)), (n_mail, n // 7)
 
         t0 = time.time()
@@ -1646,12 +1681,61 @@ def warc_funnel_ladder(
             tokens,
         )
 
-        # assert scaffolding (NOT stage wall): materialize the survivor
-        # set and count its tokens once, so the conservation asserts
-        # below don't charge their extra tokenize pass to the stages
+        # scaffolding (NOT stage wall): materialize the survivor set
         final = final.localCheckpoint()
+        final.count()
+
+        # round 9: DECONTAMINATION — plant ~24 survivor texts as the
+        # eval benchmark (exact copies, so winnowing MUST flag their
+        # source docs); recall asserted, flagged docs excluded.
+        stride = max(1, n // 24)
+        plant = (
+            final.where(F.col("idx") % stride == 3)
+            .select("doc_id", "text")
+            .localCheckpoint()
+        )
+        planted_ids = {r["doc_id"] for r in plant.select("doc_id").collect()}
+        assert len(planted_ids) >= 10, len(planted_ids)
+
+        t0 = time.time()
+        clean, contaminated = text.decontaminate(final, plant, k=5, w=4)
+        clean = clean.localCheckpoint()
+        n_clean = clean.count()
+        stage["decontaminate"] = round(time.time() - t0, 2)
+        flagged = {
+            r["doc_id"] for r in contaminated.select("doc_id").collect()
+        }
+        # recall = 1.0 on the planted set (winnowing guarantee)
+        assert planted_ids <= flagged, planted_ids - flagged
+
+        # round 9: TARGET MIXTURE — idx-derived domains, XLM-R
+        # temperature shares (alpha=0.3 upsamples the small domains),
+        # explicit materialization with repeat epochs + mix_wt.
+        t0 = time.time()
+        domains = clean.withColumn(
+            "source",
+            F.when(F.col("idx") % 7 == 0, F.lit("code"))
+            .when(F.col("idx") % 5 == 0, F.lit("books"))
+            .otherwise(F.lit("web")),
+        )
+        shares = sampling.temperature_shares(domains, 0.3)
+        mixed = sampling.materialize_mixture(domains, shares).withColumn(
+            "mix_id", F.xxhash64("doc_id", "repeat_ix")
+        )
+        mixed = mixed.localCheckpoint()
+        n_mix = mixed.count()
+        stage["mixture"] = round(time.time() - t0, 2)
+        # unbiasedness: sum(mix_wt) re-estimates the clean doc count
+        # (floor part exact, Bernoulli part concentrates)
+        wt_sum = float(
+            mixed.agg(F.sum("mix_wt").alias("s")).collect()[0]["s"]
+        )
+        assert abs(wt_sum - n_clean) / n_clean < 0.1, (wt_sum, n_clean)
+
+        # scaffolding: the mixture's token total — the quantity the
+        # chunk/pack stages must now conserve
         src_tokens = int(
-            final.select(
+            mixed.select(
                 F.sum(
                     F.size(F.filter(tokens("text"), lambda t: t != F.lit("")))
                 ).alias("s")
@@ -1659,8 +1743,10 @@ def warc_funnel_ladder(
         )
 
         t0 = time.time()
-        chunked = packing.chunk_documents(final, max_tokens=16).withColumn(
-            "chunk_key", F.xxhash64("doc_id", "chunk_id")
+        chunked = packing.chunk_documents(
+            mixed, max_tokens=16, id_col="mix_id"
+        ).withColumn(
+            "chunk_key", F.xxhash64("mix_id", "chunk_id")
         ).localCheckpoint()
         chunk_tokens = int(
             chunked.agg(F.sum("n_chunk_tokens").alias("s")).collect()[0]["s"]
@@ -1687,6 +1773,7 @@ def warc_funnel_ladder(
         stage["pack"] = round(time.time() - t0, 2)
 
         shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(scratch, ignore_errors=True)
         spark.catalog.clearCache()
         points.append(
             {
@@ -1695,6 +1782,11 @@ def warc_funnel_ladder(
                 "n_after_quality": int(n_q),
                 "n_after_exact": int(n_exact),
                 "n_final": int(n_final),
+                "n_planted_eval": len(planted_ids),
+                "n_flagged": len(flagged),
+                "n_clean": int(n_clean),
+                "n_mixture_rows": int(n_mix),
+                "mix_wt_total": round(wt_sum, 1),
                 "emails_redacted_docs": int(n_mail),
                 "corpus_tokens": src_tokens,
                 "n_chunks": int(prow["rows"]),
