@@ -6,9 +6,11 @@ Load-proofing (added after the round-3 bench artifact was contaminated
 by machine load: the driver recorded 216s where a clean same-machine
 run of identical code measured 128.5s):
 
-* **pre-flight load gate** — if the 1-minute load average is >= 2.0,
-  wait (up to ``$SPARK_GRAFT_BENCH_WAIT``, default 180 s) for it to
-  drop before starting; the observed loads are recorded in the JSON.
+* **pre-flight load gate** — if the 1-minute load average is >= 1.0
+  or the 5-minute >= 1.5, wait (up to ``$SPARK_GRAFT_BENCH_WAIT``,
+  default 420 s since round 9 — the 5-min average needs ~4-5 min to
+  decay after any big job) before starting; observed loads are
+  recorded in the JSON.
 * **min-of-2 timings** — every query runs twice and the reported time
   is the minimum, so one noisy scheduling window cannot become the
   official number. ``$SPARK_GRAFT_BENCH_PASSES=1`` restores the old
@@ -52,10 +54,16 @@ code, the second contaminated official artifact in a row):
   bench's OWN 32-thread load, so it cannot gate — it documents
   contention that starts AFTER the pre-flight gate passed.
 * **isolation recheck** — after the accepted attempt, the top
-  ``ISO_CHECK_TOP`` slowest queries re-run once from a cleared cache
-  and the median relative delta vs their recorded cold ``first_pass``
-  ships as ``iso_med`` (both sides are cold-start measurements of the
-  same isolated query; a big delta means the box moved mid-run).
+  ``ISO_CHECK_TOP`` slowest queries re-run in a FRESH SparkSession
+  (same protocol: clearCache + min-of-passes) and the median
+  relative delta vs their official numbers ships as ``iso_med``,
+  with per-query pairs on the ``first_pass`` line
+  (``iso_detail``).  DIAGNOSTIC, not a gate: on a quiet box it
+  certifies the official numbers as fresh-session-equivalent; on a
+  box with residual load the heavy shuffle queries bounce +-30%
+  between ANY two runs (measured back-to-back on the round-9 dev
+  box: kw_kernels 11.3/13.1/15.3s across three same-code runs) and
+  iso_med honestly records that spread.
   ``SPARK_GRAFT_BENCH_ISOCHECK=0`` skips it.
 """
 
@@ -222,7 +230,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
-    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "180"))
+    # 420s default (was 180): the 5-min load average needs ~4-5 min to
+    # decay below LOAD5_GATE after any big job (the correctness gate
+    # the driver runs right before this, a previous attempt) — a 180s
+    # budget regularly timed out and started on a still-settling box
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "420"))
     force = os.environ.get("SPARK_GRAFT_BENCH_FORCE", "") == "1"
     iso_check = os.environ.get("SPARK_GRAFT_BENCH_ISOCHECK", "1") == "1"
 
@@ -283,19 +295,35 @@ def main() -> None:
     self_check_failed = ratio is not None and ratio > RATIO_WARN
 
     iso_med = None
+    iso_detail: dict[str, dict[str, float]] = {}
     if iso_check and not self_check_failed:
-        # re-measure the slowest queries cold and compare against
-        # their recorded cold first_pass — both isolated-from-cache
-        # numbers; drift here means the box moved mid-run
+        # re-measure the slowest queries in a FRESH SparkSession with
+        # the same protocol (clearCache + min-of-passes) and compare
+        # against their official numbers.  A fresh JVM is the honest
+        # "isolated" reference (it is what a human re-measuring one
+        # query does); rechecking inside the aged session measured
+        # session history instead — heavy shuffle queries came back
+        # 1.3-2x slower at the END of a 100-run session (heap/GC and
+        # accumulated session state, NOT reproducible in a new JVM),
+        # and a System.gc() nudge did not remove it.
+        spark.stop()
+        spark = get_spark("bench-iso")
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+        spark.range(64).repartition(32).mapInPandas(
+            lambda it: it, schema="id long"
+        ).count()
         by_fn = dict(_query_list(spark, sf_dir))
         top = sorted(timings, key=timings.get, reverse=True)[:ISO_CHECK_TOP]
         deltas = []
         for name in top:
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            by_fn[name]().count()
-            dt = time.perf_counter() - t0
-            deltas.append(abs(dt - first_pass[name]) / first_pass[name])
+            _, best = _time_query(spark, by_fn[name], passes)
+            iso_detail[name] = {
+                "official": timings[name],
+                "recheck": best,
+            }
+            deltas.append(abs(best - timings[name]) / timings[name])
         deltas.sort()
         iso_med = round(deltas[len(deltas) // 2], 3)
 
@@ -303,7 +331,15 @@ def main() -> None:
     # first_pass on its OWN line, before the official one: the driver
     # captures a bounded tail of stdout, so the official line must be
     # short and last (see module docstring).
-    print(json.dumps({"metric": "first_pass", "queries": first_pass}))
+    print(
+        json.dumps(
+            {
+                "metric": "first_pass",
+                "queries": first_pass,
+                "iso_detail": iso_detail,
+            }
+        )
+    )
     if self_check_failed and not force:
         print(
             json.dumps(

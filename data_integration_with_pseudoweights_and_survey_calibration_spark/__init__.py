@@ -105,6 +105,7 @@ from .operators.sampling import (  # noqa: E402,F401
 )
 from .operators.robots import (  # noqa: E402,F401
     parse_robots,
+    robots_from_warc,
     robots_rules,
     robots_verdict,
 )
@@ -173,6 +174,7 @@ __all__ = [
     "ngram_overlap_scores",
     "normalize_url",
     "registered_domain",
+    "robots_from_warc",
     "robots_rules",
     "robots_verdict",
     "encode_mjpeg_avi",

@@ -38,7 +38,73 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_robots", "robots_rules", "robots_verdict"]
+__all__ = [
+    "parse_robots",
+    "robots_rules",
+    "robots_verdict",
+    "robots_from_warc",
+]
+
+
+def robots_from_warc(records: DataFrame) -> DataFrame:
+    """``(host, robots_txt)`` dimension table from a crawl's WARC
+    records (``sources/warc.read_warc`` output) — the missing link
+    between ingesting an archive and enforcing its robots policies:
+    Common Crawl ships the ``/robots.txt`` fetches as WARC response
+    records alongside the pages.
+
+    Keeps HTTP-200 responses whose target URI path is exactly
+    ``/robots.txt``; host = lowercased authority, port stripped (the
+    same normalization :func:`robots_verdict` applies to page URLs,
+    so the broadcast join keys agree); when a crawl captured a host's
+    robots.txt more than once, the LATEST ``warc_date`` wins.
+
+    Scale shape: a Column-level filter prunes the corpus to the
+    robots rows BEFORE the Arrow pass (predicate + column pruning at
+    the scan for parquet-backed records), the HTTP split runs
+    mapInPandas over that dimension-sized remainder, and the
+    latest-wins dedup is one groupBy over host — never the corpus.
+    Feed the result to :func:`robots_rules` → :func:`robots_verdict`.
+    """
+    import pandas as pd
+
+    is_robots = (F.col("warc_type") == "response") & F.col(
+        "target_uri"
+    ).rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+/robots\.txt(?:[?#].*)?$")
+    slim = records.where(is_robots).select(
+        "target_uri", "warc_date", "content"
+    )
+    host_re = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)")
+
+    def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"host": [], "warc_date": [], "robots_txt": []}
+            for uri, date, blob in zip(
+                pdf["target_uri"], pdf["warc_date"], pdf["content"]
+            ):
+                if blob is None:
+                    continue
+                raw = bytes(blob)
+                head, sep, body = raw.partition(b"\r\n\r\n")
+                if not sep:
+                    head, _, body = raw.partition(b"\n\n")
+                parts = head.split(b"\n", 1)[0].split()
+                if len(parts) < 2 or parts[1] != b"200":
+                    continue
+                m = host_re.match(str(uri))
+                if not m:
+                    continue
+                out["host"].append(m.group(1).lower())
+                out["warc_date"].append(str(date))
+                out["robots_txt"].append(body.decode("utf-8", "replace"))
+            yield pd.DataFrame(out)
+
+    parsed = slim.mapInPandas(
+        _parse, schema="host string, warc_date string, robots_txt string"
+    )
+    return parsed.groupBy("host").agg(
+        F.max(F.struct("warc_date", "robots_txt")).alias("_b")
+    ).select("host", F.col("_b.robots_txt").alias("robots_txt"))
 
 
 def parse_robots(txt: str, agent: str = "*") -> list[tuple[str, bool]]:

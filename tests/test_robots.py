@@ -172,3 +172,64 @@ def test_verdict_never_shuffles_the_corpus(spark):
     assert "hashpartitioning(doc_id" not in plan
     # output schema: input columns then the verdict
     assert out.columns == ["doc_id", "url", "robots_allowed"]
+
+
+def test_robots_from_warc_end_to_end(spark, tmp_path):
+    """Crawl archive -> robots dimension table -> verdicts: the
+    composition a Common Crawl pipeline runs (the robots fetches ship
+    as WARC response records next to the pages).  Latest capture per
+    host wins; 404 fetches and page records are ignored; the
+    extracted table drives robots_verdict directly."""
+    import gzip
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        read_warc,
+    )
+
+    def rec(rid, uri, date, status, body):
+        http = (
+            b"HTTP/1.1 " + status + b"\r\nContent-Type: text/plain\r\n\r\n"
+            + body
+        )
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:" + rid + b">\r\n"
+            b"WARC-Target-URI: " + uri + b"\r\n"
+            b"WARC-Date: " + date + b"\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(http)
+        )
+        return hdr + http + b"\r\n\r\n"
+
+    old = b"User-agent: *\nDisallow: /\n"
+    new = b"User-agent: *\nDisallow: /private\n"
+    recs = [
+        rec(b"1", b"https://A.com:443/robots.txt",
+            b"2026-01-01T00:00:00Z", b"200 OK", old),
+        rec(b"2", b"https://a.com/robots.txt",  # later capture wins
+            b"2026-06-01T00:00:00Z", b"200 OK", new),
+        rec(b"3", b"https://b.com/robots.txt",  # 404 -> no rules
+            b"2026-06-01T00:00:00Z", b"404 Not Found", b"nope"),
+        rec(b"4", b"https://a.com/page.html",   # page, not robots
+            b"2026-06-01T00:00:00Z", b"200 OK", b"<p>hi</p>"),
+    ]
+    p = tmp_path / "crawl.warc.gz"
+    p.write_bytes(b"".join(gzip.compress(r) for r in recs))
+
+    table = R.robots_from_warc(read_warc(spark, str(p)))
+    rows = {r["host"]: r["robots_txt"] for r in table.collect()}
+    assert rows == {"a.com": new.decode()}
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.com/private/x"),   # newest rules: blocked
+            (2, "https://a.com/public"),      # newest allows (old '/'
+                                              # capture must NOT win)
+            (3, "https://b.com/anything"),    # no table row -> allowed
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in R.robots_verdict(urls, R.robots_rules(table)).collect()
+    }
+    assert got == {1: False, 2: True, 3: True}
