@@ -4737,6 +4737,11 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
       every verdict from the arithmetic — group selection, longest-
       match precedence, ``*``/``$`` semantics and the default-allow
       all hash-checked.
+    - ``robots_q`` (round 9): QUERY-ONLY URLs (``https://h?x=0`` — no
+      path) against a root-prefix rule ``Disallow: /?x=0`` that can
+      only match a '/'-rooted target: certifies the round-9 leading-
+      slash restoration end to end (before the fix every such URL was
+      silently allowed).
     """
     shuf = _q_corpus_shuffle(spark, sf_dir).select(
         F.lit("corpus_shuffle").alias("part"),
@@ -4831,21 +4836,44 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 d % 3 == 0, F.lit("\nDisallow: /p/*&id=3$")
             ).otherwise(F.lit("")),
+            # round 9: a root-prefix rule that can only ever match a
+            # QUERY-ONLY target ("/?x=0") — existing "/p/..." targets
+            # never start with it, so the 'robots' part is untouched
+            F.lit("\nDisallow: /?x=0"),
         ).alias("robots_txt"),
+    )
+    rules = robots_rules(robots_df)
+    host_split = F.concat(
+        F.lit("site"), (F.col("doc_id") % 13).cast("string"), F.lit(".com")
     )
     rob = robots_verdict(
         urled.select("doc_id", F.col("_url").alias("url")),
-        robots_rules(robots_df),
+        rules,
         url_col="url",
     ).select(
         F.lit("robots").alias("part"),
         F.col("doc_id").cast("long").alias("id"),
         F.col("robots_allowed").cast("long").alias("k"),
-        F.concat(
-            F.lit("site"),
-            (F.col("doc_id") % 13).cast("string"),
-            F.lit(".com"),
-        ).alias("split"),
+        host_split.alias("split"),
+    )
+    # round 9: query-only URLs (no path at all) — RFC 9309 targets
+    # must be '/'-rooted, so "https://h?x=0" evaluates as "/?x=0" and
+    # the root-prefix disallow above blocks exactly the %3==0 docs;
+    # before the round-9 fix the target lost its leading '/' and every
+    # such URL was silently allowed.
+    urlq = F.concat(
+        F.lit("HTTPS://Crawl.Site"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit(".COM:443?x="),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    robq = robots_verdict(
+        docs.select("doc_id", urlq.alias("url")), rules, url_col="url"
+    ).select(
+        F.lit("robots_q").alias("part"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("robots_allowed").cast("long").alias("k"),
+        host_split.alias("split"),
     )
     return (
         shuf.unionByName(zo)
@@ -4853,6 +4881,7 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(psl)
         .unionByName(capped)
         .unionByName(rob)
+        .unionByName(robq)
     )
 
 
@@ -4907,6 +4936,11 @@ def _sql_layout_keys() -> str:
                      (doc_id % 13)::VARCHAR) THEN 0
               ELSE 1
             END)::BIGINT,
+           'site' || (doc_id % 13) || '.com'
+    FROM documents
+    UNION ALL
+    SELECT 'robots_q' AS part, doc_id::BIGINT,
+           (doc_id % 3 <> 0)::BIGINT,
            'site' || (doc_id % 13) || '.com'
     FROM documents
     """

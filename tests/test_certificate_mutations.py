@@ -250,6 +250,16 @@ MUTATIONS = [
         "% 10)::VARCHAR) THEN 0",
         "robots-longest-match-allow",
     ),
+    # round 9: the query-only-target branch (layout_keys 'robots_q')
+    # — the leading-'/' restoration makes "Disallow: /?x=0" block
+    # exactly the %3==0 docs; flipping the residue flips every third
+    # verdict.
+    (
+        "layout_keys",
+        "(doc_id % 3 <> 0)::BIGINT",
+        "(doc_id % 3 <> 1)::BIGINT",
+        "robots-query-only-target",
+    ),
     # round 9: the public-suffix branch (layout_keys 'url_psl') — the
     # split column is registered_domain over co.uk/com.au/de hosts;
     # corrupting the expected site prefix must break every url_psl
