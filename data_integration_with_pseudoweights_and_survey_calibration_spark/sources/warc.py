@@ -339,8 +339,58 @@ class LocalRangeReader:
 
 LOCAL_RANGE_READER = LocalRangeReader()
 
+
+class HttpRangeReader:
+    """Ranged-GET adapter for ``http(s)`` URLs — pure stdlib
+    ``urllib``, one ``GET`` with a ``Range: bytes=a-b`` header per
+    read (exactly the primitive CDNs and S3-compatible endpoints
+    expose; Common Crawl's ``https://data.commoncrawl.org/...``
+    serves byte ranges).  Registered for ``http``/``https`` at import,
+    so ``read_warc(spark, "https://.../x.warc.gz", split_bytes=...)``
+    works out of the box.  A server that ignores the Range header
+    (HTTP 200 instead of 206) raises instead of silently downloading
+    the whole object.  No listing exists over plain HTTP — pass
+    explicit object URLs, not globs."""
+
+    def read_range(self, uri: str, start: int, length: int) -> bytes:
+        if length <= 0:
+            return b""
+        import urllib.request
+
+        req = urllib.request.Request(
+            uri,
+            headers={"Range": f"bytes={int(start)}-{int(start) + int(length) - 1}"},
+        )
+        with urllib.request.urlopen(req) as r:
+            if r.status != 206:
+                raise ValueError(
+                    f"server ignored the Range header for {uri!r} "
+                    f"(HTTP {r.status}, expected 206 Partial Content); "
+                    "ranged WARC ingest needs byte-range support"
+                )
+            return r.read()
+
+    def size(self, uri: str) -> int:
+        import urllib.request
+
+        req = urllib.request.Request(uri, method="HEAD")
+        with urllib.request.urlopen(req) as r:
+            return int(r.headers["Content-Length"])
+
+    def list_files(self, path: str) -> list[str]:
+        if any(ch in path for ch in "*?["):
+            raise ValueError(
+                f"cannot expand glob {path!r} over HTTP — pass explicit "
+                "object URLs (or wire a store adapter with real listing)"
+            )
+        return [path]
+
+
 #: scheme (lowercase, no '://') -> adapter; see register_range_reader
-_RANGE_READERS: dict[str, object] = {}
+_RANGE_READERS: dict[str, object] = {
+    "http": HttpRangeReader(),
+    "https": HttpRangeReader(),
+}
 
 
 def register_range_reader(scheme: str, reader) -> None:

@@ -616,3 +616,70 @@ def test_ranged_seam_mock_object_store(spark, tmp_path):
 def test_ranged_unregistered_scheme_raises(spark):
     with pytest.raises(ValueError, match="no ranged-read adapter"):
         read_warc(spark, "s3://bucket/x.warc.gz", split_bytes=1000)
+
+
+def test_http_range_reader_against_local_server(spark, tmp_path):
+    """The built-in http(s) adapter: ranged ingest of a .warc.gz
+    served by a local HTTP server that honours Range (206).  Rows
+    identical to the local parse; a Range-ignoring server raises
+    instead of silently downloading the whole object."""
+    import http.server
+    import threading
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        HttpRangeReader,
+    )
+
+    blob = _many_records_gz(30)
+
+    class RangeHandler(http.server.BaseHTTPRequestHandler):
+        honour_range = True
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def do_HEAD(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+
+        def do_GET(self):
+            rng = self.headers.get("Range")
+            if rng and self.honour_range:
+                a, b = rng.split("=", 1)[1].split("-", 1)
+                a, b = int(a), min(int(b), len(blob) - 1)
+                part = blob[a : b + 1]
+                self.send_response(206)
+                self.send_header(
+                    "Content-Range", f"bytes {a}-{b}/{len(blob)}"
+                )
+                self.send_header("Content-Length", str(len(part)))
+                self.end_headers()
+                self.wfile.write(part)
+            else:
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(blob)))
+                self.end_headers()
+                self.wfile.write(blob)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), RangeHandler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}/big.warc.gz"
+        rows = read_warc(spark, url, split_bytes=20_000).collect()
+        p = tmp_path / "big.warc.gz"
+        p.write_bytes(blob)
+        assert _rows_key(rows) == _rows_key(
+            read_warc(spark, str(p)).collect()
+        )
+        assert {r["path"] for r in rows} == {url}
+        # a server that ignores Range must raise, not whole-download
+        RangeHandler.honour_range = False
+        with pytest.raises(ValueError, match="ignored the Range header"):
+            HttpRangeReader().read_range(url, 0, 10)
+    finally:
+        RangeHandler.honour_range = True
+        srv.shutdown()
+        srv.server_close()
