@@ -140,6 +140,75 @@ def main() -> None:
         "doc_id",
     )
 
+    # 0c. URL-level curation (round 9) — the selection a crawl
+    # pipeline runs before reading a byte of body text: normalize
+    # URLs to dedup keys, extract public-suffix-aware registered
+    # domains (.co.uk sites must NOT collapse into one 'co.uk' key),
+    # enforce robots.txt (RFC 9309), and cap docs per domain.  URLs
+    # and robots bodies are derived from doc_id arithmetic, so every
+    # invariant is asserted exactly.
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
+        robots_rules,
+        robots_verdict,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.urls import (
+        cap_per_domain,
+        normalize_url,
+        registered_domain,
+    )
+
+    tld = F.when(F.col("doc_id") % 2 == 0, F.lit(".co.uk")).otherwise(
+        F.lit(".com")
+    )
+    url = F.concat(
+        F.lit("https://www.Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        tld,
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=x&id="),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    urled = (
+        docs.withColumn("url", url)
+        .withColumn("url_key", normalize_url("url"))
+        .withColumn("domain", registered_domain("url"))
+    )
+    # PSL check: 7 residues x 2 TLDs = 14 per-site domains (a bare
+    # last-two-labels heuristic would collapse all .co.uk sites into
+    # ONE key and this would come back as 8)
+    n_domains = urled.select("domain").distinct().count()
+    assert n_domains == 14, n_domains
+    # robots: site3.* disallows /d/ for everyone; decoy group ignored
+    hosts = [
+        (f"www.site{r}{t}",
+         "User-agent: otherbot\nDisallow: /\n\nUser-agent: *\n"
+         + ("Disallow: /d/" if r == 3 else "Disallow: /nothing/"))
+        for r in range(7)
+        for t in (".co.uk", ".com")
+    ]
+    rob = robots_verdict(
+        urled,
+        robots_rules(
+            spark.createDataFrame(hosts, "host string, robots_txt string")
+        ),
+    )
+    n_robots_blocked = rob.where(~F.col("robots_allowed")).count()
+    assert n_robots_blocked == docs.where(F.col("doc_id") % 7 == 3).count()
+    allowed = rob.where(F.col("robots_allowed")).drop("robots_allowed")
+    # per-domain cap: keep the longest ~90% per domain (rank-limit
+    # window -> partial WindowGroupLimit bounds hot domains map-side)
+    cap_n = max(10, int(0.9 * n0 / 14) + 1)
+    capped_ids = cap_per_domain(
+        allowed,
+        cap_n,
+        key_col="domain",
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    assert capped_ids.agg(F.max("rank")).collect()[0][0] <= cap_n
+    docs = docs.join(capped_ids.select("doc_id"), "doc_id")
+    n_url_gate = docs.count()
+
     # 1. quality + language gate (pure Column exprs, one scan), plus a
     # corpus-trained bigram-LM floor (perplexity filter): drop the
     # bottom 5% by mean log-prob
@@ -421,6 +490,8 @@ def main() -> None:
         "input_docs": n0,
         "boilerplate_rebuild_mismatches": int(bp["mismatch"]),
         "c4_flagged_docs": int(n_c4_flagged),
+        "robots_blocked_docs": int(n_robots_blocked),
+        "after_url_gate_and_domain_cap": int(n_url_gate),
         "after_quality_language_lm_gate": n_gate,
         "docs_with_pii_redacted": n_pii_docs,
         "classifier_converged": bool(qfit.converged),
