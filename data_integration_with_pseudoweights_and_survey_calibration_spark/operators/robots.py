@@ -241,6 +241,12 @@ def robots_verdict(
     runs map-side as array higher-order functions.  The ``id_col``
     argument is kept for signature compatibility; no corpus-keyed
     exchange or join-back remains."""
+    # tolerate hand-built rule tables from before the round-9 schema
+    # (no is_rx/pattern): route everything through the regex arm
+    if "is_rx" not in rules.columns:
+        rules = rules.withColumn("is_rx", F.lit(True))
+    if "pattern" not in rules.columns:
+        rules = rules.withColumn("pattern", F.col("_re"))
     u = F.col(url_col)
     host = F.lower(
         F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)

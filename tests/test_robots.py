@@ -233,3 +233,21 @@ def test_robots_from_warc_end_to_end(spark, tmp_path):
         for r in R.robots_verdict(urls, R.robots_rules(table)).collect()
     }
     assert got == {1: False, 2: True, 3: True}
+
+
+def test_verdict_accepts_pre_round9_rule_schema(spark):
+    # a hand-built rule table without is_rx/pattern (the pre-round-9
+    # shape) routes through the regex arm unchanged
+    rules = spark.createDataFrame(
+        [("t.com", "^/p", False, 2)],
+        "host string, _re string, allow boolean, plen int",
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://t.com/p/x"), (2, "https://t.com/q")],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in R.robots_verdict(urls, rules).collect()
+    }
+    assert got == {1: False, 2: True}
