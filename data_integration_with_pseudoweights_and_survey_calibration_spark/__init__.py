@@ -105,7 +105,9 @@ from .operators.sampling import (  # noqa: E402,F401
 )
 from .operators.robots import (  # noqa: E402,F401
     parse_robots,
+    parse_robots_meta,
     robots_from_warc,
+    robots_meta,
     robots_rules,
     robots_verdict,
 )
@@ -175,6 +177,7 @@ __all__ = [
     "normalize_url",
     "registered_domain",
     "robots_from_warc",
+    "robots_meta",
     "robots_rules",
     "robots_verdict",
     "encode_mjpeg_avi",

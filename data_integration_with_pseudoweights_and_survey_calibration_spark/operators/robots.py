@@ -40,6 +40,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "parse_robots",
+    "parse_robots_meta",
+    "robots_meta",
     "robots_rules",
     "robots_verdict",
     "robots_from_warc",
@@ -145,6 +147,86 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[str, bool]]:
     if key in groups:
         return groups[key]
     return groups.get("*", [])
+
+
+def parse_robots_meta(
+    txt: str, agent: str = "*"
+) -> tuple[float | None, list[str]]:
+    """Crawl metadata from one robots.txt body: ``(crawl_delay,
+    sitemaps)``.  ``Crawl-delay`` is the de-facto politeness field
+    (not in RFC 9309 but honoured by most commercial crawlers) and is
+    GROUP-scoped — the governing group's value wins, exact agent
+    token beating ``*``; ``Sitemap`` is GLOBAL per the sitemaps.org
+    protocol (§ "informing search engine crawlers"), collected from
+    the whole file in order of appearance."""
+    delays: dict[str, float] = {}
+    sitemaps: list[str] = []
+    current: list[str] = []
+    collecting_agents = True
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not collecting_agents:
+                current = []
+                collecting_agents = True
+            current.append(value.lower())
+        elif field == "sitemap":
+            # global: does NOT end the agent-line run (RFC 9309 §2.2.1
+            # scopes only rule lines to groups)
+            if value:
+                sitemaps.append(value)
+        elif field == "crawl-delay":
+            collecting_agents = False
+            try:
+                d = float(value)
+            except ValueError:
+                continue
+            for tok in current:
+                delays.setdefault(tok, d)
+        else:
+            collecting_agents = False
+    key = agent.lower()
+    delay = delays.get(key, delays.get("*"))
+    return delay, sitemaps
+
+
+def robots_meta(
+    robots: DataFrame,
+    *,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Per-host crawl metadata table ``(host, crawl_delay,
+    sitemaps)`` — one Arrow pass over the dimension-sized robots
+    frame (same shape as :func:`robots_rules`); ``crawl_delay`` is
+    NULL when the governing group sets none.  Feeds crawl schedulers
+    and sitemap-seeded URL frontiers."""
+    import pandas as pd
+
+    def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"host": [], "crawl_delay": [], "sitemaps": []}
+            for host, txt in zip(pdf[host_col], pdf[txt_col]):
+                if txt is None:
+                    continue
+                delay, maps = parse_robots_meta(str(txt), agent)
+                out["host"].append(host)
+                out["crawl_delay"].append(delay)
+                out["sitemaps"].append(maps)
+            yield pd.DataFrame(out)
+
+    return robots.select(
+        F.col(host_col).alias(host_col), F.col(txt_col).alias(txt_col)
+    ).mapInPandas(
+        _parse,
+        schema="host string, crawl_delay double, sitemaps array<string>",
+    )
 
 
 def _pattern_regex(pattern: str) -> str:

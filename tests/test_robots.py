@@ -251,3 +251,43 @@ def test_verdict_accepts_pre_round9_rule_schema(spark):
         for r in R.robots_verdict(urls, rules).collect()
     }
     assert got == {1: False, 2: True}
+
+
+def test_parse_robots_meta_and_frame(spark):
+    body = """
+Sitemap: https://ex.com/a.xml
+User-agent: otherbot
+Crawl-delay: 99
+
+User-agent: mybot
+User-agent: friendbot
+Crawl-delay: 2.5
+Disallow: /x
+Sitemap: https://ex.com/b.xml
+
+User-agent: *
+Crawl-delay: 10
+"""
+    assert R.parse_robots_meta(body, "mybot") == (
+        2.5,
+        ["https://ex.com/a.xml", "https://ex.com/b.xml"],
+    )
+    # shared group; exact token beats *; unknown agent falls back to *
+    assert R.parse_robots_meta(body, "FriendBot")[0] == 2.5
+    assert R.parse_robots_meta(body, "newbot")[0] == 10.0
+    # no delay anywhere -> None; bad number skipped
+    assert R.parse_robots_meta("User-agent: *\nDisallow: /") == (None, [])
+    assert R.parse_robots_meta("User-agent: *\nCrawl-delay: soon")[0] is None
+
+    df = spark.createDataFrame(
+        [("ex.com", body), ("bare.com", "User-agent: *\nDisallow: /")],
+        "host string, robots_txt string",
+    )
+    rows = {r["host"]: r for r in R.robots_meta(df, agent="mybot").collect()}
+    assert rows["ex.com"]["crawl_delay"] == 2.5
+    assert list(rows["ex.com"]["sitemaps"]) == [
+        "https://ex.com/a.xml",
+        "https://ex.com/b.xml",
+    ]
+    assert rows["bare.com"]["crawl_delay"] is None
+    assert list(rows["bare.com"]["sitemaps"]) == []
