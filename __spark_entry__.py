@@ -4736,7 +4736,13 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
       messy URLs; ``k`` is the allowed verdict.  The oracle re-derives
       every verdict from the arithmetic — group selection, longest-
       match precedence, ``*``/``$`` semantics and the default-allow
-      all hash-checked.
+      all hash-checked.  Round 10: a ``Sitemap`` line sits BETWEEN
+      the ``User-agent: *`` line and a second agent line — RFC 9309
+      §2.2.4 requires other records not to interfere with group
+      parsing, so both agents share the rules and every verdict is
+      unchanged; the pre-round-10 parser split the run (``*`` lost
+      all its rules -> blanket false-allow), so the existing oracle
+      hash now pins the fix.
     - ``robots_q`` (round 9): QUERY-ONLY URLs (``https://h?x=0`` — no
       path) against a root-prefix rule ``Disallow: /?x=0`` that can
       only match a '/'-rooted target: certifies the round-9 leading-
@@ -4827,8 +4833,18 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("crawl.site"), F.col("id").cast("string"), F.lit(".com")
         ).alias("host"),
         F.concat(
+            # round 10: the Sitemap line sits BETWEEN 'User-agent: *'
+            # and a second agent line — RFC 9309 §2.2.4 says other
+            # records must not interfere with group parsing, so '*'
+            # and 'legacybot' share ONE group and the verdicts below
+            # are unchanged; the pre-round-10 parser split the run
+            # ('*' got no rules -> every URL false-allowed), so this
+            # line pins the fix through the driver hash
             F.lit("User-agent: otherbot\nDisallow: /\n\n"
-                  "User-agent: *\nDisallow: /p/"),
+                  "User-agent: *\nSitemap: https://crawl.site"),
+            d.cast("string"),
+            F.lit(".com/sitemap.xml\n"
+                  "User-agent: legacybot\nDisallow: /p/"),
             d.cast("string"),
             F.lit("\nAllow: /p/"),
             d.cast("string"),

@@ -61,6 +61,13 @@ def robots_from_warc(records: DataFrame) -> DataFrame:
     so the broadcast join keys agree); when a crawl captured a host's
     robots.txt more than once, the LATEST ``warc_date`` wins.
 
+    Bodies go through ``sources/warc.http_response_parts`` — crawls
+    store the WIRE bytes, so real robots.txt responses are routinely
+    ``Transfer-Encoding: chunked`` and/or ``Content-Encoding: gzip``;
+    the helper dechunks/gunzips (records with unsupported or corrupt
+    encodings are SKIPPED, never emitted as chunk-size-polluted or
+    mojibake rule text).
+
     Scale shape: a Column-level filter prunes the corpus to the
     robots rows BEFORE the Arrow pass (predicate + column pruning at
     the scan for parquet-backed records), the HTTP split runs
@@ -69,6 +76,8 @@ def robots_from_warc(records: DataFrame) -> DataFrame:
     Feed the result to :func:`robots_rules` → :func:`robots_verdict`.
     """
     import pandas as pd
+
+    from ..sources.warc import http_response_parts
 
     is_robots = (F.col("warc_type") == "response") & F.col(
         "target_uri"
@@ -86,12 +95,8 @@ def robots_from_warc(records: DataFrame) -> DataFrame:
             ):
                 if blob is None:
                     continue
-                raw = bytes(blob)
-                head, sep, body = raw.partition(b"\r\n\r\n")
-                if not sep:
-                    head, _, body = raw.partition(b"\n\n")
-                parts = head.split(b"\n", 1)[0].split()
-                if len(parts) < 2 or parts[1] != b"200":
+                status, _, body = http_response_parts(bytes(blob))
+                if status != 200 or body is None:
                     continue
                 m = host_re.match(str(uri))
                 if not m:
@@ -114,7 +119,16 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[str, bool]]:
     rules of the group governing ``agent`` (exact case-insensitive
     token match, else the ``*`` group; empty list when neither
     exists).  Pure stdlib; tolerant of comments, blank lines, mixed
-    case field names and missing colons (skipped)."""
+    case field names and missing colons (skipped).
+
+    Group boundaries follow RFC 9309 §2.2.4: only RULE lines
+    (``Allow``/``Disallow``, plus the de-facto group-scoped
+    ``Crawl-delay``) end a run of ``User-agent`` lines; ``Sitemap``
+    and unrecognized fields are skipped WITHOUT interfering, so
+    ``User-agent: a\\nSitemap: …\\nUser-agent: b\\nDisallow: /x``
+    gives BOTH agents the rule (the round-9 parser split them and
+    false-allowed ``/x`` for ``a``).  :func:`parse_robots_meta`
+    implements the identical boundary semantics."""
     groups: dict[str, list[tuple[str, bool]]] = {}
     current: list[str] = []
     collecting_agents = True
@@ -140,9 +154,13 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[str, bool]]:
                 groups.setdefault(tok, []).append(
                     (value, field == "allow")
                 )
-        else:
-            # crawl-delay / sitemap / unknown fields end the agent run
+        elif field == "crawl-delay":
+            # group-scoped rule line: ends the agent run (matches
+            # parse_robots_meta's scoping of the value itself)
             collecting_agents = False
+        # Sitemap / unknown fields: RFC 9309 §2.2.4 — parsing of other
+        # records MUST NOT interfere with group parsing; skip without
+        # touching collecting_agents
     key = agent.lower()
     if key in groups:
         return groups[key]
@@ -158,7 +176,11 @@ def parse_robots_meta(
     GROUP-scoped — the governing group's value wins, exact agent
     token beating ``*``; ``Sitemap`` is GLOBAL per the sitemaps.org
     protocol (§ "informing search engine crawlers"), collected from
-    the whole file in order of appearance."""
+    the whole file in order of appearance.  Group boundaries are
+    IDENTICAL to :func:`parse_robots`: only rule lines
+    (``allow``/``disallow``/``crawl-delay``) end a ``User-agent``
+    run; ``Sitemap`` and unknown fields never interfere (RFC 9309
+    §2.2.4)."""
     delays: dict[str, float] = {}
     sitemaps: list[str] = []
     current: list[str] = []
@@ -188,8 +210,10 @@ def parse_robots_meta(
                 continue
             for tok in current:
                 delays.setdefault(tok, d)
-        else:
+        elif field in ("allow", "disallow"):
             collecting_agents = False
+        # unknown fields: skipped without ending the agent run
+        # (§2.2.4 — keeps this parser and parse_robots in lockstep)
     key = agent.lower()
     delay = delays.get(key, delays.get("*"))
     return delay, sitemaps
@@ -340,14 +364,22 @@ def robots_verdict(
     target = F.when(
         target.startswith("/"), target
     ).otherwise(F.concat(F.lit("/"), target))
+    # collision-proof working names: an input frame that already has
+    # a column by these names must come back untouched (the round-9
+    # names _host/_rules silently clobbered callers' columns)
+    hcol, rcol = "__robots_host", "__robots_rules"
+    while hcol in urls.columns:
+        hcol += "_"
+    while rcol in urls.columns:
+        rcol += "_"
     by_host = rules.groupBy("host").agg(
         F.collect_list(
             F.struct("plen", "allow", "_re", "pattern", "is_rx")
-        ).alias("_rules")
+        ).alias(rcol)
     )
-    joined = urls.withColumn("_host", host).join(
-        F.broadcast(by_host.withColumnRenamed("host", "_host")),
-        "_host",
+    joined = urls.withColumn(hcol, host).join(
+        F.broadcast(by_host.withColumnRenamed("host", hcol)),
+        hcol,
         "left",
     )
     # prefix rules (no * / $ — the overwhelming majority in real
@@ -356,7 +388,7 @@ def robots_verdict(
     # (measured 1.0-1.22x vs all-regex at 1-4M URLs, §3s — modest,
     # never worse)
     hits = F.filter(
-        F.col("_rules"),
+        F.col(rcol),
         lambda r: F.when(
             r["is_rx"], F.regexp_like(target, r["_re"])
         ).otherwise(target.startswith(r["pattern"])),
@@ -371,4 +403,4 @@ def robots_verdict(
     )
     return joined.withColumn(
         "robots_allowed", F.coalesce(best["allow"], F.lit(True))
-    ).drop("_host", "_rules")
+    ).drop(hcol, rcol)

@@ -42,6 +42,109 @@ WARC_SCHEMA = (
 _HDR_RE = re.compile(rb"^([A-Za-z0-9_-]+):[ \t]*(.*?)\r?$")
 
 
+def _dechunk(body: bytes) -> bytes | None:
+    """Undo ``Transfer-Encoding: chunked`` (RFC 9112 §7.1): hex size
+    line (chunk extensions after ``;`` ignored), data, CRLF, …,
+    ``0``-size terminator (trailer section ignored).  ``None`` on a
+    malformed or truncated chunk stream — callers skip the record
+    rather than emit garbage."""
+    out: list[bytes] = []
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        sep = 2
+        if nl < 0:
+            nl = body.find(b"\n", pos)
+            sep = 1
+        if nl < 0:
+            return None
+        size_tok = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        pos = nl + sep
+        if size == 0:
+            return b"".join(out)
+        if len(body) < pos + size:
+            return None  # truncated capture
+        out.append(body[pos : pos + size])
+        pos += size
+        if body[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos : pos + 1] == b"\n":
+            pos += 1
+
+
+def http_response_parts(
+    raw: bytes,
+) -> tuple[int | None, dict[str, str], bytes | None]:
+    """Split one CAPTURED HTTP response (a WARC ``response`` payload)
+    into ``(status, headers, body)``, undoing the transfer/content
+    encodings real crawls preserve verbatim: Common Crawl stores the
+    wire bytes, so robots.txt and page bodies are routinely
+    ``Transfer-Encoding: chunked`` and/or ``Content-Encoding: gzip``
+    — naive head/body splitting pollutes the text with chunk-size
+    lines or mojibake.
+
+    - ``status`` is the integer from the status line (``None`` when
+      the payload does not start with an HTTP status line);
+    - ``headers`` is a lowercase-keyed dict of the header fields;
+    - ``body`` is the DECODED payload: dechunked per RFC 9112, then
+      gunzipped/inflated per ``Content-Encoding`` (gzip / x-gzip /
+      deflate, both zlib-wrapped and raw).  ``None`` when the
+      encoding is unsupported or the stream is corrupt/truncated —
+      callers skip such records instead of emitting garbage.
+
+    Tolerates LF-only servers (header terminator ``\\n\\n``).  Pure
+    stdlib; used by :func:`pages_from_warc`-style extraction and
+    ``operators/robots.robots_from_warc``."""
+    head, sep, body = raw.partition(b"\r\n\r\n")
+    if not sep:
+        head, sep, body = raw.partition(b"\n\n")
+        if not sep:
+            head, body = raw, b""
+    lines = head.replace(b"\r\n", b"\n").split(b"\n")
+    status: int | None = None
+    first = lines[0].split()
+    if len(first) >= 2 and first[0][:5].upper() == b"HTTP/":
+        try:
+            status = int(first[1])
+        except ValueError:
+            status = None
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, colon, v = ln.partition(b":")
+        if colon:
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                "latin-1"
+            )
+    te = headers.get("transfer-encoding", "identity").lower()
+    if "chunked" in te:
+        body = _dechunk(body)
+        if body is None:
+            return status, headers, None
+    elif te not in ("identity", ""):
+        return status, headers, None
+    ce = headers.get("content-encoding", "identity").lower()
+    if ce in ("gzip", "x-gzip"):
+        try:
+            body = zlib.decompress(body, 16 + zlib.MAX_WBITS)
+        except zlib.error:
+            return status, headers, None
+    elif ce == "deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error:
+                return status, headers, None
+    elif ce not in ("identity", ""):
+        return status, headers, None
+    return status, headers, body
+
+
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress a concatenation of gzip members (the per-record
     layout of ``.warc.gz``) into one byte stream.  A corrupt member
@@ -350,32 +453,116 @@ class HttpRangeReader:
     works out of the box.  A server that ignores the Range header
     (HTTP 200 instead of 206) raises instead of silently downloading
     the whole object.  No listing exists over plain HTTP — pass
-    explicit object URLs, not globs."""
+    explicit object URLs, not globs.
+
+    Real-server behavior handled (round 10):
+
+    - **EOF = HTTP 416** ``Range Not Satisfiable``: spec-compliant
+      servers (S3, CloudFront, nginx) answer a read at/after the end
+      of the object with 416, and the sequential index pass ALWAYS
+      issues one final read at ``pos == size`` (empty-read is its
+      only EOF signal) — so 416 maps to ``b""``, not an error.
+    - **HEAD-less servers**: ``size()`` falls back to a 1-byte ranged
+      GET and parses the total from ``Content-Range: bytes 0-0/N``
+      when HEAD is rejected (405/403) or omits ``Content-Length``.
+    - **Stalls and transient faults**: every request carries
+      ``timeout`` (seconds; default 30) and is retried up to
+      ``retries`` times (default 2) on ``URLError`` / timeout /
+      ``IncompleteRead`` / 5xx, with a tiny linear backoff — one dead
+      CDN socket must fail the Spark TASK (which then retries on
+      another executor) instead of hanging it forever.  4xx other
+      than 416 are NOT retried (they are deterministic)."""
+
+    def __init__(self, *, timeout: float = 30.0, retries: int = 2):
+        self.timeout = float(timeout)
+        self.retries = int(retries)
+
+    def _open(self, req):
+        """urlopen with timeout + bounded retry on transient faults;
+        returns (status, headers, body_bytes)."""
+        import http.client
+        import socket
+        import time
+        import urllib.error
+        import urllib.request
+
+        last: Exception | None = None
+        for attempt in range(self.retries + 1):
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                    return r.status, r.headers, r.read()
+            except urllib.error.HTTPError as e:
+                if e.code >= 500:  # transient server-side
+                    last = e
+                else:
+                    raise  # deterministic 4xx — caller decides
+            except (
+                urllib.error.URLError,
+                socket.timeout,
+                TimeoutError,
+                http.client.IncompleteRead,
+                ConnectionError,
+            ) as e:
+                last = e
+            if attempt < self.retries:
+                time.sleep(0.2 * (attempt + 1))
+        raise last
 
     def read_range(self, uri: str, start: int, length: int) -> bytes:
         if length <= 0:
             return b""
+        import urllib.error
         import urllib.request
 
         req = urllib.request.Request(
             uri,
             headers={"Range": f"bytes={int(start)}-{int(start) + int(length) - 1}"},
         )
-        with urllib.request.urlopen(req) as r:
-            if r.status != 206:
-                raise ValueError(
-                    f"server ignored the Range header for {uri!r} "
-                    f"(HTTP {r.status}, expected 206 Partial Content); "
-                    "ranged WARC ingest needs byte-range support"
-                )
-            return r.read()
+        try:
+            status, _, body = self._open(req)
+        except urllib.error.HTTPError as e:
+            if e.code == 416:
+                # Range Not Satisfiable: start is at/after EOF — the
+                # sequential reader's end-of-object signal
+                return b""
+            raise
+        if status != 206:
+            raise ValueError(
+                f"server ignored the Range header for {uri!r} "
+                f"(HTTP {status}, expected 206 Partial Content); "
+                "ranged WARC ingest needs byte-range support"
+            )
+        return body
 
     def size(self, uri: str) -> int:
+        import urllib.error
         import urllib.request
 
         req = urllib.request.Request(uri, method="HEAD")
-        with urllib.request.urlopen(req) as r:
-            return int(r.headers["Content-Length"])
+        try:
+            _, headers, _ = self._open(req)
+            n = headers["Content-Length"]
+            if n is not None:
+                return int(n)
+        except urllib.error.HTTPError:
+            pass  # HEAD rejected (405/403) — fall back to ranged GET
+        # 1-byte ranged GET; total length is the Content-Range suffix
+        req = urllib.request.Request(uri, headers={"Range": "bytes=0-0"})
+        status, headers, _ = self._open(req)
+        cr = headers.get("Content-Range") or ""
+        if status == 206 and "/" in cr:
+            total = cr.rsplit("/", 1)[1].strip()
+            if total.isdigit():
+                return int(total)
+        n = headers.get("Content-Length") if status == 200 else None
+        if n is not None:
+            # Range-ignoring server: Content-Length IS the total
+            return int(n)
+        raise ValueError(
+            f"cannot determine object size for {uri!r}: HEAD gave no "
+            "Content-Length and the ranged-GET fallback returned "
+            f"HTTP {status} with Content-Range {cr!r}"
+        )
 
     def list_files(self, path: str) -> list[str]:
         if any(ch in path for ch in "*?["):
@@ -733,7 +920,11 @@ def warc_to_documents(
     shape: ``(doc_id, url, fetch_date, text)``.
 
     - keeps ``warc_type = 'response'`` with an HTTP 200 status line;
-    - splits the HTTP headers off the payload, decodes the body as
+    - splits the HTTP headers off the payload via
+      :func:`http_response_parts` (dechunks ``Transfer-Encoding:
+      chunked``, gunzips/inflates ``Content-Encoding: gzip/deflate``
+      — crawls store wire bytes; records with unsupported or corrupt
+      encodings are skipped), decodes the body as
       UTF-8 (replace) and extracts text per ``extractor``:
       ``"strip"`` (default) = the crude tag strip
       (:func:`_html_to_text`); ``"raw"`` = the UTF-8-decoded body
@@ -766,17 +957,12 @@ def warc_to_documents(
             ):
                 if typ != "response":
                     continue
-                raw = bytes(blob)
-                # CRLF per RFC; tolerate LF-only servers
-                head, sep, body = raw.partition(b"\r\n\r\n")
-                if not sep:
-                    head, _, body = raw.partition(b"\n\n")
-                # status code = 2nd whitespace token of the status
-                # line (a reason phrase containing " 200 " must not
-                # pass a non-200 response)
-                status_line = head.split(b"\n", 1)[0]
-                parts = status_line.split()
-                if len(parts) < 2 or parts[1] != b"200":
+                # status = 2nd token of the status line (a reason
+                # phrase containing " 200 " must not pass a non-200
+                # response); body dechunked/gunzipped per the wire
+                # headers — None (unsupported/corrupt encoding) skips
+                status, _, body = http_response_parts(bytes(blob))
+                if status != 200 or body is None:
                     continue
                 out["record_id"].append(rid)
                 out["url"].append(uri)

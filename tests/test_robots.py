@@ -291,3 +291,107 @@ Crawl-delay: 10
     ]
     assert rows["bare.com"]["crawl_delay"] is None
     assert list(rows["bare.com"]["sitemaps"]) == []
+
+
+def test_sitemap_and_unknown_lines_do_not_split_agent_groups():
+    """RFC 9309 §2.2.4 (round-10 fix): parsing of other records MUST
+    NOT interfere with group parsing — a Sitemap or unknown line
+    between two User-agent lines must leave them in ONE group.  The
+    round-9 parser split them, false-allowing the first agent's
+    rules; this is the unit twin of the layout_keys oracle pin."""
+    split = "User-agent: a\nSitemap: https://x/s.xml\nUser-agent: b\nDisallow: /x"
+    assert R.parse_robots(split, "a") == [("/x", False)]
+    assert R.parse_robots(split, "b") == [("/x", False)]
+    unknown = "User-agent: a\nHost: mirror.x\nUser-agent: b\nDisallow: /x"
+    assert R.parse_robots(unknown, "a") == [("/x", False)]
+    # rule lines DO end the run: each agent keeps its own block
+    ruled = "User-agent: a\nDisallow: /a\nUser-agent: b\nDisallow: /b"
+    assert R.parse_robots(ruled, "a") == [("/a", False)]
+    assert R.parse_robots(ruled, "b") == [("/b", False)]
+    # crawl-delay is a group-scoped rule line: it closes the group too
+    delayed = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /x"
+    assert R.parse_robots(delayed, "a") == []
+    assert R.parse_robots(delayed, "b") == [("/x", False)]
+    # the two parsers agree on the same boundary semantics
+    meta = "User-agent: a\nSitemap: https://x/s.xml\nUser-agent: b\nCrawl-delay: 3"
+    assert R.parse_robots_meta(meta, "a")[0] == 3.0
+    assert R.parse_robots_meta(meta, "b")[0] == 3.0
+    # ...and allow/disallow close groups for the meta parser as well
+    meta2 = "User-agent: a\nDisallow: /x\nUser-agent: b\nCrawl-delay: 3"
+    assert R.parse_robots_meta(meta2, "a")[0] is None
+    assert R.parse_robots_meta(meta2, "b")[0] == 3.0
+
+
+def test_verdict_preserves_caller_underscore_columns(spark):
+    """round 10 (ADVICE): an input frame that already carries _host /
+    _rules columns must come back with them untouched — the round-9
+    working names silently clobbered and dropped them."""
+    rob = spark.createDataFrame(
+        [("t.com", "User-agent: *\nDisallow: /p")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://t.com/p/x", "keep-me", "mine")],
+        "doc_id long, url string, _host string, _rules string",
+    )
+    out = R.robots_verdict(urls, R.robots_rules(rob))
+    assert out.columns == ["doc_id", "url", "_host", "_rules", "robots_allowed"]
+    row = out.collect()[0]
+    assert (row["_host"], row["_rules"]) == ("keep-me", "mine")
+    assert row["robots_allowed"] is False
+    # even the round-10 internal names themselves survive
+    urls2 = spark.createDataFrame(
+        [(1, "https://t.com/p/x", "h0", "r0")],
+        "doc_id long, url string, __robots_host string, __robots_rules string",
+    )
+    row2 = R.robots_verdict(urls2, R.robots_rules(rob)).collect()[0]
+    assert (row2["__robots_host"], row2["__robots_rules"]) == ("h0", "r0")
+    assert row2["robots_allowed"] is False
+
+
+def test_robots_from_warc_decodes_chunked_and_gzip(spark, tmp_path):
+    """Crawls store WIRE bytes: chunked and gzipped robots.txt bodies
+    must be decoded (round 10), and unsupported encodings skipped —
+    never emitted as chunk-size-polluted/mojibake rule text."""
+    import gzip as _gz
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        read_warc,
+    )
+
+    body = b"User-agent: *\nDisallow: /private\n"
+
+    def rec(rid, host, extra_hdrs, payload):
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            + extra_hdrs
+            + b"\r\n"
+            + payload
+        )
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:" + rid + b">\r\n"
+            b"WARC-Target-URI: https://" + host + b"/robots.txt\r\n"
+            b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(http)
+        )
+        return hdr + http + b"\r\n\r\n"
+
+    chunked = b"10\r\n" + body[:16] + b"\r\n%x\r\n" % len(body[16:]) + body[16:] + b"\r\n0\r\n\r\n"
+    gzipped = _gz.compress(body)
+    recs = [
+        rec(b"1", b"plain.com", b"", body),
+        rec(b"2", b"chunky.com", b"Transfer-Encoding: chunked\r\n", chunked),
+        rec(b"3", b"zippy.com", b"Content-Encoding: gzip\r\n", gzipped),
+        rec(b"4", b"broken.com", b"Content-Encoding: br\r\n", b"\x00junk"),
+    ]
+    p = tmp_path / "enc.warc.gz"
+    p.write_bytes(b"".join(_gz.compress(r) for r in recs))
+    rows = {
+        r["host"]: r["robots_txt"]
+        for r in R.robots_from_warc(read_warc(spark, str(p))).collect()
+    }
+    # unsupported encoding is SKIPPED, not garbled
+    assert set(rows) == {"plain.com", "chunky.com", "zippy.com"}
+    assert rows["plain.com"] == rows["chunky.com"] == rows["zippy.com"]
+    assert rows["plain.com"] == body.decode()

@@ -648,6 +648,19 @@ def test_http_range_reader_against_local_server(spark, tmp_path):
             if rng and self.honour_range:
                 a, b = rng.split("=", 1)[1].split("-", 1)
                 a, b = int(a), min(int(b), len(blob) - 1)
+                if a >= len(blob):
+                    # spec-compliant servers (S3/CloudFront/nginx)
+                    # answer an out-of-range start with 416, not an
+                    # empty 206 — the index pass always issues one
+                    # final read at pos == size, so the adapter must
+                    # map this to EOF
+                    self.send_response(416)
+                    self.send_header(
+                        "Content-Range", f"bytes */{len(blob)}"
+                    )
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
                 part = blob[a : b + 1]
                 self.send_response(206)
                 self.send_header(
@@ -675,11 +688,222 @@ def test_http_range_reader_against_local_server(spark, tmp_path):
             read_warc(spark, str(p)).collect()
         )
         assert {r["path"] for r in rows} == {url}
+        # EOF semantics against a spec-compliant server: a read at or
+        # past the object end gets HTTP 416, which the adapter maps to
+        # b"" (the sequential index pass's end-of-object signal)
+        assert HttpRangeReader().read_range(url, len(blob), 100) == b""
+        assert HttpRangeReader().read_range(url, len(blob) + 7, 1) == b""
         # a server that ignores Range must raise, not whole-download
         RangeHandler.honour_range = False
         with pytest.raises(ValueError, match="ignored the Range header"):
             HttpRangeReader().read_range(url, 0, 10)
     finally:
         RangeHandler.honour_range = True
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_response_parts_encodings():
+    """The shared captured-HTTP splitter: status parse, LF tolerance,
+    dechunk, gunzip, deflate (both wrappers), and None for corrupt or
+    unsupported payloads."""
+    import gzip
+    import zlib
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        http_response_parts,
+    )
+
+    body = b"hello world, " * 5
+
+    def resp(hdrs, payload, sep=b"\r\n"):
+        return (
+            b"HTTP/1.1 200 OK" + sep
+            + sep.join(hdrs) + (sep if hdrs else b"")
+            + sep + payload
+        )
+
+    assert http_response_parts(resp([b"X: y"], body)) == (
+        200, {"x": "y"}, body
+    )
+    # LF-only server
+    assert http_response_parts(resp([b"X: y"], body, sep=b"\n"))[2] == body
+    # chunked
+    chunked = (
+        b"d\r\n" + body[:13] + b"\r\n%x\r\n" % len(body[13:]) + body[13:]
+        + b"\r\n0\r\n\r\n"
+    )
+    assert http_response_parts(
+        resp([b"Transfer-Encoding: chunked"], chunked)
+    )[2] == body
+    # truncated chunk stream -> None (skip, don't garble)
+    assert http_response_parts(
+        resp([b"Transfer-Encoding: chunked"], chunked[:10])
+    )[2] is None
+    # gzip / zlib-deflate / raw-deflate
+    assert http_response_parts(
+        resp([b"Content-Encoding: gzip"], gzip.compress(body))
+    )[2] == body
+    assert http_response_parts(
+        resp([b"Content-Encoding: deflate"], zlib.compress(body))
+    )[2] == body
+    raw = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    assert http_response_parts(
+        resp([b"Content-Encoding: deflate"], raw.compress(body) + raw.flush())
+    )[2] == body
+    # chunked + gzip together (TE undone before CE)
+    gz = gzip.compress(body)
+    both = b"%x\r\n" % len(gz) + gz + b"\r\n0\r\n\r\n"
+    assert http_response_parts(
+        resp(
+            [b"Transfer-Encoding: chunked", b"Content-Encoding: gzip"], both
+        )
+    )[2] == body
+    # unsupported encoding / corrupt gzip -> None body, status kept
+    assert http_response_parts(
+        resp([b"Content-Encoding: br"], b"\x00")
+    ) == (200, {"content-encoding": "br"}, None)
+    assert http_response_parts(
+        resp([b"Content-Encoding: gzip"], b"not-gzip")
+    )[2] is None
+    # non-HTTP payload -> status None
+    assert http_response_parts(b"WARC junk\r\n\r\nbody")[0] is None
+    # reason phrase containing ' 200 ' must not fake a status
+    s, _, _ = http_response_parts(b"HTTP/1.1 404 went 200 ok\r\n\r\nx")
+    assert s == 404
+
+
+def _serve(handler_cls):
+    """Start a throwaway threaded HTTP server; return (server, port)."""
+    import http.server
+    import threading
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler_cls)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1]
+
+
+def test_http_size_falls_back_when_head_unusable():
+    """size() must survive servers that reject HEAD (405) or omit
+    Content-Length: fall back to a 1-byte ranged GET and parse the
+    total from Content-Range."""
+    import http.server
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        HttpRangeReader,
+    )
+
+    blob = b"x" * 12345
+
+    class NoHead(http.server.BaseHTTPRequestHandler):
+        head_mode = "reject"  # or "no-length"
+
+        def log_message(self, *a):
+            pass
+
+        def do_HEAD(self):
+            if self.head_mode == "reject":
+                self.send_error(405)
+            else:  # 200 but no Content-Length (chunked HEAD)
+                self.send_response(200)
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+        def do_GET(self):
+            rng = self.headers.get("Range")
+            assert rng == "bytes=0-0"
+            self.send_response(206)
+            self.send_header("Content-Range", f"bytes 0-0/{len(blob)}")
+            self.send_header("Content-Length", "1")
+            self.end_headers()
+            self.wfile.write(blob[:1])
+
+    srv, port = _serve(NoHead)
+    try:
+        url = f"http://127.0.0.1:{port}/obj"
+        assert HttpRangeReader().size(url) == len(blob)
+        NoHead.head_mode = "no-length"
+        assert HttpRangeReader().size(url) == len(blob)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_stall_raises_within_budget_and_retry_recovers():
+    """A stalled connection must fail the task within the timeout
+    budget (never hang — Spark's task retry is the recovery path),
+    and a transient fault (503, stall) must be absorbed by the
+    adapter's bounded retry when the next attempt succeeds."""
+    import http.server
+    import time
+    import urllib.error
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        HttpRangeReader,
+    )
+
+    blob = bytes(range(256))
+    calls = {"n": 0}
+
+    class Flaky(http.server.BaseHTTPRequestHandler):
+        mode = "stall-forever"  # stall-once | fail-once-503
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            calls["n"] += 1
+            if self.mode == "stall-forever" or (
+                self.mode == "stall-once" and calls["n"] == 1
+            ):
+                time.sleep(2.0)  # > per-request timeout
+                return
+            if self.mode == "fail-once-503" and calls["n"] == 1:
+                self.send_error(503)
+                return
+            a, b = self.headers["Range"].split("=", 1)[1].split("-", 1)
+            a, b = int(a), min(int(b), len(blob) - 1)
+            part = blob[a : b + 1]
+            self.send_response(206)
+            self.send_header("Content-Range", f"bytes {a}-{b}/{len(blob)}")
+            self.send_header("Content-Length", str(len(part)))
+            self.end_headers()
+            self.wfile.write(part)
+
+    srv, port = _serve(Flaky)
+    try:
+        url = f"http://127.0.0.1:{port}/obj"
+        rdr = HttpRangeReader(timeout=0.3, retries=1)
+        # every attempt stalls -> raises (bounded: 2 attempts + backoff)
+        t0 = time.monotonic()
+        with pytest.raises(Exception) as ei:
+            rdr.read_range(url, 0, 16)
+        assert time.monotonic() - t0 < 5.0
+        assert isinstance(
+            ei.value, (urllib.error.URLError, TimeoutError, OSError)
+        )
+        # first attempt stalls, second succeeds -> bytes come back
+        Flaky.mode = "stall-once"
+        calls["n"] = 0
+        assert rdr.read_range(url, 0, 16) == blob[:16]
+        assert calls["n"] == 2
+        # transient 503 then success
+        Flaky.mode = "fail-once-503"
+        calls["n"] = 0
+        assert rdr.read_range(url, 3, 5) == blob[3:8]
+        assert calls["n"] == 2
+        # deterministic 4xx (403) must NOT be retried
+        Flaky.mode = "forbidden"
+        calls["n"] = 0
+
+        def do_403(self):
+            calls["n"] += 1
+            self.send_error(403)
+
+        Flaky.do_GET = do_403
+        with pytest.raises(urllib.error.HTTPError):
+            rdr.read_range(url, 0, 4)
+        assert calls["n"] == 1
+    finally:
         srv.shutdown()
         srv.server_close()
