@@ -4702,6 +4702,83 @@ def _sql_dedup_pairs() -> str:
 
 DOMAIN_CAP_N = 25
 
+#: round-10 oracle snapshot — the REAL publicsuffix.org file format
+#: (comments, wildcard, exception, deep suffixes), fed verbatim to
+#: registered_domain in the layout_keys 'url_psl_full' branch
+PSL_SNAPSHOT = """\
+// round-10 test snapshot (publicsuffix.org list format)
+co.uk
+com.au
+
+*.bd
+!www.bd
+k12.ma.us
+"""
+
+
+def _robots_warc_records() -> list[tuple[str, str, str, bytes]]:
+    """WARC-shaped crawl records for the layout_keys 'robots_warc'
+    branch: 13 hosts x TWO robots.txt captures (the old one blocks
+    everything — latest-capture-wins is load-bearing) plus decoys (a
+    NEWEST-dated 404 whose body would allow everything if the status
+    filter broke, a page record, a request record).  The HTTP payloads
+    are REAL wire bytes — hosts cycle identity / chunked / gzip
+    encodings — so the driver hash certifies
+    ``sources/warc.http_response_parts`` end to end: a decode break
+    garbles the rules and flips verdicts.  Deterministic (gzip mtime
+    pinned); the oracle re-derives every verdict, crawl-delay and
+    sitemap from the same host arithmetic."""
+    import gzip as _gz
+
+    def http(status: bytes, body: bytes, enc: str) -> bytes:
+        if enc == "chunked":
+            payload = (
+                b"%x\r\n" % len(body[:10]) + body[:10] + b"\r\n"
+                + b"%x\r\n" % len(body[10:]) + body[10:]
+                + b"\r\n0\r\n\r\n"
+            )
+            extra = b"Transfer-Encoding: chunked\r\n"
+        elif enc == "gzip":
+            payload = _gz.compress(body, mtime=0)
+            extra = b"Content-Encoding: gzip\r\n"
+        else:
+            payload, extra = body, b""
+        return (
+            b"HTTP/1.1 " + status + b"\r\nContent-Type: text/plain\r\n"
+            + extra + b"\r\n" + payload
+        )
+
+    recs: list[tuple[str, str, str, bytes]] = []
+    for h in range(13):
+        enc = ("identity", "chunked", "gzip")[h % 3]
+        uri = f"https://CRAWL.site{h}.com{':443' if h % 4 == 0 else ''}/robots.txt"
+        old = b"User-agent: *\nDisallow: /\n"
+        new = (
+            f"Sitemap: https://crawl.site{h}.com/s0.xml\n"
+            f"User-agent: otherbot\nCrawl-delay: 99\nDisallow: /\n\n"
+            f"User-agent: *\nCrawl-delay: {h % 5 + 1}\n"
+            f"Disallow: /p/{h}\n"
+            + (f"Sitemap: https://crawl.site{h}.com/s1.xml\n" if h % 2 else "")
+        ).encode()
+        recs.append(("response", uri, "2026-01-01T00:00:00Z", http(b"200 OK", old, enc)))
+        recs.append(("response", uri, "2026-06-01T00:00:00Z", http(b"200 OK", new, enc)))
+    # decoys: newest-dated 404 (allow-all body — a broken status
+    # filter would flip every site0 verdict), a page, a request
+    recs.append((
+        "response", "https://crawl.site0.com/robots.txt",
+        "2026-12-31T00:00:00Z",
+        http(b"404 Not Found", b"User-agent: *\nDisallow:\n", "identity"),
+    ))
+    recs.append((
+        "response", "https://crawl.site0.com/page.html",
+        "2026-06-01T00:00:00Z", http(b"200 OK", b"<p>hi</p>", "identity"),
+    ))
+    recs.append((
+        "request", "https://crawl.site1.com/robots.txt",
+        "2026-06-01T00:00:00Z", b"GET /robots.txt HTTP/1.1\r\n\r\n",
+    ))
+    return recs
+
 
 def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-layout / corpus-selection keys, part-labeled:
@@ -4727,6 +4804,14 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
       public suffixes: key one label deeper) and ``.de`` (single-label
       control: last-two-labels), so ``split`` certifies the PSL branch
       and ``k`` the normalization of the same URLs.
+    - ``url_psl_full`` (round 10): FULL publicsuffix.org list
+      semantics — the snapshot (module constant ``PSL_SNAPSHOT``) is
+      fed VERBATIM in the real file format and the hosts cycle the
+      rule classes: wildcard (``*.bd``), exception (``!www.bd``),
+      3-label exact (``k12.ma.us``), 2-label exact and the implicit
+      default; ``split`` certifies every registrable-domain boundary
+      (the round-9 path silently dropped non-2-label rules), ``k``
+      the normalization of the same URLs.
     - ``robots`` (round 8): RFC 9309 robots.txt verdicts
       (``operators/robots.py``) — per-domain robots bodies injected
       from doc_id arithmetic (a decoy ``otherbot`` group that must NOT
@@ -4748,6 +4833,17 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
       only match a '/'-rooted target: certifies the round-9 leading-
       slash restoration end to end (before the fix every such URL was
       silently allowed).
+    - ``robots_warc`` (round 10): the Common Crawl ENTRY PATH —
+      driver-built WARC response records with REAL wire bytes
+      (identity / chunked / gzip HTTP payloads, an all-blocking OLD
+      capture per host, a newest-dated 404 decoy, page/request
+      decoys) flow through ``robots_from_warc`` (status filter,
+      dechunk/gunzip, latest-capture-wins) -> ``robots_rules`` ->
+      ``robots_verdict``; ``robots_meta``'s group-scoped crawl-delay
+      (a decoy ``otherbot`` delay must NOT leak) and global sitemap
+      list ride in ``split``.  The oracle re-derives verdicts, delays
+      and sitemaps from the host arithmetic — a break anywhere in the
+      archive->dimension->verdict composition flips the hash.
     """
     shuf = _q_corpus_shuffle(spark, sf_dir).select(
         F.lit("corpus_shuffle").alias("part"),
@@ -4808,6 +4904,38 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("id"),
         hash48(normalize_url("_url2")).cast("long").alias("k"),
         registered_domain("_url2").alias("split"),
+    )
+    # round 10: FULL publicsuffix.org semantics — the snapshot below
+    # is fed VERBATIM in the real file format (comments, wildcard
+    # *.bd, exception !www.bd, 3-label exact k12.ma.us) and the hosts
+    # cycle through every rule class; the oracle re-derives each
+    # registrable domain from the same arithmetic, so wildcard /
+    # exception / deep-suffix handling and the longest-match
+    # precedence are all driver-hash-checked (the round-9 path
+    # silently dropped every non-2-label rule).
+    suffix3 = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("CO.UK"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("Com.Au"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("DE"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("zed.BD"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("WWW.BD"))
+        .otherwise(F.lit("k12.MA.us"))
+    )
+    url3 = F.concat(
+        F.lit("https://WWW.Shop"),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit("."),
+        suffix3,
+        F.lit("/i/"),
+        F.col("doc_id").cast("string"),
+    )
+    pslfull = docs.withColumn("_url3", url3).select(
+        F.lit("url_psl_full").alias("part"),
+        F.col("doc_id").cast("long").alias("id"),
+        hash48(normalize_url("_url3")).cast("long").alias("k"),
+        registered_domain(
+            "_url3", public_suffixes=PSL_SNAPSHOT
+        ).alias("split"),
     )
     capped = cap_per_domain(
         urled.withColumn("_dom", registered_domain("_url")),
@@ -4891,13 +5019,60 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("robots_allowed").cast("long").alias("k"),
         host_split.alias("split"),
     )
+    # round 10: the Common Crawl entry path END TO END — WARC records
+    # (real wire bytes: identity/chunked/gzip HTTP payloads, dated
+    # double-captures, 404/page/request decoys) -> robots_from_warc
+    # (status filter + dechunk/gunzip + latest-capture-wins) ->
+    # robots_rules -> robots_verdict over the SAME injected URLs,
+    # with robots_meta's group-scoped crawl-delay + global sitemaps
+    # broadcast-joined in as `split`
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
+        robots_from_warc,
+        robots_meta,
+    )
+
+    wrec = spark.createDataFrame(
+        _robots_warc_records(),
+        "warc_type string, target_uri string, warc_date string, "
+        "content binary",
+    )
+    dim = robots_from_warc(wrec)
+    meta = robots_meta(dim)
+    rw = robots_verdict(
+        urled.select("doc_id", F.col("_url").alias("url")),
+        robots_rules(dim),
+        url_col="url",
+    ).withColumn(
+        "_rwhost",
+        F.lower(
+            F.regexp_extract(
+                F.col("url"), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1
+            )
+        ),
+    )
+    robw = rw.join(
+        F.broadcast(meta.withColumnRenamed("host", "_rwhost")),
+        "_rwhost",
+        "left",
+    ).select(
+        F.lit("robots_warc").alias("part"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("robots_allowed").cast("long").alias("k"),
+        F.concat(
+            F.col("crawl_delay").cast("int").cast("string"),
+            F.lit("|"),
+            F.array_join("sitemaps", ","),
+        ).alias("split"),
+    )
     return (
         shuf.unionByName(zo)
         .unionByName(un)
         .unionByName(psl)
+        .unionByName(pslfull)
         .unionByName(capped)
         .unionByName(rob)
         .unionByName(robq)
+        .unionByName(robw)
     )
 
 
@@ -4911,6 +5086,16 @@ def _sql_layout_keys() -> str:
         " || CASE doc_id % 3 WHEN 0 THEN '.co.uk'"
         " WHEN 1 THEN '.com.au' ELSE '.de' END"
         " || '/item/' || doc_id"
+    )
+    pslf_suffix = (
+        "CASE doc_id % 6 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com.au'"
+        " WHEN 2 THEN 'de' WHEN 3 THEN 'zed.bd'"
+        " WHEN 4 THEN 'www.bd' ELSE 'k12.ma.us' END"
+    )
+    pslf_norm = (
+        "'https://www.shop' || (doc_id % 11) || '.' || "
+        + pslf_suffix
+        + " || '/i/' || doc_id"
     )
     return f"""
     SELECT 'corpus_shuffle' AS part, doc_id::BIGINT AS id,
@@ -4931,6 +5116,13 @@ def _sql_layout_keys() -> str:
            'shop' || (doc_id % 11)
              || CASE doc_id % 3 WHEN 0 THEN '.co.uk'
                 WHEN 1 THEN '.com.au' ELSE '.de' END
+    FROM documents
+    UNION ALL
+    SELECT 'url_psl_full' AS part, doc_id::BIGINT,
+           {MD5INT_SQL.format(x=pslf_norm)},
+           CASE WHEN doc_id % 6 = 4 THEN 'www.bd'
+                ELSE 'shop' || (doc_id % 11) || '.' || {pslf_suffix}
+           END
     FROM documents
     UNION ALL
     SELECT 'domain_cap' AS part, doc_id::BIGINT, rank::BIGINT, dom
@@ -4958,6 +5150,17 @@ def _sql_layout_keys() -> str:
     SELECT 'robots_q' AS part, doc_id::BIGINT,
            (doc_id % 3 <> 0)::BIGINT,
            'site' || (doc_id % 13) || '.com'
+    FROM documents
+    UNION ALL
+    SELECT 'robots_warc' AS part, doc_id::BIGINT,
+           (NOT starts_with(doc_id::VARCHAR,
+                            (doc_id % 13)::VARCHAR))::BIGINT,
+           ((doc_id % 13) % 5 + 1)::VARCHAR
+             || '|https://crawl.site' || (doc_id % 13) || '.com/s0.xml'
+             || CASE WHEN (doc_id % 13) % 2 = 1
+                THEN ',https://crawl.site' || (doc_id % 13)
+                     || '.com/s1.xml'
+                ELSE '' END
     FROM documents
     """
 

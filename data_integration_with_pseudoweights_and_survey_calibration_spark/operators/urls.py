@@ -28,7 +28,7 @@ Everything here is pure Column expressions or rank-limit windows:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -37,6 +37,8 @@ __all__ = [
     "normalize_url",
     "registered_domain",
     "cap_per_domain",
+    "parse_public_suffix_list",
+    "PublicSuffixList",
     "PUBLIC_SUFFIXES",
 ]
 
@@ -108,6 +110,68 @@ PUBLIC_SUFFIXES: tuple[str, ...] = tuple(
 )
 
 
+class PublicSuffixList(NamedTuple):
+    """Parsed public-suffix rules (publicsuffix.org list format),
+    grouped the way the Column chain consumes them:
+
+    - ``exact``: label-count -> frozenset of literal suffixes
+      (``co.uk`` -> ``exact[2]``, ``k12.ma.us`` -> ``exact[3]``);
+    - ``wildcard``: base-label-count -> frozenset of ``*.``-rule bases
+      (``*.ck`` -> ``wildcard[1] = {'ck'}`` — ANY two-label host
+      ending ``.ck`` is a public suffix);
+    - ``exception``: label-count -> frozenset of ``!``-rule names
+      minus the ``!`` (``!www.ck`` -> ``exception[2]``): the name is
+      NOT a public suffix despite a covering wildcard — it IS the
+      registrable domain."""
+
+    exact: dict[int, frozenset]
+    wildcard: dict[int, frozenset]
+    exception: dict[int, frozenset]
+
+
+def parse_public_suffix_list(
+    rules: str | Sequence[str],
+) -> PublicSuffixList:
+    """Parse a publicsuffix.org snapshot (the raw file text, or any
+    iterable of rule lines) into :class:`PublicSuffixList`.  Handles
+    the full list format — ``//`` comments and blank lines skipped,
+    wildcard ``*.foo`` and exception ``!bar.foo`` rules, suffixes of
+    any label depth, case folded — so callers can feed the real
+    https://publicsuffix.org/list/public_suffix_list.dat file
+    verbatim (the round-9 path silently dropped every non-2-label
+    rule).  The implicit default rule ``*`` (every unlisted TLD is a
+    public suffix) is built into :func:`registered_domain` and a
+    literal ``*`` line is skipped here."""
+    lines = rules.splitlines() if isinstance(rules, str) else rules
+    exact: dict[int, set] = {}
+    wildcard: dict[int, set] = {}
+    exception: dict[int, set] = {}
+    for raw in lines:
+        line = raw.strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        line = line.split()[0]  # spec: everything after whitespace ignored
+        if line == "*":
+            continue  # the implicit default rule
+        if line.startswith("!"):
+            name = line[1:].strip(".")
+            if name:
+                exception.setdefault(name.count(".") + 1, set()).add(name)
+        elif line.startswith("*."):
+            base = line[2:].strip(".")
+            if base and "*" not in base:
+                wildcard.setdefault(base.count(".") + 1, set()).add(base)
+        elif "*" not in line:
+            name = line.strip(".")
+            if name:
+                exact.setdefault(name.count(".") + 1, set()).add(name)
+    return PublicSuffixList(
+        {k: frozenset(v) for k, v in exact.items()},
+        {k: frozenset(v) for k, v in wildcard.items()},
+        {k: frozenset(v) for k, v in exception.items()},
+    )
+
+
 def _lower_host(url: Column) -> Column:
     """scheme + host lowercased, the scheme's OWN default port
     stripped (http:80 / https:443 — ``http://a.com:443`` is a
@@ -167,35 +231,79 @@ def normalize_url(url: str | Column) -> Column:
 def registered_domain(
     url: str | Column,
     *,
-    public_suffixes: Sequence[str] = PUBLIC_SUFFIXES,
+    public_suffixes: str | Sequence[str] | PublicSuffixList = PUBLIC_SUFFIXES,
 ) -> Column:
     """Registrable domain of the host: the grouping key for per-domain
     caps and domain mixing.  ``a.b.c.example.com`` -> ``example.com``;
-    when the last TWO labels are a public suffix from
-    ``public_suffixes`` (``shop.example.co.uk`` — ``co.uk`` registers
-    sites one label deeper) the last THREE labels are returned
-    (``example.co.uk``), so every ``.co.uk`` site gets its own domain
-    key instead of the whole ccTLD collapsing into one.  Swap in a
-    full publicsuffix.org snapshot via ``public_suffixes=`` for exact
-    boundaries; pass ``()`` to restore the bare last-two-labels
-    heuristic.  Map-only Column math — the suffix test is ``isin``,
-    which Catalyst converts to an O(1) ``InSet`` hash probe above 10
-    elements (an ``array_contains`` over the literal array scans all
-    ~300 per row: measured 1.05 s vs 0.79 s at 8M hosts) — plus
-    RE2-safe regex; no UDF, no shuffle, and a SQL oracle can restate
-    it verbatim.  Non-URLs yield the empty string."""
+    when a trailing run of labels is a public suffix the key is ONE
+    label deeper (``shop.example.co.uk`` -> ``example.co.uk``), so
+    every ``.co.uk`` site gets its own domain key instead of the whole
+    ccTLD collapsing into one.
+
+    ``public_suffixes`` accepts (round 10) the REAL publicsuffix.org
+    snapshot — the raw file text, a sequence of rule lines, or a
+    pre-parsed :class:`PublicSuffixList` — with full list semantics:
+
+    - exact suffixes of ANY label depth (``k12.ma.us``);
+    - wildcard rules ``*.ck`` (any host one label under the base is a
+      public suffix — ``a.b.ck`` keys as ``a.b.ck`` when it has a
+      label to spare);
+    - exception rules ``!www.ck`` (the name is registrable despite
+      the covering wildcard: ``shop.www.ck`` keys as ``www.ck``);
+    - precedence per the spec: exceptions beat everything, otherwise
+      the LONGEST matching suffix wins; the implicit ``*`` default
+      (every unlisted TLD is a public suffix) is the last-two-labels
+      fallback.  A host that IS a public suffix (no label to spare)
+      falls back to that last-two/host heuristic rather than keying
+      as empty.
+
+    The default stays the compact embedded 2-label subset
+    (:data:`PUBLIC_SUFFIXES`); pass ``()`` to restore the bare
+    last-two-labels heuristic.  Map-only Column math — every suffix
+    test is ``isin``, which Catalyst converts to an O(1) ``InSet``
+    hash probe above 10 elements (an ``array_contains`` over the
+    literal array scans all ~300 per row: measured 1.05 s vs 0.79 s
+    at 8M hosts); the ``when`` chain is one branch per DISTINCT rule
+    depth (the real PSL has 4), not per rule; no UDF, no shuffle, and
+    a SQL oracle can restate it verbatim.  Non-URLs yield the empty
+    string."""
+    psl = (
+        public_suffixes
+        if isinstance(public_suffixes, PublicSuffixList)
+        else parse_public_suffix_list(public_suffixes)
+    )
     u = F.col(url) if isinstance(url, str) else url
     host = F.lower(
         F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)
     )
-    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+    def lastk(k: int) -> Column:
+        # the last k dot-separated labels of the host ('' if fewer)
+        return F.regexp_extract(
+            host, r"((?:[^.]+\.){%d}[^.]+)$" % (k - 1), 1
+        )
+
+    two = lastk(2)
     out = F.when(two != "", two).otherwise(host)
-    if public_suffixes:
-        three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
-        out = F.when(
-            two.isin(*public_suffixes) & (three != ""), three
-        ).otherwise(out)
-    return out
+    branches: list[tuple[Column, Column]] = []
+    # exceptions first: the rule name IS the registrable domain
+    for k in sorted(psl.exception, reverse=True):
+        branches.append((lastk(k).isin(*psl.exception[k]), lastk(k)))
+    # then suffixes, longest depth first: suffix of k labels ->
+    # registrable = last k+1 labels (which must exist)
+    depths = set(psl.exact) | {k + 1 for k in psl.wildcard}
+    for k in sorted(depths, reverse=True):
+        cond = None
+        if k in psl.exact:
+            cond = lastk(k).isin(*psl.exact[k])
+        if (k - 1) in psl.wildcard:
+            wc = lastk(k - 1).isin(*psl.wildcard[k - 1])
+            cond = wc if cond is None else (cond | wc)
+        branches.append((cond & (lastk(k + 1) != ""), lastk(k + 1)))
+    expr = None
+    for c, v in branches:
+        expr = F.when(c, v) if expr is None else expr.when(c, v)
+    return out if expr is None else expr.otherwise(out)
 
 
 def cap_per_domain(

@@ -179,10 +179,16 @@ def main() -> None:
     # ONE key and this would come back as 8)
     n_domains = urled.select("domain").distinct().count()
     assert n_domains == 14, n_domains
-    # robots: site3.* disallows /d/ for everyone; decoy group ignored
+    # robots: site3.* disallows /d/ for everyone; decoy group ignored.
+    # Round 10: each body also carries crawl METADATA — a global
+    # Sitemap line, a decoy otherbot Crawl-delay that must NOT leak,
+    # and the governing group's Crawl-delay (r+1 seconds) — consumed
+    # by the politeness stage below via robots_meta.
     hosts = [
         (f"www.site{r}{t}",
-         "User-agent: otherbot\nDisallow: /\n\nUser-agent: *\n"
+         f"Sitemap: https://www.site{r}{t}/sitemap.xml\n"
+         "User-agent: otherbot\nCrawl-delay: 99\nDisallow: /\n\n"
+         f"User-agent: *\nCrawl-delay: {r + 1}\n"
          + ("Disallow: /d/" if r == 3 else "Disallow: /nothing/"))
         for r in range(7)
         for t in (".co.uk", ".com")
@@ -196,6 +202,68 @@ def main() -> None:
     n_robots_blocked = rob.where(~F.col("robots_allowed")).count()
     assert n_robots_blocked == docs.where(F.col("doc_id") % 7 == 3).count()
     allowed = rob.where(F.col("robots_allowed")).drop("robots_allowed")
+
+    # 0c'. crawl politeness + sitemap seeding (round 10,
+    # operators/robots.robots_meta): the next crawl window's schedule.
+    # A host with Crawl-delay d allows floor(60/d) fetches per 60 s
+    # politeness window (no delay -> 1 s default); Sitemap lines are
+    # GLOBAL per sitemaps.org and seed tomorrow's frontier.  The
+    # budget table is dimension data (one row per host) — broadcast;
+    # the frontier cap is a rank-limit window: the LITERAL max-budget
+    # prefilter is what Spark plans as a partial WindowGroupLimit
+    # (map-side volume bound however hot a host), the exact per-host
+    # budget then filters against the broadcast column.
+    from pyspark.sql import Window
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
+        robots_meta,
+    )
+
+    meta = robots_meta(
+        spark.createDataFrame(hosts, "host string, robots_txt string")
+    )
+    budget = meta.select(
+        "host",
+        F.floor(F.lit(60.0) / F.coalesce("crawl_delay", F.lit(1.0)))
+        .cast("int")
+        .alias("fetch_budget"),
+        "sitemaps",
+    )
+    # group-scoped delay: site r declares r+1 s, so budget = 60//(r+1);
+    # the decoy otherbot delay (99) must not leak into any budget
+    brows = {r["host"]: r for r in budget.collect()}  # 14 hosts: dim data
+    assert all(
+        r["fetch_budget"] == 60 // (int(h[8]) + 1) for h, r in brows.items()
+    ), brows
+    max_budget = max(r["fetch_budget"] for r in brows.values())
+    fhost = F.lower(
+        F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)
+    )
+    frontier = (
+        allowed.withColumn("_fhost", fhost)
+        .withColumn(
+            "_frank",
+            F.row_number().over(
+                Window.partitionBy("_fhost").orderBy(
+                    F.col("n_chars").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .where(F.col("_frank") <= F.lit(max_budget))  # WindowGroupLimit
+        .join(F.broadcast(budget.withColumnRenamed("host", "_fhost")), "_fhost")
+        .where(F.col("_frank") <= F.col("fetch_budget"))
+    )
+    n_frontier = frontier.count()
+    over = (
+        frontier.groupBy("_fhost", "fetch_budget")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > F.col("fetch_budget"))
+        .count()
+    )
+    assert over == 0
+    seeds = budget.select("host", F.explode("sitemaps").alias("seed_url"))
+    n_seeds = seeds.count()
+    assert n_seeds == 14, n_seeds  # one global Sitemap line per host
     # per-domain cap: keep the longest ~90% per domain (rank-limit
     # window -> partial WindowGroupLimit bounds hot domains map-side)
     cap_n = max(10, int(0.9 * n0 / 14) + 1)
@@ -491,6 +559,9 @@ def main() -> None:
         "boilerplate_rebuild_mismatches": int(bp["mismatch"]),
         "c4_flagged_docs": int(n_c4_flagged),
         "robots_blocked_docs": int(n_robots_blocked),
+        "politeness_frontier_next_window": int(n_frontier),
+        "politeness_max_fetch_budget": int(max_budget),
+        "sitemap_frontier_seeds": int(n_seeds),
         "after_url_gate_and_domain_cap": int(n_url_gate),
         "after_quality_language_lm_gate": n_gate,
         "docs_with_pii_redacted": n_pii_docs,

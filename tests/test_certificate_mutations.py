@@ -309,6 +309,46 @@ MUTATIONS = [
         "count(*) * 1.001 AS v0",
         "greg-benchmark-total",
     ),
+    # round 10: the full-PSL exception rule (!www.bd) — the oracle
+    # states the exception's registrable domain as a literal; flipping
+    # it moves every %6==4 row of layout_keys 'url_psl_full'.
+    (
+        "layout_keys",
+        "WHEN doc_id % 6 = 4 THEN 'www.bd'",
+        "WHEN doc_id % 6 = 4 THEN 'wwx.bd'",
+        "psl-exception-rule",
+    ),
+    # round 10: the wildcard rule (*.bd) — zed.bd keys one label
+    # deeper; the flip moves every %6==3 domain AND the url hash.
+    (
+        "layout_keys",
+        "WHEN 3 THEN 'zed.bd'",
+        "WHEN 3 THEN 'zad.bd'",
+        "psl-wildcard-rule",
+    ),
+    # round 10, robots_warc: the WARC-derived verdict — dropping the
+    # NOT inverts every blocked/allowed decision of the branch.
+    (
+        "layout_keys",
+        "(NOT starts_with(doc_id::VARCHAR,",
+        "(starts_with(doc_id::VARCHAR,",
+        "robots-warc-verdict",
+    ),
+    # round 10, robots_warc: the group-scoped crawl-delay arithmetic —
+    # the oracle restates (h % 5) + 1; a +2 flip moves every split.
+    (
+        "layout_keys",
+        "((doc_id % 13) % 5 + 1)::VARCHAR",
+        "((doc_id % 13) % 5 + 2)::VARCHAR",
+        "robots-warc-crawl-delay",
+    ),
+    # round 10, robots_warc: the global sitemap list literal.
+    (
+        "layout_keys",
+        "'.com/s0.xml'",
+        "'.com/s9.xml'",
+        "robots-warc-sitemap",
+    ),
 ]
 
 

@@ -395,3 +395,62 @@ def test_robots_from_warc_decodes_chunked_and_gzip(spark, tmp_path):
     assert set(rows) == {"plain.com", "chunky.com", "zippy.com"}
     assert rows["plain.com"] == rows["chunky.com"] == rows["zippy.com"]
     assert rows["plain.com"] == body.decode()
+
+
+def test_politeness_budget_and_sitemap_frontier(spark):
+    """robots_meta's consumer (round 10): group-scoped crawl-delay ->
+    per-host fetch budget for a politeness window -> rank-limit
+    frontier cap; global Sitemap lines seed the next frontier.  The
+    decoy otherbot delay must not leak into any budget."""
+    from pyspark.sql import Window
+
+    hosts = [
+        (f"h{r}.com",
+         f"Sitemap: https://h{r}.com/s.xml\n"
+         "User-agent: otherbot\nCrawl-delay: 99\n\n"
+         f"User-agent: *\nCrawl-delay: {r + 1}\nDisallow: /none\n")
+        for r in range(4)
+    ]
+    meta = R.robots_meta(
+        spark.createDataFrame(hosts, "host string, robots_txt string")
+    )
+    budget = meta.select(
+        "host",
+        F.floor(F.lit(60.0) / F.coalesce("crawl_delay", F.lit(1.0)))
+        .cast("int")
+        .alias("fetch_budget"),
+        "sitemaps",
+    )
+    got = {r["host"]: r for r in budget.collect()}
+    assert {h: r["fetch_budget"] for h, r in got.items()} == {
+        "h0.com": 60, "h1.com": 30, "h2.com": 20, "h3.com": 15
+    }
+    assert all(list(r["sitemaps"]) == [f"https://{h}/s.xml"]
+               for h, r in got.items())
+    # 40 candidate URLs on h3 (budget 15): frontier keeps exactly 15
+    urls = spark.createDataFrame(
+        [(i, f"https://h{i % 4}.com/p/{i}") for i in range(160)],
+        "doc_id long, url string",
+    )
+    fhost = F.lower(
+        F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)
+    )
+    frontier = (
+        urls.withColumn("_fhost", fhost)
+        .withColumn(
+            "_frank",
+            F.row_number().over(
+                Window.partitionBy("_fhost").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("_frank") <= F.lit(60))
+        .join(F.broadcast(budget.withColumnRenamed("host", "_fhost")), "_fhost")
+        .where(F.col("_frank") <= F.col("fetch_budget"))
+    )
+    per_host = {
+        r["_fhost"]: r["n"]
+        for r in frontier.groupBy("_fhost")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_host == {"h0.com": 40, "h1.com": 30, "h2.com": 20, "h3.com": 15}

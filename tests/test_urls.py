@@ -204,3 +204,85 @@ def test_registered_domain_public_suffix_list(spark):
         ).collect()
     }
     assert bare[0] == "co.uk" and bare[3] == "example.de"
+
+
+def test_parse_public_suffix_list_full_format():
+    # round 10: the REAL publicsuffix.org file format — comments,
+    # blank lines, wildcard and exception rules, any label depth
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.urls import (
+        PublicSuffixList,
+        parse_public_suffix_list,
+    )
+
+    snapshot = """\
+// ===BEGIN ICANN DOMAINS===
+// ck : https://example/ck
+*.ck
+!www.ck
+
+co.uk
+k12.ma.us
+*.kawasaki.jp
+!city.kawasaki.jp
+"""
+    psl = parse_public_suffix_list(snapshot)
+    assert isinstance(psl, PublicSuffixList)
+    assert psl.exact == {2: frozenset({"co.uk"}), 3: frozenset({"k12.ma.us"})}
+    assert psl.wildcard == {
+        1: frozenset({"ck"}),
+        2: frozenset({"kawasaki.jp"}),
+    }
+    assert psl.exception == {
+        2: frozenset({"www.ck"}),
+        3: frozenset({"city.kawasaki.jp"}),
+    }
+    # a sequence of rule lines parses the same; case folds; '*' skipped
+    assert parse_public_suffix_list(["CO.UK", "*", ""]).exact == {
+        2: frozenset({"co.uk"})
+    }
+
+
+def test_registered_domain_wildcard_exception_and_deep_rules(spark):
+    """round 10: real-PSL semantics through the Column chain —
+    wildcard (*.ck), exception (!www.ck), 3-label exact suffixes and
+    the longest-match precedence (the round-9 path silently dropped
+    every non-2-label rule)."""
+    snapshot = "\n".join(
+        ["// test", "co.uk", "k12.ma.us", "*.ck", "!www.ck",
+         "*.kawasaki.jp", "!city.kawasaki.jp"]
+    )
+    cases = [
+        (0, "https://www.shop.example.co.uk/x", "example.co.uk"),
+        # wildcard: ANY label under .ck is a public suffix
+        (1, "https://sub.site.foo.ck/", "site.foo.ck"),
+        # exception: www.ck is registrable despite *.ck
+        (2, "https://shop.www.ck/", "www.ck"),
+        (3, "https://www.ck/", "www.ck"),
+        # 3-label exact suffix -> 4-label registrable
+        (4, "https://www.district.k12.ma.us/", "district.k12.ma.us"),
+        # wildcard with a 2-label base
+        (5, "https://x.y.kawasaki.jp/", "x.y.kawasaki.jp"),
+        (6, "https://a.x.y.kawasaki.jp/", "x.y.kawasaki.jp"),
+        # exception under that wildcard
+        (7, "https://sub.city.kawasaki.jp/", "city.kawasaki.jp"),
+        # unlisted TLD: implicit '*' default = last two labels
+        (8, "https://a.b.example.org/", "example.org"),
+        # host IS a wildcard public suffix: pragmatic host fallback
+        (9, "https://foo.ck/", "foo.ck"),
+    ]
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.urls import (
+        parse_public_suffix_list,
+    )
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "i long, url string"
+    )
+    for rules in (snapshot, parse_public_suffix_list(snapshot)):
+        got = {
+            r["i"]: r["d"]
+            for r in df.select(
+                "i",
+                registered_domain("url", public_suffixes=rules).alias("d"),
+            ).collect()
+        }
+        assert got == {i: d for i, _, d in cases}
