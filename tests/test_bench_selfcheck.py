@@ -31,7 +31,10 @@ def test_median_ratio_even_count_averages():
 def test_ratio_warn_is_binding_constants():
     # the refusal path keys off these; a silent change should be loud
     assert bench.RATIO_WARN == 1.10
-    assert bench.ISO_CHECK_TOP == 5
+    # round 10: widened 5 -> 8 so the artifact's own fresh-session
+    # recheck covers the noisy mid-band (streaming_interval,
+    # decontamination, ivf_topk)
+    assert bench.ISO_CHECK_TOP == 8
 
 
 class _FakeDF:
