@@ -1216,6 +1216,111 @@ def urlcap_ladder(spark, sizes: list[int], hot_frac: float = 0.5) -> None:
     print(json.dumps({"op": "urlcap_hotkey", "points": points}))
 
 
+def psl_ladder(spark, sizes: list[int]) -> None:
+    """§3u: registered_domain with a REAL-SCALE public-suffix list
+    (round 10).  The round-9 A/B certified the InSet probe at ~300
+    embedded 2-label rules; the open 100 TB question is whether a
+    full publicsuffix.org snapshot — ~10k rules spread over FOUR
+    distinct depths (so four InSet probes + exception branches and a
+    wider codegen'd `when` chain) — stays map-only flat.  Synthetic
+    snapshot mirrors the real file's shape: 6,000 exact 2-label,
+    2,500 exact 3-label, 600 exact 4-label, 300 wildcard, 100
+    exception rules (~9,500 total; the live ICANN+private list is
+    ~9.6k).  Hosts cycle all six rule classes BY ARITHMETIC, so the
+    in-rung oracle re-derives the expected registrable domain as a
+    Column and asserts mismatches == 0 over the FULL corpus.  The B
+    arm is the embedded default subset (~300 rules, one depth) timed
+    on the same hosts — the cost delta IS the price of full-snapshot
+    fidelity."""
+    from pyspark.sql import functions as F
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.urls import (
+        parse_public_suffix_list,
+        registered_domain,
+    )
+
+    lines = [f"s2{j}.t{j % 200}" for j in range(6000)]
+    lines += [f"p{j}.s3{j}.t{j % 200}" for j in range(2500)]
+    lines += [f"d{j}.p{j}.s4.t4" for j in range(600)]
+    lines += [f"*.w{m}" for m in range(300)]
+    lines += [f"!exc{i}.w{i % 300}" for i in range(100)]
+    psl = parse_public_suffix_list(lines)
+    n_rules = len(lines)
+
+    points = []
+    for n in sizes:
+        h = F.xxhash64("id")
+        k = F.pmod(F.xxhash64("id", F.lit(3)), F.lit(1000)).cast("string")
+        j2 = F.pmod(F.xxhash64("id", F.lit(4)), F.lit(6000))
+        j3 = F.pmod(F.xxhash64("id", F.lit(5)), F.lit(2500))
+        j4 = F.pmod(F.xxhash64("id", F.lit(6)), F.lit(600))
+        jw = F.pmod(F.xxhash64("id", F.lit(7)), F.lit(5000)).cast("string")
+        mw = F.pmod(F.xxhash64("id", F.lit(8)), F.lit(300)).cast("string")
+        ie = F.pmod(F.xxhash64("id", F.lit(9)), F.lit(100))
+        kind = F.pmod(h, F.lit(6))
+        sfx = (
+            F.when(kind == 0, F.concat(F.lit("s2"), j2.cast("string"),
+                                       F.lit(".t"), (j2 % 200).cast("string")))
+            .when(kind == 1, F.concat(F.lit("p"), j3.cast("string"),
+                                      F.lit(".s3"), j3.cast("string"),
+                                      F.lit(".t"), (j3 % 200).cast("string")))
+            .when(kind == 2, F.concat(F.lit("z"), jw, F.lit(".w"), mw))
+            .when(kind == 3, F.concat(F.lit("exc"), ie.cast("string"),
+                                      F.lit(".w"), (ie % 300).cast("string")))
+            .when(kind == 4, F.concat(F.lit("q"), jw, F.lit(".none")))
+            .otherwise(F.concat(F.lit("d"), j4.cast("string"),
+                                F.lit(".p"), j4.cast("string"),
+                                F.lit(".s4.t4")))
+        )
+        # kind 3 (exception) and kind 4 (unlisted): registrable = the
+        # suffix-shaped tail itself; every other kind keys one deeper
+        expect = F.when(
+            kind.isin(3, 4), sfx
+        ).otherwise(F.concat(F.lit("a"), k, F.lit("."), sfx))
+        df = (
+            spark.range(n)
+            .select(
+                F.concat(
+                    F.lit("https://www.a"), k, F.lit("."), sfx, F.lit("/x")
+                ).alias("url"),
+                expect.alias("_expect"),
+            )
+            .localCheckpoint()
+        )
+        df.count()  # warm: neither arm pays the cold build
+
+        def _time(col):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                df.select(col.alias("r")).agg(
+                    F.sum(F.length("r"))
+                ).collect()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            return best
+
+        t_full = _time(registered_domain("url", public_suffixes=psl))
+        t_subset = _time(registered_domain("url"))
+        mism = df.where(
+            registered_domain("url", public_suffixes=psl)
+            != F.col("_expect")
+        ).count()
+        assert mism == 0, f"psl rung: {mism} mismatches at n={n}"
+        points.append(
+            {
+                "n_hosts": n,
+                "n_rules_full": n_rules,
+                "full_psl_sec": round(t_full, 2),
+                "embedded_subset_sec": round(t_subset, 2),
+                "ratio": round(t_full / max(t_subset, 1e-9), 2),
+                "hosts_per_sec_full": int(n / max(t_full, 1e-9)),
+            }
+        )
+        print(json.dumps(points[-1]), flush=True)
+    print(json.dumps({"op": "psl_full_snapshot", "points": points}))
+
+
 def robots_ladder(
     spark,
     sizes: list[int],
@@ -2096,6 +2201,16 @@ def main() -> None:
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
         robots_ladder(spark, sizes, n_hosts, hot)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--psl":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [2_000_000, 8_000_000]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        psl_ladder(spark, sizes)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--warc":
         sizes = (
