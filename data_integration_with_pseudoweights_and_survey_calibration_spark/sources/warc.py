@@ -477,9 +477,13 @@ class HttpRangeReader:
         self.timeout = float(timeout)
         self.retries = int(retries)
 
-    def _open(self, req):
+    def _open(self, req, *, require_206: bool = False, read_body: bool = True):
         """urlopen with timeout + bounded retry on transient faults;
-        returns (status, headers, body_bytes)."""
+        returns (status, headers, body_bytes).  ``require_206`` checks
+        the status BEFORE touching the body: a Range-ignoring server
+        answers 200 with the WHOLE object, and reading it first would
+        download 100 TB to report an error.  ``read_body=False`` skips
+        the body entirely (size probes need headers only)."""
         import http.client
         import socket
         import time
@@ -490,12 +494,21 @@ class HttpRangeReader:
         for attempt in range(self.retries + 1):
             try:
                 with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                    return r.status, r.headers, r.read()
+                    if require_206 and r.status != 206:
+                        raise ValueError(
+                            f"server ignored the Range header for "
+                            f"{req.full_url!r} (HTTP {r.status}, expected "
+                            "206 Partial Content); ranged WARC ingest "
+                            "needs byte-range support"
+                        )
+                    body = r.read() if read_body else b""
+                    return r.status, r.headers, body
             except urllib.error.HTTPError as e:
-                if e.code >= 500:  # transient server-side
+                if e.code in (500, 502, 503, 504):  # transient server-side
                     last = e
                 else:
-                    raise  # deterministic 4xx — caller decides
+                    # deterministic (4xx, 501, ...) — caller decides
+                    raise
             except (
                 urllib.error.URLError,
                 socket.timeout,
@@ -519,19 +532,13 @@ class HttpRangeReader:
             headers={"Range": f"bytes={int(start)}-{int(start) + int(length) - 1}"},
         )
         try:
-            status, _, body = self._open(req)
+            _, _, body = self._open(req, require_206=True)
         except urllib.error.HTTPError as e:
             if e.code == 416:
                 # Range Not Satisfiable: start is at/after EOF — the
                 # sequential reader's end-of-object signal
                 return b""
             raise
-        if status != 206:
-            raise ValueError(
-                f"server ignored the Range header for {uri!r} "
-                f"(HTTP {status}, expected 206 Partial Content); "
-                "ranged WARC ingest needs byte-range support"
-            )
         return body
 
     def size(self, uri: str) -> int:
@@ -546,9 +553,11 @@ class HttpRangeReader:
                 return int(n)
         except urllib.error.HTTPError:
             pass  # HEAD rejected (405/403) — fall back to ranged GET
-        # 1-byte ranged GET; total length is the Content-Range suffix
+        # 1-byte ranged GET; total length is the Content-Range suffix.
+        # Headers only — a Range-ignoring server answers 200 with the
+        # WHOLE object, which a size probe must never download.
         req = urllib.request.Request(uri, headers={"Range": "bytes=0-0"})
-        status, headers, _ = self._open(req)
+        status, headers, _ = self._open(req, read_body=False)
         cr = headers.get("Content-Range") or ""
         if status == 206 and "/" in cr:
             total = cr.rsplit("/", 1)[1].strip()

@@ -829,6 +829,54 @@ def test_http_size_falls_back_when_head_unusable():
         srv.server_close()
 
 
+def test_range_ignored_raises_without_downloading_the_body():
+    """A Range-ignoring server answers 200 with the WHOLE object; the
+    adapter must raise off the STATUS, before reading the body — at
+    the 100 TB design point an eager read would download the object
+    just to report the error.  The server here declares a 1 GiB body
+    and trickles it; the ValueError must arrive in well under the
+    time any meaningful fraction of that body could transfer."""
+    import http.server
+    import time
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        HttpRangeReader,
+    )
+
+    class WholeObject(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.send_response(200)  # ignores Range
+            self.send_header("Content-Length", str(1 << 30))
+            self.end_headers()
+            try:
+                for _ in range(200):  # trickle ~12.8 MB over ~10 s
+                    self.wfile.write(b"x" * 65536)
+                    time.sleep(0.05)
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client hung up early — the expected outcome
+
+    srv, port = _serve(WholeObject)
+    try:
+        t0 = time.monotonic()
+        with pytest.raises(ValueError, match="ignored the Range header"):
+            HttpRangeReader(timeout=30).read_range(
+                f"http://127.0.0.1:{port}/obj", 0, 10
+            )
+        assert time.monotonic() - t0 < 2.0
+        # size() probe against the same server: headers only, no read
+        t0 = time.monotonic()
+        assert HttpRangeReader(timeout=30).size(
+            f"http://127.0.0.1:{port}/obj"
+        ) == (1 << 30)
+        assert time.monotonic() - t0 < 2.0
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_http_stall_raises_within_budget_and_retry_recovers():
     """A stalled connection must fail the task within the timeout
     budget (never hang — Spark's task retry is the recovery path),
