@@ -1445,6 +1445,164 @@ def robots_ladder(
     print(json.dumps({"op": "robots_verdict", "points": points}))
 
 
+def robots_warc_rung(
+    spark,
+    sizes: list[int],
+    pages_per_host: int = 50,
+    n_urls: int = 2_000_000,
+) -> None:
+    """§3v: the Common Crawl ENTRY PATH at archive scale (round 10) —
+    a synthetic crawl (.warc.gz, one gzip member per record, robots
+    fetches interleaved with page responses at 1:``pages_per_host``)
+    flows through ``read_warc`` -> ``robots_from_warc`` (corpus
+    pruned by Column filter BEFORE the Arrow pass; wire encodings
+    cycle identity/chunked/gzip; every 4th host also has an EARLIER
+    all-blocking capture that latest-wins must discard) ->
+    ``robots_rules`` -> ``robots_verdict`` over ``n_urls`` URLs.
+    In-rung oracle: expected verdicts re-derived from the
+    construction arithmetic; ``mismatches == 0`` asserted over the
+    FULL corpus.  Reports the dimension-build and verdict walls
+    separately — the 100 TB claim is that the robots dimension costs
+    ~the archive scan (page records die at the filter) and the
+    verdict stays map-side.  Pick ``sizes`` NOT divisible by 10 (the
+    default is 2001): with ``n_hosts % 10 == 0`` the path digit
+    always equals the host digit and every URL is blocked — a
+    degenerate (if still parity-checked) verdict mix."""
+    import gzip
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
+        robots_from_warc,
+        robots_rules,
+        robots_verdict,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        read_warc,
+    )
+
+    def _wrap(rid: bytes, uri: bytes, date: bytes, http: bytes) -> bytes:
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:" + rid + b">\r\n"
+            b"WARC-Target-URI: " + uri + b"\r\n"
+            b"WARC-Date: " + date + b"\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(http)
+        )
+        return hdr + http + b"\r\n\r\n"
+
+    def _http(body: bytes, enc: int) -> bytes:
+        if enc == 1:  # chunked
+            payload = (
+                b"%x\r\n" % len(body[:16]) + body[:16] + b"\r\n"
+                + b"%x\r\n" % len(body[16:]) + body[16:] + b"\r\n0\r\n\r\n"
+            )
+            extra = b"Transfer-Encoding: chunked\r\n"
+        elif enc == 2:
+            payload = gzip.compress(body, mtime=0)
+            extra = b"Content-Encoding: gzip\r\n"
+        else:
+            payload, extra = body, b""
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            + extra + b"\r\n" + payload
+        )
+
+    points = []
+    for n_hosts in sizes:
+        d = tempfile.mkdtemp(prefix="sg_robwarc_")
+        hosts_per_file = max(1, n_hosts // 32)  # ~32 files = task width
+        total_bytes = 0
+        page = b"<html><body>" + b"w " * 400 + b"</body></html>"
+        fh = None
+        try:
+            for h in range(n_hosts):
+                if h % hosts_per_file == 0:
+                    if fh:
+                        fh.close()
+                    fh = open(f"{d}/part-{h // hosts_per_file:05d}.warc.gz", "wb")
+                host = b"site%d.com" % h
+                robots = b"User-agent: *\nDisallow: /p/%d\n" % (h % 10)
+                if h % 4 == 0:  # earlier all-blocking capture: must lose
+                    blob = gzip.compress(_wrap(
+                        b"o%d" % h, b"https://" + host + b"/robots.txt",
+                        b"2026-01-01T00:00:00Z",
+                        _http(b"User-agent: *\nDisallow: /\n", h % 3),
+                    ))
+                    fh.write(blob)
+                    total_bytes += len(blob)
+                blob = gzip.compress(_wrap(
+                    b"r%d" % h, b"https://" + host + b"/robots.txt",
+                    b"2026-06-01T00:00:00Z", _http(robots, h % 3),
+                ))
+                fh.write(blob)
+                total_bytes += len(blob)
+                for p in range(pages_per_host):
+                    blob = gzip.compress(_wrap(
+                        b"p%d_%d" % (h, p),
+                        b"https://" + host + b"/page/%d" % p,
+                        b"2026-06-01T00:00:00Z",
+                        b"HTTP/1.1 200 OK\r\n\r\n" + page,
+                    ))
+                    fh.write(blob)
+                    total_bytes += len(blob)
+        finally:
+            if fh:
+                fh.close()
+
+        t0 = time.time()
+        dim = robots_from_warc(read_warc(spark, d)).localCheckpoint()
+        n_dim = dim.count()
+        t_dim = time.time() - t0
+        assert n_dim == n_hosts, (n_dim, n_hosts)
+
+        urls = spark.range(n_urls).select(
+            F.col("id"),
+            F.concat(
+                F.lit("https://site"),
+                (F.col("id") % n_hosts).cast("string"),
+                F.lit(".com/p/"),
+                (F.col("id") % 10).cast("string"),
+                F.lit("/x"),
+            ).alias("url"),
+            # blocked iff the path digit equals the host's disallow
+            # digit (rule /p/<h%10> prefixes /p/<i%10>/x exactly then)
+            ((F.col("id") % 10) != ((F.col("id") % n_hosts) % 10)).alias(
+                "expected"
+            ),
+        ).localCheckpoint()
+        urls.count()
+        out = robots_verdict(urls, robots_rules(dim), id_col="id")
+        best = blocked = None
+        for _ in range(2):
+            t0 = time.time()
+            blocked = out.where(~F.col("robots_allowed")).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        mism = out.where(
+            F.col("robots_allowed") != F.col("expected")
+        ).count()
+        assert mism == 0, f"robots_warc rung: {mism} mismatches"
+        shutil.rmtree(d, ignore_errors=True)
+        points.append(
+            {
+                "n_hosts": n_hosts,
+                "archive_records": n_hosts * pages_per_host + n_hosts
+                + n_hosts // 4 + (1 if n_hosts % 4 else 0),
+                "gz_mb": round(total_bytes / 1e6, 1),
+                "dim_build_sec": round(t_dim, 2),
+                "n_urls": n_urls,
+                "blocked": int(blocked),
+                "verdict_sec": round(best, 2),
+                "urls_per_sec": int(n_urls / max(best, 1e-9)),
+            }
+        )
+        print(json.dumps(points[-1]), flush=True)
+    print(json.dumps({"op": "robots_from_warc_e2e", "points": points}))
+
+
 def warc_ladder(
     spark, sizes: list[int], docs_per_file: int = 2000, body_words: int = 120
 ) -> None:
@@ -2201,6 +2359,18 @@ def main() -> None:
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
         robots_ladder(spark, sizes, n_hosts, hot)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--robotswarc":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [2001]
+        )
+        pages = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+        n_urls = int(sys.argv[4]) if len(sys.argv) > 4 else 2_000_000
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        robots_warc_rung(spark, sizes, pages, n_urls)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--psl":
         sizes = (
