@@ -119,12 +119,14 @@ def http_response_parts(
             headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
                 "latin-1"
             )
-    te = headers.get("transfer-encoding", "identity").lower()
-    if "chunked" in te:
+    te = headers.get("transfer-encoding", "identity").strip().lower()
+    if te == "chunked":
         body = _dechunk(body)
         if body is None:
             return status, headers, None
     elif te not in ("identity", ""):
+        # multi-coding ("gzip, chunked") or unknown TE: dechunking
+        # alone would leave transfer-coded bytes — skip, never garble
         return status, headers, None
     ce = headers.get("content-encoding", "identity").lower()
     if ce in ("gzip", "x-gzip"):
