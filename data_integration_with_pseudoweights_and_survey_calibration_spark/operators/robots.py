@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "parse_robots",
     "parse_robots_meta",
+    "crawl_budgets",
     "robots_meta",
     "robots_rules",
     "robots_verdict",
@@ -250,6 +251,43 @@ def robots_meta(
     ).mapInPandas(
         _parse,
         schema="host string, crawl_delay double, sitemaps array<string>",
+    )
+
+
+def crawl_budgets(
+    meta: DataFrame,
+    *,
+    window_s: float = 60.0,
+    default_delay: float = 1.0,
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-host fetch budget for one politeness window —
+    :func:`robots_meta`'s scheduling consumer: a host declaring
+    ``Crawl-delay: d`` allows ``floor(window_s / d)`` fetches per
+    window (hosts with no declared delay get ``default_delay``;
+    budget is floored at 1 so a delay longer than the window still
+    crawls eventually).  Returns ``(host, fetch_budget, sitemaps)``
+    — dimension data, one row per host, broadcastable by
+    construction.
+
+    The standard frontier composition (see
+    ``examples/curation_pipeline.py`` stage 0c'): rank candidate URLs
+    per host, pre-filter ``rank <= max(budget)`` with a LITERAL bound
+    (Spark plans that as a partial ``WindowGroupLimit`` — map tasks
+    forward at most that many rows per host however hot the host),
+    then apply the exact per-host budget against this broadcast
+    table."""
+    d = F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+    # a declared 0 (or negative) delay means "no delay", not a
+    # divide-by-zero (ANSI mode errors on x/0)
+    d = F.when(d > 0, d).otherwise(F.lit(float(default_delay)))
+    return meta.select(
+        host_col,
+        F.greatest(
+            F.lit(1),
+            F.floor(F.lit(float(window_s)) / d).cast("int"),
+        ).alias("fetch_budget"),
+        "sitemaps",
     )
 
 

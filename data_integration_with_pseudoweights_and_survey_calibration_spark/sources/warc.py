@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import re
 import zlib
-from typing import Iterator
+from typing import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -908,6 +908,183 @@ def read_warc_split(
     return ranges.mapInPandas(_parse_range, schema=WARC_SCHEMA)
 
 
+#: output schema of :func:`parse_cdxj`
+CDXJ_SCHEMA = (
+    "surt string, ts string, url string, status string, mime string, "
+    "digest string, path string, offset long, length long"
+)
+
+
+def parse_cdxj(
+    lines: DataFrame, *, line_col: str = "value", base_uri: str = ""
+) -> DataFrame:
+    """Parse CDXJ index lines — the Common Crawl / pywb index format,
+    one line per capture: ``<SURT key> <14-digit timestamp> <JSON>``
+    where the JSON block carries ``url``, ``status``, ``mime``,
+    ``digest`` and the record's physical location (``filename``,
+    ``offset``, ``length`` — the byte range of the record's OWN gzip
+    member inside the ``.warc.gz``).
+
+    Input is any one-string-column frame (``spark.read.text`` over
+    ``cdx-*.gz`` index shards — Spark decompresses ``.gz`` text
+    transparently); output is :data:`CDXJ_SCHEMA`, with ``path`` =
+    ``base_uri + filename`` ready to feed :func:`read_warc_at`.
+    Malformed lines yield NULL url/offset/length (filter on
+    ``offset IS NOT NULL``); pure Column regex + ``from_json`` —
+    map-only, no UDF, prunable and pushdown-friendly at the text
+    scan.  The standard 100 TB flow is: read the index shards (tiny
+    next to the crawl), FILTER by SURT prefix / status / mime
+    (e.g. ``surt LIKE 'org,example)%'`` or ``url LIKE '%/robots.txt'``)
+    and fetch ONLY the matching records — the crawl itself is never
+    scanned."""
+    from pyspark.sql import functions as F
+
+    line = F.col(line_col)
+    surt = F.regexp_extract(line, r"^(\S+) \d{14} \{", 1)
+    ts = F.regexp_extract(line, r"^\S+ (\d{14}) \{", 1)
+    js = F.regexp_extract(line, r"^\S+ \d{14} (\{.*\})\s*$", 1)
+    m = F.from_json(js, "map<string,string>")
+    ok = surt != ""
+    out = [
+        F.when(ok, surt).alias("surt"),
+        F.when(ok, ts).alias("ts"),
+        F.when(ok, m["url"]).alias("url"),
+        F.when(ok, m["status"]).alias("status"),
+        F.when(ok, m["mime"]).alias("mime"),
+        F.when(ok, m["digest"]).alias("digest"),
+        F.when(ok, F.concat(F.lit(base_uri), m["filename"])).alias("path"),
+        F.when(ok, m["offset"].cast("long")).alias("offset"),
+        F.when(ok, m["length"].cast("long")).alias("length"),
+    ]
+    return lines.select(*out)
+
+
+def read_warc_at(
+    spark: SparkSession,
+    locations: DataFrame,
+    *,
+    path_col: str = "path",
+    offset_col: str = "offset",
+    length_col: str = "length",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Fetch SPECIFIC WARC records by byte location — the Common
+    Crawl INDEX access pattern: query the (tiny) CDX index, then
+    ranged-GET exactly the records you want out of a 100 TB crawl
+    without scanning a single archive.  One input row = one ranged
+    read of ``[offset, offset+length)`` from ``path``; for
+    ``.warc.gz`` those CDX ranges are the record's own gzip member,
+    so each read decompresses standalone.  A range holding several
+    members yields every record in it.
+
+    Byte access goes through the same pluggable seam as
+    :func:`read_warc_split` (:func:`register_range_reader`): local
+    paths and ``http(s)`` work out of the box, so
+    ``read_warc_at(spark, parse_cdxj(idx, base_uri="https://…/"))``
+    is a working Common Crawl record fetcher as-is.  Adapters are
+    snapshotted on the DRIVER at call time and shipped in the task
+    closure (keep them picklable — lazy clients).
+
+    ``parallelism`` repartitions the location frame first: ranged
+    GETs are latency-bound, so size it to the concurrent-request
+    budget you want against the store (index frames are often a
+    handful of tasks otherwise).  Output is :data:`WARC_SCHEMA`; a
+    failed or corrupt range quarantines as ONE
+    ``warc_type='__corrupt__'`` row carrying the path — same
+    no-silent-drop contract as :func:`read_warc`."""
+    readers = dict(_RANGE_READERS)  # driver snapshot -> task closure
+
+    def _resolve(p: str):
+        scheme = p.split("://", 1)[0].lower() if "://" in p else ""
+        if scheme in ("", "file"):
+            return LOCAL_RANGE_READER
+        r = readers.get(scheme)
+        if r is None:
+            # RuntimeError, not ValueError: a missing adapter is a
+            # CONFIG error that must fail the job with instructions,
+            # never quarantine rows silently
+            raise RuntimeError(
+                f"no ranged-read adapter registered for scheme "
+                f"{scheme!r} ({p!r}); call register_range_reader()"
+            )
+        return r
+
+    cols = [
+        "path",
+        "record_id",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "content_type",
+        "content_length",
+        "content",
+    ]
+
+    def _quarantine(p: str) -> dict:
+        return {
+            "record_id": "",
+            "warc_type": CORRUPT_TYPE,
+            "target_uri": "",
+            "warc_date": "",
+            "content_type": "",
+            "content_length": None,
+            "content": None,
+            "path": p,
+        }
+
+    def _fetch(batches):
+        import urllib.error
+
+        import pandas as pd
+
+        def _deterministic(e: Exception) -> bool:
+            # quarantine only failures a RETRY cannot fix: a bad
+            # range/corrupt member (ValueError), a missing/forbidden
+            # object (FileNotFound/IsADirectory/Permission, HTTP 4xx).
+            # Transient faults (URLError, 5xx, stalls) PROPAGATE so
+            # the Spark task fails and retries on another executor.
+            if isinstance(e, ValueError):
+                return True
+            if isinstance(e, urllib.error.HTTPError):
+                return 400 <= e.code < 500
+            return isinstance(
+                e, (FileNotFoundError, IsADirectoryError, PermissionError)
+            )
+
+        rows: list[dict] = []
+        for pdf in batches:
+            for p, off, ln in zip(
+                pdf[path_col], pdf[offset_col], pdf[length_col]
+            ):
+                p = str(p)
+                try:
+                    if off is None or ln is None or int(ln) <= 0:
+                        raise ValueError("null/empty location")
+                    blob = _resolve(p).read_range(p, int(off), int(ln))
+                    recs = list(
+                        iter_warc_records(_iter_gzip_members(blob))
+                        if blob[:2] == b"\x1f\x8b"
+                        else parse_warc_bytes(blob)
+                    )
+                    if not recs:
+                        raise ValueError("no record in range")
+                    for rec in recs:
+                        rec["path"] = p
+                        rows.append(rec)
+                except Exception as e:  # noqa: BLE001 - triaged below
+                    if not _deterministic(e):
+                        raise
+                    rows.append(_quarantine(p))
+            yield pd.DataFrame(rows, columns=cols)
+            rows = []
+        yield pd.DataFrame(rows, columns=cols)
+
+    locs = locations.select(path_col, offset_col, length_col)
+    if parallelism is not None:
+        locs = locs.repartition(int(parallelism))
+    return locs.mapInPandas(_fetch, schema=WARC_SCHEMA)
+
+
 _TAG_RE = re.compile(r"<script\b.*?</script>|<style\b.*?</style>", re.S | re.I)
 _MARKUP_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"[ \t\r\f\v]+")
@@ -925,12 +1102,34 @@ def _html_to_text(html: str) -> str:
 
 
 def warc_to_documents(
-    records: DataFrame, *, extractor: str = "strip"
+    records: DataFrame,
+    *,
+    extractor: str = "strip",
+    record_types: Sequence[str] = ("response",),
 ) -> DataFrame:
-    """Project WARC ``response`` records into the engine's documents
-    shape: ``(doc_id, url, fetch_date, text)``.
+    """Project WARC records into the engine's documents shape:
+    ``(doc_id, url, fetch_date, text)``.
 
-    - keeps ``warc_type = 'response'`` with an HTTP 200 status line;
+    ``record_types`` (round 10) selects which WARC record types become
+    documents:
+
+    - ``"response"`` (default): captured HTTP responses — kept only
+      with an HTTP 200 status line, body split off the wire headers;
+    - ``"conversion"``: Common Crawl **WET** extracted-text records —
+      the payload IS the text (no HTTP envelope), taken verbatim and
+      never tag-stripped (WET is already extracted);
+    - ``"resource"``: direct resource captures — payload taken
+      verbatim, text handled per ``extractor`` like a response body.
+
+    Pass ``record_types=("conversion",)`` to ingest ``.warc.wet.gz``
+    files — ``read_warc`` parses them unchanged (WET IS the WARC
+    format), so the full pipeline is
+    ``warc_to_documents(read_warc(spark, "….warc.wet.gz"),
+    record_types=("conversion",))``.
+
+    Response-record handling:
+
+    - keeps an HTTP 200 status line;
     - splits the HTTP headers off the payload via
       :func:`http_response_parts` (dechunks ``Transfer-Encoding:
       chunked``, gunzips/inflates ``Content-Encoding: gzip/deflate``
@@ -953,6 +1152,10 @@ def warc_to_documents(
     """
     if extractor not in ("strip", "raw"):
         raise ValueError(f"unknown extractor {extractor!r}")
+    keep_types = frozenset(record_types)
+    unknown = keep_types - {"response", "conversion", "resource"}
+    if unknown:
+        raise ValueError(f"unknown record_types {sorted(unknown)!r}")
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -966,21 +1169,30 @@ def warc_to_documents(
                 pdf["warc_date"],
                 pdf["content"],
             ):
-                if typ != "response":
+                if typ not in keep_types or blob is None:
                     continue
-                # status = 2nd token of the status line (a reason
-                # phrase containing " 200 " must not pass a non-200
-                # response); body dechunked/gunzipped per the wire
-                # headers — None (unsupported/corrupt encoding) skips
-                status, _, body = http_response_parts(bytes(blob))
-                if status != 200 or body is None:
-                    continue
+                raw = bytes(blob)
+                if typ == "response":
+                    # status = 2nd token of the status line (a reason
+                    # phrase containing " 200 " must not pass a
+                    # non-200 response); body dechunked/gunzipped per
+                    # the wire headers — None (unsupported/corrupt
+                    # encoding) skips
+                    status, _, body = http_response_parts(raw)
+                    if status != 200 or body is None:
+                        continue
+                else:
+                    # conversion (WET) / resource: the payload IS the
+                    # content — no HTTP envelope to strip
+                    body = raw
                 out["record_id"].append(rid)
                 out["url"].append(uri)
                 out["fetch_date"].append(date)
                 decoded = body.decode("utf-8", "replace")
                 out["text"].append(
-                    decoded if extractor == "raw" else _html_to_text(decoded)
+                    decoded
+                    if extractor == "raw" or typ == "conversion"
+                    else _html_to_text(decoded)
                 )
             yield pd.DataFrame(out)
 

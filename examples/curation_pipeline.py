@@ -216,19 +216,14 @@ def main() -> None:
     from pyspark.sql import Window
 
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
+        crawl_budgets,
         robots_meta,
     )
 
     meta = robots_meta(
         spark.createDataFrame(hosts, "host string, robots_txt string")
     )
-    budget = meta.select(
-        "host",
-        F.floor(F.lit(60.0) / F.coalesce("crawl_delay", F.lit(1.0)))
-        .cast("int")
-        .alias("fetch_budget"),
-        "sitemaps",
-    )
+    budget = crawl_budgets(meta, window_s=60.0)
     # group-scoped delay: site r declares r+1 s, so budget = 60//(r+1);
     # the decoy otherbot delay (99) must not leak into any budget
     brows = {r["host"]: r for r in budget.collect()}  # 14 hosts: dim data

@@ -414,17 +414,20 @@ def test_politeness_budget_and_sitemap_frontier(spark):
     meta = R.robots_meta(
         spark.createDataFrame(hosts, "host string, robots_txt string")
     )
-    budget = meta.select(
-        "host",
-        F.floor(F.lit(60.0) / F.coalesce("crawl_delay", F.lit(1.0)))
-        .cast("int")
-        .alias("fetch_budget"),
-        "sitemaps",
-    )
+    budget = R.crawl_budgets(meta, window_s=60.0)
     got = {r["host"]: r for r in budget.collect()}
     assert {h: r["fetch_budget"] for h, r in got.items()} == {
         "h0.com": 60, "h1.com": 30, "h2.com": 20, "h3.com": 15
     }
+    # no declared delay -> default_delay; delay > window floors at 1;
+    # a declared 0 delay means "no delay", never a divide-by-zero
+    extra = spark.createDataFrame(
+        [("a.com", None, []), ("b.com", 120.0, []), ("c.com", 0.0, [])],
+        "host string, crawl_delay double, sitemaps array<string>",
+    )
+    eb = {r["host"]: r["fetch_budget"]
+          for r in R.crawl_budgets(extra, window_s=60.0).collect()}
+    assert eb == {"a.com": 60, "b.com": 1, "c.com": 60}
     assert all(list(r["sitemaps"]) == [f"https://{h}/s.xml"]
                for h, r in got.items())
     # 40 candidate URLs on h3 (budget 15): frontier keeps exactly 15
