@@ -1,0 +1,128 @@
+"""Sitemap parsing (sitemaps.org protocol) — the frontier-seeding
+step downstream of ``robots_meta``: robots.txt advertises sitemap
+URLs; the sitemap documents themselves list the host's canonical page
+URLs (``<urlset>``) or delegate to child sitemaps
+(``<sitemapindex>``), optionally gzipped.
+
+Reference parity: the reference repo (R) has no web-corpus surface —
+this module is part of the training-data-pipeline extension, same
+family as ``operators/robots.py`` (which cites the consuming
+composition).
+
+Scale shape: sitemap documents are DIMENSION data — one small XML per
+(host, sitemap) — so parsing is one Arrow ``mapInPandas`` pass over
+the sitemap frame (stdlib ``xml.etree`` + ``gzip``), exactly the
+``robots_rules`` shape.  The output explodes to one row per entry and
+feeds URL-side operators (``normalize_url`` dedup keys,
+``robots_verdict``, per-host frontier caps) — all map-only from
+there.  Nothing corpus-sized ever enters this module.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from typing import Iterator
+from xml.etree import ElementTree
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["parse_sitemap", "sitemap_entries"]
+
+#: schema of :func:`sitemap_entries`
+SITEMAP_SCHEMA = (
+    "sitemap_url string, kind string, loc string, lastmod string"
+)
+
+
+def _local(tag: str) -> str:
+    """Element local name: sitemaps are namespaced
+    (``http://www.sitemaps.org/schemas/sitemap/0.9``) but real files
+    also ship un-namespaced or with stale namespace URIs — match on
+    the local name only."""
+    return tag.rsplit("}", 1)[-1].lower()
+
+
+def parse_sitemap(doc: str | bytes) -> list[tuple[str, str, str | None]]:
+    """Parse one sitemap document into ``(kind, loc, lastmod)`` rows:
+    ``kind='url'`` for ``<urlset><url>`` page entries, ``'sitemap'``
+    for ``<sitemapindex><sitemap>`` children (fetch those and recurse
+    one level — the protocol forbids deeper nesting).  Gzipped bytes
+    (``sitemap.xml.gz``) are sniffed and decompressed; malformed XML
+    or an unrecognized root yields ``[('__corrupt__', None, None)]``
+    so the loss is auditable (the engine's no-silent-drop contract).
+    Entries without a ``<loc>`` are skipped per the spec (loc is the
+    one required child).  Pure stdlib."""
+    if isinstance(doc, (bytes, bytearray, memoryview)):
+        raw = bytes(doc)
+        if raw[:2] == b"\x1f\x8b":
+            try:
+                raw = gzip.decompress(raw)
+            except (OSError, zlib.error, EOFError):
+                return [("__corrupt__", None, None)]
+        text = raw.decode("utf-8", "replace")
+    else:
+        text = str(doc)
+    try:
+        root = ElementTree.fromstring(text)
+    except ElementTree.ParseError:
+        return [("__corrupt__", None, None)]
+    root_name = _local(root.tag)
+    if root_name == "urlset":
+        child_tag, kind = "url", "url"
+    elif root_name == "sitemapindex":
+        child_tag, kind = "sitemap", "sitemap"
+    else:
+        return [("__corrupt__", None, None)]
+    out: list[tuple[str, str, str | None]] = []
+    for entry in root:
+        if _local(entry.tag) != child_tag:
+            continue
+        loc = lastmod = None
+        for field in entry:
+            name = _local(field.tag)
+            if name == "loc":
+                loc = (field.text or "").strip() or None
+            elif name == "lastmod":
+                lastmod = (field.text or "").strip() or None
+        if loc:
+            out.append((kind, loc, lastmod))
+    return out
+
+
+def sitemap_entries(
+    sitemaps: DataFrame,
+    *,
+    url_col: str = "sitemap_url",
+    doc_col: str = "content",
+) -> DataFrame:
+    """Explode fetched sitemap documents into the entry table
+    ``(sitemap_url, kind, loc, lastmod)`` — ``kind='url'`` rows seed
+    the crawl frontier, ``kind='sitemap'`` rows are child sitemaps to
+    fetch next round (the protocol allows exactly one index level),
+    ``kind='__corrupt__'`` rows audit undecodable documents.
+    ``doc_col`` may be XML strings or raw bytes (gzip sniffed).
+
+    One Arrow pass over the dimension-sized sitemap frame; compose as
+    ``robots_meta -> explode(sitemaps) -> fetch -> sitemap_entries ->
+    normalize_url/robots_verdict`` for a compliant, deduped frontier.
+    """
+    import pandas as pd
+
+    def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"sitemap_url": [], "kind": [], "loc": [], "lastmod": []}
+            for u, doc in zip(pdf[url_col], pdf[doc_col]):
+                if doc is None:
+                    continue
+                for kind, loc, lastmod in parse_sitemap(doc):
+                    out["sitemap_url"].append(u)
+                    out["kind"].append(kind)
+                    out["loc"].append(loc)
+                    out["lastmod"].append(lastmod)
+            yield pd.DataFrame(out)
+
+    return sitemaps.select(
+        F.col(url_col).alias(url_col), F.col(doc_col).alias(doc_col)
+    ).mapInPandas(_parse, schema=SITEMAP_SCHEMA)

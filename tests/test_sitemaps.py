@@ -1,0 +1,111 @@
+"""Sitemap parsing (operators/sitemaps.py, sitemaps.org protocol):
+urlset pages, sitemapindex delegation, namespace tolerance, gzip
+sniffing, corrupt auditing, and the robots_meta -> frontier
+composition."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators import robots as R
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sitemaps import (
+    parse_sitemap,
+    sitemap_entries,
+)
+
+NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+
+URLSET = f"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset {NS}>
+  <url><loc>https://ex.com/a</loc><lastmod>2026-01-02</lastmod></url>
+  <url><loc> https://ex.com/b </loc></url>
+  <url><priority>0.5</priority></url>
+  <url><loc></loc></url>
+</urlset>"""
+
+INDEX = f"""<?xml version="1.0"?>
+<sitemapindex {NS}>
+  <sitemap><loc>https://ex.com/s1.xml</loc><lastmod>2026-02-03</lastmod></sitemap>
+  <sitemap><loc>https://ex.com/s2.xml.gz</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemap_urlset_and_index():
+    assert parse_sitemap(URLSET) == [
+        ("url", "https://ex.com/a", "2026-01-02"),
+        ("url", "https://ex.com/b", None),  # loc whitespace-trimmed
+        # loc-less and empty-loc entries skipped (loc is required)
+    ]
+    assert parse_sitemap(INDEX) == [
+        ("sitemap", "https://ex.com/s1.xml", "2026-02-03"),
+        ("sitemap", "https://ex.com/s2.xml.gz", None),
+    ]
+    # un-namespaced documents parse the same (real files ship both)
+    bare = URLSET.replace(f" {NS}", "")
+    assert parse_sitemap(bare)[0] == ("url", "https://ex.com/a", "2026-01-02")
+    # gzipped bytes sniffed (sitemap.xml.gz)
+    assert parse_sitemap(gzip.compress(URLSET.encode()))[0][1] == "https://ex.com/a"
+    # corrupt: bad XML, bad gzip, wrong root — all audited, never raise
+    assert parse_sitemap("<urlset><url>") == [("__corrupt__", None, None)]
+    assert parse_sitemap(b"\x1f\x8bnot-gzip") == [("__corrupt__", None, None)]
+    assert parse_sitemap("<html>nope</html>") == [("__corrupt__", None, None)]
+
+
+def test_sitemap_entries_frame_and_frontier_composition(spark):
+    """robots_meta advertises sitemap URLs; fetched documents explode
+    into frontier seeds (kind='url'), child sitemaps to fetch next
+    round (kind='sitemap'), and audited corrupt rows."""
+    docs = spark.createDataFrame(
+        [
+            ("https://ex.com/sitemap.xml", URLSET.encode()),
+            ("https://ex.com/idx.xml", INDEX.encode()),
+            ("https://ex.com/gz.xml.gz", gzip.compress(URLSET.encode())),
+            ("https://ex.com/bad.xml", b"not xml at all"),
+            ("https://ex.com/null.xml", None),
+        ],
+        "sitemap_url string, content binary",
+    )
+    rows = sitemap_entries(docs).collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert len(by_kind["url"]) == 4  # 2 from plain urlset + 2 from gz
+    assert len(by_kind["sitemap"]) == 2
+    assert len(by_kind["__corrupt__"]) == 1
+    assert by_kind["__corrupt__"][0]["sitemap_url"] == "https://ex.com/bad.xml"
+    assert {r["loc"] for r in by_kind["sitemap"]} == {
+        "https://ex.com/s1.xml",
+        "https://ex.com/s2.xml.gz",
+    }
+    # composition: robots_meta -> sitemap list -> (fetched docs) ->
+    # entries -> verdict gate on the seeded frontier
+    meta = R.robots_meta(
+        spark.createDataFrame(
+            [("ex.com",
+              "Sitemap: https://ex.com/sitemap.xml\n"
+              "User-agent: *\nDisallow: /b")],
+            "host string, robots_txt string",
+        )
+    )
+    advertised = meta.select(F.explode("sitemaps").alias("sitemap_url"))
+    assert [r["sitemap_url"] for r in advertised.collect()] == [
+        "https://ex.com/sitemap.xml"
+    ]
+    seeds = (
+        sitemap_entries(docs)
+        .where(F.col("kind") == "url")
+        .join(advertised, "sitemap_url")
+        .select(F.col("loc").alias("url"))
+        .withColumn("doc_id", F.xxhash64("url"))
+    )
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [("ex.com", "User-agent: *\nDisallow: /b")],
+            "host string, robots_txt string",
+        )
+    )
+    gated = R.robots_verdict(seeds, rules)
+    got = {r["url"]: r["robots_allowed"] for r in gated.collect()}
+    assert got == {"https://ex.com/a": True, "https://ex.com/b": False}
