@@ -1603,6 +1603,110 @@ def robots_warc_rung(
     print(json.dumps({"op": "robots_from_warc_e2e", "points": points}))
 
 
+def cdx_rung(
+    spark, sizes: list[int], pick_pct: float = 1.0, body_words: int = 400
+) -> None:
+    """§3v-bis: index-driven selective fetch vs full archive scan
+    (round 10).  A synthetic crawl (.warc.gz, per-record gzip
+    members) plus its CDX-style index; the task: materialize the
+    ``pick_pct``% of records matching an index predicate.  A arm =
+    ``read_warc`` full scan + filter; B arm = ``read_warc_at`` over
+    the matching index rows (one ranged read per record).  Rows
+    asserted IDENTICAL.  The speedup is the 100 TB story: the index
+    is ~1/1000th the crawl, so selective workloads (robots fetches,
+    one host, one mime type) should never scan an archive."""
+    import gzip
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        read_warc,
+        read_warc_at,
+    )
+
+    points = []
+    for n in sizes:
+        d = tempfile.mkdtemp(prefix="sg_cdx_")
+        per_file = max(1, n // 32)
+        body = b"w " * body_words
+        index_rows = []
+        total = 0
+        fh = None
+        path = None
+        off = 0
+        try:
+            for i in range(n):
+                if i % per_file == 0:
+                    if fh:
+                        fh.close()
+                    path = f"{d}/part-{i // per_file:05d}.warc.gz"
+                    fh = open(path, "wb")
+                    off = 0
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    b"<p>doc %d</p>" % i + body
+                )
+                hdr = (
+                    b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    + b"WARC-Record-ID: <urn:uuid:%08d>\r\n" % i
+                    + b"WARC-Target-URI: http://ex.com/%d\r\n" % i
+                    + b"WARC-Date: 2026-08-15T00:00:00Z\r\n"
+                    + b"Content-Length: %d\r\n\r\n" % len(http)
+                )
+                member = gzip.compress(hdr + http + b"\r\n\r\n")
+                fh.write(member)
+                index_rows.append((path, off, len(member), i))
+                off += len(member)
+                total += len(member)
+        finally:
+            if fh:
+                fh.close()
+        idx = spark.createDataFrame(
+            index_rows, "path string, offset long, length long, i long"
+        ).localCheckpoint()
+        idx.count()
+        take = max(1, int(n * pick_pct / 100.0))
+        # the index predicate: every (100/pick_pct)-th record
+        stride = max(1, n // take)
+        want = idx.where(F.col("i") % stride == 0)
+
+        t0 = time.time()
+        fetched = read_warc_at(spark, want, parallelism=32)
+        ids_b = sorted(
+            r["record_id"] for r in fetched.select("record_id").collect()
+        )
+        t_b = time.time() - t0
+
+        t0 = time.time()
+        scanned = read_warc(spark, d).where(
+            F.xxhash64("record_id").isNotNull()  # keep the scan honest
+        ).where(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+            % stride == 0
+        )
+        ids_a = sorted(
+            r["record_id"] for r in scanned.select("record_id").collect()
+        )
+        t_a = time.time() - t0
+
+        assert ids_a == ids_b and len(ids_b) == want.count()
+        shutil.rmtree(d, ignore_errors=True)
+        points.append(
+            {
+                "n_records": n,
+                "gz_mb": round(total / 1e6, 1),
+                "picked": len(ids_b),
+                "full_scan_sec": round(t_a, 2),
+                "index_fetch_sec": round(t_b, 2),
+                "speedup": round(t_a / max(t_b, 1e-9), 1),
+            }
+        )
+        print(json.dumps(points[-1]), flush=True)
+    print(json.dumps({"op": "cdx_selective_fetch", "points": points}))
+
+
 def warc_ladder(
     spark, sizes: list[int], docs_per_file: int = 2000, body_words: int = 120
 ) -> None:
@@ -2359,6 +2463,18 @@ def main() -> None:
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
         robots_ladder(spark, sizes, n_hosts, hot)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--cdx":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [100_000]
+        )
+        pick = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
+        words = int(sys.argv[4]) if len(sys.argv) > 4 else 400
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        cdx_rung(spark, sizes, pick, words)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--robotswarc":
         sizes = (
