@@ -4844,6 +4844,14 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
       list ride in ``split``.  The oracle re-derives verdicts, delays
       and sitemaps from the host arithmetic — a break anywhere in the
       archive->dimension->verdict composition flips the hash.
+    - ``cdxj`` (round 10): CDX(J) index parsing
+      (``sources/warc.parse_cdxj`` — the live Common Crawl access
+      pattern's first stage).  Index lines are built from doc_id
+      arithmetic, every 10th MALFORMED; ``k`` hashes every parsed
+      field (surt/ts/url/status/mime/digest/path/offset/length, -1
+      for malformed), so the line split, JSON field extraction, long
+      casts, base_uri concat and the NULL-location contract are all
+      oracle-checked.
     """
     shuf = _q_corpus_shuffle(spark, sf_dir).select(
         F.lit("corpus_shuffle").alias("part"),
@@ -5019,6 +5027,77 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("robots_allowed").cast("long").alias("k"),
         host_split.alias("split"),
     )
+    # round 10: CDX(J) index parsing — the live Common Crawl access
+    # pattern's FIRST stage (sources/warc.parse_cdxj, pure Column
+    # regex + from_json, feeds read_warc_at).  Lines are built from
+    # doc_id arithmetic (every 10th is MALFORMED and must yield NULL
+    # locations — k = -1 pins the no-silent-drop contract); k hashes
+    # EVERY parsed field (surt/ts/url/status/mime/digest/path/offset/
+    # length), so the line split, the JSON field extraction, the
+    # long casts and the base_uri concat are all oracle-checked.
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        parse_cdxj,
+    )
+
+    did = F.col("doc_id").cast("string")
+    cdx_line = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.lit("malformed line "), did),
+    ).otherwise(
+        F.concat(
+            F.lit("com,site"), (F.col("doc_id") % 13).cast("string"),
+            F.lit(")/p/"), did,
+            F.lit(" 202608161200"),
+            F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+            F.lit(' {"url": "https://site'),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".com/p/"), did,
+            F.lit('", "status": "200", "mime": "text/html", '
+                  '"digest": "sha1:D'), did,
+            F.lit('", "filename": "crawl-data/seg-'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('.warc.gz", "offset": "'),
+            (F.col("doc_id") * 1000 + F.col("doc_id") % 13).cast("string"),
+            F.lit('", "length": "'),
+            (F.lit(500) + F.col("doc_id") % 97).cast("string"),
+            F.lit('"}'),
+        )
+    )
+    cdx = docs.select("doc_id", cdx_line.alias("value"))
+    parsed_cdx = parse_cdxj(
+        cdx, line_col="value", base_uri="https://data.example.org/"
+    ).withColumn(
+        "_cid",
+        F.coalesce(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long"), F.lit(-1)
+        ),
+    )
+    # malformed lines lose the url: recover id positionally via the
+    # line itself (parse_cdxj preserves no extra columns by contract)
+    cdxp = cdx.join(
+        parsed_cdx.where(F.col("_cid") >= 0).withColumnRenamed(
+            "_cid", "doc_id"
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        F.lit("cdxj").alias("part"),
+        F.col("doc_id").cast("long").alias("id"),
+        # concat_ws SKIPS nulls (an all-NULL malformed row would hash
+        # the empty string) — gate on the join hit instead
+        F.when(
+            F.col("url").isNotNull(),
+            hash48(
+                F.concat_ws(
+                    "|", "surt", "ts", "url", "status", "mime",
+                    "digest", "path",
+                    F.col("offset").cast("string"),
+                    F.col("length").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.lit(-1)).alias("k"),
+        F.col("path").alias("split"),
+    )
     # round 10: the Common Crawl entry path END TO END — WARC records
     # (real wire bytes: identity/chunked/gzip HTTP payloads, dated
     # double-captures, 404/page/request decoys) -> robots_from_warc
@@ -5073,6 +5152,7 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rob)
         .unionByName(robq)
         .unionByName(robw)
+        .unionByName(cdxp)
     )
 
 
@@ -5096,6 +5176,16 @@ def _sql_layout_keys() -> str:
         "'https://www.shop' || (doc_id % 11) || '.' || "
         + pslf_suffix
         + " || '/i/' || doc_id"
+    )
+    CDX_FIELDS_SQL = (
+        "'com,site' || (doc_id % 13) || ')/p/' || doc_id"
+        " || '|202608161200' || lpad((doc_id % 60)::VARCHAR, 2, '0')"
+        " || '|https://site' || (doc_id % 13) || '.com/p/' || doc_id"
+        " || '|200|text/html|sha1:D' || doc_id"
+        " || '|https://data.example.org/crawl-data/seg-'"
+        " || (doc_id % 7) || '.warc.gz'"
+        " || '|' || (doc_id * 1000 + doc_id % 13)"
+        " || '|' || (500 + doc_id % 97)"
     )
     return f"""
     SELECT 'corpus_shuffle' AS part, doc_id::BIGINT AS id,
@@ -5150,6 +5240,15 @@ def _sql_layout_keys() -> str:
     SELECT 'robots_q' AS part, doc_id::BIGINT,
            (doc_id % 3 <> 0)::BIGINT,
            'site' || (doc_id % 13) || '.com'
+    FROM documents
+    UNION ALL
+    SELECT 'cdxj' AS part, doc_id::BIGINT,
+           (CASE WHEN doc_id % 10 = 0 THEN -1
+                 ELSE {MD5INT_SQL.format(x=CDX_FIELDS_SQL)}
+            END)::BIGINT,
+           CASE WHEN doc_id % 10 = 0 THEN NULL
+                ELSE 'https://data.example.org/crawl-data/seg-'
+                     || (doc_id % 7) || '.warc.gz' END
     FROM documents
     UNION ALL
     SELECT 'robots_warc' AS part, doc_id::BIGINT,

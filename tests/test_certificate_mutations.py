@@ -349,6 +349,22 @@ MUTATIONS = [
         "'.com/s9.xml'",
         "robots-warc-sitemap",
     ),
+    # round 10, cdxj: the digest field rides the all-field hash — a
+    # one-letter flip moves every well-formed row's k.
+    (
+        "layout_keys",
+        "'|200|text/html|sha1:D'",
+        "'|200|text/html|sha1:E'",
+        "cdxj-field-hash",
+    ),
+    # round 10, cdxj: the malformed-line sentinel — flipping -1
+    # breaks the NULL-location (no-silent-drop) certificate.
+    (
+        "layout_keys",
+        "WHEN doc_id % 10 = 0 THEN -1",
+        "WHEN doc_id % 10 = 0 THEN -2",
+        "cdxj-malformed-sentinel",
+    ),
 ]
 
 
