@@ -4480,11 +4480,69 @@ def _quality_eta_sql() -> str:
     )
 
 
+def _q_page_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots directives certificate
+    (``operators/robots.robots_page_directives``, round 10): meta
+    tags injected by doc_id arithmetic exercise every parsing rule —
+    swapped attribute order, single/double/no quotes, mixed case, the
+    ``none`` alias (= noindex+nofollow), an irrelevant ``viewport``
+    tag that must NOT count, and a second combining tag on every 5th
+    doc.  The oracle re-derives each boolean from the arithmetic."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
+        robots_page_directives,
+    )
+
+    d = F.col("doc_id")
+    meta = (
+        F.when(d % 4 == 0,
+               F.lit('<META NAME="ROBOTS" CONTENT="NOINDEX, nofollow">'))
+        .when(d % 4 == 1, F.lit("<meta content='noai' name='robots'>"))
+        .when(d % 4 == 2, F.lit("<meta name=robots content=none>"))
+        .otherwise(F.lit('<meta name="viewport" content="width=1">'))
+    )
+    page = F.concat(
+        F.lit("<html><head>"),
+        meta,
+        F.when(
+            d % 5 == 0,
+            F.lit('<meta name="robots" content="noarchive">'),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    docs = _docs(spark, sf_dir).withColumn("_pg", page)
+    out = robots_page_directives(docs, html_col="_pg")
+    return out.select(
+        "doc_id",
+        F.col("pd_n_tags"),
+        "pd_noindex",
+        "pd_nofollow",
+        "pd_noarchive",
+        "pd_nosnippet",
+        "pd_noai",
+        "pd_noimageai",
+    )
+
+
+def _sql_page_directives() -> str:
+    return """
+    SELECT doc_id,
+           ((doc_id % 4 <> 3)::INT + (doc_id % 5 = 0)::INT) AS pd_n_tags,
+           doc_id % 4 IN (0, 2) AS pd_noindex,
+           doc_id % 4 IN (0, 2) AS pd_nofollow,
+           doc_id % 5 = 0 AS pd_noarchive,
+           FALSE AS pd_nosnippet,
+           doc_id % 4 = 1 AS pd_noai,
+           FALSE AS pd_noimageai
+    FROM documents
+    """
+
+
 def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc curation feature bundle: quality stats + language id +
     repetition features + PII scrub columns + line-level Gopher rules
     (round 5) + the trained-classifier quality_prob (round 6) + the C4
-    document-level rules (round 8), joined on doc_id (all are
+    document-level rules (round 8) + the page-level robots directives
+    (round 10), joined on doc_id (all are
     single-pass per-doc computations; the join keys are unique, so the
     merged result certifies each column set exactly as the separate
     queries did).
@@ -4511,6 +4569,7 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_q_line_features(spark, sf_dir), "doc_id")
         .join(_q_c4_rules(spark, sf_dir), "doc_id")
         .join(_q_html_extract(spark, sf_dir), "doc_id")
+        .join(_q_page_directives(spark, sf_dir), "doc_id")
     )
     prob = quality_ops.quality_prob_column(quality_ops.frozen_quality_fit())
     return (
@@ -4536,6 +4595,7 @@ def _sql_text_features() -> str:
       JOIN ({_sql_line_features()}) lf USING (doc_id)
       JOIN ({_sql_c4_rules()}) c4 USING (doc_id)
       JOIN ({_sql_html_extract()}) hx USING (doc_id)
+      JOIN ({_sql_page_directives()}) pd USING (doc_id)
     )
     """
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 import re
 from typing import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -46,7 +46,21 @@ __all__ = [
     "robots_rules",
     "robots_verdict",
     "robots_from_warc",
+    "robots_page_directives",
+    "PAGE_DIRECTIVES",
 ]
+
+#: page-level directives extracted by :func:`robots_page_directives`
+#: (the robots-meta spec set a corpus pipeline acts on, plus the
+#: emerging ``noai``/``noimageai`` opt-outs)
+PAGE_DIRECTIVES: tuple[str, ...] = (
+    "noindex",
+    "nofollow",
+    "noarchive",
+    "nosnippet",
+    "noai",
+    "noimageai",
+)
 
 
 def robots_from_warc(records: DataFrame) -> DataFrame:
@@ -289,6 +303,112 @@ def crawl_budgets(
         ).alias("fetch_budget"),
         "sitemaps",
     )
+
+
+def robots_page_directives(
+    df: DataFrame,
+    *,
+    html_col: str = "html",
+    header_col: str | None = None,
+    agent: str | None = None,
+    prefix: str = "pd_",
+) -> DataFrame:
+    """PAGE-level robots directives — the per-document complement to
+    the site-level robots.txt verdict: ``<meta name="robots"
+    content="noindex, nofollow, …">`` tags (plus the agent-specific
+    ``<meta name="<agent>">`` variant when ``agent`` is given), and —
+    when ``header_col`` carries the captured HTTP header block — the
+    ``X-Robots-Tag`` response header.  A compliant corpus pipeline
+    drops ``noindex``/``noarchive`` pages and honours the emerging
+    ``noai``/``noimageai`` opt-outs; each directive in
+    :data:`PAGE_DIRECTIVES` becomes a boolean column
+    ``<prefix><directive>``, plus ``<prefix>n_tags`` (how many robots
+    meta tags were seen — 0 means "no page-level policy").
+
+    Semantics per the robots-meta conventions: attribute order and
+    quoting are free (``content`` before ``name``, single/double/no
+    quotes, any case); directive lists split on commas/whitespace;
+    ``none`` expands to ``noindex + nofollow``; directives COMBINE
+    across tags and sources (most restrictive wins — a page is
+    noindex if ANY matching tag says so).  ``X-Robots-Tag`` values
+    scoped to another agent (``otherbot: noindex``) are ignored;
+    unscoped values and values scoped to ``agent`` apply (the
+    unsupported ``unavailable_after: …`` directive parses as a scope
+    and is skipped — it is not in the extracted set anyway).
+
+    Scale shape: pure Column ``regexp_extract_all`` + array HOFs over
+    the page text — map-only, zero shuffle, no UDF; every pattern is
+    RE2-safe so a SQL oracle can restate the expected outputs."""
+    html = F.col(html_col)
+    tags = F.regexp_extract_all(html, F.lit(r"(?i)<meta\b[^>]*>"), 0)
+    names = ["robots"] + ([agent.lower()] if agent else [])
+
+    def name_of(t: Column) -> Column:
+        return F.lower(
+            F.regexp_extract(
+                t, r"(?i)\bname\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", 1
+            )
+        )
+
+    def content_of(t: Column) -> Column:
+        dq = F.regexp_extract(t, "(?i)\\bcontent\\s*=\\s*\"([^\"]*)\"", 1)
+        sq = F.regexp_extract(t, "(?i)\\bcontent\\s*=\\s*'([^']*)'", 1)
+        bare = F.regexp_extract(
+            t, "(?i)\\bcontent\\s*=\\s*([^\\s\"'>]+)", 1
+        )
+        return F.when(dq != "", dq).when(sq != "", sq).otherwise(bare)
+
+    rel = F.filter(tags, lambda t: name_of(t).isin(*names))
+    toks = F.aggregate(
+        rel,
+        F.array().cast("array<string>"),
+        lambda acc, t: F.concat(
+            acc, F.split(F.lower(content_of(t)), r"[,\s]+")
+        ),
+    )
+    n_tags = F.size(rel)
+    if header_col is not None:
+        hdr = F.col(header_col)
+        vals = F.regexp_extract_all(
+            hdr, F.lit(r"(?im)^x-robots-tag:[ \t]*([^\r\n]+)"), 1
+        )
+        # optional leading "agent:" scope — keep unscoped values and
+        # values scoped to OUR agent; other scopes (incl. the
+        # unsupported unavailable_after) drop
+        scope = F.lit((agent or "").lower())
+
+        def scoped_tokens(v: Column) -> Column:
+            pre = F.lower(
+                F.trim(F.regexp_extract(v, r"^([^:]+):", 1))
+            )
+            body = F.when(pre == "", v).when(
+                pre == scope, F.regexp_replace(v, r"^[^:]+:", "")
+            ).otherwise(F.lit(""))
+            return F.split(F.lower(F.trim(body)), r"[,\s]+")
+
+        toks = F.concat(
+            toks,
+            F.aggregate(
+                vals,
+                F.array().cast("array<string>"),
+                lambda acc, v: F.concat(acc, scoped_tokens(v)),
+            ),
+        )
+        n_tags = n_tags + F.size(vals)
+    toks = F.transform(toks, lambda x: F.trim(x))
+
+    def has(word: str) -> Column:
+        lit = F.lit(word)
+        return F.exists(toks, lambda x: x == lit)
+
+    out = df.withColumn(prefix + "n_tags", n_tags.cast("int"))
+    none = has("none")
+    for d in PAGE_DIRECTIVES:
+        col = has(d)
+        if d in ("noindex", "nofollow"):
+            col = col | none  # 'none' = noindex + nofollow
+        out = out.withColumn(prefix + d, col)
+    return out
 
 
 def _pattern_regex(pattern: str) -> str:

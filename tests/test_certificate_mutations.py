@@ -365,6 +365,23 @@ MUTATIONS = [
         "WHEN doc_id % 10 = 0 THEN -2",
         "cdxj-malformed-sentinel",
     ),
+    # round 10, page directives: the 'none' alias — %4==2 docs carry
+    # ONLY <meta name=robots content=none>, so dropping 2 from the
+    # oracle's noindex set breaks exactly the alias expansion.
+    (
+        "text_features",
+        "doc_id % 4 IN (0, 2) AS pd_noindex",
+        "doc_id % 4 IN (0, 3) AS pd_noindex",
+        "page-directive-none-alias",
+    ),
+    # round 10, page directives: the combining second tag (noarchive
+    # on every 5th doc).
+    (
+        "text_features",
+        "doc_id % 5 = 0 AS pd_noarchive",
+        "doc_id % 5 = 1 AS pd_noarchive",
+        "page-directive-noarchive",
+    ),
 ]
 
 

@@ -457,3 +457,77 @@ def test_politeness_budget_and_sitemap_frontier(spark):
         .collect()
     }
     assert per_host == {"h0.com": 40, "h1.com": 30, "h2.com": 20, "h3.com": 15}
+
+
+def test_page_directives_meta_tags(spark):
+    """Page-level robots meta parsing (round 10): attribute order and
+    quoting free, case-insensitive, comma/space splits, 'none'
+    expansion, directives combining across tags, agent-specific tag,
+    irrelevant meta tags ignored."""
+    pages = spark.createDataFrame(
+        [
+            (0, '<html><head><meta name="robots" content="noindex, nofollow">'
+                '<meta name="viewport" content="width=1"></head><p>x</p>'),
+            (1, "<meta CONTENT='NOARCHIVE' NAME='ROBOTS'>"),   # swapped+caps
+            (2, '<meta name=robots content=nosnippet>'),       # unquoted
+            (3, '<meta name="robots" content="none">'),        # none alias
+            (4, '<meta name="robots" content="noai noimageai">'),
+            (5, '<meta name="robots" content="index, follow">'),
+            (6, '<p>no meta at all</p>'),
+            (7, '<meta name="robots" content="noindex">'
+                '<meta name="robots" content="nofollow">'),    # combine
+            (8, '<meta name="mybot" content="noindex">'),      # agent tag
+        ],
+        "doc_id long, html string",
+    )
+    out = {r["doc_id"]: r for r in R.robots_page_directives(pages).collect()}
+    assert (out[0]["pd_noindex"], out[0]["pd_nofollow"]) == (True, True)
+    assert out[0]["pd_n_tags"] == 1  # viewport tag does not count
+    assert out[1]["pd_noarchive"] is True and out[1]["pd_noindex"] is False
+    assert out[2]["pd_nosnippet"] is True
+    assert (out[3]["pd_noindex"], out[3]["pd_nofollow"]) == (True, True)
+    assert (out[4]["pd_noai"], out[4]["pd_noimageai"]) == (True, True)
+    assert not any(out[5][f"pd_{d}"] for d in R.PAGE_DIRECTIVES)
+    assert out[6]["pd_n_tags"] == 0
+    assert (out[7]["pd_noindex"], out[7]["pd_nofollow"]) == (True, True)
+    # agent-specific tag only applies when the agent matches
+    assert out[8]["pd_noindex"] is False
+    out_my = {
+        r["doc_id"]: r
+        for r in R.robots_page_directives(pages, agent="MyBot").collect()
+    }
+    assert out_my[8]["pd_noindex"] is True
+    assert out_my[0]["pd_noindex"] is True  # robots tag still applies
+
+
+def test_page_directives_x_robots_tag_header(spark):
+    """X-Robots-Tag response headers combine with meta tags; values
+    scoped to another agent drop; unavailable_after parses as a scope
+    and is safely skipped."""
+    rows = spark.createDataFrame(
+        [
+            (0, "<p>x</p>",
+             "HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex\r\n"
+             "Content-Type: text/html\r\n"),
+            (1, '<meta name="robots" content="noai">',
+             "X-Robots-Tag: otherbot: noindex\r\n"),       # other scope
+            (2, "<p>y</p>",
+             "X-Robots-Tag: mybot: noarchive\r\n"),        # our scope
+            (3, "<p>z</p>",
+             "X-Robots-Tag: unavailable_after: 2026-01-01\r\n"),
+            (4, "<p>w</p>", None),
+        ],
+        "doc_id long, html string, headers string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in R.robots_page_directives(
+            rows, header_col="headers", agent="mybot"
+        ).collect()
+    }
+    assert out[0]["pd_noindex"] is True and out[0]["pd_n_tags"] == 1
+    assert out[1]["pd_noai"] is True and out[1]["pd_noindex"] is False
+    assert out[2]["pd_noarchive"] is True
+    assert not any(out[3][f"pd_{d}"] for d in R.PAGE_DIRECTIVES)
+    # NULL headers: meta-only path still works
+    assert not any(out[4][f"pd_{d}"] for d in R.PAGE_DIRECTIVES)
