@@ -90,8 +90,16 @@ def main() -> None:
     pages = docs.select(
         "doc_id",
         F.concat(
+            F.lit("<html><head>"),
+            # round 10: every 25th page opts out of AI training via a
+            # robots meta tag — the page-level compliance gate below
+            # must drop exactly those
+            F.when(
+                F.col("doc_id") % 25 == 0,
+                F.lit('<meta name="robots" content="noai, noindex">'),
+            ).otherwise(F.lit("")),
             F.lit(
-                '<html><body><nav><a href="/">Home</a> '
+                '</head><body><nav><a href="/">Home</a> '
                 '<a href="/m">Menu link</a></nav><p>'
             ),
             F.col("text"),
@@ -101,6 +109,22 @@ def main() -> None:
             ),
         ).alias("html"),
     )
+    # 0a. page-level robots directives (operators/robots.py): honour
+    # noai/noindex opt-outs BEFORE any text enters the pipeline —
+    # map-only Column regex over the page markup, zero shuffle
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
+        robots_page_directives,
+    )
+
+    pd = robots_page_directives(pages, html_col="html")
+    n_optout = pd.where(F.col("pd_noai") | F.col("pd_noindex")).count()
+    assert n_optout == docs.where(F.col("doc_id") % 25 == 0).count()
+    optout_ids = pd.where(
+        F.col("pd_noai") | F.col("pd_noindex")
+    ).select("doc_id")
+    pages = pages.join(optout_ids, "doc_id", "left_anti")
+    docs = docs.join(optout_ids, "doc_id", "left_anti")
+    n_after_optout = docs.count()
     rebuilt = extract_main_text(
         pages,
         stopwords_low=0.0,
@@ -551,6 +575,8 @@ def main() -> None:
 
     print(json.dumps({
         "input_docs": n0,
+        "page_directive_optouts": int(n_optout),
+        "after_page_directive_gate": int(n_after_optout),
         "boilerplate_rebuild_mismatches": int(bp["mismatch"]),
         "c4_flagged_docs": int(n_c4_flagged),
         "robots_blocked_docs": int(n_robots_blocked),
