@@ -1603,6 +1603,80 @@ def robots_warc_rung(
     print(json.dumps({"op": "robots_from_warc_e2e", "points": points}))
 
 
+def pagedir_ladder(spark, sizes: list[int]) -> None:
+    """§3w: page-level robots directives throughput (round 10) —
+    ``robots_page_directives`` is one pure-Column
+    ``regexp_extract_all`` + HOF pass over page markup; the rung
+    measures it on ~1 KB synthetic pages whose meta tags cycle the
+    messy forms (upper-case, unquoted, swapped attribute order, the
+    ``none`` alias, a decoy ``viewport`` tag) by arithmetic, with the
+    in-rung oracle asserting every derived boolean over the FULL
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
+        robots_page_directives,
+    )
+
+    filler = "word " * 200  # ~1 KB of body text per page
+    points = []
+    for n in sizes:
+        kind = F.pmod(F.xxhash64("id"), F.lit(5))
+        meta = (
+            F.when(kind == 0,
+                   F.lit('<META NAME="ROBOTS" CONTENT="NOINDEX, nofollow">'))
+            .when(kind == 1, F.lit("<meta name=robots content=none>"))
+            .when(kind == 2,
+                  F.lit("<meta content='noai noarchive' name='robots'>"))
+            .when(kind == 3,
+                  F.lit('<meta name="viewport" content="width=1">'))
+            .otherwise(F.lit(""))
+        )
+        df = (
+            spark.range(n)
+            .select(
+                F.col("id"),
+                kind.alias("_kind"),
+                F.concat(
+                    F.lit("<html><head>"), meta,
+                    F.lit("</head><body><p>"), F.lit(filler),
+                    F.lit("</p></body></html>"),
+                ).alias("html"),
+            )
+            .localCheckpoint()
+        )
+        df.count()
+        out = robots_page_directives(df, html_col="html")
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            out.agg(
+                F.sum(F.col("pd_noindex").cast("long")),
+                F.sum(F.col("pd_noai").cast("long")),
+            ).collect()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        mism = out.where(
+            (F.col("pd_noindex") != F.col("_kind").isin(0, 1))
+            | (F.col("pd_nofollow") != F.col("_kind").isin(0, 1))
+            | (F.col("pd_noai") != (F.col("_kind") == 2))
+            | (F.col("pd_noarchive") != (F.col("_kind") == 2))
+            # only robots-named tags count (the viewport decoy, kind
+            # 3, must NOT — exactly what the driver twin pins too)
+            | (F.col("pd_n_tags") != F.col("_kind").isin(0, 1, 2).cast("int"))
+        ).count()
+        assert mism == 0, f"pagedir rung: {mism} mismatches at n={n}"
+        points.append(
+            {
+                "n_pages": n,
+                "wall_sec": round(best, 2),
+                "pages_per_sec": int(n / max(best, 1e-9)),
+            }
+        )
+        print(json.dumps(points[-1]), flush=True)
+    print(json.dumps({"op": "page_directives", "points": points}))
+
+
 def cdx_rung(
     spark, sizes: list[int], pick_pct: float = 1.0, body_words: int = 400
 ) -> None:
@@ -2463,6 +2537,16 @@ def main() -> None:
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
         robots_ladder(spark, sizes, n_hosts, hot)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--pagedir":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [1_000_000, 4_000_000]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        pagedir_ladder(spark, sizes)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--cdx":
         sizes = (
