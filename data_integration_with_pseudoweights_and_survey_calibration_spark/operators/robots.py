@@ -374,27 +374,37 @@ def robots_page_directives(
         )
         # optional leading "agent:" scope — keep unscoped values and
         # values scoped to OUR agent; other scopes (incl. the
-        # unsupported unavailable_after) drop
+        # unsupported unavailable_after) drop, and dropped values do
+        # NOT count toward n_tags (they carry no policy for us)
         scope = F.lit((agent or "").lower())
 
-        def scoped_tokens(v: Column) -> Column:
-            pre = F.lower(
-                F.trim(F.regexp_extract(v, r"^([^:]+):", 1))
+        def _scope_of(v: Column) -> Column:
+            return F.lower(F.trim(F.regexp_extract(v, r"^([^:]+):", 1)))
+
+        kept = F.filter(
+            vals,
+            lambda v: (_scope_of(v) == "") | (_scope_of(v) == scope),
+        )
+        def _body_of(v: Column) -> Column:
+            return F.lower(
+                F.trim(
+                    F.when(_scope_of(v) == "", v).otherwise(
+                        F.regexp_replace(v, r"^[^:]+:", "")
+                    )
+                )
             )
-            body = F.when(pre == "", v).when(
-                pre == scope, F.regexp_replace(v, r"^[^:]+:", "")
-            ).otherwise(F.lit(""))
-            return F.split(F.lower(F.trim(body)), r"[,\s]+")
 
         toks = F.concat(
             toks,
             F.aggregate(
-                vals,
+                kept,
                 F.array().cast("array<string>"),
-                lambda acc, v: F.concat(acc, scoped_tokens(v)),
+                lambda acc, v: F.concat(
+                    acc, F.split(_body_of(v), r"[,\s]+")
+                ),
             ),
         )
-        n_tags = n_tags + F.size(vals)
+        n_tags = n_tags + F.size(kept)
     toks = F.transform(toks, lambda x: F.trim(x))
 
     def has(word: str) -> Column:

@@ -989,9 +989,13 @@ def read_warc_at(
     GETs are latency-bound, so size it to the concurrent-request
     budget you want against the store (index frames are often a
     handful of tasks otherwise).  Output is :data:`WARC_SCHEMA`; a
-    failed or corrupt range quarantines as ONE
-    ``warc_type='__corrupt__'`` row carrying the path — same
-    no-silent-drop contract as :func:`read_warc`."""
+    deterministically failed or corrupt range quarantines as ONE
+    ``warc_type='__corrupt__'`` row carrying the path and the
+    requested byte range as ``record_id`` (``range:<offset>+<len>``)
+    so the exact failing index row is auditable — same
+    no-silent-drop contract as :func:`read_warc`; transient faults
+    (network errors, 5xx) instead FAIL the task so Spark retries it.
+    """
     readers = dict(_RANGE_READERS)  # driver snapshot -> task closure
 
     def _resolve(p: str):
@@ -1020,9 +1024,11 @@ def read_warc_at(
         "content",
     ]
 
-    def _quarantine(p: str) -> dict:
+    def _quarantine(p: str, off, ln) -> dict:
         return {
-            "record_id": "",
+            # the failing index row, auditable: which byte range of
+            # which object could not be materialized
+            "record_id": f"range:{off}+{ln}",
             "warc_type": CORRUPT_TYPE,
             "target_uri": "",
             "warc_date": "",
@@ -1074,7 +1080,7 @@ def read_warc_at(
                 except Exception as e:  # noqa: BLE001 - triaged below
                     if not _deterministic(e):
                         raise
-                    rows.append(_quarantine(p))
+                    rows.append(_quarantine(p, off, ln))
             yield pd.DataFrame(rows, columns=cols)
             rows = []
         yield pd.DataFrame(rows, columns=cols)

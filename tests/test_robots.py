@@ -527,6 +527,10 @@ def test_page_directives_x_robots_tag_header(spark):
     }
     assert out[0]["pd_noindex"] is True and out[0]["pd_n_tags"] == 1
     assert out[1]["pd_noai"] is True and out[1]["pd_noindex"] is False
+    # the other-agent header value carries no policy for us: only the
+    # meta tag counts
+    assert out[1]["pd_n_tags"] == 1
+    assert out[3]["pd_n_tags"] == 0  # unavailable_after scope dropped
     assert out[2]["pd_noarchive"] is True
     assert not any(out[3][f"pd_{d}"] for d in R.PAGE_DIRECTIVES)
     # NULL headers: meta-only path still works

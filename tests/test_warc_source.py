@@ -1056,6 +1056,8 @@ def test_parse_cdxj_and_read_warc_at_local(spark, tmp_path):
     )
     q = read_warc_at(spark, bad).collect()
     assert len(q) == 2 and all(r["warc_type"] == "__corrupt__" for r in q)
+    # the failing index row is auditable: path + requested byte range
+    assert sorted(r["record_id"] for r in q) == ["range:0+10", "range:1+5"]
 
 
 def test_read_warc_at_over_http_range_server(spark, tmp_path):
