@@ -338,23 +338,32 @@ def robots_page_directives(
 
     Scale shape: pure Column ``regexp_extract_all`` + array HOFs over
     the page text — map-only, zero shuffle, no UDF; every pattern is
-    RE2-safe so a SQL oracle can restate the expected outputs."""
-    html = F.col(html_col)
+    RE2-safe so a SQL oracle can restate the expected outputs.
+
+    NULL hygiene (round-10 review): a NULL ``html_col`` or NULL
+    ``header_col`` contributes NOTHING — it must never nullify
+    directives the OTHER source declared (``F.concat`` of a NULL
+    token array would wipe the row's booleans), so both inputs
+    coalesce to ``''`` up front."""
+    html = F.coalesce(F.col(html_col), F.lit(""))
     tags = F.regexp_extract_all(html, F.lit(r"(?i)<meta\b[^>]*>"), 0)
     names = ["robots"] + ([agent.lower()] if agent else [])
 
+    # attribute matches anchor on an attribute BOUNDARY (start of tag
+    # or whitespace/quote), not \b — a \b after 'data-name' is the
+    # hyphen, so data-name="robots" would count as a robots tag
     def name_of(t: Column) -> Column:
         return F.lower(
             F.regexp_extract(
-                t, r"(?i)\bname\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", 1
+                t, r"(?i)[\s\"']name\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", 1
             )
         )
 
     def content_of(t: Column) -> Column:
-        dq = F.regexp_extract(t, "(?i)\\bcontent\\s*=\\s*\"([^\"]*)\"", 1)
-        sq = F.regexp_extract(t, "(?i)\\bcontent\\s*=\\s*'([^']*)'", 1)
+        dq = F.regexp_extract(t, "(?i)[\\s\"']content\\s*=\\s*\"([^\"]*)\"", 1)
+        sq = F.regexp_extract(t, "(?i)[\\s\"']content\\s*=\\s*'([^']*)'", 1)
         bare = F.regexp_extract(
-            t, "(?i)\\bcontent\\s*=\\s*([^\\s\"'>]+)", 1
+            t, "(?i)[\\s\"']content\\s*=\\s*([^\\s\"'>]+)", 1
         )
         return F.when(dq != "", dq).when(sq != "", sq).otherwise(bare)
 
@@ -368,18 +377,22 @@ def robots_page_directives(
     )
     n_tags = F.size(rel)
     if header_col is not None:
-        hdr = F.col(header_col)
+        hdr = F.coalesce(F.col(header_col), F.lit(""))
         vals = F.regexp_extract_all(
             hdr, F.lit(r"(?im)^x-robots-tag:[ \t]*([^\r\n]+)"), 1
         )
         # optional leading "agent:" scope — keep unscoped values and
         # values scoped to OUR agent; other scopes (incl. the
         # unsupported unavailable_after) drop, and dropped values do
-        # NOT count toward n_tags (they carry no policy for us)
+        # NOT count toward n_tags (they carry no policy for us).  A
+        # scope is a SINGLE token before the first ':' — commas or
+        # whitespace in the prefix mean the colon belongs to a later
+        # directive ('noarchive, unavailable_after: <date>' is an
+        # UNSCOPED list, not an agent called 'noarchive, …')
         scope = F.lit((agent or "").lower())
 
         def _scope_of(v: Column) -> Column:
-            return F.lower(F.trim(F.regexp_extract(v, r"^([^:]+):", 1)))
+            return F.lower(F.regexp_extract(v, r"^([^:,\s]+):", 1))
 
         kept = F.filter(
             vals,

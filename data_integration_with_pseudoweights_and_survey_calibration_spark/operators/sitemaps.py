@@ -115,6 +115,12 @@ def sitemap_entries(
             out = {"sitemap_url": [], "kind": [], "loc": [], "lastmod": []}
             for u, doc in zip(pdf[url_col], pdf[doc_col]):
                 if doc is None:
+                    # a failed fetch is as auditable as a corrupt one:
+                    # the no-silent-drop contract applies to NULLs too
+                    out["sitemap_url"].append(u)
+                    out["kind"].append("__corrupt__")
+                    out["loc"].append(None)
+                    out["lastmod"].append(None)
                     continue
                 for kind, loc, lastmod in parse_sitemap(doc):
                     out["sitemap_url"].append(u)

@@ -51,19 +51,22 @@ def _dechunk(body: bytes) -> bytes | None:
     out: list[bytes] = []
     pos = 0
     while True:
-        nl = body.find(b"\r\n", pos)
-        sep = 2
-        if nl < 0:
-            nl = body.find(b"\n", pos)
-            sep = 1
+        # the size line ends at the EARLIEST newline (an optional \r
+        # stripped) — searching for \r\n across the whole remaining
+        # body first would land inside LF-framed chunk DATA that
+        # happens to contain a CRLF and reject a valid stream
+        nl = body.find(b"\n", pos)
         if nl < 0:
             return None
-        size_tok = body[pos:nl].split(b";", 1)[0].strip()
+        end = nl
+        if end > pos and body[end - 1 : end] == b"\r":
+            end -= 1
+        size_tok = body[pos:end].split(b";", 1)[0].strip()
         try:
             size = int(size_tok, 16)
         except ValueError:
             return None
-        pos = nl + sep
+        pos = nl + 1
         if size == 0:
             return b"".join(out)
         if len(body) < pos + size:
@@ -116,9 +119,16 @@ def http_response_parts(
     for ln in lines[1:]:
         k, colon, v = ln.partition(b":")
         if colon:
-            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
-                "latin-1"
-            )
+            key = k.strip().decode("latin-1").lower()
+            val = v.strip().decode("latin-1")
+            # repeated field lines are a comma list (RFC 9110 §5.3) —
+            # last-wins would hide 'Transfer-Encoding: gzip' +
+            # 'Transfer-Encoding: chunked' split across two lines and
+            # emit still-transfer-coded bytes as the body
+            if key in headers and val:
+                headers[key] = headers[key] + ", " + val
+            else:
+                headers[key] = val
     te = headers.get("transfer-encoding", "identity").strip().lower()
     if te == "chunked":
         body = _dechunk(body)
@@ -559,7 +569,16 @@ class HttpRangeReader:
         # Headers only — a Range-ignoring server answers 200 with the
         # WHOLE object, which a size probe must never download.
         req = urllib.request.Request(uri, headers={"Range": "bytes=0-0"})
-        status, headers, _ = self._open(req, read_body=False)
+        try:
+            status, headers, _ = self._open(req, read_body=False)
+        except urllib.error.HTTPError as e:
+            if e.code == 416:
+                # a zero-length object: bytes=0-0 is unsatisfiable;
+                # the 416's own Content-Range carries 'bytes */N'
+                cr = (e.headers.get("Content-Range") or "") if e.headers else ""
+                total = cr.rsplit("/", 1)[-1].strip()
+                return int(total) if total.isdigit() else 0
+            raise
         cr = headers.get("Content-Range") or ""
         if status == 206 and "/" in cr:
             total = cr.rsplit("/", 1)[1].strip()

@@ -533,5 +533,42 @@ def test_page_directives_x_robots_tag_header(spark):
     assert out[3]["pd_n_tags"] == 0  # unavailable_after scope dropped
     assert out[2]["pd_noarchive"] is True
     assert not any(out[3][f"pd_{d}"] for d in R.PAGE_DIRECTIVES)
-    # NULL headers: meta-only path still works
-    assert not any(out[4][f"pd_{d}"] for d in R.PAGE_DIRECTIVES)
+    # NULL headers: booleans are FALSE, never NULL ("not any" alone
+    # would also pass on NULLs — pin the exact values)
+    assert all(out[4][f"pd_{d}"] is False for d in R.PAGE_DIRECTIVES)
+    assert out[4]["pd_n_tags"] == 0
+
+
+def test_page_directives_null_and_combined_value_forms(spark):
+    """round-10 review fixes, pinned:
+
+    - a NULL html (or NULL headers) row must not nullify directives
+      the OTHER source declared;
+    - the documented combined form 'noarchive, unavailable_after:
+      <date>' is an UNSCOPED directive list, not an agent scope;
+    - data-name=/data-content= attributes never match (a \\b after
+      'data-name' is the hyphen)."""
+    rows = spark.createDataFrame(
+        [
+            (0, None, "X-Robots-Tag: noindex\r\n"),       # NULL html
+            (1, '<meta name="robots" content="noai">', None),  # NULL hdr
+            (2, "<p>x</p>",
+             "X-Robots-Tag: noarchive, unavailable_after: "
+             "25 Jun 2030 15:00:00 PST\r\n"),
+            (3, '<meta data-name="robots" data-content="noindex" '
+                'content="nosnippet">', None),
+        ],
+        "doc_id long, html string, headers string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in R.robots_page_directives(
+            rows, header_col="headers", agent="mybot"
+        ).collect()
+    }
+    assert out[0]["pd_noindex"] is True and out[0]["pd_n_tags"] == 1
+    assert out[1]["pd_noai"] is True and out[1]["pd_n_tags"] == 1
+    assert out[2]["pd_noarchive"] is True and out[2]["pd_n_tags"] == 1
+    # data-name is NOT a robots tag: no directives, nothing counted
+    assert all(out[3][f"pd_{d}"] is False for d in R.PAGE_DIRECTIVES)
+    assert out[3]["pd_n_tags"] == 0

@@ -73,8 +73,11 @@ def test_sitemap_entries_frame_and_frontier_composition(spark):
         by_kind.setdefault(r["kind"], []).append(r)
     assert len(by_kind["url"]) == 4  # 2 from plain urlset + 2 from gz
     assert len(by_kind["sitemap"]) == 2
-    assert len(by_kind["__corrupt__"]) == 1
-    assert by_kind["__corrupt__"][0]["sitemap_url"] == "https://ex.com/bad.xml"
+    # bad XML AND the NULL (failed-fetch) document are both audited
+    assert {r["sitemap_url"] for r in by_kind["__corrupt__"]} == {
+        "https://ex.com/bad.xml",
+        "https://ex.com/null.xml",
+    }
     assert {r["loc"] for r in by_kind["sitemap"]} == {
         "https://ex.com/s1.xml",
         "https://ex.com/s2.xml.gz",

@@ -766,6 +766,19 @@ def test_http_response_parts_encodings():
     assert http_response_parts(
         resp([b"Content-Encoding: gzip"], b"not-gzip")
     )[2] is None
+    # round-10 review: duplicate Transfer-Encoding field LINES are a
+    # comma list — 'gzip' + 'chunked' split across lines must reject,
+    # never emit still-transfer-coded bytes
+    assert http_response_parts(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+    )[2] is None
+    # round-10 review: LF-framed chunked whose DATA contains CRLF —
+    # the size line ends at the EARLIEST newline
+    lf_chunked = b"c\nline1\r\nline2\n0\n\n"
+    assert http_response_parts(
+        resp([b"Transfer-Encoding: chunked"], lf_chunked)
+    )[2] == b"line1\r\nline2"
     # non-HTTP payload -> status None
     assert http_response_parts(b"WARC junk\r\n\r\nbody")[0] is None
     # reason phrase containing ' 200 ' must not fake a status
@@ -797,6 +810,7 @@ def test_http_size_falls_back_when_head_unusable():
 
     class NoHead(http.server.BaseHTTPRequestHandler):
         head_mode = "reject"  # or "no-length"
+        empty = False  # simulate a zero-length object
 
         def log_message(self, *a):
             pass
@@ -812,6 +826,12 @@ def test_http_size_falls_back_when_head_unusable():
         def do_GET(self):
             rng = self.headers.get("Range")
             assert rng == "bytes=0-0"
+            if self.empty:
+                self.send_response(416)
+                self.send_header("Content-Range", "bytes */0")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
             self.send_response(206)
             self.send_header("Content-Range", f"bytes 0-0/{len(blob)}")
             self.send_header("Content-Length", "1")
@@ -824,7 +844,12 @@ def test_http_size_falls_back_when_head_unusable():
         assert HttpRangeReader().size(url) == len(blob)
         NoHead.head_mode = "no-length"
         assert HttpRangeReader().size(url) == len(blob)
+        # zero-length object: bytes=0-0 is unsatisfiable -> 416 with
+        # 'Content-Range: bytes */0' -> size 0, not an HTTPError
+        NoHead.empty = True
+        assert HttpRangeReader().size(url) == 0
     finally:
+        NoHead.empty = False
         srv.shutdown()
         srv.server_close()
 
