@@ -116,12 +116,11 @@ def main() -> None:
         robots_page_directives,
     )
 
-    pd = robots_page_directives(pages, html_col="html")
-    n_optout = pd.where(F.col("pd_noai") | F.col("pd_noindex")).count()
+    pdirs = robots_page_directives(pages, html_col="html")
+    optout = pdirs.where(F.col("pd_noai") | F.col("pd_noindex"))
+    n_optout = optout.count()
     assert n_optout == docs.where(F.col("doc_id") % 25 == 0).count()
-    optout_ids = pd.where(
-        F.col("pd_noai") | F.col("pd_noindex")
-    ).select("doc_id")
+    optout_ids = optout.select("doc_id")
     pages = pages.join(optout_ids, "doc_id", "left_anti")
     docs = docs.join(optout_ids, "doc_id", "left_anti")
     n_after_optout = docs.count()

@@ -84,7 +84,7 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         (r"BroadcastExchange", "prefix-offset frame broadcast back"),
         (r"count<=0:BatchEvalPython", "round 10: URL/PSL/robots branches are pure JVM Column exprs — the only Python in the plan is the Arrow MapInPandas robots parse over DIMENSION data"),
         (r"MapInPandas", "robots.txt parsing is Arrow-batched and dimension-side only (hosts, never the corpus)"),
-        (r"count<=0:CartesianProduct", "round 10: every robots/meta join is a broadcast hash equi-join on host — no cross join anywhere in the 9-part union"),
+        (r"count<=0:CartesianProduct", "round 10: every robots/meta join is a broadcast hash equi-join on host — no cross join anywhere in the 10-part union"),
     ],
     "dedup_components": [
         # the label-propagation rounds execute during construction and
