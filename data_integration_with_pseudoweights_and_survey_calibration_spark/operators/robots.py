@@ -28,6 +28,19 @@ higher-order functions — ``filter`` the host's rules by
 longer pattern first, allow beating disallow on ties).  Patterns are
 precompiled to anchored regexes on the dim side.  The corpus never
 exchanges: no explode, no corpus-keyed groupBy, no join-back.
+
+The module covers the whole crawl-compliance surface (round 10):
+
+- SITE level: :func:`robots_from_warc` (crawl archive -> robots
+  dimension, wire encodings decoded, latest capture wins) ->
+  :func:`robots_rules` -> :func:`robots_verdict`;
+- SCHEDULING: :func:`robots_meta` (group-scoped ``Crawl-delay``,
+  global ``Sitemap`` list) -> :func:`crawl_budgets` (per-host
+  politeness-window fetch budgets) — sitemap documents themselves
+  parse in ``operators/sitemaps.py``;
+- PAGE level: :func:`robots_page_directives` (``<meta name=robots>``
+  + ``X-Robots-Tag``: noindex/nofollow/noarchive/nosnippet and the
+  emerging noai/noimageai opt-outs) — pure Column regex, map-only.
 """
 
 from __future__ import annotations
