@@ -287,6 +287,8 @@ def crawl_budgets(
     window_s: float = 60.0,
     default_delay: float = 1.0,
     host_col: str = "host",
+    delay_col: str = "crawl_delay",
+    sitemaps_col: str = "sitemaps",
 ) -> DataFrame:
     """Per-host fetch budget for one politeness window —
     :func:`robots_meta`'s scheduling consumer: a host declaring
@@ -303,8 +305,10 @@ def crawl_budgets(
     (Spark plans that as a partial ``WindowGroupLimit`` — map tasks
     forward at most that many rows per host however hot the host),
     then apply the exact per-host budget against this broadcast
-    table."""
-    d = F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+    table.  ``delay_col``/``sitemaps_col`` rename the input columns
+    for callers whose meta frame differs from :func:`robots_meta`'s
+    shape (round-11 API symmetry with ``host_col``)."""
+    d = F.coalesce(F.col(delay_col), F.lit(float(default_delay)))
     # a declared 0 (or negative) delay means "no delay", not a
     # divide-by-zero (ANSI mode errors on x/0)
     d = F.when(d > 0, d).otherwise(F.lit(float(default_delay)))
@@ -314,7 +318,7 @@ def crawl_budgets(
             F.lit(1),
             F.floor(F.lit(float(window_s)) / d).cast("int"),
         ).alias("fetch_budget"),
-        "sitemaps",
+        F.col(sitemaps_col).alias("sitemaps"),
     )
 
 
@@ -345,9 +349,13 @@ def robots_page_directives(
     across tags and sources (most restrictive wins — a page is
     noindex if ANY matching tag says so).  ``X-Robots-Tag`` values
     scoped to another agent (``otherbot: noindex``) are ignored;
-    unscoped values and values scoped to ``agent`` apply (the
-    unsupported ``unavailable_after: …`` directive parses as a scope
-    and is skipped — it is not in the extracted set anyway).
+    unscoped values and values scoped to ``agent`` apply.  A leading
+    token that is itself a KNOWN colon-bearing directive name
+    (``unavailable_after: 25 Jun 2010, noindex``, ``max-snippet:
+    20``) is a directive, not an agent scope — such values are
+    treated as unscoped so the trailing directives still apply
+    (round-10 advisory: classifying ``unavailable_after`` as a scope
+    silently dropped the whole value, losing the ``noindex``).
 
     Scale shape: pure Column ``regexp_extract_all`` + array HOFs over
     the page text — map-only, zero shuffle, no UDF; every pattern is
@@ -395,17 +403,29 @@ def robots_page_directives(
             hdr, F.lit(r"(?im)^x-robots-tag:[ \t]*([^\r\n]+)"), 1
         )
         # optional leading "agent:" scope — keep unscoped values and
-        # values scoped to OUR agent; other scopes (incl. the
-        # unsupported unavailable_after) drop, and dropped values do
-        # NOT count toward n_tags (they carry no policy for us).  A
-        # scope is a SINGLE token before the first ':' — commas or
-        # whitespace in the prefix mean the colon belongs to a later
-        # directive ('noarchive, unavailable_after: <date>' is an
-        # UNSCOPED list, not an agent called 'noarchive, …')
+        # values scoped to OUR agent; other scopes drop, and dropped
+        # values do NOT count toward n_tags (they carry no policy for
+        # us).  A scope is a SINGLE token before the first ':' —
+        # commas or whitespace in the prefix mean the colon belongs to
+        # a later directive ('noarchive, unavailable_after: <date>' is
+        # an UNSCOPED list, not an agent called 'noarchive, …') — and
+        # a leading token that IS a known colon-bearing directive name
+        # (unavailable_after, max-snippet, …) is a directive, not an
+        # agent, so the value stays unscoped and trailing directives
+        # survive
         scope = F.lit((agent or "").lower())
+        colon_directives = (
+            "unavailable_after",
+            "max-snippet",
+            "max-image-preview",
+            "max-video-preview",
+        )
 
         def _scope_of(v: Column) -> Column:
-            return F.lower(F.regexp_extract(v, r"^([^:,\s]+):", 1))
+            tok = F.lower(F.regexp_extract(v, r"^([^:,\s]+):", 1))
+            return F.when(tok.isin(*colon_directives), F.lit("")).otherwise(
+                tok
+            )
 
         kept = F.filter(
             vals,

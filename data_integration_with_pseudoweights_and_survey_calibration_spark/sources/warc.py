@@ -77,6 +77,12 @@ def _dechunk(body: bytes) -> bytes | None:
             pos += 2
         elif body[pos : pos + 1] == b"\n":
             pos += 1
+        else:
+            # RFC 9112 requires a CRLF after the chunk data; anything
+            # else (including a truncated stream) is malformed —
+            # falling through could mis-frame the next bytes as a hex
+            # size line and silently emit garbage
+            return None
 
 
 def http_response_parts(
@@ -563,8 +569,13 @@ class HttpRangeReader:
             n = headers["Content-Length"]
             if n is not None:
                 return int(n)
-        except urllib.error.HTTPError:
-            pass  # HEAD rejected (405/403) — fall back to ranged GET
+        except urllib.error.HTTPError as e:
+            # only METHOD-related rejections warrant the ranged-GET
+            # fallback (403/405/501: HEAD disallowed/unimplemented); a
+            # deterministic 404/410 would fail the GET identically —
+            # re-raise instead of doubling requests per missing object
+            if e.code not in (403, 405, 501):
+                raise
         # 1-byte ranged GET; total length is the Content-Range suffix.
         # Headers only — a Range-ignoring server answers 200 with the
         # WHOLE object, which a size probe must never download.
@@ -1131,9 +1142,26 @@ def warc_to_documents(
     *,
     extractor: str = "strip",
     record_types: Sequence[str] = ("response",),
+    with_headers: bool = False,
 ) -> DataFrame:
     """Project WARC records into the engine's documents shape:
-    ``(doc_id, url, fetch_date, text)``.
+    ``(doc_id, url, fetch_date, text)`` — plus ``http_headers`` when
+    ``with_headers=True``.
+
+    ``with_headers`` (round 11) surfaces the captured HTTP response
+    header block as an ``http_headers`` string column — VERBATIM (the
+    raw head up to the blank line, latin-1 decoded), not rebuilt from
+    the parsed dict: ``X-Robots-Tag`` scoping is per LINE
+    (``googlebot: noindex`` vs a second unscoped ``nofollow`` line),
+    and a dict comma-merge would fuse them under one scope.  Feed it
+    to ``operators.robots.robots_page_directives(header_col=
+    "http_headers")`` so header-only opt-outs (``X-Robots-Tag:
+    noai``/``noindex`` — the standard channel for non-HTML content
+    and CDN-level policy) are enforced by the compliance gate;
+    without this column that half of the gate never sees its input
+    (round-10 verdict finding #1).  Non-response records (WET
+    conversion, resource) have no HTTP envelope — their
+    ``http_headers`` is NULL.
 
     ``record_types`` (round 10) selects which WARC record types become
     documents:
@@ -1187,6 +1215,8 @@ def warc_to_documents(
     def _extract(batches):
         for pdf in batches:
             out = {"record_id": [], "url": [], "fetch_date": [], "text": []}
+            if with_headers:
+                out["http_headers"] = []
             for rid, typ, uri, date, blob in zip(
                 pdf["record_id"],
                 pdf["warc_type"],
@@ -1197,6 +1227,7 @@ def warc_to_documents(
                 if typ not in keep_types or blob is None:
                     continue
                 raw = bytes(blob)
+                head_txt = None
                 if typ == "response":
                     # status = 2nd token of the status line (a reason
                     # phrase containing " 200 " must not pass a
@@ -1206,6 +1237,17 @@ def warc_to_documents(
                     status, _, body = http_response_parts(raw)
                     if status != 200 or body is None:
                         continue
+                    if with_headers:
+                        # verbatim head (up to the blank line), NOT
+                        # rebuilt from the parsed dict — X-Robots-Tag
+                        # scoping is per line and a comma-merge would
+                        # fuse separately-scoped lines
+                        head, sep, _rest = raw.partition(b"\r\n\r\n")
+                        if not sep:
+                            head, sep, _rest = raw.partition(b"\n\n")
+                            if not sep:
+                                head = raw
+                        head_txt = head.decode("latin-1")
                 else:
                     # conversion (WET) / resource: the payload IS the
                     # content — no HTTP envelope to strip
@@ -1219,17 +1261,24 @@ def warc_to_documents(
                     if extractor == "raw" or typ == "conversion"
                     else _html_to_text(decoded)
                 )
+                if with_headers:
+                    out["http_headers"].append(head_txt)
             yield pd.DataFrame(out)
 
+    hdr_field = ", http_headers string" if with_headers else ""
     docs = records.select(
         "record_id", "warc_type", "target_uri", "warc_date", "content"
     ).mapInPandas(
         _extract,
-        schema="record_id string, url string, fetch_date string, text string",
+        schema="record_id string, url string, fetch_date string, text string"
+        + hdr_field,
     )
-    return docs.select(
+    cols = [
         F.xxhash64("record_id").alias("doc_id"),
         "url",
         "fetch_date",
         "text",
-    )
+    ]
+    if with_headers:
+        cols.append("http_headers")
+    return docs.select(*cols)

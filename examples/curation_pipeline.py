@@ -108,18 +108,38 @@ def main() -> None:
                 "</body></html>"
             ),
         ).alias("html"),
+        # round 11: every 40th page (offset 7 — disjoint mod classes
+        # with the meta-tag group for most ids) opts out ONLY via the
+        # X-Robots-Tag response header — the standard channel for
+        # non-HTML content and CDN-level policy.  In a real ingest
+        # this column comes from warc_to_documents(with_headers=True);
+        # the gate below must see BOTH sources
+        F.when(
+            F.col("doc_id") % 40 == 7,
+            F.lit(
+                "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                "X-Robots-Tag: noai\r\n"
+            ),
+        )
+        .otherwise(F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"))
+        .alias("http_headers"),
     )
     # 0a. page-level robots directives (operators/robots.py): honour
     # noai/noindex opt-outs BEFORE any text enters the pipeline —
-    # map-only Column regex over the page markup, zero shuffle
+    # map-only Column regex over the page markup AND the captured
+    # HTTP header block (X-Robots-Tag), zero shuffle
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
         robots_page_directives,
     )
 
-    pdirs = robots_page_directives(pages, html_col="html")
+    pdirs = robots_page_directives(
+        pages, html_col="html", header_col="http_headers"
+    )
     optout = pdirs.where(F.col("pd_noai") | F.col("pd_noindex"))
     n_optout = optout.count()
-    assert n_optout == docs.where(F.col("doc_id") % 25 == 0).count()
+    assert n_optout == docs.where(
+        (F.col("doc_id") % 25 == 0) | (F.col("doc_id") % 40 == 7)
+    ).count()
     optout_ids = optout.select("doc_id")
     pages = pages.join(optout_ids, "doc_id", "left_anti")
     docs = docs.join(optout_ids, "doc_id", "left_anti")

@@ -502,8 +502,9 @@ def test_page_directives_meta_tags(spark):
 
 def test_page_directives_x_robots_tag_header(spark):
     """X-Robots-Tag response headers combine with meta tags; values
-    scoped to another agent drop; unavailable_after parses as a scope
-    and is safely skipped."""
+    scoped to another agent drop; a LEADING unavailable_after is a
+    colon-bearing DIRECTIVE, not an agent scope (round-11 advisory
+    fix) — the value stays unscoped so trailing directives apply."""
     rows = spark.createDataFrame(
         [
             (0, "<p>x</p>",
@@ -516,6 +517,13 @@ def test_page_directives_x_robots_tag_header(spark):
             (3, "<p>z</p>",
              "X-Robots-Tag: unavailable_after: 2026-01-01\r\n"),
             (4, "<p>w</p>", None),
+            # the advisory's exact wild shape: a leading colon-bearing
+            # directive followed by a plain one — the noindex MUST
+            # survive (pre-fix it was silently dropped with the value)
+            (5, "<p>v</p>",
+             "X-Robots-Tag: unavailable_after: 25 Jun 2010 15:00:00 "
+             "PST, noindex\r\n"),
+            (6, "<p>u</p>", "X-Robots-Tag: max-snippet: 20, noai\r\n"),
         ],
         "doc_id long, html string, headers string",
     )
@@ -530,9 +538,13 @@ def test_page_directives_x_robots_tag_header(spark):
     # the other-agent header value carries no policy for us: only the
     # meta tag counts
     assert out[1]["pd_n_tags"] == 1
-    assert out[3]["pd_n_tags"] == 0  # unavailable_after scope dropped
+    # leading unavailable_after is a directive, not a scope: the value
+    # is unscoped (counted) but carries no extracted directive
+    assert out[3]["pd_n_tags"] == 1
     assert out[2]["pd_noarchive"] is True
     assert not any(out[3][f"pd_{d}"] for d in R.PAGE_DIRECTIVES)
+    assert out[5]["pd_noindex"] is True and out[5]["pd_n_tags"] == 1
+    assert out[6]["pd_noai"] is True
     # NULL headers: booleans are FALSE, never NULL ("not any" alone
     # would also pass on NULLs — pin the exact values)
     assert all(out[4][f"pd_{d}"] is False for d in R.PAGE_DIRECTIVES)

@@ -779,6 +779,14 @@ def test_http_response_parts_encodings():
     assert http_response_parts(
         resp([b"Transfer-Encoding: chunked"], lf_chunked)
     )[2] == b"line1\r\nline2"
+    # round-11 advisory: a chunk whose data is NOT followed by
+    # CRLF/LF is malformed — reject (None), never fall through and
+    # mis-frame whatever bytes happen to parse as the next hex size
+    # line ('5\r\nhello3\r\n...' would silently read '3' as a size)
+    bad_term = b"5\r\nhello" + b"3\r\nabc\r\n0\r\n\r\n"
+    assert http_response_parts(
+        resp([b"Transfer-Encoding: chunked"], bad_term)
+    )[2] is None
     # non-HTTP payload -> status None
     assert http_response_parts(b"WARC junk\r\n\r\nbody")[0] is None
     # reason phrase containing ' 200 ' must not fake a status
@@ -850,6 +858,43 @@ def test_http_size_falls_back_when_head_unusable():
         assert HttpRangeReader().size(url) == 0
     finally:
         NoHead.empty = False
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_size_missing_object_fails_once_no_get_fallback():
+    """round-11 advisory: a deterministic 404/410 on HEAD means the
+    object is MISSING — the ranged-GET fallback would fail identically,
+    so size() must re-raise immediately (one request per missing
+    object, not two)."""
+    import http.server
+    import urllib.error
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        HttpRangeReader,
+    )
+
+    hits = {"HEAD": 0, "GET": 0}
+
+    class Missing(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_HEAD(self):
+            hits["HEAD"] += 1
+            self.send_error(404)
+
+        def do_GET(self):
+            hits["GET"] += 1
+            self.send_error(404)
+
+    srv, port = _serve(Missing)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            HttpRangeReader().size(f"http://127.0.0.1:{port}/gone")
+        assert ei.value.code == 404
+        assert hits == {"HEAD": 1, "GET": 0}
+    finally:
         srv.shutdown()
         srv.server_close()
 
@@ -1015,6 +1060,88 @@ def test_wet_conversion_records_become_documents(spark, tmp_path):
     assert len(both) == 3
     with pytest.raises(ValueError, match="unknown record_types"):
         warc_to_documents(read_warc(spark, str(p)), record_types=("page",))
+
+
+def test_warc_headers_feed_page_directive_gate(spark, tmp_path):
+    """round-11 composition fix (VERDICT r10 #1): warc_to_documents
+    (with_headers=True) surfaces the captured HTTP header block, so a
+    page whose ONLY opt-out is ``X-Robots-Tag`` (no meta tag in the
+    body) is dropped by the robots_page_directives compliance gate.
+    The header column is VERBATIM per line — two separately-scoped
+    X-Robots-Tag lines must not fuse under one scope."""
+    from pyspark.sql import functions as F
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
+        robots_page_directives,
+    )
+
+    def _resp(hdr_lines: bytes, body: bytes) -> bytes:
+        return b"HTTP/1.1 200 OK\r\n" + hdr_lines + b"\r\n" + body
+
+    recs = [
+        # opts out ONLY via the header — no robots meta in the body
+        _record(
+            "h1",
+            "response",
+            "http://ex.com/optout",
+            _resp(
+                b"Content-Type: text/html\r\nX-Robots-Tag: noai\r\n",
+                b"<html><body><p>secret training text</p></body></html>",
+            ),
+        ),
+        # two X-Robots-Tag lines: one scoped to another agent, one
+        # unscoped — a dict comma-merge would fuse them under
+        # 'otherbot:' and lose the unscoped noindex
+        _record(
+            "h2",
+            "response",
+            "http://ex.com/twolines",
+            _resp(
+                b"X-Robots-Tag: otherbot: nofollow\r\n"
+                b"X-Robots-Tag: noindex\r\n",
+                b"<html><body><p>two lines</p></body></html>",
+            ),
+        ),
+        # clean page: survives
+        _record(
+            "h3",
+            "response",
+            "http://ex.com/keep",
+            _resp(
+                b"Content-Type: text/html\r\n",
+                b"<html><body><p>keep me</p></body></html>",
+            ),
+        ),
+        # WET record: no HTTP envelope -> NULL http_headers
+        _record("h4", "conversion", "http://ex.com/wet", b"wet text"),
+    ]
+    p = tmp_path / "hdr.warc.gz"
+    p.write_bytes(b"".join(gzip.compress(r) for r in recs))
+
+    docs = warc_to_documents(
+        read_warc(spark, str(p)),
+        record_types=("response", "conversion"),
+        with_headers=True,
+    )
+    rows = {r["url"]: r for r in docs.collect()}
+    assert len(rows) == 4
+    # verbatim head, per-line (both X-Robots-Tag lines intact)
+    assert "X-Robots-Tag: noai" in rows["http://ex.com/optout"]["http_headers"]
+    h2 = rows["http://ex.com/twolines"]["http_headers"]
+    assert "X-Robots-Tag: otherbot: nofollow" in h2
+    assert "\r\nX-Robots-Tag: noindex" in h2
+    assert rows["http://ex.com/wet"]["http_headers"] is None
+
+    gated = robots_page_directives(docs, html_col="text", header_col="http_headers")
+    kept = gated.where(
+        ~(F.col("pd_noai") | F.col("pd_noindex"))
+    ).select("url")
+    assert sorted(r["url"] for r in kept.collect()) == [
+        "http://ex.com/keep",
+        "http://ex.com/wet",
+    ]
+    # default remains headerless — schema unchanged for old callers
+    assert "http_headers" not in warc_to_documents(read_warc(spark, str(p))).columns
 
 
 def test_parse_cdxj_and_read_warc_at_local(spark, tmp_path):

@@ -1611,7 +1611,10 @@ def pagedir_ladder(spark, sizes: list[int]) -> None:
     messy forms (upper-case, unquoted, swapped attribute order, the
     ``none`` alias, a decoy ``viewport`` tag) by arithmetic, with the
     in-rung oracle asserting every derived boolean over the FULL
-    corpus."""
+    corpus.  Round 11: pages of kind 4 carry NO meta tag and opt out
+    ONLY via an ``X-Robots-Tag: noai`` response header — the rung now
+    exercises BOTH sources (``header_col=``), matching the
+    warc_to_documents(with_headers=True) ingest wiring."""
     from pyspark.sql import functions as F
 
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
@@ -1632,6 +1635,18 @@ def pagedir_ladder(spark, sizes: list[int]) -> None:
                   F.lit('<meta name="viewport" content="width=1">'))
             .otherwise(F.lit(""))
         )
+        hdrs = (
+            F.when(
+                kind == 4,
+                F.lit(
+                    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    "X-Robots-Tag: noai\r\n"
+                ),
+            )
+            .otherwise(
+                F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n")
+            )
+        )
         df = (
             spark.range(n)
             .select(
@@ -1642,11 +1657,14 @@ def pagedir_ladder(spark, sizes: list[int]) -> None:
                     F.lit("</head><body><p>"), F.lit(filler),
                     F.lit("</p></body></html>"),
                 ).alias("html"),
+                hdrs.alias("http_headers"),
             )
             .localCheckpoint()
         )
         df.count()
-        out = robots_page_directives(df, html_col="html")
+        out = robots_page_directives(
+            df, html_col="html", header_col="http_headers"
+        )
         best = None
         for _ in range(2):
             t0 = time.time()
@@ -1659,11 +1677,16 @@ def pagedir_ladder(spark, sizes: list[int]) -> None:
         mism = out.where(
             (F.col("pd_noindex") != F.col("_kind").isin(0, 1))
             | (F.col("pd_nofollow") != F.col("_kind").isin(0, 1))
-            | (F.col("pd_noai") != (F.col("_kind") == 2))
+            # kind 4 opts out via the X-Robots-Tag header ONLY
+            | (F.col("pd_noai") != F.col("_kind").isin(2, 4))
             | (F.col("pd_noarchive") != (F.col("_kind") == 2))
             # only robots-named tags count (the viewport decoy, kind
-            # 3, must NOT — exactly what the driver twin pins too)
-            | (F.col("pd_n_tags") != F.col("_kind").isin(0, 1, 2).cast("int"))
+            # 3, must NOT — exactly what the driver twin pins too);
+            # kind 4's header value counts as its one policy source
+            | (
+                F.col("pd_n_tags")
+                != F.col("_kind").isin(0, 1, 2, 4).cast("int")
+            )
         ).count()
         assert mism == 0, f"pagedir rung: {mism} mismatches at n={n}"
         points.append(
@@ -1675,6 +1698,121 @@ def pagedir_ladder(spark, sizes: list[int]) -> None:
         )
         print(json.dumps(points[-1]), flush=True)
     print(json.dumps({"op": "page_directives", "points": points}))
+
+
+def kwiso_leg(spark, leg: str, sf_dir: str) -> None:
+    """§3x inner runner: ONE kw_kernels isolation leg in THIS (fresh)
+    JVM, timed with bench.py's exact protocol (warm-up parquet count +
+    Arrow worker spin-up, then 2 passes from a cleared cache, min
+    reported).  Run via :func:`kwiso_study` so every leg gets its own
+    JVM — the point is to separate code cost from shared-JVM drift."""
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources import (
+        tpch,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
+    def _frames():
+        cohort, survey = tpch.survey_frames(spark, sf_dir)
+        score = (
+            F.lit(entry.GAMMA0)
+            + F.lit(entry.GAMMA1) * F.col("x1")
+            + F.lit(entry.GAMMA2) * F.col("x2")
+        )
+        c = cohort.select("id", score.alias("p_score"), "x1")
+        s = survey.select("id", score.alias("p_score"), "wt", "x1")
+        return c, s
+
+    def run():
+        if leg == "full":
+            return entry.queries()["kw_kernels"](spark, sf_dir)
+        c, s = _frames()
+        if leg == "gauss":
+            return kw_weights(
+                c, s, weight_col="wt", h=entry.KW_H, kernel="dnorm",
+                deriv_cols=["x1"],
+            ).weights
+        if leg == "triang":
+            return kw_weights(
+                c, s, weight_col="wt", h=entry.KW_TRIANG_H,
+                kernel="triang", deriv_cols=["x1"],
+            ).weights
+        if leg == "gauss_nod":
+            return kw_weights(
+                c, s, weight_col="wt", h=entry.KW_H, kernel="dnorm"
+            ).weights
+        raise ValueError(f"unknown kwiso leg {leg!r}")
+
+    times = []
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        run().count()
+        times.append(round(time.time() - t0, 3))
+    print(
+        json.dumps(
+            {"op": "kwiso", "leg": leg, "passes": times,
+             "best": min(times)}
+        ),
+        flush=True,
+    )
+
+
+def kwiso_study(reps: int, sf_dir: str) -> None:
+    """§3x (round 11): the `kw_kernels` wall-drift investigation the
+    r10 verdict asked for — N FRESH-JVM solo passes of the full bench
+    query plus a per-leg split (gauss / triang / gauss-without-
+    derivative), each leg in its own subprocess so nothing shares a
+    JVM, a worker pool, or page cache with anything else."""
+    import subprocess
+
+    legs = ["full"] * reps + ["gauss", "triang", "gauss_nod"]
+    points = []
+    for leg in legs:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--kwiso-leg",
+             leg, sf_dir],
+            capture_output=True,
+            text=True,
+        )
+        rows = [
+            json.loads(ln)
+            for ln in r.stdout.splitlines()
+            if ln.startswith('{"op": "kwiso"')
+        ]
+        if r.returncode != 0 or not rows:
+            print(r.stdout[-2000:], file=sys.stderr)
+            print(r.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"kwiso leg {leg!r} failed")
+        points.append(rows[-1])
+        print(json.dumps(points[-1]), flush=True)
+    fulls = [p["best"] for p in points if p["leg"] == "full"]
+    print(
+        json.dumps(
+            {
+                "op": "kw_kernels_isolation",
+                "sf_dir": sf_dir,
+                "full_solo": fulls,
+                "full_band_pct": round(
+                    100 * (max(fulls) - min(fulls)) / min(fulls), 1
+                )
+                if len(fulls) > 1
+                else None,
+                "legs": {
+                    p["leg"]: p["best"]
+                    for p in points
+                    if p["leg"] != "full"
+                },
+            }
+        )
+    )
 
 
 def cdx_rung(
@@ -2547,6 +2685,18 @@ def main() -> None:
         spark = get_spark("scale-bench")
         spark.sparkContext.setLogLevel("ERROR")
         pagedir_ladder(spark, sizes)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--kwiso-leg":
+        leg = sys.argv[2]
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+        spark = get_spark("kwiso")
+        spark.sparkContext.setLogLevel("ERROR")
+        kwiso_leg(spark, leg, sf_dir)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--kwiso":
+        reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+        kwiso_study(reps, sf_dir)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--cdx":
         sizes = (
