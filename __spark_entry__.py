@@ -4912,6 +4912,25 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
       for malformed), so the line split, JSON field extraction, long
       casts, base_uri concat and the NULL-location contract are all
       oracle-checked.
+    - ``sitemap`` (round 11): sitemaps.org parsing
+      (``operators/sitemaps.sitemap_entries``) over arithmetic-built
+      documents cycling the protocol's shapes by ``doc_id % 4``:
+      default-namespace ``<urlset>`` with TWO entries (one with
+      ``<lastmod>``, one without but carrying a ``<changefreq>``
+      decoy), a namespace-PREFIXED ``<sitemapindex>`` whose second
+      child lacks ``<loc>`` and must be skipped per spec, a GZIPPED
+      urlset with whitespace-padded loc (trim certified), and a
+      corrupt document (malformed XML, or for ``doc_id % 8 == 7``
+      corrupt GZIP bytes) that must audit as ``__corrupt__``
+      (``k = -1``).  ``k`` hashes ``(kind, loc, lastmod)`` per
+      exploded entry, so namespace handling, gzip sniffing, loc
+      trimming, spec skips and the no-silent-drop contract are all
+      oracle-checked.
+    - ``robots_warc`` ``split`` (round 11) additionally leads with
+      ``crawl_budgets(window_s=4.0)``'s per-host fetch budget —
+      ``greatest(1, floor(window / delay))`` with delays 1..5 covers
+      the floor variation AND the >=1 floor (delay 5 floors to 0),
+      oracle-re-derived.
     """
     shuf = _q_corpus_shuffle(spark, sf_dir).select(
         F.lit("corpus_shuffle").alias("part"),
@@ -5166,10 +5185,120 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with robots_meta's group-scoped crawl-delay + global sitemaps
     # broadcast-joined in as `split`
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
+        crawl_budgets,
         robots_from_warc,
         robots_meta,
     )
 
+    # round 11: sitemaps.org parsing — one arithmetic-built sitemap
+    # document per doc, kinds cycling by doc_id % 4 (see docstring);
+    # the gzip leg is built by a tiny Arrow UDF (input construction
+    # only — the operator under test is sitemap_entries)
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sitemaps import (
+        sitemap_entries,
+    )
+
+    h13 = (F.col("doc_id") % 13).cast("string")
+    lastmod0 = F.concat(
+        F.lit("2026-08-"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+    )
+    k4 = F.col("doc_id") % 4
+    sm_xml = (
+        F.when(
+            k4 == 0,
+            F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?>\n<urlset '
+                      'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                      "\n<url><loc>https://site"),
+                h13, F.lit(".com/p/"), did,
+                F.lit("</loc><lastmod>"), lastmod0,
+                F.lit("</lastmod></url>\n<url><loc>https://site"),
+                h13, F.lit(".com/q/"), did,
+                F.lit("</loc><changefreq>daily</changefreq></url>\n"
+                      "</urlset>"),
+            ),
+        )
+        .when(
+            k4 == 1,
+            F.concat(
+                F.lit('<sm:sitemapindex xmlns:sm='
+                      '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                      "<sm:sitemap><sm:loc>https://site"),
+                h13, F.lit(".com/maps/child"), did,
+                F.lit(".xml</sm:loc><sm:lastmod>2026-07-01</sm:lastmod>"
+                      "</sm:sitemap><sm:sitemap><sm:lastmod>2026-07-02"
+                      "</sm:lastmod></sm:sitemap></sm:sitemapindex>"),
+            ),
+        )
+        .when(
+            k4 == 2,
+            F.concat(
+                F.lit('<urlset xmlns='
+                      '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                      "<url><loc>  https://site"),
+                h13, F.lit(".com/z/"), did,
+                F.lit("  </loc></url></urlset>"),
+            ),
+        )
+        .otherwise(F.lit("<urlset><url><loc>broken"))
+    )
+
+    def _sm_payload(batches):
+        # Arrow input builder (the operator under test is
+        # sitemap_entries): gzip the kind-2 docs, corrupt-GZIP the
+        # %8==7 docs (magic bytes + garbage — must audit as
+        # __corrupt__, never crash the pass)
+        import gzip as _gzip
+
+        import pandas as _pd
+
+        for pdf in batches:
+            payload = []
+            for x, k in zip(pdf["_xml"], pdf["_k8"]):
+                b = x.encode("utf-8")
+                if k % 4 == 2:
+                    b = _gzip.compress(b, mtime=0)
+                elif k == 7:
+                    b = b"\x1f\x8b\x08\x00not-actually-gzip"
+                payload.append(b)
+            yield _pd.DataFrame(
+                {"sitemap_url": pdf["_smurl"], "content": payload}
+            )
+
+    smdf = docs.select(
+        F.concat(
+            F.lit("https://site"), h13, F.lit(".com/sitemaps/"), did,
+            F.lit(".xml"),
+        ).alias("_smurl"),
+        sm_xml.alias("_xml"),
+        (F.col("doc_id") % 8).cast("int").alias("_k8"),
+    ).mapInPandas(
+        _sm_payload, schema="sitemap_url string, content binary"
+    )
+    smp = (
+        sitemap_entries(smdf)
+        .withColumn(
+            "_sid",
+            F.regexp_extract("sitemap_url", r"(\d+)\.xml$", 1).cast("long"),
+        )
+        .select(
+            F.lit("sitemap").alias("part"),
+            F.col("_sid").alias("id"),
+            F.when(
+                F.col("kind") != "__corrupt__",
+                hash48(
+                    F.concat_ws(
+                        "|", "kind", "loc",
+                        F.coalesce("lastmod", F.lit("-")),
+                    )
+                ).cast("long"),
+            ).otherwise(F.lit(-1)).alias("k"),
+            F.when(
+                F.col("kind") != "__corrupt__", F.col("kind")
+            ).otherwise(F.lit(None).cast("string")).alias("split"),
+        )
+    )
     wrec = spark.createDataFrame(
         _robots_warc_records(),
         "warc_type string, target_uri string, warc_date string, "
@@ -5189,8 +5318,15 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # round 11: certify crawl_budgets through the same branch — the
+    # fetch budget (greatest(1, floor(window/delay)), window 4 s so
+    # delay 5 exercises the >=1 floor) leads the split
+    bmeta = meta.join(
+        crawl_budgets(meta, window_s=4.0).select("host", "fetch_budget"),
+        "host",
+    )
     robw = rw.join(
-        F.broadcast(meta.withColumnRenamed("host", "_rwhost")),
+        F.broadcast(bmeta.withColumnRenamed("host", "_rwhost")),
         "_rwhost",
         "left",
     ).select(
@@ -5198,6 +5334,8 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("id"),
         F.col("robots_allowed").cast("long").alias("k"),
         F.concat(
+            F.col("fetch_budget").cast("string"),
+            F.lit("|"),
             F.col("crawl_delay").cast("int").cast("string"),
             F.lit("|"),
             F.array_join("sitemaps", ","),
@@ -5213,6 +5351,7 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(robq)
         .unionByName(robw)
         .unionByName(cdxp)
+        .unionByName(smp)
     )
 
 
@@ -5236,6 +5375,25 @@ def _sql_layout_keys() -> str:
         "'https://www.shop' || (doc_id % 11) || '.' || "
         + pslf_suffix
         + " || '/i/' || doc_id"
+    )
+    # round 11, 'sitemap': the oracle re-derives every exploded
+    # (kind, loc, lastmod) entry from the doc_id arithmetic — the
+    # hash pre-image is 'kind|loc|lastmod-or-dash'
+    SM_P_SQL = (
+        "'url|https://site' || (doc_id % 13) || '.com/p/' || doc_id"
+        " || '|2026-08-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')"
+    )
+    SM_Q_SQL = (
+        "'url|https://site' || (doc_id % 13) || '.com/q/' || doc_id"
+        " || '|-'"
+    )
+    SM_CHILD_SQL = (
+        "'sitemap|https://site' || (doc_id % 13) || '.com/maps/child'"
+        " || doc_id || '.xml|2026-07-01'"
+    )
+    SM_Z_SQL = (
+        "'url|https://site' || (doc_id % 13) || '.com/z/' || doc_id"
+        " || '|-'"
     )
     CDX_FIELDS_SQL = (
         "'com,site' || (doc_id % 13) || ')/p/' || doc_id"
@@ -5314,13 +5472,33 @@ def _sql_layout_keys() -> str:
     SELECT 'robots_warc' AS part, doc_id::BIGINT,
            (NOT starts_with(doc_id::VARCHAR,
                             (doc_id % 13)::VARCHAR))::BIGINT,
-           ((doc_id % 13) % 5 + 1)::VARCHAR
+           greatest(1, floor(4.0 / ((doc_id % 13) % 5 + 1))::INT)::VARCHAR
+             || '|' || ((doc_id % 13) % 5 + 1)::VARCHAR
              || '|https://crawl.site' || (doc_id % 13) || '.com/s0.xml'
              || CASE WHEN (doc_id % 13) % 2 = 1
                 THEN ',https://crawl.site' || (doc_id % 13)
                      || '.com/s1.xml'
                 ELSE '' END
     FROM documents
+    UNION ALL
+    SELECT 'sitemap' AS part, doc_id::BIGINT,
+           {MD5INT_SQL.format(x=SM_P_SQL)}, 'url'
+    FROM documents WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT 'sitemap' AS part, doc_id::BIGINT,
+           {MD5INT_SQL.format(x=SM_Q_SQL)}, 'url'
+    FROM documents WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT 'sitemap' AS part, doc_id::BIGINT,
+           {MD5INT_SQL.format(x=SM_CHILD_SQL)}, 'sitemap'
+    FROM documents WHERE doc_id % 4 = 1
+    UNION ALL
+    SELECT 'sitemap' AS part, doc_id::BIGINT,
+           {MD5INT_SQL.format(x=SM_Z_SQL)}, 'url'
+    FROM documents WHERE doc_id % 4 = 2
+    UNION ALL
+    SELECT 'sitemap' AS part, doc_id::BIGINT, -1::BIGINT, NULL::VARCHAR
+    FROM documents WHERE doc_id % 4 = 3
     """
 
 

@@ -946,7 +946,11 @@ CDXJ_SCHEMA = (
 
 
 def parse_cdxj(
-    lines: DataFrame, *, line_col: str = "value", base_uri: str = ""
+    lines: DataFrame,
+    *,
+    line_col: str = "value",
+    base_uri: str = "",
+    surt_prefix: str | None = None,
 ) -> DataFrame:
     """Parse CDXJ index lines — the Common Crawl / pywb index format,
     one line per capture: ``<SURT key> <14-digit timestamp> <JSON>``
@@ -966,9 +970,25 @@ def parse_cdxj(
     next to the crawl), FILTER by SURT prefix / status / mime
     (e.g. ``surt LIKE 'org,example)%'`` or ``url LIKE '%/robots.txt'``)
     and fetch ONLY the matching records — the crawl itself is never
-    scanned."""
+    scanned.
+
+    ``surt_prefix`` (round 11) is the fast path for the by-site
+    selection: because a CDXJ line BEGINS with its SURT key, a SURT
+    prefix predicate is exactly a line-prefix predicate — it is
+    applied to the RAW line column *before* any regex or JSON
+    parsing, so non-matching lines cost one codegen'd
+    ``StartsWith`` each and never pay the parse (Common Crawl's
+    cluster.idx side index bounds which shards are read at all; this
+    bounds the per-line work inside them).  The selection stays one
+    map-only stage: scan → StartsWith filter → parse, zero
+    shuffles, no Python (see the EXPLAIN.md ``parse_cdxj`` section)."""
     from pyspark.sql import functions as F
 
+    if surt_prefix is not None:
+        # pre-parse, on the raw line: Catalyst keeps this ahead of
+        # the projection, so the regex/from_json work below runs only
+        # on matching lines
+        lines = lines.where(F.col(line_col).startswith(surt_prefix))
     line = F.col(line_col)
     surt = F.regexp_extract(line, r"^(\S+) \d{14} \{", 1)
     ts = F.regexp_extract(line, r"^\S+ (\d{14}) \{", 1)

@@ -34,6 +34,12 @@ Covered twins (one mutation each):
    (jk_newton_steps — the reweight there is scale-invariant, see the
    case comment), and the GREG benchmark total (greg_weights).
 
+10. Round 11: the sitemap-entry certificates (layout_keys 'sitemap'
+    — lastmod day arithmetic, the namespace-prefixed index child
+    loc, the corrupt-document -1 sentinel) and the crawl_budgets
+    arithmetic (politeness window, >=1 floor) riding the
+    'robots_warc' split.
+
    NOT mutatable by design: the gaussian dnorm normalizer
    (sqrt(2 pi)) cancels in kw = sum(w k)/sum(k) — it is not
    load-bearing, so a flip would (correctly) not be caught; and the
@@ -381,6 +387,45 @@ MUTATIONS = [
         "doc_id % 5 = 0 AS pd_noarchive",
         "doc_id % 5 = 1 AS pd_noarchive",
         "page-directive-noarchive",
+    ),
+    # round 11, sitemap: the <lastmod> ride on the entry hash — the
+    # day arithmetic restates (doc_id % 28) + 1.
+    (
+        "layout_keys",
+        "lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')",
+        "lpad(((doc_id % 28) + 2)::VARCHAR, 2, '0')",
+        "sitemap-lastmod",
+    ),
+    # round 11, sitemap: the namespace-prefixed sitemapindex child loc.
+    (
+        "layout_keys",
+        "'.com/maps/child'",
+        "'.com/maps/kid'",
+        "sitemap-index-child",
+    ),
+    # round 11, sitemap: the corrupt-document audit sentinel (gzip
+    # garbage + malformed XML both land here).
+    (
+        "layout_keys",
+        "-1::BIGINT, NULL::VARCHAR",
+        "-2::BIGINT, NULL::VARCHAR",
+        "sitemap-corrupt-audit",
+    ),
+    # round 11, crawl_budgets: the politeness window in the budget
+    # formula greatest(1, floor(window / delay)).
+    (
+        "layout_keys",
+        "floor(4.0 / ((doc_id % 13) % 5 + 1))",
+        "floor(8.0 / ((doc_id % 13) % 5 + 1))",
+        "crawl-budget-window",
+    ),
+    # round 11, crawl_budgets: the >=1 floor (delay 5 floors a 4 s
+    # window to 0 fetches; the operator must still crawl eventually).
+    (
+        "layout_keys",
+        "greatest(1, floor(4.0",
+        "greatest(2, floor(4.0",
+        "crawl-budget-floor",
     ),
 ]
 

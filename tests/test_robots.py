@@ -457,6 +457,22 @@ def test_politeness_budget_and_sitemap_frontier(spark):
         .collect()
     }
     assert per_host == {"h0.com": 40, "h1.com": 30, "h2.com": 20, "h3.com": 15}
+    # round 11: column-name kwargs (API symmetry with host_col) — a
+    # caller whose meta frame uses different names gets a knob, not
+    # an AnalysisException
+    renamed = spark.createDataFrame(
+        [("x.com", 2.0, ["https://x.com/s.xml"])],
+        "site string, delay double, maps array<string>",
+    )
+    row = R.crawl_budgets(
+        renamed,
+        window_s=60.0,
+        host_col="site",
+        delay_col="delay",
+        sitemaps_col="maps",
+    ).collect()[0]
+    assert row["site"] == "x.com" and row["fetch_budget"] == 30
+    assert list(row["sitemaps"]) == ["https://x.com/s.xml"]
 
 
 def test_page_directives_meta_tags(spark):

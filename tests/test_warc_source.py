@@ -1192,6 +1192,18 @@ def test_parse_cdxj_and_read_warc_at_local(spark, tmp_path):
     assert parsed[0]["status"] == "200" and parsed[0]["mime"] == "text/html"
     # malformed line -> NULL location, filterable
     assert idx.where("offset IS NULL").count() == 1
+    # round 11: surt_prefix filter-first selection — identical rows to
+    # the parse-then-filter form (a SURT prefix IS a line prefix), and
+    # the garbage line never matches
+    pre = parse_cdxj(
+        spark.read.text(str(idx_path)),
+        base_uri=str(tmp_path) + "/",
+        surt_prefix="com,ex)/3",
+    ).collect()
+    assert [r["url"] for r in pre] == ["http://ex.com/3"]
+    assert pre[0].asDict() == (
+        idx.where("surt = 'com,ex)/3'").collect()[0].asDict()
+    )
 
     # fetch a SUBSET by index query — records 3 and 7 only
     want = idx.where("url IN ('http://ex.com/3', 'http://ex.com/7')")

@@ -181,7 +181,45 @@ def _huge_grid(spark, sf_dir):
     return hazard_grid(df)
 
 
+def _cdx_selection(spark, sf_dir):
+    """The 100 TB CDX story is 'filter the index, never scan the
+    crawl': a SURT-prefix selection over index shards must be ONE
+    map-only stage — raw-line StartsWith ahead of the regex/JSON
+    parse, zero exchanges, zero Python."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        parse_cdxj,
+    )
+
+    d = tempfile.mkdtemp(prefix="cdx_audit_")
+    with open(os.path.join(d, "cdx-00000"), "w") as f:
+        for i in range(1000):
+            f.write(
+                f"com,site{i % 7})/p/{i} 20260816120000 "
+                f'{{"url": "https://site{i % 7}.com/p/{i}", '
+                f'"status": "200", "mime": "text/html", '
+                f'"digest": "sha1:D{i}", "filename": "seg-{i % 3}.warc.gz", '
+                f'"offset": "{i * 1000}", "length": "{500 + i}"}}\n'
+            )
+    idx = spark.read.text(d)
+    return parse_cdxj(
+        idx, base_uri="https://data.example.org/", surt_prefix="com,site3)"
+    ).where(F.col("offset").isNotNull())
+
+
 CUSTOM_AUDITS: dict[str, tuple] = {
+    "parse_cdxj (SURT-prefix index selection)": (
+        _cdx_selection,
+        [
+            (r"count<=0:Exchange", "index selection is ONE map-only stage — no shuffle anywhere between the text scan and the location rows"),
+            (r"StartsWith\(value#\d+, com,site3\)", "the SURT prefix is a raw-line StartsWith ahead of the projection — non-matching lines never pay the regex/JSON parse"),
+            (r"count<=0:BatchEvalPython", "pure Column regex + from_json — no Python in the index path"),
+            (r"Filter [^\n]*StartsWith\(value", "the prefix filter sits directly on the scanned line, BELOW the parse projection (filter-then-parse, not parse-then-filter)"),
+        ],
+    ),
     "bpe_merges (vocab after batched rounds)": (
         _bpe_vocab,
         [

@@ -1815,6 +1815,96 @@ def kwiso_study(reps: int, sf_dir: str) -> None:
     )
 
 
+def cdxpush_rung(spark, sizes: list[int], prefix: str = "com,site3)") -> None:
+    """§3y (round 11): CDX pushdown evidence at index scale — the
+    100 TB claim for `parse_cdxj` is 'filter the INDEX, never scan
+    the crawl', so the per-line work inside the index shards matters
+    too.  N CDXJ lines (Spark-built, gzipped text shards like the
+    real cdx-*.gz) are selected by SURT prefix two ways:
+
+    - A: parse-then-filter — parse every line (3 regexes +
+      from_json), then ``surt LIKE 'prefix%'``;
+    - B: filter-first — ``parse_cdxj(surt_prefix=...)`` puts a raw
+      StartsWith on the line BELOW the parse projection, so the
+      ~6/7 non-matching lines never pay the parse.
+
+    Row counts and offset sums asserted identical; the EXPLAIN.md
+    `parse_cdxj` section pins the plan shape (one map stage, zero
+    exchanges, filter under the projection)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        parse_cdxj,
+    )
+
+    points = []
+    for n in sizes:
+        d = tempfile.mkdtemp(prefix="sg_cdxpush_")
+        try:
+            did = F.col("id").cast("string")
+            line = F.concat(
+                F.lit("com,site"), (F.col("id") % 7).cast("string"),
+                F.lit(")/p/"), did,
+                F.lit(' 20260816120000 {"url": "https://site'),
+                (F.col("id") % 7).cast("string"),
+                F.lit(".com/p/"), did,
+                F.lit('", "status": "200", "mime": "text/html", '
+                      '"digest": "sha1:D'), did,
+                F.lit('", "filename": "seg-'),
+                (F.col("id") % 31).cast("string"),
+                F.lit('.warc.gz", "offset": "'),
+                (F.col("id") * 977).cast("string"),
+                F.lit('", "length": "'),
+                (F.lit(500) + F.col("id") % 97).cast("string"),
+                F.lit('"}'),
+            )
+            (
+                spark.range(n)
+                .repartition(32)
+                .select(line.alias("value"))
+                .write.option("compression", "gzip")
+                .mode("overwrite")
+                .text(d + "/idx")
+            )
+            idx = spark.read.text(d + "/idx")
+
+            def _run(df):
+                t0 = time.time()
+                row = df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("offset").alias("s"),
+                ).collect()[0]
+                return time.time() - t0, row["n"], row["s"]
+
+            a_best = b_best = None
+            for _ in range(2):
+                ta, na, sa = _run(
+                    parse_cdxj(idx).where(
+                        F.col("surt").startswith(prefix)
+                    )
+                )
+                tb, nb, sb = _run(parse_cdxj(idx, surt_prefix=prefix))
+                assert (na, sa) == (nb, sb), (na, sa, nb, sb)
+                a_best = ta if a_best is None else min(a_best, ta)
+                b_best = tb if b_best is None else min(b_best, tb)
+            points.append(
+                {
+                    "n_lines": n,
+                    "n_selected": na,
+                    "parse_then_filter_sec": round(a_best, 2),
+                    "filter_first_sec": round(b_best, 2),
+                    "speedup": round(a_best / max(b_best, 1e-9), 2),
+                }
+            )
+            print(json.dumps(points[-1]), flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    print(json.dumps({"op": "cdx_pushdown", "points": points}))
+
+
 def cdx_rung(
     spark, sizes: list[int], pick_pct: float = 1.0, body_words: int = 400
 ) -> None:
@@ -1917,6 +2007,288 @@ def cdx_rung(
         )
         print(json.dumps(points[-1]), flush=True)
     print(json.dumps({"op": "cdx_selective_fetch", "points": points}))
+
+
+def frontier_rung(spark, n_hosts: int = 33_000, k_urls: int = 8) -> None:
+    """§3z (round 11): the crawl-frontier ROUND TRIP the sitemaps
+    module docstring promises, composed end to end at ~100k sitemap
+    documents:
+
+        robots_meta -> explode(sitemaps) -> CDX-joined ranged fetch
+        -> sitemap_entries (index round) -> child sitemaps -> ranged
+        fetch -> sitemap_entries (urlset round) -> normalize_url ->
+        robots_verdict
+
+    Per host: robots.txt advertises ONE sitemapindex; the index lists
+    TWO child urlsets (the one level of recursion the protocol
+    allows); child A lists k_urls pages under the host's OWN
+    ``Disallow: /p/blocked`` prefix (must come out blocked), child B
+    k_urls allowed pages in messy URL forms (upper-case host,
+    default port, utm param — normalize_url dedup keys asserted
+    distinct).  All sitemap documents live in a synthetic
+    ``.warc.gz`` archive fetched ONLY via its CDX byte ranges — the
+    scheduling story never scans the archive.  Every count and every
+    verdict is asserted from the arithmetic in-rung."""
+    import gzip
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
+        robots_meta,
+        robots_rules,
+        robots_verdict,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sitemaps import (
+        sitemap_entries,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.urls import (
+        normalize_url,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        read_warc_at,
+        warc_to_documents,
+    )
+
+    d = tempfile.mkdtemp(prefix="sg_frontier_")
+    per_file = max(1, (3 * n_hosts) // 32)
+    index_rows = []
+    fh = None
+    path = None
+    off = 0
+    written = 0
+
+    def _rec(url: str, xml: str) -> bytes:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: application/xml\r\n\r\n"
+            + xml.encode()
+        )
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + b"WARC-Record-ID: <urn:uuid:%08d>\r\n" % written
+            + b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            + b"WARC-Date: 2026-08-15T00:00:00Z\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(http)
+        )
+        return gzip.compress(hdr + http + b"\r\n\r\n")
+
+    try:
+        t_build0 = time.time()
+        for i in range(n_hosts):
+            docs = [
+                (
+                    f"https://h{i}.com/sitemap.xml",
+                    '<sm:sitemapindex xmlns:sm='
+                    '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                    + "".join(
+                        f"<sm:sitemap><sm:loc>https://h{i}.com/maps/"
+                        f"{c}.xml</sm:loc></sm:sitemap>"
+                        for c in ("a", "b")
+                    )
+                    + "</sm:sitemapindex>",
+                ),
+                (
+                    f"https://h{i}.com/maps/a.xml",
+                    '<urlset xmlns='
+                    '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                    + "".join(
+                        f"<url><loc>https://h{i}.com/p/blocked/{j}"
+                        f"</loc></url>"
+                        for j in range(k_urls)
+                    )
+                    + "</urlset>",
+                ),
+                (
+                    f"https://h{i}.com/maps/b.xml",
+                    '<urlset xmlns='
+                    '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                    + "".join(
+                        f"<url><loc>HTTPS://H{i}.COM:443/ok/{j}"
+                        f"?utm_source=sm&amp;x={j}</loc></url>"
+                        for j in range(k_urls)
+                    )
+                    + "</urlset>",
+                ),
+            ]
+            for url, xml in docs:
+                if written % per_file == 0:
+                    if fh:
+                        fh.close()
+                    path = f"{d}/part-{written // per_file:05d}.warc.gz"
+                    fh = open(path, "wb")
+                    off = 0
+                member = _rec(url, xml)
+                fh.write(member)
+                index_rows.append((path, off, len(member), url))
+                off += len(member)
+                written += 1
+        if fh:
+            fh.close()
+        t_build = time.time() - t_build0
+
+        idx = spark.createDataFrame(
+            index_rows, "path string, offset long, length long, url string"
+        ).localCheckpoint()
+        idx.count()
+        robots = spark.range(n_hosts).select(
+            F.concat(F.lit("h"), F.col("id").cast("string"),
+                     F.lit(".com")).alias("host"),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /p/blocked\nCrawl-delay: "),
+                ((F.col("id") % 5) + 1).cast("string"),
+                F.lit("\nSitemap: https://h"),
+                F.col("id").cast("string"),
+                F.lit(".com/sitemap.xml\n"),
+            ).alias("robots_txt"),
+        ).localCheckpoint()
+        robots.count()
+
+        def _fetch_entries(urls_df):
+            """(url) -> CDX join -> ranged fetch -> sitemap_entries."""
+            locs = urls_df.join(idx, "url")
+            docs = warc_to_documents(
+                read_warc_at(spark, locs, parallelism=64),
+                extractor="raw",
+            )
+            return sitemap_entries(docs, url_col="url", doc_col="text")
+
+        t0 = time.time()
+        meta = robots_meta(robots)
+        round1 = _fetch_entries(
+            meta.select(F.explode("sitemaps").alias("url"))
+        )
+        children = round1.where(F.col("kind") == "sitemap").select(
+            F.col("loc").alias("url")
+        )
+        round2 = _fetch_entries(children)
+        pages = round2.where(F.col("kind") == "url").select(
+            F.col("loc").alias("url")
+        )
+        verdicts = robots_verdict(
+            pages.withColumn("norm_key", normalize_url("url")),
+            robots_rules(robots),
+            url_col="url",
+        )
+        agg = verdicts.agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum((~F.col("robots_allowed")).cast("long")).alias("blocked"),
+            F.countDistinct("norm_key").alias("n_keys"),
+        ).collect()[0]
+        wall = time.time() - t0
+
+        # in-rung oracle, all from the arithmetic
+        assert round1.count() == 2 * n_hosts, "index round lost children"
+        assert agg["n_pages"] == 2 * k_urls * n_hosts
+        assert agg["blocked"] == k_urls * n_hosts, agg
+        assert agg["n_keys"] == agg["n_pages"], "normalize_url collided"
+        n_sitemaps = 3 * n_hosts
+        print(
+            json.dumps(
+                {
+                    "op": "frontier_round_trip",
+                    "n_hosts": n_hosts,
+                    "n_sitemap_docs": n_sitemaps,
+                    "n_frontier_urls": int(agg["n_pages"]),
+                    "blocked": int(agg["blocked"]),
+                    "archive_build_sec": round(t_build, 2),
+                    "wall_sec": round(wall, 2),
+                    "sitemaps_per_sec": int(n_sitemaps / max(wall, 1e-9)),
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def wet_rung(spark, sizes: list[int], body_words: int = 120) -> None:
+    """§3z-bis (round 11): WET ingestion throughput + verbatim
+    certificate — ``.warc.wet.gz`` conversion records through
+    ``read_warc`` + ``warc_to_documents(record_types=('conversion',))``.
+    WET text must arrive VERBATIM (never tag-stripped): each record's
+    payload embeds angle brackets and its own id; the rung asserts
+    doc count, an exact per-doc id/text round trip (xxhash64 sum of
+    the expected string equals the hash sum of the arrived text) and
+    reports docs/s."""
+    import gzip
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        read_warc,
+        warc_to_documents,
+    )
+
+    points = []
+    filler = "word " * body_words
+    for n in sizes:
+        d = tempfile.mkdtemp(prefix="sg_wet_")
+        per_file = max(1, n // 32)
+        fh = None
+        try:
+            for i in range(n):
+                if i % per_file == 0:
+                    if fh:
+                        fh.close()
+                    fh = open(
+                        f"{d}/seg-{i // per_file:05d}.warc.wet.gz", "wb"
+                    )
+                text = f"<keep> wet doc {i}\n{filler}"
+                payload = text.encode()
+                hdr = (
+                    b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                    + b"WARC-Record-ID: <urn:uuid:w%08d>\r\n" % i
+                    + b"WARC-Target-URI: http://ex.com/%d\r\n" % i
+                    + b"WARC-Date: 2026-08-15T00:00:00Z\r\n"
+                    + b"Content-Length: %d\r\n\r\n" % len(payload)
+                )
+                fh.write(gzip.compress(hdr + payload + b"\r\n\r\n"))
+            if fh:
+                fh.close()
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                got = (
+                    warc_to_documents(
+                        read_warc(spark, d),
+                        record_types=("conversion",),
+                    )
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.xxhash64("text")).alias("hs"),
+                    )
+                    .collect()[0]
+                )
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            assert got["n"] == n, got
+            exp = (
+                spark.range(n)
+                .select(
+                    F.concat(
+                        F.lit("<keep> wet doc "),
+                        F.col("id").cast("string"),
+                        F.lit("\n" + filler),
+                    ).alias("t")
+                )
+                .agg(F.sum(F.xxhash64("t")).alias("hs"))
+                .collect()[0]
+            )
+            assert got["hs"] == exp["hs"], "WET text not verbatim"
+            points.append(
+                {
+                    "n_wet_records": n,
+                    "wall_sec": round(best, 2),
+                    "docs_per_sec": int(n / max(best, 1e-9)),
+                }
+            )
+            print(json.dumps(points[-1]), flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    print(json.dumps({"op": "wet_ingest", "points": points}))
 
 
 def warc_ladder(
@@ -2697,6 +3069,34 @@ def main() -> None:
         reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
         sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
         kwiso_study(reps, sf_dir)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--frontier":
+        n_hosts = int(sys.argv[2]) if len(sys.argv) > 2 else 33_000
+        k_urls = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        frontier_rung(spark, n_hosts, k_urls)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--wet":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [200_000]
+        )
+        body_words = int(sys.argv[3]) if len(sys.argv) > 3 else 120
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        wet_rung(spark, sizes, body_words)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--cdxpush":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [10_000_000]
+        )
+        spark = get_spark("scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        cdxpush_rung(spark, sizes)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--cdx":
         sizes = (
