@@ -4914,18 +4914,22 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
       oracle-checked.
     - ``sitemap`` (round 11): sitemaps.org parsing
       (``operators/sitemaps.sitemap_entries``) over arithmetic-built
-      documents cycling the protocol's shapes by ``doc_id % 4``:
-      default-namespace ``<urlset>`` with TWO entries (one with
-      ``<lastmod>``, one without but carrying a ``<changefreq>``
-      decoy), a namespace-PREFIXED ``<sitemapindex>`` whose second
-      child lacks ``<loc>`` and must be skipped per spec, a GZIPPED
-      urlset with whitespace-padded loc (trim certified), and a
-      corrupt document (malformed XML, or for ``doc_id % 8 == 7``
-      corrupt GZIP bytes) that must audit as ``__corrupt__``
-      (``k = -1``).  ``k`` hashes ``(kind, loc, lastmod)`` per
-      exploded entry, so namespace handling, gzip sniffing, loc
-      trimming, spec skips and the no-silent-drop contract are all
-      oracle-checked.
+      documents cycling EVERY format the protocol accepts, by
+      ``doc_id % 8``: (0) default-namespace ``<urlset>`` with TWO
+      entries (one with ``<lastmod>``, one without but carrying a
+      ``<changefreq>`` decoy), (1) a namespace-PREFIXED
+      ``<sitemapindex>`` whose second child lacks ``<loc>`` and must
+      be skipped per spec, (2) a GZIPPED urlset with
+      whitespace-padded loc (trim certified), (3) malformed XML and
+      (7) corrupt GZIP bytes — both must audit as ``__corrupt__``
+      (``k = -1``), (4) a PLAIN-TEXT sitemap (two URL lines), (5) an
+      RSS 2.0 feed (``item/link`` + ``pubDate``), (6) an Atom feed
+      whose FIRST link is ``rel="self"`` and must be skipped in
+      favor of the unqualified page link (``updated`` as lastmod).
+      ``k`` hashes ``(kind, loc, lastmod)`` per exploded entry, so
+      namespace handling, gzip sniffing, loc trimming, spec skips,
+      the feed-format extraction and the no-silent-drop contract are
+      all oracle-checked.
     - ``robots_warc`` ``split`` (round 11) additionally leads with
       ``crawl_budgets(window_s=4.0)``'s per-host fetch budget —
       ``greatest(1, floor(window / delay))`` with delays 1..5 covers
@@ -5203,10 +5207,10 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2026-08-"),
         F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
     )
-    k4 = F.col("doc_id") % 4
+    k8 = F.col("doc_id") % 8
     sm_xml = (
         F.when(
-            k4 == 0,
+            k8 == 0,
             F.concat(
                 F.lit('<?xml version="1.0" encoding="UTF-8"?>\n<urlset '
                       'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
@@ -5220,7 +5224,7 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .when(
-            k4 == 1,
+            k8 == 1,
             F.concat(
                 F.lit('<sm:sitemapindex xmlns:sm='
                       '"http://www.sitemaps.org/schemas/sitemap/0.9">'
@@ -5232,13 +5236,42 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .when(
-            k4 == 2,
+            k8 == 2,
             F.concat(
                 F.lit('<urlset xmlns='
                       '"http://www.sitemaps.org/schemas/sitemap/0.9">'
                       "<url><loc>  https://site"),
                 h13, F.lit(".com/z/"), did,
                 F.lit("  </loc></url></urlset>"),
+            ),
+        )
+        .when(
+            k8 == 4,
+            # plain-text sitemap: URLs only, one per line
+            F.concat(
+                F.lit("https://site"), h13, F.lit(".com/t/"), did,
+                F.lit("\nhttps://site"), h13, F.lit(".com/u/"), did,
+                F.lit("\n"),
+            ),
+        )
+        .when(
+            k8 == 5,
+            F.concat(
+                F.lit('<rss version="2.0"><channel><title>c</title>'
+                      "<item><link>https://site"),
+                h13, F.lit(".com/r/"), did,
+                F.lit("</link><pubDate>2026-03-04</pubDate></item>"
+                      "</channel></rss>"),
+            ),
+        )
+        .when(
+            k8 == 6,
+            F.concat(
+                F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'
+                      '<entry><link rel="self" href="https://site'),
+                h13, F.lit('.com/feed.xml"/><link href="https://site'),
+                h13, F.lit(".com/f/"), did,
+                F.lit('"/><updated>2026-04-05</updated></entry></feed>'),
             ),
         )
         .otherwise(F.lit("<urlset><url><loc>broken"))
@@ -5257,7 +5290,7 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             payload = []
             for x, k in zip(pdf["_xml"], pdf["_k8"]):
                 b = x.encode("utf-8")
-                if k % 4 == 2:
+                if k == 2:
                     b = _gzip.compress(b, mtime=0)
                 elif k == 7:
                     b = b"\x1f\x8b\x08\x00not-actually-gzip"
@@ -5395,6 +5428,22 @@ def _sql_layout_keys() -> str:
         "'url|https://site' || (doc_id % 13) || '.com/z/' || doc_id"
         " || '|-'"
     )
+    SM_T_SQL = (
+        "'url|https://site' || (doc_id % 13) || '.com/t/' || doc_id"
+        " || '|-'"
+    )
+    SM_U_SQL = (
+        "'url|https://site' || (doc_id % 13) || '.com/u/' || doc_id"
+        " || '|-'"
+    )
+    SM_RSS_SQL = (
+        "'url|https://site' || (doc_id % 13) || '.com/r/' || doc_id"
+        " || '|2026-03-04'"
+    )
+    SM_ATOM_SQL = (
+        "'url|https://site' || (doc_id % 13) || '.com/f/' || doc_id"
+        " || '|2026-04-05'"
+    )
     CDX_FIELDS_SQL = (
         "'com,site' || (doc_id % 13) || ')/p/' || doc_id"
         " || '|202608161200' || lpad((doc_id % 60)::VARCHAR, 2, '0')"
@@ -5483,22 +5532,38 @@ def _sql_layout_keys() -> str:
     UNION ALL
     SELECT 'sitemap' AS part, doc_id::BIGINT,
            {MD5INT_SQL.format(x=SM_P_SQL)}, 'url'
-    FROM documents WHERE doc_id % 4 = 0
+    FROM documents WHERE doc_id % 8 = 0
     UNION ALL
     SELECT 'sitemap' AS part, doc_id::BIGINT,
            {MD5INT_SQL.format(x=SM_Q_SQL)}, 'url'
-    FROM documents WHERE doc_id % 4 = 0
+    FROM documents WHERE doc_id % 8 = 0
     UNION ALL
     SELECT 'sitemap' AS part, doc_id::BIGINT,
            {MD5INT_SQL.format(x=SM_CHILD_SQL)}, 'sitemap'
-    FROM documents WHERE doc_id % 4 = 1
+    FROM documents WHERE doc_id % 8 = 1
     UNION ALL
     SELECT 'sitemap' AS part, doc_id::BIGINT,
            {MD5INT_SQL.format(x=SM_Z_SQL)}, 'url'
-    FROM documents WHERE doc_id % 4 = 2
+    FROM documents WHERE doc_id % 8 = 2
+    UNION ALL
+    SELECT 'sitemap' AS part, doc_id::BIGINT,
+           {MD5INT_SQL.format(x=SM_T_SQL)}, 'url'
+    FROM documents WHERE doc_id % 8 = 4
+    UNION ALL
+    SELECT 'sitemap' AS part, doc_id::BIGINT,
+           {MD5INT_SQL.format(x=SM_U_SQL)}, 'url'
+    FROM documents WHERE doc_id % 8 = 4
+    UNION ALL
+    SELECT 'sitemap' AS part, doc_id::BIGINT,
+           {MD5INT_SQL.format(x=SM_RSS_SQL)}, 'url'
+    FROM documents WHERE doc_id % 8 = 5
+    UNION ALL
+    SELECT 'sitemap' AS part, doc_id::BIGINT,
+           {MD5INT_SQL.format(x=SM_ATOM_SQL)}, 'url'
+    FROM documents WHERE doc_id % 8 = 6
     UNION ALL
     SELECT 'sitemap' AS part, doc_id::BIGINT, -1::BIGINT, NULL::VARCHAR
-    FROM documents WHERE doc_id % 4 = 3
+    FROM documents WHERE doc_id % 8 IN (3, 7)
     """
 
 

@@ -45,15 +45,30 @@ def _local(tag: str) -> str:
 
 
 def parse_sitemap(doc: str | bytes) -> list[tuple[str, str, str | None]]:
-    """Parse one sitemap document into ``(kind, loc, lastmod)`` rows:
-    ``kind='url'`` for ``<urlset><url>`` page entries, ``'sitemap'``
-    for ``<sitemapindex><sitemap>`` children (fetch those and recurse
-    one level — the protocol forbids deeper nesting).  Gzipped bytes
-    (``sitemap.xml.gz``) are sniffed and decompressed; malformed XML
-    or an unrecognized root yields ``[('__corrupt__', None, None)]``
-    so the loss is auditable (the engine's no-silent-drop contract).
-    Entries without a ``<loc>`` are skipped per the spec (loc is the
-    one required child).  Pure stdlib."""
+    """Parse one sitemap document into ``(kind, loc, lastmod)`` rows
+    — ALL the formats the sitemaps.org protocol accepts:
+
+    - XML ``<urlset><url>`` page entries (``kind='url'``) and
+      ``<sitemapindex><sitemap>`` children (``kind='sitemap'`` —
+      fetch those and recurse one level; the protocol forbids deeper
+      nesting);
+    - **plain-text sitemaps** (round 11): one absolute ``http(s)``
+      URL per line, nothing else — each line becomes a
+      ``kind='url'`` entry (no lastmod in this format); any
+      non-URL, non-blank line makes the whole document
+      ``__corrupt__`` (the spec says the file "must contain no
+      information other than the list of URLs");
+    - **RSS 2.0 / Atom feeds** (round 11): ``<rss><channel><item>``
+      entries via ``<link>`` (lastmod from ``<pubDate>``) and
+      ``<feed><entry>`` via ``<link href=…>`` (lastmod from
+      ``<updated>``), each a ``kind='url'`` row.
+
+    Gzipped bytes (``sitemap.xml.gz``/``.txt.gz``) are sniffed and
+    decompressed; malformed XML or an unrecognized root yields
+    ``[('__corrupt__', None, None)]`` so the loss is auditable (the
+    engine's no-silent-drop contract).  XML entries without a
+    ``<loc>`` are skipped per the spec (loc is the one required
+    child).  Pure stdlib."""
     if isinstance(doc, (bytes, bytearray, memoryview)):
         raw = bytes(doc)
         if raw[:2] == b"\x1f\x8b":
@@ -64,18 +79,70 @@ def parse_sitemap(doc: str | bytes) -> list[tuple[str, str, str | None]]:
         text = raw.decode("utf-8", "replace")
     else:
         text = str(doc)
+    if not text.lstrip().startswith("<"):
+        # plain-text sitemap: URLs only, one per line
+        out = []
+        for ln in text.splitlines():
+            ln = ln.strip()
+            if not ln:
+                continue
+            if ln.lower().startswith(("http://", "https://")):
+                out.append(("url", ln, None))
+            else:
+                return [("__corrupt__", None, None)]
+        return out if out else [("__corrupt__", None, None)]
     try:
         root = ElementTree.fromstring(text)
     except ElementTree.ParseError:
         return [("__corrupt__", None, None)]
     root_name = _local(root.tag)
+    if root_name == "rss":
+        # RSS 2.0: <rss><channel><item><link>URL</link>
+        #                          <pubDate>date</pubDate></item>
+        out = []
+        for channel in root:
+            if _local(channel.tag) != "channel":
+                continue
+            for item in channel:
+                if _local(item.tag) != "item":
+                    continue
+                loc = lastmod = None
+                for field in item:
+                    name = _local(field.tag)
+                    if name == "link":
+                        loc = (field.text or "").strip() or None
+                    elif name == "pubdate":
+                        lastmod = (field.text or "").strip() or None
+                if loc:
+                    out.append(("url", loc, lastmod))
+        return out
+    if root_name == "feed":
+        # Atom: <feed><entry><link href="URL"/>
+        #                    <updated>date</updated></entry>
+        out = []
+        for entry in root:
+            if _local(entry.tag) != "entry":
+                continue
+            loc = lastmod = None
+            for field in entry:
+                name = _local(field.tag)
+                if name == "link" and loc is None:
+                    # prefer rel="alternate" (or no rel), the page link
+                    rel = field.get("rel") or "alternate"
+                    if rel == "alternate":
+                        loc = (field.get("href") or "").strip() or None
+                elif name == "updated":
+                    lastmod = (field.text or "").strip() or None
+            if loc:
+                out.append(("url", loc, lastmod))
+        return out
     if root_name == "urlset":
         child_tag, kind = "url", "url"
     elif root_name == "sitemapindex":
         child_tag, kind = "sitemap", "sitemap"
     else:
         return [("__corrupt__", None, None)]
-    out: list[tuple[str, str, str | None]] = []
+    out = []
     for entry in root:
         if _local(entry.tag) != child_tag:
             continue

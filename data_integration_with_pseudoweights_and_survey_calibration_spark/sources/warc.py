@@ -623,8 +623,11 @@ _RANGE_READERS: dict[str, object] = {
 
 def register_range_reader(scheme: str, reader) -> None:
     """Wire a remote store's ranged-GET primitive into the ranged WARC
-    ingest.  ``reader`` implements the :class:`LocalRangeReader`
-    protocol:
+    ingest.  A SigV4-signed ``s3://`` adapter ships in
+    :mod:`.s3` (``register_range_reader("s3",
+    S3RangeReader(access_key, secret_key, region=...))``); ``http``/
+    ``https`` are registered at import.  ``reader`` implements the
+    :class:`LocalRangeReader` protocol:
 
     - ``read_range(uri, start, length) -> bytes`` — the bytes at
       ``[start, start+length)``, short at EOF.  For S3 this is ONE

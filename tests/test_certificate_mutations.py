@@ -411,6 +411,22 @@ MUTATIONS = [
         "-2::BIGINT, NULL::VARCHAR",
         "sitemap-corrupt-audit",
     ),
+    # round 11, sitemap: the RSS item pubDate (feed-format leg).
+    (
+        "layout_keys",
+        "'|2026-03-04'",
+        "'|2026-03-05'",
+        "sitemap-rss-pubdate",
+    ),
+    # round 11, sitemap: the Atom page link (rel=self must be skipped
+    # in favor of this one — a leak would already hash-fail baseline;
+    # the twin proves the link path itself is load-bearing).
+    (
+        "layout_keys",
+        "'.com/f/' || doc_id",
+        "'.com/g/' || doc_id",
+        "sitemap-atom-link",
+    ),
     # round 11, crawl_budgets: the politeness window in the budget
     # formula greatest(1, floor(window / delay)).
     (

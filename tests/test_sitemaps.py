@@ -53,6 +53,58 @@ def test_parse_sitemap_urlset_and_index():
     assert parse_sitemap("<html>nope</html>") == [("__corrupt__", None, None)]
 
 
+def test_parse_sitemap_text_rss_atom():
+    """Round 11: the OTHER formats sitemaps.org accepts — plain-text
+    URL lists, RSS 2.0 and Atom feeds."""
+    # plain text: one absolute URL per line; blank lines fine
+    txt = "https://ex.com/a\n\nHTTP://EX.COM/b\nhttps://ex.com/c\n"
+    assert parse_sitemap(txt) == [
+        ("url", "https://ex.com/a", None),
+        ("url", "HTTP://EX.COM/b", None),
+        ("url", "https://ex.com/c", None),
+    ]
+    # gzipped text sitemap sniffed like the XML one
+    assert parse_sitemap(gzip.compress(txt.encode()))[0] == (
+        "url", "https://ex.com/a", None,
+    )
+    # a non-URL line corrupts the whole doc (the spec forbids any
+    # other content), as does an empty file
+    assert parse_sitemap("https://ex.com/a\nnot a url\n") == [
+        ("__corrupt__", None, None)
+    ]
+    assert parse_sitemap("") == [("__corrupt__", None, None)]
+    assert parse_sitemap("   \n \n") == [("__corrupt__", None, None)]
+    # RSS 2.0: item link + pubDate; non-item channel children skipped
+    rss = (
+        '<rss version="2.0"><channel><title>t</title>'
+        "<item><link>https://ex.com/r1</link>"
+        "<pubDate>Mon, 02 Jan 2026 00:00:00 GMT</pubDate></item>"
+        "<item><title>no link</title></item>"
+        "<item><link> https://ex.com/r2 </link></item>"
+        "</channel></rss>"
+    )
+    assert parse_sitemap(rss) == [
+        ("url", "https://ex.com/r1", "Mon, 02 Jan 2026 00:00:00 GMT"),
+        ("url", "https://ex.com/r2", None),
+    ]
+    # Atom: entry link@href (rel=alternate or unqualified only) +
+    # updated; the rel=self feed link must not leak into the frontier
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        '<link rel="self" href="https://ex.com/feed.xml"/>'
+        "<entry><link href='https://ex.com/a1'/>"
+        "<updated>2026-01-05</updated></entry>"
+        "<entry><link rel='self' href='https://ex.com/meta'/>"
+        "<link rel='alternate' href='https://ex.com/a2'/></entry>"
+        "<entry><updated>2026-01-06</updated></entry>"
+        "</feed>"
+    )
+    assert parse_sitemap(atom) == [
+        ("url", "https://ex.com/a1", "2026-01-05"),
+        ("url", "https://ex.com/a2", None),
+    ]
+
+
 def test_sitemap_entries_frame_and_frontier_composition(spark):
     """robots_meta advertises sitemap URLs; fetched documents explode
     into frontier seeds (kind='url'), child sitemaps to fetch next

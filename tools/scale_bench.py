@@ -2258,7 +2258,7 @@ def wet_rung(spark, sizes: list[int], body_words: int = 120) -> None:
                     )
                     .agg(
                         F.count(F.lit(1)).alias("n"),
-                        F.sum(F.xxhash64("text")).alias("hs"),
+                        F.sum(F.xxhash64("text").cast("decimal(38,0)")).alias("hs"),
                     )
                     .collect()[0]
                 )
@@ -2274,7 +2274,7 @@ def wet_rung(spark, sizes: list[int], body_words: int = 120) -> None:
                         F.lit("\n" + filler),
                     ).alias("t")
                 )
-                .agg(F.sum(F.xxhash64("t")).alias("hs"))
+                .agg(F.sum(F.xxhash64("t").cast("decimal(38,0)")).alias("hs"))
                 .collect()[0]
             )
             assert got["hs"] == exp["hs"], "WET text not verbatim"
@@ -2518,9 +2518,11 @@ def warc_funnel_ladder(
             b"<html><body><p>" + words + mail + b"</p></body></html>"
         )
 
-    def _record(i: int) -> bytes:
+    def _record(i: int, optout: bool = False) -> bytes:
         http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + _body(i)
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + (b"X-Robots-Tag: noai\r\n" if optout else b"")
+            + b"\r\n" + _body(i)
         )
         hdr = (
             b"WARC/1.0\r\nWARC-Type: response\r\n"
@@ -2542,6 +2544,18 @@ def warc_funnel_ladder(
             )
             with open(f"{d}/part-{f:05d}.warc.gz", "wb") as fh:
                 fh.write(blob)
+        # round 11: a DEDICATED extra population (ids n..n+n/20) whose
+        # ONLY opt-out is an X-Robots-Tag: noai response header — the
+        # compliance gate must drop exactly these, leaving the n-doc
+        # funnel (and its stride arithmetic) untouched
+        n_opt = max(1, n // 20)
+        with open(f"{d}/part-optout.warc.gz", "wb") as fh:
+            fh.write(
+                b"".join(
+                    gzip.compress(_record(n + i, optout=True))
+                    for i in range(n_opt)
+                )
+            )
         stage: dict[str, float] = {}
         scratch = tempfile.mkdtemp(prefix="sg_funnel_spill_")
 
@@ -2568,12 +2582,33 @@ def warc_funnel_ladder(
         # outgrew autoBroadcast; quality_features keeps every input
         # column, so the gate is a where(), never a join).
         t0 = time.time()
-        docs = warc_to_documents(read_warc(spark, d)).withColumn(
+        docs = warc_to_documents(
+            read_warc(spark, d), with_headers=True
+        ).withColumn(
             "idx", F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
         )
         n_in = docs.count()
         stage["warc_ingest"] = round(time.time() - t0, 2)
-        assert n_in == n, (n_in, n)
+        assert n_in == n + n_opt, (n_in, n, n_opt)
+
+        # round 11: page-level compliance gate — header-borne noai/
+        # noindex opt-outs (X-Robots-Tag) enforced BEFORE any text
+        # enters the pipeline; must drop EXACTLY the planted extras
+        from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
+            robots_page_directives,
+        )
+
+        t0 = time.time()
+        docs = (
+            robots_page_directives(
+                docs, html_col="text", header_col="http_headers"
+            )
+            .where(~(F.col("pd_noai") | F.col("pd_noindex")))
+            .select("doc_id", "url", "fetch_date", "text", "idx")
+        )
+        n_gated = docs.count()
+        stage["page_directive_gate"] = round(time.time() - t0, 2)
+        assert n_gated == n, (n_gated, n, n_opt)
 
         t0 = time.time()
         kept = (
