@@ -41,6 +41,15 @@ The module covers the whole crawl-compliance surface (round 10):
 - PAGE level: :func:`robots_page_directives` (``<meta name=robots>``
   + ``X-Robots-Tag``: noindex/nofollow/noarchive/nosnippet and the
   emerging noai/noimageai opt-outs) — pure Column regex, map-only.
+
+Round 11 closes the loop end to end: ``warc_to_documents(
+with_headers=True)`` surfaces the captured header block so the
+X-Robots-Tag half of the page gate is reachable from the WARC ingest
+path (curation example stage 0a and the ``--funnel`` rung enforce
+it), ``crawl_budgets`` is driver-certified through the
+'robots_warc' split, and the ``--frontier`` rung composes
+robots_meta -> sitemaps -> CDX-ranged fetch -> sitemap_entries ->
+normalize_url -> robots_verdict at ~100k sitemap documents.
 """
 
 from __future__ import annotations
