@@ -5195,7 +5195,7 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # round 11: sitemaps.org parsing — one arithmetic-built sitemap
-    # document per doc, kinds cycling by doc_id % 4 (see docstring);
+    # document per doc, kinds cycling by doc_id % 8 (see docstring);
     # the gzip leg is built by a tiny Arrow UDF (input construction
     # only — the operator under test is sitemap_entries)
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sitemaps import (

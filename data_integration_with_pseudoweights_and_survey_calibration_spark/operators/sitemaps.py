@@ -76,9 +76,12 @@ def parse_sitemap(doc: str | bytes) -> list[tuple[str, str, str | None]]:
                 raw = gzip.decompress(raw)
             except (OSError, zlib.error, EOFError):
                 return [("__corrupt__", None, None)]
-        text = raw.decode("utf-8", "replace")
+        # utf-8-sig: Windows tooling BOM-prefixes both .txt and .xml
+        # sitemaps; a surviving U+FEFF would fail the text-format URL
+        # check (and XML parse) and corrupt a valid document
+        text = raw.decode("utf-8-sig", "replace")
     else:
-        text = str(doc)
+        text = str(doc).lstrip("\ufeff")
     if not text.lstrip().startswith("<"):
         # plain-text sitemap: URLs only, one per line
         out = []
@@ -110,7 +113,13 @@ def parse_sitemap(doc: str | bytes) -> list[tuple[str, str, str | None]]:
                 for field in item:
                     name = _local(field.tag)
                     if name == "link":
-                        loc = (field.text or "").strip() or None
+                        # keep the FIRST non-empty link: feeds routinely
+                        # carry an additional <atom:link rel="self"
+                        # href=…/> (no text) inside items — it must not
+                        # wipe the page URL (round-11 review)
+                        t = (field.text or "").strip()
+                        if t and loc is None:
+                            loc = t
                     elif name == "pubdate":
                         lastmod = (field.text or "").strip() or None
                 if loc:

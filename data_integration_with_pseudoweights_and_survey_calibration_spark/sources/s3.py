@@ -215,6 +215,14 @@ class S3RangeReader(HttpRangeReader):
             )
         return base + (f"?{query}" if query else "")
 
+    # -- transport hooks (read_range / size are INHERITED: the base
+    # class owns the 416-at-EOF, HEAD-fallback, Range-ignored-guard
+    # and retry semantics in one place; these two hooks supply the
+    # s3->https URL mapping and the SigV4 signature) ------------------
+    def _object_url(self, uri: str) -> str:
+        bucket, key = self._split(uri)
+        return self._url(bucket, key)
+
     def _request(self, method: str, url: str, headers: dict[str, str]):
         import urllib.request
 
@@ -229,51 +237,19 @@ class S3RangeReader(HttpRangeReader):
         )
         return urllib.request.Request(url, headers=signed, method=method)
 
-    # -- adapter protocol --------------------------------------------
-    def read_range(self, uri: str, start: int, length: int) -> bytes:
-        import urllib.error
-
-        if length <= 0:
-            return b""
-        bucket, key = self._split(uri)
-        req = self._request(
-            "GET",
-            self._url(bucket, key),
-            {"Range": f"bytes={int(start)}-{int(start) + int(length) - 1}"},
-        )
-        try:
-            _, _, body = self._open(req, require_206=True)
-        except urllib.error.HTTPError as e:
-            if e.code == 416:
-                return b""  # read at/after EOF — sequential EOF signal
-            raise
-        return body
-
-    def size(self, uri: str) -> int:
-        bucket, key = self._split(uri)
-        req = self._request("HEAD", self._url(bucket, key), {})
-        _, headers, _ = self._open(req)
-        n = headers["Content-Length"]
-        if n is None:
-            raise ValueError(f"HeadObject for {uri!r} had no Content-Length")
-        return int(n)
-
     def list_files(self, path: str) -> list[str]:
         bucket, key = self._split(path)
-        if "*" in key:
-            prefix, star, rest = key.partition("*")
-            if rest:
-                raise ValueError(
-                    f"only trailing-* prefix globs are supported over "
-                    f"s3 (ListObjectsV2 lists by prefix): {path!r}"
-                )
-        elif "?" in key or "[" in key:
-            raise ValueError(
-                f"only trailing-* prefix globs are supported over s3: "
-                f"{path!r}"
-            )
-        else:
+        # '*' is the ONLY glob char here: '?' and '[' are legal S3 key
+        # characters (the reason _split parses s3 URIs manually), so a
+        # starless path is always an exact object reference
+        if "*" not in key:
             return [path]
+        prefix, _, rest = key.partition("*")
+        if rest:
+            raise ValueError(
+                f"only trailing-* prefix globs are supported over "
+                f"s3 (ListObjectsV2 lists by prefix): {path!r}"
+            )
         keys: list[str] = []
         token: str | None = None
         while True:

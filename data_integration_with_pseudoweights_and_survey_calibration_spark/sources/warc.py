@@ -539,15 +539,31 @@ class HttpRangeReader:
                 time.sleep(0.2 * (attempt + 1))
         raise last
 
+    def _object_url(self, uri: str) -> str:
+        """Map the adapter's URI to the HTTP(S) URL it is fetched at
+        — identity here; subclasses for object stores (``s3://``)
+        translate bucket/key to their endpoint's URL."""
+        return uri
+
+    def _request(self, method: str, url: str, headers: dict):
+        """Build the :mod:`urllib` request for one transport call —
+        the ONE subclass hook for authentication (the s3 adapter
+        returns a SigV4-signed request here), so ``read_range`` /
+        ``size`` and their 416/fallback/guard semantics live in
+        exactly one place (round-11 review)."""
+        import urllib.request
+
+        return urllib.request.Request(url, headers=headers, method=method)
+
     def read_range(self, uri: str, start: int, length: int) -> bytes:
         if length <= 0:
             return b""
         import urllib.error
-        import urllib.request
 
-        req = urllib.request.Request(
-            uri,
-            headers={"Range": f"bytes={int(start)}-{int(start) + int(length) - 1}"},
+        req = self._request(
+            "GET",
+            self._object_url(uri),
+            {"Range": f"bytes={int(start)}-{int(start) + int(length) - 1}"},
         )
         try:
             _, _, body = self._open(req, require_206=True)
@@ -561,9 +577,8 @@ class HttpRangeReader:
 
     def size(self, uri: str) -> int:
         import urllib.error
-        import urllib.request
 
-        req = urllib.request.Request(uri, method="HEAD")
+        req = self._request("HEAD", self._object_url(uri), {})
         try:
             _, headers, _ = self._open(req)
             n = headers["Content-Length"]
@@ -579,7 +594,9 @@ class HttpRangeReader:
         # 1-byte ranged GET; total length is the Content-Range suffix.
         # Headers only — a Range-ignoring server answers 200 with the
         # WHOLE object, which a size probe must never download.
-        req = urllib.request.Request(uri, headers={"Range": "bytes=0-0"})
+        req = self._request(
+            "GET", self._object_url(uri), {"Range": "bytes=0-0"}
+        )
         try:
             status, headers, _ = self._open(req, read_body=False)
         except urllib.error.HTTPError as e:
@@ -1010,6 +1027,54 @@ def parse_cdxj(
         F.when(ok, m["length"].cast("long")).alias("length"),
     ]
     return lines.select(*out)
+
+
+def cc_index_locations(
+    index: DataFrame,
+    *,
+    base_uri: str = "",
+    filename_col: str = "warc_filename",
+    offset_col: str = "warc_record_offset",
+    length_col: str = "warc_record_length",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Adapt Common Crawl's COLUMNAR index (the public ``cc-index``
+    parquet table: ``url_surtkey, url, fetch_time, fetch_status,
+    content_mime_type, warc_filename, warc_record_offset,
+    warc_record_length, …``) into :func:`read_warc_at`'s location
+    frame: ``path = base_uri + warc_filename`` plus ``offset`` /
+    ``length`` as longs (``keep`` passes extra index columns
+    through).
+
+    This is the BEST 100 TB access path: unlike the CDXJ text shards
+    (:func:`parse_cdxj` — regex over every line, with
+    ``surt_prefix=`` bounding the per-line cost), a parquet index
+    gets REAL scan pushdown — a ``url_surtkey`` prefix, a
+    ``fetch_status = 200`` equality or a mime filter lands in the
+    parquet reader's ``PushedFilters`` and prunes row groups by
+    min/max stats, and ``ReadSchema`` prunes to the handful of
+    location columns.  The standard flow::
+
+        idx = spark.read.parquet("s3://commoncrawl/cc-index/table/cc-main/warc/")
+        locs = cc_index_locations(
+            idx.where(F.col("url_surtkey").startswith("org,example)"))
+               .where(F.col("fetch_status") == 200),
+            base_uri="s3://commoncrawl/")
+        records = read_warc_at(spark, locs, parallelism=256)
+
+    (register the signed ``s3://`` adapter from :mod:`.s3` first, or
+    use ``base_uri="https://data.commoncrawl.org/"``).  The crawl
+    itself is never scanned; the plan shape is pinned in EXPLAIN.md
+    ("cc_index (parquet pushdown)")."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.concat(F.lit(base_uri), F.col(filename_col)).alias("path"),
+        F.col(offset_col).cast("long").alias("offset"),
+        F.col(length_col).cast("long").alias("length"),
+    ]
+    cols += [F.col(c) for c in keep]
+    return index.select(*cols)
 
 
 def read_warc_at(

@@ -132,8 +132,12 @@ def s3_server():
             pass
 
         def _key(self):
-            # /bucket/key...
-            return self.path.partition("?")[0].split("/", 2)[2]
+            # /bucket/key... — the client percent-encodes key chars
+            # ('?' -> %3F), so a literal '?' in self.path can only be
+            # a real query separator; decode the key back
+            import urllib.parse as up
+
+            return up.unquote(self.path.partition("?")[0].split("/", 2)[2])
 
         def _check(self):
             if not _verify_sigv4(self, SK):
@@ -242,8 +246,14 @@ def test_s3_reader_against_verifying_server(s3_server):
     assert r.list_files("s3://bkt/data/a.bin") == ["s3://bkt/data/a.bin"]
     with pytest.raises(ValueError, match="trailing"):
         r.list_files("s3://bkt/data/*.bin")
-    with pytest.raises(ValueError, match="trailing"):
-        r.list_files("s3://bkt/data/a?.bin")
+    # round-11 review: '?' and '[' are LEGAL S3 key characters, not
+    # glob chars — a starless path is always an exact object (and the
+    # whole pipeline can read such keys: the ranged GET percent-
+    # encodes them on the wire)
+    assert r.list_files("s3://bkt/data/a?.bin") == ["s3://bkt/data/a?.bin"]
+    objects["weird/k?ey[1].bin"] = b"odd-key-bytes"
+    assert r.read_range("s3://bkt/weird/k?ey[1].bin", 0, 13) == b"odd-key-bytes"
+    assert r.size("s3://bkt/weird/k?ey[1].bin") == 13
     # a wrong secret is refused by the server's independent check
     import urllib.error
 

@@ -103,6 +103,29 @@ def test_parse_sitemap_text_rss_atom():
         ("url", "https://ex.com/a1", "2026-01-05"),
         ("url", "https://ex.com/a2", None),
     ]
+    # round-11 review fixes, pinned:
+    # (a) an <atom:link rel="self" href=.../> INSIDE an RSS item (no
+    # text, extremely common in real feeds) must not wipe the page
+    # link that preceded it — _local() strips the namespace, so its
+    # tag also reads 'link'
+    rss2 = (
+        '<rss version="2.0" xmlns:atom="http://www.w3.org/2005/Atom">'
+        "<channel><item><link>https://ex.com/r1</link>"
+        '<atom:link rel="self" href="https://ex.com/feed.xml"/>'
+        "</item></channel></rss>"
+    )
+    assert parse_sitemap(rss2) == [("url", "https://ex.com/r1", None)]
+    # (b) UTF-8 BOM (Windows tooling) on text AND XML sitemaps — both
+    # bytes and str inputs — must not corrupt a valid document
+    assert parse_sitemap(b"\xef\xbb\xbfhttps://ex.com/a\n") == [
+        ("url", "https://ex.com/a", None)
+    ]
+    assert parse_sitemap("﻿https://ex.com/a\n") == [
+        ("url", "https://ex.com/a", None)
+    ]
+    assert parse_sitemap(
+        "﻿<urlset><url><loc>https://ex.com/x</loc></url></urlset>"
+    ) == [("url", "https://ex.com/x", None)]
 
 
 def test_sitemap_entries_frame_and_frontier_composition(spark):

@@ -1224,6 +1224,50 @@ def test_parse_cdxj_and_read_warc_at_local(spark, tmp_path):
     assert sorted(r["record_id"] for r in q) == ["range:0+10", "range:1+5"]
 
 
+def test_cc_index_locations_feed_ranged_fetch(spark, tmp_path):
+    """Round 11: the COLUMNAR Common Crawl index path — cc-index
+    parquet columns adapt to read_warc_at's location frame and fetch
+    exactly the selected records (the plan-shape/pushdown story is
+    pinned in EXPLAIN.md 'cc_index (parquet pushdown)')."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        cc_index_locations,
+        read_warc_at,
+    )
+
+    recs = [
+        _record(f"c{i}", "response", f"http://ex.com/{i}",
+                _http(b"200 OK", b"<p>cc %d</p>" % i))
+        for i in range(6)
+    ]
+    members = [gzip.compress(r) for r in recs]
+    p = tmp_path / "seg-0.warc.gz"
+    p.write_bytes(b"".join(members))
+    rows, off = [], 0
+    for i, m in enumerate(members):
+        rows.append(
+            (f"com,ex)/{i}", f"http://ex.com/{i}", 200 if i % 2 else 404,
+             "seg-0.warc.gz", off, len(m))
+        )
+        off += len(m)
+    idx = spark.createDataFrame(
+        rows,
+        "url_surtkey string, url string, fetch_status int, "
+        "warc_filename string, warc_record_offset long, "
+        "warc_record_length long",
+    )
+    locs = cc_index_locations(
+        idx.where("fetch_status = 200"),
+        base_uri=str(tmp_path) + "/",
+        keep=("url",),
+    )
+    assert locs.columns == ["path", "offset", "length", "url"]
+    got = read_warc_at(spark, locs).collect()
+    assert sorted(r["target_uri"] for r in got) == [
+        "http://ex.com/1", "http://ex.com/3", "http://ex.com/5",
+    ]
+    assert all(r["warc_type"] == "response" for r in got)
+
+
 def test_read_warc_at_over_http_range_server(spark, tmp_path):
     """Index-driven fetch over the built-in http(s) adapter: ranged
     GETs of single records from a server that honours Range — the

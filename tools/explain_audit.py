@@ -181,6 +181,17 @@ def _huge_grid(spark, sf_dir):
     return hazard_grid(df)
 
 
+def _cleanup_at_exit(path: str) -> None:
+    """Scratch dirs built by the custom audits live until the plans
+    have EXECUTED (main collects lazily), so removal is deferred to
+    process exit — repeated EXPLAIN regenerations must not accumulate
+    orphaned temp data (round-11 review)."""
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, True)
+
+
 def _cdx_selection(spark, sf_dir):
     """The 100 TB CDX story is 'filter the index, never scan the
     crawl': a SURT-prefix selection over index shards must be ONE
@@ -195,6 +206,7 @@ def _cdx_selection(spark, sf_dir):
     )
 
     d = tempfile.mkdtemp(prefix="cdx_audit_")
+    _cleanup_at_exit(d)
     with open(os.path.join(d, "cdx-00000"), "w") as f:
         for i in range(1000):
             f.write(
@@ -210,7 +222,64 @@ def _cdx_selection(spark, sf_dir):
     ).where(F.col("offset").isNotNull())
 
 
+def _cc_index_selection(spark, sf_dir):
+    """The columnar-index upgrade of the CDX story: a parquet
+    cc-index gets REAL scan pushdown — the surtkey prefix and status
+    equality must land in PushedFilters (row-group pruning by
+    min/max stats) and ReadSchema must prune to the referenced
+    columns only."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        cc_index_locations,
+    )
+
+    root = tempfile.mkdtemp(prefix="ccidx_audit_")
+    _cleanup_at_exit(root)
+    d = root + "/idx"
+    (
+        spark.range(20_000)
+        .select(
+            F.concat(
+                F.lit("com,site"), (F.col("id") % 7).cast("string"),
+                F.lit(")/p/"), F.col("id").cast("string"),
+            ).alias("url_surtkey"),
+            F.concat(F.lit("https://site/p/"), F.col("id")).alias("url"),
+            F.lit("2026-08-16T12:00:00Z").alias("fetch_time"),
+            F.when(F.col("id") % 11 == 0, 404).otherwise(200)
+            .alias("fetch_status"),
+            F.lit("text/html").alias("content_mime_type"),
+            F.concat(
+                F.lit("crawl-data/seg-"), (F.col("id") % 31).cast("string"),
+                F.lit(".warc.gz"),
+            ).alias("warc_filename"),
+            (F.col("id") * 977).alias("warc_record_offset"),
+            (F.lit(500) + F.col("id") % 97).alias("warc_record_length"),
+        )
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    idx = spark.read.parquet(d)
+    return cc_index_locations(
+        idx.where(F.col("url_surtkey").startswith("com,site3)"))
+        .where(F.col("fetch_status") == 200),
+        base_uri="https://data.example.org/",
+    )
+
+
 CUSTOM_AUDITS: dict[str, tuple] = {
+    "cc_index (parquet pushdown)": (
+        _cc_index_selection,
+        [
+            (r"PushedFilters: \[[^\]]*StringStartsWith\(url_surtkey", "the SURT-prefix selection pushes into the parquet scan (row-group pruning by min/max stats — the columnar index never fully reads)"),
+            (r"PushedFilters: \[[^\]]*EqualTo\(fetch_status,200\)", "the status filter pushes too"),
+            (r"ReadSchema: [^\n]*warc_record_offset", "location columns read"),
+            (r"count<=0:ReadSchema: [^\n]*content_mime_type", "unreferenced index columns pruned at the scan (mime/fetch_time never read)"),
+            (r"count<=0:Exchange", "index selection is map-only — no shuffle"),
+        ],
+    ),
     "parse_cdxj (SURT-prefix index selection)": (
         _cdx_selection,
         [
