@@ -388,3 +388,131 @@ def test_repeated_ngram_span_invariants(spark, seed, n_docs):
                         if r["doc_id"] == r2["doc_id"]
                     )
                     assert trimmed_n > 0, (r2["doc_id"], gram, texts)
+
+
+# ---------------------------------------------------------------------
+# round 11: never-raise fuzz contracts for the wire-facing parsers —
+# corpus-scale ingestion feeds these attacker-shaped bytes (truncated
+# captures, mojibake, hostile sitemaps); a single uncaught exception
+# would fail a whole Spark task instead of auditing one row.
+
+
+@given(blob=st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_parse_sitemap_never_raises(blob):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sitemaps import (
+        parse_sitemap,
+    )
+
+    out = parse_sitemap(blob)
+    assert isinstance(out, list)
+    for row in out:
+        assert len(row) == 3
+        assert row[0] in ("url", "sitemap", "__corrupt__")
+        if row[0] == "__corrupt__":
+            assert row[1] is None and row[2] is None
+        else:
+            assert isinstance(row[1], str) and row[1]
+
+
+@given(txt=st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_parse_sitemap_text_input_never_raises(txt):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sitemaps import (
+        parse_sitemap,
+    )
+
+    assert isinstance(parse_sitemap(txt), list)
+
+
+@given(urls=st.lists(
+    st.from_regex(r"https://ex\.com/[a-z0-9]{1,12}", fullmatch=True),
+    min_size=1, max_size=20,
+))
+@settings(max_examples=100, deadline=None)
+def test_text_sitemap_round_trip(urls):
+    """A plain-text sitemap built from any URL list parses back
+    verbatim — plain and gzipped."""
+    import gzip
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sitemaps import (
+        parse_sitemap,
+    )
+
+    doc = "\n".join(urls) + "\n"
+    want = [("url", u, None) for u in urls]
+    assert parse_sitemap(doc) == want
+    assert parse_sitemap(gzip.compress(doc.encode())) == want
+
+
+@given(blob=st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_http_response_parts_never_raises(blob):
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        http_response_parts,
+    )
+
+    status, headers, body = http_response_parts(blob)
+    assert status is None or isinstance(status, int)
+    assert isinstance(headers, dict)
+    assert body is None or isinstance(body, bytes)
+
+
+@given(
+    chunks=st.lists(st.binary(min_size=1, max_size=60), min_size=1, max_size=8),
+    lf_only=st.booleans(),
+)
+@settings(max_examples=150, deadline=None)
+def test_dechunk_round_trip(chunks, lf_only):
+    """Any chunking of any byte payload dechunks back exactly, in both
+    CRLF and LF framings."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+        _dechunk,
+    )
+
+    nl = b"\n" if lf_only else b"\r\n"
+    stream = b"".join(
+        b"%x" % len(c) + nl + c + nl for c in chunks
+    ) + b"0" + nl + nl
+    assert _dechunk(stream) == b"".join(chunks)
+    # truncating anywhere inside the stream must yield None or a
+    # PREFIX-consistent payload, never garbage past the cut and never
+    # an exception
+    cut = len(stream) // 2
+    out = _dechunk(stream[:cut])
+    assert out is None or b"".join(chunks).startswith(out)
+
+
+@given(
+    key=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        min_size=1, max_size=40,
+    ).filter(lambda s: "*" not in s),
+    start=st.integers(0, 1 << 40),
+)
+@settings(max_examples=150, deadline=None)
+def test_sigv4_signature_shape_and_key_sensitivity(key, start):
+    """Signatures are 64 lowercase hex chars for ANY object key, and
+    flipping the secret flips the signature (no accidental
+    constant-output path)."""
+    import datetime
+    import re as _re
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.s3 import (
+        S3RangeReader,
+        sigv4_headers,
+    )
+
+    r = S3RangeReader("AK", "SK", endpoint="http://127.0.0.1:1")
+    url = r._url("bkt", key)
+    now = datetime.datetime(2026, 8, 17, 0, 0, 0, tzinfo=datetime.timezone.utc)
+    kw = dict(region="us-east-1",
+              headers={"Range": f"bytes={start}-{start + 9}"}, now=now)
+    sig1 = sigv4_headers("GET", url, access_key="AK", secret_key="SK", **kw)[
+        "Authorization"
+    ].rsplit("Signature=", 1)[1]
+    sig2 = sigv4_headers("GET", url, access_key="AK", secret_key="SL", **kw)[
+        "Authorization"
+    ].rsplit("Signature=", 1)[1]
+    assert _re.fullmatch(r"[0-9a-f]{64}", sig1)
+    assert sig1 != sig2
