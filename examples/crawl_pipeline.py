@@ -1,0 +1,248 @@
+"""The live Common Crawl access pattern, end to end and offline: a
+synthetic crawl archive stands in for `s3://commoncrawl/...`, and every
+stage is the exact operator a production run would use — only the
+byte source differs (local ranged reads instead of SigV4 `s3://` or
+`https://data.commoncrawl.org/` — swap via `register_range_reader`).
+
+    1. build a .warc.gz crawl (pages w/ HTTP headers, robots.txt
+       captures, sitemap documents) + its CDXJ text index + the
+       cc-index-style PARQUET index
+    2. select records from the COLUMNAR index (real parquet pushdown)
+       and, equivalently, from the CDXJ text shards (surt_prefix
+       filter-first) — never scanning the archive
+    3. ranged-fetch exactly those records (read_warc_at)
+    4. robots dimension from the archive's own robots.txt captures ->
+       rules + crawl-delay budgets + sitemap list
+    5. sitemap frontier round (robots_meta -> fetch -> sitemap_entries)
+    6. ingest pages WITH their header blocks -> page-level directive
+       gate (meta robots + X-Robots-Tag) -> site-level robots verdict
+       -> the compliant document set
+
+Every count is asserted from the construction arithmetic.  Run:
+
+    python examples/crawl_pipeline.py
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F
+
+from data_integration_with_pseudoweights_and_survey_calibration_spark import get_spark
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
+    crawl_budgets,
+    robots_from_warc,
+    robots_meta,
+    robots_page_directives,
+    robots_rules,
+    robots_verdict,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sitemaps import (
+    sitemap_entries,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.urls import (
+    normalize_url,
+)
+from data_integration_with_pseudoweights_and_survey_calibration_spark.sources.warc import (
+    cc_index_locations,
+    parse_cdxj,
+    read_warc_at,
+    warc_to_documents,
+)
+
+N_HOSTS = 40
+PAGES_PER_HOST = 25  # ids 0..24 per host
+
+
+def build_crawl(d: str):
+    """Write the archive + both index flavors; return (paths, counts)."""
+    recs = []  # (surt, url, rtype, payload_bytes)
+    for h in range(N_HOSTS):
+        host = f"h{h}.com"
+        # robots.txt capture: disallow /p/blocked, declare delay+sitemap
+        robots = (
+            f"User-agent: *\nDisallow: /p/blocked\nCrawl-delay: {h % 4 + 1}\n"
+            f"Sitemap: https://{host}/sitemap.xml\n"
+        ).encode()
+        recs.append(
+            (f"com,h{h})/robots.txt", f"https://{host}/robots.txt",
+             b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + robots)
+        )
+        # one urlset sitemap listing 5 extra frontier URLs
+        sm = (
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + "".join(
+                f"<url><loc>https://{host}/fresh/{j}</loc></url>"
+                for j in range(5)
+            )
+            + "</urlset>"
+        ).encode()
+        recs.append(
+            (f"com,h{h})/sitemap.xml", f"https://{host}/sitemap.xml",
+             b"HTTP/1.1 200 OK\r\nContent-Type: application/xml\r\n\r\n" + sm)
+        )
+        for j in range(PAGES_PER_HOST):
+            # every 5th page opts out via meta tag; every 7th via
+            # X-Robots-Tag header ONLY; every 3rd sits under the
+            # robots-disallowed prefix
+            meta = (
+                '<meta name="robots" content="noai">' if j % 5 == 0 else ""
+            )
+            hdr = b"X-Robots-Tag: noai\r\n" if j % 7 == 0 else b""
+            path = f"p/blocked/{j}" if j % 3 == 0 else f"p/ok/{j}"
+            html = (
+                f"<html><head>{meta}</head><body><p>doc {h}/{j}</p>"
+                "</body></html>"
+            ).encode()
+            recs.append(
+                (f"com,h{h})/{path}", f"https://{host}/{path}",
+                 b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                 + hdr + b"\r\n" + html)
+            )
+
+    warc_path = f"{d}/crawl-00000.warc.gz"
+    cdx_lines = []
+    cc_rows = []
+    off = 0
+    with open(warc_path, "wb") as fh:
+        for i, (surt, url, payload) in enumerate(recs):
+            hdr = (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Record-ID: <urn:uuid:{i:08d}>\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: 2026-08-15T00:00:00Z\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode()
+            member = gzip.compress(hdr + payload + b"\r\n\r\n")
+            fh.write(member)
+            cdx_lines.append(
+                f"{surt} 20260815000000 "
+                + json.dumps({
+                    "url": url, "status": "200", "mime": "text/html",
+                    "digest": f"sha1:{i}", "filename": "crawl-00000.warc.gz",
+                    "offset": str(off), "length": str(len(member)),
+                })
+            )
+            cc_rows.append(
+                (surt, url, 200, "crawl-00000.warc.gz", off, len(member))
+            )
+            off += len(member)
+    with open(f"{d}/cdx-00000.gz", "wb") as fh:
+        fh.write(gzip.compress(("\n".join(cdx_lines) + "\n").encode()))
+    return warc_path, cc_rows, len(recs)
+
+
+def main():
+    spark = get_spark("crawl-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = tempfile.mkdtemp(prefix="crawl_example_")
+    t0 = time.time()
+    try:
+        _, cc_rows, n_recs = build_crawl(d)
+        base = d + "/"
+
+        # -- 2a. columnar index selection: REAL parquet pushdown ------
+        spark.createDataFrame(
+            cc_rows,
+            "url_surtkey string, url string, fetch_status int, "
+            "warc_filename string, warc_record_offset long, "
+            "warc_record_length long",
+        ).write.mode("overwrite").parquet(d + "/cc-index")
+        ccidx = spark.read.parquet(d + "/cc-index")
+        page_locs = cc_index_locations(
+            ccidx.where(F.col("url_surtkey").rlike(r"\)/p/"))
+            .where(F.col("fetch_status") == 200),
+            base_uri=base,
+            keep=("url",),
+        )
+        # -- 2b. the SAME selection off the CDXJ text shards ----------
+        cdxj = parse_cdxj(
+            spark.read.text(d + "/cdx-00000.gz"), base_uri=base
+        ).where(F.col("url").rlike("/p/"))
+        assert page_locs.count() == cdxj.count() == N_HOSTS * PAGES_PER_HOST
+
+        # robots.txt + sitemap captures, by index too (surt prefix
+        # pushes as a raw-line filter on the text shards)
+        robots_locs = cc_index_locations(
+            ccidx.where(F.col("url").endswith("/robots.txt")),
+            base_uri=base,
+        )
+        sm_locs = cc_index_locations(
+            ccidx.where(F.col("url").endswith("/sitemap.xml")),
+            base_uri=base, keep=("url",),
+        )
+
+        # -- 3+4. robots dimension from the archive's own captures ----
+        dim = robots_from_warc(read_warc_at(spark, robots_locs))
+        meta = robots_meta(dim)
+        budgets = crawl_budgets(meta, window_s=60.0)
+        assert budgets.count() == N_HOSTS
+        n_bud = {
+            r["host"]: r["fetch_budget"] for r in budgets.collect()
+        }
+        assert all(
+            n_bud[f"h{h}.com"] == 60 // (h % 4 + 1) for h in range(N_HOSTS)
+        )
+
+        # -- 5. sitemap frontier round --------------------------------
+        sm_docs = warc_to_documents(
+            read_warc_at(spark, sm_locs), extractor="raw"
+        )
+        frontier = (
+            sitemap_entries(sm_docs, url_col="url", doc_col="text")
+            .where(F.col("kind") == "url")
+            .select(F.col("loc").alias("url"))
+        )
+        assert frontier.count() == N_HOSTS * 5
+
+        # -- 6. page ingest WITH headers -> compliance gates ----------
+        # extractor="raw": the page-directive gate reads the MARKUP
+        # (meta robots tags) — gate first, strip/boilerplate later
+        pages = warc_to_documents(
+            read_warc_at(spark, page_locs),
+            extractor="raw",
+            with_headers=True,
+        )
+        gated = robots_page_directives(
+            pages, html_col="text", header_col="http_headers"
+        ).where(~(F.col("pd_noai") | F.col("pd_noindex")))
+        per_host_keep = sum(
+            1 for j in range(PAGES_PER_HOST) if j % 5 and j % 7
+        )
+        assert gated.count() == N_HOSTS * per_host_keep
+
+        verdicts = robots_verdict(
+            gated.withColumn("norm_key", normalize_url("url")),
+            robots_rules(dim),
+            url_col="url",
+        )
+        final = verdicts.where(F.col("robots_allowed"))
+        per_host_final = sum(
+            1 for j in range(PAGES_PER_HOST)
+            if j % 5 and j % 7 and j % 3
+        )
+        assert final.count() == N_HOSTS * per_host_final
+
+        print(json.dumps({
+            "archive_records": n_recs,
+            "indexed_pages": N_HOSTS * PAGES_PER_HOST,
+            "frontier_urls_from_sitemaps": N_HOSTS * 5,
+            "after_page_directive_gate": N_HOSTS * per_host_keep,
+            "after_robots_verdict": N_HOSTS * per_host_final,
+            "hosts_with_budgets": N_HOSTS,
+            "total_sec": round(time.time() - t0, 1),
+        }, indent=2))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
