@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "normalize_url",
     "registered_domain",
+    "surt_key",
     "cap_per_domain",
     "parse_public_suffix_list",
     "PublicSuffixList",
@@ -226,6 +227,40 @@ def normalize_url(url: str | Column) -> Column:
     return F.when(host != "", norm).otherwise(
         F.regexp_replace(u, r"#.*$", "")
     )
+
+
+def surt_key(url: str | Column) -> Column:
+    """SURT form of a URL (Sort-friendly URI Reordering Transform) —
+    the KEY format of Common Crawl's CDX/cc-index: host labels
+    REVERSED and comma-joined, then ``)`` and the path(+query), all
+    lowercased, scheme/port/fragment dropped, one leading ``www.``
+    stripped.  ``https://www.Example.com:443/A/b?q=1`` ->
+    ``com,example)/a/b?q=1``.
+
+    This is the bridge from plain URLs to index predicates::
+
+        targets = df.withColumn("_surt", surt_key("url"))
+        idx.join(F.broadcast(targets), idx.url_surtkey == targets._surt)
+        # or prefix selection:
+        idx.where(F.col("url_surtkey").startswith("com,example)"))
+
+    Pure Column exprs (split + reverse + array_join) — map-only, no
+    UDF.  Matches the live index convention: SURT lowercases the
+    WHOLE key (the index is built from canonicalized URLs), drops a
+    single leading ``www.``, keeps the query (``?``) but not the
+    fragment.  Non-URL rows yield ``''`` (filterable).  Reference:
+    the public pywb/surt convention used by Common Crawl's indexes.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    _, host, rest = _lower_host(u)
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":\d+$", "")  # any explicit port
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(F.regexp_replace(rest, r"#.*$", ""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.when(
+        host != "", F.concat(rev, F.lit(")"), path)
+    ).otherwise(F.lit(""))
 
 
 def registered_domain(

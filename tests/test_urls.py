@@ -286,3 +286,32 @@ def test_registered_domain_wildcard_exception_and_deep_rules(spark):
             ).collect()
         }
         assert got == {i: d for i, _, d in cases}
+
+
+def test_surt_key(spark):
+    """Round 11: SURT transform — the Common Crawl index key format.
+    Reversed comma-joined host labels + ')' + lowercased path(+query);
+    scheme/port/fragment dropped, one leading www. stripped, non-URLs
+    empty."""
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.urls import (
+        surt_key,
+    )
+
+    cases = [
+        (0, "https://www.Example.com:443/A/b?Q=1", "com,example)/a/b?q=1"),
+        (1, "http://sub.shop.co.uk/p", "uk,co,shop,sub)/p"),
+        (2, "https://example.com", "com,example)/"),
+        (3, "HTTP://EXAMPLE.COM:8080/x#frag", "com,example)/x"),
+        (4, "https://www.www2.ex.com/y", "com,ex,www2)/y"),  # ONE www strip
+        (5, "not a url", ""),
+        (6, "https://h.com/robots.txt", "com,h)/robots.txt"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], "i long, url string")
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", surt_key("url").alias("s")).collect()
+    }
+    assert got == {i: s for i, _, s in cases}
+    # the bridge property: surt_key(url) matches the index's own key
+    # for the construction used throughout the cc-index tests
+    assert got[6].startswith("com,h)")
