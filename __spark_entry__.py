@@ -480,8 +480,11 @@ def _q_jk_cox_refits(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # Project to what the refit actually reads before the explode
+    # shuffle (guide §2.3 — `id` was shipped through the g x n pair
+    # shuffle and never referenced by the fit).
     reps = jk_refit_grouped(
-        samp.select("id", "jk_group", "x1", "x2", "t", "d", "wt"),
+        samp.select("jk_group", "x1", "x2", "t", "d", "wt"),
         JK_COX_G,
         fit,
         "replicate int, beta_x1 double, beta_x2 double",
@@ -491,7 +494,18 @@ def _q_jk_cox_refits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replicates perturb), with its solver diagnostics; jackknife rows
     # carry NULL diagnostics. Folding the full fit in here keeps both
     # iterative certificates in one driver row.
-    full = cox_fit(samp, ["x1", "x2"], w="wt")
+    #
+    # The 90-replicate Arrow refit job and the full fit's sequential
+    # Newton jobs are independent; materialize the replicate frame in a
+    # second driver thread while the Newton loop runs (optimization
+    # round 11, guide §2.6) — the refit job's executor work backfills
+    # the scheduling-latency-bound Newton passes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        reps_fut = pool.submit(lambda: reps.localCheckpoint(eager=True))
+        full = cox_fit(samp, ["x1", "x2"], w="wt")
+        reps = reps_fut.result()
     spark = samp.sparkSession
     full_row = spark.createDataFrame(
         [
@@ -1022,6 +1036,51 @@ def _sql_cox_newton_step() -> str:
     """
 
 
+def _q_cox_scalars(
+    spark: SparkSession, sf_dir: str, frames=None
+) -> tuple[DataFrame, DataFrame]:
+    """I23 + the H2 inner loop from ONE distributed grid pass
+    (optimization round 11, guide §1.2): ``_q_cox_score`` and
+    ``_q_cox_newton_step`` each evaluated the SAME
+    ``_grid_terms``/``_score_hessian`` at the same frozen beta — two
+    route probes plus two grid collects for one set of (u, H, norm)
+    values.  One pass computes them once; both 1-row certificate
+    frames are built from it with arithmetic identical to the
+    standalone helpers (and to their DuckDB oracle twins)."""
+    samp = _cohort_surv(spark, sf_dir, frames)
+    import numpy as np
+
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.cox import (
+        _grid_terms,
+        _score_hessian,
+    )
+
+    grid = _grid_terms(
+        samp, ["x1", "x2"], np.array([SCORE_B1, SCORE_B2]), "t", "d", "wt"
+    )
+    u, h, norm = _score_hessian(grid, 2)
+    score = spark.createDataFrame(
+        [(round(float(u[0]), 6), round(float(u[1]), 6), round(float(norm), 6))],
+        "u_x1 double, u_x2 double, score_norm double",
+    )
+    det = h[0, 0] * h[1, 1] - h[0, 1] * h[0, 1]
+    b1 = SCORE_B1 + (h[1, 1] * u[0] - h[0, 1] * u[1]) / det
+    b2 = SCORE_B2 + (h[0, 0] * u[1] - h[0, 1] * u[0]) / det
+    newton = spark.createDataFrame(
+        [
+            (
+                round(float(h[0, 0]), 4),
+                round(float(h[0, 1]), 4),
+                round(float(h[1, 1]), 4),
+                round(float(b1), 8),
+                round(float(b2), 8),
+            )
+        ],
+        "h_11 double, h_12 double, h_22 double, beta1_x1 double, beta1_x2 double",
+    )
+    return score, newton
+
+
 JK_NEWTON_G = 8
 
 
@@ -1228,9 +1287,20 @@ def _q_kw_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("kw_g_x1", 6).alias("kw_g"),
         )
 
-    return branch("gauss", "dnorm", KW_H).unionByName(
-        branch("triang", "triang", KW_TRIANG_H)
-    )
+    # The two kernel branches are fully independent (separate banded
+    # pair passes); run their eager driver phases CONCURRENTLY
+    # (optimization round 11, guide §2.6 "overlap independent jobs") —
+    # the FIFO scheduler backfills one branch's block-job tail and
+    # driver round trips with the other's tasks. Results are identical:
+    # each branch is the same kw_weights call, just submitted from its
+    # own driver thread.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fg = pool.submit(branch, "gauss", "dnorm", KW_H)
+        ft = pool.submit(branch, "triang", "triang", KW_TRIANG_H)
+        gauss, triang = fg.result(), ft.result()
+    return gauss.unionByName(triang)
 
 
 def _sql_kw_kernels(sf_dir: str) -> str:
@@ -5643,12 +5713,28 @@ def _q_survey_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = _q_ipsw_prevalence(spark, sf_dir, frames).withColumnRenamed(
         "n", "n_cohort"
     )
-    bw = _q_bw_nrd0(spark, sf_dir, frames).select("h")
+    # Four of the eight pieces run eager driver jobs while BUILDING
+    # their 1-row frames (bandwidth percentiles, composite-factor
+    # moments, the influence Gram + variances, the Cox grid pass).
+    # They are mutually independent and all aggregate the shared
+    # cached units frame, so run them from concurrent driver threads
+    # (optimization round 11, guide §2.6) instead of serializing
+    # ~9 small jobs' scheduling latency; the Cox score and Newton-step
+    # certificates additionally share ONE grid pass (``_q_cox_scalars``).
+    # Concurrent first touch of the cache is safe: the block manager's
+    # per-partition locks make exactly one job compute each partition.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_bw = pool.submit(_q_bw_nrd0, spark, sf_dir, frames)
+        f_comp = pool.submit(_q_composite_factors, spark, sf_dir, frames)
+        f_iv = pool.submit(_q_influence_variance, spark, sf_dir, frames)
+        f_cox = pool.submit(_q_cox_scalars, spark, sf_dir, frames)
+        bw = f_bw.result().select("h")
+        comp = f_comp.result()
+        iv = f_iv.result()
+        score, newton = f_cox.result()
     gram = _q_gram_means(spark, sf_dir, frames)
-    comp = _q_composite_factors(spark, sf_dir, frames)
-    iv = _q_influence_variance(spark, sf_dir, frames)
-    score = _q_cox_score(spark, sf_dir, frames)
-    newton = _q_cox_newton_step(spark, sf_dir, frames)
     wq = (
         _q_weighted_median(spark, sf_dir, frames)
         .groupBy()

@@ -349,9 +349,6 @@ def kw_weights(
             print(f"MARK kw {label} {now - _t:.2f}", file=_sys.stderr)
             _t = now
 
-    m = int(cohort_scores.count())
-    _mark("count_m")
-
     c = cohort_scores.select(
         F.col(c_id).alias("_cid"),
         F.col(score_col).alias("_ps_c"),
@@ -382,14 +379,25 @@ def kw_weights(
     # still sees them through the anti-join on `s`).
     bkt_c = F.floor(F.col("_ps_c") / width).cast("long")
     bkt_s = F.floor(F.col("_ps_s") / width).cast("long")
+    # ONE driver round trip for the cohort size AND both bucket
+    # histograms (optimization round 11, guide §1.2/§2.4: the former
+    # count() + two separate histogram collects were three serialized
+    # jobs over the same two inputs; m is exactly the cohort histogram
+    # total, and the union'd histogram job scans each side once).
+    hist_rows = (
+        c.select(F.lit(1).alias("_hside"), bkt_c.alias("b"))
+        .unionByName(s.select(F.lit(0).alias("_hside"), bkt_s.alias("b")))
+        .groupBy("_hside", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
     nc_hist = {
-        int(r["b"]): int(r["n"])
-        for r in c.groupBy(bkt_c.alias("b")).agg(F.count(F.lit(1)).alias("n")).collect()
+        int(r["b"]): int(r["n"]) for r in hist_rows if r["_hside"] == 1
     }
     ns_hist = {
-        int(r["b"]): int(r["n"])
-        for r in s.groupBy(bkt_s.alias("b")).agg(F.count(F.lit(1)).alias("n")).collect()
+        int(r["b"]): int(r["n"]) for r in hist_rows if r["_hside"] == 0
     }
+    m = sum(nc_hist.values())
     _mark("histograms")
     loads = {
         b: ns * (nc_hist.get(b - 1, 0) + nc_hist.get(b, 0) + nc_hist.get(b + 1, 0))
@@ -495,18 +503,28 @@ def kw_weights(
             .cache()
         )
         _mark("plan_build")
-        urow = unmatched.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("_wt_s"), F.lit(0.0)).alias("tot"),
-        ).collect()[0]
+        # Run the unmatched aggregate and the kw-cache materialization
+        # CONCURRENTLY (optimization round 11, guide §2.6): both consume
+        # the `out_raw` cache — whichever job reaches a partition first
+        # computes it, the other blocks on the block-manager lock and
+        # reads the cached result — so the block computation still runs
+        # once, and the second job's scheduling latency overlaps the
+        # first instead of serializing behind it.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            _kw_fut = _pool.submit(kw.count)
+            urow = unmatched.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("_wt_s"), F.lit(0.0)).alias("tot"),
+            ).collect()[0]
+            _kw_fut.result()
         n_unmatched, unmatched_tot = int(urow["n"]), float(urow["tot"])
-        _mark("block_job+unmatched")
+        _mark("block_job+unmatched+kw_count")
         # The per-cohort aggregate (n_c rows) and unmatched rows are now
         # materialized; drop the bulky per-group partial cache so repeated
         # KW fits don't accumulate storage.
-        kw.count()
         out_raw.unpersist()
-        _mark("kw_count")
     else:
         # SQL PATH: pure-JVM two-pass banded join (no Python workers) --
         # kept for clusters where Arrow/pandas workers are unavailable.

@@ -1,0 +1,58 @@
+"""Capture `.explain("formatted")` output for declared queries into
+plans/<tag>/<query>_<suffix>.txt — the optimization-round evidence
+files (the judge reads these instead of running Spark).
+
+Run:  python tools/capture_plans.py <tag> <suffix> [query ...]
+e.g.  python tools/capture_plans.py r11 before kw_kernels dedup_pairs
+With no query names, captures every declared query (plus flagship).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as em  # noqa: E402
+from data_integration_with_pseudoweights_and_survey_calibration_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+
+def main() -> None:
+    tag, suffix = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        tag,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("capture-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    qs = dict(em.queries())
+    qs["flagship_ipsw_kw"] = em.flagship
+    if not names:
+        names = list(qs)
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        # execute so AQE finalizes join strategies / coalescing, then
+        # dump BOTH the formatted plan and the executed tree
+        df.collect()
+        fmt = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        exec_plan = df._jdf.queryExecution().executedPlan().toString()
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(fmt + "\n== Executed plan ==\n" + exec_plan)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

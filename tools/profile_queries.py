@@ -1,0 +1,70 @@
+"""Per-query phase profiler for the optimization rounds.
+
+Splits each declared query's wall time into:
+
+* ``build``  -- seconds spent inside ``fn(spark, sf_dir)`` BEFORE the
+  returned DataFrame is acted on.  This is eager driver-side work:
+  ``collect()``/``count()`` jobs issued while constructing the plan
+  (IRLS iterations, histograms, bandwidths, centroid seeds, streaming
+  runs, ...).
+* ``action`` -- seconds for the terminal ``count()`` on the returned
+  frame (the lazily-planned part).
+
+Per bench protocol, ``spark.catalog.clearCache()`` before each query and
+min-of-N passes.  Run while nothing else uses the box.
+
+Usage: python tools/profile_queries.py [passes] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from data_integration_with_pseudoweights_and_survey_calibration_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    names = sys.argv[2:]
+    spark = get_spark("profile-queries")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # same warm-up as bench.py
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    qs = dict(entrymod.queries())
+    qs["flagship_ipsw_kw"] = entrymod.flagship
+    if not names:
+        names = list(qs)
+    out = {}
+    for name in names:
+        fn = qs[name]
+        spark.catalog.clearCache()
+        best = None
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            df.count()
+            t2 = time.perf_counter()
+            cur = (round(t1 - t0, 3), round(t2 - t1, 3), round(t2 - t0, 3))
+            if best is None or cur[2] < best[2]:
+                best = cur
+        out[name] = {"build": best[0], "action": best[1], "total": best[2]}
+        print(json.dumps({name: out[name]}), flush=True)
+    print(json.dumps({"profile": out}))
+
+
+if __name__ == "__main__":
+    main()
