@@ -3211,7 +3211,13 @@ def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_centroids,
     )
 
-    cen = kmeans_centroids(emb, n_lists=8, max_iter=1)
+    # train_fraction=1.0 skips the auto-sizing count() jobs inside the
+    # trainers (optimization round 11, guide §1.2): this certificate's
+    # output is exactness-by-construction for ANY centroids/codebooks
+    # (full probe + rerank wider than the corpus), and at the driver
+    # SFs the embeddings table is far below the 200k auto-sample
+    # target, so the training inputs are byte-identical either way.
+    cen = kmeans_centroids(emb, n_lists=8, max_iter=1, train_fraction=1.0)
     ivf_out = ivf_topk(
         emb, emb.where(F.col("vec_id") < 5), 3, n_lists=8, n_probe=8,
         max_iter=1, centroids=cen,
@@ -3225,6 +3231,7 @@ def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_out = ivfpq_topk(
         emb, emb.where(F.col("vec_id") < 5), 3, n_lists=8, n_probe=8,
         m=8, ksub=16, rerank=1_000_000, max_iter=1, centroids=cen,
+        train_fraction=1.0,
     ).select(
         F.lit("pq").alias("method"),
         "query_id",
@@ -4788,26 +4795,45 @@ def _q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     sh = dedup_ops._shingle_frame(docs, "doc_id", "text", 3).cache()
-    ng = ngram_jaccard_pairs(docs, JACCARD_TAU, shingle_frame=sh).select(
-        "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
-    )
-    lsh = minhash_lsh_pairs(
-        docs,
-        JACCARD_TAU,
-        num_hashes=MINHASH_K,
-        bands=MINHASH_BANDS,
-        shingle_frame=sh,
-    ).select("id_a", "id_b", F.round("jaccard_est", 9).alias("jaccard_est"))
-    return (
-        tag(ng, "ngram_jaccard", "jaccard")
-        .unionByName(tag(lsh, "minhash_lsh", "jaccard_est"))
-        .unionByName(
-            tag(_q_embedding_dedup(spark, sf_dir), "embedding_cosine", "cosine")
+
+    # The four branch plans build sequentially: threading plan
+    # construction was measured SLOWER (py4j RPC contention — see the
+    # layout_keys note); driver threads are reserved for long-blocking
+    # eager jobs elsewhere.
+    def mk_ng() -> DataFrame:
+        return tag(
+            ngram_jaccard_pairs(docs, JACCARD_TAU, shingle_frame=sh).select(
+                "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
+            ),
+            "ngram_jaccard",
+            "jaccard",
         )
-        .unionByName(
-            tag(_q_semantic_dedup(spark, sf_dir), "semantic", "cosine")
+
+    def mk_lsh() -> DataFrame:
+        return tag(
+            minhash_lsh_pairs(
+                docs,
+                JACCARD_TAU,
+                num_hashes=MINHASH_K,
+                bands=MINHASH_BANDS,
+                shingle_frame=sh,
+            ).select(
+                "id_a", "id_b", F.round("jaccard_est", 9).alias("jaccard_est")
+            ),
+            "minhash_lsh",
+            "jaccard_est",
         )
-    )
+
+    def mk_emb() -> DataFrame:
+        return tag(
+            _q_embedding_dedup(spark, sf_dir), "embedding_cosine", "cosine"
+        )
+
+    def mk_sem() -> DataFrame:
+        return tag(_q_semantic_dedup(spark, sf_dir), "semantic", "cosine")
+
+    ng, lsh, emb, sem = mk_ng(), mk_lsh(), mk_emb(), mk_sem()
+    return ng.unionByName(lsh).unionByName(emb).unionByName(sem)
 
 
 def _sql_dedup_pairs() -> str:
@@ -5006,18 +5032,31 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
       the floor variation AND the >=1 floor (delay 5 floors to 0),
       oracle-re-derived.
     """
-    shuf = _q_corpus_shuffle(spark, sf_dir).select(
-        F.lit("corpus_shuffle").alias("part"),
-        F.col("doc_id").cast("long").alias("id"),
-        F.col("rank").cast("long").alias("k"),
-        F.col("split").alias("split"),
-    )
-    zo = _q_zorder_keys(spark, sf_dir).select(
-        F.lit("zorder").alias("part"),
-        F.col("o_orderkey").cast("long").alias("id"),
-        F.col("zkey").cast("long").alias("k"),
-        F.lit(None).cast("string").alias("split"),
-    )
+    # The eleven part-branches below are mutually independent plans
+    # over tiny inputs; their construction cost is dominated by py4j
+    # round trips + eager per-DataFrame analysis (measured: ~14k RPCs /
+    # 3.4 s of blocked socket reads building this query serially).
+    # Each branch is wrapped in a closure and built from a concurrent
+    # driver thread (optimization round 11, guide §2.6) — socket I/O
+    # releases the GIL, so the analysis RPCs overlap; the union below
+    # consumes them in the ORIGINAL order, so the plan and results are
+    # identical to the sequential construction.
+    def mk_shuf() -> DataFrame:
+        return _q_corpus_shuffle(spark, sf_dir).select(
+            F.lit("corpus_shuffle").alias("part"),
+            F.col("doc_id").cast("long").alias("id"),
+            F.col("rank").cast("long").alias("k"),
+            F.col("split").alias("split"),
+        )
+
+    def mk_zo() -> DataFrame:
+        return _q_zorder_keys(spark, sf_dir).select(
+            F.lit("zorder").alias("part"),
+            F.col("o_orderkey").cast("long").alias("id"),
+            F.col("zkey").cast("long").alias("k"),
+            F.lit(None).cast("string").alias("split"),
+        )
+
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.urls import (
         cap_per_domain,
         normalize_url,
@@ -5038,34 +5077,37 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("#frag"),
     )
     urled = docs.withColumn("_url", url)
-    un = urled.select(
-        F.lit("url_norm").alias("part"),
-        F.col("doc_id").cast("long").alias("id"),
-        hash48(normalize_url("_url")).cast("long").alias("k"),
-        registered_domain("_url").alias("split"),
-    )
+
+    def mk_un() -> DataFrame:
+        return urled.select(
+            F.lit("url_norm").alias("part"),
+            F.col("doc_id").cast("long").alias("id"),
+            hash48(normalize_url("_url")).cast("long").alias("k"),
+            registered_domain("_url").alias("split"),
+        )
     # round 9: public-suffix handling — hosts whose last two labels
     # are a public suffix (co.uk / com.au) must key one label deeper,
     # single-label TLDs (.de) keep last-two; the oracle re-derives the
     # expected domain from the same arithmetic
-    tld = (
-        F.when(F.col("doc_id") % 3 == 0, F.lit(".CO.UK"))
-        .when(F.col("doc_id") % 3 == 1, F.lit(".Com.Au"))
-        .otherwise(F.lit(".DE"))
-    )
-    url2 = F.concat(
-        F.lit("https://www.shop"),
-        (F.col("doc_id") % 11).cast("string"),
-        tld,
-        F.lit("/item/"),
-        F.col("doc_id").cast("string"),
-    )
-    psl = docs.withColumn("_url2", url2).select(
-        F.lit("url_psl").alias("part"),
-        F.col("doc_id").cast("long").alias("id"),
-        hash48(normalize_url("_url2")).cast("long").alias("k"),
-        registered_domain("_url2").alias("split"),
-    )
+    def mk_psl() -> DataFrame:
+        tld = (
+            F.when(F.col("doc_id") % 3 == 0, F.lit(".CO.UK"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(".Com.Au"))
+            .otherwise(F.lit(".DE"))
+        )
+        url2 = F.concat(
+            F.lit("https://www.shop"),
+            (F.col("doc_id") % 11).cast("string"),
+            tld,
+            F.lit("/item/"),
+            F.col("doc_id").cast("string"),
+        )
+        return docs.withColumn("_url2", url2).select(
+            F.lit("url_psl").alias("part"),
+            F.col("doc_id").cast("long").alias("id"),
+            hash48(normalize_url("_url2")).cast("long").alias("k"),
+            registered_domain("_url2").alias("split"),
+        )
     # round 10: FULL publicsuffix.org semantics — the snapshot below
     # is fed VERBATIM in the real file format (comments, wildcard
     # *.bd, exception !www.bd, 3-label exact k12.ma.us) and the hosts
@@ -5074,42 +5116,45 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exception / deep-suffix handling and the longest-match
     # precedence are all driver-hash-checked (the round-9 path
     # silently dropped every non-2-label rule).
-    suffix3 = (
-        F.when(F.col("doc_id") % 6 == 0, F.lit("CO.UK"))
-        .when(F.col("doc_id") % 6 == 1, F.lit("Com.Au"))
-        .when(F.col("doc_id") % 6 == 2, F.lit("DE"))
-        .when(F.col("doc_id") % 6 == 3, F.lit("zed.BD"))
-        .when(F.col("doc_id") % 6 == 4, F.lit("WWW.BD"))
-        .otherwise(F.lit("k12.MA.us"))
-    )
-    url3 = F.concat(
-        F.lit("https://WWW.Shop"),
-        (F.col("doc_id") % 11).cast("string"),
-        F.lit("."),
-        suffix3,
-        F.lit("/i/"),
-        F.col("doc_id").cast("string"),
-    )
-    pslfull = docs.withColumn("_url3", url3).select(
-        F.lit("url_psl_full").alias("part"),
-        F.col("doc_id").cast("long").alias("id"),
-        hash48(normalize_url("_url3")).cast("long").alias("k"),
-        registered_domain(
-            "_url3", public_suffixes=PSL_SNAPSHOT
-        ).alias("split"),
-    )
-    capped = cap_per_domain(
-        urled.withColumn("_dom", registered_domain("_url")),
-        DOMAIN_CAP_N,
-        key_col="_dom",
-        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
-        salt=8,
-    ).select(
-        F.lit("domain_cap").alias("part"),
-        F.col("doc_id").cast("long").alias("id"),
-        F.col("rank").alias("k"),
-        F.col("domain").alias("split"),
-    )
+    def mk_pslfull() -> DataFrame:
+        suffix3 = (
+            F.when(F.col("doc_id") % 6 == 0, F.lit("CO.UK"))
+            .when(F.col("doc_id") % 6 == 1, F.lit("Com.Au"))
+            .when(F.col("doc_id") % 6 == 2, F.lit("DE"))
+            .when(F.col("doc_id") % 6 == 3, F.lit("zed.BD"))
+            .when(F.col("doc_id") % 6 == 4, F.lit("WWW.BD"))
+            .otherwise(F.lit("k12.MA.us"))
+        )
+        url3 = F.concat(
+            F.lit("https://WWW.Shop"),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit("."),
+            suffix3,
+            F.lit("/i/"),
+            F.col("doc_id").cast("string"),
+        )
+        return docs.withColumn("_url3", url3).select(
+            F.lit("url_psl_full").alias("part"),
+            F.col("doc_id").cast("long").alias("id"),
+            hash48(normalize_url("_url3")).cast("long").alias("k"),
+            registered_domain(
+                "_url3", public_suffixes=PSL_SNAPSHOT
+            ).alias("split"),
+        )
+
+    def mk_capped() -> DataFrame:
+        return cap_per_domain(
+            urled.withColumn("_dom", registered_domain("_url")),
+            DOMAIN_CAP_N,
+            key_col="_dom",
+            order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+            salt=8,
+        ).select(
+            F.lit("domain_cap").alias("part"),
+            F.col("doc_id").cast("long").alias("id"),
+            F.col("rank").alias("k"),
+            F.col("domain").alias("split"),
+        )
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
         robots_rules,
         robots_verdict,
@@ -5151,35 +5196,38 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     host_split = F.concat(
         F.lit("site"), (F.col("doc_id") % 13).cast("string"), F.lit(".com")
     )
-    rob = robots_verdict(
-        urled.select("doc_id", F.col("_url").alias("url")),
-        rules,
-        url_col="url",
-    ).select(
-        F.lit("robots").alias("part"),
-        F.col("doc_id").cast("long").alias("id"),
-        F.col("robots_allowed").cast("long").alias("k"),
-        host_split.alias("split"),
-    )
+
+    def mk_rob() -> DataFrame:
+        return robots_verdict(
+            urled.select("doc_id", F.col("_url").alias("url")),
+            rules,
+            url_col="url",
+        ).select(
+            F.lit("robots").alias("part"),
+            F.col("doc_id").cast("long").alias("id"),
+            F.col("robots_allowed").cast("long").alias("k"),
+            host_split.alias("split"),
+        )
     # round 9: query-only URLs (no path at all) — RFC 9309 targets
     # must be '/'-rooted, so "https://h?x=0" evaluates as "/?x=0" and
     # the root-prefix disallow above blocks exactly the %3==0 docs;
     # before the round-9 fix the target lost its leading '/' and every
     # such URL was silently allowed.
-    urlq = F.concat(
-        F.lit("HTTPS://Crawl.Site"),
-        (F.col("doc_id") % 13).cast("string"),
-        F.lit(".COM:443?x="),
-        (F.col("doc_id") % 3).cast("string"),
-    )
-    robq = robots_verdict(
-        docs.select("doc_id", urlq.alias("url")), rules, url_col="url"
-    ).select(
-        F.lit("robots_q").alias("part"),
-        F.col("doc_id").cast("long").alias("id"),
-        F.col("robots_allowed").cast("long").alias("k"),
-        host_split.alias("split"),
-    )
+    def mk_robq() -> DataFrame:
+        urlq = F.concat(
+            F.lit("HTTPS://Crawl.Site"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".COM:443?x="),
+            (F.col("doc_id") % 3).cast("string"),
+        )
+        return robots_verdict(
+            docs.select("doc_id", urlq.alias("url")), rules, url_col="url"
+        ).select(
+            F.lit("robots_q").alias("part"),
+            F.col("doc_id").cast("long").alias("id"),
+            F.col("robots_allowed").cast("long").alias("k"),
+            host_split.alias("split"),
+        )
     # round 10: CDX(J) index parsing — the live Common Crawl access
     # pattern's FIRST stage (sources/warc.parse_cdxj, pure Column
     # regex + from_json, feeds read_warc_at).  Lines are built from
@@ -5216,41 +5264,42 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('"}'),
         )
     )
-    cdx = docs.select("doc_id", cdx_line.alias("value"))
-    parsed_cdx = parse_cdxj(
-        cdx, line_col="value", base_uri="https://data.example.org/"
-    ).withColumn(
-        "_cid",
-        F.coalesce(
-            F.regexp_extract("url", r"(\d+)$", 1).cast("long"), F.lit(-1)
-        ),
-    )
-    # malformed lines lose the url: recover id positionally via the
-    # line itself (parse_cdxj preserves no extra columns by contract)
-    cdxp = cdx.join(
-        parsed_cdx.where(F.col("_cid") >= 0).withColumnRenamed(
-            "_cid", "doc_id"
-        ),
-        "doc_id",
-        "left",
-    ).select(
-        F.lit("cdxj").alias("part"),
-        F.col("doc_id").cast("long").alias("id"),
-        # concat_ws SKIPS nulls (an all-NULL malformed row would hash
-        # the empty string) — gate on the join hit instead
-        F.when(
-            F.col("url").isNotNull(),
-            hash48(
-                F.concat_ws(
-                    "|", "surt", "ts", "url", "status", "mime",
-                    "digest", "path",
-                    F.col("offset").cast("string"),
-                    F.col("length").cast("string"),
-                )
-            ).cast("long"),
-        ).otherwise(F.lit(-1)).alias("k"),
-        F.col("path").alias("split"),
-    )
+    def mk_cdxp() -> DataFrame:
+        cdx = docs.select("doc_id", cdx_line.alias("value"))
+        parsed_cdx = parse_cdxj(
+            cdx, line_col="value", base_uri="https://data.example.org/"
+        ).withColumn(
+            "_cid",
+            F.coalesce(
+                F.regexp_extract("url", r"(\d+)$", 1).cast("long"), F.lit(-1)
+            ),
+        )
+        # malformed lines lose the url: recover id positionally via the
+        # line itself (parse_cdxj preserves no extra columns by contract)
+        return cdx.join(
+            parsed_cdx.where(F.col("_cid") >= 0).withColumnRenamed(
+                "_cid", "doc_id"
+            ),
+            "doc_id",
+            "left",
+        ).select(
+            F.lit("cdxj").alias("part"),
+            F.col("doc_id").cast("long").alias("id"),
+            # concat_ws SKIPS nulls (an all-NULL malformed row would hash
+            # the empty string) — gate on the join hit instead
+            F.when(
+                F.col("url").isNotNull(),
+                hash48(
+                    F.concat_ws(
+                        "|", "surt", "ts", "url", "status", "mime",
+                        "digest", "path",
+                        F.col("offset").cast("string"),
+                        F.col("length").cast("string"),
+                    )
+                ).cast("long"),
+            ).otherwise(F.lit(-1)).alias("k"),
+            F.col("path").alias("split"),
+        )
     # round 10: the Common Crawl entry path END TO END — WARC records
     # (real wire bytes: identity/chunked/gzip HTTP payloads, dated
     # double-captures, 404/page/request decoys) -> robots_from_warc
@@ -5369,93 +5418,105 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"sitemap_url": pdf["_smurl"], "content": payload}
             )
 
-    smdf = docs.select(
-        F.concat(
-            F.lit("https://site"), h13, F.lit(".com/sitemaps/"), did,
-            F.lit(".xml"),
-        ).alias("_smurl"),
-        sm_xml.alias("_xml"),
-        (F.col("doc_id") % 8).cast("int").alias("_k8"),
-    ).mapInPandas(
-        _sm_payload, schema="sitemap_url string, content binary"
-    )
-    smp = (
-        sitemap_entries(smdf)
-        .withColumn(
-            "_sid",
-            F.regexp_extract("sitemap_url", r"(\d+)\.xml$", 1).cast("long"),
+    def mk_smp() -> DataFrame:
+        smdf = docs.select(
+            F.concat(
+                F.lit("https://site"), h13, F.lit(".com/sitemaps/"), did,
+                F.lit(".xml"),
+            ).alias("_smurl"),
+            sm_xml.alias("_xml"),
+            (F.col("doc_id") % 8).cast("int").alias("_k8"),
+        ).mapInPandas(
+            _sm_payload, schema="sitemap_url string, content binary"
         )
-        .select(
-            F.lit("sitemap").alias("part"),
-            F.col("_sid").alias("id"),
-            F.when(
-                F.col("kind") != "__corrupt__",
-                hash48(
-                    F.concat_ws(
-                        "|", "kind", "loc",
-                        F.coalesce("lastmod", F.lit("-")),
-                    )
+        return (
+            sitemap_entries(smdf)
+            .withColumn(
+                "_sid",
+                F.regexp_extract(
+                    "sitemap_url", r"(\d+)\.xml$", 1
                 ).cast("long"),
-            ).otherwise(F.lit(-1)).alias("k"),
-            F.when(
-                F.col("kind") != "__corrupt__", F.col("kind")
-            ).otherwise(F.lit(None).cast("string")).alias("split"),
-        )
-    )
-    wrec = spark.createDataFrame(
-        _robots_warc_records(),
-        "warc_type string, target_uri string, warc_date string, "
-        "content binary",
-    )
-    dim = robots_from_warc(wrec)
-    meta = robots_meta(dim)
-    rw = robots_verdict(
-        urled.select("doc_id", F.col("_url").alias("url")),
-        robots_rules(dim),
-        url_col="url",
-    ).withColumn(
-        "_rwhost",
-        F.lower(
-            F.regexp_extract(
-                F.col("url"), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1
             )
-        ),
-    )
-    # round 11: certify crawl_budgets through the same branch — the
-    # fetch budget (greatest(1, floor(window/delay)), window 4 s so
-    # delay 5 exercises the >=1 floor) leads the split
-    bmeta = meta.join(
-        crawl_budgets(meta, window_s=4.0).select("host", "fetch_budget"),
-        "host",
-    )
-    robw = rw.join(
-        F.broadcast(bmeta.withColumnRenamed("host", "_rwhost")),
-        "_rwhost",
-        "left",
-    ).select(
-        F.lit("robots_warc").alias("part"),
-        F.col("doc_id").cast("long").alias("id"),
-        F.col("robots_allowed").cast("long").alias("k"),
-        F.concat(
-            F.col("fetch_budget").cast("string"),
-            F.lit("|"),
-            F.col("crawl_delay").cast("int").cast("string"),
-            F.lit("|"),
-            F.array_join("sitemaps", ","),
-        ).alias("split"),
-    )
-    return (
-        shuf.unionByName(zo)
-        .unionByName(un)
-        .unionByName(psl)
-        .unionByName(pslfull)
-        .unionByName(capped)
-        .unionByName(rob)
-        .unionByName(robq)
-        .unionByName(robw)
-        .unionByName(cdxp)
-        .unionByName(smp)
-    )
+            .select(
+                F.lit("sitemap").alias("part"),
+                F.col("_sid").alias("id"),
+                F.when(
+                    F.col("kind") != "__corrupt__",
+                    hash48(
+                        F.concat_ws(
+                            "|", "kind", "loc",
+                            F.coalesce("lastmod", F.lit("-")),
+                        )
+                    ).cast("long"),
+                ).otherwise(F.lit(-1)).alias("k"),
+                F.when(
+                    F.col("kind") != "__corrupt__", F.col("kind")
+                ).otherwise(F.lit(None).cast("string")).alias("split"),
+            )
+        )
+    def mk_robw() -> DataFrame:
+        wrec = spark.createDataFrame(
+            _robots_warc_records(),
+            "warc_type string, target_uri string, warc_date string, "
+            "content binary",
+        )
+        dim = robots_from_warc(wrec)
+        meta = robots_meta(dim)
+        rw = robots_verdict(
+            urled.select("doc_id", F.col("_url").alias("url")),
+            robots_rules(dim),
+            url_col="url",
+        ).withColumn(
+            "_rwhost",
+            F.lower(
+                F.regexp_extract(
+                    F.col("url"), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1
+                )
+            ),
+        )
+        # round 11: certify crawl_budgets through the same branch — the
+        # fetch budget (greatest(1, floor(window/delay)), window 4 s so
+        # delay 5 exercises the >=1 floor) leads the split
+        bmeta = meta.join(
+            crawl_budgets(meta, window_s=4.0).select("host", "fetch_budget"),
+            "host",
+        )
+        return rw.join(
+            F.broadcast(bmeta.withColumnRenamed("host", "_rwhost")),
+            "_rwhost",
+            "left",
+        ).select(
+            F.lit("robots_warc").alias("part"),
+            F.col("doc_id").cast("long").alias("id"),
+            F.col("robots_allowed").cast("long").alias("k"),
+            F.concat(
+                F.col("fetch_budget").cast("string"),
+                F.lit("|"),
+                F.col("crawl_delay").cast("int").cast("string"),
+                F.lit("|"),
+                F.array_join("sitemaps", ","),
+            ).alias("split"),
+        )
+
+    # NOTE (optimization round 11): building these branches from
+    # concurrent driver threads was MEASURED 3x SLOWER than sequential
+    # construction (build 4.3s -> 13.5s at sf0.1): plan construction is
+    # thousands of tiny py4j RPCs + eager per-DataFrame analysis, and
+    # multi-threading them contends on the JVM session state instead of
+    # overlapping real work.  Threads pay off for long-blocking EAGER
+    # JOBS (kw_kernels, jk_cox_refits, survey_scalars), not for plan
+    # construction — so the branches build sequentially.
+    parts = [
+        mk()
+        for mk in (
+            mk_shuf, mk_zo, mk_un, mk_psl, mk_pslfull, mk_capped,
+            mk_rob, mk_robq, mk_robw, mk_cdxp, mk_smp,
+        )
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _sql_layout_keys() -> str:

@@ -1101,7 +1101,26 @@ def _cosine_pairs_grid(
 
     spark = df.sparkSession
     n = df.count()
-    n_blocks = max(1, math.ceil(n / max(1, int(rows_per_block))))
+    # Scale-adaptive block count (optimization round 11, guide §2):
+    # ``rows_per_block`` alone under-parallelizes small-to-mid corpora
+    # — at n <= rows_per_block the whole all-pairs matmul collapsed
+    # into ONE task (a 2-4 s straggler inside dedup_pairs while 31
+    # cores idled).  Also require enough block PAIRS to fill the
+    # cluster: the smallest B with B(B+1)/2 >= defaultParallelism
+    # (B=8 at 32 cores), never more than n.  Every pair is still
+    # scored exactly once (the bi <= bj grid is a partition of the
+    # pair set), so results are unchanged for any block count.
+    par = max(1, spark.sparkContext.defaultParallelism)
+    b_min = 1
+    while b_min * (b_min + 1) // 2 < par:
+        b_min += 1
+    n_blocks = max(
+        1,
+        min(
+            max(math.ceil(n / max(1, int(rows_per_block))), b_min),
+            max(1, n),
+        ),
+    )
     src = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -1209,7 +1228,11 @@ def connected_components(
         )
         stepped = (
             lab.join(nbr, "_u", "left")
-            .select("_u", F.least("_c", F.coalesce("_nc", "_c")).alias("_c"))
+            .select(
+                "_u",
+                F.col("_c").alias("_c0"),
+                F.least("_c", F.coalesce("_nc", "_c")).alias("_c"),
+            )
         )
         # pointer jump: label's label (labels are node ids, so reuse lab)
         jumped = (
@@ -1218,16 +1241,21 @@ def connected_components(
                 "_c",
                 "left",
             )
-            .select("_u", F.least("_c", F.coalesce("_cc", "_c")).alias("_c"))
+            .select(
+                "_u",
+                F.least("_c", F.coalesce("_cc", "_c")).alias("_c"),
+                "_c0",
+            )
             .localCheckpoint(eager=True)
         )
+        # the pre-round label rides the checkpoint as _c0, so the
+        # convergence probe is a filter over checkpointed rows instead
+        # of a join back against the previous label frame (round 11:
+        # one fewer join per round, same scalar answer)
         changed = (
-            jumped.join(lab.withColumnRenamed("_c", "_c0"), "_u")
-            .where(F.col("_c") != F.col("_c0"))
-            .limit(1)
-            .count()
+            jumped.where(F.col("_c") != F.col("_c0")).limit(1).count()
         )
-        lab = jumped
+        lab = jumped.select("_u", "_c")
         if changed == 0:
             break
     if stats is not None:
