@@ -211,9 +211,17 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_stack_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     cohort, survey = tpch.survey_frames(spark, sf_dir)
-    n_s = survey.count()
-    pop_n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
-    a = n_s / pop_n
+    # one scan for both scalars (flagship's shape; formerly two
+    # serialized count jobs — optimization round 11, guide §1.2)
+    row = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(f"cast({tpch.SURVEY_PRED} as int)")).alias("ns"),
+        )
+        .collect()[0]
+    )
+    a = row["ns"] / row["n"]
     stacked = stack_samples(cohort, survey, "wt", sampling_fraction=a)
     return stacked.select(
         "id",
@@ -3105,7 +3113,7 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate sets bitwise reproducible across engines. Recall vs the
     exact top-k remains asserted in tests/."""
     emb = _emb(spark, sf_dir)
-    out = lsh_topk(emb, emb.where(F.col("vec_id") < 5), 3)
+    out = lsh_topk(emb, emb.where(F.col("vec_id") < 5), 3, dim=EMB_DIM)
     return out.select(
         "query_id",
         "neighbor_id",

@@ -154,13 +154,19 @@ def lsh_topk(
     bands: int = 4,
     seed: int = 13,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane signatures split into
     bands; a corpus row is scored only when it shares >= 1 band with
     the query (equi-join on (band, chunk)). Same output schema as
     ``brute_force_topk``; recall < 1 traded for candidate pruning.
+
+    ``dim``: embedding width, if the caller knows it — skips the eager
+    ``first()`` probe job (at scale, a scan-task launch just to read
+    one row; optimization round 11, guide §1.2).
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     rows = n_planes // bands
     mask = (1 << rows) - 1

@@ -647,8 +647,13 @@ def bigram_logprob_scores(
             ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
         ).alias("_bg"),
     ).select("_id", "_bg.w1", "_bg.w2").cache()
-    vocab = float(
-        base.select(F.explode("_toks").alias("_t")).select("_t").distinct().count()
+    # Vocabulary size as a broadcast 1-row frame instead of an eagerly
+    # collected literal (optimization round 11, guide §1.2): the
+    # distinct-token count now computes inside the SAME job as the
+    # scoring pass (one driver barrier fewer), and `alpha * V` is the
+    # identical IEEE double product evaluated in the JVM.
+    vocab_df = base.select(F.explode("_toks").alias("_t")).agg(
+        F.count_distinct("_t").cast("double").alias("_vv")
     )
     c_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cbg"))
     c_w1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_cw1"))
@@ -659,11 +664,12 @@ def bigram_logprob_scores(
     scored = (
         bg.join(c_bg, ["w1", "w2"])
         .join(c_w1, ["w1"])
+        .crossJoin(F.broadcast(vocab_df))
         .withColumn(
             "_logp",
             F.log(
                 (F.col("_cbg") + F.lit(float(alpha)))
-                / (F.col("_cw1") + F.lit(float(alpha) * vocab))
+                / (F.col("_cw1") + F.lit(float(alpha)) * F.col("_vv"))
             ),
         )
     )
