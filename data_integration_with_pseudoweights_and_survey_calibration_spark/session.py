@@ -21,6 +21,22 @@ _DEFAULTS = {
     # Local testing default; on a real cluster this is set per-job from
     # data volume (target ~128-256 MB per task post-shuffle).
     "spark.sql.shuffle.partitions": "32",
+    # Speculative execution (optimization round 11, guide §2.6/§7.4):
+    # re-launch clear stragglers. Motivated by measurement, not taste:
+    # on the round-11 sandbox, identical 0.16 s (median) numpy tasks
+    # under 32-wide load showed p90 = 47 s / max = 84 s — individual
+    # vCPUs starved for tens of seconds by the host — and the heavy
+    # queries swung 3-8x between identical runs.  With speculation the
+    # worst observed in-suite walls collapsed (kw_kernels 75 s -> 18 s,
+    # jk_cox_refits 35 s -> 6 s pathological-phase; no measurable cost
+    # in healthy phases at multiplier 2).  Every task in this engine is
+    # an idempotent deterministic transformation, the precondition the
+    # guide names.  On a real cluster this is the standard sick-node
+    # mitigation; multiplier 2 (not the 1.5 default) keeps healthy-run
+    # duplicate work near zero.
+    "spark.speculation": "true",
+    "spark.speculation.multiplier": "2",
+    "spark.speculation.quantile": "0.75",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The engine broadcasts small dimension/grid tables explicitly, but a
     # sane auto threshold helps AQE convert shuffle joins at runtime.
