@@ -4162,6 +4162,15 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="_ptext",
         keep_cols=("_red",),
     )
+    return feats.withColumn("pii_ok", _pii_gate_expr()).drop("_red")
+
+
+def _pii_gate_expr():
+    """The ``pii_ok`` cross-check column: every ``n_<cat>`` counter must
+    equal the number of ``[CAT]`` placeholders ``redact_pii`` inserted
+    into ``_red``, Luhn-valid <= candidates, ``has_pii`` consistent.
+    Shared by the standalone pii leg and the text_features single-scan
+    chain so the gate arithmetic cannot drift between them."""
 
     def tok_count(c, tok):
         return (
@@ -4170,7 +4179,7 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int")
 
     r = F.col("_red")
-    gate = (
+    return (
         (F.col("n_email") == tok_count(r, "[EMAIL]"))
         & (F.col("n_ssn") == tok_count(r, "[SSN]"))
         & (F.col("n_card") == tok_count(r, "[CARD]"))
@@ -4189,7 +4198,6 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return feats.withColumn("pii_ok", gate).drop("_red")
 
 
 # literal SQL twin of _pii_ptext_expr (kept adjacent so drift is obvious)
@@ -4565,6 +4573,28 @@ def _quality_eta_sql() -> str:
     )
 
 
+def _pd_page_expr():
+    """Synthetic page markup for the page-directives certificate: meta
+    tags injected by doc_id arithmetic (see ``_q_page_directives``)."""
+    d = F.col("doc_id")
+    meta = (
+        F.when(d % 4 == 0,
+               F.lit('<META NAME="ROBOTS" CONTENT="NOINDEX, nofollow">'))
+        .when(d % 4 == 1, F.lit("<meta content='noai' name='robots'>"))
+        .when(d % 4 == 2, F.lit("<meta name=robots content=none>"))
+        .otherwise(F.lit('<meta name="viewport" content="width=1">'))
+    )
+    return F.concat(
+        F.lit("<html><head>"),
+        meta,
+        F.when(
+            d % 5 == 0,
+            F.lit('<meta name="robots" content="noarchive">'),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+
+
 def _q_page_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-level robots directives certificate
     (``operators/robots.robots_page_directives``, round 10): meta
@@ -4577,24 +4607,7 @@ def _q_page_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
         robots_page_directives,
     )
 
-    d = F.col("doc_id")
-    meta = (
-        F.when(d % 4 == 0,
-               F.lit('<META NAME="ROBOTS" CONTENT="NOINDEX, nofollow">'))
-        .when(d % 4 == 1, F.lit("<meta content='noai' name='robots'>"))
-        .when(d % 4 == 2, F.lit("<meta name=robots content=none>"))
-        .otherwise(F.lit('<meta name="viewport" content="width=1">'))
-    )
-    page = F.concat(
-        F.lit("<html><head>"),
-        meta,
-        F.when(
-            d % 5 == 0,
-            F.lit('<meta name="robots" content="noarchive">'),
-        ).otherwise(F.lit("")),
-        F.lit("</head><body>x</body></html>"),
-    )
-    docs = _docs(spark, sf_dir).withColumn("_pg", page)
+    docs = _docs(spark, sf_dir).withColumn("_pg", _pd_page_expr())
     out = robots_page_directives(docs, html_col="_pg")
     return out.select(
         "doc_id",
@@ -4645,20 +4658,108 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigmoid's input is bit-identical to the oracle's and the hash
     match certifies the scoring arithmetic itself.  Rounded to 6 dp
     (not 9): ``exp``/``log1p`` are the one place JVM vs C library math
-    can differ in the last ulp."""
-    joined = (
-        _q_text_stats(spark, sf_dir)
-        .join(_q_lang_id(spark, sf_dir), "doc_id")
-        .join(_q_repetition_stats(spark, sf_dir), "doc_id")
-        .join(_q_pii_scrub(spark, sf_dir), "doc_id")
-        .join(_q_line_features(spark, sf_dir), "doc_id")
-        .join(_q_c4_rules(spark, sf_dir), "doc_id")
-        .join(_q_html_extract(spark, sf_dir), "doc_id")
-        .join(_q_page_directives(spark, sf_dir), "doc_id")
+    can differ in the last ulp.
+
+    Single-scan shape (optimization round 11, guide §2.4/§2.3): six of
+    the eight column families (quality stats, lang id, PII, line rules,
+    C4 rules, page directives) are map-only per-doc projections, so
+    they ACCUMULATE on one frame over ONE ``documents`` scan — each
+    operator passes prior columns through (``keep_cols`` /
+    withColumn-chaining) instead of being scanned and joined back on
+    doc_id.  Only the two shuffle legs (repetition's bigram groupBy,
+    HTML's block groupBy) remain joins: 8 scans + 7 joins -> 3 scans +
+    2 joins, with identical per-column arithmetic (each family's
+    operator call and rounding is byte-for-byte the standalone leg's,
+    and the final projection restores the historical column order)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    flat = text_quality_features(docs)
+    flat = text_ops.language_scores(flat)
+    flat = pii_ops.redact_pii(
+        flat.withColumn("_ptext", _pii_ptext_expr()),
+        text_col="_ptext",
+        out_col="_red",
+    )
+    flat = pii_ops.pii_features(
+        flat,
+        text_col="_ptext",
+        keep_cols=tuple(
+            c for c in flat.columns if c not in ("doc_id", "_ptext")
+        ),
+    )
+    flat = flat.select(
+        *(c for c in flat.columns if c != "_red"),
+        _pii_gate_expr().alias("pii_ok"),
+    )
+    keep = tuple(c for c in flat.columns if c != "doc_id")
+    flat = text_ops.line_features(
+        flat.withColumn("_ltext", _lines_ptext_expr()),
+        text_col="_ltext",
+        keep_cols=keep,
+    )
+    keep = tuple(c for c in flat.columns if c != "doc_id")
+    flat = text_ops.c4_rules(
+        flat.withColumn("_ctext", _c4_ptext_expr()),
+        text_col="_ctext",
+        keep_cols=keep,
+    )
+    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
+        robots_page_directives,
+    )
+
+    flat = robots_page_directives(
+        flat.withColumn("_pg", _pd_page_expr()), html_col="_pg"
+    )
+    joined = flat.join(_q_repetition_stats(spark, sf_dir), "doc_id").join(
+        _q_html_extract(spark, sf_dir), "doc_id"
+    )
+    out = joined.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("ttr", 9).alias("ttr"),
+        F.round("stop_ratio", 9).alias("stop_ratio"),
+        F.round("mean_token_len", 9).alias("mean_token_len"),
+        F.round("punct_ratio", 9).alias("punct_ratio"),
+        F.round("quality", 9).alias("quality"),
+        "lang_pred",
+        F.round("lang_score", 9).alias("lang_score"),
+        "dup_token_frac",
+        "dup_bigram_frac",
+        "top_bigram_frac",
+        "n_email",
+        "n_ssn",
+        "n_card",
+        "n_ipv4",
+        "n_phone",
+        "n_card_luhn",
+        "has_pii",
+        "pii_ok",
+        "n_lines",
+        F.round("mean_line_chars", 9).alias("mean_line_chars"),
+        F.round("frac_short_lines", 9).alias("frac_short_lines"),
+        F.round("frac_bullet_lines", 9).alias("frac_bullet_lines"),
+        F.round("frac_ellipsis_lines", 9).alias("frac_ellipsis_lines"),
+        F.round("frac_caps_lines", 9).alias("frac_caps_lines"),
+        "c4_n_sentences",
+        F.round("c4_kept_line_frac", 9).alias("c4_kept_line_frac"),
+        "c4_has_lorem",
+        "c4_has_brace",
+        "c4_blocklist_hits",
+        "c4_keep",
+        "html_n_blocks",
+        "html_n_good",
+        "html_text_md5",
+        "html_link_density",
+        "pd_n_tags",
+        "pd_noindex",
+        "pd_nofollow",
+        "pd_noarchive",
+        "pd_nosnippet",
+        "pd_noai",
+        "pd_noimageai",
     )
     prob = quality_ops.quality_prob_column(quality_ops.frozen_quality_fit())
     return (
-        joined.withColumn(
+        out.withColumn(
             "log_n_tokens", F.log1p(F.col("n_tokens").cast("double"))
         )
         .withColumn("quality_prob", F.round(prob, 6))

@@ -466,14 +466,16 @@ def robots_page_directives(
         lit = F.lit(word)
         return F.exists(toks, lambda x: x == lit)
 
-    out = df.withColumn(prefix + "n_tags", n_tags.cast("int"))
+    # one batched projection (round 11): a withColumn per directive
+    # re-ran the analyzer |directives|+1 times over the input plan
+    cols = {prefix + "n_tags": n_tags.cast("int")}
     none = has("none")
     for d in PAGE_DIRECTIVES:
         col = has(d)
         if d in ("noindex", "nofollow"):
             col = col | none  # 'none' = noindex + nofollow
-        out = out.withColumn(prefix + d, col)
-    return out
+        cols[prefix + d] = col
+    return df.withColumns(cols)
 
 
 def _pattern_regex(pattern: str) -> str:

@@ -140,16 +140,20 @@ def quality_features(
     tc = F.col(text_col)
     n_chars = F.length(tc)
     n_punct = n_chars - F.length(F.regexp_replace(tc, r"[^\w\s]", ""))
-    out = (
-        df.withColumn("n_tokens", n)
-        .withColumn("ttr", F.size(F.array_distinct(toks)) / n)
-        .withColumn("stop_ratio", n_stop / n)
-        .withColumn(
-            "mean_token_len",
-            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    # ONE withColumns pass (round 11): six sequential withColumn calls
+    # re-ran the analyzer over the whole (possibly deep) input plan six
+    # times; batching them is the same projection with one analysis.
+    out = df.withColumns(
+        {
+            "n_tokens": n,
+            "ttr": F.size(F.array_distinct(toks)) / n,
+            "stop_ratio": n_stop / n,
+            "mean_token_len": F.aggregate(
+                toks, F.lit(0), lambda acc, t: acc + F.length(t)
+            )
             / n.cast("double"),
-        )
-        .withColumn("punct_ratio", n_punct / n_chars.cast("double"))
+            "punct_ratio": n_punct / n_chars.cast("double"),
+        }
     )
     # Composite score: length sweet spot x low punctuation x lexical
     # diversity. Deterministic expression, tune-able downstream.
@@ -173,20 +177,30 @@ def language_scores(
     profiles = profiles or DEFAULT_PROFILES
     toks = tokens(text_col)
     n = F.size(toks).cast("double")
-    out = df
-    for lang, words in profiles.items():
-        arr = F.array(*[F.lit(w) for w in words])
-        out = out.withColumn(
-            f"score_{lang}",
-            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))) / n,
-        )
+    # TWO withColumns passes (round 11): one per-language withColumn
+    # plus two more ran the analyzer |langs|+2 times over the input
+    # plan.  The scores batch into one projection; lang_pred/lang_score
+    # stay a SECOND projection referencing the score COLUMNS (not the
+    # inlined expressions) so each per-language HOF filter is evaluated
+    # once per row — inlining them into greatest() + |langs| CASE
+    # branches would bake in O(|langs|^2) re-evaluation.
+    out = df.withColumns(
+        {
+            f"score_{lang}": F.size(
+                F.filter(toks, lambda t: F.array_contains(arr, t))
+            )
+            / n
+            for lang, words in profiles.items()
+            for arr in (F.array(*[F.lit(w) for w in words]),)
+        }
+    )
     langs = sorted(profiles)
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])
     pred = F.lit(None).cast("string")
     # first language (sorted) achieving the max wins
     for l in reversed(langs):
         pred = F.when(F.col(f"score_{l}") == best, F.lit(l)).otherwise(pred)
-    return out.withColumn("lang_pred", pred).withColumn("lang_score", best)
+    return out.withColumns({"lang_pred": pred, "lang_score": best})
 
 
 def fingerprint(text: str | Column) -> Column:
@@ -431,6 +445,7 @@ def line_features(
     id_col: str = "doc_id",
     text_col: str = "text",
     short_len: int = 10,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """LINE-level quality signals (the Gopher/C4 rule family that
     document-level token stats cannot see): per document,
@@ -449,7 +464,10 @@ def line_features(
     Single-doc text (no newlines) scores as one line.  Pure
     higher-order Column expressions over ``split(text, '\\n')`` — one
     projection, zero shuffle, codegen-fused; empty documents report
-    zeros."""
+    zeros.  ``keep_cols`` pass through unchanged (the
+    :func:`~..operators.pii.pii_features` pattern), so several map-only
+    feature families can accumulate on ONE scan instead of being
+    joined back on the id."""
     lines = F.filter(
         F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
         lambda l: l != F.lit(""),
@@ -464,6 +482,7 @@ def line_features(
     bullet = r"^(-|\*|•|[0-9]{1,3}\.)( |$)"
     return df.select(
         F.col(id_col),
+        *(F.col(c) for c in keep_cols),
         F.size(lines).cast("long").alias("n_lines"),
         F.when(
             F.size(lines) > 0,
@@ -709,6 +728,7 @@ def c4_rules(
     min_words_per_line: int = 5,
     min_sentences: int = 3,
     blocklist: tuple[str, ...] = C4_BLOCKLIST,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """C4 document-level cleaning rules (Raffel et al. 2020,
     "Exploring the Limits of Transfer Learning...", arXiv:1910.10683
@@ -740,7 +760,9 @@ def c4_rules(
     twin (the entry-point oracle restates the rules verbatim), so the
     verdict column itself is hash-certifiable.  NULL text scores as
     the empty page (0 sentences, 0 lines, keep = false) — same
-    unification as the other scrub passes."""
+    unification as the other scrub passes.  ``keep_cols`` pass through
+    unchanged (the ``pii_features`` pattern) so map-only rule families
+    can accumulate on one scan."""
     tc = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(
         F.transform(F.split(tc, "\n"), lambda l: F.trim(l)),
@@ -773,6 +795,7 @@ def c4_rules(
     has_brace = tc.contains("{")
     return df.select(
         F.col(id_col),
+        *(F.col(c) for c in keep_cols),
         n_sent.alias("c4_n_sentences"),
         kept_frac.alias("c4_kept_line_frac"),
         has_lorem.alias("c4_has_lorem"),

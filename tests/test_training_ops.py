@@ -1639,6 +1639,35 @@ def test_c4_rules_blocklist_token_match(spark):
     assert by[1]["c4_blocklist_hits"] == 1  # whole token 'badwords' is
 
 
+def test_line_and_c4_keep_cols_passthrough(spark):
+    """keep_cols (round 11, single-scan text_features chain): both
+    select-style rule operators must pass prior columns through
+    unchanged — same feature values as the bare call, keep columns
+    verbatim, and column order = id, keeps, features."""
+    df = spark.createDataFrame(
+        [
+            (0, "A good long sentence ends here.\n- bullet", "a", 1.5),
+            (1, "SHOUT\nok then. Two! Three?", "b", -2.0),
+        ],
+        "doc_id long, text string, tag string, score double",
+    )
+    for op, first_feat in (
+        (text.line_features, "n_lines"),
+        (text.c4_rules, "c4_n_sentences"),
+    ):
+        bare = {r["doc_id"]: r.asDict() for r in op(df).collect()}
+        kept_df = op(df, keep_cols=("tag", "score"))
+        assert kept_df.columns[:3] == ["doc_id", "tag", "score"]
+        assert kept_df.columns[3] == first_feat
+        for r in kept_df.collect():
+            d = r.asDict()
+            assert d["tag"] == ("a" if d["doc_id"] == 0 else "b")
+            assert d["score"] == (1.5 if d["doc_id"] == 0 else -2.0)
+            for k, v in bare[d["doc_id"]].items():
+                if k != "doc_id":
+                    assert d[k] == v, (k, d[k], v)
+
+
 def test_temperature_shares(spark):
     from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.sampling import (
         materialize_mixture,
