@@ -318,6 +318,23 @@ def _q_bw_nrd0(spark: SparkSession, sf_dir: str, frames=None) -> DataFrame:
     )
 
 
+def _q_bw_scalar(spark: SparkSession, sf_dir: str, frames) -> DataFrame:
+    """The survey_scalars ``h`` piece: the same eager Silverman
+    computation as ``_q_bw_nrd0`` (``bw_nrd0`` runs its one aggregate
+    job here, in the build phase), returned as a constant-foldable
+    1-row frame.  The standalone wrapper's frame re-AGGREGATED the
+    cached cohort in the consolidated query's final action just to
+    carry an already-computed literal — one whole cache pass for zero
+    information (optimization round 11, guide §1.2)."""
+    cohort, _ = frames
+    c = cohort.withColumn(
+        "p_score",
+        F.lit(GAMMA0) + F.lit(GAMMA1) * F.col("x1") + F.lit(GAMMA2) * F.col("x2"),
+    )
+    h = bw_nrd0(c, "p_score")
+    return spark.range(1).select(F.round(F.lit(h), 8).alias("h"))
+
+
 def _sql_bw_nrd0(sf_dir: str) -> str:
     return f"""
     WITH units AS ({_duck_units()}),
@@ -3225,7 +3242,32 @@ def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (full probe + rerank wider than the corpus), and at the driver
     # SFs the embeddings table is far below the 200k auto-sample
     # target, so the training inputs are byte-identical either way.
-    cen = kmeans_centroids(emb, n_lists=8, max_iter=1, train_fraction=1.0)
+    #
+    # ONE shared seed collect (round 11, second pass): the coarse
+    # quantizer seeds from the 8 smallest-md5(id) rows and the PQ
+    # codebook from the 16 smallest OF THE SAME ORDERING over the same
+    # non-null base — one 16-row collect serves both trainers (their
+    # own seed jobs are skipped via ``seeds=``; normalization /
+    # residualization still happen inside, so the models are
+    # bit-identical).
+    import numpy as np
+
+    seed_rows = (
+        emb.where(F.col("embedding").isNotNull())
+        .select(
+            F.col("embedding").alias("_v"),
+            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(16)
+        .collect()
+    )
+    raw_seeds = np.stack(
+        [np.asarray(r["_v"], dtype=np.float64) for r in seed_rows]
+    )
+    cen = kmeans_centroids(
+        emb, n_lists=8, max_iter=1, train_fraction=1.0, seeds=raw_seeds[:8]
+    )
     ivf_out = ivf_topk(
         emb, emb.where(F.col("vec_id") < 5), 3, n_lists=8, n_probe=8,
         max_iter=1, centroids=cen,
@@ -3239,7 +3281,7 @@ def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_out = ivfpq_topk(
         emb, emb.where(F.col("vec_id") < 5), 3, n_lists=8, n_probe=8,
         m=8, ksub=16, rerank=1_000_000, max_iter=1, centroids=cen,
-        train_fraction=1.0,
+        train_fraction=1.0, codebook_seeds=raw_seeds,
     ).select(
         F.lit("pq").alias("method"),
         "query_id",
@@ -5896,11 +5938,11 @@ def _q_survey_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=4) as pool:
-        f_bw = pool.submit(_q_bw_nrd0, spark, sf_dir, frames)
+        f_bw = pool.submit(_q_bw_scalar, spark, sf_dir, frames)
         f_comp = pool.submit(_q_composite_factors, spark, sf_dir, frames)
         f_iv = pool.submit(_q_influence_variance, spark, sf_dir, frames)
         f_cox = pool.submit(_q_cox_scalars, spark, sf_dir, frames)
-        bw = f_bw.result().select("h")
+        bw = f_bw.result()
         comp = f_comp.result()
         iv = f_iv.result()
         score, newton = f_cox.result()

@@ -288,6 +288,7 @@ def pq_codebooks(
     train_fraction: float | None = None,
     train_target: int = 200_000,
     centroids: np.ndarray | None = None,
+    seeds: np.ndarray | None = None,
 ) -> np.ndarray:
     """Train the ``m`` per-subspace codebooks, fully distributed.
     Returns ``(m, ksub, dsub)`` float64 -- the only driver-resident
@@ -316,6 +317,14 @@ def pq_codebooks(
     metric everywhere in this repo is cosine); NULL vectors are
     excluded.  ``ksub`` must be <= 256 (codes are bytes) and ``dim``
     must be divisible by ``m``.
+
+    ``seeds`` (optimization round 11): the raw (ksub, dim) seed
+    vectors in smallest-``md5(id)``-first order — exactly what the
+    init collect would fetch.  A caller training BOTH the coarse
+    quantizer and this codebook over the same corpus can run one
+    ordered seed collect and share it (``similarity.kmeans_centroids``
+    takes the same parameter); normalization/residualization still
+    happen here, so the model is bit-identical to the internal path.
     """
     if not 1 <= ksub <= 256:
         raise ValueError(f"pq_codebooks: ksub must be in [1, 256], got {ksub}")
@@ -329,20 +338,24 @@ def pq_codebooks(
         ).cast("double") / F.lit(float(16**15))
         train = train.where(u < F.lit(float(train_fraction)))
 
-    seed_rows = (
-        train.select(
-            F.col(vec_col).alias("_v"),
-            F.md5(F.col(id_col).cast("string")).alias("_h"),
+    if seeds is not None:
+        seeds = np.asarray(seeds, dtype=np.float64)[: int(ksub)]
+    else:
+        seed_rows = (
+            train.select(
+                F.col(vec_col).alias("_v"),
+                F.md5(F.col(id_col).cast("string")).alias("_h"),
+            )
+            .orderBy("_h")
+            .limit(int(ksub))
+            .collect()
         )
-        .orderBy("_h")
-        .limit(int(ksub))
-        .collect()
-    )
-    if not seed_rows:
-        raise ValueError("pq_codebooks: no non-null training vectors")
-    seeds = _normalize_rows(
-        np.stack([np.asarray(r["_v"], dtype=np.float64) for r in seed_rows])
-    )
+        if not seed_rows:
+            raise ValueError("pq_codebooks: no non-null training vectors")
+        seeds = np.stack(
+            [np.asarray(r["_v"], dtype=np.float64) for r in seed_rows]
+        )
+    seeds = _normalize_rows(seeds)
     if centroids is not None:
         cen = centroids.astype(np.float64)
         seeds = seeds - cen[np.argmax(seeds @ cen.T, axis=1)]
@@ -657,6 +670,7 @@ def ivfpq_topk(
     index: DataFrame | None = None,
     train_fraction: float | None = None,
     residual: bool = True,
+    codebook_seeds: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ cosine top-k: probe the ``n_probe`` nearest coarse cells,
     score candidates by ADC over ``m``-byte codes, exact-cosine re-rank
@@ -710,6 +724,7 @@ def ivfpq_topk(
             corpus_nn, vec_col=vec_col, id_col=id_col, m=m, ksub=ksub,
             max_iter=max_iter, train_fraction=train_fraction,
             centroids=cen if residual else None,
+            seeds=codebook_seeds,
         )
     )
     if index is None:

@@ -257,6 +257,7 @@ def kmeans_centroids(
     max_iter: int = 4,
     train_fraction: float | None = None,
     train_target: int = 200_000,
+    seeds: np.ndarray | None = None,
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer, fully distributed:
 
@@ -284,6 +285,14 @@ def kmeans_centroids(
     and is unaffected.  NULL vectors are excluded from training.
 
     Only the (n_lists, dim) model ever reaches the driver.
+
+    ``seeds`` (optimization round 11): the raw (n_lists, dim) seed
+    vectors in smallest-``md5(id)``-first order, exactly what the init
+    collect would fetch — callers that train several models over the
+    same corpus (e.g. a coarse quantizer AND a PQ codebook) can run
+    ONE ordered seed collect and slice it, skipping this trainer's
+    seed job.  Normalization still happens here, so passing the raw
+    collected vectors is bit-identical to the internal path.
     """
     train = corpus.where(F.col(vec_col).isNotNull())
     if train_fraction is None:
@@ -297,16 +306,21 @@ def kmeans_centroids(
             F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
         ).cast("double") / F.lit(float(16**15))
         train = train.where(u < F.lit(float(train_fraction)))
-    seed_rows = (
-        train.select(
-            F.col(vec_col).alias("_v"),
-            F.md5(F.col(id_col).cast("string")).alias("_h"),
+    if seeds is not None:
+        cen = np.asarray(seeds, dtype=np.float64)[: int(n_lists)].copy()
+    else:
+        seed_rows = (
+            train.select(
+                F.col(vec_col).alias("_v"),
+                F.md5(F.col(id_col).cast("string")).alias("_h"),
+            )
+            .orderBy("_h")
+            .limit(int(n_lists))
+            .collect()
         )
-        .orderBy("_h")
-        .limit(int(n_lists))
-        .collect()
-    )
-    cen = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in seed_rows])
+        cen = np.stack(
+            [np.asarray(r["_v"], dtype=np.float64) for r in seed_rows]
+        )
     cen /= np.maximum(np.linalg.norm(cen, axis=1)[:, None], 1e-12)
 
     vecs = train.select(F.col(vec_col).alias("_v")).cache()

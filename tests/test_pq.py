@@ -43,6 +43,39 @@ def test_pq_codebooks_shape_and_determinism(emb_df, codebooks):
     assert codebooks.shape == (8, 16, 8)  # dim 64, m 8 -> dsub 8
     again = pq.pq_codebooks(emb_df, m=8, ksub=16, max_iter=3)
     np.testing.assert_array_equal(codebooks, again)
+
+
+def test_shared_seeds_bit_identical_models(emb_df):
+    """seeds= (round 11): pre-collecting the md5-ordered raw seed rows
+    once and passing slices to BOTH trainers must reproduce the
+    internal seed path bit for bit (one driver job instead of two)."""
+    rows = (
+        emb_df.where(F.col("embedding").isNotNull())
+        .select(
+            F.col("embedding").alias("_v"),
+            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(16)
+        .collect()
+    )
+    raw = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    cen_int = similarity.kmeans_centroids(
+        emb_df, n_lists=8, max_iter=1, train_fraction=1.0
+    )
+    cen_ext = similarity.kmeans_centroids(
+        emb_df, n_lists=8, max_iter=1, train_fraction=1.0, seeds=raw[:8]
+    )
+    np.testing.assert_array_equal(cen_int, cen_ext)
+    cb_int = pq.pq_codebooks(
+        emb_df, m=8, ksub=16, max_iter=1, train_fraction=1.0,
+        centroids=cen_int,
+    )
+    cb_ext = pq.pq_codebooks(
+        emb_df, m=8, ksub=16, max_iter=1, train_fraction=1.0,
+        centroids=cen_int, seeds=raw,
+    )
+    np.testing.assert_array_equal(cb_int, cb_ext)
     # pinned-fraction training is deterministic too (md5 cut, no rand)
     s1 = pq.pq_codebooks(emb_df, m=8, ksub=16, max_iter=2, train_fraction=0.5)
     s2 = pq.pq_codebooks(emb_df, m=8, ksub=16, max_iter=2, train_fraction=0.5)
