@@ -303,29 +303,14 @@ def _sql_gram_means(sf_dir: str) -> str:
     """
 
 
-def _q_bw_nrd0(spark: SparkSession, sf_dir: str, frames=None) -> DataFrame:
-    """I5 Silverman bandwidth of the frozen-score cohort distribution."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    cohort, _ = frames or tpch.survey_frames(spark, sf_dir)
-    c = cohort.withColumn(
-        "p_score",
-        F.lit(GAMMA0) + F.lit(GAMMA1) * F.col("x1") + F.lit(GAMMA2) * F.col("x2"),
-    )
-    h = bw_nrd0(c, "p_score")
-    return c.agg(
-        F.round(F.lit(h), 8).alias("h"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
 def _q_bw_scalar(spark: SparkSession, sf_dir: str, frames) -> DataFrame:
-    """The survey_scalars ``h`` piece: the same eager Silverman
-    computation as ``_q_bw_nrd0`` (``bw_nrd0`` runs its one aggregate
-    job here, in the build phase), returned as a constant-foldable
-    1-row frame.  The standalone wrapper's frame re-AGGREGATED the
-    cached cohort in the consolidated query's final action just to
-    carry an already-computed literal — one whole cache pass for zero
-    information (optimization round 11, guide §1.2)."""
+    """I5 Silverman bandwidth of the frozen-score cohort distribution,
+    the survey_scalars ``h`` piece: ``bw_nrd0`` runs its one aggregate
+    job here, in the build phase, and the result is returned as a
+    constant-foldable 1-row frame.  The pre-round-11 wrapper's frame
+    re-AGGREGATED the cached cohort in the consolidated query's final
+    action just to carry the already-computed literal — one whole
+    cache pass for zero information (guide §1.2)."""
     cohort, _ = frames
     c = cohort.withColumn(
         "p_score",
@@ -1607,19 +1592,6 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = text_quality_features(_docs(spark, sf_dir))
-    return out.select(
-        "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round("ttr", 9).alias("ttr"),
-        F.round("stop_ratio", 9).alias("stop_ratio"),
-        F.round("mean_token_len", 9).alias("mean_token_len"),
-        F.round("punct_ratio", 9).alias("punct_ratio"),
-        F.round("quality", 9).alias("quality"),
-    )
-
-
 def _sql_text_stats() -> str:
     sw = ", ".join(f"'{s}'" for s in text_ops.STOPWORDS)
     return f"""
@@ -1783,13 +1755,6 @@ def _sql_doc_fingerprints() -> str:
     LEFT JOIN du ON s.doc_id = du.doc_id
     ORDER BY s.doc_id
     """
-
-
-def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = language_scores(_docs(spark, sf_dir))
-    return out.select(
-        "doc_id", "lang_pred", F.round("lang_score", 9).alias("lang_score")
-    )
 
 
 def _sql_lang_id() -> str:
@@ -4176,14 +4141,13 @@ def _pii_ptext_expr():
     )
 
 
-def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII detection certificate (``operators/pii.py``): the real
-    progressive-redaction counters + HOF-aggregate Luhn run over the
-    injected text; ``pii_ok`` cross-checks ``pii_features`` against
-    ``redact_pii`` per document (each n_<cat> must equal the number of
-    [CAT] placeholders the redactor inserts, Luhn-valid <= candidates,
-    has_pii consistent) -- two independent compositions of the same
-    pattern table agreeing row by row.
+def _pii_gate_expr():
+    """The ``pii_ok`` cross-check column of the PII detection
+    certificate (``operators/pii.py``, a text_features column family):
+    every ``n_<cat>`` counter must equal the number of ``[CAT]``
+    placeholders ``redact_pii`` inserted into ``_red``, Luhn-valid <=
+    candidates, ``has_pii`` consistent — two independent compositions
+    of the same pattern table agreeing row by row.
 
     Oracle strategy per column: n_email is a REAL RE2 recompute (the
     email pattern is lookaround-free); n_ssn is recomputed via the
@@ -4194,25 +4158,6 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_phone/n_ipv4/n_card/n_card_luhn are checked against the
     injection arithmetic (ground truth by construction); pii_ok is the
     literal-TRUE invariant gate (vocab_stats.hll_ok pattern)."""
-    docs = _docs(spark, sf_dir)
-    base = docs.select("doc_id", _pii_ptext_expr().alias("_ptext"))
-    # detect + redact in ONE scan: redact first, carry the redacted
-    # text through the counting projection as a kept column (no join,
-    # no second scan of the corpus)
-    feats = pii_ops.pii_features(
-        pii_ops.redact_pii(base, text_col="_ptext", out_col="_red"),
-        text_col="_ptext",
-        keep_cols=("_red",),
-    )
-    return feats.withColumn("pii_ok", _pii_gate_expr()).drop("_red")
-
-
-def _pii_gate_expr():
-    """The ``pii_ok`` cross-check column: every ``n_<cat>`` counter must
-    equal the number of ``[CAT]`` placeholders ``redact_pii`` inserted
-    into ``_red``, Luhn-valid <= candidates, ``has_pii`` consistent.
-    Shared by the standalone pii leg and the text_features single-scan
-    chain so the gate arithmetic cannot drift between them."""
 
     def tok_count(c, tok):
         return (
@@ -4315,25 +4260,6 @@ def _lines_ptext_expr():
     )
 
 
-def _q_line_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Line-level Gopher rules (``operators/text.py line_features``)
-    over the injected multiline text; every fraction recomputed by the
-    oracle's list/regex machinery (patterns are RE2-safe)."""
-    docs = _docs(spark, sf_dir)
-    out = text_ops.line_features(
-        docs.withColumn("text", _lines_ptext_expr())
-    )
-    return out.select(
-        "doc_id",
-        "n_lines",
-        F.round("mean_line_chars", 9).alias("mean_line_chars"),
-        F.round("frac_short_lines", 9).alias("frac_short_lines"),
-        F.round("frac_bullet_lines", 9).alias("frac_bullet_lines"),
-        F.round("frac_ellipsis_lines", 9).alias("frac_ellipsis_lines"),
-        F.round("frac_caps_lines", 9).alias("frac_caps_lines"),
-    )
-
-
 def _sql_line_features() -> str:
     ptext = """
          substr(text, 1, 60)
@@ -4410,26 +4336,6 @@ def _c4_ptext_expr():
             did % 6 < 2,
             F.lit("\nAnother good sentence follows with many words here?"),
         ).otherwise(F.lit("")),
-    )
-
-
-def _q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 document-level cleaning rules (``operators/text.py
-    c4_rules``, Raffel et al. 2020 §2.2) over injected multiline text;
-    the oracle restates the sentence counter, the line filter
-    (terminal punctuation + >=5 words + no "javascript"), the
-    lorem/brace page flags, the blocklist token count, and the
-    composite ``c4_keep`` verdict verbatim."""
-    docs = _docs(spark, sf_dir)
-    out = text_ops.c4_rules(docs.withColumn("text", _c4_ptext_expr()))
-    return out.select(
-        "doc_id",
-        "c4_n_sentences",
-        F.round("c4_kept_line_frac", 9).alias("c4_kept_line_frac"),
-        "c4_has_lorem",
-        "c4_has_brace",
-        "c4_blocklist_hits",
-        "c4_keep",
     )
 
 
@@ -4616,8 +4522,14 @@ def _quality_eta_sql() -> str:
 
 
 def _pd_page_expr():
-    """Synthetic page markup for the page-directives certificate: meta
-    tags injected by doc_id arithmetic (see ``_q_page_directives``)."""
+    """Synthetic page markup for the page-directives certificate
+    (``operators/robots.robots_page_directives``, a text_features
+    column family since round 10): meta tags injected by doc_id
+    arithmetic exercise every parsing rule — swapped attribute order,
+    single/double/no quotes, mixed case, the ``none`` alias
+    (= noindex+nofollow), an irrelevant ``viewport`` tag that must NOT
+    count, and a second combining tag on every 5th doc.  The oracle
+    re-derives each boolean from the arithmetic."""
     d = F.col("doc_id")
     meta = (
         F.when(d % 4 == 0,
@@ -4634,32 +4546,6 @@ def _pd_page_expr():
             F.lit('<meta name="robots" content="noarchive">'),
         ).otherwise(F.lit("")),
         F.lit("</head><body>x</body></html>"),
-    )
-
-
-def _q_page_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Page-level robots directives certificate
-    (``operators/robots.robots_page_directives``, round 10): meta
-    tags injected by doc_id arithmetic exercise every parsing rule —
-    swapped attribute order, single/double/no quotes, mixed case, the
-    ``none`` alias (= noindex+nofollow), an irrelevant ``viewport``
-    tag that must NOT count, and a second combining tag on every 5th
-    doc.  The oracle re-derives each boolean from the arithmetic."""
-    from data_integration_with_pseudoweights_and_survey_calibration_spark.operators.robots import (
-        robots_page_directives,
-    )
-
-    docs = _docs(spark, sf_dir).withColumn("_pg", _pd_page_expr())
-    out = robots_page_directives(docs, html_col="_pg")
-    return out.select(
-        "doc_id",
-        F.col("pd_n_tags"),
-        "pd_noindex",
-        "pd_nofollow",
-        "pd_noarchive",
-        "pd_nosnippet",
-        "pd_noai",
-        "pd_noimageai",
     )
 
 
@@ -4715,7 +4601,7 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final projection restores the historical column order)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     flat = text_quality_features(docs)
-    flat = text_ops.language_scores(flat)
+    flat = language_scores(flat)
     flat = pii_ops.redact_pii(
         flat.withColumn("_ptext", _pii_ptext_expr()),
         text_col="_ptext",
