@@ -3817,7 +3817,26 @@ def _stream_state_partitions(spark: SparkSession, *paths: str):
     identical results). Partitions ~= compressed_input_bytes / 4 MB,
     clamped to [4, defaultParallelism] — at cluster scale the clamp
     keeps the session conf authoritative (state volume per store, not
-    store count, is then the binding constraint)."""
+    store count, is then the binding constraint).
+
+    Optimization round 11 (third pass): the scope also disables
+    no-data micro-batches for the run.  The extra empty batch Spark
+    appends after the last data batch exists to advance the watermark
+    so that (a) append-mode AGGREGATIONS can emit their finalized
+    windows and (b) expired state can be evicted early.  Neither
+    applies to these run-to-completion availableNow certificates: the
+    sinks here are a complete-mode aggregation, an update-mode
+    stateful operator, emit-on-first-sight streaming dedup, and an
+    append-mode INNER join — all of which emit every output row in
+    the data batches — and all state is discarded with the single-use
+    checkpoint right after the run.  The batch is pure overhead (one
+    full stateful-plan pass + a state-store commit per partition per
+    query); dropping it measured streaming_interval 5.83 -> 4.16 s
+    median (min 4.63 -> 3.24) with byte-identical output across 4
+    runs per arm (sorted-row md5), windowed 4.01 -> 3.54 median.  A
+    LIVE continuous pipeline should keep the default (timely
+    finalization/eviction is the point there) — hence per-run scope,
+    not a session default."""
     total = 0
     for p in paths:
         try:
@@ -3826,14 +3845,18 @@ def _stream_state_partitions(spark: SparkSession, *paths: str):
             total = 0
             break
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_nodata = spark.conf.get(nodata_key, "true")
     if total:
         n = spark.sparkContext.defaultParallelism
         want = max(4, min(n, (total + (4 << 20) - 1) // (4 << 20)))
         spark.conf.set("spark.sql.shuffle.partitions", str(want))
+    spark.conf.set(nodata_key, "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set(nodata_key, old_nodata)
 
 
 def _q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
