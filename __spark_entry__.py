@@ -5137,13 +5137,18 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("#frag"),
     )
     urled = docs.withColumn("_url", url)
+    # Built ONCE and reused by mk_un and mk_capped (same input column,
+    # same default suffix list): the expression is a pure unresolved
+    # Column, and constructing it costs ~600 py4j round trips (one
+    # `lit` per embedded public suffix feeding the InSet probe).
+    dom_url = registered_domain("_url")
 
     def mk_un() -> DataFrame:
         return urled.select(
             F.lit("url_norm").alias("part"),
             F.col("doc_id").cast("long").alias("id"),
             hash48(normalize_url("_url")).cast("long").alias("k"),
-            registered_domain("_url").alias("split"),
+            dom_url.alias("split"),
         )
     # round 9: public-suffix handling — hosts whose last two labels
     # are a public suffix (co.uk / com.au) must key one label deeper,
@@ -5204,7 +5209,7 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def mk_capped() -> DataFrame:
         return cap_per_domain(
-            urled.withColumn("_dom", registered_domain("_url")),
+            urled.withColumn("_dom", dom_url),
             DOMAIN_CAP_N,
             key_col="_dom",
             order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
@@ -5558,21 +5563,38 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("split"),
         )
 
-    # NOTE (optimization round 11): building these branches from
+    # NOTE (optimization round 11): building ALL these branches from
     # concurrent driver threads was MEASURED 3x SLOWER than sequential
     # construction (build 4.3s -> 13.5s at sf0.1): plan construction is
     # thousands of tiny py4j RPCs + eager per-DataFrame analysis, and
     # multi-threading them contends on the JVM session state instead of
     # overlapping real work.  Threads pay off for long-blocking EAGER
     # JOBS (kw_kernels, jk_cox_refits, survey_scalars), not for plan
-    # construction — so the branches build sequentially.
-    parts = [
-        mk()
-        for mk in (
-            mk_shuf, mk_zo, mk_un, mk_psl, mk_pslfull, mk_capped,
-            mk_rob, mk_robq, mk_robw, mk_cdxp, mk_smp,
-        )
-    ]
+    # construction — so the RPC-bound branches build sequentially.
+    #
+    # Third pass: mk_shuf and mk_zo are the two branches whose BUILD
+    # runs eager jobs (global_rank's count + range-bounds collect, and
+    # the zorder min/max probe — ~0.9 s of blocking the main thread
+    # spends doing nothing).  Exactly those two submit from driver
+    # threads so their jobs' executor work overlaps the other nine
+    # branches' sequential RPC construction; each thread's own RPC
+    # volume is small (a bucket when-chain / one bit-interleave tree),
+    # so the measured contention case does not reapply.  The union
+    # consumes the parts in the ORIGINAL order, so plan and results
+    # are identical to the sequential build.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_shuf = pool.submit(mk_shuf)
+        f_zo = pool.submit(mk_zo)
+        rest = [
+            mk()
+            for mk in (
+                mk_un, mk_psl, mk_pslfull, mk_capped,
+                mk_rob, mk_robq, mk_robw, mk_cdxp, mk_smp,
+            )
+        ]
+        parts = [f_shuf.result(), f_zo.result(), *rest]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
