@@ -1246,15 +1246,21 @@ def connected_components(
                 F.least("_c", F.coalesce("_cc", "_c")).alias("_c"),
                 "_c0",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # the pre-round label rides the checkpoint as _c0, so the
         # convergence probe is a filter over checkpointed rows instead
         # of a join back against the previous label frame (round 11:
-        # one fewer join per round, same scalar answer)
-        changed = (
-            jumped.where(F.col("_c") != F.col("_c0")).limit(1).count()
-        )
+        # one fewer join per round, same scalar answer).  Round 11
+        # third pass: the checkpoint is LAZY and the probe is a full
+        # count, so ONE job per round both materializes the checkpoint
+        # (the count is the first action on it — every partition is
+        # computed, cached and lineage-truncated en route) and answers
+        # the probe; the former eager-checkpoint job + separate
+        # limit(1) probe job cost a second driver barrier per round
+        # for the same scan (materialization already touches every
+        # partition, so the unlimited count adds no work).
+        changed = jumped.where(F.col("_c") != F.col("_c0")).count()
         lab = jumped.select("_u", "_c")
         if changed == 0:
             break
