@@ -512,10 +512,25 @@ def _q_jk_cox_refits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scheduling-latency-bound Newton passes.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        reps_fut = pool.submit(lambda: reps.localCheckpoint(eager=True))
-        full = cox_fit(samp, ["x1", "x2"], w="wt")
-        reps = reps_fut.result()
+    # Pin AQE OFF across the WHOLE overlap region (optimization round
+    # 12): cox_fit scopes spark.sql.adaptive.enabled=false for its
+    # Newton loop (guide §1.2 — one stage-job barrier per iteration
+    # instead of two), and the conf is session-global, so the
+    # concurrently-planned replicate checkpoint must see ONE
+    # deterministic value rather than racing the toggle.  The replicate
+    # plan's only exchange is the user-specified repartition on the
+    # group key, which AQE never touches anyway — output captured
+    # byte-identical at sf0.001/0.01/0.1.
+    _aqe_key = "spark.sql.adaptive.enabled"
+    _old_aqe = spark.conf.get(_aqe_key)
+    spark.conf.set(_aqe_key, "false")
+    try:
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            reps_fut = pool.submit(lambda: reps.localCheckpoint(eager=True))
+            full = cox_fit(samp, ["x1", "x2"], w="wt")
+            reps = reps_fut.result()
+    finally:
+        spark.conf.set(_aqe_key, _old_aqe)
     spark = samp.sparkSession
     full_row = spark.createDataFrame(
         [
@@ -3201,12 +3216,28 @@ def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_centroids,
     )
 
-    # train_fraction=1.0 skips the auto-sizing count() jobs inside the
-    # trainers (optimization round 11, guide §1.2): this certificate's
-    # output is exactness-by-construction for ANY centroids/codebooks
-    # (full probe + rerank wider than the corpus), and at the driver
-    # SFs the embeddings table is far below the 200k auto-sample
-    # target, so the training inputs are byte-identical either way.
+    # BOUNDED training input at any SF with NO serialized sizing
+    # count() job (optimization round 12, VERDICT-r11 item 2): round
+    # 11's ``train_fraction=1.0`` skipped the trainers' auto-sizing
+    # counts but also removed the 200k-row training bound — at 100 TB
+    # the Lloyd/codebook updates would aggregate EVERY vector.
+    # Restored here by running the corpus count CONCURRENTLY with the
+    # shared seed collect (guide §2.6 — two independent tiny jobs, one
+    # driver barrier of wall = max instead of sum; the union'd
+    # single-job variant was measured +0.2-0.3 s from its global-limit
+    # plan) and passing the derived ``min(1, 200k/n)`` fraction to
+    # both trainers.  At the driver SFs n <= 200k so the fraction is
+    # 1.0 and the training inputs/models stay byte-identical to round
+    # 11; at scale the md5-threshold cut bounds training to ~200k rows.
+    #
+    # Seed/sample consistency: the trainers' internal sampled path
+    # seeds from the SAMPLE, but the sample is the md5-prefix cut
+    # ``u < f`` and seeds are the smallest-md5-first rows — a row with
+    # u < f always orders before any row with u >= f (equal-length hex
+    # prefix order), so whenever the sample has >= 16 rows the 16
+    # smallest-md5 rows of the FULL base ARE the sample's 16 smallest
+    # (asserted by tests/test_pq.py::
+    # test_shared_seeds_bit_identical_models for the sampled path).
     #
     # ONE shared seed collect (round 11, second pass): the coarse
     # quantizer seeds from the 8 smallest-md5(id) rows and the PQ
@@ -3217,21 +3248,28 @@ def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-identical).
     import numpy as np
 
-    seed_rows = (
-        emb.where(F.col("embedding").isNotNull())
-        .select(
-            F.col("embedding").alias("_v"),
-            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = emb.where(F.col("embedding").isNotNull())
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _cnt_fut = _pool.submit(base.count)
+        seed_rows = (
+            base.select(
+                F.col("embedding").alias("_v"),
+                F.md5(F.col("vec_id").cast("string")).alias("_h"),
+            )
+            .orderBy("_h")
+            .limit(16)
+            .collect()
         )
-        .orderBy("_h")
-        .limit(16)
-        .collect()
-    )
+        n_corpus = int(_cnt_fut.result())
+    train_frac = min(1.0, 200_000.0 / max(n_corpus, 1))
     raw_seeds = np.stack(
         [np.asarray(r["_v"], dtype=np.float64) for r in seed_rows]
     )
     cen = kmeans_centroids(
-        emb, n_lists=8, max_iter=1, train_fraction=1.0, seeds=raw_seeds[:8]
+        emb, n_lists=8, max_iter=1, train_fraction=train_frac,
+        seeds=raw_seeds[:8],
     )
     ivf_out = ivf_topk(
         emb, emb.where(F.col("vec_id") < 5), 3, n_lists=8, n_probe=8,
@@ -3246,7 +3284,7 @@ def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_out = ivfpq_topk(
         emb, emb.where(F.col("vec_id") < 5), 3, n_lists=8, n_probe=8,
         m=8, ksub=16, rerank=1_000_000, max_iter=1, centroids=cen,
-        train_fraction=1.0, codebook_seeds=raw_seeds,
+        train_fraction=train_frac, codebook_seeds=raw_seeds,
     ).select(
         F.lit("pq").alias("method"),
         "query_id",

@@ -184,6 +184,20 @@ def cox_fit(
     p = len(x_cols)
     beta = np.zeros(p) if init is None else np.asarray(init, dtype=float)
     base = df.select(*dict.fromkeys([t, d, w, *x_cols])).cache()
+    # Scope ADAPTIVE EXECUTION OFF for the Newton loop (optimization
+    # round 12, guide §1.2) — same reasoning and measurement as
+    # ``glm.weighted_logistic``: the per-iteration grid pass is a fixed
+    # agg+cumsum+agg shape over the cached projection; AQE adds a
+    # stage-job barrier + re-optimization per iteration and changes
+    # nothing (values verified identical to the last bit).  Session-
+    # global conf: callers that overlap OTHER driver-thread planning
+    # with the fit must pin the conf around the whole overlap region so
+    # every concurrently-planned query sees one deterministic value
+    # (see ``_q_jk_cox_refits``).
+    spark = df.sparkSession
+    aqe_key = "spark.sql.adaptive.enabled"
+    old_aqe = spark.conf.get(aqe_key)
+    spark.conf.set(aqe_key, "false")
     try:
         # Resolve the huge-grid route ONCE: the distinct-t grid's row
         # count is invariant across Newton iterations (β changes
@@ -209,6 +223,7 @@ def cox_fit(
         grid = _grid_terms(base, x_cols, beta, t, d, w, route)
         u, h, snorm = _score_hessian(grid, p)
     finally:
+        spark.conf.set(aqe_key, old_aqe)
         base.unpersist(blocking=False)
     return CoxFit(tuple(x_cols), beta, it, converged, snorm, h)
 

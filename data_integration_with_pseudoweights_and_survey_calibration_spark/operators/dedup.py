@@ -434,11 +434,28 @@ def ngram_jaccard_pairs(
     )
     prefix = ranked.where(
         F.col("_pos") <= F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1
-    ).select("_id", "_s")
+    ).select("_id", "_n", "_s")
+    # PPJoin LENGTH FILTER (optimization round 12, guide §2.3/§3):
+    # Jaccard >= t implies min(|A|,|B|) >= t * max(|A|,|B|) (with
+    # I <= min: t(|A|+|B|) <= I(1+t) <= min(1+t) => t*max <= min), so
+    # a candidate whose sizes violate it can never verify — prune it
+    # IN the self-join, before the dedup shuffle and the full-array
+    # verify join.  The +0.5 slack makes the float comparison safe at
+    # the boundary: _n are integers, so real t*max <= min iff
+    # t*max < min + 0.5 up to admitting a few extra candidates, and
+    # the double rounding of t*max (and of the verify division) is
+    # orders below 0.5 — the filter can only remove pairs the exact
+    # ``jaccard >= t`` verification below would drop anyway, so the
+    # output is provably identical.
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), F.col("a._s") == F.col("b._s"))
-        .where(F.col("a._id") < F.col("b._id"))
+        .join(
+            prefix.alias("b"),
+            (F.col("a._s") == F.col("b._s"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (F.col("b._n") * F.lit(t) <= F.col("a._n") + F.lit(0.5))
+            & (F.col("a._n") * F.lit(t) <= F.col("b._n") + F.lit(0.5)),
+        )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -88,6 +88,21 @@ def weighted_logistic(
     base = df.select(*sel).cache()
     y = F.col(y_col).cast("double")
 
+    # Scope ADAPTIVE EXECUTION OFF for the fit (optimization round 12,
+    # guide §1.2 driver barriers): each iteration's (X'WX, X'Wz) agg is
+    # a fixed two-stage global aggregate over the cached projection —
+    # AQE has nothing to re-plan (one group, no join, no skew) but
+    # executes it as TWO stage-jobs with an extra driver barrier and a
+    # re-optimization pass per iteration.  Measured on the flagship
+    # IRLS at sf0.1: identical beta to the last bit, ~20% less loop
+    # wall.  The conf is session-global, so this helper must not run
+    # concurrently with other driver threads' query PLANNING — every
+    # current caller (flagship, propensity fit, quality trainer) fits
+    # from the main thread with no concurrent planning.
+    spark = df.sparkSession
+    aqe_key = "spark.sql.adaptive.enabled"
+    old_aqe = spark.conf.get(aqe_key)
+    spark.conf.set(aqe_key, "false")
     try:
         converged = False
         it = 0
@@ -121,6 +136,7 @@ def weighted_logistic(
                 converged = True
                 break
     finally:
+        spark.conf.set(aqe_key, old_aqe)
         base.unpersist(blocking=False)
     return GlmFit(tuple(x_cols), beta, it, converged)
 

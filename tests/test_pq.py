@@ -76,6 +76,27 @@ def test_shared_seeds_bit_identical_models(emb_df):
         centroids=cen_int, seeds=raw,
     )
     np.testing.assert_array_equal(cb_int, cb_ext)
+    # round 12 (bounded training restored): full-base seeds feed the
+    # SAMPLED path bit-identically too — the md5-prefix cut u < f
+    # keeps every smallest-md5 row whenever the sample has >= n_lists
+    # rows (a row with u < f orders before any row with u >= f), so
+    # the full base's smallest-16 ARE the sample's smallest-16.
+    cen_s_int = similarity.kmeans_centroids(
+        emb_df, n_lists=8, max_iter=1, train_fraction=0.5
+    )
+    cen_s_ext = similarity.kmeans_centroids(
+        emb_df, n_lists=8, max_iter=1, train_fraction=0.5, seeds=raw[:8]
+    )
+    np.testing.assert_array_equal(cen_s_int, cen_s_ext)
+    cb_s_int = pq.pq_codebooks(
+        emb_df, m=8, ksub=16, max_iter=1, train_fraction=0.5,
+        centroids=cen_s_int,
+    )
+    cb_s_ext = pq.pq_codebooks(
+        emb_df, m=8, ksub=16, max_iter=1, train_fraction=0.5,
+        centroids=cen_s_int, seeds=raw,
+    )
+    np.testing.assert_array_equal(cb_s_int, cb_s_ext)
     # pinned-fraction training is deterministic too (md5 cut, no rand)
     s1 = pq.pq_codebooks(emb_df, m=8, ksub=16, max_iter=2, train_fraction=0.5)
     s2 = pq.pq_codebooks(emb_df, m=8, ksub=16, max_iter=2, train_fraction=0.5)

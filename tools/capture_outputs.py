@@ -1,0 +1,48 @@
+"""Byte-identity capture: run declared queries and print
+(rows, schema, sorted-row md5) per query -- the before/after identity
+evidence the optimization rounds use on top of the oracle gate.
+
+Usage: SPARK_GRAFT_SF_DIR=... python tools/capture_outputs.py <query ...>
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as em  # noqa: E402
+from data_integration_with_pseudoweights_and_survey_calibration_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    names = sys.argv[1:]
+    spark = get_spark("capture-outputs")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    qs = dict(em.queries())
+    qs["flagship_ipsw_kw"] = em.flagship
+    if not names:
+        names = list(qs)
+    out = {}
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        rows = df.collect()
+        lines = sorted(repr(tuple(r)) for r in rows)
+        h = hashlib.md5("\n".join(lines).encode()).hexdigest()
+        out[name] = {
+            "rows": len(rows),
+            "schema": df.schema.simpleString(),
+            "md5": h,
+        }
+        print(json.dumps({name: out[name]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

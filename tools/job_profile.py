@@ -1,0 +1,80 @@
+"""Job-level profiler for the optimization rounds: runs one declared
+query (or the flagship) and prints every Spark JOB the run issued --
+id, wall, task count, and the first line of the job group/description
+-- pulled from the live UI REST API.  This answers "how many driver
+barriers does this query pay and where", which the phase profiler
+(profile_queries.py) cannot see.
+
+Usage: python tools/job_profile.py <query> [passes]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from data_integration_with_pseudoweights_and_survey_calibration_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+
+def _jobs(ui: str, app: str) -> list[dict]:
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/jobs") as r:
+        return json.load(r)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    name = sys.argv[1]
+    passes = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    spark = get_spark("job-profile", **{"spark.ui.enabled": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    qs = dict(entrymod.queries())
+    qs["flagship_ipsw_kw"] = entrymod.flagship
+    fn = qs[name]
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    for p in range(passes):
+        spark.catalog.clearCache()
+        before = {j["jobId"] for j in _jobs(ui, app)}
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        t1 = time.perf_counter()
+        df.count()
+        t2 = time.perf_counter()
+        time.sleep(0.3)
+        jobs = [j for j in _jobs(ui, app) if j["jobId"] not in before]
+        jobs.sort(key=lambda j: j["jobId"])
+        print(f"== pass {p}: build {t1 - t0:.2f}s action {t2 - t1:.2f}s "
+              f"total {t2 - t0:.2f}s  jobs {len(jobs)}")
+        for j in jobs:
+            sub = j.get("submissionTime", "")
+            comp = j.get("completionTime", "")
+            dur = ""
+            try:
+                from datetime import datetime
+
+                fmt = "%Y-%m-%dT%H:%M:%S.%f%Z"
+                d = (datetime.strptime(comp, fmt)
+                     - datetime.strptime(sub, fmt)).total_seconds()
+                dur = f"{d:7.3f}s"
+            except Exception:
+                dur = "      ?"
+            desc = (j.get("description") or j.get("name") or "")[:110]
+            print(f"  job {j['jobId']:4d} {dur} tasks={j['numTasks']:5d} "
+                  f"{sub[11:23]} {desc}")
+
+
+if __name__ == "__main__":
+    main()

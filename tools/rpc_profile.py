@@ -1,0 +1,62 @@
+"""Plan-construction RPC profiler: cProfile the BUILD phase of one
+declared query and report the py4j round-trip count (socket sends) and
+the time blocked in socket reads -- the layout_keys/text_features
+plan-construction cost VERDICT r11/r12 track.
+
+Usage: python tools/rpc_profile.py <query> [passes]
+"""
+
+from __future__ import annotations
+
+import cProfile
+import os
+import pstats
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from data_integration_with_pseudoweights_and_survey_calibration_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    name = sys.argv[1]
+    passes = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    spark = get_spark("rpc-profile")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    qs = dict(entrymod.queries())
+    qs["flagship_ipsw_kw"] = entrymod.flagship
+    fn = qs[name]
+    for p in range(passes):
+        spark.catalog.clearCache()
+        prof = cProfile.Profile()
+        t0 = time.perf_counter()
+        prof.enable()
+        fn(spark, sf_dir)
+        prof.disable()
+        t1 = time.perf_counter()
+        st = pstats.Stats(prof)
+        sends = 0
+        sock_time = 0.0
+        rows = []
+        for (fname, lineno, func), (cc, nc, tt, ct, _cal) in st.stats.items():
+            if "send_command" in func and "java_gateway" in fname:
+                sends = max(sends, nc)
+            if func == "recv_into" or (func == "readinto" and "socket" in fname):
+                sock_time += tt
+            if ct > 0.15:
+                rows.append((ct, nc, f"{os.path.basename(fname)}:{lineno}:{func}"))
+        print(f"== pass {p}: build {t1 - t0:.2f}s  py4j send_command calls {sends}  "
+              f"socket-read time {sock_time:.2f}s")
+        for ct, nc, where in sorted(rows, reverse=True)[:25]:
+            print(f"   cum {ct:6.2f}s  n={nc:6d}  {where}")
+
+
+if __name__ == "__main__":
+    main()
