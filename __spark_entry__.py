@@ -5165,14 +5165,18 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    url = F.concat(
-        F.lit("HTTPS://Crawl.Site"),
-        (F.col("doc_id") % 13).cast("string"),
-        F.lit(".COM:443/p/"),
-        F.col("doc_id").cast("string"),
-        F.lit("/?utm_source=bench&id="),
-        (F.col("doc_id") % 7).cast("string"),
-        F.lit("#frag"),
+    # Injected-input builders below are single-RPC F.expr strings
+    # (optimization round 12, VERDICT-r11 item 3): the Column-object
+    # versions cost one py4j round trip per literal/operator (~2k RPCs
+    # across this query's arithmetic chains); the SQL text parses to
+    # the same concat/CASE trees in one RPC each.  Every value is
+    # oracle-re-derived from the same arithmetic, so any drift flips
+    # the driver hash.
+    url = F.expr(
+        "concat('HTTPS://Crawl.Site', cast(doc_id % 13 as string),"
+        " '.COM:443/p/', cast(doc_id as string),"
+        " '/?utm_source=bench&id=', cast(doc_id % 7 as string),"
+        " '#frag')"
     )
     urled = docs.withColumn("_url", url)
     # Built ONCE and reused by mk_un and mk_capped (same input column,
@@ -5193,17 +5197,11 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-label TLDs (.de) keep last-two; the oracle re-derives the
     # expected domain from the same arithmetic
     def mk_psl() -> DataFrame:
-        tld = (
-            F.when(F.col("doc_id") % 3 == 0, F.lit(".CO.UK"))
-            .when(F.col("doc_id") % 3 == 1, F.lit(".Com.Au"))
-            .otherwise(F.lit(".DE"))
-        )
-        url2 = F.concat(
-            F.lit("https://www.shop"),
-            (F.col("doc_id") % 11).cast("string"),
-            tld,
-            F.lit("/item/"),
-            F.col("doc_id").cast("string"),
+        url2 = F.expr(
+            "concat('https://www.shop', cast(doc_id % 11 as string),"
+            " CASE WHEN doc_id % 3 = 0 THEN '.CO.UK'"
+            " WHEN doc_id % 3 = 1 THEN '.Com.Au' ELSE '.DE' END,"
+            " '/item/', cast(doc_id as string))"
         )
         return docs.withColumn("_url2", url2).select(
             F.lit("url_psl").alias("part"),
@@ -5220,21 +5218,15 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precedence are all driver-hash-checked (the round-9 path
     # silently dropped every non-2-label rule).
     def mk_pslfull() -> DataFrame:
-        suffix3 = (
-            F.when(F.col("doc_id") % 6 == 0, F.lit("CO.UK"))
-            .when(F.col("doc_id") % 6 == 1, F.lit("Com.Au"))
-            .when(F.col("doc_id") % 6 == 2, F.lit("DE"))
-            .when(F.col("doc_id") % 6 == 3, F.lit("zed.BD"))
-            .when(F.col("doc_id") % 6 == 4, F.lit("WWW.BD"))
-            .otherwise(F.lit("k12.MA.us"))
-        )
-        url3 = F.concat(
-            F.lit("https://WWW.Shop"),
-            (F.col("doc_id") % 11).cast("string"),
-            F.lit("."),
-            suffix3,
-            F.lit("/i/"),
-            F.col("doc_id").cast("string"),
+        url3 = F.expr(
+            "concat('https://WWW.Shop', cast(doc_id % 11 as string), '.',"
+            " CASE WHEN doc_id % 6 = 0 THEN 'CO.UK'"
+            " WHEN doc_id % 6 = 1 THEN 'Com.Au'"
+            " WHEN doc_id % 6 = 2 THEN 'DE'"
+            " WHEN doc_id % 6 = 3 THEN 'zed.BD'"
+            " WHEN doc_id % 6 = 4 THEN 'WWW.BD'"
+            " ELSE 'k12.MA.us' END,"
+            " '/i/', cast(doc_id as string))"
         )
         return docs.withColumn("_url3", url3).select(
             F.lit("url_psl_full").alias("part"),
@@ -5263,41 +5255,31 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         robots_verdict,
     )
 
-    d = F.col("id")  # range(13): one host per doc_id % 13 residue
-    e = (d + 1) % 10
-    robots_df = spark.range(13).select(
-        F.concat(
-            F.lit("crawl.site"), F.col("id").cast("string"), F.lit(".com")
-        ).alias("host"),
-        F.concat(
-            # round 10: the Sitemap line sits BETWEEN 'User-agent: *'
-            # and a second agent line — RFC 9309 §2.2.4 says other
-            # records must not interfere with group parsing, so '*'
-            # and 'legacybot' share ONE group and the verdicts below
-            # are unchanged; the pre-round-10 parser split the run
-            # ('*' got no rules -> every URL false-allowed), so this
-            # line pins the fix through the driver hash
-            F.lit("User-agent: otherbot\nDisallow: /\n\n"
-                  "User-agent: *\nSitemap: https://crawl.site"),
-            d.cast("string"),
-            F.lit(".com/sitemap.xml\n"
-                  "User-agent: legacybot\nDisallow: /p/"),
-            d.cast("string"),
-            F.lit("\nAllow: /p/"),
-            d.cast("string"),
-            e.cast("string"),
-            F.when(
-                d % 3 == 0, F.lit("\nDisallow: /p/*&id=3$")
-            ).otherwise(F.lit("")),
-            # round 9: a root-prefix rule that can only ever match a
-            # QUERY-ONLY target ("/?x=0") — existing "/p/..." targets
-            # never start with it, so the 'robots' part is untouched
-            F.lit("\nDisallow: /?x=0"),
-        ).alias("robots_txt"),
+    # round 10: the Sitemap line sits BETWEEN 'User-agent: *' and a
+    # second agent line — RFC 9309 §2.2.4 says other records must not
+    # interfere with group parsing, so '*' and 'legacybot' share ONE
+    # group and the verdicts below are unchanged; the pre-round-10
+    # parser split the run ('*' got no rules -> every URL
+    # false-allowed), so this line pins the fix through the driver
+    # hash.  round 9: the trailing root-prefix rule can only ever
+    # match a QUERY-ONLY target ("/?x=0") — existing "/p/..." targets
+    # never start with it, so the 'robots' part is untouched.
+    robots_df = spark.range(13).selectExpr(
+        "concat('crawl.site', cast(id as string), '.com') AS host",
+        "concat('User-agent: otherbot\\nDisallow: /\\n\\n"
+        "User-agent: *\\nSitemap: https://crawl.site',"
+        " cast(id as string),"
+        " '.com/sitemap.xml\\nUser-agent: legacybot\\nDisallow: /p/',"
+        " cast(id as string),"
+        " '\\nAllow: /p/', cast(id as string),"
+        " cast((id + 1) % 10 as string),"
+        " CASE WHEN id % 3 = 0 THEN '\\nDisallow: /p/*&id=3$'"
+        " ELSE '' END,"
+        " '\\nDisallow: /?x=0') AS robots_txt",
     )
     rules = robots_rules(robots_df)
-    host_split = F.concat(
-        F.lit("site"), (F.col("doc_id") % 13).cast("string"), F.lit(".com")
+    host_split = F.expr(
+        "concat('site', cast(doc_id % 13 as string), '.com')"
     )
 
     def mk_rob() -> DataFrame:
@@ -5317,11 +5299,9 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before the round-9 fix the target lost its leading '/' and every
     # such URL was silently allowed.
     def mk_robq() -> DataFrame:
-        urlq = F.concat(
-            F.lit("HTTPS://Crawl.Site"),
-            (F.col("doc_id") % 13).cast("string"),
-            F.lit(".COM:443?x="),
-            (F.col("doc_id") % 3).cast("string"),
+        urlq = F.expr(
+            "concat('HTTPS://Crawl.Site', cast(doc_id % 13 as string),"
+            " '.COM:443?x=', cast(doc_id % 3 as string))"
         )
         return robots_verdict(
             docs.select("doc_id", urlq.alias("url")), rules, url_col="url"
@@ -5343,29 +5323,25 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_cdxj,
     )
 
-    did = F.col("doc_id").cast("string")
-    cdx_line = F.when(
-        F.col("doc_id") % 10 == 0,
-        F.concat(F.lit("malformed line "), did),
-    ).otherwise(
-        F.concat(
-            F.lit("com,site"), (F.col("doc_id") % 13).cast("string"),
-            F.lit(")/p/"), did,
-            F.lit(" 202608161200"),
-            F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
-            F.lit(' {"url": "https://site'),
-            (F.col("doc_id") % 13).cast("string"),
-            F.lit(".com/p/"), did,
-            F.lit('", "status": "200", "mime": "text/html", '
-                  '"digest": "sha1:D'), did,
-            F.lit('", "filename": "crawl-data/seg-'),
-            (F.col("doc_id") % 7).cast("string"),
-            F.lit('.warc.gz", "offset": "'),
-            (F.col("doc_id") * 1000 + F.col("doc_id") % 13).cast("string"),
-            F.lit('", "length": "'),
-            (F.lit(500) + F.col("doc_id") % 97).cast("string"),
-            F.lit('"}'),
-        )
+    cdx_line = F.expr(
+        "CASE WHEN doc_id % 10 = 0"
+        " THEN concat('malformed line ', cast(doc_id as string))"
+        " ELSE concat("
+        "'com,site', cast(doc_id % 13 as string),"
+        " ')/p/', cast(doc_id as string),"
+        " ' 202608161200',"
+        " lpad(cast(doc_id % 60 as string), 2, '0'),"
+        " ' {\"url\": \"https://site', cast(doc_id % 13 as string),"
+        " '.com/p/', cast(doc_id as string),"
+        " '\", \"status\": \"200\", \"mime\": \"text/html\","
+        " \"digest\": \"sha1:D', cast(doc_id as string),"
+        " '\", \"filename\": \"crawl-data/seg-',"
+        " cast(doc_id % 7 as string),"
+        " '.warc.gz\", \"offset\": \"',"
+        " cast(doc_id * 1000 + doc_id % 13 as string),"
+        " '\", \"length\": \"',"
+        " cast(500 + doc_id % 97 as string),"
+        " '\"}') END"
     )
     def mk_cdxp() -> DataFrame:
         cdx = docs.select("doc_id", cdx_line.alias("value"))
@@ -5424,79 +5400,50 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         sitemap_entries,
     )
 
-    h13 = (F.col("doc_id") % 13).cast("string")
-    lastmod0 = F.concat(
-        F.lit("2026-08-"),
-        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+    _h13 = "cast(doc_id % 13 as string)"
+    _did = "cast(doc_id as string)"
+    _lastmod0 = (
+        "concat('2026-08-', lpad(cast((doc_id % 28) + 1 as string), 2, '0'))"
     )
-    k8 = F.col("doc_id") % 8
-    sm_xml = (
-        F.when(
-            k8 == 0,
-            F.concat(
-                F.lit('<?xml version="1.0" encoding="UTF-8"?>\n<urlset '
-                      'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
-                      "\n<url><loc>https://site"),
-                h13, F.lit(".com/p/"), did,
-                F.lit("</loc><lastmod>"), lastmod0,
-                F.lit("</lastmod></url>\n<url><loc>https://site"),
-                h13, F.lit(".com/q/"), did,
-                F.lit("</loc><changefreq>daily</changefreq></url>\n"
-                      "</urlset>"),
-            ),
+    sm_xml = F.expr(
+        "CASE WHEN doc_id % 8 = 0 THEN concat("
+        "'<?xml version=\"1.0\" encoding=\"UTF-8\"?>\\n<urlset "
+        "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+        "\\n<url><loc>https://site', {h13}, '.com/p/', {did},"
+        " '</loc><lastmod>', {lastmod},"
+        " '</lastmod></url>\\n<url><loc>https://site',"
+        " {h13}, '.com/q/', {did},"
+        " '</loc><changefreq>daily</changefreq></url>\\n</urlset>')"
+        " WHEN doc_id % 8 = 1 THEN concat("
+        "'<sm:sitemapindex xmlns:sm="
+        "\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+        "<sm:sitemap><sm:loc>https://site', {h13},"
+        " '.com/maps/child', {did},"
+        " '.xml</sm:loc><sm:lastmod>2026-07-01</sm:lastmod>"
+        "</sm:sitemap><sm:sitemap><sm:lastmod>2026-07-02"
+        "</sm:lastmod></sm:sitemap></sm:sitemapindex>')"
+        " WHEN doc_id % 8 = 2 THEN concat("
+        "'<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+        "<url><loc>  https://site', {h13}, '.com/z/', {did},"
+        " '  </loc></url></urlset>')"
+        # plain-text sitemap: URLs only, one per line
+        " WHEN doc_id % 8 = 4 THEN concat("
+        "'https://site', {h13}, '.com/t/', {did},"
+        " '\\nhttps://site', {h13}, '.com/u/', {did}, '\\n')"
+        " WHEN doc_id % 8 = 5 THEN concat("
+        "'<rss version=\"2.0\"><channel><title>c</title>"
+        "<item><link>https://site', {h13}, '.com/r/', {did},"
+        " '</link><pubDate>2026-03-04</pubDate></item>"
+        "</channel></rss>')"
+        " WHEN doc_id % 8 = 6 THEN concat("
+        "'<feed xmlns=\"http://www.w3.org/2005/Atom\">"
+        "<entry><link rel=\"self\" href=\"https://site', {h13},"
+        " '.com/feed.xml\"/><link href=\"https://site',"
+        " {h13}, '.com/f/', {did},"
+        " '\"/><updated>2026-04-05</updated></entry></feed>')"
+        " ELSE '<urlset><url><loc>broken' END".format(
+            h13=_h13, did=_did, lastmod=_lastmod0
         )
-        .when(
-            k8 == 1,
-            F.concat(
-                F.lit('<sm:sitemapindex xmlns:sm='
-                      '"http://www.sitemaps.org/schemas/sitemap/0.9">'
-                      "<sm:sitemap><sm:loc>https://site"),
-                h13, F.lit(".com/maps/child"), did,
-                F.lit(".xml</sm:loc><sm:lastmod>2026-07-01</sm:lastmod>"
-                      "</sm:sitemap><sm:sitemap><sm:lastmod>2026-07-02"
-                      "</sm:lastmod></sm:sitemap></sm:sitemapindex>"),
-            ),
-        )
-        .when(
-            k8 == 2,
-            F.concat(
-                F.lit('<urlset xmlns='
-                      '"http://www.sitemaps.org/schemas/sitemap/0.9">'
-                      "<url><loc>  https://site"),
-                h13, F.lit(".com/z/"), did,
-                F.lit("  </loc></url></urlset>"),
-            ),
-        )
-        .when(
-            k8 == 4,
-            # plain-text sitemap: URLs only, one per line
-            F.concat(
-                F.lit("https://site"), h13, F.lit(".com/t/"), did,
-                F.lit("\nhttps://site"), h13, F.lit(".com/u/"), did,
-                F.lit("\n"),
-            ),
-        )
-        .when(
-            k8 == 5,
-            F.concat(
-                F.lit('<rss version="2.0"><channel><title>c</title>'
-                      "<item><link>https://site"),
-                h13, F.lit(".com/r/"), did,
-                F.lit("</link><pubDate>2026-03-04</pubDate></item>"
-                      "</channel></rss>"),
-            ),
-        )
-        .when(
-            k8 == 6,
-            F.concat(
-                F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'
-                      '<entry><link rel="self" href="https://site'),
-                h13, F.lit('.com/feed.xml"/><link href="https://site'),
-                h13, F.lit(".com/f/"), did,
-                F.lit('"/><updated>2026-04-05</updated></entry></feed>'),
-            ),
-        )
-        .otherwise(F.lit("<urlset><url><loc>broken"))
     )
 
     def _sm_payload(batches):
@@ -5523,12 +5470,12 @@ def _q_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def mk_smp() -> DataFrame:
         smdf = docs.select(
-            F.concat(
-                F.lit("https://site"), h13, F.lit(".com/sitemaps/"), did,
-                F.lit(".xml"),
+            F.expr(
+                "concat('https://site', cast(doc_id % 13 as string),"
+                " '.com/sitemaps/', cast(doc_id as string), '.xml')"
             ).alias("_smurl"),
             sm_xml.alias("_xml"),
-            (F.col("doc_id") % 8).cast("int").alias("_k8"),
+            F.expr("cast(doc_id % 8 as int)").alias("_k8"),
         ).mapInPandas(
             _sm_payload, schema="sitemap_url string, content binary"
         )
