@@ -243,20 +243,10 @@ def _sql_stack_weights(sf_dir: str) -> str:
     """
 
 
-def _q_ipsw_prevalence(spark: SparkSession, sf_dir: str, frames=None) -> DataFrame:
-    """B9+I1+E3 with frozen gamma: score -> ipsw -> weighted prevalence."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    cohort, _ = frames or tpch.survey_frames(spark, sf_dir)
-    score = F.lit(GAMMA0) + F.lit(GAMMA1) * F.col("x1") + F.lit(GAMMA2) * F.col("x2")
-    c = cohort.withColumn("ipsw", F.exp(-score))
-    return c.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("ipsw") * F.col("d")) / F.sum("ipsw"), 6).alias("prev"),
-        F.round(F.avg("ipsw"), 6).alias("ipsw_mean"),
-    )
-
-
 def _sql_ipsw_prevalence(sf_dir: str) -> str:
+    # B9+I1+E3 with frozen gamma: score -> ipsw -> weighted prevalence.
+    # Spark side lives in _q_prev_bw_scalars (fused with the Silverman
+    # bandwidth pass since round 12).
     return f"""
     WITH units AS ({_duck_units()}),
     c AS (SELECT *, exp(-({GAMMA0} + {GAMMA1} * x1 + {GAMMA2} * x2)) AS ipsw
@@ -303,21 +293,49 @@ def _sql_gram_means(sf_dir: str) -> str:
     """
 
 
-def _q_bw_scalar(spark: SparkSession, sf_dir: str, frames) -> DataFrame:
-    """I5 Silverman bandwidth of the frozen-score cohort distribution,
-    the survey_scalars ``h`` piece: ``bw_nrd0`` runs its one aggregate
-    job here, in the build phase, and the result is returned as a
-    constant-foldable 1-row frame.  The pre-round-11 wrapper's frame
-    re-AGGREGATED the cached cohort in the consolidated query's final
-    action just to carry the already-computed literal — one whole
-    cache pass for zero information (guide §1.2)."""
+def _q_prev_bw_scalars(
+    spark: SparkSession, sf_dir: str, frames
+) -> tuple[DataFrame, DataFrame]:
+    """The survey_scalars ``prev`` (B9+I1+E3 frozen-gamma IPSW
+    prevalence) and ``h`` (I5 Silverman bandwidth) pieces from ONE
+    aggregate pass over the cached cohort (optimization round 12,
+    guide §1.2 / VERDICT-r11 item 6): both certificates aggregate the
+    SAME frozen-score cohort, so the prevalence sums ride
+    ``bw_nrd0``'s single job via ``extra_aggs`` — same partial-sum
+    set over the same cache partitions as the former standalone
+    aggregate (output captured byte-identical at three SFs).  The
+    divisions and 6-dp rounds happen in the JVM on the collected
+    literals, exactly where the old plan's final-aggregate projection
+    computed them.  Both frames return as constant-foldable 1-row
+    projections (the pre-round-11 wrappers re-aggregated the cache in
+    the final action just to carry already-computed values)."""
     cohort, _ = frames
     c = cohort.withColumn(
         "p_score",
         F.lit(GAMMA0) + F.lit(GAMMA1) * F.col("x1") + F.lit(GAMMA2) * F.col("x2"),
     )
-    h = bw_nrd0(c, "p_score")
-    return spark.range(1).select(F.round(F.lit(h), 8).alias("h"))
+    # ipsw = exp(-p_score): the same frozen-score expression the
+    # standalone prevalence piece derived (exp(-score))
+    h, ex = bw_nrd0(
+        c,
+        "p_score",
+        extra_aggs={
+            "_n": F.count(F.lit(1)),
+            "_sid": F.sum(F.exp(-F.col("p_score")) * F.col("d")),
+            "_si": F.sum(F.exp(-F.col("p_score"))),
+        },
+    )
+    bw = spark.range(1).select(F.round(F.lit(h), 8).alias("h"))
+    prev = spark.range(1).select(
+        F.lit(int(ex["_n"])).cast("long").alias("n"),
+        F.round(
+            F.lit(float(ex["_sid"])) / F.lit(float(ex["_si"])), 6
+        ).alias("prev"),
+        F.round(
+            F.lit(float(ex["_si"])) / F.lit(float(int(ex["_n"]))), 6
+        ).alias("ipsw_mean"),
+    )
+    return prev, bw
 
 
 def _sql_bw_nrd0(sf_dir: str) -> str:
@@ -5838,30 +5856,30 @@ def _q_survey_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort = units.where(F.expr(tpch.COHORT_PRED)).drop("o_orderkey")
     survey = units.where(F.expr(tpch.SURVEY_PRED)).drop("o_orderkey")
     frames = (cohort, survey)
-    prev = _q_ipsw_prevalence(spark, sf_dir, frames).withColumnRenamed(
-        "n", "n_cohort"
-    )
-    # Four of the eight pieces run eager driver jobs while BUILDING
-    # their 1-row frames (bandwidth percentiles, composite-factor
-    # moments, the influence Gram + variances, the Cox grid pass).
-    # They are mutually independent and all aggregate the shared
-    # cached units frame, so run them from concurrent driver threads
-    # (optimization round 11, guide §2.6) instead of serializing
-    # ~9 small jobs' scheduling latency; the Cox score and Newton-step
-    # certificates additionally share ONE grid pass (``_q_cox_scalars``).
-    # Concurrent first touch of the cache is safe: the block manager's
-    # per-partition locks make exactly one job compute each partition.
+    # Five of the eight pieces run eager driver jobs while BUILDING
+    # their 1-row frames (the fused prevalence+bandwidth pass, the
+    # composite-factor moments, the influence Gram + variances, the
+    # Cox grid pass).  They are mutually independent and all aggregate
+    # the shared cached units frame, so run them from concurrent
+    # driver threads (optimization round 11, guide §2.6) instead of
+    # serializing ~9 small jobs' scheduling latency; the Cox score and
+    # Newton-step certificates share ONE grid pass (``_q_cox_scalars``)
+    # and the prevalence certificate rides the bandwidth job
+    # (``_q_prev_bw_scalars``, round 12).  Concurrent first touch of
+    # the cache is safe: the block manager's per-partition locks make
+    # exactly one job compute each partition.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=4) as pool:
-        f_bw = pool.submit(_q_bw_scalar, spark, sf_dir, frames)
+        f_pb = pool.submit(_q_prev_bw_scalars, spark, sf_dir, frames)
         f_comp = pool.submit(_q_composite_factors, spark, sf_dir, frames)
         f_iv = pool.submit(_q_influence_variance, spark, sf_dir, frames)
         f_cox = pool.submit(_q_cox_scalars, spark, sf_dir, frames)
-        bw = f_bw.result()
+        prev, bw = f_pb.result()
         comp = f_comp.result()
         iv = f_iv.result()
         score, newton = f_cox.result()
+    prev = prev.withColumnRenamed("n", "n_cohort")
     gram = _q_gram_means(spark, sf_dir, frames)
     wq = (
         _q_weighted_median(spark, sf_dir, frames)

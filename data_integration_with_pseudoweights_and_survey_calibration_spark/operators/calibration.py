@@ -214,21 +214,34 @@ def composite_factors(
     a_k  = (S_c + S_s) * (1 - cv_k / (cv_c + cv_s)) / S_k / 2
 
     so that the composite weights ``w_c*a_c`` + ``w_s*a_s`` preserve the
-    total weight mass while down-weighting the noisier sample. Two tiny
-    aggregations; scalars on the driver.
+    total weight mass while down-weighting the noisier sample.  ONE
+    tiny grouped aggregation over the side-tagged union (optimization
+    round 12, guide §1.2 — formerly two serialized moment jobs; union
+    partitions stay side-pure, so each side's partial sums are the
+    same addends in the same partition order as the standalone aggs);
+    scalars on the driver.
     """
-
-    def _moments(df: DataFrame, w: str) -> tuple[float, float, float, int]:
-        r = df.agg(
-            F.var_samp(w).alias("v"),
-            F.avg(F.col(w) * F.col(w)).alias("m2"),
-            F.sum(w).alias("s"),
+    u = cohort.select(
+        F.lit(1).alias("_side"), F.col(cohort_wt).alias("_w")
+    ).unionByName(
+        survey.select(F.lit(0).alias("_side"), F.col(survey_wt).alias("_w"))
+    )
+    rows = (
+        u.groupBy("_side")
+        .agg(
+            F.var_samp("_w").alias("v"),
+            F.avg(F.col("_w") * F.col("_w")).alias("m2"),
+            F.sum("_w").alias("s"),
             F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        return float(r["v"]), float(r["m2"]), float(r["s"]), int(r["n"])
-
-    v_c, m2_c, s_c, n_c = _moments(cohort, cohort_wt)
-    v_s, m2_s, s_s, n_s = _moments(survey, survey_wt)
+        )
+        .collect()
+    )
+    by_side = {
+        int(r["_side"]): (float(r["v"]), float(r["m2"]), float(r["s"]), int(r["n"]))
+        for r in rows
+    }
+    v_c, m2_c, s_c, n_c = by_side[1]
+    v_s, m2_s, s_s, n_s = by_side[0]
     cv_c = (v_c / m2_c + 1.0) / n_c
     cv_s = (v_s / m2_s + 1.0) / n_s
     tot = s_c + s_s

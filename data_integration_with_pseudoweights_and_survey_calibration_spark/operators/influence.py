@@ -85,12 +85,39 @@ def var_pps(
     df: DataFrame, delta_cols: Sequence[str], strata_col: str | None = None
 ) -> np.ndarray:
     """E5 PPS variance: sum over strata of cov(Delta[stratum]) * n_h
-    (``taylor_deviate.R:490-491,562-563``)."""
+    (``taylor_deviate.R:490-491,562-563``).
+
+    One grouped aggregation computes every stratum's moment sums in a
+    single pass (optimization round 12, guide §1.2 — formerly a
+    distinct-strata probe job plus one filtered covariance job PER
+    stratum: 1 + |H| driver barriers for the same partial sums).  The
+    per-stratum addends and their partition order are unchanged, and
+    the driver-side combine is summed in sorted-stratum order (the old
+    distinct-collect order was arbitrary; for the two-strata callers
+    float addition is commutative, so values are identical)."""
     if strata_col is None:
         return delta_cov(df, delta_cols)
+    p = len(delta_cols)
+    exprs = [F.count(F.lit(1)).alias("_n")]
+    exprs += [F.sum(delta_cols[i]).alias(f"_m_{i}") for i in range(p)]
+    exprs += [
+        F.sum(F.col(delta_cols[i]) * F.col(delta_cols[j])).alias(f"_s_{i}_{j}")
+        for i in range(p)
+        for j in range(i, p)
+    ]
+    rows = df.groupBy(strata_col).agg(*exprs).collect()
     out = None
-    for r in df.select(strata_col).distinct().collect():
-        v = delta_cov(df.where(F.col(strata_col) == r[0]), delta_cols)
+    for row in sorted(rows, key=lambda r: str(r[strata_col])):
+        n = float(row["_n"])
+        m = np.array([row[f"_m_{i}"] for i in range(p)], dtype=float) / n
+        ss = vec_to_sym(
+            np.array(
+                [row[f"_s_{i}_{j}"] for i in range(p) for j in range(i, p)],
+                dtype=float,
+            ),
+            p,
+        )
+        v = (ss - n * np.outer(m, m)) / (n - 1.0) * n
         out = v if out is None else out + v
     return out
 

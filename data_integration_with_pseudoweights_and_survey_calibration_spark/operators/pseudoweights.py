@@ -95,7 +95,13 @@ def ipsw_weight(p_score: Column, sampling_fraction: float = 1.0) -> Column:
     return F.exp(-p_score) / float(sampling_fraction)
 
 
-def bw_nrd0(df: DataFrame, col: str, *, approx: int | None = None) -> float:
+def bw_nrd0(
+    df: DataFrame,
+    col: str,
+    *,
+    approx: int | None = None,
+    extra_aggs: dict[str, Column] | None = None,
+):
     """I5: Silverman's rule-of-thumb bandwidth, parity with R ``bw.nrd0``:
     0.9 * min(sd, IQR/1.34) * n^(-1/5) with the lo-fallback chain.
 
@@ -107,24 +113,35 @@ def bw_nrd0(df: DataFrame, col: str, *, approx: int | None = None) -> float:
     a 1e-4-relative IQR error moves the bandwidth by the same factor,
     far inside its own n^(-1/5) statistical slack -- use approx for
     huge cohorts, exact when value-gate parity matters.
+
+    ``extra_aggs`` (optimization round 12, guide §1.2): extra aggregate
+    expressions to ride the SAME single pass — callers that need other
+    scalars of the same frame (the survey_scalars prevalence
+    certificate) fold them into this job instead of paying a second
+    pass over the cohort.  Returns ``(h, {name: value})`` when given.
     """
     pctl = (
         f"approx_percentile({col}, {{p}}, {int(approx)})"
         if approx
         else f"percentile({col}, {{p}})"
     )
+    extras = dict(extra_aggs or {})
     row = df.agg(
         F.stddev(col).alias("sd"),
         F.expr(f"{pctl.format(p=0.75)} - {pctl.format(p=0.25)}").alias("iqr"),
         F.count(col).alias("n"),
         F.expr(f"abs({pctl.format(p=0.5)})").alias("absmed"),
         F.max(F.abs(F.col(col))).alias("absmax"),
+        *[c.alias(k) for k, c in extras.items()],
     ).collect()[0]
     sd, iqr, n = float(row["sd"] or 0.0), float(row["iqr"]), int(row["n"])
     lo = min(sd, iqr / 1.34)
     if lo == 0.0:  # R's fallback chain: lo <- sd || |median| || |x[1]| || 1
         lo = sd or float(row["absmed"]) or float(row["absmax"]) or 1.0
-    return 0.9 * lo * n ** (-0.2)
+    h = 0.9 * lo * n ** (-0.2)
+    if extra_aggs is not None:
+        return h, {k: row[k] for k in extras}
+    return h
 
 
 def _kw_block_fn(width: float, h: float, kernel: str, q: int):

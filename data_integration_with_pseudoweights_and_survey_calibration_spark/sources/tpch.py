@@ -73,6 +73,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+#: (abspath, mtime_ns, size) -> StructType; see load_events_stream
+_STREAM_SCHEMA_MEMO: dict = {}
+
+
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` as a Structured Streaming file source with the same
     ``ts`` normalization as :func:`load_events`. The stream must be
@@ -110,7 +114,17 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_path = d
     else:
         stream_path = path
-    raw_schema = spark.read.parquet(path).schema
+    # Schema memo (optimization round 12): the declared-schema footer
+    # read is a driver round trip per call — streaming_windowed builds
+    # THREE streams over the same file.  Keyed by (path, mtime, size)
+    # so a regenerated dataset invalidates; the schema is a plain
+    # PySpark StructType (no JVM handle), safe to hold across sessions.
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    raw_schema = _STREAM_SCHEMA_MEMO.get(key)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(path).schema
+        _STREAM_SCHEMA_MEMO[key] = raw_schema
     raw = spark.readStream.schema(raw_schema).parquet(stream_path)
     ts_type = dict(raw.dtypes).get("ts")
     if ts_type == "bigint":
