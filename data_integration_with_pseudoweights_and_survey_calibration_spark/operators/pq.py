@@ -395,6 +395,14 @@ def pq_codebooks(
                 yield pd.Series(out, dtype=object)
 
     vecs = train.select(xform(F.col(vec_col)).alias("_v")).cache()
+    # AQE off for the Lloyd rounds — see similarity.kmeans_centroids
+    # (optimization round 12): one stage-job per round instead of 2-3,
+    # values unchanged (unique-key grouped agg + per-key driver
+    # assignment; bit-identity asserted by tests/test_pq.py).
+    spark = corpus.sparkSession
+    _aqe = "spark.sql.adaptive.enabled"
+    _old_aqe = spark.conf.get(_aqe)
+    spark.conf.set(_aqe, "false")
     try:
         for _ in range(int(max_iter)):
             # vectors are already in quantizer space
@@ -433,6 +441,7 @@ def pq_codebooks(
                 break
             cb = new
     finally:
+        spark.conf.set(_aqe, _old_aqe)
         vecs.unpersist()
     return _stamp(cb, centroids is not None)
 

@@ -324,6 +324,19 @@ def kmeans_centroids(
     cen /= np.maximum(np.linalg.norm(cen, axis=1)[:, None], 1e-12)
 
     vecs = train.select(F.col(vec_col).alias("_v")).cache()
+    # Scope ADAPTIVE EXECUTION OFF for the Lloyd rounds (optimization
+    # round 12, guide §1.2 — same reasoning/measurement as the IRLS
+    # and Newton loops): each round is one fixed-shape grouped
+    # aggregate whose collect AQE splits into 2-3 stage-jobs with a
+    # re-optimization pass, for nothing it can improve (model-sized
+    # groups, no joins).  Values are unaffected: every (cell, dim)
+    # group merges its partials in map order regardless of reduce
+    # partition count, and the driver combine assigns per unique key
+    # (bit-identity asserted by tests/test_pq.py).
+    spark = corpus.sparkSession
+    _aqe = "spark.sql.adaptive.enabled"
+    _old_aqe = spark.conf.get(_aqe)
+    spark.conf.set(_aqe, "false")
     try:
         for _ in range(int(max_iter)):
             assign = _assign_udf(cen, 1)
@@ -348,6 +361,7 @@ def kmeans_centroids(
                 break
             cen = new
     finally:
+        spark.conf.set(_aqe, _old_aqe)
         vecs.unpersist()
     return cen
 
