@@ -187,11 +187,21 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort_s = scored.where(F.col("trt") == 1)
     survey_s = scored.where(F.col("trt") == 0)
     cohort_w = cohort_s.withColumn("ipsw", F.exp(-F.col("p_score")) / a)
-    kw = kw_weights(
-        cohort_s.select("id", "p_score"),
-        survey_s.select("id", "p_score", "wt"),
-        weight_col="wt",
-    )
+    # AQE pinned OFF for the kw fit's eager jobs (optimization round
+    # 12 — same reasoning/identity evidence as _q_kw_kernels): the
+    # bandwidth, histogram and post-block aggregates are fixed shapes
+    # that pay an extra AQE stage-job barrier each for nothing.
+    _aqe = "spark.sql.adaptive.enabled"
+    _old_aqe = spark.conf.get(_aqe)
+    spark.conf.set(_aqe, "false")
+    try:
+        kw = kw_weights(
+            cohort_s.select("id", "p_score"),
+            survey_s.select("id", "p_score", "wt"),
+            weight_col="wt",
+        )
+    finally:
+        spark.conf.set(_aqe, _old_aqe)
     cohort_w = cohort_w.join(kw.weights, "id")
     return cohort_w.agg(
         F.count(F.lit(1)).alias("n_cohort"),
@@ -1337,12 +1347,28 @@ def _q_kw_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver round trips with the other's tasks. Results are identical:
     # each branch is the same kw_weights call, just submitted from its
     # own driver thread.
+    #
+    # AQE pinned OFF across the whole region (optimization round 12,
+    # guide §1.2): every eager job here is a fixed-shape aggregate /
+    # explicitly-repartitioned block pass AQE cannot improve but
+    # splits into extra stage-job barriers with a re-optimization each
+    # (the histogram, bandwidth and post-block aggregates all pay 2
+    # jobs for 1).  Pinned around BOTH branch threads so every
+    # concurrently-planned query sees one deterministic value; output
+    # captured byte-identical at sf0.001/0.01/0.1 (per-group partial
+    # merges are map-ordered at any reduce partition count).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fg = pool.submit(branch, "gauss", "dnorm", KW_H)
-        ft = pool.submit(branch, "triang", "triang", KW_TRIANG_H)
-        gauss, triang = fg.result(), ft.result()
+    _aqe = "spark.sql.adaptive.enabled"
+    _old_aqe = spark.conf.get(_aqe)
+    spark.conf.set(_aqe, "false")
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fg = pool.submit(branch, "gauss", "dnorm", KW_H)
+            ft = pool.submit(branch, "triang", "triang", KW_TRIANG_H)
+            gauss, triang = fg.result(), ft.result()
+    finally:
+        spark.conf.set(_aqe, _old_aqe)
     return gauss.unionByName(triang)
 
 
