@@ -3124,9 +3124,11 @@ def _sql_embedding_topk() -> str:
 EMB_DEDUP_N = 5000  # brute-force verifier demo is bounded; LSH is the scale path
 
 
-def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_embedding_dedup(
+    spark: SparkSession, sf_dir: str, n_rows: int | None = None
+) -> DataFrame:
     emb = _emb(spark, sf_dir).where(F.col("vec_id") < EMB_DEDUP_N)
-    out = embedding_cosine_pairs(emb, EMB_TAU)
+    out = embedding_cosine_pairs(emb, EMB_TAU, n_rows=n_rows)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -4938,10 +4940,20 @@ def _q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sh = dedup_ops._shingle_frame(docs, "doc_id", "text", 3).cache()
 
-    # The four branch plans build sequentially: threading plan
-    # construction was measured SLOWER (py4j RPC contention — see the
-    # layout_keys note); driver threads are reserved for long-blocking
-    # eager jobs elsewhere.
+    # The embedding grid's one sizing count() runs in a driver thread
+    # WHILE the other branches' plans construct (optimization round
+    # 12, guide §2.6 — it only sizes the block grid; results are
+    # identical for any block count).  A long-blocking eager JOB
+    # overlapping RPC-bound construction is exactly the profitable
+    # threading case; threading the construction itself was measured
+    # slower (see the layout_keys note), so the branch plans still
+    # build sequentially.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _emb_base = _emb(spark, sf_dir).where(F.col("vec_id") < EMB_DEDUP_N)
+    _cnt_pool = ThreadPoolExecutor(max_workers=1)
+    _n_fut = _cnt_pool.submit(_emb_base.count)
+
     def mk_ng() -> DataFrame:
         return tag(
             ngram_jaccard_pairs(docs, JACCARD_TAU, shingle_frame=sh).select(
@@ -4968,13 +4980,18 @@ def _q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def mk_emb() -> DataFrame:
         return tag(
-            _q_embedding_dedup(spark, sf_dir), "embedding_cosine", "cosine"
+            _q_embedding_dedup(spark, sf_dir, n_rows=_n_fut.result()),
+            "embedding_cosine",
+            "cosine",
         )
 
     def mk_sem() -> DataFrame:
         return tag(_q_semantic_dedup(spark, sf_dir), "semantic", "cosine")
 
-    ng, lsh, emb, sem = mk_ng(), mk_lsh(), mk_emb(), mk_sem()
+    try:
+        ng, lsh, emb, sem = mk_ng(), mk_lsh(), mk_emb(), mk_sem()
+    finally:
+        _cnt_pool.shutdown(wait=False)
     return ng.unionByName(lsh).unionByName(emb).unionByName(sem)
 
 

@@ -704,6 +704,7 @@ def embedding_cosine_pairs(
     rows_per_block: int = 10_000,
     lsh_planes: int = 16,
     lsh_bands: int = 8,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs with cosine >= threshold.
 
@@ -800,7 +801,8 @@ def embedding_cosine_pairs(
         )
     if method == "grid":
         return _cosine_pairs_grid(
-            df, t, id_col=id_col, vec_col=vec_col, rows_per_block=rows_per_block
+            df, t, id_col=id_col, vec_col=vec_col,
+            rows_per_block=rows_per_block, n_rows=n_rows,
         )
     if method != "block":
         raise ValueError(f"unknown method {method!r}")
@@ -1103,6 +1105,7 @@ def _cosine_pairs_grid(
     id_col: str,
     vec_col: str,
     rows_per_block: int,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine via a distributed block grid.
 
@@ -1112,12 +1115,19 @@ def _cosine_pairs_grid(
     ``applyInPandas`` per (bi, bj) group runs the BLAS block mat-mul.
     Diagonal groups score their upper triangle. Driver sees nothing but
     the B count; per-task memory is two rows_per_block x d matrices.
+
+    ``n_rows`` (optimization round 12): the input size, if the caller
+    already knows or has concurrently computed it — skips the eager
+    sizing ``count()`` job.  The count only SIZES the block grid;
+    every pair is scored exactly once for ANY block count (the
+    bi <= bj grid partitions the pair set), so even an approximate
+    value changes nothing but task granularity.
     """
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
-    n = df.count()
+    n = int(n_rows) if n_rows is not None else df.count()
     # Scale-adaptive block count (optimization round 11, guide §2):
     # ``rows_per_block`` alone under-parallelizes small-to-mid corpora
     # — at n <= rows_per_block the whole all-pairs matmul collapsed
