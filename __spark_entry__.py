@@ -2789,6 +2789,118 @@ def _q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_bpe_merges(
+    n_merges: int = 8, batch: int = 4, min_freq: int = 2
+) -> str:
+    """DuckDB twin of the batched BPE recurrence (optimization round
+    12, VERDICT-r11 item 4 — closes the bpe_merges ``no_oracle`` gap):
+    the output is FLOAT-FREE (rank/left/right int+string, freq an
+    exact integer sum), so a hash-bearing oracle is feasible where the
+    raw-double iterative fits are not.
+
+    The unrolled rounds mirror ``bpe.learn_bpe_merges`` exactly:
+    per round, adjacent-symbol pair counts of the round's START state,
+    the top ``max(4k, k+8)`` rows by (count DESC, l, r) — the window
+    truncation is part of the contract — filtered to
+    ``freq >= min_freq``, the greedy non-conflicting selection (a
+    recursive CTE carrying the used-symbol set, exactly
+    ``select_nonconflicting``), and the left-to-right greedy fold
+    applying the kept set (``list_reduce`` over a unit-separator
+    string accumulator — the seed-with-first-element semantics equal
+    the Spark fold's empty-array seed because the first symbol can
+    never merge).  Rounds unroll to ``n_merges`` (every productive
+    round keeps >= 1 merge; an exhausted round keeps 0 and every later
+    round is then a fixed point, mirroring the Python loop's break).
+    State CTEs are MATERIALIZED — plain CTE inlining re-expands the
+    vocab chain exponentially.  Verified row-for-row identical to the
+    Spark side at sf0.001/0.01/0.1, including the batched-window
+    order divergence from strict count order."""
+    ctes = [
+        f"""toks AS (SELECT {TOKS_SQL} AS toks FROM documents),
+words AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq
+          FROM (SELECT unnest(toks) AS w FROM toks) GROUP BY w),
+vocab_0 AS MATERIALIZED (
+  SELECT w, freq,
+         CASE WHEN length(w) > 0
+              THEN list_transform(range(1, length(w) + 1),
+                                  i -> substring(w, i::INT, 1))
+              ELSE []::VARCHAR[] END AS syms
+  FROM words),
+merges_0(round, ord, l, r, c) AS (
+  SELECT 0, 0, '', '', 0::BIGINT WHERE false)"""
+    ]
+    for r in range(1, int(n_merges) + 1):
+        p = r - 1
+        ctes.append(f"""k_{r} AS (
+  SELECT least({batch}, {n_merges} - (SELECT count(*) FROM merges_{p}))::INT AS k),
+pairs_{r} AS MATERIALIZED (
+  SELECT l, r, sum(freq)::BIGINT AS c FROM (
+    SELECT freq, syms[i] AS l, syms[i + 1] AS r
+    FROM vocab_{p}, unnest(range(1, len(syms))) AS u(i)
+    WHERE len(syms) >= 2)
+  GROUP BY l, r),
+ranked_{r} AS (
+  SELECT l, r, c, row_number() OVER (ORDER BY c DESC, l, r) AS rk
+  FROM pairs_{r}),
+cand_{r} AS (
+  SELECT l, r, c, row_number() OVER (ORDER BY rk) AS seq
+  FROM ranked_{r}, k_{r}
+  WHERE rk <= greatest(4 * k_{r}.k, k_{r}.k + 8) AND c >= {min_freq}),
+greedy_{r}(i, kept, used) AS (
+  SELECT 0, []::VARCHAR[], []::VARCHAR[]
+  UNION ALL
+  SELECT g.i + 1,
+    CASE WHEN len(g.kept) >= (SELECT k FROM k_{r})
+           OR list_contains(g.used, c.l) OR list_contains(g.used, c.r)
+           OR list_contains(g.used, c.l || c.r)
+         THEN g.kept
+         ELSE g.kept || [c.l || chr(31) || c.r || chr(31) || c.c::VARCHAR] END,
+    CASE WHEN len(g.kept) >= (SELECT k FROM k_{r})
+           OR list_contains(g.used, c.l) OR list_contains(g.used, c.r)
+           OR list_contains(g.used, c.l || c.r)
+         THEN g.used
+         ELSE g.used || [c.l, c.r, c.l || c.r] END
+  FROM greedy_{r} g JOIN cand_{r} c ON c.seq = g.i + 1),
+kept_{r} AS MATERIALIZED (
+  SELECT kept FROM greedy_{r} ORDER BY i DESC LIMIT 1),
+keptp_{r} AS (
+  SELECT coalesce(list_transform(kept,
+           s -> split_part(s, chr(31), 1) || chr(31) || split_part(s, chr(31), 2)),
+         []::VARCHAR[]) AS kp
+  FROM kept_{r}),
+merges_{r} AS MATERIALIZED (
+  SELECT * FROM merges_{p}
+  UNION ALL
+  SELECT {r} AS round, t.i AS ord,
+         split_part(kept[t.i], chr(31), 1) AS l,
+         split_part(kept[t.i], chr(31), 2) AS r,
+         split_part(kept[t.i], chr(31), 3)::BIGINT AS c
+  FROM kept_{r}, unnest(range(1, len(kept) + 1)) AS t(i)),
+vocab_{r} AS MATERIALIZED (
+  SELECT w, freq,
+    CASE WHEN len(syms) = 0 THEN syms
+         ELSE string_split(
+           list_reduce(syms, (acc, x) -> CASE
+             WHEN list_contains(kp,
+                    list_extract(string_split(acc, chr(31)), -1) || chr(31) || x)
+             THEN CASE
+               WHEN length(acc) = length(list_extract(string_split(acc, chr(31)), -1))
+               THEN list_extract(string_split(acc, chr(31)), -1) || x
+               ELSE left(acc, length(acc)
+                         - length(list_extract(string_split(acc, chr(31)), -1)) - 1)
+                    || chr(31)
+                    || list_extract(string_split(acc, chr(31)), -1) || x END
+             ELSE acc || chr(31) || x END),
+           chr(31)) END AS syms
+  FROM vocab_{p}, keptp_{r})""")
+    final = f"""
+SELECT row_number() OVER (ORDER BY round, ord)::INT AS rank,
+       l AS "left", r AS "right", c AS freq
+FROM merges_{int(n_merges)}
+ORDER BY round, ord"""
+    return "WITH RECURSIVE " + ",\n".join(ctes) + final
+
+
 def _sql_lm_scores() -> str:
     return f"""
     WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
@@ -6068,8 +6180,11 @@ def oracle_sql() -> dict[str, str]:
         "layout_keys": _sql_layout_keys(),
         "decontamination": _sql_decontamination(),
         "lm_scores": _sql_lm_scores(),
-        # bpe_merges: iterative argmax loop (rows-only) + golden test
-        # vs a pure-Python BPE reference implementation
+        # bpe_merges: hash-bearing oracle since round 12 — the batched
+        # argmax recurrence is float-free, so the unrolled recursive
+        # DuckDB twin reproduces it row-for-row (the golden tests vs
+        # the pure-Python reference remain in tests/)
+        "bpe_merges": _sql_bpe_merges(),
         "media_features": _sql_media_features(),
         "domain_mix": _sql_domain_mix(),
         "vocab_stats": _sql_vocab_stats(),

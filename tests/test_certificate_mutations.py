@@ -97,6 +97,23 @@ MUTATIONS = [
         "LIMIT 3",
         "semantic-seed-count",
     ),
+    # round 12: the bpe_merges twin (new hash-bearing oracle) — the
+    # weighted pair count is the recurrence's ranking statistic AND the
+    # emitted freq column, so flipping the weight changes values at any
+    # SF; the batch size shifts the round boundaries of the windowed
+    # recurrence (merge order is round-major).
+    (
+        "bpe_merges",
+        "sum(freq)::BIGINT AS c",
+        "count(*)::BIGINT AS c",
+        "bpe-weighted-pair-count",
+    ),
+    (
+        "bpe_merges",
+        "least(4, 8 - ",
+        "least(3, 8 - ",
+        "bpe-batch-size",
+    ),
     (
         "media_features",
         "bytes[1]::INTEGER AS jprog_val",
