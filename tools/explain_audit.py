@@ -22,7 +22,7 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
     "survey_scalars": [
         (r"InMemoryTableScan|InMemoryRelation", "all eight certificate pieces read ONE cached units frame (round-4: shared scan instead of eight parquet re-derivations)"),
         (r"WholeStageCodegen|\*\(\d+\)", "expression layer fused into whole-stage codegen"),
-        (r"partial_sum", "map-side partial aggregation before the exchange"),
+        (r"partial_avg|partial_max", "map-side partial aggregation before the exchange (round 12: the sum-bearing prevalence piece now rides the eager bandwidth job — the lazy plan keeps the gram means and quantile pivot)"),
         (r"BroadcastNestedLoopJoin", "1-row certificate pieces combined by broadcast, not cartesian task explosion"),
     ],
     "kw_kernels": [
